@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Imputation operators (SURVEY.md §2.3 J1/J4/J5, §2.4 A7/A9/A10).
+  *
+  * The reference imputes missing values three ways: first-non-null within a
+  * group (`R_groupe4.R:181-190`), per-group mode via a join
+  * (`R_groupe4.R:194-205`), and 1-nearest-neighbor over (X,Y) coordinates
+  * via an O(missing × known) interpreted loop (`R_groupe4.R:113-142`).
+  * Here each is a distributed operator with an explicit scale path.
+  */
+object Impute {
+
+  /** A9 — fill nulls in `valueCol` with the value of the group's first
+    * non-null row, "first" defined over `orderCol` (ref `R_groupe4.R:181-184`
+    * — R uses physical row order; we use an explicit total order, SURVEY.md
+    * §7-1). Implemented as a pre-aggregated fill table + equi-join rather
+    * than a window so the fill side can be broadcast when small; at scale
+    * both sides hash-partition on the group key (one shuffle each).
+    */
+  def firstNonNullFill(df: DataFrame, groupKeys: Seq[String], valueCol: String,
+                       orderCol: String): DataFrame = {
+    val fills = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(min_by(col(valueCol), col(orderCol)).as("__graft_fill"))
+    df.join(fills, groupKeys, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__graft_fill")))
+      .drop("__graft_fill")
+  }
+
+  /** A10 — same, but "first including null" (ref `R_groupe4.R:187-190`:
+    * `first(fk_situation)` without `na.omit` — if the group's first row is
+    * null the fill is null; quirk preserved behind this variant). */
+  def firstInclNullFill(df: DataFrame, groupKeys: Seq[String], valueCol: String,
+                        orderCol: String): DataFrame = {
+    val fills = df.groupBy(groupKeys.map(col): _*)
+      .agg(min_by(col(valueCol), col(orderCol)).as("__graft_fill"))
+    df.join(fills, groupKeys, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col("__graft_fill")))
+      .drop("__graft_fill")
+  }
+
+  /** A7+J1 — fill nulls with the group's most frequent value (ref
+    * `R_groupe4.R:194-205`: mode table + left join + coalesce). The mode
+    * table is |groups| rows → broadcast to make the join shuffle-free on
+    * the fact side. */
+  def modeFill(df: DataFrame, groupKeys: Seq[String], valueCol: String): DataFrame = {
+    val modes = Rankings.modePerGroup(df.filter(col(valueCol).isNotNull), groupKeys, valueCol)
+      .select((groupKeys.map(col) :+ col(s"${valueCol}_mode")): _*)
+    df.join(broadcast(modes), groupKeys, "left")
+      .withColumn(valueCol, coalesce(col(valueCol), col(s"${valueCol}_mode")))
+      .drop(s"${valueCol}_mode")
+  }
+
+  /** J4/J5 — exact 1-nearest-neighbor imputation (ref `R_groupe4.R:113-142`:
+    * per missing row, argmin Euclidean distance over all known rows).
+    *
+    * v1 exact form: crossJoin(missing × known) + rank. Correct at any
+    * |missing| but O(|missing|·|known|) — intended for the reference's
+    * regime where the missing side is small (broadcast it). Ties broken by
+    * (distance, tieBreak) total order — R's loop tie-breaks by lowest row
+    * index (`which.min`), mirrored by passing the ingest id as `tieBreak`.
+    *
+    * For the 100 TB regime use [[knnImputeGrid]].
+    *
+    * @param missing  rows needing a value; must carry `idCol` (unique)
+    * @param known    rows providing values; must carry `payloadCols`
+    */
+  def knnImputeExact(missing: DataFrame, known: DataFrame,
+                     xCol: String, yCol: String, idCol: String,
+                     knownTieBreak: String, payloadCols: Seq[String]): DataFrame = {
+    val m = missing.select(col(idCol), col(xCol).as("__mx"), col(yCol).as("__my"))
+    val k = known.select(
+      (Seq(col(xCol).as("__kx"), col(yCol).as("__ky"), col(knownTieBreak).as("__ktb"))
+        ++ payloadCols.map(col)): _*)
+    // Squared distance: same argmin as Euclidean, but only *, +, - (exact
+    // IEEE ops) — deterministic and bit-identical across engines, unlike
+    // libm sqrt/pow (matters for oracle parity of the tie ordering).
+    val dx = col("__mx") - col("__kx")
+    val dy = col("__my") - col("__ky")
+    val dist2 = dx * dx + dy * dy
+    val w = Window.partitionBy(col(idCol)).orderBy(dist2.asc, col("__ktb").asc)
+    broadcast(m).crossJoin(k)
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .select((col(idCol) +: payloadCols.map(c => col(c).as(s"${c}_nn"))): _*)
+  }
+
+  /** J4/J5 at scale — grid-bucketed exact 1-NN (SURVEY.md §4 "1-NN spatial
+    * join optimization", v2 design).
+    *
+    * Both sides get a cell key `(floor(x/cell), floor(y/cell))`; ring r
+    * candidates are the known points in the (2r+1)² cell neighborhood of
+    * the missing point. A ring-r nearest candidate at distance d is the true
+    * global nearest iff d <= r*cell (any point outside the ring is at least
+    * r*cell away). Unresolved rows escalate to ring 2r, doubling until
+    * resolved; each round is an equi-join on cell keys (shuffle on cell id,
+    * no cross join). With a cell sized to the median NN distance the
+    * expected candidate count per row is O(1), so total work is
+    * O(|missing| + |known|) per round and the round count is logarithmic.
+    *
+    * Ties broken identically to [[knnImputeExact]] (distance, tieBreak).
+    */
+  def knnImputeGrid(missing: DataFrame, known: DataFrame,
+                    xCol: String, yCol: String, idCol: String,
+                    knownTieBreak: String, payloadCols: Seq[String],
+                    cellSize: Double, maxRounds: Int = 8): DataFrame = {
+    val m0 = missing.select(col(idCol), col(xCol).as("__mx"), col(yCol).as("__my"))
+    val k0 = known.select(
+      (Seq(col(xCol).as("__kx"), col(yCol).as("__ky"), col(knownTieBreak).as("__ktb"))
+        ++ payloadCols.map(col)): _*)
+      .withColumn("__kcx", floor(col("__kx") / cellSize))
+      .withColumn("__kcy", floor(col("__ky") / cellSize))
+    val payloadNN = payloadCols.map(c => col(c).as(s"${c}_nn"))
+
+    var unresolved = m0
+    var resolved: DataFrame = null
+    var ring = 1
+    var round = 0
+    while (round < maxRounds && !unresolved.isEmpty) {
+      val r = ring
+      // Explode each missing row to its (2r+1)^2 neighbor cells, equi-join on cell.
+      val offsets = (-r to r).flatMap(dx => (-r to r).map(dy => (dx, dy)))
+      val offsetDf = offsets.map { case (dx, dy) => s"struct(${dx}L as dx, ${dy}L as dy)" }
+        .mkString("array(", ",", ")")
+      val mCells = unresolved
+        .withColumn("__off", explode(expr(offsetDf)))
+        .withColumn("__kcx", floor(col("__mx") / cellSize) + col("__off.dx"))
+        .withColumn("__kcy", floor(col("__my") / cellSize) + col("__off.dy"))
+        .drop("__off")
+      val dx = col("__mx") - col("__kx")
+      val dy = col("__my") - col("__ky")
+      val dist2 = dx * dx + dy * dy
+      val w = Window.partitionBy(col(idCol)).orderBy(col("__dist2").asc, col("__ktb").asc)
+      val best = mCells.join(k0, Seq("__kcx", "__kcy"))
+        .withColumn("__dist2", dist2)
+        .withColumn("__graft_rn", row_number().over(w))
+        .filter(col("__graft_rn") === 1)
+      // Exactness guard: accept only if the best candidate is provably
+      // global-nearest (anything outside ring r is at least r*cell away).
+      val accepted = best.filter(col("__dist2") <= lit(r * cellSize * r * cellSize))
+        .select((col(idCol) +: payloadNN): _*)
+      resolved = if (resolved == null) accepted else resolved.unionByName(accepted)
+      unresolved = unresolved.join(accepted.select(idCol), Seq(idCol), "left_anti")
+      ring *= 2
+      round += 1
+    }
+    // Anything still unresolved (pathologically sparse neighborhoods) falls
+    // back to the exact cross-join on the (by now tiny) remainder.
+    val fallback = Impute.knnImputeExact(
+      unresolved.withColumnRenamed("__mx", xCol).withColumnRenamed("__my", yCol),
+      k0.withColumnRenamed("__kx", xCol).withColumnRenamed("__ky", yCol)
+        .withColumnRenamed("__ktb", knownTieBreak),
+      xCol, yCol, idCol, knownTieBreak, payloadCols)
+    if (resolved == null) fallback else resolved.unionByName(fallback)
+  }
+}

