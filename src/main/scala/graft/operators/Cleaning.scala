@@ -83,10 +83,12 @@ object Cleaning {
     df.withColumn(c, regexp_replace(col(c), java.util.regex.Pattern.quote(from), to))
 
   /** F3 — case normalization (ref `R_groupe4.R:178`,
-    * `str_to_title(tolower(...))`). `initcap` capitalizes after any
-    * non-alphanumeric, like str_to_title on hyphens/apostrophes. */
+    * `str_to_title(tolower(...))`). Spark's builtin `initcap` only breaks
+    * on whitespace — "saint-martin" would stay "Saint-martin" — so this
+    * uses the custom codegen'd [[graft.functions.TitleCase]] expression,
+    * which matches str_to_title on hyphens/apostrophes. */
   def titleCase(df: DataFrame, c: String): DataFrame =
-    df.withColumn(c, initcap(lower(col(c))))
+    df.withColumn(c, graft.functions.TitleCase(col(c)))
 
   /** F8 — null → sentinel on string columns (ref `R_groupe4.R:209`,
     * `NA → "Inconnue"`). */

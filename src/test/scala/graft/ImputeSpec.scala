@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Impute, Rankings}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ImputeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("firstNonNullFill uses the group's earliest non-null (A9)") {
+    val df = Seq(
+      ("g1", 1L, None: Option[String]), ("g1", 2L, Some("a")), ("g1", 3L, Some("b")),
+      ("g2", 1L, None: Option[String])).toDF("g", "id", "v")
+    val out = Impute.firstNonNullFill(df, Seq("g"), "v", "id")
+      .orderBy("g", "id").select("v").as[Option[String]].collect()
+    assert(out.toSeq == Seq(Some("a"), Some("a"), Some("b"), None))
+  }
+
+  test("firstInclNullFill preserves the A10 quirk (first row null → fill null)") {
+    val df = Seq(
+      ("g1", 1L, None: Option[String]), ("g1", 2L, Some("a"))).toDF("g", "id", "v")
+    val out = Impute.firstInclNullFill(df, Seq("g"), "v", "id")
+      .orderBy("id").select("v").as[Option[String]].collect()
+    // min_by(v, id) picks id=1's null → the null row stays null
+    assert(out.toSeq == Seq(None, Some("a")))
+  }
+
+  test("modePerGroup breaks count ties by value ascending") {
+    val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
+      .toDF("g", "v")
+    val out = Rankings.modePerGroup(df, Seq("g"), "v")
+      .select("v_mode", "cnt").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 2L)))
+  }
+
+  test("modeFill fills nulls with the group mode, leaves non-null alone") {
+    val df = Seq(
+      ("g1", Some("x")), ("g1", Some("x")), ("g1", Some("y")), ("g1", None),
+      ("g2", None)).toDF("g", "v")
+    val out = Impute.modeFill(df, Seq("g"), "v")
+      .groupBy("g").agg(sum(when(col("v").isNull, 1).otherwise(0)).as("nulls"))
+      .as[(String, Long)].collect().toMap
+    assert(out("g1") == 0) // filled with "x"
+    assert(out("g2") == 1) // no mode available → stays null
+  }
+
+  test("knnImputeExact picks the geometric nearest; ties by tieBreak id") {
+    val missing = Seq((100L, 0.0, 0.0)).toDF("id", "x", "y")
+    val known = Seq(
+      (1L, 3.0, 0.0, "far"), (2L, 1.0, 0.0, "near"),
+      (3L, 0.0, 1.0, "near_tie")). // same distance as id=2 → id=2 wins
+      toDF("kid", "x", "y", "label")
+    val out = Impute.knnImputeExact(missing, known, "x", "y", "id", "kid", Seq("label"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq == Seq((100L, "near")))
+  }
+
+  test("knnImputeGrid matches knnImputeExact on random points (exactness)") {
+    val rng = new scala.util.Random(7)
+    val known = (1 to 300).map(i =>
+      (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100, s"v$i"))
+      .toDF("kid", "x", "y", "label")
+    val missing = (1 to 40).map(i =>
+      (1000L + i, rng.nextDouble() * 100, rng.nextDouble() * 100))
+      .toDF("id", "x", "y")
+    val exact = Impute.knnImputeExact(missing, known, "x", "y", "id", "kid", Seq("label"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val grid = Impute.knnImputeGrid(missing, known, "x", "y", "id", "kid", Seq("label"),
+      cellSize = 10.0)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(grid == exact)
+  }
+
+  test("knnImputeGrid resolves isolated points via ring escalation/fallback") {
+    val known = Seq((1L, 0.0, 0.0, "origin")).toDF("kid", "x", "y", "label")
+    val missing = Seq((10L, 500.0, 500.0)).toDF("id", "x", "y") // 50 cells away
+    val out = Impute.knnImputeGrid(missing, known, "x", "y", "id", "kid",
+      Seq("label"), cellSize = 10.0, maxRounds = 3)
+      .as[(Long, String)].collect()
+    assert(out.toSeq == Seq((10L, "origin")))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.io.Csv
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CSV round-trip preserves rows and schema (S1-S3)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("v", DoubleType)))
+    val df = Seq((1L, "a", 1.5), (2L, "b,with,commas", -3.25), (3L, null, 0.0))
+      .toDF("id", "name", "v")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/out"
+    val back = Csv.roundTrip(spark, df, tmp)
+    assert(back.schema == schema)
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("permissive CSV read quarantines bad rows instead of failing") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val f = tmp.resolve("bad.csv")
+    java.nio.file.Files.writeString(f, "id,v\n1,2.5\nnot_a_long,3.5\n")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", DoubleType)))
+    val out = Csv.read(spark, f.toString, schema).collect()
+    assert(out.length == 2)
+    assert(out.count(_.isNullAt(0)) == 1) // corrupt row surfaces as nulls
+  }
+
+  test("multimodal fakeDecode: exact histogram + checksum on known bytes") {
+    val df = Seq((1L, "ab")).toDF("doc_id", "text") // bytes 97, 98
+    val media = Multimodal.mediaFromText(df, "doc_id", "text")
+    val r = Multimodal.extractFeatures(media).first()
+    assert(r.getAs[Long]("n_bytes") == 2L)
+    assert(r.getAs[Long]("checksum") == 97L * 31 + 98) // 3105
+    val feat = r.getSeq[Float](r.fieldIndex("feature"))
+    assert(feat.length == 8)
+    assert(feat(97 % 8) == 1f && feat(98 % 8) == 1f)
+    assert(feat.sum == 2f)
+  }
+
+  test("media schema carries binary payload + typed metadata") {
+    val df = Seq((1L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(df, "doc_id", "text")
+    val types = media.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("payload") == BinaryType)
+    assert(types("media_id") == LongType)
+    assert(types("modality") == StringType)
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosineTopK: exact ranking on hand-built vectors") {
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Array(1f, 0f, 0f)),    // cos 1.0
+      (2L, Array(1f, 1f, 0f)),    // cos ~0.707
+      (3L, Array(0f, 1f, 0f)),    // cos 0
+      (4L, Array(-1f, 0f, 0f)))   // cos -1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(q, c, "vec_id", "embedding", 3)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+  }
+
+  test("cosineTopK ties break by neighbor id ascending") {
+    val q = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq((5L, Array(2f, 0f)), (3L, Array(3f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(q, c, "vec_id", "embedding", 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((3L, 1), (5L, 2))) // both cos=1.0 → id asc
+  }
+
+  test("lshCosineTopK: high top-5 recall vs brute force on clustered vectors") {
+    // LSH recall is structure-dependent: on clustered data (the realistic
+    // corpus shape) hyperplane buckets separate clusters well; a uniformly
+    // random corpus is the adversarial worst case (neighbors ~orthogonal).
+    val rng = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    def pt(c: Int) = centers(c).map(v => (v + 0.15 * rng.nextGaussian()).toFloat)
+    val corpus = (10 until 300).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshCosineTopK(queries, corpus, "vec_id", "embedding", 5,
+        nBits = 8, dim = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
+  }
+
+  test("hyperplane signature is deterministic across evaluations") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).limit(20)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val s1 = e.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("v"), 8, 64).as("sig"))
+      .as[(Long, Int)].collect().toMap
+    val s2 = e.select(col("vec_id"),
+      Similarity.hyperplaneSignature(col("v"), 8, 64).as("sig"))
+      .as[(Long, Int)].collect().toMap
+    assert(s1 == s2)
+  }
+}

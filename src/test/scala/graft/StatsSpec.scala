@@ -1,0 +1,49 @@
+package graft
+
+import graft.stats.Stats
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chiSquare matches the hand-computed statistic on a 2x2 table") {
+    // table: a/x=10, a/y=20, b/x=30, b/y=40  (classic textbook example)
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val df = rows.toDF("u", "v")
+    val r = Stats.chiSquare(df, "u", "v").first()
+    // expected: n=100, rm={a:30,b:70}, cm={x:40,y:60}
+    // exp = 12,18,28,42; chi2 = 4/12+4/18+4/28+4/42 = 0.79365...
+    assert(math.abs(r.getDouble(0) - (4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42)) < 1e-12)
+    assert(r.getLong(1) == 1L)
+  }
+
+  test("anova matches hand-computed F on a small fixture") {
+    // g1: 1,2,3 (m=2, var=1) ; g2: 5,6,7 (m=6, var=1); grand mean 4, k=2, n=6
+    // SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24, msb = 24/1 = 24
+    // SSW = 2*1 + 2*1 = 4, msw = 4/4 = 1 → F = 24
+    val df = Seq(("g1", 1.0), ("g1", 2.0), ("g1", 3.0),
+      ("g2", 5.0), ("g2", 6.0), ("g2", 7.0)).toDF("g", "v")
+    val r = Stats.anova(df, "v", "g").first()
+    assert(math.abs(r.getAs[Double]("ms_between") - 24.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ms_within") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("f_stat") - 24.0) < 1e-9)
+  }
+
+  test("corrPairs: perfectly correlated columns → corr 1, cov = var") {
+    val df = (1 to 10).map(i => (i.toDouble, 2.0 * i)).toDF("a", "b")
+    val r = Stats.corrPairs(df, Seq("a" -> "b")).first()
+    assert(math.abs(r.getAs[Double]("corr_a_b") - 1.0) < 1e-12)
+    // cov(a, 2a) = 2*var(a); var_samp(1..10) = 55/6
+    assert(math.abs(r.getAs[Double]("cov_a_b") - 2 * 55.0 / 6) < 1e-9)
+  }
+
+  test("quantiles: exact percentile interpolation matches R type-7/SQL semantics") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val r = df.agg(Stats.quantiles(df, "v", Seq(0.25, 0.5, 0.75)).as("q")).first()
+    val q = r.getSeq[Double](0)
+    assert(q == Seq(1.75, 2.5, 3.25))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("windowedCounts (streaming) equals the batch aggregation") {
+    val stream = EventsStream.windowedCounts(spark, TestSpark.sf0001)
+      .orderBy("win_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("sessionize: session boundaries at the idle gap, totals consistent") {
+    val out = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
+    val total = out.agg(sum("n_events")).as[Long].first()
+    val input = Tables.events(spark, TestSpark.sf0001).count()
+    assert(total == input) // every event lands in exactly one session
+    // session_seq starts at 1 per user and is dense
+    val perUser = out.groupBy("user_id")
+      .agg(min("session_seq").as("mn"), max("session_seq").as("mx"),
+        count(lit(1)).as("n"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
+    assert(perUser.count() == 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokenCount counts single-space separated tokens") {
+    val df = Seq("a b c", "one", "x y").toDF("t")
+    assert(df.select(Text.tokenCount(col("t"))).as[Long].collect().toSeq == Seq(3L, 1L, 2L))
+  }
+
+  test("occurrences counts literal substrings") {
+    val df = Seq("the cat the hat").toDF("t")
+    assert(df.select(Text.occurrences(col("t"), "the")).as[Double].collect().head == 2.0)
+  }
+
+  test("langId picks the language with the most stopword evidence") {
+    val df = Seq(
+      "so the cat and the dog of it",
+      "voici le chat et la maison et le chien",
+      "nur der hund und die katze und der vogel",
+      "no markers here at all").toDF("t")
+    val out = df.select(Text.langId(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "fr", "de", "unknown"))
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val df = Seq(("a  b\tc", "a b c")).toDF("x", "y")
+    val r = df.select(Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).as[Boolean]
+    assert(r.collect().head)
+  }
+
+  test("qualityFeatures exact on a known string") {
+    // "ab cd" → n_chars 5, n_tokens 2, nonspace 4 → avg_token_len 2.0,
+    // space_ratio 1/5
+    val df = Seq("ab cd").toDF("text")
+    val feats = Text.qualityFeatures(col("text"))
+    val r = df.select(feats.map { case (n, c) => c.as(n) }: _*).first()
+    assert(r.getAs[Long]("n_chars_q") == 5L)
+    assert(r.getAs[Long]("n_tokens") == 2L)
+    assert(r.getAs[Double]("avg_token_len") == 2.0)
+    assert(r.getAs[Double]("space_ratio") == 0.2)
+  }
+
+  test("exactDedup groups identical texts under one canonical id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "text", "doc_id")
+      .orderBy("keep_id").select("keep_id", "dup_cnt").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minHashLsh finds a near-duplicate pair and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val other = "completely unrelated content about databases and distributed systems design"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, "text", "doc_id", k = 3, bands = 8, rowsPerBand = 2,
+      threshold = 0.3).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash: identical docs → identical fingerprint; simHashDups finds them") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val sigs = df.select(Dedup.simHash(Text.tokens(col("text"))).as("s")).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    val dups = Dedup.simHashDups(df, "text", "doc_id", blocks = 4, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(dups.exists(d => d._1 == 1L && d._2 == 2L && d._3 == 0))
+  }
+
+  test("ngramJaccardPairs computes exact Jaccard on shingle sets") {
+    // identical docs → jaccard 1.0
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardPairs(df, df, "text", "doc_id", k = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("winnowing fingerprint is stable and edit-local") {
+    val df = Seq("one two three four five six seven eight nine ten").toDF("t")
+    val fp = df.select(Text.winnowingFingerprint(Text.tokens(col("t"))).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(fp.nonEmpty)
+    // deterministic across evaluations
+    val fp2 = df.select(Text.winnowingFingerprint(Text.tokens(col("t"))).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(fp == fp2)
+  }
+}
