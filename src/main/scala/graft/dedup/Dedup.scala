@@ -26,15 +26,11 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
-    * minimum over the document's k-shingle hashes. Pure HOF expression —
-    * one pass, no explode. Empty docs get an empty signature. */
-  def minHashSignature(toks: Column, k: Int, numHashes: Int): Column = {
-    val seeds = array((0 until numHashes).map(lit): _*)
-    transform(seeds, s =>
-      array_min(transform(
-        sequence(lit(0), greatest(size(toks) - k, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k))), s))))
-  }
+    * minimum over the document's k-shingle hashes. Tight-loop custom
+    * expression ([[graft.functions.MinHashSig]]) — one pass over the token
+    * array per row, no explode, no per-shingle expression-tree overhead. */
+  def minHashSignature(toks: Column, k: Int, numHashes: Int): Column =
+    graft.functions.MinHashSig(toks, k, numHashes)
 
   /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
     * `rowsPerBand` hashes; documents sharing any band bucket become a
@@ -76,22 +72,7 @@ object Dedup {
     * ±1 per bit position; the sign vector becomes the fingerprint. Near-dups
     * differ in few bits (Hamming distance). Pure HOF fold over the token
     * array — no explode, no shuffle. */
-  def simHash(toks: Column): Column = {
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc,
-          array((0 until 64).map(b =>
-            when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
-          (x, y) => x + y)
-      })
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simHash(toks: Column): Column = graft.functions.SimHash64(toks)
 
   /** SimHash near-dup candidates by block partitioning (Charikar/Manku):
     * split the 64-bit fingerprint into `blocks` blocks; dups within Hamming
@@ -116,21 +97,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs (the verification
-    * oracle for the LSH variants, or a small-side sweep when one side is a
-    * bounded probe set). jaccard = |A∩B| / |A∪B| over distinct k-shingle
-    * hash sets. */
+  /** Exact n-gram Jaccard similarity via an inverted shingle index — no
+    * cross join at any scale. Both sides explode to (id, shingleHash, |set|)
+    * postings; an equi-join on the shingle hash + count(*) per pair yields
+    * |A∩B|, and |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle (jaccard 0)
+    * never materialize. The probe side is broadcast, so the corpus postings
+    * stream through a map-side join — work is O(postings + collisions),
+    * the standard web-scale set-similarity-join shape.
+    *
+    * jaccard = |A∩B| / |A∪B| over distinct k-shingle hash sets; identical
+    * results to the naive all-pairs array_intersect formulation. */
   def ngramJaccardPairs(probe: DataFrame, corpus: DataFrame,
                         textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    def prep(d: DataFrame, suffix: String) = d.select(
-      col(idCol).as(s"id_$suffix"),
-      array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)).as(s"sh_$suffix"))
-    prep(probe, "a").crossJoin(prep(corpus, "b"))
+    def prep(d: DataFrame, suffix: String) = d
+      .select(col(idCol).as(s"id_$suffix"),
+        array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)).as("sh"))
+      .withColumn(s"sz_$suffix", size(col("sh")))
+      .withColumn("sh", explode(col("sh")))
+    val a = prep(probe, "a")
+    val b = prep(corpus, "b")
+    broadcast(a).join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

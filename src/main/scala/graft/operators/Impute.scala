@@ -82,11 +82,21 @@ object Impute {
     val dx = col("__mx") - col("__kx")
     val dy = col("__my") - col("__ky")
     val dist2 = dx * dx + dy * dy
-    val w = Window.partitionBy(col(idCol)).orderBy(dist2.asc, col("__ktb").asc)
-    broadcast(m).crossJoin(k)
-      .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1)
-      .select((col(idCol) +: payloadCols.map(c => col(c).as(s"${c}_nn"))): _*)
+    // argmin as an aggregation, NOT a window: the custom arg_min_by
+    // TypedImperativeAggregate (see its scaladoc — builtin min_by over a
+    // struct key degrades to SortAggregate) gets map-side partial
+    // aggregation in ObjectHashAggregate, so the |missing|×|known| pair
+    // stream collapses per partition and only |missing| groups shuffle.
+    // The known side is repartitioned so the nested-loop probe parallelizes
+    // even when the source collapses to a single input split (a small
+    // parquet file); at real scale the input is already many splits and
+    // this shuffle is cheap relative to the pair scan it parallelizes.
+    broadcast(m).crossJoin(k.repartition(k.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt))
+      .groupBy(col(idCol))
+      .agg(graft.functions.ArgMinBy(
+        struct(payloadCols.map(col): _*), dist2, col("__ktb")).as("__nn"))
+      .select((col(idCol) +: payloadCols.map(c => col(s"__nn.$c").as(s"${c}_nn"))): _*)
   }
 
   /** J4/J5 at scale — grid-bucketed exact 1-NN (SURVEY.md §4 "1-NN spatial
@@ -114,8 +124,6 @@ object Impute {
         ++ payloadCols.map(col)): _*)
       .withColumn("__kcx", floor(col("__kx") / cellSize))
       .withColumn("__kcy", floor(col("__ky") / cellSize))
-    val payloadNN = payloadCols.map(c => col(c).as(s"${c}_nn"))
-
     var unresolved = m0
     var resolved: DataFrame = null
     var ring = 1
@@ -134,15 +142,17 @@ object Impute {
       val dx = col("__mx") - col("__kx")
       val dy = col("__my") - col("__ky")
       val dist2 = dx * dx + dy * dy
-      val w = Window.partitionBy(col(idCol)).orderBy(col("__dist2").asc, col("__ktb").asc)
+      // same map-side-combinable argmin as knnImputeExact
       val best = mCells.join(k0, Seq("__kcx", "__kcy"))
         .withColumn("__dist2", dist2)
-        .withColumn("__graft_rn", row_number().over(w))
-        .filter(col("__graft_rn") === 1)
+        .groupBy(col(idCol))
+        .agg(graft.functions.ArgMinBy(
+          struct((col("__dist2") +: payloadCols.map(col)): _*),
+          col("__dist2"), col("__ktb")).as("__nn"))
       // Exactness guard: accept only if the best candidate is provably
       // global-nearest (anything outside ring r is at least r*cell away).
-      val accepted = best.filter(col("__dist2") <= lit(r * cellSize * r * cellSize))
-        .select((col(idCol) +: payloadNN): _*)
+      val accepted = best.filter(col("__nn.__dist2") <= lit(r * cellSize * r * cellSize))
+        .select((col(idCol) +: payloadCols.map(c => col(s"__nn.$c").as(s"${c}_nn"))): _*)
       resolved = if (resolved == null) accepted else resolved.unionByName(accepted)
       unresolved = unresolved.join(accepted.select(idCol), Seq(idCol), "left_anti")
       ring *= 2
