@@ -97,8 +97,18 @@ case class ArgMinBy(payload: Expression, ordD: Expression, ordT: Expression,
 }
 
 object ArgMinBy {
+  import org.apache.spark.sql.catalyst.expressions.Cast
+
+  /** Coerce ordering children to the buffer's primitive types (SQL numeric
+    * literals arrive as Decimal). */
+  def coerced(payload: Expression, ordD: Expression, ordT: Expression): ArgMinBy =
+    ArgMinBy(
+      payload,
+      if (ordD.dataType == DoubleType) ordD else Cast(ordD, DoubleType),
+      if (ordT.dataType == LongType) ordT else Cast(ordT, LongType))
+
   def apply(payload: Column, ordDouble: Column, ordTie: Column): Column =
     ColumnBridge.column(
-      ArgMinBy(ColumnBridge.expression(payload), ColumnBridge.expression(ordDouble),
+      coerced(ColumnBridge.expression(payload), ColumnBridge.expression(ordDouble),
         ColumnBridge.expression(ordTie)).toAggregateExpression())
 }

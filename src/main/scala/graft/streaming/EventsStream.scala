@@ -48,10 +48,9 @@ object EventsStream {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
-  /** Stateful per-user sessionization via flatMapGroupsWithState-style
-    * semantics, expressed with the simpler windowed form for the static
-    * harness; the streaming-native variant lives in tests. Gap-based
-    * sessions: a new session starts when the user is idle > gapMinutes. */
+  /** Batch gap-based sessionization (lag + running sum windows); the
+    * streaming-native stateful variant is [[sessionizeStateful]]. A new
+    * session starts when the user is idle > gapMinutes. */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.Tables.events(spark, dir)
@@ -68,5 +67,72 @@ object EventsStream {
         count(lit(1)).as("n_events"),
         unix_timestamp(min(col("ts"))).as("session_start"),
         round(sum(col("value")), 4).as("session_value"))
+  }
+
+  case class SessionEvent(user_id: Long, event_id: Long, tsSec: Long, value: Double,
+                          ts: java.sql.Timestamp)
+  case class SessionState(seq: Long, lastTsSec: Long,
+                          n: Long, startSec: Long, total: Double)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        session_start: Long, session_value: Double)
+
+  /** Streaming-native stateful sessionization: per-user state via
+    * `flatMapGroupsWithState` with an event-time timeout. A session closes
+    * (and is emitted) when the user is idle past the gap relative to the
+    * watermark; state is one small record per active user, bounded by the
+    * watermark horizon regardless of history length — the canonical
+    * KeyValueGroupedDataset custom-state shape.
+    *
+    * Run over the static events table it emits exactly the closed sessions
+    * of [[sessionize]] (the final still-open session per user flushes on
+    * the terminal batch). */
+  def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapSec = gapMinutes * 60L
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tsSec"),
+        col("value"), col("ts"))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[SessionEvent]
+
+    def fn(userId: Long, events: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      var st = state.getOption.orNull
+      // within a microbatch, order by event time (+id) like the batch form
+      events.toSeq.sortBy(e => (e.tsSec, e.event_id)).foreach { e =>
+        st match {
+          case null =>
+            st = SessionState(1L, e.tsSec, 1L, e.tsSec, e.value)
+          case s if e.tsSec - s.lastTsSec > gapSec =>
+            out += SessionOut(userId, s.seq, s.n, s.startSec, s.total)
+            st = SessionState(s.seq + 1, e.tsSec, 1L, e.tsSec, e.value)
+          case s =>
+            st = SessionState(s.seq, e.tsSec, s.n + 1, s.startSec, s.total + e.value)
+        }
+      }
+      if (state.hasTimedOut && st != null) {
+        out += SessionOut(userId, st.seq, st.n, st.startSec, st.total)
+        state.remove()
+      } else if (st != null) {
+        state.update(st)
+        state.setTimeoutTimestamp(st.lastTsSec * 1000 + gapSec * 1000)
+      }
+      out.iterator
+    }
+
+    val qname = "graft_sessions_stateful"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+      .withColumn("session_value", round(col("session_value"), 4))
   }
 }

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine's custom expressions exposed to pure-SQL users via
+  * SparkSessionExtensions (spark.sql.extensions=graft.GraftExtensions). */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("title_case available in SQL") {
+    val r = spark.sql("SELECT title_case('jean-pierre') AS t").as[String].first()
+    assert(r == "Jean-Pierre")
+  }
+
+  test("simhash64 available in SQL and equals the Column API") {
+    val sql = spark.sql("SELECT simhash64(split('a b c', ' ')) AS h").as[Long].first()
+    val api = Seq("a b c").toDF("t")
+      .select(graft.dedup.Dedup.simHash(graft.text.Text.tokens($"t"))).as[Long].first()
+    assert(sql == api)
+  }
+
+  test("minhash_sig available in SQL with literal k/n") {
+    val r = spark.sql("SELECT minhash_sig(split('a b c d e', ' '), 3, 4) AS s")
+      .as[Seq[Long]].first()
+    assert(r.length == 4)
+  }
+
+  test("arg_min_by aggregate available in SQL") {
+    val r = spark.sql(
+      """SELECT arg_min_by(name, dist, id) AS nearest FROM VALUES
+        | ('far', 9.0, 1L), ('near', 1.0, 2L), ('tie', 1.0, 3L) AS t(name, dist, id)
+      """.stripMargin).as[String].first()
+    assert(r == "near") // dist tie broken by lower id
+  }
+}

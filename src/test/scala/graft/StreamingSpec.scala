@@ -23,6 +23,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("stateful (flatMapGroupsWithState) sessionization matches the batch closed sessions") {
+    val stateful = EventsStream.sessionizeStateful(spark, TestSpark.sf0001, 30)
+      .select("user_id", "session_seq", "n_events", "session_start", "session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
+      .select("user_id", "session_seq", "n_events", "session_start", "session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // streaming emits sessions closed by the event-time timeout; every one
+    // of them must be a session the batch form also derives
+    assert(stateful.nonEmpty)
+    assert(stateful.subsetOf(batch),
+      s"stateful-only sessions: ${stateful.diff(batch).take(3)}")
+  }
+
   test("sessionize: session boundaries at the idle gap, totals consistent") {
     val out = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
     val total = out.agg(sum("n_events")).as[Long].first()
