@@ -303,7 +303,30 @@ object Queries {
     "q38_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromText(doc(s, d), "doc_id", "text"))
-        .select("media_id", "modality", "n_bytes", "checksum"))
+        .select("media_id", "modality", "n_bytes", "checksum")),
+
+    // Skew-mitigation pattern with an exact oracle: salted two-phase
+    // aggregation (salt → partial agg → final agg) must equal the plain
+    // one-phase group-by. Counts are exact; double sums are rounded on
+    // both sides. This is the verbatim recipe for hot keys at 100 TB.
+    "q39_salted_agg" -> ((s, d) => {
+      val salted = li(s, d)
+        .withColumn("__salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("__salt"))
+        .agg(count(lit(1)).as("pc"), sum(col("l_quantity")).as("ps"))
+      salted.groupBy(col("l_returnflag"))
+        .agg(sum(col("pc")).as("cnt"), round(sum(col("ps")), 2).as("sum_qty"))
+    }),
+
+    // Sketch-based scale path of A2/distinct-count: HLL + t-digest-style
+    // approx quantiles (rows-only: sketches are engine-specific by design;
+    // exact twins are q12/q01).
+    "q40_approx_stats" -> ((s, d) =>
+      li(s, d).agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+          .as("approx_quartiles")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -597,6 +620,10 @@ object Queries {
         |SELECT user_id, session_seq, count(*) AS n_events,
         | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
         | round(sum(value), 4) AS session_value
-        |FROM x GROUP BY user_id, session_seq""".stripMargin
+        |FROM x GROUP BY user_id, session_seq""".stripMargin,
+
+    "q39_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

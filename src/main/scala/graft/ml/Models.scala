@@ -66,7 +66,7 @@ object Models {
       .setInputCols((numericCols ++ categoricalCols.map(c => s"${c}_oh")).toArray)
       .setOutputCol("features")
     val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
-      .setMaxIter(100).setTol(1e-9).setThreshold(0.5)
+      .setMaxIter(100).setTol(1e-6).setThreshold(0.5)
     val model = new Pipeline().setStages((indexers ++ encoders :+ assembler :+ lr).toArray)
       .fit(df)
     model.transform(df)

@@ -50,25 +50,14 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
-  /** Deterministic pseudo-random hyperplanes: component h(p,d) derived from
-    * a seeded xxhash64 of (plane, dim), mapped to [-1, 1). Seed fixed so
-    * signatures are stable across runs and cluster topologies. */
-  private def hyperplanes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rng = new scala.util.Random(42)
-    Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
-  }
-
   /** Random-hyperplane signature of a double-array column as an Int bucket
-    * id: bit p = sign(v · h_p). Buckets split the corpus ~uniformly (each
-    * hyperplane halves it), so the downstream equi-join sees |corpus|/2^n
-    * candidates per probe. */
-  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(nBits, dim)
-    (0 until nBits).map { p =>
-      val proj = (0 until dim).map(d => element_at(vec, d + 1) * lit(planes(p)(d))).reduce(_ + _)
-      when(proj > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * id: bit p = sign(v · h_p), seed fixed so buckets are stable across
+    * runs and cluster topologies. Buckets split the corpus ~uniformly
+    * (each hyperplane halves it), so the downstream equi-join sees
+    * |corpus|/2^n candidates per probe. Tight-loop custom expression
+    * ([[graft.functions.HyperplaneSig]]). */
+  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column =
+    graft.functions.HyperplaneSig(vec, nBits, dim)
 
   /** LSH-bucketed ANN: equi-join query and corpus on the signature bucket
     * (multi-probe: also the nBits single-bit-flip neighbor buckets of the
