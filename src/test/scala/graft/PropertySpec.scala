@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.Lambert93
+import graft.operators.Cleaning
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants (SURVEY.md §5-4), driven by scalacheck
+  * generators with fixed seeds (no scalatestplus bridge in the offline
+  * cache, so sampling is explicit and deterministic). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 20): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("winsorize bounds: output never exceeds max(threshold, cap)") {
+    val gen = Gen.zip(Gen.listOfN(30, Gen.chooseNum(-1e6, 1e6)), Gen.chooseNum(1.0, 1000.0))
+    samples(gen, 10).foreach { case (xs, thr) =>
+      val out = Cleaning.winsorize(xs.toDF("v"), "v", thr, thr / 2).as[Double].collect()
+      assert(out.forall(v => v <= math.max(thr, thr / 2)))
+      assert(out.length == xs.length)
+    }
+  }
+
+  test("normalizeBlanks idempotent; nulls exactly the blank-or-null inputs") {
+    val gen = Gen.listOfN(20, Gen.oneOf(Gen.const(""), Gen.const("  "),
+      Gen.alphaStr, Gen.const(null: String)))
+    samples(gen, 10).foreach { xs =>
+      val df = xs.toDF("s")
+      val once = Cleaning.normalizeBlanks(df, Seq("s")).as[Option[String]].collect().toSeq
+      val twice = Cleaning.normalizeBlanks(
+        Cleaning.normalizeBlanks(df, Seq("s")), Seq("s")).as[Option[String]].collect().toSeq
+      assert(once == twice)
+      assert(once.count(_.isEmpty) == xs.count(x => x == null || x.trim.isEmpty))
+    }
+  }
+
+  test("dedupKeepFirst: subset, unique keys, minimal order per key") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 1000L)))
+    samples(gen, 10).foreach { pairs =>
+      val rows = pairs.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+      val out = Cleaning.dedupKeepFirst(rows.toDF("k", "v", "ord"), Seq("k"),
+        Seq(col("ord"))).as[(Int, Long, Long)].collect()
+      assert(out.toSet.subsetOf(rows.toSet))
+      assert(out.map(_._1).distinct.length == out.length)
+      val minOrd = rows.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._3).min }
+      assert(out.forall(r => r._3 == minOrd(r._1)))
+    }
+  }
+
+  test("Lambert-93 inverse stays France-plausible over the projection domain") {
+    val gen = Gen.zip(Gen.chooseNum(100000.0, 1200000.0), Gen.chooseNum(6100000.0, 7100000.0))
+    samples(gen, 200).foreach { case (x, y) =>
+      val (lon, lat) = Lambert93.inverse(x, y)
+      assert(math.abs(lon) < 180 && math.abs(lat) < 90)
+      assert(lat > 40 && lat < 53, s"($x,$y) → lat $lat")
+    }
+  }
+
+  test("Lambert-93 forward∘inverse round-trip at 1e-9° precision") {
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val e = Lambert93.E
+      val phi = math.toRadians(latDeg)
+      val liso = math.log(math.tan(math.Pi / 4 + phi / 2) *
+        math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2))
+      val r = Lambert93.C * math.exp(-Lambert93.N * liso)
+      val gamma = Lambert93.N * math.toRadians(lonDeg - Lambert93.LON0_DEG)
+      (Lambert93.XS + r * math.sin(gamma), Lambert93.YS - r * math.cos(gamma))
+    }
+    val gen = Gen.zip(Gen.chooseNum(-4.0, 9.0), Gen.chooseNum(41.5, 51.0))
+    samples(gen, 200).foreach { case (lon, lat) =>
+      val (x, y) = fwd(lon, lat)
+      val (lon2, lat2) = Lambert93.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-9, s"lon $lon → $lon2")
+      assert(math.abs(lat2 - lat) < 1e-9, s"lat $lat → $lat2")
+    }
+  }
+}
