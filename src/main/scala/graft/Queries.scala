@@ -286,17 +286,33 @@ object Queries {
           round(col("cos_sim"), 6).as("cos_sim"))
     }),
 
-    // M5/M7 — multivariate linear regression (numeric + categorical).
+    // M5/M7 — multivariate linear regression (numeric + categorical) with
+    // the full inference summary (std errors, t- and p-values, R-style RSE).
     "q36_linreg_ml" -> ((s, d) =>
       Models.linearRegression(li(s, d), "l_extendedprice",
         Seq("l_quantity", "l_discount", "l_tax"), Seq("l_returnflag"))
-        .select(col("term"), round(col("estimate"), 4).as("estimate"))),
+        .select(col("term"), round(col("estimate"), 4).as("estimate"),
+          round(col("std_err"), 4).as("std_err"),
+          round(col("t_value"), 4).as("t_value"),
+          round(col("p_value"), 6).as("p_value"))),
 
     // M9-M11 — logistic regression + confusion matrix.
     "q37_logistic_ml" -> ((s, d) =>
       Models.logisticConfusion(
         li(s, d).withColumn("is_return", (col("l_returnflag") === "R").cast("double")),
         "is_return", Seq("l_quantity", "l_discount", "l_tax"), Seq("l_linestatus"))),
+
+    // M2 matrix form — distributed Pearson correlation matrix, long form.
+    "q41_corr_matrix" -> ((s, d) =>
+      Models.correlationMatrix(li(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("var_a"), col("var_b"), round(col("corr"), 6).as("corr"))),
+
+    // M13 — decision tree (never actually called by the reference).
+    "q42_decision_tree" -> ((s, d) =>
+      Models.decisionTreeConfusion(
+        li(s, d).withColumn("is_return", (col("l_returnflag") === "R").cast("double")),
+        "is_return", Seq("l_quantity", "l_discount", "l_tax"))),
 
     // Multimodal plumbing — binary payload → batch feature extraction
     // (decode stubbed; schema/partitioning real).
@@ -624,6 +640,14 @@ object Queries {
 
     "q39_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q41_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      (for { i <- cols.indices; j <- cols.indices if i < j } yield
+        s"SELECT '${cols(i)}' AS var_a, '${cols(j)}' AS var_b, " +
+          s"round(corr(${cols(i)}, ${cols(j)}), 6) AS corr FROM lineitem")
+        .mkString("\nUNION ALL\n")
+    }
   )
 }

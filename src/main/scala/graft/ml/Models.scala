@@ -21,6 +21,11 @@ object Models {
     * (StringIndexer → OneHotEncoder → VectorAssembler → LinearRegression).
     * Returns one row per coefficient: (term, estimate) + intercept +
     * rse/r2 metrics rows (M7; RSE uses R's n−p−1 denominator). */
+  /** Output: one row per term — (term, estimate, std_err, t_value,
+    * p_value) with feature names recovered from the assembled-vector ML
+    * attribute metadata (so one-hot slots read "col_oh_LEVEL"), plus
+    * __intercept / __rse / __r2 metric rows. Requires the "normal" solver
+    * (closed-form WLS) which is also what makes the fit deterministic. */
   def linearRegression(df: DataFrame, labelCol: String,
                        numericCols: Seq[String], categoricalCols: Seq[String] = Nil)
   : DataFrame = {
@@ -44,11 +49,65 @@ object Models {
     val p = lrm.coefficients.size.toDouble
     // R reports sigma with the n-p-1 denominator (SURVEY.md §7-4):
     val rse = math.sqrt(s.meanSquaredError * n / (n - p - 1))
-    val coefRows = numericCols.zipWithIndex.map { case (c, i) => (c, lrm.coefficients(i)) }
+    val names: Array[String] = {
+      val field = model.transform(df.limit(1)).schema("features")
+      val ag = org.apache.spark.ml.attribute.AttributeGroup.fromStructField(field)
+      ag.attributes
+        .map(_.map(a => a.name.getOrElse(s"f${a.index.getOrElse(-1)}")))
+        .getOrElse(Array.tabulate(lrm.coefficients.size)(i => s"f$i"))
+    }
+    // summary arrays carry the intercept LAST when fitIntercept is on;
+    // they're unavailable when WLS had to fall back to quasi-Newton on a
+    // singular (collinear) design — degrade to NaN rather than fail
+    val pAll = lrm.coefficients.size + 1
+    val se = scala.util.Try(s.coefficientStandardErrors)
+      .getOrElse(Array.fill(pAll)(Double.NaN))
+    val tv = scala.util.Try(s.tValues).getOrElse(Array.fill(pAll)(Double.NaN))
+    val pv = scala.util.Try(s.pValues).getOrElse(Array.fill(pAll)(Double.NaN))
+    val coefRows = names.zipWithIndex.map { case (name, i) =>
+      (name, lrm.coefficients(i), se(i), tv(i), pv(i))
+    }.toSeq
+    val nan = Double.NaN
     (coefRows ++ Seq(
-      ("__intercept", lrm.intercept),
-      ("__rse", rse),
-      ("__r2", s.r2))).toDF("term", "estimate")
+      ("__intercept", lrm.intercept, se.last, tv.last, pv.last),
+      ("__rse", rse, nan, nan, nan),
+      ("__r2", s.r2, nan, nan, nan)))
+      .toDF("term", "estimate", "std_err", "t_value", "p_value")
+  }
+
+  /** M2 matrix form — Pearson correlation matrix of the given columns via
+    * spark.ml.stat.Correlation (one distributed Gramian pass), returned
+    * long-form: (var_a, var_b, corr). "complete.obs" semantics: rows with
+    * any null among the columns are dropped first (ref `R_groupe4.R:803`). */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = new VectorAssembler().setInputCols(cols.toArray).setOutputCol("__v")
+      .transform(df.na.drop(cols))
+      .select("__v")
+    val m = org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", "pearson")
+      .first().getAs[org.apache.spark.ml.linalg.Matrix](0)
+    val rows = for {
+      i <- cols.indices
+      j <- cols.indices
+      if i < j
+    } yield (cols(i), cols(j), m(i, j))
+    rows.toDF("var_a", "var_b", "corr")
+  }
+
+  /** M13 — decision tree classifier (imported but never used by the
+    * reference; provided for completeness). Returns (label, prediction,
+    * cnt) like [[logisticConfusion]]. */
+  def decisionTreeConfusion(df: DataFrame, labelCol: String,
+                            numericCols: Seq[String], maxDepth: Int = 5): DataFrame = {
+    val assembler = new VectorAssembler().setInputCols(numericCols.toArray)
+      .setOutputCol("features")
+    val dt = new org.apache.spark.ml.classification.DecisionTreeClassifier()
+      .setLabelCol(labelCol).setFeaturesCol("features").setMaxDepth(maxDepth).setSeed(42L)
+    val model = new Pipeline().setStages(Array(assembler, dt)).fit(df)
+    model.transform(df)
+      .groupBy(col(labelCol).as("label"), col("prediction").cast("int").as("prediction"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** M9-M11 — logistic regression + 0.5-threshold confusion matrix.

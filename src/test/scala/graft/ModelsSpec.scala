@@ -1,6 +1,7 @@
 package graft
 
 import graft.ml.Models
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class ModelsSpec extends AnyFunSuite {
@@ -13,13 +14,17 @@ class ModelsSpec extends AnyFunSuite {
       val x1 = i.toDouble; val x2 = (i % 7).toDouble
       (3 * x1 - 2 * x2 + 7, x1, x2)
     }.toDF("y", "x1", "x2")
-    val coefs = Models.linearRegression(df, "y", Seq("x1", "x2"))
-      .as[(String, Double)].collect().toMap
+    val out = Models.linearRegression(df, "y", Seq("x1", "x2"))
+    val coefs = out.select("term", "estimate").as[(String, Double)].collect().toMap
     assert(math.abs(coefs("x1") - 3.0) < 1e-6)
     assert(math.abs(coefs("x2") + 2.0) < 1e-6)
     assert(math.abs(coefs("__intercept") - 7.0) < 1e-6)
     assert(coefs("__r2") > 0.999999)
     assert(coefs("__rse") < 1e-6)
+    // inference summary present for every coefficient term
+    val se = out.filter(!col("term").startsWith("__")).select("std_err")
+      .as[Double].collect()
+    assert(se.length == 2)
   }
 
   test("logisticConfusion: separable data → perfect confusion matrix") {
@@ -42,7 +47,29 @@ class ModelsSpec extends AnyFunSuite {
       (if (g == "b") 15.0 else 10.0, 1.0, g)
     }.toDF("y", "one", "g")
     val coefs = Models.linearRegression(df, "y", Seq("one"), Seq("g"))
-      .as[(String, Double)].collect().toMap
+      .select("term", "estimate").as[(String, Double)].collect().toMap
     assert(coefs("__r2") > 0.999999)
+  }
+
+  test("correlationMatrix long form matches pairwise corr") {
+    val df = (1 to 30).map(i => (i.toDouble, 2.0 * i, (i % 5).toDouble))
+      .toDF("a", "b", "c")
+    val m = Models.correlationMatrix(df, Seq("a", "b", "c"))
+      .as[(String, String, Double)].collect()
+      .map { case (x, y, v) => (x, y) -> v }.toMap
+    assert(math.abs(m(("a", "b")) - 1.0) < 1e-12)
+    val cAC = df.stat.corr("a", "c")
+    assert(math.abs(m(("a", "c")) - cAC) < 1e-9)
+    assert(m.size == 3)
+  }
+
+  test("decisionTreeConfusion separates a thresholded label perfectly") {
+    val df = (1 to 100).map { i => (if (i > 50) 1.0 else 0.0, i.toDouble) }
+      .toDF("label", "x")
+    val cm = Models.decisionTreeConfusion(df, "label", Seq("x"))
+      .as[(Double, Int, Long)].collect()
+      .map { case (l, p, n) => (l, p) -> n }.toMap
+    assert(cm.getOrElse((0.0, 0), 0L) == 50L)
+    assert(cm.getOrElse((1.0, 1), 0L) == 50L)
   }
 }
