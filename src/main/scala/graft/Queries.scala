@@ -342,7 +342,25 @@ object Queries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("approx_quartiles")))
+          .as("approx_quartiles"))),
+
+    // E1-shaped multi-stage cleaning chain with ONE cross-engine oracle:
+    // keyed dedup keep-first → winsorize → window count enrichment, all
+    // verified as a single composed result.
+    "q43_clean_chain" -> ((s, d) => {
+      var df = ev(s, d)
+      df = Cleaning.dedupKeepFirst(df, Seq("user_id", "event_type"), Seq(col("event_id")))
+      df = Cleaning.winsorize(df, "value", 400.0, 300.0)
+      df.select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        count(lit(1)).over(Window.partitionBy("user_id")).as("user_events"))
+    }),
+
+    // LLM-dedup end product: candidates → exact-jaccard verify → connected
+    // components → canonical id per document (rows-only; components over
+    // engine-specific signatures).
+    "q44_dedup_canonicalize" -> ((s, d) =>
+      Dedup.canonicalize(doc(s, d), "text", "doc_id",
+        k = 2, jaccardThreshold = 0.3))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -648,6 +666,20 @@ object Queries {
         s"SELECT '${cols(i)}' AS var_a, '${cols(j)}' AS var_b, " +
           s"round(corr(${cols(i)}, ${cols(j)}), 6) AS corr FROM lineitem")
         .mkString("\nUNION ALL\n")
-    }
+    },
+
+    "q43_clean_chain" ->
+      """WITH deduped AS (
+        | SELECT * FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |   row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+        |  FROM events) t WHERE rn = 1),
+        |capped AS (
+        | SELECT event_id, user_id, event_type,
+        |  CASE WHEN value > 400 THEN CAST(300.0 AS DOUBLE) ELSE value END AS value
+        | FROM deduped)
+        |SELECT event_id, user_id, event_type, value,
+        | count(*) OVER (PARTITION BY user_id) AS user_events
+        |FROM capped""".stripMargin
   )
 }

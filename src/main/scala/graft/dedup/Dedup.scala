@@ -97,6 +97,47 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end near-dup canonicalization — the training-corpus dedup
+    * product: MinHash+LSH candidates → exact-Jaccard verification →
+    * connected components → per-component canonical id (lowest doc id).
+    *
+    * Components via iterative min-label propagation over the verified-pair
+    * edge list (the bounded-round form of large-star/small-star): each
+    * round is one join + one min-aggregation, so a round is two shuffles
+    * regardless of corpus size, and near-dup clusters (tiny diameters)
+    * converge in 2-3 rounds. Returns (doc_id, canonical_id); singleton
+    * docs map to themselves. */
+  def canonicalize(df: DataFrame, textCol: String, idCol: String,
+                   k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                   jaccardThreshold: Double = 0.5, rounds: Int = 4): DataFrame = {
+    val candidates = minHashLsh(df, textCol, idCol, k, bands, rowsPerBand,
+      threshold = 0.0)
+    val shingles = df.select(col(idCol).as("__id"),
+      array_distinct(graft.text.Text.shingleHashes(
+        graft.text.Text.tokens(col(textCol)), k)).as("__sh"))
+    val verified = candidates
+      .join(shingles.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+      .join(shingles.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .withColumn("__j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("__j") >= jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    // undirected edges both ways + self-loops, then iterate label = min of
+    // neighborhood labels
+    val edges = verified
+      .unionByName(verified.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+    for (_ <- 1 to rounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "id_b"), "id_b")
+        .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
+      labels = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label")))
+          .as("label"))
+    }
+    labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+  }
+
   /** Exact n-gram Jaccard similarity via an inverted shingle index — no
     * cross join at any scale. Both sides explode to (id, shingleHash, |set|)
     * postings; an equi-join on the shingle hash + count(*) per pair yields

@@ -85,6 +85,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("canonicalize groups transitive near-dups under the lowest id") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val df = Seq(
+      (10L, base),
+      (11L, base.replace("today", "tomorrow")),   // near-dup of 10
+      (12L, base.replace("quick", "rapid")),      // near-dup of 10 (and 11 transitively)
+      (30L, "completely different content about spark catalyst optimizer internals here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalize(df, "text", "doc_id", k = 2, jaccardThreshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L)
+    assert(out(30L) == 30L)
+  }
+
   test("winnowing fingerprint is stable and edit-local") {
     val df = Seq("one two three four five six seven eight nine ten").toDF("t")
     val fp = df.select(Text.winnowingFingerprint(Text.tokens(col("t"))).as("f"))
