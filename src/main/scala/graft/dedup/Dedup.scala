@@ -110,8 +110,11 @@ object Dedup {
   def canonicalize(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                    jaccardThreshold: Double = 0.5, rounds: Int = 4): DataFrame = {
+    // LSH candidates prefiltered by estimated jaccard at half the verify
+    // threshold — cheap signature agreement culls the long tail before the
+    // exact set comparison (recall is bounded by the band scheme either way)
     val candidates = minHashLsh(df, textCol, idCol, k, bands, rowsPerBand,
-      threshold = 0.0)
+      threshold = jaccardThreshold / 2)
     val shingles = df.select(col(idCol).as("__id"),
       array_distinct(graft.text.Text.shingleHashes(
         graft.text.Text.tokens(col(textCol)), k)).as("__sh"))
@@ -122,10 +125,14 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("__j") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    // undirected edges both ways + self-loops, then iterate label = min of
-    // neighborhood labels
+    // undirected edges both ways, then iterate label = min of neighborhood
+    // labels. The edge list and each round's labels are checkpointed:
+    // without lineage truncation every round re-derives the whole
+    // LSH+verify DAG and the plan doubles per iteration (on a cluster,
+    // swap localCheckpoint for a reliable checkpoint dir).
     val edges = verified
       .unionByName(verified.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
     var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
     for (_ <- 1 to rounds) {
       val neighborMin = edges
@@ -134,6 +141,7 @@ object Dedup {
       labels = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label")))
           .as("label"))
+        .localCheckpoint(true)
     }
     labels.select(col("node").as(idCol), col("label").as("canonical_id"))
   }

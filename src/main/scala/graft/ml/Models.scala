@@ -17,15 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Models {
 
-  /** M5/M6 — linear regression with optional categorical predictors
+  /** M5/M6/M7 — linear regression with optional categorical predictors
     * (StringIndexer → OneHotEncoder → VectorAssembler → LinearRegression).
-    * Returns one row per coefficient: (term, estimate) + intercept +
-    * rse/r2 metrics rows (M7; RSE uses R's n−p−1 denominator). */
-  /** Output: one row per term — (term, estimate, std_err, t_value,
+    * Output: one row per term — (term, estimate, std_err, t_value,
     * p_value) with feature names recovered from the assembled-vector ML
     * attribute metadata (so one-hot slots read "col_oh_LEVEL"), plus
-    * __intercept / __rse / __r2 metric rows. Requires the "normal" solver
-    * (closed-form WLS) which is also what makes the fit deterministic. */
+    * __intercept / __rse (R's n−p−1 denominator) / __r2 metric rows. */
   def linearRegression(df: DataFrame, labelCol: String,
                        numericCols: Seq[String], categoricalCols: Seq[String] = Nil)
   : DataFrame = {
