@@ -360,7 +360,20 @@ object Queries {
     // engine-specific signatures).
     "q44_dedup_canonicalize" -> ((s, d) =>
       Dedup.canonicalize(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3))
+        k = 2, jaccardThreshold = 0.3)),
+
+    // A12 pivot form — contingency table as wide columns.
+    "q45_crosstab_pivot" -> ((s, d) =>
+      ev(s, d).withColumn("bucket",
+          when(col("value") < 100, "low").when(col("value") < 300, "mid").otherwise("high"))
+        .groupBy("event_type").pivot("bucket", Seq("low", "mid", "high")).count()
+        .na.fill(0L, Seq("low", "mid", "high"))),
+
+    // Hierarchical aggregation (beyond the reference): rollup with
+    // subtotals and grand total.
+    "q46_rollup" -> ((s, d) =>
+      li(s, d).rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -680,6 +693,22 @@ object Queries {
         | FROM deduped)
         |SELECT event_id, user_id, event_type, value,
         | count(*) OVER (PARTITION BY user_id) AS user_events
-        |FROM capped""".stripMargin
+        |FROM capped""".stripMargin,
+
+    "q45_crosstab_pivot" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  CASE WHEN value < 100 THEN 'low' WHEN value < 300 THEN 'mid' ELSE 'high' END AS bucket
+        | FROM events)
+        |SELECT event_type,
+        | count(*) FILTER (WHERE bucket = 'low') AS low,
+        | count(*) FILTER (WHERE bucket = 'mid') AS mid,
+        | count(*) FILTER (WHERE bucket = 'high') AS high
+        |FROM b GROUP BY event_type""".stripMargin,
+
+    "q46_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
   )
 }
