@@ -373,7 +373,25 @@ object Queries {
     // subtotals and grand total.
     "q46_rollup" -> ((s, d) =>
       li(s, d).rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty")))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
+
+    // Classic warehouse shape (TPC-H Q5-like): 5-way star join with a
+    // time-range filter pushed to the fact scans, revenue per nation.
+    // Dims broadcast; the only shuffle is the customer⋈orders co-key and
+    // the final small aggregation.
+    "q47_revenue_by_nation" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = ord(s, d).filter(col("o_orderdate") >= lit("1998-01-01"))
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("cnt"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -709,6 +727,18 @@ object Queries {
     "q46_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q47_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS cnt
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name""".stripMargin
   )
 }
