@@ -48,6 +48,39 @@ object EventsStream {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** The scale-correct variant of [[windowedCounts]]: APPEND output mode,
+    * so state is bounded by the watermark horizon — "complete" mode keeps
+    * every window ever seen alive, which is fine for the harness
+    * equivalence check but unbounded on an infinite stream. Only windows
+    * sealed by the watermark are emitted; with a single AvailableNow batch
+    * over static data that is every window except the stream's last one.
+    */
+  def windowedCountsAppend(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = src
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+    val qname = "graft_windowed_counts_append"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qname)
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"),
+        col("cnt"),
+        round(col("sum_value"), 4).as("sum_value"))
+  }
+
   /** Batch gap-based sessionization (lag + running sum windows); the
     * streaming-native stateful variant is [[sessionizeStateful]]. A new
     * session starts when the user is idle > gapMinutes. */

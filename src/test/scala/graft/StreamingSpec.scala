@@ -23,6 +23,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("append-mode (watermark-bounded) windows are exactly the sealed complete-mode windows") {
+    val complete = EventsStream.windowedCounts(spark, TestSpark.sf0001)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val append = EventsStream.windowedCountsAppend(spark, TestSpark.sf0001)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(append.nonEmpty)
+    assert(append.subsetOf(complete))
+    // everything missing from append belongs to the final unsealed hour
+    val maxSealed = append.map(_._1).max
+    assert(complete.diff(append).forall(_._1 > maxSealed))
+  }
+
   test("stateful (flatMapGroupsWithState) sessionization matches the batch closed sessions") {
     val stateful = EventsStream.sessionizeStateful(spark, TestSpark.sf0001, 30)
       .select("user_id", "session_seq", "n_events", "session_start", "session_value")
