@@ -375,6 +375,17 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Explicit window frames + lead/lag (beyond the reference's top-1-only
+    // window usage): per-user event-time ordering, trailing moving average
+    // and step delta.
+    "q48_moving_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d).select(
+        col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("mov_avg"),
+        (col("value") - lag(col("value"), 1, 0.0).over(w)).as("delta"))
+    }),
+
     // Classic warehouse shape (TPC-H Q5-like): 5-way star join with a
     // time-range filter pushed to the fact scans, revenue per nation.
     // Dims broadcast; the only shuffle is the customer⋈orders co-key and
@@ -728,6 +739,14 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q48_moving_window" ->
+      """SELECT event_id, user_id,
+        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
+        | value - lag(value, 1, CAST(0.0 AS DOUBLE)) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id) AS delta
+        |FROM events""".stripMargin,
 
     "q47_revenue_by_nation" ->
       """SELECT r_name, n_name,
