@@ -375,6 +375,24 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Semi-structured column handling: JSON property extraction from the
+    // events props payload (typed get + string get).
+    "q49_json_extract" -> ((s, d) =>
+      ev(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.k").as("k_str"))),
+
+    // Pure-SQL surface: the same aggregation as q01 driven entirely
+    // through spark.sql over registered temp views (the "switch user"
+    // path for SQL-only workloads).
+    "q50_sql_surface" -> ((s, d) => {
+      Catalog.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, count(*) AS cnt,
+              |       round(avg(l_extendedprice), 4) AS avg_price
+              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // Explicit window frames + lead/lag (beyond the reference's top-1-only
     // window usage): per-user event-time ordering, trailing moving average
     // and step delta.
@@ -739,6 +757,17 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q49_json_extract" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        | json_extract_string(props, '$.k') AS k_str
+        |FROM events""".stripMargin,
+
+    "q50_sql_surface" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q48_moving_window" ->
       """SELECT event_id, user_id,
