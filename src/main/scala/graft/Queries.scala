@@ -375,6 +375,21 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Backward as-of join (custom operator by composition): each purchase
+    // event enriched with the user's most recent view event at-or-before
+    // it. Right side deduped per (user, ts) so tie semantics are engine-
+    // independent.
+    "q51_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
+      operators.AsOfJoin.backward(purchases, views, "user_id", "ts",
+          "event_id", "view_id", Seq("view_id", "view_value"))
+        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
+    }),
+
     // Semi-structured column handling: JSON property extraction from the
     // events props payload (typed get + string get).
     "q49_json_extract" -> ((s, d) =>
@@ -757,6 +772,16 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q51_asof_join" ->
+      """WITH purchases AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.event_id, v.view_id AS view_id_asof, v.view_value AS view_value_asof
+        |FROM purchases p
+        |ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
 
     "q49_json_extract" ->
       """SELECT event_id,
