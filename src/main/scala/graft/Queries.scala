@@ -375,6 +375,19 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Range/interval join (binned equi-join form — the scale path; the
+    // naive θ-join baseline is equivalence-tested in RangeJoinSpec):
+    // events bucketed into value bands from a derived ranges dim.
+    "q52_range_join" -> ((s, d) => {
+      val bands = s.range(0, 10).select(
+        (col("id") * 50.0).as("lo"), ((col("id") + 1) * 50.0).as("hi"),
+        concat(lit("band_"), col("id")).as("band"))
+      operators.RangeJoin.binned(ev(s, d).select("event_id", "value"), bands,
+          "value", "lo", "hi", binWidth = 50.0)
+        .groupBy(col("band")).agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // Backward as-of join (custom operator by composition): each purchase
     // event enriched with the user's most recent view event at-or-before
     // it. Right side deduped per (user, ts) so tie semantics are engine-
@@ -772,6 +785,15 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH bands AS (
+        | SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi,
+        |  concat('band_', CAST(i AS VARCHAR)) AS band
+        | FROM (SELECT unnest(range(0, 10)) AS i))
+        |SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
 
     "q51_asof_join" ->
       """WITH purchases AS (

@@ -128,6 +128,25 @@ object TreePipeline {
     df.select(exportCols.map(col): _*)                                   // P14 :1071-1072
   }
 
+  /** Typed row of the cleaned export — compile-time field safety for
+    * downstream analytics (`Dataset[TreeClean]`); column names/types match
+    * [[exportCols]] exactly. */
+  case class TreeClean(
+      clc_quartier: String, clc_secteur: String,
+      haut_tot: Double, haut_tronc: Double, tronc_diam: Double,
+      fk_arb_etat: String, fk_stadedev: String, fk_port: String, fk_pied: String,
+      fk_situation: String, fk_revetement: String,
+      age_estim: Double, fk_prec_estim: Double, clc_nbr_diag: Option[Double],
+      fk_nomtech: String, feuillage: String, remarquable: String,
+      longitude: Double, latitude: Double, villeca: String)
+
+  /** [[clean]] with a typed result. */
+  def cleanTyped(raw: DataFrame): org.apache.spark.sql.Dataset[TreeClean] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    clean(raw).as[TreeClean]
+  }
+
   /** End-to-end: CSV in → clean → CSV out (S1→E1→S2). */
   def run(spark: SparkSession, inPath: String, outPath: String): DataFrame = {
     val raw = graft.io.Csv.read(spark, inPath, rawSchema)

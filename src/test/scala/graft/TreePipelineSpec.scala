@@ -41,6 +41,13 @@ class TreePipelineSpec extends AnyFunSuite {
     assert(out.columns.toSeq == TreePipeline.exportCols)
   }
 
+  test("typed Dataset[TreeClean] view round-trips the cleaned row") {
+    val t = TreePipeline.cleanTyped(df(mk())).collect().head
+    assert(t.clc_quartier == "Centre")
+    assert(t.age_estim == 25.0)
+    assert(t.fk_stadedev == "adulte") // relabeled en route
+  }
+
   test("exact duplicates collapse; keyed (X,Y,etat) dupes keep first") {
     val rows = Seq(
       mk("id_arbre" -> 1L),
