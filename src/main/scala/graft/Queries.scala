@@ -375,6 +375,14 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Per-label embedding centroids — elementwise vector mean (the
+    // k-means/cluster-profile aggregation) in long form.
+    "q53_label_centroids" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))),
+
     // Range/interval join (binned equi-join form — the scale path; the
     // naive θ-join baseline is equivalence-tested in RangeJoinSpec):
     // events bucketed into value bands from a derived ranges dim.
@@ -785,6 +793,12 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q53_label_centroids" ->
+      """SELECT label, CAST(d.i AS BIGINT) AS dim,
+        | round(avg(CAST(embedding[d.i] AS DOUBLE)), 6) AS centroid
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
+        |GROUP BY label, d.i""".stripMargin,
 
     "q52_range_join" ->
       """WITH bands AS (

@@ -81,6 +81,27 @@ object EventsStream {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
+  /** Streaming exact dedup: `dropDuplicates` keyed on the event id with a
+    * watermark so the dedup state is bounded by the event-time horizon —
+    * the streaming twin of the batch P2/P3 operators and the shape a
+    * continuously-ingesting training pipeline needs. Returns the deduped
+    * per-type counts for easy equivalence checking against batch. */
+  def dedupStreamCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val qname = "graft_dedup_stream"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      .writeStream.outputMode("complete").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** Batch gap-based sessionization (lag + running sum windows); the
     * streaming-native stateful variant is [[sessionizeStateful]]. A new
     * session starts when the user is idle > gapMinutes. */

@@ -49,6 +49,16 @@ class StreamingSpec extends AnyFunSuite {
       s"stateful-only sessions: ${stateful.diff(batch).take(3)}")
   }
 
+  test("streaming dedup (watermarked dropDuplicates) matches batch distinct counts") {
+    val stream = EventsStream.dedupStreamCounts(spark, TestSpark.sf0001)
+      .as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .dropDuplicates("event_id")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(stream == batch)
+    assert(stream.values.sum == 1000)
+  }
+
   test("sessionize: session boundaries at the idle gap, totals consistent") {
     val out = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
     val total = out.agg(sum("n_events")).as[Long].first()
