@@ -102,6 +102,27 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** The cleaning operators applied over a STREAM (SURVEY.md §2.11: the
+    * batch cleaning pipeline is structurally expressible over Structured
+    * Streaming): blank-normalize + winsorize are stateless row maps, so
+    * they compose onto readStream unchanged. Returns the cleaned rows via
+    * a single AvailableNow batch for equivalence checking. */
+  def cleanStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val cleaned = graft.operators.Cleaning.winsorize(
+      graft.operators.Cleaning.normalizeBlanks(src.toDF(), Seq("props", "event_type")),
+      "value", 400.0, 300.0)
+    val qname = "graft_clean_stream"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = cleaned.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** Batch gap-based sessionization (lag + running sum windows); the
     * streaming-native stateful variant is [[sessionizeStateful]]. A new
     * session starts when the user is idle > gapMinutes. */

@@ -26,6 +26,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.length == 4)
   }
 
+  test("title_case stays inside whole-stage codegen (no fallback project)") {
+    // non-literal input (parquet scan) so the expression isn't constant-folded
+    val df = Tables.nation(spark, TestSpark.sf0001)
+      .select(graft.functions.TitleCase($"n_name").as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan)
+    assert(df.as[String].collect().forall(_.startsWith("Nation_")))
+  }
+
   test("arg_min_by aggregate available in SQL") {
     val r = spark.sql(
       """SELECT arg_min_by(name, dist, id) AS nearest FROM VALUES

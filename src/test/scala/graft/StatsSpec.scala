@@ -46,4 +46,24 @@ class StatsSpec extends AnyFunSuite {
     val q = r.getSeq[Double](0)
     assert(q == Seq(1.75, 2.5, 3.25))
   }
+
+  test("approx quantiles track exact within the sketch accuracy bound") {
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+    val exact = df.agg(Stats.quantiles(df, "l_quantity", Seq(0.25, 0.5, 0.75)))
+      .first().getSeq[Double](0)
+    val approx = df.agg(Stats.quantiles(df, "l_quantity", Seq(0.25, 0.5, 0.75),
+      approx = true)).first().getSeq[Double](0)
+    // accuracy 10000 → rank error <= n/10000; translate to a loose value
+    // tolerance on this integer-ish 1..50 domain
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(e - a) <= 1.0, s"approx $a too far from exact $e")
+    }
+  }
+
+  test("tokenizeRegex splits word/number/punct runs (BPE-ish pre-tokenization)") {
+    import graft.text.Text
+    val out = Seq("ab12 cd-ef!").toDF("t")
+      .select(Text.tokenizeRegex(col("t"))).as[Seq[String]].collect().head
+    assert(out == Seq("ab", "12", "cd", "-", "ef", "!"))
+  }
 }

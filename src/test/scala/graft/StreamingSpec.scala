@@ -59,6 +59,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.values.sum == 1000)
   }
 
+  test("cleaning operators compose onto a stream unchanged (stream == batch clean)") {
+    import graft.operators.Cleaning
+    val stream = EventsStream.cleanStream(spark, TestSpark.sf0001)
+      .select("event_id", "value", "props").as[(Long, Double, String)]
+      .collect().sortBy(_._1).toSeq
+    val batch = Cleaning.winsorize(
+        Cleaning.normalizeBlanks(Tables.events(spark, TestSpark.sf0001),
+          Seq("props", "event_type")), "value", 400.0, 300.0)
+      .select("event_id", "value", "props").as[(Long, Double, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(stream == batch)
+    assert(stream.size == 1000)
+  }
+
   test("sessionize: session boundaries at the idle gap, totals consistent") {
     val out = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
     val total = out.agg(sum("n_events")).as[Long].first()
