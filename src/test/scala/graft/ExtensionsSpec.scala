@@ -30,8 +30,9 @@ class ExtensionsSpec extends AnyFunSuite {
     // non-literal input (parquet scan) so the expression isn't constant-folded
     val df = Tables.nation(spark, TestSpark.sf0001)
       .select(graft.functions.TitleCase($"n_name").as("t"))
+    // the `*(n)` prefix marks operators fused into a WholeStageCodegen stage
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan)
+    assert(plan.contains("*(1) Project [title_case"), plan)
     assert(df.as[String].collect().forall(_.startsWith("Nation_")))
   }
 
