@@ -375,6 +375,38 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Corpus quality FILTER — the keep/drop decision a training pipeline
+    // actually ships: length + token + stopword-evidence thresholds.
+    "q54_quality_filter" -> ((s, d) => {
+      val t = col("text")
+      val nChars = length(t).cast("long")
+      val nToks = Text.tokenCount(t)
+      val stop = Text.occurrences(t, " the ") + Text.occurrences(t, " a ") +
+        Text.occurrences(t, " and ") + Text.occurrences(t, " of ")
+      doc(s, d).select(col("doc_id"), nChars.as("n_chars_q"), nToks.as("n_tokens"),
+          (stop / nToks).as("stop_share"))
+        .withColumn("keep",
+          col("n_chars_q") >= 100 && col("n_tokens") >= 20 && col("stop_share") > 0.0)
+        .select(col("doc_id"), col("keep"))
+    }),
+
+    // PII-ish scrubbing — digit-run redaction (regex shared verbatim with
+    // the oracle; both engines treat '[0-9]+' identically).
+    "q55_redact_numbers" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))),
+
+    // Data-profiling summary — per-column nulls/distincts/extents in one
+    // pass (the engine's `describe`).
+    "q56_profile" -> ((s, d) =>
+      li(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
+        countDistinct(col("l_partkey")).as("part_distinct"),
+        round(min(col("l_extendedprice")), 4).as("price_min"),
+        round(max(col("l_extendedprice")), 4).as("price_max"),
+        round(avg(col("l_quantity")), 4).as("qty_avg"))),
+
     // Per-label embedding centroids — elementwise vector mean (the
     // k-means/cluster-profile aggregation) in long form.
     "q53_label_centroids" -> ((s, d) =>
@@ -793,6 +825,33 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q54_quality_filter" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt,
+        |  (length(text) - length(replace(text, ' the ', ''))) / 5
+        |    + (length(text) - length(replace(text, ' a ', ''))) / 3
+        |    + (length(text) - length(replace(text, ' and ', ''))) / 5
+        |    + (length(text) - length(replace(text, ' of ', ''))) / 4 AS stp
+        | FROM documents)
+        |SELECT doc_id,
+        | (nc >= 100 AND nt >= 20 AND stp / nt > 0.0) AS keep
+        |FROM t""".stripMargin,
+
+    "q55_redact_numbers" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
+        |FROM events""".stripMargin,
+
+    "q56_profile" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
+        | count(DISTINCT l_partkey) AS part_distinct,
+        | round(min(l_extendedprice), 4) AS price_min,
+        | round(max(l_extendedprice), 4) AS price_max,
+        | round(avg(l_quantity), 4) AS qty_avg
+        |FROM lineitem""".stripMargin,
 
     "q53_label_centroids" ->
       """SELECT label, CAST(d.i AS BIGINT) AS dim,
