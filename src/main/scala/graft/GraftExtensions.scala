@@ -19,6 +19,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Optimizer rule: rescue min_by-over-struct from SortAggregate (see
+    // graft.rules.RewriteMinByStruct scaladoc).
+    e.injectOptimizerRule(_ => graft.rules.RewriteMinByStruct)
     e.injectFunction((
       new FunctionIdentifier("title_case"),
       new ExpressionInfo(classOf[TitleCase].getName, "title_case"),

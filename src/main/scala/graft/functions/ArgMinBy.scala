@@ -40,8 +40,17 @@ case class ArgMinBy(payload: Expression, ordD: Expression, ordT: Expression,
 
   override def createAggregationBuffer(): ArgMinBuffer = new ArgMinBuffer
 
-  private def better(b: ArgMinBuffer, d: Double, t: Long): Boolean =
-    !b.set || d < b.d || (d == b.d && t < b.t)
+  /** (d, t) strictly before (b.d, b.t) under the same total order Spark
+    * uses for struct aggregation keys: NaN sorts greatest; equal doubles
+    * (incl. NaN==NaN) fall through to the tiebreak. */
+  private def better(b: ArgMinBuffer, d: Double, t: Long): Boolean = {
+    if (!b.set) return true
+    val dNaN = java.lang.Double.isNaN(d)
+    val bNaN = java.lang.Double.isNaN(b.d)
+    if (dNaN != bNaN) bNaN
+    else if (!dNaN && d != b.d) d < b.d
+    else t < b.t
+  }
 
   override def update(b: ArgMinBuffer, input: InternalRow): ArgMinBuffer = {
     val dAny = ordD.eval(input)

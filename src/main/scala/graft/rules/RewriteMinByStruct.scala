@@ -1,0 +1,46 @@
+package graft.rules
+
+import graft.functions.ArgMinBy
+import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MinBy}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: `min_by(payload, struct(d, t))` → `arg_min_by(payload,
+  * d, t)` when the ordering struct is a (numeric, integral) pair.
+  *
+  * Why: builtin MinBy is declarative and buffers the whole struct ordering
+  * key; struct buffers can't live in HashAggregateExec's mutable row, so
+  * the plan silently degrades to SortAggregate — which SORTS the entire
+  * input before aggregating (for an argmin over a KNN pair stream, every
+  * candidate pair). ArgMinBy keeps an O(1) typed buffer and runs in
+  * ObjectHashAggregate with map-side partials. Ordering semantics match
+  * (NaN greatest, tiebreak on the second field); MinBy's behavior on fully
+  * duplicated (d, t) keys is already unspecified, which the rewrite
+  * preserves.
+  *
+  * Injected via [[graft.GraftExtensions]] (`spark.sql.extensions`).
+  */
+object RewriteMinByStruct extends Rule[LogicalPlan] {
+  private def numericDouble(e: Expression): Boolean = e.dataType match {
+    case DoubleType | FloatType | IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+  private def integralLong(e: Expression): Boolean = e.dataType match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ae @ AggregateExpression(MinBy(payload, ord: CreateNamedStruct), _, false, None, _)
+        if ord.valExprs.size == 2 &&
+          numericDouble(ord.valExprs.head) && integralLong(ord.valExprs(1)) =>
+      val d = ord.valExprs.head
+      val t = ord.valExprs(1)
+      ae.copy(aggregateFunction = ArgMinBy(
+        payload,
+        if (d.dataType == DoubleType) d else Cast(d, DoubleType),
+        if (t.dataType == LongType) t else Cast(t, LongType)))
+  }
+}
