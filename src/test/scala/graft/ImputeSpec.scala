@@ -72,6 +72,19 @@ class ImputeSpec extends AnyFunSuite {
     assert(grid == exact)
   }
 
+  test("knnImputeGrid == knnImputeExact on the real events table") {
+    val e = Tables.events(spark, TestSpark.sf0001)
+    val missing = e.filter(col("event_id") % 100 === 0)
+    val known = e.filter(col("event_id") % 100 =!= 0)
+    val exact = Impute.knnImputeExact(missing, known, "user_id", "value",
+        "event_id", "event_id", Seq("event_type"))
+      .orderBy("event_id").as[(Long, String)].collect().toSeq
+    val grid = Impute.knnImputeGrid(missing, known, "user_id", "value",
+        "event_id", "event_id", Seq("event_type"), cellSize = 25.0)
+      .orderBy("event_id").as[(Long, String)].collect().toSeq
+    assert(exact.nonEmpty && grid == exact)
+  }
+
   test("knnImputeGrid resolves isolated points via ring escalation/fallback") {
     val known = Seq((1L, 0.0, 0.0, "origin")).toDF("kid", "x", "y", "label")
     val missing = Seq((10L, 500.0, 500.0)).toDF("id", "x", "y") // 50 cells away
