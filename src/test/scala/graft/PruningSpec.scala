@@ -32,6 +32,15 @@ class PruningSpec extends AnyFunSuite {
       s"pruning ineffective: $scanned of $allFiles files scanned")
   }
 
+  test("top-k per group plans a WindowGroupLimit (rank pushdown, no full sort retain)") {
+    val q = graft.operators.Rankings.topKPerGroup(
+      Tables.orders(spark, TestSpark.sf0001).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("filter pushdown + column pruning reach the parquet scan") {
     val q = Tables.lineitem(spark, TestSpark.sf0001)
       .filter(col("l_quantity") > 25 && col("l_returnflag") === "A")
