@@ -73,12 +73,13 @@ object Queries {
       Cleaning.normalizeBlanks(ord(s, d), Seq("o_orderpriority"))
         .select(col("o_orderkey"), col("o_orderpriority").as("priority_norm"))),
 
-    // F3 — case normalization (first-char formula shared with the oracle;
-    // multi-word initcap is covered by Cleaning.titleCase unit tests).
+    // F3 — case normalization via the custom codegen'd TitleCase
+    // expression. The oracle uses the first-char formula, which provably
+    // agrees on these single-word values (hyphen/apostrophe multi-word
+    // divergence from initcap is covered by CleaningSpec).
     "q07_case_norm" -> ((s, d) =>
       Tables.nation(s, d).select(col("n_nationkey"),
-        concat(upper(substring(col("n_name"), 1, 1)), lower(expr("substring(n_name, 2)")))
-          .as("n_name_norm"))),
+        graft.functions.TitleCase(col("n_name")).as("n_name_norm"))),
 
     // F2 — literal replace.
     "q08_str_replace" -> ((s, d) =>
