@@ -376,6 +376,24 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Skew-mitigation JOIN with an exact oracle: the hot-key side is
+    // salted (deterministic hash salt) and the dim side replicated per
+    // salt, so one hot key spreads over N tasks; result provably equals
+    // the plain join (oracle). Companion of the salted AGG in q39.
+    "q57_salted_join" -> ((s, d) => {
+      val salts = 8
+      // derived dim: one row per (user_id % 5) bucket — 5 hot keys
+      val dim = Tables.events(s, d).select((col("user_id") % 5).as("k"))
+        .distinct().withColumn("k_label", concat(lit("seg_"), col("k")))
+      val dimReplicated = dim.withColumn("__salt",
+        explode(array((0 until salts).map(lit): _*)))
+      val fact = ev(s, d).withColumn("k", col("user_id") % 5)
+        .withColumn("__salt", pmod(hash(col("event_id")), lit(salts)))
+      fact.join(dimReplicated, Seq("k", "__salt"))
+        .groupBy(col("k_label"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    }),
+
     // Corpus quality FILTER — the keep/drop decision a training pipeline
     // actually ships: length + token + stopword-evidence thresholds.
     "q54_quality_filter" -> ((s, d) => {
@@ -826,6 +844,15 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q57_salted_join" ->
+      """WITH dim AS (
+        | SELECT DISTINCT user_id % 5 AS k FROM events),
+        |labeled AS (
+        | SELECT k, concat('seg_', CAST(k AS VARCHAR)) AS k_label FROM dim)
+        |SELECT k_label, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events e JOIN labeled l ON e.user_id % 5 = l.k
+        |GROUP BY k_label""".stripMargin,
 
     "q54_quality_filter" ->
       """WITH t AS (
