@@ -376,6 +376,35 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Corpus n-gram frequency profile: top-20 bigrams with a total-order
+    // rank (cnt desc, bigram asc) so the cut is engine-independent.
+    "q58_top_bigrams" -> ((s, d) => {
+      val toks = Text.tokens(col("text"))
+      val bigrams = transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+      val counts = doc(s, d).select(toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("bigram").asc)
+      counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+    }),
+
+    // Percentile clipping — the scale-realistic winsorize: clamp to the
+    // exact [p01, p99] band computed from the data itself.
+    "q59_clip_percentile" -> ((s, d) => {
+      val e = ev(s, d)
+      val bounds = e.agg(
+        expr("percentile(value, 0.01)").as("lo"),
+        expr("percentile(value, 0.99)").as("hi"))
+      e.crossJoin(broadcast(bounds))
+        .select(col("event_id"),
+          round(when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")), 4).as("value_clipped"))
+    }),
+
     // Skew-mitigation JOIN with an exact oracle: the hot-key side is
     // salted (deterministic hash salt) and the dim side replicated per
     // salt, so one hot key spreads over N tasks; result provably equals
@@ -844,6 +873,29 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q58_top_bigrams" ->
+      """WITH toks AS (
+        | SELECT string_split(text, ' ') AS l FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bigrams AS (
+        | SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+        |   i -> concat(l[i], ' ', l[i + 1]))) AS bigram
+        | FROM toks),
+        |counts AS (
+        | SELECT bigram, count(*) AS cnt FROM bigrams GROUP BY bigram)
+        |SELECT bigram, cnt, rnk FROM (
+        | SELECT bigram, cnt, row_number() OVER (ORDER BY cnt DESC, bigram) AS rnk
+        | FROM counts) t
+        |WHERE rnk <= 20""".stripMargin,
+
+    "q59_clip_percentile" ->
+      """WITH b AS (
+        | SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        | FROM events)
+        |SELECT event_id,
+        | round(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+        |            ELSE value END, 4) AS value_clipped
+        |FROM events, b""".stripMargin,
 
     "q57_salted_join" ->
       """WITH dim AS (
