@@ -376,6 +376,21 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Deterministic hash-based sampling — reproducible train/eval splits
+    // without engine-specific RNGs: md5 of the stable id gates the row, so
+    // any engine selects the identical subset (~25% here).
+    "q60_hash_sample" -> ((s, d) =>
+      ev(s, d)
+        .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sampled_cnt"), round(sum(col("value")), 2).as("sampled_sum"))),
+
+    // Full cube (all grouping-set combinations; rollup's completion).
+    "q61_cube" -> ((s, d) =>
+      li(s, d).cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("l_quantity")), 4).as("avg_qty"))),
+
     // Corpus n-gram frequency profile: top-20 bigrams with a total-order
     // rank (cnt desc, bigram asc) so the cut is engine-independent.
     "q58_top_bigrams" -> ((s, d) => {
@@ -873,6 +888,17 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q60_hash_sample" ->
+      """SELECT event_type, count(*) AS sampled_cnt, round(sum(value), 2) AS sampled_sum
+        |FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        |GROUP BY event_type""".stripMargin,
+
+    "q61_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        | round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q58_top_bigrams" ->
       """WITH toks AS (
