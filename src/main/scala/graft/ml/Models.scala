@@ -125,8 +125,13 @@ object Models {
       .setMaxIter(100).setTol(1e-6).setThreshold(0.5)
     val model = new Pipeline().setStages((indexers ++ encoders :+ assembler :+ lr).toArray)
       .fit(df)
-    model.transform(df)
+    val confusion = model.transform(df)
       .groupBy(col(labelCol).as("label"), col("prediction").cast("int").as("prediction"))
       .agg(count(lit(1)).as("cnt"))
+    // M11's "précision": (TP+TN)/N attached alongside the matrix
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    confusion.withColumn("accuracy",
+      round(sum(when(col("label") === col("prediction"), col("cnt")).otherwise(0L)).over(wAll)
+        .cast("double") / sum(col("cnt")).over(wAll), 6))
   }
 }

@@ -32,12 +32,14 @@ class ModelsSpec extends AnyFunSuite {
       val x = i.toDouble
       (if (x > 50) 1.0 else 0.0, x)
     }.toDF("label", "x")
-    val cm = Models.logisticConfusion(df, "label", Seq("x"))
+    val out = Models.logisticConfusion(df, "label", Seq("x"))
+    val cm = out.select("label", "prediction", "cnt")
       .as[(Double, Int, Long)].collect()
       .map { case (l, p, n) => (l, p) -> n }.toMap
     assert(cm.getOrElse((0.0, 0), 0L) == 50L)
     assert(cm.getOrElse((1.0, 1), 0L) == 50L)
     assert(!cm.contains((0.0, 1)) && !cm.contains((1.0, 0)))
+    assert(out.select("accuracy").as[Double].collect().forall(_ == 1.0))
   }
 
   test("linearRegression with categorical predictor fits group offsets") {
