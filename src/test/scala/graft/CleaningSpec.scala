@@ -63,6 +63,12 @@ class CleaningSpec extends AnyFunSuite {
       enabled = true).count() == 0)
   }
 
+  test("dropColsByPrefix drops exactly the prefixed columns (P9)") {
+    val df = Seq((1, 2, 3)).toDF("villeca_x", "villeca_y", "keep")
+    val out = Cleaning.dropColsByPrefix(df, "villeca_")
+    assert(out.columns.toSeq == Seq("keep"))
+  }
+
   test("cleaning pipeline is idempotent (clean(clean(x)) == clean(x))") {
     val df = Seq(("  ", 400.0), ("ok", 50.0), (null, 301.0)).toDF("s", "v")
     def clean(d: org.apache.spark.sql.DataFrame) =

@@ -18,6 +18,13 @@ class QueriesContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Catalog.registerAll exposes every table to spark.sql") {
+    Catalog.registerAll(spark, TestSpark.sf0001)
+    Catalog.tables.foreach { t =>
+      assert(spark.sql(s"SELECT * FROM $t LIMIT 1").count() == 1, s"table $t")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: runs at sf0.001, rows > 0, clean schema") {
       val df = fn(spark, TestSpark.sf0001)
