@@ -376,6 +376,25 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Semi/anti joins — the EXISTS / NOT EXISTS shapes (no payload from
+    // the probe side ever shuffles or materializes).
+    "q62_semi_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = ord(s, d)
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt")).withColumn("segment", lit("with_orders"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt")).withColumn("segment", lit("without_orders"))
+      withOrders.unionByName(withoutOrders).select("segment", "cnt")
+    }),
+
+    // Grouped exact distinct-count (expands to a two-level aggregation).
+    "q63_grouped_distinct" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        count(lit(1)).as("cnt"))),
+
     // Deterministic hash-based sampling — reproducible train/eval splits
     // without engine-specific RNGs: md5 of the stable id gates the row, so
     // any engine selects the identical subset (~25% here).
@@ -888,6 +907,18 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q62_semi_anti" ->
+      """SELECT 'with_orders' AS segment, count(*) AS cnt FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT 'without_orders' AS segment, count(*) AS cnt FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q63_grouped_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
+        | count(DISTINCT l_suppkey) AS supps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q60_hash_sample" ->
       """SELECT event_type, count(*) AS sampled_cnt, round(sum(value), 2) AS sampled_sum
