@@ -376,6 +376,22 @@ object Queries {
       li(s, d).rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
 
+    // Set algebra completion: intersect/except over projected slices.
+    "q64_intersect_except" -> ((s, d) => {
+      val o = ord(s, d)
+      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+      val big = o.filter(col("o_totalprice") > 100000).select("o_custkey").distinct()
+      f.intersect(big).withColumn("set_op", lit("intersect"))
+        .unionByName(f.except(big).withColumn("set_op", lit("except")))
+    }),
+
+    // Ordered string aggregation (listagg): deterministic via sorted
+    // distinct collection on both engines.
+    "q65_string_agg" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag"))
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
+          .as("statuses"))),
+
     // Semi/anti joins — the EXISTS / NOT EXISTS shapes (no payload from
     // the probe side ever shuffles or materializes).
     "q62_semi_anti" -> ((s, d) => {
@@ -907,6 +923,18 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
         | round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q64_intersect_except" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000)
+        |SELECT o_custkey, 'intersect' AS set_op FROM (SELECT * FROM f INTERSECT SELECT * FROM big) t1
+        |UNION ALL
+        |SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM f EXCEPT SELECT * FROM big) t2""".stripMargin,
+
+    "q65_string_agg" ->
+      """SELECT l_returnflag,
+        | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q62_semi_anti" ->
       """SELECT 'with_orders' AS segment, count(*) AS cnt FROM customer
