@@ -37,16 +37,19 @@ object Bench {
       try runNoop(name) catch { case _: Throwable => () }
     }
 
+    // A query that throws records the -1 sentinel (excluded from the total)
+    // and lands in `failed` — a broken query must never read as "fast".
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
       val t0 = System.nanoTime()
-      try runNoop(name)
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { runNoop(name); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -343,7 +343,11 @@ object Queries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("approx_quartiles"))),
+          .as("q"))
+        .select(col("approx_orders"), col("approx_parts"),
+          col("q").getItem(0).as("approx_p25"),
+          col("q").getItem(1).as("approx_p50"),
+          col("q").getItem(2).as("approx_p75"))),
 
     // E1-shaped multi-stage cleaning chain with ONE cross-engine oracle:
     // keyed dedup keep-first → winsorize → window count enrichment, all
@@ -437,8 +441,14 @@ object Queries {
         .filter(size(col("toks")) >= 2)
         .select(explode(bigrams).as("bigram"))
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      // Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject —
+      // each partition keeps a local 20-row heap and only those reach the
+      // driver — instead of an all-rows single-partition window exchange.
+      // The rank is re-derived post-cut (at most 20 rows) so the output
+      // schema matches the previous window form.
       val w = Window.orderBy(col("cnt").desc, col("bigram").asc)
-      counts.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 20)
+      counts.orderBy(col("cnt").desc, col("bigram").asc).limit(20)
+        .withColumn("rnk", row_number().over(w))
     }),
 
     // Percentile clipping — the scale-realistic winsorize: clamp to the

@@ -25,11 +25,19 @@ object RangeJoin {
   /** Binned equi-join form — identical output, hash-join cost. */
   def binned(facts: DataFrame, ranges: DataFrame, pointCol: String,
              loCol: String, hiCol: String, binWidth: Double): DataFrame = {
+    // hi is exclusive: a range ending exactly on a bin edge must not
+    // replicate into that bin — when hi divides binWidth exactly, its bin
+    // is one below floor(hi/binWidth). (An epsilon subtraction can't do
+    // this: denormal offsets underflow and fixed offsets break for large
+    // magnitudes.) The post-join refilter keeps output exact either way;
+    // this only avoids the wasted replica row.
+    val hiBin = (floor(col(hiCol) / binWidth) -
+      when(col(hiCol) % binWidth === 0.0, 1).otherwise(0)).cast("long")
+    // greatest(): an empty range (lo == hi on a bin edge) would otherwise
+    // make sequence() count DOWN and fabricate bins.
+    val loBin = floor(col(loCol) / binWidth).cast("long")
     val rBinned = ranges.withColumn("__bin",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        // hi is exclusive: a range ending exactly on a bin edge does not
-        // reach into that bin
-        floor((col(hiCol) - lit(Double.MinPositiveValue)) / binWidth).cast("long"))))
+      explode(sequence(loBin, greatest(hiBin, loBin))))
     val fBinned = facts.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
     fBinned.join(broadcast(rBinned), Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

@@ -20,6 +20,13 @@ import org.apache.spark.sql.types._
   * duplicated (d, t) keys is already unspecified, which the rewrite
   * preserves.
   *
+  * Null semantics: builtin MinBy compares the struct value itself, where a
+  * null FIELD sorts smallest — a row with d=NULL can win; ArgMinBy skips
+  * rows where d or t is null. The two only agree when neither ordering
+  * field can be null, so the rewrite is guarded on
+  * `ord.valExprs.forall(!_.nullable)` and plans with nullable ordering
+  * fields keep the builtin (slower, but exactly SQL-semantic) MinBy.
+  *
   * Injected via [[graft.GraftExtensions]] (`spark.sql.extensions`).
   */
 object RewriteMinByStruct extends Rule[LogicalPlan] {
@@ -35,7 +42,8 @@ object RewriteMinByStruct extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ae @ AggregateExpression(MinBy(payload, ord: CreateNamedStruct), _, false, None, _)
         if ord.valExprs.size == 2 &&
-          numericDouble(ord.valExprs.head) && integralLong(ord.valExprs(1)) =>
+          numericDouble(ord.valExprs.head) && integralLong(ord.valExprs(1)) &&
+          ord.valExprs.forall(!_.nullable) =>
       val d = ord.valExprs.head
       val t = ord.valExprs(1)
       ae.copy(aggregateFunction = ArgMinBy(

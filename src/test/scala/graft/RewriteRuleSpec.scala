@@ -36,6 +36,18 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(df.as[(String, String)].collect().toMap == Map("g" -> "real"))
   }
 
+  test("nullable ordering fields are NOT rewritten (null-field SQL semantics kept)") {
+    // builtin MinBy compares the struct, where a null field sorts SMALLEST —
+    // the d=NULL row must win; ArgMinBy would skip it, so the rewrite must
+    // not fire here.
+    val df = Seq(("g", "null_d", Option.empty[Double], 1L),
+        ("g", "real", Some(5.0), 2L))
+      .toDF("g", "name", "dist", "id")
+      .groupBy("g").agg(min_by(col("name"), struct(col("dist"), col("id"))).as("best"))
+    assert(!df.queryExecution.executedPlan.toString.contains("arg_min_by"))
+    assert(df.as[(String, String)].collect().toMap == Map("g" -> "null_d"))
+  }
+
   test("non-matching shapes are left alone (3-field struct)") {
     val df = rows.toDF("g", "name", "dist", "id")
       .groupBy("g").agg(min_by(col("name"),
