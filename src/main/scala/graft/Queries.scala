@@ -274,7 +274,7 @@ object Queries {
     "q34_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(
         doc(s, d).filter(col("doc_id") % 100 === 0), doc(s, d), "text", "doc_id",
-        k = 2, threshold = 0.05)
+        k = 2, threshold = 0.05, broadcastProbe = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
     // LLM-similarity: LSH-bucketed ANN (scale path of q27).

@@ -150,23 +150,31 @@ object Dedup {
     * cross join at any scale. Both sides explode to (id, shingleHash, |set|)
     * postings; an equi-join on the shingle hash + count(*) per pair yields
     * |A∩B|, and |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle (jaccard 0)
-    * never materialize. The probe side is broadcast, so the corpus postings
-    * stream through a map-side join — work is O(postings + collisions),
-    * the standard web-scale set-similarity-join shape.
+    * never materialize. Work is O(postings + collisions), the standard
+    * web-scale set-similarity-join shape.
+    *
+    * By default the postings join is a shuffled equi-join on the shingle
+    * hash — both sides can be arbitrarily large (corpus × corpus works).
+    * When the probe side is known-small (a bounded probe sweep), pass
+    * `broadcastProbe = true` to stream the corpus postings through a
+    * map-side join instead; forcing that unconditionally would OOM the
+    * broadcast on a corpus-sized probe.
     *
     * jaccard = |A∩B| / |A∪B| over distinct k-shingle hash sets; identical
     * results to the naive all-pairs array_intersect formulation. */
   def ngramJaccardPairs(probe: DataFrame, corpus: DataFrame,
                         textCol: String, idCol: String,
-                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
+                        k: Int = 3, threshold: Double = 0.3,
+                        broadcastProbe: Boolean = false): DataFrame = {
     def prep(d: DataFrame, suffix: String) = d
       .select(col(idCol).as(s"id_$suffix"),
         array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)).as("sh"))
       .withColumn(s"sz_$suffix", size(col("sh")))
       .withColumn("sh", explode(col("sh")))
-    val a = prep(probe, "a")
+    val a0 = prep(probe, "a")
+    val a = if (broadcastProbe) broadcast(a0) else a0
     val b = prep(corpus, "b")
-    broadcast(a).join(b, Seq("sh"))
+    a.join(b, Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
       .agg(count(lit(1)).as("shared"))

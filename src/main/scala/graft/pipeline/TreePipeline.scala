@@ -73,22 +73,33 @@ object TreePipeline {
     .withColumn("latitude",
       Lambert93.latDeg(col("X"), col("Y")) + lit(Lambert93.CALIB_LAT_OFFSET))
 
+  /** Strategy for [[knnFill]]: the exact crossJoin form suits the
+    * reference regime (missing side small enough to broadcast); the grid
+    * form is the 100 TB path. The choice is the CALLER's — a data-driven
+    * switch would need a count mid-pipeline, i.e. a hidden Spark job that
+    * re-runs the whole upstream clean chain before the real one. Callers
+    * know their regime (or can count once outside the lazy chain). */
+  sealed trait KnnStrategy
+  case object KnnExact extends KnnStrategy
+  case object KnnGrid extends KnnStrategy
+
   /** 1-NN imputation of a categorical column from (X,Y) neighbors
     * (`R_groupe4.R:113-142`, J4/J5): null rows take the value of the
-    * geometrically nearest non-null row. Exact crossJoin form when the
-    * missing side is small (the reference regime), grid form above
-    * `gridThreshold` missing rows. */
-  def knnFill(df: DataFrame, target: String, gridThreshold: Long = 10000,
+    * geometrically nearest non-null row. With [[KnnExact]] this is purely
+    * lazy — builds the plan, triggers no job (TreePipelineSpec asserts
+    * this); [[KnnGrid]] necessarily runs its bounded escalation rounds. */
+  def knnFill(df: DataFrame, target: String, strategy: KnnStrategy = KnnExact,
               cellSize: Double = 500.0): DataFrame = {
     val missing = df.filter(col(target).isNull)
     val known = df.filter(col(target).isNotNull)
-    val imputed =
-      if (missing.limit((gridThreshold + 1).toInt).count() > gridThreshold)
+    val imputed = strategy match {
+      case KnnGrid =>
         Impute.knnImputeGrid(missing, known, "X", "Y", "__ingest_id", "__ingest_id",
           Seq(target), cellSize)
-      else
+      case KnnExact =>
         Impute.knnImputeExact(missing, known, "X", "Y", "__ingest_id", "__ingest_id",
           Seq(target))
+    }
     df.join(imputed.withColumnRenamed(s"${target}_nn", s"__fill_$target"),
         Seq("__ingest_id"), "left")
       .withColumn(target, coalesce(col(target), col(s"__fill_$target")))

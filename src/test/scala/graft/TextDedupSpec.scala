@@ -85,6 +85,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("ngramJaccardPairs: shuffled (default) and broadcast-probe paths are value-identical") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(120)
+    def run(bc: Boolean) =
+      Dedup.ngramJaccardPairs(docs, docs, "text", "doc_id",
+          k = 2, threshold = 0.2, broadcastProbe = bc)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val shuffled = run(bc = false)
+    val bcast = run(bc = true)
+    assert(shuffled.nonEmpty)
+    assert(shuffled.toSeq == bcast.toSeq)
+  }
+
   test("canonicalize groups transitive near-dups under the lowest id") {
     val base = "the quick brown fox jumps over the lazy dog again and again today ok"
     val df = Seq(

@@ -132,6 +132,25 @@ class TreePipelineSpec extends AnyFunSuite {
     assert(math.abs(r._2 - (46.5 - 10.67772)) < 1e-9)
   }
 
+  test("knnFill(KnnExact) is lazy: building the plan triggers no Spark job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val base = df(mk(), mk("id_arbre" -> 2L, "X" -> 700100.0, "clc_quartier" -> null))
+        .withColumn("__ingest_id", monotonically_increasing_id())
+      val planned = TreePipeline.knnFill(base, "clc_quartier")
+      planned.queryExecution.executedPlan // force planning, not execution
+      Thread.sleep(500) // listener-bus delivery is async
+      assert(jobs.get() == 0, "knnFill construction ran a hidden Spark job")
+      // and the plan is the real one: executing it fills the null
+      assert(planned.filter(col("clc_quartier").isNull).count() == 0)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("CSV round-trip: run() writes and re-reads the cleaned export (S2/S3)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tree").toString + "/out"
     val cleaned = TreePipeline.run(spark, writeFixtureCsv(), tmp)
