@@ -72,6 +72,147 @@ object Models {
       .toDF("term", "estimate", "std_err", "t_value", "p_value")
   }
 
+  /** M5/M7 exact path — multivariate OLS via centered normal equations:
+    * ONE map-side-combined aggregation computes every cross-moment
+    * (`covar_pop` pairs + means, k(k+3)/2 + 2 aggregates), then the tiny
+    * k×k system is solved on the driver by pivotless Gauss-Jordan (same
+    * 1-row materialization as [[correlationMatrix]] — inherent, not a
+    * scale concern). At 100 TB this is a single pass over the data,
+    * deterministic and cross-engine reproducible — unlike the iterative
+    * spark.ml fit, it is expressible in ANSI SQL and DuckDB-oracled (q36).
+    *
+    * Centered (covariance-matrix) form, not raw X'X: removing the
+    * intercept/mean mass drops the condition number by orders of
+    * magnitude, so engine-level 1-ulp differences in the moment sums stay
+    * ~1e-10 relative after the solve. Pivotless elimination requires a
+    * non-collinear design (callers pass drop-last indicator sets); the
+    * covariance matrix of a non-degenerate design is positive definite, so
+    * leading pivots are nonzero.
+    *
+    * Slope covariances: Var(β) = σ̂²·C⁻¹/n; intercept by β₀ = ȳ − β·x̄ with
+    * Var(β₀) = σ̂²(1/n + x̄'C⁻¹x̄/n); σ̂² = n·(var_pop(y) − β·c_xy)/(n−p);
+    * p-values from the Student-t tail ([[graft.stats.SpecialFunctions]]) —
+    * the same quantities R's `summary(lm(...))` prints
+    * (ref `R_groupe4.R:843-847`).
+    *
+    * @param indicators categorical terms as explicit (column, level)
+    *        indicator pairs — levels must be statically known so the SQL
+    *        oracle can mirror the design matrix exactly.
+    */
+  def olsExact(df: DataFrame, labelCol: String, numericCols: Seq[String],
+               indicators: Seq[(String, String)] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val featNames = numericCols ++ indicators.map { case (c, l) => s"${c}_oh_$l" }
+    val featExprs = numericCols.map(c => col(c).cast("double")) ++
+      indicators.map { case (c, l) => (col(c) === l).cast("double") }
+    val k = featNames.size
+    val base = df.na.drop((numericCols ++ indicators.map(_._1) :+ labelCol).distinct)
+      .select(featExprs.zipWithIndex.map { case (e, i) => e.as(s"f$i") }
+        :+ col(labelCol).cast("double").as("y"): _*)
+    val aggs =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      (0 until k).map(i => avg(col(s"f$i")).as(s"m$i")) ++
+      Seq(avg(col("y")).as("my"), var_pop(col("y")).as("vy")) ++
+      (for { i <- 0 until k; j <- i until k }
+        yield covar_pop(col(s"f$i"), col(s"f$j")).as(s"c_${i}_$j")) ++
+      (0 until k).map(i => covar_pop(col(s"f$i"), col("y")).as(s"cy$i"))
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Double]("n")
+    val means = Array.tabulate(k)(i => row.getAs[Double](s"m$i"))
+    val my = row.getAs[Double]("my")
+    val vy = row.getAs[Double]("vy")
+    val cy = Array.tabulate(k)(i => row.getAs[Double](s"cy$i"))
+
+    // Augmented [C | c_xy | I], eliminated with the EXACT op order the
+    // generated oracle SQL uses (olsOracleSql) so both engines round alike.
+    val w = 2 * k + 1
+    val a = Array.tabulate(k)(r => Array.tabulate(w) { c =>
+      if (c < k) row.getAs[Double](s"c_${math.min(r, c)}_${math.max(r, c)}")
+      else if (c == k) cy(r)
+      else if (c == k + 1 + r) 1.0 else 0.0
+    })
+    for (p <- 0 until k) {
+      val piv = a(p)(p)
+      for (r <- 0 until k if r != p) {
+        val f = a(r)(p)
+        for (c <- 0 until w) a(r)(c) = a(r)(c) - f * a(p)(c) / piv
+      }
+      for (c <- 0 until w) a(p)(c) = a(p)(c) / piv
+    }
+    val beta = Array.tabulate(k)(r => a(r)(k))
+    def inv(i: Int, j: Int): Double = a(i)(k + 1 + j)
+
+    val p = k + 1.0
+    val s2 = n * (vy - (0 until k).map(i => beta(i) * cy(i)).sum) / (n - p)
+    val quad = (0 until k).map(i =>
+      means(i) * (0 until k).map(j => inv(i, j) * means(j)).sum).sum
+    val b0 = my - (0 until k).map(i => beta(i) * means(i)).sum
+    val se0 = math.sqrt(s2 * (1.0 / n + quad / n))
+    val dofR = n - p
+    def pv(t: Double) = graft.stats.SpecialFunctions.tPValueTwoSided(t, dofR)
+    val rows =
+      ("__intercept", b0, se0, b0 / se0, pv(b0 / se0)) +:
+      featNames.indices.map { i =>
+        val se = math.sqrt(s2 * inv(i, i) / n)
+        (featNames(i), beta(i), se, beta(i) / se, pv(beta(i) / se))
+      }
+    rows.toDF("term", "estimate", "std_err", "t_value", "p_value")
+  }
+
+  /** DuckDB oracle for [[olsExact]]: identical moments (covar_pop/avg) and
+    * the identical pivotless Gauss-Jordan, unrolled as one REPLACE-chained
+    * CTE per elimination step — generated, so the algorithm can't drift
+    * from the Scala solve.
+    *
+    * @param baseSql SELECT producing columns f0..f{k-1}, y (mirrors the
+    *                Spark-side projection exactly)
+    * @param terms   output term names, intercept excluded (feature order)
+    */
+  def olsOracleSql(baseSql: String, terms: Seq[String], dp: Int): String = {
+    val k = terms.size
+    val w = 2 * k + 1
+    def cname(i: Int, j: Int) = s"c_${math.min(i, j)}_${math.max(i, j)}"
+    val momentCols =
+      Seq("CAST(count(*) AS DOUBLE) AS n") ++
+      (0 until k).map(i => s"avg(f$i) AS m$i") ++
+      Seq("avg(y) AS my", "var_pop(y) AS vy") ++
+      (for { i <- 0 until k; j <- i until k } yield s"covar_pop(f$i, f$j) AS ${cname(i, j)}") ++
+      (0 until k).map(i => s"covar_pop(f$i, y) AS cy$i")
+    val initCols = (for { r <- 0 until k; c <- 0 until w } yield {
+      val v =
+        if (c < k) cname(r, c)
+        else if (c == k) s"cy$r"
+        else if (c == k + 1 + r) "CAST(1 AS DOUBLE)" else "CAST(0 AS DOUBLE)"
+      s"$v AS a_${r}_$c"
+    }).mkString(", ")
+    val stages = (0 until k).map { p =>
+      val repl = (for { r <- 0 until k; c <- 0 until w } yield {
+        if (r == p) s"a_${p}_$c / a_${p}_$p AS a_${r}_$c"
+        else s"a_${r}_$c - a_${r}_$p * a_${p}_$c / a_${p}_$p AS a_${r}_$c"
+      }).mkString(", ")
+      s"g${p + 1} AS (SELECT * REPLACE ($repl) FROM g$p)"
+    }
+    val betaDotCy = (0 until k).map(i => s"a_${i}_$k * cy$i").mkString(" + ")
+    val betaDotM = (0 until k).map(i => s"a_${i}_$k * m$i").mkString(" + ")
+    val quad = (0 until k).map(i =>
+      s"m$i * (${(0 until k).map(j => s"a_${i}_${k + 1 + j} * m$j").mkString(" + ")})")
+      .mkString(" + ")
+    val termRows =
+      s"SELECT '__intercept' AS term, my - ($betaDotM) AS est, sqrt(s2 * (1.0/n + ($quad)/n)) AS se FROM fin" +:
+      terms.zipWithIndex.map { case (t, i) =>
+        s"SELECT '$t' AS term, a_${i}_$k AS est, sqrt(s2 * a_${i}_${k + 1 + i} / n) AS se FROM fin"
+      }
+    s"""WITH base AS ($baseSql),
+       |m AS (SELECT ${momentCols.mkString(", ")} FROM base),
+       |g0 AS (SELECT *, $initCols FROM m),
+       |${stages.mkString(",\n")},
+       |fin AS (SELECT *, n * (vy - ($betaDotCy)) / (n - ${k + 1}) AS s2 FROM g$k)
+       |SELECT term, round(est, $dp) AS estimate, round(se, $dp) AS std_err,
+       | round(est / se, $dp) AS t_value
+       |FROM (${termRows.mkString("\nUNION ALL\n")}) t""".stripMargin
+  }
+
   /** M2 matrix form — Pearson correlation matrix of the given columns via
     * spark.ml.stat.Correlation (one distributed Gramian pass), returned
     * long-form: (var_a, var_b, corr). "complete.obs" semantics: rows with

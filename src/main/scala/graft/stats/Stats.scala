@@ -26,9 +26,11 @@ object Stats {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
-  /** M3/M4 — Pearson χ² statistic of independence for two categorical
-    * columns (ref `R_groupe4.R:831-841,876-902`; no Yates correction, as R
-    * applies it only to 2×2 tables — SURVEY.md §7-4).
+  /** M3/M4 — Pearson χ² test of independence for two categorical columns
+    * (ref `R_groupe4.R:831-841,876-902`; no Yates correction, as R applies
+    * it only to 2×2 tables — SURVEY.md §7-4). Output: (chi2_stat, dof,
+    * p_value) — the full line R's `chisq.test` prints, the p-value via the
+    * codegen'd regularized-incomplete-gamma expression.
     *
     * Contingency counts via one hash aggregation; margins via windows over
     * the (tiny: |distinct a|×|distinct b| rows) count table, so the heavy
@@ -44,12 +46,16 @@ object Stats {
       .withColumn("exp", col("rm") * col("cm") / col("n"))
     val d = col("o") - col("exp")
     e.agg(
-      sum(d * d / col("exp")).as("chi2_stat"),
-      ((countDistinct("r") - 1) * (countDistinct("c") - 1)).as("dof"))
+        sum(d * d / col("exp")).as("chi2_stat"),
+        ((countDistinct("r") - 1) * (countDistinct("c") - 1)).as("dof"))
+      .withColumn("p_value",
+        graft.functions.PValue.chiSquare(col("chi2_stat"), col("dof")))
   }
 
-  /** M8 — one-way ANOVA (F statistic) of `valueCol` across groups of
-    * `groupCol` (ref `R_groupe4.R:872-874`: `aov(age_estim ~ clc_quartier)`).
+  /** M8 — one-way ANOVA of `valueCol` across groups of `groupCol` (ref
+    * `R_groupe4.R:872-874`: `aov(age_estim ~ clc_quartier)`). Output adds
+    * the (df_between, df_within, p_value) triple that `summary(aov(...))`
+    * prints, the p-value via the codegen'd incomplete-beta expression.
     *
     * Classic sufficient-statistics decomposition: per-group (n, mean, var)
     * from one aggregation; SS_between = Σ n_g(m_g − gm)², SS_within =
@@ -68,9 +74,13 @@ object Stats {
       .withColumn("k", count(lit(1)).over(wAll).cast("double"))
     val dm = col("m") - col("gm")
     t.agg(
-      (sum(col("n") * (dm * dm)) / (max("k") - 1)).as("ms_between"),
-      (sum((col("n") - 1) * col("v")) / (max("nn") - max("k"))).as("ms_within"))
+        (sum(col("n") * (dm * dm)) / (max("k") - 1)).as("ms_between"),
+        (sum((col("n") - 1) * col("v")) / (max("nn") - max("k"))).as("ms_within"),
+        (max("k") - 1).as("df_between"),
+        (max("nn") - max("k")).as("df_within"))
       .withColumn("f_stat", col("ms_between") / col("ms_within"))
+      .withColumn("p_value",
+        graft.functions.PValue.f(col("f_stat"), col("df_between"), col("df_within")))
   }
 
   /** A2 — exact quantiles (ref `R_groupe4.R:219-222`). Exact `percentile`
@@ -80,5 +90,19 @@ object Stats {
     val arr = probs.mkString("array(", ",", ")")
     if (approx) expr(s"percentile_approx($c, $arr, 10000)")
     else expr(s"percentile($c, $arr)")
+  }
+
+  /** Session-level accuracy switch for every quantile-consuming query
+    * (q12/q13/q59): `graft.quantiles.exact` — default TRUE (exact
+    * `percentile`: required for oracle parity and R-exact medians, but the
+    * exact aggregate buffers a per-partition value multiset, so memory
+    * grows with per-group cardinality); set FALSE to flip all consumers to
+    * the bounded-memory `percentile_approx` sketch (the 100 TB default —
+    * q40 is the always-sketch twin). */
+  def quantileExpr(spark: org.apache.spark.sql.SparkSession, c: String, prob: Double): Column = {
+    val exact =
+      spark.conf.getOption("graft.quantiles.exact").forall(_.toBoolean)
+    if (exact) expr(s"percentile($c, $prob)")
+    else expr(s"percentile_approx($c, $prob, 10000)")
   }
 }
