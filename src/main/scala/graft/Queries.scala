@@ -669,8 +669,8 @@ object Queries {
 
     // Streaming-native stateful sessionization (flatMapGroupsWithState +
     // event-time timeout) — the oracle is the batch gap-sessionization
-    // restricted to the sessions the stream provably closes (see the
-    // oracle SQL note); q31 oracles the batch twin.
+    // restricted to the sessions the stream provably closes (derivation on
+    // the oracle entry below); q31 oracles the batch twin.
     "q67_sessionize_stateful" -> ((s, d) =>
       EventsStream.sessionizeStateful(s, d, 30))
   )
@@ -1240,6 +1240,49 @@ object Queries {
         |SELECT event_id, user_id, coalesce(etype, 'Inconnue') AS etype,
         | value, src, coalesce(pied, 'Inconnue') AS pied,
         | coalesce(situ, 'Inconnue') AS situ, coalesce(ville, 'Inconnue') AS ville
-        |FROM a7""".stripMargin
+        |FROM a7""".stripMargin,
+
+    // Stateful-streaming oracle = the batch gap-sessionization (q31's CTE)
+    // restricted to the sessions the AvailableNow run provably closes.
+    // Derivation (StreamingSpec's "stateful emits exactly the provably
+    // closed sessions" case asserts it in-engine):
+    //  1. All events arrive in ONE microbatch (single parquet file), so
+    //     every session except each user's LAST is closed inline by the
+    //     gap rule and emitted.
+    //  2. AvailableNow then runs a final batch with the watermark advanced
+    //     to floor(max event-time in ms) - gapMs. A user's still-open last
+    //     session times out iff its timeout timestamp
+    //     (floor(epoch-seconds(last event)) * 1000 + gapMs) is STRICTLY
+    //     below that watermark (Spark fires timers on `ts < watermark`).
+    // Hence: emit all sessions EXCEPT a user's last one whose
+    // last_ts*1000 + gapMs >= max_ms - gapMs. Second-truncation of
+    // last_ts mirrors the implementation's unix_timestamp; max_ms keeps
+    // millisecond precision like Spark's watermark tracker.
+    "q67_sessionize_stateful" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |x AS (
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        | FROM s),
+        |sess AS (
+        | SELECT user_id, session_seq, count(*) AS n_events,
+        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        |  round(sum(value), 4) AS session_value,
+        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
+        | FROM x GROUP BY user_id, session_seq),
+        |sess2 AS (
+        | SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS max_seq FROM sess),
+        |wm AS (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) - 1800000 AS wm_ms
+        |  FROM events)
+        |SELECT user_id, session_seq, n_events, session_start, session_value
+        |FROM sess2, wm
+        |WHERE session_seq < max_seq OR last_ts * 1000 + 1800000 < wm_ms""".stripMargin
   )
 }

@@ -158,9 +158,13 @@ object EventsStream {
     * watermark horizon regardless of history length — the canonical
     * KeyValueGroupedDataset custom-state shape.
     *
-    * Run over the static events table it emits exactly the closed sessions
-    * of [[sessionize]] (the final still-open session per user flushes on
-    * the terminal batch). */
+    * Run over the static events table it emits exactly the provably-closed
+    * sessions of [[sessionize]]: every non-last session per user (closed
+    * inline by the gap rule), plus each user's last session iff its
+    * event-time timeout fires under the terminal watermark
+    * (last_ts + gap < maxTs - gap). Still-open sessions do NOT flush —
+    * that is the semantics, not a bug: a restarted stream must be able to
+    * extend them. The q67 oracle mirrors this predicate in SQL. */
   def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -183,6 +187,10 @@ object EventsStream {
         st match {
           case null =>
             st = SessionState(1L, e.tsSec, 1L, e.tsSec, e.value)
+          case s if s.n == 0L =>
+            // zero-event marker left by a timed-out session: the user came
+            // back, so the next session continues the numbering after it
+            st = SessionState(s.seq + 1, e.tsSec, 1L, e.tsSec, e.value)
           case s if e.tsSec - s.lastTsSec > gapSec =>
             out += SessionOut(userId, s.seq, s.n, s.startSec, s.total)
             st = SessionState(s.seq + 1, e.tsSec, 1L, e.tsSec, e.value)
@@ -190,10 +198,17 @@ object EventsStream {
             st = SessionState(s.seq, e.tsSec, s.n + 1, s.startSec, s.total + e.value)
         }
       }
-      if (state.hasTimedOut && st != null) {
+      if (state.hasTimedOut && st != null && st.n > 0L) {
         out += SessionOut(userId, st.seq, st.n, st.startSec, st.total)
-        state.remove()
-      } else if (st != null) {
+        // Keep a zero-event marker holding the last seq (instead of
+        // state.remove()) so a user who returns AFTER a timeout continues
+        // session_seq monotonically like the batch twin, rather than
+        // restarting at 1 and colliding with already-emitted sessions.
+        // Cost: one ~40-byte state row per user ever seen — bounded by
+        // user cardinality rather than the watermark horizon; no timeout
+        // is registered on the marker, so it never re-fires.
+        state.update(SessionState(st.seq, st.lastTsSec, 0L, 0L, 0.0))
+      } else if (st != null && st.n > 0L) {
         state.update(st)
         state.setTimeoutTimestamp(st.lastTsSec * 1000 + gapSec * 1000)
       }

@@ -49,6 +49,45 @@ class StreamingSpec extends AnyFunSuite {
       s"stateful-only sessions: ${stateful.diff(batch).take(3)}")
   }
 
+  test("stateful sessionization emits EXACTLY the provably-closed sessions (q67 oracle predicate)") {
+    // The q67 DuckDB oracle's predicate, derived in Spark: emit every
+    // non-last session per user, plus the last session iff its event-time
+    // timeout (last_ts_sec*1000 + gapMs) fires STRICTLY below the terminal
+    // watermark (floor(max event-time ms) - gapMs). This pins the oracle's
+    // semantics in-engine, replacing the old tools/ProbeStateful scratch.
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 30 * 60 * 1000L
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val maxMs = ev.agg(max(unix_millis(col("ts")))).as[Long].first()
+    val wmMs = maxMs - gapMs
+    val w = Window.partitionBy("user_id")
+    val expected = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
+      .join(
+        ev.withColumn("prev_ts", lag(col("ts"), 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("new_session")).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_seq")
+          .agg(max(unix_timestamp(col("ts"))).as("last_ts")),
+        Seq("user_id", "session_seq"))
+      .withColumn("max_seq", max("session_seq").over(w))
+      .filter(col("session_seq") < col("max_seq") ||
+        col("last_ts") * 1000 + gapMs < wmMs)
+      .select("user_id", "session_seq", "n_events", "session_start", "session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val stateful = EventsStream.sessionizeStateful(spark, TestSpark.sf0001, 30)
+      .select("user_id", "session_seq", "n_events", "session_start", "session_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(stateful == expected,
+      s"stateful-only: ${stateful.diff(expected).take(3)}; " +
+        s"expected-only: ${expected.diff(stateful).take(3)}")
+  }
+
   test("streaming dedup (watermarked dropDuplicates) matches batch distinct counts") {
     val stream = EventsStream.dedupStreamCounts(spark, TestSpark.sf0001)
       .as[(String, Long)].collect().toMap
