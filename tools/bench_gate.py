@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Mechanical bench regression gate: compare a bench run's per-query times
+against the best-known table in BASELINE.md.
+
+Usage: bench_gate.py <bench.json-or-bench-output-line> [--update]
+
+Accepts either the driver's BENCH_rNN.json (reads per-query times out of
+its 'parsed' dict or, failing that, regex-scans the 'tail' string) or a
+file containing the raw one-line Bench JSON. Rule (documented in
+BASELINE.md): ratio > 1.5x = INVESTIGATE, > 2x = FAIL; absolute deltas
+under 0.2 s are noise and exempt. --update rewrites BASELINE.md's table
+with any new best-known (faster) times from this run."""
+import json, re, sys
+
+BASELINE = __file__.rsplit("/", 2)[0] + "/BASELINE.md"
+
+
+def load_bench(path):
+    text = open(path).read()
+    try:
+        d = json.loads(text[text.index("{"):].strip())
+    except ValueError:
+        d = {}
+    if isinstance(d.get("queries"), dict):
+        return d["queries"]
+    if isinstance(d.get("parsed"), dict) and isinstance(d["parsed"].get("queries"), dict):
+        return d["parsed"]["queries"]
+    # driver json with truncated tail: regex-scan
+    tail = d.get("tail", text)
+    return {m.group(1): float(m.group(2))
+            for m in re.finditer(r'"(q\d+_\w+)":([0-9.]+)', tail)}
+
+
+def load_baseline():
+    best = {}
+    for line in open(BASELINE):
+        m = re.match(r"\| (q\d+_\w+) \| ([0-9.]+) \|", line)
+        if m:
+            best[m.group(1)] = float(m.group(2))
+    return best
+
+
+def main():
+    path = sys.argv[1]
+    update = "--update" in sys.argv
+    cur = load_bench(path)
+    best = load_baseline()
+    if not cur:
+        sys.exit(f"no per-query times found in {path}")
+    fails, investigates, improved = [], [], []
+    for q in sorted(set(best) | set(cur)):
+        if q not in best:
+            print(f"NEW          {q:28s} {cur[q]:7.3f}s (no baseline yet)")
+            improved.append(q)
+            continue
+        if q not in cur:
+            print(f"MISSING      {q:28s} baseline {best[q]:.3f}s, absent from run")
+            continue
+        ratio = cur[q] / best[q]
+        delta = cur[q] - best[q]
+        flag = "ok"
+        if delta >= 0.2 and ratio > 2.0:
+            flag = "FAIL"
+            fails.append(q)
+        elif delta >= 0.2 and ratio > 1.5:
+            flag = "INVESTIGATE"
+            investigates.append(q)
+        elif cur[q] < best[q]:
+            flag = "improved"
+            improved.append(q)
+        print(f"{flag:12s} {q:28s} {cur[q]:7.3f}s vs best {best[q]:7.3f}s  ({ratio:4.2f}x)")
+    print(f"\n{len(fails)} fail, {len(investigates)} investigate, "
+          f"{len(improved)} improved/new, {len(cur)} queries")
+    if update and improved:
+        text = open(BASELINE).read()
+        for q in improved:
+            line = f"| {q} | {cur[q]:.3f} | updated |\n"
+            pat = re.compile(rf"\| {q} \| [0-9.]+ \| \S+ \|\n")
+            text = pat.sub(line, text) if pat.search(text) else text + line
+        open(BASELINE, "w").write(text)
+        print(f"BASELINE.md updated for {len(improved)} queries")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
