@@ -118,17 +118,28 @@ object Impute {
                     xCol: String, yCol: String, idCol: String,
                     knownTieBreak: String, payloadCols: Seq[String],
                     cellSize: Double, maxRounds: Int = 8): DataFrame = {
-    val m0 = missing.select(col(idCol), col(xCol).as("__mx"), col(yCol).as("__my"))
+    // Lineage truncation (same rationale as Dedup.canonicalize): the known
+    // side is probed every round and both loop variables otherwise chain
+    // unionByName/left_anti plans round over round, re-executing the whole
+    // upstream clean chain up to maxRounds times and doubling the plan.
+    // Checkpoint each once per round so every upstream stage runs exactly
+    // once (on a cluster, swap localCheckpoint for a reliable checkpoint
+    // dir). The emptiness check is a counter over already-materialized
+    // checkpoints, not a job re-deriving the chain.
     val k0 = known.select(
       (Seq(col(xCol).as("__kx"), col(yCol).as("__ky"), col(knownTieBreak).as("__ktb"))
         ++ payloadCols.map(col)): _*)
       .withColumn("__kcx", floor(col("__kx") / cellSize))
       .withColumn("__kcy", floor(col("__ky") / cellSize))
-    var unresolved = m0
+      .localCheckpoint(true)
+    var unresolved = missing
+      .select(col(idCol), col(xCol).as("__mx"), col(yCol).as("__my"))
+      .localCheckpoint(true)
+    var unresolvedCount = unresolved.count()
     var resolved: DataFrame = null
     var ring = 1
     var round = 0
-    while (round < maxRounds && !unresolved.isEmpty) {
+    while (round < maxRounds && unresolvedCount > 0) {
       val r = ring
       // Explode each missing row to its (2r+1)^2 neighbor cells, equi-join on cell.
       val offsets = (-r to r).flatMap(dx => (-r to r).map(dy => (dx, dy)))
@@ -153,11 +164,18 @@ object Impute {
       // global-nearest (anything outside ring r is at least r*cell away).
       val accepted = best.filter(col("__nn.__dist2") <= lit(r * cellSize * r * cellSize))
         .select((col(idCol) +: payloadCols.map(c => col(s"__nn.$c").as(s"${c}_nn"))): _*)
+        .localCheckpoint(true)
+      val acceptedCount = accepted.count()
       resolved = if (resolved == null) accepted else resolved.unionByName(accepted)
-      unresolved = unresolved.join(accepted.select(idCol), Seq(idCol), "left_anti")
+      if (acceptedCount > 0 && acceptedCount < unresolvedCount) {
+        unresolved = unresolved.join(accepted.select(idCol), Seq(idCol), "left_anti")
+          .localCheckpoint(true)
+      }
+      unresolvedCount -= acceptedCount
       ring *= 2
       round += 1
     }
+    if (unresolvedCount == 0 && resolved != null) return resolved
     // Anything still unresolved (pathologically sparse neighborhoods) falls
     // back to the exact cross-join on the (by now tiny) remainder.
     val fallback = Impute.knnImputeExact(

@@ -108,8 +108,14 @@ object TreePipeline {
 
   /** The full E1 cleaning pipeline on a raw-schema DataFrame. Stage order
     * and every data quirk (Gricourt/Griourt typo filter, 300→200 cap,
-    * "Inconnue" sentinel, constant src_geo) mirror the reference. */
-  def clean(raw: DataFrame): DataFrame = {
+    * "Inconnue" sentinel, constant src_geo) mirror the reference.
+    *
+    * `knn` picks the 1-NN impute strategy for both J4/J5 stages:
+    * [[KnnExact]] (default — the reference regime, fully lazy) or
+    * [[KnnGrid]] (the 100 TB path; identical results, see
+    * TreePipelineSpec's grid==exact pipeline case). */
+  def clean(raw: DataFrame, knn: KnnStrategy = KnnExact,
+            knnCellSize: Double = 500.0): DataFrame = {
     var df = raw.withColumn("__ingest_id", monotonically_increasing_id())
     df = Cleaning.normalizeBlanks(df)                                    // P1  :45
     df = Cleaning.distinctRows(df)                                       // P2  :49
@@ -123,8 +129,8 @@ object TreePipeline {
     df = Cleaning.relabel(df, "fk_stadedev", "Adulte", "adulte")         // F2  :90
     df = Cleaning.relabel(df, "fk_stadedev", "Jeune", "jeune")           // F2  :91
     df = reproject(df)                                                   // X1  :93-106
-    df = knnFill(df, "clc_quartier")                                     // J4  :113-124
-    df = knnFill(df, "clc_secteur")                                      // J5  :126-142
+    df = knnFill(df, "clc_quartier", knn, knnCellSize)                   // J4  :113-124
+    df = knnFill(df, "clc_secteur", knn, knnCellSize)                    // J5  :126-142
     df = df.filter(!col("clc_secteur").isin("Gricourt", "Griourt") ||
       col("clc_secteur").isNull)                                         // P10 :145-146
     df = Cleaning.titleCase(df, "clc_secteur")                           // F3  :178
@@ -152,16 +158,18 @@ object TreePipeline {
       longitude: Double, latitude: Double, villeca: String)
 
   /** [[clean]] with a typed result. */
-  def cleanTyped(raw: DataFrame): org.apache.spark.sql.Dataset[TreeClean] = {
+  def cleanTyped(raw: DataFrame, knn: KnnStrategy = KnnExact)
+      : org.apache.spark.sql.Dataset[TreeClean] = {
     val spark = raw.sparkSession
     import spark.implicits._
-    clean(raw).as[TreeClean]
+    clean(raw, knn).as[TreeClean]
   }
 
   /** End-to-end: CSV in → clean → CSV out (S1→E1→S2). */
-  def run(spark: SparkSession, inPath: String, outPath: String): DataFrame = {
+  def run(spark: SparkSession, inPath: String, outPath: String,
+          knn: KnnStrategy = KnnExact): DataFrame = {
     val raw = graft.io.Csv.read(spark, inPath, rawSchema)
-    val cleaned = clean(raw)
+    val cleaned = clean(raw, knn)
     graft.io.Csv.write(cleaned, outPath)
     cleaned
   }

@@ -151,6 +151,26 @@ class TreePipelineSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("full pipeline with KnnGrid matches the KnnExact pipeline (100 TB path)") {
+    // Distances chosen to exercise the grid's ring escalation: row 5's
+    // nearest known neighbor is 5 km away, i.e. 10 cells at the default
+    // 500 m cell — resolved only after several ring doublings.
+    val rows = Seq(
+      mk("id_arbre" -> 1L, "X" -> 700000.0, "clc_quartier" -> "Proche"),
+      mk("id_arbre" -> 2L, "X" -> 705000.0, "clc_quartier" -> "Loin",
+        "clc_secteur" -> "sud"),
+      mk("id_arbre" -> 3L, "X" -> 700100.0, "clc_quartier" -> null),
+      mk("id_arbre" -> 4L, "X" -> 704900.0, "clc_secteur" -> null),
+      mk("id_arbre" -> 5L, "X" -> 710000.0, "clc_quartier" -> null,
+        "clc_secteur" -> null))
+    val exact = TreePipeline.clean(df(rows: _*))
+      .collect().map(_.toSeq).toSet
+    val grid = TreePipeline.clean(df(rows: _*), TreePipeline.KnnGrid)
+      .collect().map(_.toSeq).toSet
+    assert(grid == exact)
+    assert(grid.exists(_.contains("Loin"))) // row 5 actually got imputed
+  }
+
   test("CSV round-trip: run() writes and re-reads the cleaned export (S2/S3)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_tree").toString + "/out"
     val cleaned = TreePipeline.run(spark, writeFixtureCsv(), tmp)
