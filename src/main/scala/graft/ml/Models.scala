@@ -144,19 +144,26 @@ object Models {
     def inv(i: Int, j: Int): Double = a(i)(k + 1 + j)
 
     val p = k + 1.0
-    val s2 = n * (vy - (0 until k).map(i => beta(i) * cy(i)).sum) / (n - p)
+    val betaDotCy = (0 until k).map(i => beta(i) * cy(i)).sum
+    val s2 = n * (vy - betaDotCy) / (n - p)
     val quad = (0 until k).map(i =>
       means(i) * (0 until k).map(j => inv(i, j) * means(j)).sum).sum
     val b0 = my - (0 until k).map(i => beta(i) * means(i)).sum
     val se0 = math.sqrt(s2 * (1.0 / n + quad / n))
     val dofR = n - p
     def pv(t: Double) = graft.stats.SpecialFunctions.tPValueTwoSided(t, dofR)
-    val rows =
-      ("__intercept", b0, se0, b0 / se0, pv(b0 / se0)) +:
+    // M7 metric rows ride along with null inference columns: RSE = √s2
+    // (already the R n−p−1-denominator form via s2), R² = explained/total
+    // variance = β·c_xy / var_pop(y) — both closed-form over the same
+    // moments, so the generated oracle reproduces them bit-alike.
+    val rows: Seq[(String, Double, Option[Double], Option[Double], Option[Double])] =
+      (("__intercept", b0, Some(se0), Some(b0 / se0), Some(pv(b0 / se0))) +:
       featNames.indices.map { i =>
         val se = math.sqrt(s2 * inv(i, i) / n)
-        (featNames(i), beta(i), se, beta(i) / se, pv(beta(i) / se))
-      }
+        (featNames(i), beta(i), Some(se), Some(beta(i) / se), Some(pv(beta(i) / se)))
+      }) :+
+      ("__rse", math.sqrt(s2), None, None, None) :+
+      ("__r2", betaDotCy / vy, None, None, None)
     rows.toDF("term", "estimate", "std_err", "t_value", "p_value")
   }
 
@@ -199,10 +206,12 @@ object Models {
       s"m$i * (${(0 until k).map(j => s"a_${i}_${k + 1 + j} * m$j").mkString(" + ")})")
       .mkString(" + ")
     val termRows =
-      s"SELECT '__intercept' AS term, my - ($betaDotM) AS est, sqrt(s2 * (1.0/n + ($quad)/n)) AS se FROM fin" +:
+      (s"SELECT '__intercept' AS term, my - ($betaDotM) AS est, sqrt(s2 * (1.0/n + ($quad)/n)) AS se FROM fin" +:
       terms.zipWithIndex.map { case (t, i) =>
         s"SELECT '$t' AS term, a_${i}_$k AS est, sqrt(s2 * a_${i}_${k + 1 + i} / n) AS se FROM fin"
-      }
+      }) ++ Seq(
+        s"SELECT '__rse' AS term, sqrt(s2) AS est, CAST(NULL AS DOUBLE) AS se FROM fin",
+        s"SELECT '__r2' AS term, ($betaDotCy) / vy AS est, CAST(NULL AS DOUBLE) AS se FROM fin")
     s"""WITH base AS ($baseSql),
        |m AS (SELECT ${momentCols.mkString(", ")} FROM base),
        |g0 AS (SELECT *, $initCols FROM m),
