@@ -672,8 +672,40 @@ object Queries {
     // restricted to the sessions the stream provably closes (derivation on
     // the oracle entry below); q31 oracles the batch twin.
     "q67_sessionize_stateful" -> ((s, d) =>
-      EventsStream.sessionizeStateful(s, d, 30))
+      EventsStream.sessionizeStateful(s, d, 30)),
+
+    // S1 — CSV scan with a DECLARED schema over a committed tree-shaped
+    // fixture (the reference's own I/O is CSV, `R_groupe4.R:41,1074`;
+    // S2/S3 round-trip through the same Csv module in TreePipelineSpec).
+    // Blank cells land as null on both engines (Spark nullValue=""/DuckDB
+    // default nullstr) — the fixture has blank numeric AND string cells to
+    // pin that. Ignores the sf dir: the fixture is the dataset.
+    "q68_csv_scan" -> ((s, _) =>
+      graft.io.Csv.read(s, csvFixturePath, csvFixtureSchema)
+        .select(col("X"), col("Y"), col("haut_tot"), col("tronc_diam"),
+          col("age_estim"), col("clc_quartier"), col("clc_secteur"),
+          col("fk_arb_etat"), col("fk_stadedev"), col("feuillage"),
+          col("remarquable")))
   )
+
+  /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
+    * names, blank cells). Resolved relative to the repo root whether the
+    * JVM starts there or elsewhere. */
+  private[graft] def csvFixturePath: String =
+    Seq("data/trees_fixture.csv", "/root/repo/data/trees_fixture.csv")
+      .map(new java.io.File(_)).find(_.exists).map(_.getAbsolutePath)
+      .getOrElse("data/trees_fixture.csv")
+
+  private[graft] val csvFixtureSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("X", DoubleType), StructField("Y", DoubleType),
+      StructField("haut_tot", DoubleType), StructField("haut_tronc", DoubleType),
+      StructField("tronc_diam", DoubleType), StructField("age_estim", DoubleType),
+      StructField("clc_quartier", StringType), StructField("clc_secteur", StringType),
+      StructField("fk_arb_etat", StringType), StructField("fk_stadedev", StringType),
+      StructField("feuillage", StringType), StructField("remarquable", StringType)))
+  }
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1283,6 +1315,19 @@ object Queries {
         |  FROM events)
         |SELECT user_id, session_seq, n_events, session_start, session_value
         |FROM sess2, wm
-        |WHERE session_seq < max_seq OR last_ts * 1000 + 1800000 < wm_ms""".stripMargin
+        |WHERE session_seq < max_seq OR last_ts * 1000 + 1800000 < wm_ms""".stripMargin,
+
+    // S1 CSV-scan parity: same committed fixture, explicit column types
+    // mirroring the declared Spark schema (DuckDB's default nullstr=''
+    // matches Spark's nullValue='' for the blank cells).
+    "q68_csv_scan" ->
+      """SELECT X, Y, haut_tot, tronc_diam, age_estim, clc_quartier,
+        | clc_secteur, fk_arb_etat, fk_stadedev, feuillage, remarquable
+        |FROM read_csv('/root/repo/data/trees_fixture.csv', header=true,
+        | columns={'X':'DOUBLE','Y':'DOUBLE','haut_tot':'DOUBLE',
+        |  'haut_tronc':'DOUBLE','tronc_diam':'DOUBLE','age_estim':'DOUBLE',
+        |  'clc_quartier':'VARCHAR','clc_secteur':'VARCHAR',
+        |  'fk_arb_etat':'VARCHAR','fk_stadedev':'VARCHAR',
+        |  'feuillage':'VARCHAR','remarquable':'VARCHAR'})""".stripMargin
   )
 }
