@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus decode / feature-extract stages.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs):
-  * [[fakeDecode]] produces a deterministic fake decode from the bytes — but
-  * the Spark-side plumbing is real and tested: schema (binary payload +
-  * metadata struct), partition sizing (media rows are large → fewer rows
-  * per partition via `maxRecordsPerBatch`-style repartition), and the
-  * batch-shaped mapPartitions feature extractor mirroring the Python
-  * `mapInPandas` batch contract.
+  * The decode step is pluggable via the [[MediaCodec]] trait; this
+  * container has no image/audio codecs, so the shipped implementation is
+  * the deterministic [[ByteHistogramCodec]] fake — but the Spark-side
+  * plumbing is real and tested: schema (binary payload + metadata struct),
+  * partition sizing (media rows are large → fewer rows per partition via
+  * `maxRecordsPerBatch`-style repartition), and the batch-shaped
+  * mapPartitions feature extractor mirroring the Python `mapInPandas`
+  * batch contract.
   */
 object Multimodal {
 
@@ -38,30 +39,21 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit(0).as("width"), lit(0).as("height"))
 
-  /** STUB decode + feature extraction. A real deployment replaces the body
-    * of the per-batch function with codec calls (PIL/ffmpeg via mapInPandas
-    * on the Python side, or JNI codecs here); the signature — iterator of
-    * rows in, iterator of fixed-width feature rows out, executed per
-    * partition with no driver involvement — is the real contract.
-    *
-    * The fake feature is a deterministic 8-dim projection of the payload
-    * bytes (byte-bucket histograms), so tests can assert exact values. */
-  def fakeDecode(media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+  /** Decode + feature extraction through a pluggable [[MediaCodec]]. The
+    * Spark contract — iterator of rows in, iterator of fixed-width feature
+    * rows out, executed per partition with no driver involvement (the JVM
+    * twin of Python's `mapInPandas` batch shape) — is codec-independent; a
+    * real deployment passes a PIL/ffmpeg/JNI-backed codec, this container
+    * defaults to the deterministic [[ByteHistogramCodec]] fake. */
+  def decode(media: DataFrame,
+             codec: MediaCodec = ByteHistogramCodec()): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, modality, payload) =>
-          val hist = new Array[Float](featureDim)
-          var checksum = 0L
-          var i = 0
-          while (i < payload.length) {
-            val b = payload(i) & 0xff
-            hist(b % featureDim) += 1f
-            checksum = checksum * 31 + b
-            i += 1
-          }
-          MediaFeatures(id, modality, payload.length.toLong, checksum, hist)
+          val d = codec.decode(payload, modality)
+          MediaFeatures(id, modality, payload.length.toLong, d.checksum, d.feature)
         }
       }
   }
@@ -69,9 +61,9 @@ object Multimodal {
   /** Feature table with scale-appropriate layout: media payloads dropped
     * after extraction (project early — a 100 TB media scan must not carry
     * bytes past the decode stage), fixed-width float features retained. */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    fakeDecode(media).toDF()
+  def extractFeatures(media: DataFrame,
+                      codec: MediaCodec = ByteHistogramCodec()): DataFrame = {
+    decode(media, codec).toDF()
       .withColumn("feature", col("feature").cast("array<float>"))
   }
 }

@@ -32,7 +32,7 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(out.count(_.isNullAt(0)) == 1) // corrupt row surfaces as nulls
   }
 
-  test("multimodal fakeDecode: exact histogram + checksum on known bytes") {
+  test("default ByteHistogramCodec: exact histogram + checksum on known bytes") {
     val df = Seq((1L, "ab")).toDF("doc_id", "text") // bytes 97, 98
     val media = Multimodal.mediaFromText(df, "doc_id", "text")
     val r = Multimodal.extractFeatures(media).first()
@@ -44,6 +44,14 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(feat.sum == 2f)
   }
 
+  test("a second MediaCodec plugs into the same plumbing unchanged") {
+    val df = Seq((1L, "abc")).toDF("doc_id", "text") // bytes 97, 98, 99
+    val media = Multimodal.mediaFromText(df, "doc_id", "text")
+    val r = Multimodal.extractFeatures(media, IoMultimodalSpec.HeadBytesCodec(4)).first()
+    assert(r.getAs[Long]("checksum") == 3L) // modality-dispatched branch
+    assert(r.getSeq[Float](r.fieldIndex("feature")) == Seq(97f, 98f, 99f, -1f))
+  }
+
   test("media schema carries binary payload + typed metadata") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromText(df, "doc_id", "text")
@@ -51,5 +59,21 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(types("payload") == BinaryType)
     assert(types("media_id") == LongType)
     assert(types("modality") == StringType)
+  }
+}
+
+object IoMultimodalSpec {
+  /** A second codec for the pluggability test: dispatches on modality and
+    * emits a different feature width — proves schema, partitioning and
+    * batch shape come from the plumbing, not the codec. Defined at the top
+    * level so the executor closure doesn't capture the (non-serializable)
+    * test suite. */
+  case class HeadBytesCodec(featureDim: Int) extends graft.multimodal.MediaCodec {
+    override def decode(payload: Array[Byte], modality: String) = {
+      val head = Array.tabulate(featureDim)(i =>
+        if (i < payload.length) (payload(i) & 0xff).toFloat else -1f)
+      graft.multimodal.MediaDecoded(
+        if (modality.startsWith("text/")) payload.length.toLong else -1L, head)
+    }
   }
 }
