@@ -1253,6 +1253,10 @@ object Queries {
         |p8 AS (SELECT event_id, user_id, etype, value, src, pied, situ, ville FROM p7),
         |f2 AS (SELECT * REPLACE (replace(etype, 'click', 'tap') AS etype) FROM p8),
         |p10 AS (SELECT * FROM f2 WHERE etype <> 'error' OR etype IS NULL),
+        |-- first-char title case == Spark's per-WORD TitleCase only because
+        |-- event_type values are single words with no separators (domain
+        |-- assumption; a value like 'page_view' would diverge: Spark
+        |-- 'Page_View' vs this 'Page_view')
         |f3 AS (SELECT * REPLACE (
         |  upper(substr(etype, 1, 1)) || lower(substr(etype, 2)) AS etype) FROM p10),
         |a9f AS (SELECT etype, arg_min(pied, event_id) AS fp

@@ -100,8 +100,12 @@ object Stats {
     * the bounded-memory `percentile_approx` sketch (the 100 TB default —
     * q40 is the always-sketch twin). */
   def quantileExpr(spark: org.apache.spark.sql.SparkSession, c: String, prob: Double): Column = {
-    val exact =
-      spark.conf.getOption("graft.quantiles.exact").forall(_.toBoolean)
+    val exact = spark.conf.getOption("graft.quantiles.exact").forall { v =>
+      if (v.equalsIgnoreCase("true")) true
+      else if (v.equalsIgnoreCase("false")) false
+      else throw new IllegalArgumentException(
+        s"graft.quantiles.exact must be 'true' or 'false', got '$v'")
+    }
     if (exact) expr(s"percentile($c, $prob)")
     else expr(s"percentile_approx($c, $prob, 10000)")
   }
