@@ -341,7 +341,9 @@ object Queries {
         "is_high_disc", Seq("l_quantity", "l_discount", "l_tax"))),
 
     // Multimodal plumbing — binary payload → batch feature extraction
-    // (decode stubbed; schema/partitioning real).
+    // through the default ByteHistogramCodec (pluggable MediaCodec seam;
+    // schema/partitioning real). Scalar outputs are DuckDB-oracled; the
+    // feature vector is exact-value-verified in IoMultimodalSpec.
     "q38_multimodal_features" -> ((s, d) =>
       Multimodal.extractFeatures(
         Multimodal.mediaFromText(doc(s, d), "doc_id", "text"))
@@ -999,6 +1001,55 @@ object Queries {
         | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
         | round(sum(value), 4) AS session_value
         |FROM x GROUP BY user_id, session_seq""".stripMargin,
+
+    // Exact n-gram Jaccard is hash-INDEPENDENT: the Spark side compares
+    // 64-bit xxhash64 shingle sets, this oracle compares the string
+    // shingles themselves — identical |A∩B|/|A∪B| unless two distinct
+    // 2-shingles collide in 64 bits (probability ~n²/2⁶⁴, negligible and
+    // loudly visible as a hash mismatch if it ever happened). Shingling
+    // mirrors Text.shingleHashes: split on single space, windows of 2,
+    // max(size-1, 1) windows (short docs yield one truncated shingle),
+    // distinct. The oracle may brute-force pairs — it is DuckDB-side only;
+    // the Spark plan stays the inverted-postings join.
+    "q34_ngram_jaccard" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS sza, len(b.s) AS szb
+        | FROM sh a JOIN sh b ON a.doc_id % 100 = 0 AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        | round(CAST(shared AS DOUBLE) / (sza + szb - shared), 4) AS jaccard
+        |FROM pairs
+        |WHERE CAST(shared AS DOUBLE) / (sza + szb - shared) >= 0.05""".stripMargin,
+
+    // The ByteHistogramCodec fake decode is deterministic over the
+    // document bytes (ASCII in this corpus, so ord(char) == byte): the
+    // rolling checksum is re-expressed with HUGEINT modular arithmetic
+    // (Scala Long wraps silently at 2⁶⁴; DuckDB BIGINT would overflow-
+    // error), then mapped back to signed 64-bit.
+    "q38_multimodal_features" ->
+      """WITH b AS (
+        | SELECT doc_id AS media_id, 'text/plain' AS modality,
+        |  list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        | FROM documents),
+        |c AS (
+        | SELECT media_id, modality, n_bytes,
+        |  CASE WHEN n_bytes = 0 THEN CAST(0 AS HUGEINT)
+        |   ELSE list_reduce(bytes,
+        |     (x, y) -> (x * 31 + y) % 18446744073709551616::HUGEINT) END AS cs
+        | FROM b)
+        |SELECT media_id, modality, n_bytes,
+        | CAST(CASE WHEN cs > 9223372036854775807::HUGEINT
+        |  THEN cs - 18446744073709551616::HUGEINT ELSE cs END AS BIGINT) AS checksum
+        |FROM c""".stripMargin,
 
     "q39_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
