@@ -113,3 +113,53 @@ object MinHashSig {
   def apply(tokens: Column, k: Int, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), k, numHashes))
 }
+
+/** xxhash64 (seed 42, matching Spark's builtin) of every k-token shingle of
+  * an array<string> column — the tight-loop twin of the pure-HOF
+  * `transform(sequence(...), i -> xxhash64(concat_ws(" ", slice(...))))`
+  * formulation, bit-identical to it (same UTF8String concat, same XXH64
+  * seed), but one JVM loop instead of an expression-tree eval per shingle.
+  * Shared substrate of n-gram Jaccard (q34) and near-dup canonicalize
+  * (q44); documents shorter than k yield one truncated shingle, exactly
+  * like `slice`'s clamping. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
+    val nShingles = math.max(n - k + 1, 1)
+    val out = new Array[Long](nShingles)
+    val space = UTF8String.fromString(" ")
+    var sh = 0
+    while (sh < nShingles) {
+      val end = math.min(sh + k, n)
+      var shingle = if (sh < n) toks(sh) else UTF8String.EMPTY_UTF8
+      var j = sh + 1
+      while (j < end) {
+        shingle = UTF8String.concat(shingle, space, toks(j))
+        j += 1
+      }
+      out(sh) = XXH64.hashUnsafeBytes(
+        shingle.getBaseObject, shingle.getBaseOffset, shingle.numBytes, 42L)
+      sh += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  def apply(tokens: Column, k: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(tokens), k))
+}

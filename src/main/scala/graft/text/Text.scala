@@ -77,12 +77,14 @@ object Text {
     xxhash64(regexp_replace(trim(c), "\\s+", " "))
 
   /** Hashes of all k-token shingles of a token array — the shared substrate
-    * of MinHash, winnowing, and n-gram Jaccard. Pure HOF expression
-    * (transform over a sequence), no explode, no shuffle. */
+    * of MinHash, winnowing, and n-gram Jaccard. Tight-loop custom
+    * expression ([[graft.functions.ShingleHashes]]), bit-identical to the
+    * pure-HOF `transform(sequence(...), i -> xxhash64(concat_ws(" ",
+    * slice(...))))` formulation it replaced (TextDedupSpec pins the
+    * equivalence) but ~one order of magnitude cheaper per document: one
+    * JVM loop instead of an expression-tree eval per shingle. */
   def shingleHashes(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    graft.functions.ShingleHashes(toks, k)
 
   /** Rolling / winnowing fingerprint (MOSS scheme): minimum shingle hash in
     * each window of `w` consecutive shingles — a compact Array[Long]

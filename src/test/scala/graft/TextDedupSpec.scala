@@ -76,6 +76,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(dups.exists(d => d._1 == 1L && d._2 == 2L && d._3 == 0))
   }
 
+  test("ShingleHashes tight-loop expression == pure-HOF xxhash64 formulation, bit-exact") {
+    // The custom expression replaced this HOF chain; equivalence must hold
+    // on the edge cases too: empty text, single token, text shorter than k.
+    val df = Seq("the quick brown fox jumps", "a", "", "x y", "one two three")
+      .toDF("text")
+    def hof(toks: org.apache.spark.sql.Column, k: Int) =
+      transform(
+        sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => xxhash64(concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+    for (k <- Seq(2, 3, 7)) {
+      val rows = df.select(
+        Text.shingleHashes(Text.tokens(col("text")), k).as("fast"),
+        hof(Text.tokens(col("text")), k).as("ref"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (fast, ref) => assert(fast == ref, s"k=$k") }
+    }
+  }
+
   test("ngramJaccardPairs computes exact Jaccard on shingle sets") {
     // identical docs → jaccard 1.0
     val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
