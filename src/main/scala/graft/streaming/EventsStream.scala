@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -166,9 +166,7 @@ object EventsStream {
     * that is the semantics, not a bug: a restarted stream must be able to
     * extend them. The q67 oracle mirrors this predicate in SQL. */
   def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val gapSec = gapMinutes * 60L
     val schema = graft.Tables.eventsRawSchema(spark, dir)
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -177,6 +175,25 @@ object EventsStream {
         col("value"), col("ts"))
       .withWatermark("ts", s"$gapMinutes minutes")
       .as[SessionEvent]
+
+    val qname = "graft_sessions_stateful"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = sessionizeStatefulOn(src, gapMinutes * 60L)
+      .writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+      .withColumn("session_value", round(col("session_value"), 4))
+  }
+
+  /** The stateful core of [[sessionizeStateful]], on any watermarked
+    * [[SessionEvent]] stream — separated so tests can drive it across
+    * MULTIPLE microbatches (MemoryStream), where the timeout/marker
+    * transitions are actually reachable. */
+  def sessionizeStatefulOn(src: Dataset[SessionEvent],
+                           gapSec: Long): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import src.sparkSession.implicits._
 
     def fn(userId: Long, events: Iterator[SessionEvent],
            state: GroupState[SessionState]): Iterator[SessionOut] = {
@@ -215,14 +232,7 @@ object EventsStream {
       out.iterator
     }
 
-    val qname = "graft_sessions_stateful"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = src.groupByKey(_.user_id)
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
-      .writeStream.outputMode("append").format("memory").queryName(qname)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qname)
-      .withColumn("session_value", round(col("session_value"), 4))
   }
 }

@@ -88,6 +88,55 @@ class StreamingSpec extends AnyFunSuite {
         s"expected-only: ${expected.diff(stateful).take(3)}")
   }
 
+  test("multi-batch stateful stream: session_seq stays monotonic across a timeout") {
+    // Drives the timeout + zero-event-marker transitions that a single
+    // AvailableNow batch can never reach: a user whose session times out
+    // (no data for them in the firing batch) and who then RETURNS must get
+    // the next session_seq, not restart at 1 (batch-twin numbering).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream.SessionEvent
+    implicit val sc = spark.sqlContext
+    def ev(user: Long, id: Long, minutes: Long): SessionEvent = {
+      val sec = 1700000000L + minutes * 60
+      SessionEvent(user, id, sec, 1.0, new java.sql.Timestamp(sec * 1000))
+    }
+    val input = MemoryStream[SessionEvent]
+    val out = EventsStream.sessionizeStatefulOn(
+      input.toDS().withWatermark("ts", "30 minutes"), gapSec = 1800L)
+    val qname = "graft_multibatch_sessions"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      // batch A: u1 session 1 (2 events), then a 2h gap closes it inline
+      // and opens session 2. Watermark after A: 02:00 - 30min = 01:30.
+      input.addData(ev(1, 1, 0), ev(1, 2, 10), ev(1, 3, 120))
+      q.processAllAvailable()
+      // batch B: other user only — advances watermark to 05:30; u1's
+      // timer (02:30) can't fire until the NEXT batch sees that watermark.
+      input.addData(ev(2, 4, 360))
+      q.processAllAvailable()
+      // batch C: other user again → u1 has no data, timer 02:30 < 05:30
+      // fires: session 2 emitted by TIMEOUT, zero-event marker retained.
+      input.addData(ev(2, 5, 361))
+      q.processAllAvailable()
+      // batch D: u1 returns → marker branch must continue at seq 3.
+      input.addData(ev(1, 6, 480))
+      q.processAllAvailable()
+      // batch E: 4h later → closes session 3 inline.
+      input.addData(ev(1, 7, 720))
+      q.processAllAvailable()
+      val u1 = spark.table(qname).filter(col("user_id") === 1)
+        .select("session_seq", "n_events", "session_start")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val t0 = 1700000000L
+      assert(u1 == Seq(
+        (1L, 2L, t0),             // inline close at the 2h gap
+        (2L, 1L, t0 + 120 * 60),  // closed by event-time timeout
+        (3L, 1L, t0 + 480 * 60))) // continued AFTER the timeout — not seq 1
+    } finally q.stop()
+  }
+
   test("streaming dedup (watermarked dropDuplicates) matches batch distinct counts") {
     val stream = EventsStream.dedupStreamCounts(spark, TestSpark.sf0001)
       .as[(String, Long)].collect().toMap
