@@ -52,6 +52,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("modeFill: never invents categories, fills every null, idempotent") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 3),
+      Gen.oneOf(Gen.oneOf("a", "b", "c"), Gen.const(null: String))))
+    samples(gen, 10).foreach { pairs =>
+      val df = pairs.toDF("g", "v")
+      val once = graft.operators.Impute.modeFill(df, Seq("g"), "v")
+      val out = once.as[(Int, Option[String])].collect()
+      val knownPerGroup = pairs.filter(_._2 != null).groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._2).toSet }
+      // filled values come only from the group's own observed categories;
+      // a group with no observed value keeps null (no cross-group leakage)
+      out.foreach { case (g, v) =>
+        v match {
+          case Some(s) => assert(knownPerGroup.getOrElse(g, Set()).contains(s)
+            || pairs.contains((g, s)))
+          case None => assert(!knownPerGroup.contains(g))
+        }
+      }
+      val twice = graft.operators.Impute.modeFill(once, Seq("g"), "v")
+        .as[(Int, Option[String])].collect()
+      assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+        twice.sortBy(r => (r._1, r._2)).toSeq)
+    }
+  }
+
+  test("knnImputeExact: imputed values are drawn only from the known side") {
+    val gen = Gen.zip(
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0.0, 1000.0), Gen.chooseNum(0.0, 1000.0))),
+      Gen.listOfN(25, Gen.zip(Gen.zip(Gen.chooseNum(0.0, 1000.0),
+        Gen.chooseNum(0.0, 1000.0)), Gen.oneOf("q1", "q2", "q3"))))
+    samples(gen, 5).foreach { case (missPts, knownPts) =>
+      val missing = missPts.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val known = knownPts.zipWithIndex.map { case (((x, y), q), i) =>
+        (1000L + i, x, y, q)
+      }.toDF("kid", "x", "y", "q")
+      val out = graft.operators.Impute.knnImputeExact(
+        missing, known, "x", "y", "id", "kid", Seq("q"))
+        .as[(Long, String)].collect()
+      assert(out.length == missPts.length) // every missing row resolved
+      val cats = knownPts.map(_._2).toSet
+      assert(out.forall(r => cats.contains(r._2))) // no invented categories
+    }
+  }
+
   test("Lambert-93 inverse stays France-plausible over the projection domain") {
     val gen = Gen.zip(Gen.chooseNum(100000.0, 1200000.0), Gen.chooseNum(6100000.0, 7100000.0))
     samples(gen, 200).foreach { case (x, y) =>
