@@ -688,6 +688,41 @@ object Queries {
           col("age_estim"), col("clc_quartier"), col("clc_secteur"),
           col("fk_arb_etat"), col("fk_stadedev"), col("feuillage"),
           col("remarquable")))
+  ) ++ Map[String, Q](
+
+    // LLM-dedup: EXACT embedding-cosine near-dup pairs via grid-blocked
+    // candidate generation (no cross join, no approximation). The corpus
+    // has no natural near-dups (max pairwise cosine ~0.51), so the query
+    // deterministically unions in perturbed copies of every 50th vector
+    // (first coordinate +0.05 in double) — the detector must find exactly
+    // those 10 pairs at threshold 0.99 and nothing else.
+    "q69_cosine_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+      val dups = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.05)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.cosineNearDupPairs(e.unionByName(dups), "vec_id", "embedding",
+          threshold = 0.99, blockDims = 3)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // LLM-dedup: exact canonicalization — true connected components of the
+    // "n-gram jaccard >= 0.5" graph (recall-1.0 candidates via the inverted
+    // postings join, min-label propagation to fixpoint). The oracle
+    // recomputes the same components with a recursive CTE; q44 remains the
+    // LSH-candidates variant (approximate recall by design, rows-only).
+    "q70_canonicalize_exact" -> ((s, d) =>
+      Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
+        k = 2, jaccardThreshold = 0.5)),
+
+    // P9 — drop-columns-by-prefix (ref drops helper columns by name prefix
+    // when exporting, `R_groupe4.R:1071-1072` spirit): schema-level operator,
+    // oracled by selecting the surviving columns explicitly.
+    "q71_drop_prefix" -> ((s, d) =>
+      Cleaning.dropColsByPrefix(doc(s, d), "n_"))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -1383,6 +1418,61 @@ object Queries {
         |  'haut_tronc':'DOUBLE','tronc_diam':'DOUBLE','age_estim':'DOUBLE',
         |  'clc_quartier':'VARCHAR','clc_secteur':'VARCHAR',
         |  'fk_arb_etat':'VARCHAR','fk_stadedev':'VARCHAR',
-        |  'feuillage':'VARCHAR','remarquable':'VARCHAR'})""".stripMargin
+        |  'feuillage':'VARCHAR','remarquable':'VARCHAR'})""".stripMargin,
+
+    // Same float→double widening, same +0.05 double perturbation, same
+    // sequential-left-fold dot/norm order as the Spark side (q27 proved
+    // list_reduce ≡ aggregate() fold parity to the last bit); round(6) on
+    // both sides absorbs nothing — values match exactly, rounding is only
+    // display normalization.
+    "q69_cosine_neardup" ->
+      """WITH base AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |dups AS (
+        | SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.05], v[2:64]) AS v
+        | FROM base WHERE vec_id % 50 = 0),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
+        |p AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos_sim
+        | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+        |FROM p WHERE cos_sim >= 0.99""".stripMargin,
+
+    // True connected components of the jaccard>=0.5 graph via recursive
+    // CTE min-label reachability: a (node, label) pair is kept only while
+    // label < node (labels only flow downhill), so the fixpoint's
+    // min(label) per node is exactly the component minimum — the same
+    // fixpoint canonicalizeExact's min-label propagation converges to.
+    // Shingling mirrors q34's string-shingle equivalence to the hashed
+    // Spark-side shingles (windows of 2, max(len-1,1), distinct).
+    "q70_canonicalize_exact" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION ALL SELECT ib, ia FROM pairs),
+        |cc(node, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a)
+        |SELECT node AS doc_id, min(label) AS canonical_id
+        |FROM cc GROUP BY node""".stripMargin,
+
+    "q71_drop_prefix" ->
+      "SELECT doc_id, text, lang, source FROM documents"
   )
 }

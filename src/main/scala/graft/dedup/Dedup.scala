@@ -146,6 +146,50 @@ object Dedup {
     labels.select(col("node").as(idCol), col("label").as("canonical_id"))
   }
 
+  /** Exact near-dup canonicalization: like [[canonicalize]], but candidate
+    * generation is the EXACT inverted-postings n-gram Jaccard join
+    * ([[ngramJaccardPairs]]) instead of MinHash+LSH — recall 1.0 by
+    * construction, so the result is deterministically the true connected
+    * components of the "jaccard >= threshold" graph (which makes it
+    * oracle-able: a batch SQL engine can reproduce it with a recursive CTE).
+    *
+    * Min-label propagation runs to a FIXPOINT: each round is one join + one
+    * min-aggregation (two shuffles) over the (tiny) edge list and label
+    * table, with per-round lineage truncation; the loop exits when a round
+    * changes no label, so the labels are exactly per-component minima
+    * whatever the component diameter. Near-dup clusters have single-digit
+    * diameters, so rounds ~ 3-4 in practice; `maxRounds` only backstops
+    * adversarial chains. */
+  def canonicalizeExact(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 2, jaccardThreshold: Double = 0.5,
+                        maxRounds: Int = 16): DataFrame = {
+    val pairs = ngramJaccardPairs(df, df, textCol, idCol, k, jaccardThreshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(true)
+    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "id_b"), "id_b")
+        .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
+        .localCheckpoint(true)
+      // one tiny count job per round on checkpointed data — the price of a
+      // provable fixpoint (vs. canonicalize's fixed round budget)
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.drop("changed")
+      round += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+  }
+
   /** Exact n-gram Jaccard similarity via an inverted shingle index — no
     * cross join at any scale. Both sides explode to (id, shingleHash, |set|)
     * postings; an equi-join on the shingle hash + count(*) per pair yields

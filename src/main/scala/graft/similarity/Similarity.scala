@@ -59,6 +59,54 @@ object Similarity {
   def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column =
     graft.functions.HyperplaneSig(vec, nBits, dim)
 
+  /** Exact embedding-cosine near-dup pairs — every unordered pair with
+    * cosine similarity >= `threshold`, with NO approximation and NO cross
+    * join.
+    *
+    * Construction: cosine(a,b) >= t on unit-normalized vectors is
+    * ||â − b̂||² <= 2−2t, i.e. an L2 ball of radius r = √(2−2t). Rows are
+    * grid-blocked on the first `blockDims` normalized coordinates with cell
+    * width r: any qualifying pair differs by <= r per coordinate, hence by
+    * <= 1 cell per blocked dim, so joining each row's home cell against the
+    * 3^blockDims neighbor cells of the other side finds every qualifying
+    * pair (exactness by construction); candidates are then verified with the
+    * exact cosine. Physical shape: one explode (3^blockDims rows on the
+    * probe side) + one equi-join on the cell key — shuffle on cell, linear
+    * in candidates.
+    *
+    * Scale note: selectivity comes from the near-dup regime — t >= 0.95
+    * gives r <= 0.32, several cells per blocked coordinate. For corpora
+    * where the blocked coordinates concentrate (random dense embeddings
+    * cluster near 0), raise `blockDims` (3^B probe fan-out buys per-cell
+    * sparsity) or rotate informative axes first (PCA); when approximate
+    * recall is acceptable, [[lshCosineTopK]] is the cheaper tier. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, blockDims: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold < 1, s"threshold in (0,1), got $threshold")
+    val r = math.sqrt(2.0 - 2.0 * threshold)
+    val base = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nv", transform(col("v"), x => x / norm(col("v"))))
+      .withColumn("cell", struct(
+        (0 until blockDims).map(i =>
+          floor(element_at(col("nv"), i + 1) / r).cast("long").as(s"c$i")): _*))
+      .drop("nv")
+    val offsets = // all 3^blockDims per-dim {-1,0,1} displacement tuples
+      Seq.fill(blockDims)(Seq(-1, 0, 1)).foldLeft(Seq(Seq.empty[Int])) {
+        (acc, ds) => for (t <- acc; d <- ds) yield t :+ d
+      }
+    val probes = base.withColumn("cell", explode(array(offsets.map(off =>
+      struct((0 until blockDims).map(i =>
+        (col("cell")(s"c$i") + off(i)).as(s"c$i")): _*)): _*)))
+    val sim = dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb")))
+    base.select(col("id").as("id_a"), col("v").as("va"), col("cell"))
+      .join(probes.select(col("id").as("id_b"), col("v").as("vb"), col("cell")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", sim)
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** LSH-bucketed ANN: equi-join query and corpus on the signature bucket
     * (multi-probe: also the nBits single-bit-flip neighbor buckets of the
     * query, recovering most near-boundary misses), then exact rank within

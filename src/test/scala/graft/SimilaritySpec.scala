@@ -47,6 +47,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
   }
 
+  test("cosineNearDupPairs == brute-force cross-join pairs, exactly") {
+    // random corpus + planted near-dups; grid blocking must lose nothing
+    val rng = new scala.util.Random(7)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian())))
+    val planted = base.filter(_._1 % 20 == 0)
+      .map { case (id, v) => (id + 1000, v.updated(0, v(0) + 0.02)) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val t = 0.95
+    val got = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= t)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "planted near-dups must be found")
+    assert(planted.map(p => (p._1 - 1000, p._1)).toSet.subsetOf(got))
+  }
+
+  test("cosineNearDupPairs finds pairs straddling a grid cell boundary") {
+    // two unit vectors with first coords in adjacent cells (r ≈ 0.45 at
+    // t=0.9): identical otherwise, cosine ~0.99 — must meet via the
+    // neighbor-cell probe, not the home cell
+    val a = Array(0.44, 0.0, 0.0, 0.898)
+    val b = Array(0.46, 0.0, 0.0, 0.888)
+    val corpus = Seq((1L, a), (2L, b)).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.9,
+      blockDims = 3).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     val e = Tables.embeddings(spark, TestSpark.sf0001).limit(20)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

@@ -129,6 +129,40 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(30L) == 30L)
   }
 
+  test("canonicalizeExact: true components of the jaccard graph, any diameter") {
+    // a 5-link chain (each doc near-dups only its neighbors) forces >1
+    // propagation round; plus a pair and singletons. Components are
+    // verified against a driver-side union-find ground truth built from
+    // brute-force exact jaccard pairs.
+    // sliding 12-word windows with stride 3: adjacent docs share 9 words
+    // (8 of 14 distinct shingles, jaccard 0.57 >= t) but docs 2+ steps
+    // apart share only 6 (5/17 = 0.29 < t) — a genuine 6-node chain of
+    // diameter 5, so min-label needs 5 propagation rounds to converge
+    val words = (0 until 30).map(i => s"w$i")
+    val chain = (0 until 6).map(i => (100L + i, words.slice(i * 3, i * 3 + 12).mkString(" ")))
+    val others = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (201L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (300L, "unrelated text about catalyst plan rewriting for distributed joins"))
+    val df = (chain ++ others).toDF("doc_id", "text")
+    val t = 0.5
+    val got = Dedup.canonicalizeExact(df, "text", "doc_id", k = 2, jaccardThreshold = t)
+      .as[(Long, Long)].collect().toMap
+    // ground truth: union-find over brute-force pairs
+    val pairs = Dedup.ngramJaccardPairs(df, df, "text", "doc_id", k = 2, threshold = t)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]() ++
+      (chain ++ others).map(r => r._1 -> r._1)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val truth = parent.keys.map { n =>
+      n -> parent.keys.filter(m => find(m) == find(n)).min
+    }.toMap
+    assert(got == truth)
+    assert(got(300L) == 300L, "singleton maps to itself")
+    assert(truth.values.toSet.size < parent.size, "chain must actually merge")
+  }
+
   test("winnowing fingerprint is stable and edit-local") {
     val df = Seq("one two three four five six seven eight nine ten").toDF("t")
     val fp = df.select(Text.winnowingFingerprint(Text.tokens(col("t"))).as("f"))
