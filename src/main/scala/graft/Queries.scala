@@ -37,7 +37,7 @@ object Queries {
 
   // ---------------------------------------------------------------- queries
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = Map[String, Q](
     // A1/A3/A13 — grouped aggregation over the fact table (partial+final
     // hash agg; one shuffle on the tiny group key).
     "q01_agg_pricing" -> ((s, d) => {
