@@ -32,14 +32,21 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // Optional focus list for local iteration (comma-separated prefixes);
+    // unset → all queries, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
+
     // Warm-up: every query once, untimed (compiles its codegen'd classes).
-    SparkEntry.queries.keys.foreach { name =>
+    selected.keys.foreach { name =>
       try runNoop(name) catch { case _: Throwable => () }
     }
 
     // A query that throws records the -1 sentinel (excluded from the total)
     // and lands in `failed` — a broken query must never read as "fast".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, _) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, _) =>
       val t0 = System.nanoTime()
       val ok = try { runNoop(name); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

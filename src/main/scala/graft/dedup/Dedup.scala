@@ -163,7 +163,7 @@ object Dedup {
   def canonicalizeExact(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 2, jaccardThreshold: Double = 0.5,
                         maxRounds: Int = 16): DataFrame = {
-    val pairs = ngramJaccardPairs(df, df, textCol, idCol, k, jaccardThreshold)
+    val pairs = ngramJaccardSelfPairs(df, textCol, idCol, k, jaccardThreshold)
       .select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
@@ -187,7 +187,107 @@ object Dedup {
       labels = next.drop("changed")
       round += 1
     }
+    // The contract (and the q70 recursive-CTE oracle) is TRUE connected
+    // components; returning partial labels on round exhaustion would
+    // silently diverge from it on a component of diameter > maxRounds.
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalizeExact: min-label propagation did not reach a fixpoint " +
+          s"in maxRounds=$maxRounds rounds; raise maxRounds (component " +
+          s"diameter exceeds it)")
     labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+  }
+
+  /** Exact n-gram Jaccard SELF-join with the full PPJoin filter stack
+    * (Chaudhuri et al. SSJoin 2006; Xiao et al. PPJoin 2008) — the
+    * scale-safe form of [[ngramJaccardPairs]] for corpus × corpus.
+    *
+    * The plain inverted-postings join is quadratic in the hottest shingle:
+    * a stop-shingle present in a fraction f of N documents alone yields
+    * ~(fN)²/2 join rows, and the per-pair count aggregation carries one
+    * group per CO-OCCURRING pair — both blow up with key skew. This
+    * variant bounds candidate volume by the data's true near-dup density
+    * with NO recall loss, via four independently-sound filters:
+    *
+    *   1. GLOBAL ORDER: one aggregation computes each shingle's document
+    *      frequency; shingles are totally ordered (doc_freq asc, hash asc)
+    *      — rarest first, so hot shingles sort LAST and leave every
+    *      prefix.
+    *   2. PREFIX FILTER (asymmetric, self-join form): the larger set of a
+    *      pair probes with its first |s| − ⌈t·|s|⌉ + 1 shingles, the
+    *      smaller is indexed by its first |s| − ⌈(2t/(1+t))·|s|⌉ + 1.
+    *      THEOREM (recall 1.0, for |x| ≥ |y|, J ≥ t, both sorted by the
+    *      global order): J ≥ t ⟺ I = |x∩y| ≥ t/(1+t)·(|x|+|y|). Let e be
+    *      the order-smallest common element; every common element sorts
+    *      at-or-after e. If e were outside x's probing prefix then
+    *      I ≤ ⌈t|x|⌉ − 1 < t·|x| ≤ t/(1+t)·(|x|+|y|) ≤ I (using
+    *      |y| ≥ t·|x| from the length filter) — contradiction; if outside
+    *      y's indexing prefix then I < 2t/(1+t)·|y| ≤ t/(1+t)·(|x|+|y|)
+    *      ≤ I (using |x| ≥ |y|) — contradiction. So e's join row exists.
+    *   3. LENGTH FILTER: J ≥ t forces t·|x| ≤ |y| ≤ |x|.
+    *   4. POSITIONAL FILTER: for a join row matching at ranks (r_x, r_y),
+    *      all common elements sit at-or-after those ranks, so
+    *      I ≤ min(|x|−r_x, |y|−r_y) + 1; rows that cannot reach
+    *      α = ⌈t/(1+t)·(|x|+|y|)⌉ are dropped. Sound because e's row
+    *      (step 2) always passes: its bound is ≥ I ≥ α.
+    *
+    * Survivors are verified EXACTLY per join row — sorted shingle sets
+    * joined back, |A∩B| by [[graft.functions.SortedIntersectSize]]'s merge
+    * scan (no per-row hash set), Jaccard threshold, then a distinct on the
+    * (tiny) verified output. Deduplicating after verification instead of
+    * before it trades a few repeated merge scans for the removal of the
+    * multi-million-row candidate-dedup shuffle.
+    *
+    * All ceil() thresholds carry a −1e-9 guard so float error can only
+    * lengthen a prefix or relax a filter (extra candidates), never drop a
+    * qualifying pair.
+    *
+    * Scale shape: doc-freq agg + prefix join shuffle on the shingle hash
+    * (skew-immune by step 1), prefix ranking is one shuffle on doc id,
+    * verification joins shuffle on doc id (uniform); no stage is
+    * super-linear in corpus size or in any single key's frequency. */
+  def ngramJaccardSelfPairs(df: DataFrame, textCol: String, idCol: String,
+                            k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val t = threshold
+    val eps = lit(1e-9)
+    val sets = df.select(col(idCol).as("__id"),
+        array_sort(array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)))
+          .as("__set"))
+      .filter(size(col("__set")) > 0)
+      .withColumn("__sz", size(col("__set")))
+    val postings = sets.select(col("__id"), col("__sz"), explode(col("__set")).as("sh"))
+    val docFreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val probeLen = col("__sz") - ceil(col("__sz") * t - eps).cast("int") + 1
+    val indexLen = col("__sz") -
+      ceil(col("__sz") * (2 * t / (1 + t)) - eps).cast("int") + 1
+    val ranked = postings.join(docFreq, "sh")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("sh"))))
+      .filter(col("__rn") <= probeLen)
+      .withColumn("__idx", col("__rn") <= indexLen)
+      .select(col("__id"), col("__sz"), col("sh"), col("__rn"), col("__idx"))
+    val probe = ranked
+      .select(col("__id").as("ia"), col("__sz").as("sa"), col("sh"), col("__rn").as("ra"))
+    val index = ranked.filter(col("__idx"))
+      .select(col("__id").as("ib"), col("__sz").as("sb"), col("sh"), col("__rn").as("rb"))
+    val alphaPair = ceil((col("sa") + col("sb")) * (t / (1 + t)) - eps)
+    val candidates = probe.join(index, Seq("sh"))
+      .filter(col("sb") < col("sa") || (col("sb") === col("sa") && col("ib") < col("ia")))
+      .filter(col("sb") >= ceil(col("sa") * t - eps))
+      .filter(least(col("sa") - col("ra"), col("sb") - col("rb")) + 1 >= alphaPair)
+      .select(col("ia"), col("ib"), col("sa"), col("sb"))
+    candidates
+      .join(sets.select(col("__id").as("ia"), col("__set").as("__set_a")), "ia")
+      .join(sets.select(col("__id").as("ib"), col("__set").as("__set_b")), "ib")
+      .withColumn("__inter",
+        graft.functions.SortedIntersectSize(col("__set_a"), col("__set_b")))
+      .withColumn("jaccard",
+        col("__inter").cast("double") / (col("sa") + col("sb") - col("__inter")))
+      .filter(col("jaccard") >= t)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact n-gram Jaccard similarity via an inverted shingle index — no

@@ -92,6 +92,17 @@ class TextDedupSpec extends AnyFunSuite {
         .as[(Seq[Long], Seq[Long])].collect()
       rows.foreach { case (fast, ref) => assert(fast == ref, s"k=$k") }
     }
+    // null tokens: concat_ws SKIPS nulls (no separator); the tight loop must too
+    val withNulls = Seq(
+      (Seq[String]("a", null, "b", "c"), 0),
+      (Seq[String](null, null), 0),
+      (Seq[String]("only"), 0)).toDF("toks", "pad")
+    for (k <- Seq(2, 3)) {
+      val rows = withNulls.select(
+        Text.shingleHashes(col("toks"), k).as("fast"), hof(col("toks"), k).as("ref"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (fast, ref) => assert(fast == ref, s"nulls k=$k") }
+    }
   }
 
   test("ngramJaccardPairs computes exact Jaccard on shingle sets") {
@@ -113,6 +124,26 @@ class TextDedupSpec extends AnyFunSuite {
     val bcast = run(bc = true)
     assert(shuffled.nonEmpty)
     assert(shuffled.toSeq == bcast.toSeq)
+  }
+
+  test("ngramJaccardSelfPairs (prefix filter) == plain postings join, several thresholds") {
+    // The prefix filter must lose NOTHING: pair-for-pair, value-for-value
+    // identical to the unfiltered inverted-postings join, including docs
+    // built from hot (near-universal) shingles where the filter matters.
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(150)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (90001L, "the of and the of and one"),
+        (90002L, "the of and the of and two"),
+        (90003L, "the of and the of and one")).toDF("doc_id", "text"))
+    for (t <- Seq(0.1, 0.3, 0.5, 0.9)) {
+      val ref = Dedup.ngramJaccardPairs(docs, docs, "text", "doc_id", k = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      val got = Dedup.ngramJaccardSelfPairs(docs, "text", "doc_id", k = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(got == ref, s"threshold=$t")
+      if (t <= 0.3) assert(ref.nonEmpty, s"threshold=$t should produce pairs")
+    }
   }
 
   test("canonicalize groups transitive near-dups under the lowest id") {
