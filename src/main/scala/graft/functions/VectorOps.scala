@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Tight-loop twins of the HOF vector kernels in
+  * [[graft.similarity.Similarity]].
+  *
+  * `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,x) => acc+x)` is
+  * correct but evaluates one expression-tree node per element per pair —
+  * several µs per 64-dim candidate, which dominates the near-dup verify
+  * stage (millions of candidates). These run the SAME IEEE sequence — a
+  * sequential left fold in element order, no reassociation, no FMA — so
+  * results are bit-identical to the HOF forms (DuckDB-oracle parity
+  * depends on this); they are just one JVM loop per row.
+  */
+
+/** Σ a(i)·b(i) as a left fold. Null if either array is null, lengths
+  * differ, or any element is null — exactly the HOF behavior (zip_with
+  * pads/propagates null into the fold). */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product_d"
+}
+
+object DotProductD {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductD(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** √(Σ x²) as a left fold — the L2 norm, bit-identical to
+  * `sqrt(aggregate(a, 0.0, (acc,x) => acc + x*x))`. */
+case class NormD(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormD =
+    copy(child = newChild)
+  override def prettyName: String = "norm_d"
+}
+
+object NormD {
+  def apply(a: Column): Column =
+    ColumnBridge.column(NormD(ColumnBridge.expression(a)))
+}

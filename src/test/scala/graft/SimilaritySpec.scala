@@ -67,6 +67,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(planted.map(p => (p._1 - 1000, p._1)).toSet.subsetOf(got))
   }
 
+  test("cosineNearDupPairs: pcaRotate blocking returns identical pairs (exactness is blocking-independent)") {
+    val rng = new scala.util.Random(11)
+    // anisotropic corpus: variance concentrated on a fixed random direction,
+    // so the principal axes genuinely differ from the raw coordinates
+    val dir = Array.fill(16)(rng.nextGaussian())
+    val base = (0 until 100).map { i =>
+      val w = rng.nextGaussian() * 3.0
+      (i.toLong, Array.tabulate(16)(d => dir(d) * w + rng.nextGaussian() * 0.3))
+    }
+    val planted = base.filter(_._1 % 25 == 0)
+      .map { case (id, v) => (id + 1000, v.updated(1, v(1) + 0.02)) }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    def run(rot: Boolean) =
+      Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", 0.95, pcaRotate = rot)
+        .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val raw = run(rot = false)
+    val rotated = run(rot = true)
+    assert(raw == rotated)
+    assert(raw.nonEmpty, "planted near-dups must be found")
+  }
+
   test("cosineNearDupPairs finds pairs straddling a grid cell boundary") {
     // two unit vectors with first coords in adjacent cells (r ≈ 0.45 at
     // t=0.9): identical otherwise, cosine ~0.99 — must meet via the
