@@ -320,10 +320,14 @@ object Queries {
     // and the confusion matrix + accuracy are exactly DuckDB-oracled. The
     // reference-shaped non-separable fit stays verified against the
     // published confusion matrix in ModelsSpec.
+    // maxIter capped at 25: on separable data the loss has no finite
+    // optimum (L-BFGS would burn all 100 iterations); the boundary — and
+    // the oracle-checked confusion matrix — is stable long before.
     "q37_logistic_ml" -> ((s, d) =>
       Models.logisticConfusion(
         li(s, d).withColumn("is_high_disc", (col("l_discount") > 0.05).cast("double")),
-        "is_high_disc", Seq("l_quantity", "l_discount", "l_tax"), Seq("l_linestatus"))),
+        "is_high_disc", Seq("l_quantity", "l_discount", "l_tax"), Seq("l_linestatus"),
+        maxIter = 25)),
 
     // M2 matrix form — distributed Pearson correlation matrix, long form.
     "q41_corr_matrix" -> ((s, d) =>

@@ -261,7 +261,8 @@ object Models {
     * Returns (label, prediction, cnt) rows — the reference's
     * `table(etat_binaire, pred)` (`R_groupe4.R:1009-1011`) plus accuracy. */
   def logisticConfusion(df: DataFrame, labelCol: String,
-                        numericCols: Seq[String], categoricalCols: Seq[String] = Nil)
+                        numericCols: Seq[String], categoricalCols: Seq[String] = Nil,
+                        maxIter: Int = 100)
   : DataFrame = {
     val indexers = categoricalCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
@@ -271,8 +272,13 @@ object Models {
     val assembler = new VectorAssembler()
       .setInputCols((numericCols ++ categoricalCols.map(c => s"${c}_oh")).toArray)
       .setOutputCol("features")
+    // On a linearly-separable label the logistic loss has no finite optimum,
+    // so L-BFGS never meets tol and always burns the full budget — callers
+    // fitting a separable construction should cap maxIter at the point the
+    // decision boundary stabilizes (~20 iters) rather than pay 5× for
+    // coefficient digits the 0.5-threshold never sees.
     val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
-      .setMaxIter(100).setTol(1e-6).setThreshold(0.5)
+      .setMaxIter(maxIter).setTol(1e-6).setThreshold(0.5)
     val model = new Pipeline().setStages((indexers ++ encoders :+ assembler :+ lr).toArray)
       .fit(df)
     val confusion = model.transform(df)
