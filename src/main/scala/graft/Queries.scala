@@ -688,10 +688,22 @@ object Queries {
     // pin that. Ignores the sf dir: the fixture is the dataset.
     "q68_csv_scan" -> ((s, _) =>
       graft.io.Csv.read(s, csvFixturePath, csvFixtureSchema)
-        .select(col("X"), col("Y"), col("haut_tot"), col("tronc_diam"),
-          col("age_estim"), col("clc_quartier"), col("clc_secteur"),
-          col("fk_arb_etat"), col("fk_stadedev"), col("feuillage"),
-          col("remarquable")))
+        .select(csvFixtureCols.map(col): _*)),
+
+    // S2+S3 — CSV sink + round-trip re-read (`R_groupe4.R:1074-1077`: the
+    // reference exports its cleaned frame to CSV and re-reads it as its
+    // only I/O "test"). The fixture is parsed, written through Csv.write
+    // (all columns, natural partitioning), re-read with the declared
+    // schema, and must hash-match the ORIGINAL fixture's oracle — i.e.
+    // the sink loses nothing: doubles survive via shortest-round-trip
+    // formatting, nulls stay null, quoted/accented strings stay intact.
+    "q72_csv_roundtrip" -> ((s, _) => {
+      val parsed = graft.io.Csv.read(s, csvFixturePath, csvFixtureSchema)
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q72_roundtrip").getAbsolutePath
+      graft.io.Csv.roundTrip(s, parsed, dir)
+        .select(csvFixtureCols.map(col): _*)
+    })
   ) ++ Map[String, Q](
 
     // LLM-dedup: EXACT embedding-cosine near-dup pairs via grid-blocked
@@ -736,6 +748,21 @@ object Queries {
     Seq("data/trees_fixture.csv", "/root/repo/data/trees_fixture.csv")
       .map(new java.io.File(_)).find(_.exists).map(_.getAbsolutePath)
       .getOrElse("data/trees_fixture.csv")
+
+  /** The columns q68/q72 project (haut_tronc is parsed but dropped,
+    * mirroring the reference's export pruning). */
+  private[graft] val csvFixtureCols: Seq[String] = Seq(
+    "X", "Y", "haut_tot", "tronc_diam", "age_estim", "clc_quartier",
+    "clc_secteur", "fk_arb_etat", "fk_stadedev", "feuillage", "remarquable")
+
+  private[graft] def csvFixtureOracleSql: String =
+    s"""SELECT ${csvFixtureCols.mkString(", ")}
+       |FROM read_csv('$csvFixturePath', header=true,
+       | columns={'X':'DOUBLE','Y':'DOUBLE','haut_tot':'DOUBLE',
+       |  'haut_tronc':'DOUBLE','tronc_diam':'DOUBLE','age_estim':'DOUBLE',
+       |  'clc_quartier':'VARCHAR','clc_secteur':'VARCHAR',
+       |  'fk_arb_etat':'VARCHAR','fk_stadedev':'VARCHAR',
+       |  'feuillage':'VARCHAR','remarquable':'VARCHAR'})""".stripMargin
 
   private[graft] val csvFixtureSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
@@ -1413,16 +1440,14 @@ object Queries {
 
     // S1 CSV-scan parity: same committed fixture, explicit column types
     // mirroring the declared Spark schema (DuckDB's default nullstr=''
-    // matches Spark's nullValue='' for the blank cells).
-    "q68_csv_scan" ->
-      """SELECT X, Y, haut_tot, tronc_diam, age_estim, clc_quartier,
-        | clc_secteur, fk_arb_etat, fk_stadedev, feuillage, remarquable
-        |FROM read_csv('/root/repo/data/trees_fixture.csv', header=true,
-        | columns={'X':'DOUBLE','Y':'DOUBLE','haut_tot':'DOUBLE',
-        |  'haut_tronc':'DOUBLE','tronc_diam':'DOUBLE','age_estim':'DOUBLE',
-        |  'clc_quartier':'VARCHAR','clc_secteur':'VARCHAR',
-        |  'fk_arb_etat':'VARCHAR','fk_stadedev':'VARCHAR',
-        |  'feuillage':'VARCHAR','remarquable':'VARCHAR'})""".stripMargin,
+    // matches Spark's nullValue='' for the blank cells). Path is the
+    // runtime-resolved fixture location, not a hardcoded literal, so the
+    // gate works from any checkout directory.
+    "q68_csv_scan" -> csvFixtureOracleSql,
+
+    // S2/S3 round-trip parity: a lossless sink+re-read must equal the
+    // ORIGINAL fixture, so the oracle is identical to q68's.
+    "q72_csv_roundtrip" -> csvFixtureOracleSql,
 
     // Same float→double widening, same +0.05 double perturbation, same
     // sequential-left-fold dot/norm order as the Spark side (q27 proved
