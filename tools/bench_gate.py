@@ -75,8 +75,20 @@ def main():
         text = open(BASELINE).read()
         for q in improved:
             line = f"| {q} | {cur[q]:.3f} | updated |\n"
-            pat = re.compile(rf"\| {q} \| [0-9.]+ \| \S+ \|\n")
-            text = pat.sub(line, text) if pat.search(text) else text + line
+            # source column may contain spaces/anything but '|'
+            pat = re.compile(rf"\| {q} \| [0-9.]+ \| [^|\n]+ \|\n")
+            if pat.search(text):
+                text = pat.sub(line, text)
+            else:
+                # insert INSIDE the table: right after its last per-query row
+                # (appending at EOF would land outside the markdown table and
+                # create rows load_baseline keys off nondeterministically)
+                rows = list(re.finditer(r"\| q\d+_\w+ \| [0-9.]+ \| [^|\n]+ \|\n", text))
+                if rows:
+                    end = rows[-1].end()
+                    text = text[:end] + line + text[end:]
+                else:
+                    text = text + line
         open(BASELINE, "w").write(text)
         print(f"BASELINE.md updated for {len(improved)} queries")
     sys.exit(1 if fails else 0)
