@@ -44,3 +44,65 @@ case class ByteHistogramCodec(featureDim: Int = 8) extends MediaCodec {
     MediaDecoded(checksum, hist)
   }
 }
+
+/** A REAL image decode path with zero external dependencies: `javax.imageio`
+  * (JDK-bundled) decompresses PNG/BMP/GIF/JPEG payloads to pixels, and the
+  * feature is the per-channel RGB histogram (`bins` buckets per channel →
+  * featureDim = 3·bins), the classic cheap image fingerprint.
+  *
+  * Non-image modalities and undecodable payloads fall back to
+  * [[ByteHistogramCodec]]'s byte histogram at the SAME width, so the output
+  * column stays fixed-width across a mixed-modality table — no row is
+  * dropped, and the checksum still covers the raw payload either way
+  * (provenance survives transcoding bugs).
+  *
+  * `ImageIO.read` allocates a BufferedImage per payload; at 100 TB that is
+  * executor-CPU-bound work with no shuffle — exactly where Spark scales
+  * linearly — and the mapPartitions batch shape in [[Multimodal.decode]]
+  * amortizes codec setup per partition, not per row. */
+case class ImageRgbHistogramCodec(bins: Int = 8) extends MediaCodec {
+  override def featureDim: Int = 3 * bins
+
+  override def decode(payload: Array[Byte], modality: String): MediaDecoded = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = checksum * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    val img =
+      if (modality.startsWith("image/"))
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      else null
+    if (img == null) {
+      // deterministic same-width fallback (mixed-modality tables stay rectangular)
+      val d = ByteHistogramCodec(featureDim).decode(payload, modality)
+      return MediaDecoded(checksum, d.feature)
+    }
+    val hist = new Array[Float](featureDim)
+    val bucket = 256 / bins
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        hist(((rgb >> 16) & 0xff) / bucket) += 1f
+        hist(bins + (((rgb >> 8) & 0xff) / bucket)) += 1f
+        hist(2 * bins + (rgb & 0xff) / bucket) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    MediaDecoded(checksum, hist)
+  }
+}
+
+object MediaCodec {
+  /** Config-driven codec selection ("byte-histogram" | "image-rgb"). */
+  def byName(name: String): MediaCodec = name match {
+    case "byte-histogram" => ByteHistogramCodec()
+    case "image-rgb"      => ImageRgbHistogramCodec()
+    case other => throw new IllegalArgumentException(s"unknown media codec: $other")
+  }
+}

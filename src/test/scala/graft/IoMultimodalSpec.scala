@@ -52,6 +52,42 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(r.getSeq[Float](r.fieldIndex("feature")) == Seq(97f, 98f, 99f, -1f))
   }
 
+  test("ImageRgbHistogramCodec: real PNG decode to exact per-channel histograms") {
+    // 2x2 PNG with known pixels: red, green, blue, white — encoded with the
+    // same JDK ImageIO the codec decodes with, so the histogram is exact
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    val media = Seq((7L, "image/png", png, 2, 2))
+      .toDF("media_id", "modality", "payload", "width", "height")
+    val r = Multimodal.extractFeatures(media,
+      graft.multimodal.MediaCodec.byName("image-rgb")).first()
+    val f = r.getSeq[Float](r.fieldIndex("feature"))
+    assert(f.size == 24)
+    // bins of width 32: channel value 0 -> bucket 0, 255 -> bucket 7.
+    // R channel: two 255s (red, white), two 0s; same shape for G and B.
+    val expectedChannel = Seq(2f, 0f, 0f, 0f, 0f, 0f, 0f, 2f)
+    assert(f.slice(0, 8) == expectedChannel, "red histogram")
+    assert(f.slice(8, 16) == expectedChannel, "green histogram")
+    assert(f.slice(16, 24) == expectedChannel, "blue histogram")
+    assert(r.getAs[Long]("n_bytes") == png.length.toLong)
+  }
+
+  test("ImageRgbHistogramCodec: non-image modality falls back to same-width byte histogram") {
+    val df = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromText(df, "doc_id", "text")
+    val got = Multimodal.extractFeatures(media,
+      graft.multimodal.ImageRgbHistogramCodec(bins = 8)).first()
+    val want = Multimodal.extractFeatures(media,
+      graft.multimodal.ByteHistogramCodec(featureDim = 24)).first()
+    assert(got.getSeq[Float](got.fieldIndex("feature")) ==
+      want.getSeq[Float](want.fieldIndex("feature")))
+    assert(got.getAs[Long]("checksum") == want.getAs[Long]("checksum"))
+  }
+
   test("media schema carries binary payload + typed metadata") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromText(df, "doc_id", "text")
