@@ -125,25 +125,53 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("__j") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    // undirected edges both ways, then iterate label = min of neighborhood
-    // labels. The edge list and each round's labels are checkpointed:
-    // without lineage truncation every round re-derives the whole
-    // LSH+verify DAG and the plan doubles per iteration (on a cluster,
-    // swap localCheckpoint for a reliable checkpoint dir).
-    val edges = verified
-      .unionByName(verified.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // undirected edges both ways, then min-label propagation (early-exit
+    // fixpoint; near-dup clusters converge in 2-3 rounds, so the round cap
+    // is only a backstop against adversarial chains — approximate recall
+    // is already inherent to the LSH candidate stage, so a truncated chain
+    // merge is within this operator's contract, unlike canonicalizeExact's)
+    val (labels, _) = minLabelPropagate(verified, df.select(col(idCol).as("node")),
+      maxRounds = rounds)
+    labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+  }
+
+  /** Shared connected-components core: iterative min-label propagation over
+    * an undirected edge list, run to a FIXPOINT with an early exit (a round
+    * that changes no label ends the loop) and a `maxRounds` backstop.
+    *
+    * Each round is one join + one min-aggregation (two shuffles) over the
+    * edge list and label table, independent of corpus size; every round's
+    * output is checkpointed — without lineage truncation the plan doubles
+    * per iteration (on a cluster, swap localCheckpoint for a reliable
+    * checkpoint dir). The per-round convergence probe is one tiny count
+    * job on already-checkpointed data.
+    *
+    * Returns (labels, converged): labels = (node, label) with label the
+    * component minimum reached; converged = false iff maxRounds ran out
+    * with changes still flowing. */
+  private def minLabelPropagate(pairs: DataFrame, nodes: DataFrame,
+                                maxRounds: Int): (DataFrame, Boolean) = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(true)
-    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
-    for (_ <- 1 to rounds) {
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "id_b"), "id_b")
         .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
-      labels = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("changed"))
         .localCheckpoint(true)
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.drop("changed")
+      round += 1
     }
-    labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+    (labels, converged)
   }
 
   /** Exact near-dup canonicalization: like [[canonicalize]], but candidate
@@ -165,28 +193,8 @@ object Dedup {
                         maxRounds: Int = 16): DataFrame = {
     val pairs = ngramJaccardSelfPairs(df, textCol, idCol, k, jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
-    var labels = df.select(col(idCol).as("node"), col(idCol).as("label"))
-      .localCheckpoint(true)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "id_b"), "id_b")
-        .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("changed"))
-        .localCheckpoint(true)
-      // one tiny count job per round on checkpointed data — the price of a
-      // provable fixpoint (vs. canonicalize's fixed round budget)
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      labels = next.drop("changed")
-      round += 1
-    }
+    val (labels, converged) = minLabelPropagate(pairs,
+      df.select(col(idCol).as("node")), maxRounds)
     // The contract (and the q70 recursive-CTE oracle) is TRUE connected
     // components; returning partial labels on round exhaustion would
     // silently diverge from it on a component of diameter > maxRounds.

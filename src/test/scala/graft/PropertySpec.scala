@@ -97,6 +97,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SortedIntersectSize == size(array_intersect) on random sorted distinct arrays") {
+    val arrGen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+      .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arrGen, arrGen), 40) :+
+      ((Nil: List[Long]), (Nil: List[Long])) :+
+      ((List(1L, 2L, 3L), List(1L, 2L, 3L)))
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      graft.functions.SortedIntersectSize(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("DotProductD / NormD are bit-identical to the HOF folds on random vectors") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e6, 1e6))
+    val pairs = samples(Gen.zip(vecGen, vecGen), 40)
+    val df = pairs.toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x * x))
+    val rows = df.select(
+      graft.functions.DotProductD(col("a"), col("b")).as("fd"),
+      hofDot.as("rd"),
+      graft.functions.NormD(col("a")).as("fn"),
+      hofNorm.as("rn"))
+      .as[(Double, Double, Double, Double)].collect()
+    rows.foreach { case (fd, rd, fn, rn) =>
+      assert(java.lang.Double.doubleToRawLongBits(fd) ==
+        java.lang.Double.doubleToRawLongBits(rd), s"dot: $fd vs $rd")
+      assert(java.lang.Double.doubleToRawLongBits(fn) ==
+        java.lang.Double.doubleToRawLongBits(rn), s"norm: $fn vs $rn")
+    }
+  }
+
   test("Lambert-93 inverse stays France-plausible over the projection domain") {
     val gen = Gen.zip(Gen.chooseNum(100000.0, 1200000.0), Gen.chooseNum(6100000.0, 7100000.0))
     samples(gen, 200).foreach { case (x, y) =>
