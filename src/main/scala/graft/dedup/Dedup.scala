@@ -255,26 +255,39 @@ object Dedup {
     * verification joins shuffle on doc id (uniform); no stage is
     * super-linear in corpus size or in any single key's frequency. */
   def ngramJaccardSelfPairs(df: DataFrame, textCol: String, idCol: String,
-                            k: Int = 3, threshold: Double = 0.3): DataFrame = {
+                            k: Int = 3, threshold: Double = 0.3,
+                            materializeShared: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     val t = threshold
     val eps = lit(1e-9)
-    val sets = df.select(col(idCol).as("__id"),
+    // sets feeds three consumers (postings + both verify joins) and ranked
+    // feeds both sides of the self-join; neither subtree gets deduplicated
+    // by exchange reuse (verified: the self-join's attribute rewrite breaks
+    // canonical equality), so by default both are LAZILY localCheckpoint-ed
+    // — the first action materializes once, every other consumer reads the
+    // cached blocks. A wash at sf0.1 (the subtrees are small) but the
+    // shingle+doc-freq+rank work is the dominant LINEAR cost at corpus
+    // scale and must not run twice. materializeShared=false keeps the plan
+    // fully declarative (plan-inspection / small one-shot corpora). On a
+    // cluster, swap localCheckpoint for a reliable checkpoint dir.
+    def shared(d: DataFrame): DataFrame =
+      if (materializeShared) d.localCheckpoint(false) else d
+    val sets = shared(df.select(col(idCol).as("__id"),
         array_sort(array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)))
           .as("__set"))
       .filter(size(col("__set")) > 0)
-      .withColumn("__sz", size(col("__set")))
+      .withColumn("__sz", size(col("__set"))))
     val postings = sets.select(col("__id"), col("__sz"), explode(col("__set")).as("sh"))
     val docFreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
     val probeLen = col("__sz") - ceil(col("__sz") * t - eps).cast("int") + 1
     val indexLen = col("__sz") -
       ceil(col("__sz") * (2 * t / (1 + t)) - eps).cast("int") + 1
-    val ranked = postings.join(docFreq, "sh")
+    val ranked = shared(postings.join(docFreq, "sh")
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df"), col("sh"))))
       .filter(col("__rn") <= probeLen)
       .withColumn("__idx", col("__rn") <= indexLen)
-      .select(col("__id"), col("__sz"), col("sh"), col("__rn"), col("__idx"))
+      .select(col("__id"), col("__sz"), col("sh"), col("__rn"), col("__idx")))
     val probe = ranked
       .select(col("__id").as("ia"), col("__sz").as("sa"), col("sh"), col("__rn").as("ra"))
     val index = ranked.filter(col("__idx"))
