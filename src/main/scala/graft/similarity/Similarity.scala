@@ -39,9 +39,14 @@ object Similarity {
     * shuffled. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms once per ROW; the per-pair work is one tight-loop dot — same
+    // IEEE fold as the HOF form (values bit-identical), ~50× cheaper, which
+    // is the difference that matters when the corpus side is 100 TB
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", graft.functions.NormD(col("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
-    val sim = dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv")))
+      .withColumn("nn", graft.functions.NormD(col("nv")))
+    val sim = graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     broadcast(q).crossJoin(c)
       .withColumn("cos_sim", sim)
@@ -149,13 +154,15 @@ object Similarity {
                     nBits: Int = 8, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
       .withColumn("bucket", hyperplaneSignature(col("nv"), nBits, dim))
+      .withColumn("nn", graft.functions.NormD(col("nv")))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("sig", hyperplaneSignature(col("qv"), nBits, dim))
+      .withColumn("qn", graft.functions.NormD(col("qv")))
     val probes =
       if (!multiProbe) array(col("sig"))
       else array((col("sig") +: (0 until nBits).map(b => col("sig").bitwiseXOR(lit(1 << b)))): _*)
     val q = q0.withColumn("bucket", explode(probes)).drop("sig")
-    val sim = dot(col("qv"), col("nv")) / (norm(col("qv")) * norm(col("nv")))
+    val sim = graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     q.join(c, Seq("bucket"))
       .withColumn("cos_sim", sim)
