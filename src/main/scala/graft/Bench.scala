@@ -56,7 +56,10 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Record the active focus filter so bench_gate can refuse a partial
+    // run that would otherwise read as a green full gate.
+    val onlyJson = only.map(s => "\"" + s.mkString(",") + "\"").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -264,17 +264,22 @@ object Queries {
     // Sessionization (gap-based) — lag/lead window + running sum.
     "q31_sessionize" -> ((s, d) => EventsStream.sessionize(s, d, 30)),
 
-    // ----------------- rows-only queries (no SQL-expressible oracle) -----
-
-    // LLM-dedup: MinHash + LSH near-dup candidate pairs.
+    // LLM-dedup: MinHash + LSH near-dup candidate pairs, over the
+    // md5/mod-p hash family (OracleHashes.scala) so the ENTIRE pipeline —
+    // shingle hashes, the 16 affine minhash functions, banding, estimated
+    // Jaccard — is replayed bit-for-bit by the DuckDB oracle. The xxh64
+    // family remains the raw-throughput path (DedupSpec covers both).
     "q32_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3, bands = 8, rowsPerBand = 2,
-        threshold = 0.5)
+        threshold = 0.5, family = "md5p61")
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
 
-    // LLM-dedup: SimHash near-dup pairs.
+    // LLM-dedup: SimHash near-dup pairs, md5 token-hash family — the
+    // 64-bit fingerprint, block partitioning, and Hamming verification are
+    // all exactly mirrored in the DuckDB oracle.
     "q33_simhash_dups" -> ((s, d) =>
-      Dedup.simHashDups(doc(s, d), "text", "doc_id", blocks = 4, maxHamming = 3)),
+      Dedup.simHashDups(doc(s, d), "text", "doc_id", blocks = 4, maxHamming = 3,
+        family = "md5p61")),
 
     // LLM-dedup: exact n-gram Jaccard sweep from a bounded probe set.
     "q34_ngram_jaccard" -> ((s, d) =>
@@ -283,12 +288,16 @@ object Queries {
         k = 2, threshold = 0.05, broadcastProbe = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
 
-    // LLM-similarity: LSH-bucketed ANN (scale path of q27).
+    // LLM-similarity: LSH-bucketed ANN (scale path of q27), md5-sign
+    // Rademacher planes (OracleHashes.scala) — signatures, multi-probe
+    // bucket set, candidate join, and the exact cosine re-rank are all
+    // replayed bit-for-bit by the DuckDB oracle (±1·v is IEEE-exact, so
+    // the projection is the same sequential fold q27 already proved).
     "q35_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.lshCosineTopK(
           e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          "vec_id", "embedding", 5, nBits = 8, dim = 64)
+          "vec_id", "embedding", 5, nBits = 8, dim = 64, family = "md5sign")
         .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
           round(col("cos_sim"), 6).as("cos_sim"))
     }),
@@ -392,11 +401,17 @@ object Queries {
     }),
 
     // LLM-dedup end product: candidates → exact-jaccard verify → connected
-    // components → canonical id per document (rows-only; components over
-    // engine-specific signatures).
+    // components → canonical id per document. md5p61 family makes the LSH
+    // candidate stage oracle-replayable (q32's machinery at k=2), the
+    // verify stage is hash-independent string-shingle Jaccard (q34's
+    // argument), and components are the q70 recursive-CTE shape — so the
+    // WHOLE pipeline is DuckDB-verified. rounds=16 is a generous fixpoint
+    // budget (early-exit: near-dup clusters converge in 2-3) so Spark's
+    // min-label propagation provably reaches the true components the
+    // recursive CTE computes.
     "q44_dedup_canonicalize" -> ((s, d) =>
       Dedup.canonicalize(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3)),
+        k = 2, jaccardThreshold = 0.3, rounds = 16, family = "md5p61")),
 
     // A12 pivot form — contingency table as wide columns.
     "q45_crosstab_pivot" -> ((s, d) =>
@@ -699,8 +714,10 @@ object Queries {
     // formatting, nulls stay null, quoted/accented strings stay intact.
     "q72_csv_roundtrip" -> ((s, _) => {
       val parsed = graft.io.Csv.read(s, csvFixturePath, csvFixtureSchema)
-      val dir = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q72_roundtrip").getAbsolutePath
+      // Unique per Spark app: two concurrent sessions (bench + verify,
+      // parallel CI) must not race on the same overwrite + re-read dir.
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q72_roundtrip_${s.sparkContext.applicationId}").getAbsolutePath
       graft.io.Csv.roundTrip(s, parsed, dir)
         .select(csvFixtureCols.map(col): _*)
     })
@@ -1036,6 +1053,44 @@ object Queries {
         |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
         |FROM r WHERE rnk <= 5""".stripMargin,
 
+    // q35 LSH ANN replayed bit-for-bit: the 8 Rademacher hyperplanes'
+    // sign bits come from md5_number_lower('hyperplane_' || p); ±1·v is
+    // IEEE-exact, so each projection is the same sequential left fold as
+    // q27's dot product (parity proven there); multi-probe = the 8
+    // single-bit-flip buckets via xor; candidates deduped, then exact
+    // cosine re-rank with the deterministic (cos desc, id asc) order.
+    "q35_ann_lsh" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |sg AS (
+        | SELECT vec_id, v,
+        |  CAST(list_sum(list_transform(range(8), p ->
+        |    CASE WHEN list_reduce(list_transform(range(64), i ->
+        |      CASE WHEN (md5_number_lower('hyperplane_' || p) >> i) & 1 = 1
+        |           THEN v[i + 1] ELSE -v[i + 1] END), (x, y) -> x + y) > 0
+        |    THEN 1 << p ELSE 0 END)) AS INT) AS sig,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+        | FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, sig, nrm AS qn FROM sg WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, v AS nv, sig AS bucket, nrm AS nn
+        |      FROM sg WHERE vec_id >= 5),
+        |probes AS (
+        | SELECT query_id, qv, qn, CAST(xor(sig, m.m) AS INT) AS bucket
+        | FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) m),
+        |p AS (
+        | SELECT DISTINCT query_id, neighbor_id,
+        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (qn * nn) AS cos_sim
+        | FROM probes JOIN c USING (bucket)),
+        |r AS (
+        | SELECT query_id, neighbor_id, cos_sim,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
+        | FROM p)
+        |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
     "q28_lambert93" -> lambertOracle,
 
     "q29_stream_windowed" ->
@@ -1067,6 +1122,123 @@ object Queries {
         | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
         | round(sum(value), 4) AS session_value
         |FROM x GROUP BY user_id, session_seq""".stripMargin,
+
+    // MinHash+LSH replayed bit-for-bit (OracleHashes.scala md5p61 family):
+    // base = md5_number_lower(shingle) ≡ MD5 digest bytes 8..15 LE (probed
+    // identical), reduced mod p = 2⁶¹−1 with UNSIGNED remainder on both
+    // sides (UBIGINT % here, Long.remainderUnsigned there); the 16 affine
+    // functions (a_j·x + b_j) mod p use md5-derived seeds, computed in
+    // HUGEINT here and by exact 128-bit Mersenne folding there
+    // (property-tested vs BigInteger). Banding = the signature slices
+    // themselves (list equality), est = agreeing positions / 16 (exact
+    // binary division by 16, so round(·,4) is pure display on both sides).
+    "q32_minhash_lsh" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
+        | FROM toks),
+        |base AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
+        | FROM sh),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(16), j ->
+        |   list_min(list_transform(bs, x ->
+        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
+        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
+        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
+        | FROM base),
+        |banded AS (
+        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
+        | FROM sig, range(8) r(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_sum(list_transform(range(16), i ->
+        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
+        | FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(est, 4) AS est_jaccard
+        |FROM cand WHERE est >= 0.5""".stripMargin,
+
+    // SimHash replayed bit-for-bit: per-token md5_number_lower votes ±1
+    // per bit ((h >> b) & 1 is a logical shift on UBIGINT, matching
+    // Long's >>>), fingerprint bit set iff votes strictly positive; the 4
+    // 16-bit blocks, candidate equi-join, and bit_count(xor) Hamming
+    // verification mirror Dedup.simHashDups exactly. Only id/Hamming
+    // columns are emitted, so the UBIGINT-vs-signed-long fingerprint
+    // representation difference never reaches the compared output.
+    "q33_simhash_dups" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |th AS (
+        | SELECT doc_id, list_transform(t, x -> md5_number_lower(x)) AS hs FROM toks),
+        |sig AS (
+        | SELECT doc_id, CAST(list_sum(list_transform(range(64), b ->
+        |   CASE WHEN list_sum(list_transform(hs, h ->
+        |     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |   THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)) AS UBIGINT) AS sim
+        | FROM th),
+        |blocked AS (
+        | SELECT doc_id, r.blk AS blk, (sim >> (r.blk * 16)) & 65535 AS blk_val, sim
+        | FROM sig, range(4) r(blk)),
+        |pairs AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        | FROM blocked a JOIN blocked b
+        |   ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
+    // The full near-dup canonicalization pipeline replayed end-to-end:
+    // q32's md5p61 minhash/banding at k=2 for candidates (est >= t/2 =
+    // 0.15), hash-independent string-shingle Jaccard for the verify stage
+    // (q34's argument), and q70's recursive-CTE connected components.
+    // Spark reaches the same fixpoint because canonicalize's min-label
+    // propagation runs to convergence (rounds=16 backstop, early exit).
+    "q44_dedup_canonicalize" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |   i -> array_to_string(t[i : i + 1], ' ')) AS s
+        | FROM toks),
+        |base AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
+        | FROM sh),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(16), j ->
+        |   list_min(list_transform(bs, x ->
+        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
+        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
+        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
+        | FROM base),
+        |banded AS (
+        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
+        | FROM sig, range(8) r(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        | WHERE list_sum(list_transform(range(16), i ->
+        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 >= 0.15),
+        |shd AS (
+        | SELECT doc_id, list_distinct(s) AS sd FROM sh),
+        |verified AS (
+        | SELECT c.id_a AS ia, c.id_b AS ib
+        | FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
+        | WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+        |   / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.3),
+        |e AS (SELECT ia AS a, ib AS b FROM verified
+        |      UNION ALL SELECT ib, ia FROM verified),
+        |cc(node, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a)
+        |SELECT node AS doc_id, min(label) AS canonical_id
+        |FROM cc GROUP BY node""".stripMargin,
 
     // Exact n-gram Jaccard is hash-INDEPENDENT: the Spark side compares
     // 64-bit xxhash64 shingle sets, this oracle compares the string

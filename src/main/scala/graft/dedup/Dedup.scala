@@ -28,9 +28,17 @@ object Dedup {
   /** MinHash signature: for each of `numHashes` seeded hash functions, the
     * minimum over the document's k-shingle hashes. Tight-loop custom
     * expression ([[graft.functions.MinHashSig]]) — one pass over the token
-    * array per row, no explode, no per-shingle expression-tree overhead. */
-  def minHashSignature(toks: Column, k: Int, numHashes: Int): Column =
-    graft.functions.MinHashSig(toks, k, numHashes)
+    * array per row, no explode, no per-shingle expression-tree overhead.
+    *
+    * `family` selects the hash family: "xxh64" (fastest) or "md5p61"
+    * ([[graft.functions.MinHashSigP61]] — bit-replayable by an external
+    * SQL oracle; see OracleHashes.scala). */
+  def minHashSignature(toks: Column, k: Int, numHashes: Int,
+                       family: String = "xxh64"): Column = family match {
+    case "xxh64"  => graft.functions.MinHashSig(toks, k, numHashes)
+    case "md5p61" => graft.functions.MinHashSigP61(toks, k, numHashes)
+    case other    => throw new IllegalArgumentException(s"unknown hash family: $other")
+  }
 
   /** MinHash + LSH candidate pairs: signatures are cut into `bands` bands of
     * `rowsPerBand` hashes; documents sharing any band bucket become a
@@ -43,19 +51,23 @@ object Dedup {
     */
   def minHashLsh(df: DataFrame, textCol: String, idCol: String,
                  k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, family: String = "xxh64"): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sigs = df
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .withColumn("sig", minHashSignature(col("toks"), k, numHashes))
+      .withColumn("sig", minHashSignature(col("toks"), k, numHashes, family))
       .select(col("id"), col("sig"))
+    // Band key = the sliced signature values themselves (array<long> is a
+    // fine shuffle/join key): exact band-equality semantics, no re-hash
+    // collision possible, and replayable by a SQL oracle — unlike
+    // xxhash64(slice), which no other engine can reproduce.
     val banded = sigs.withColumn("band", explode(array((0 until bands).map(lit): _*)))
-      .withColumn("band_hash", xxhash64(col("band"),
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col("id"), col("sig"), col("band"), col("band_hash"))
+      .withColumn("band_key",
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+      .select(col("id"), col("sig"), col("band"), col("band_key"))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -72,16 +84,22 @@ object Dedup {
     * ±1 per bit position; the sign vector becomes the fingerprint. Near-dups
     * differ in few bits (Hamming distance). Pure HOF fold over the token
     * array — no explode, no shuffle. */
-  def simHash(toks: Column): Column = graft.functions.SimHash64(toks)
+  def simHash(toks: Column, family: String = "xxh64"): Column = family match {
+    case "xxh64"  => graft.functions.SimHash64(toks)
+    case "md5p61" => graft.functions.SimHash64Md5(toks)
+    case other    => throw new IllegalArgumentException(s"unknown hash family: $other")
+  }
 
   /** SimHash near-dup candidates by block partitioning (Charikar/Manku):
     * split the 64-bit fingerprint into `blocks` blocks; dups within Hamming
     * distance `maxHamming < blocks` must agree on at least one block →
     * equi-join per block, verify exact Hamming via bit_count(xor). */
   def simHashDups(df: DataFrame, textCol: String, idCol: String,
-                  blocks: Int = 4, maxHamming: Int = 3): DataFrame = {
+                  blocks: Int = 4, maxHamming: Int = 3,
+                  family: String = "xxh64"): DataFrame = {
     val width = 64 / blocks
-    val withSig = df.select(col(idCol).as("id"), simHash(Text.tokens(col(textCol))).as("sim"))
+    val withSig = df.select(col(idCol).as("id"),
+      simHash(Text.tokens(col(textCol)), family).as("sim"))
     val mask = if (width == 64) -1L else (1L << width) - 1
     val blockStructs = array((0 until blocks).map(b => struct(
       lit(b).as("blk"),
@@ -109,12 +127,13 @@ object Dedup {
     * docs map to themselves. */
   def canonicalize(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                   jaccardThreshold: Double = 0.5, rounds: Int = 4): DataFrame = {
+                   jaccardThreshold: Double = 0.5, rounds: Int = 4,
+                   family: String = "xxh64"): DataFrame = {
     // LSH candidates prefiltered by estimated jaccard at half the verify
     // threshold — cheap signature agreement culls the long tail before the
     // exact set comparison (recall is bounded by the band scheme either way)
     val candidates = minHashLsh(df, textCol, idCol, k, bands, rowsPerBand,
-      threshold = jaccardThreshold / 2)
+      threshold = jaccardThreshold / 2, family = family)
     val shingles = df.select(col(idCol).as("__id"),
       array_distinct(graft.text.Text.shingleHashes(
         graft.text.Text.tokens(col(textCol)), k)).as("__sh"))

@@ -16,13 +16,29 @@ import org.apache.spark.sql.types._
   * expression tree (512 Catalyst nodes per row at 8×64) with one array
   * read + fused dot products.
   */
-case class HyperplaneSig(child: Expression, nBits: Int, dim: Int, seed: Long = 42L)
+case class HyperplaneSig(child: Expression, nBits: Int, dim: Int, seed: Long = 42L,
+                         family: String = "rng")
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
 
-  @transient private lazy val planes: Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
+  @transient private lazy val planes: Array[Array[Double]] = family match {
+    case "rng" =>
+      val rng = new scala.util.Random(seed)
+      Array.fill(nBits, dim)(rng.nextDouble() * 2 - 1)
+    case "md5sign" =>
+      // Rademacher (±1) planes with md5-derived signs: plane p's entry for
+      // dimension d is +1 iff bit d of md5_number_lower("hyperplane_" + p)
+      // is set — replayable bit-for-bit by an external SQL oracle (see
+      // OracleHashes.scala). ±1·v is exact in IEEE, so the projection is a
+      // plain sequential fold of ±v_d, the same shape DuckDB's list_reduce
+      // computes. Sign-LSH with Rademacher directions is the standard
+      // cheap variant of Charikar's Gaussian construction.
+      require(dim <= 64, s"md5sign planes carry 64 sign bits; dim=$dim > 64")
+      Array.tabulate(nBits) { p =>
+        val bits = OracleHash.md5Low64("hyperplane_" + p)
+        Array.tabulate(dim)(d => if (((bits >>> d) & 1L) == 1L) 1.0 else -1.0)
+      }
+    case other => throw new IllegalArgumentException(s"unknown plane family: $other")
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -52,4 +68,7 @@ case class HyperplaneSig(child: Expression, nBits: Int, dim: Int, seed: Long = 4
 object HyperplaneSig {
   def apply(vec: Column, nBits: Int, dim: Int): Column =
     ColumnBridge.column(HyperplaneSig(ColumnBridge.expression(vec), nBits, dim))
+  def apply(vec: Column, nBits: Int, dim: Int, family: String): Column =
+    ColumnBridge.column(
+      HyperplaneSig(ColumnBridge.expression(vec), nBits, dim, family = family))
 }

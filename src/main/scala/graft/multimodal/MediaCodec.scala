@@ -61,6 +61,10 @@ case class ByteHistogramCodec(featureDim: Int = 8) extends MediaCodec {
   * linearly — and the mapPartitions batch shape in [[Multimodal.decode]]
   * amortizes codec setup per partition, not per row. */
 case class ImageRgbHistogramCodec(bins: Int = 8) extends MediaCodec {
+  require(bins > 0 && bins <= 256 && 256 % bins == 0,
+    s"bins must be a positive divisor of 256 (got $bins): a non-divisor bleeds " +
+      "one channel's top pixel values into the next channel's buckets")
+
   override def featureDim: Int = 3 * bins
 
   override def decode(payload: Array[Byte], modality: String): MediaDecoded = {
@@ -72,8 +76,11 @@ case class ImageRgbHistogramCodec(bins: Int = 8) extends MediaCodec {
     }
     val img =
       if (modality.startsWith("image/"))
+        // NonFatal, not just IOException: broken decoders surface
+        // IllegalArgumentException/CMMException etc., and the fallback
+        // contract is "no row is dropped" for ANY undecodable payload.
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       else null
     if (img == null) {
       // deterministic same-width fallback (mixed-modality tables stay rectangular)

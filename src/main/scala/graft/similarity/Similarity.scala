@@ -61,8 +61,9 @@ object Similarity {
     * (each hyperplane halves it), so the downstream equi-join sees
     * |corpus|/2^n candidates per probe. Tight-loop custom expression
     * ([[graft.functions.HyperplaneSig]]). */
-  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int): Column =
-    graft.functions.HyperplaneSig(vec, nBits, dim)
+  def hyperplaneSignature(vec: Column, nBits: Int, dim: Int,
+                          family: String = "rng"): Column =
+    graft.functions.HyperplaneSig(vec, nBits, dim, family)
 
   /** Exact embedding-cosine near-dup pairs — every unordered pair with
     * cosine similarity >= `threshold`, with NO approximation and NO cross
@@ -151,12 +152,13 @@ object Similarity {
     * candidates. */
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    nBits: Int = 8, dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
+                    nBits: Int = 8, dim: Int = 64, multiProbe: Boolean = true,
+                    family: String = "rng"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
-      .withColumn("bucket", hyperplaneSignature(col("nv"), nBits, dim))
+      .withColumn("bucket", hyperplaneSignature(col("nv"), nBits, dim, family))
       .withColumn("nn", graft.functions.NormD(col("nv")))
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-      .withColumn("sig", hyperplaneSignature(col("qv"), nBits, dim))
+      .withColumn("sig", hyperplaneSignature(col("qv"), nBits, dim, family))
       .withColumn("qn", graft.functions.NormD(col("qv")))
     val probes =
       if (!multiProbe) array(col("sig"))

@@ -2,7 +2,7 @@
 """Mechanical bench regression gate: compare a bench run's per-query times
 against the best-known table in BASELINE.md.
 
-Usage: bench_gate.py <bench.json-or-bench-output-line> [--update]
+Usage: bench_gate.py <bench.json-or-bench-output-line> [--update] [--allow-missing]
 
 Accepts either the driver's BENCH_rNN.json (reads per-query times out of
 its 'parsed' dict or, failing that, regex-scans the 'tail' string) or a
@@ -21,6 +21,16 @@ def load_bench(path):
         d = json.loads(text[text.index("{"):].strip())
     except ValueError:
         d = {}
+    # Bench records the active SPARK_GRAFT_ONLY filter; a filtered run is
+    # not a gate run (a leaked env var must not read as a green full gate).
+    only = d.get("only")
+    if only is None and '"only":' in text:
+        m = re.search(r'"only":("(?:[^"\\]|\\.)*"|null)', text)
+        if m and m.group(1) != "null":
+            only = json.loads(m.group(1))
+    if only:
+        sys.exit(f"refusing gate: bench was run with SPARK_GRAFT_ONLY={only!r} "
+                 "(partial run); re-run without the filter or compare by hand")
     if isinstance(d.get("queries"), dict):
         return d["queries"]
     if isinstance(d.get("parsed"), dict) and isinstance(d["parsed"].get("queries"), dict):
@@ -43,18 +53,22 @@ def load_baseline():
 def main():
     path = sys.argv[1]
     update = "--update" in sys.argv
+    allow_missing = "--allow-missing" in sys.argv
     cur = load_bench(path)
     best = load_baseline()
     if not cur:
         sys.exit(f"no per-query times found in {path}")
-    fails, investigates, improved = [], [], []
+    fails, investigates, improved, missing = [], [], [], []
     for q in sorted(set(best) | set(cur)):
         if q not in best:
             print(f"NEW          {q:28s} {cur[q]:7.3f}s (no baseline yet)")
             improved.append(q)
             continue
         if q not in cur:
+            # a query silently absent from the run is a gate failure unless
+            # explicitly waived — partial runs must not read as green
             print(f"MISSING      {q:28s} baseline {best[q]:.3f}s, absent from run")
+            missing.append(q)
             continue
         ratio = cur[q] / best[q]
         delta = cur[q] - best[q]
@@ -70,7 +84,10 @@ def main():
             improved.append(q)
         print(f"{flag:12s} {q:28s} {cur[q]:7.3f}s vs best {best[q]:7.3f}s  ({ratio:4.2f}x)")
     print(f"\n{len(fails)} fail, {len(investigates)} investigate, "
-          f"{len(improved)} improved/new, {len(cur)} queries")
+          f"{len(improved)} improved/new, {len(missing)} missing, {len(cur)} queries")
+    if missing and not allow_missing:
+        print("missing queries fail the gate (pass --allow-missing to waive)")
+        fails.extend(missing)
     if update and improved:
         text = open(BASELINE).read()
         for q in improved:
