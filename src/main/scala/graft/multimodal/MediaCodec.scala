@@ -105,11 +105,62 @@ case class ImageRgbHistogramCodec(bins: Int = 8) extends MediaCodec {
   }
 }
 
+/** Resize-as-decode: nearest-neighbor downsample to a fixed w×h thumbnail,
+  * feature = the RGB pixel grid (w·h·3 floats, row-major, channels
+  * interleaved R,G,B). The resize every vision pipeline runs before
+  * embedding, done with the JDK-only ImageIO decode path; source pixel for
+  * target (tx, ty) is (⌊tx·W/w⌋, ⌊ty·H/h⌋), the canonical nearest-neighbor
+  * rule, so outputs are deterministic and exactly assertable.
+  * Non-image/undecodable payloads fall back to the same-width byte
+  * histogram — no row dropped, mixed-modality tables stay rectangular. */
+case class ThumbnailCodec(w: Int = 4, h: Int = 4) extends MediaCodec {
+  require(w > 0 && h > 0, s"thumbnail dims must be positive: ${w}x$h")
+
+  override def featureDim: Int = w * h * 3
+
+  override def decode(payload: Array[Byte], modality: String): MediaDecoded = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = checksum * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    val img =
+      if (modality.startsWith("image/"))
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      else null
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) {
+      val d = ByteHistogramCodec(featureDim).decode(payload, modality)
+      return MediaDecoded(checksum, d.feature)
+    }
+    val out = new Array[Float](featureDim)
+    var ty = 0
+    while (ty < h) {
+      val sy = ty * img.getHeight / h
+      var tx = 0
+      while (tx < w) {
+        val sx = tx * img.getWidth / w
+        val rgb = img.getRGB(sx, sy)
+        val o = 3 * (ty * w + tx)
+        out(o) = (rgb >> 16) & 0xff
+        out(o + 1) = (rgb >> 8) & 0xff
+        out(o + 2) = rgb & 0xff
+        tx += 1
+      }
+      ty += 1
+    }
+    MediaDecoded(checksum, out)
+  }
+}
+
 object MediaCodec {
-  /** Config-driven codec selection ("byte-histogram" | "image-rgb"). */
+  /** Config-driven codec selection
+    * ("byte-histogram" | "image-rgb" | "image-thumbnail"). */
   def byName(name: String): MediaCodec = name match {
-    case "byte-histogram" => ByteHistogramCodec()
-    case "image-rgb"      => ImageRgbHistogramCodec()
+    case "byte-histogram"  => ByteHistogramCodec()
+    case "image-rgb"       => ImageRgbHistogramCodec()
+    case "image-thumbnail" => ThumbnailCodec()
     case other => throw new IllegalArgumentException(s"unknown media codec: $other")
   }
 }

@@ -66,4 +66,27 @@ object Multimodal {
     decode(media, codec).toDF()
       .withColumn("feature", col("feature").cast("array<float>"))
   }
+
+  /** Frame sampling for fixed-frame binary media (video-style payloads):
+    * every `stride`-th frame of `frameBytes` bytes becomes its own row
+    * (media_id, modality, n_frames, frame_idx, frame).
+    *
+    * Pure column expressions — `sequence` + `explode` + binary `substr` —
+    * so the sampler is codegen'd, shuffle-free, and linear in emitted
+    * frames (skipped frames are never materialized; with parquet's lazy
+    * binary reads the payload bytes stream through one projection).
+    * Payloads shorter than one frame are dropped, trailing partial frames
+    * are not emitted — the fixed-frame contract of raw video buffers. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
+    require(stride > 0, s"stride must be positive: $stride")
+    media
+      .withColumn("n_frames", floor(length(col("payload")) / frameBytes).cast("int"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))))
+      .withColumn("frame",
+        substr(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .select("media_id", "modality", "n_frames", "frame_idx", "frame")
+  }
 }

@@ -173,4 +173,75 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
+
+  /** IVF-flat ANN — the inverted-file complement to [[lshCosineTopK]]'s
+    * hyperplane buckets (the two standard coarse quantizers).
+    *
+    * The corpus is partitioned into `nCells` Voronoi cells around a small
+    * centroid table; each query probes only its `nProbe` nearest cells and
+    * exact-ranks the candidates. Recall comes from nProbe (probing every
+    * cell degenerates to the exact scan); cost per query is ~nProbe/nCells
+    * of the corpus.
+    *
+    * Centroid selection is DETERMINISTIC by contract — the `nCells`
+    * lowest-id corpus vectors. That is deliberately not k-means: a fixed,
+    * engine-independent rule means the whole operator (centroids →
+    * assignment → probe → re-rank) is exactly reproducible by an external
+    * SQL oracle, the same design rule as OracleHashes.scala. (On a real
+    * corpus the ids are arbitrary, so low-ids are an arbitrary sample —
+    * the IVF shape is unchanged, and a k-means-refined centroid table can
+    * be swapped in without touching the operator.)
+    *
+    * Scale shape: the centroid table (nCells rows) broadcasts to both
+    * sides — corpus assignment is ONE broadcast pass over the corpus (no
+    * shuffle of the corpus itself beyond the cell equi-join), queries
+    * probe nProbe cells each, and the only shuffle keys are cell ids,
+    * uniformly loaded when nCells ≫ skew. Ties in the nearest-centroid
+    * argmin break deterministically by centroid id. */
+  def ivfCosineTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", graft.functions.NormD(col("nv")))
+    // The centroid table is nCells rows by construction — materialize it to
+    // the driver (one tiny job, the Stats/PCA precedent) and inline it as
+    // literals, so cell ASSIGNMENT is a pure per-row map: no corpus
+    // explosion, no shuffle, no window. The norm replicates NormD's fold
+    // (sequential acc + x·x, then sqrt) so cosines are bit-identical to
+    // what a joined NormD column would give.
+    val centroids: Array[(Long, Array[Double], Double)] = c0
+      .orderBy("neighbor_id").limit(nCells)
+      .select(col("neighbor_id"), col("nv"))
+      .collect()
+      .map { r =>
+        val id = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
+        val v = r.getSeq[Double](1).toArray
+        (id, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+    def centCos(vCol: String, nCol: String)(c: (Long, Array[Double], Double)): Column =
+      graft.functions.DotProductD(col(vCol), array(c._2.map(lit).toIndexedSeq: _*)) /
+        (col(nCol) * lit(c._3))
+    // nearest cell per row: max of struct(cos, -cent_id) — cos desc with
+    // deterministic cent_id-asc tie-break — evaluated as a pure expression
+    def cellStructs(vCol: String, nCol: String): Seq[Column] =
+      centroids.toIndexedSeq.map(c =>
+        struct(centCos(vCol, nCol)(c).as("c"), lit(-c._1).as("nid")))
+    val assigned = c0.withColumn("cell",
+      -greatest(cellStructs("nv", "nn"): _*).getField("nid"))
+    // query side: top-nProbe cells via array_sort on (-cos, cent_id) — the
+    // per-row candidate list is nCells long, sorted in-row, no shuffle
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", graft.functions.NormD(col("qv")))
+    val probeCells = slice(array_sort(array(centroids.toIndexedSeq.map(c =>
+      struct((-centCos("qv", "qn")(c)).as("negc"), lit(c._1).as("cid"))): _*)), 1, nProbe)
+    val probes = q0.withColumn("__probe", explode(probeCells))
+      .withColumn("cell", col("__probe").getField("cid")).drop("__probe")
+    val sim = graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .withColumn("cos_sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
 }

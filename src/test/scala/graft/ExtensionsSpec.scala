@@ -26,6 +26,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.length == 4)
   }
 
+  test("simhash64_md5 available in SQL and equals the Column API") {
+    val sql = spark.sql("SELECT simhash64_md5(split('a b c', ' ')) AS h").as[Long].first()
+    val api = Seq("a b c").toDF("t")
+      .select(graft.dedup.Dedup.simHash(graft.text.Text.tokens($"t"), "md5p61"))
+      .as[Long].first()
+    assert(sql == api)
+  }
+
+  test("minhash_sig_p61 available in SQL, values in [0, 2^61)") {
+    val r = spark.sql("SELECT minhash_sig_p61(split('a b c d e', ' '), 3, 4) AS s")
+      .as[Seq[Long]].first()
+    assert(r.length == 4 &&
+      r.forall(v => v >= 0 && v < graft.functions.OracleHash.P61))
+  }
+
   test("title_case stays inside whole-stage codegen (no fallback project)") {
     // non-literal input (parquet scan) so the expression isn't constant-folded
     val df = Tables.nation(spark, TestSpark.sf0001)

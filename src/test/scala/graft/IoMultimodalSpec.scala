@@ -88,6 +88,59 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(got.getAs[Long]("checksum") == want.getAs[Long]("checksum"))
   }
 
+  test("ThumbnailCodec: exact nearest-neighbor downsample of a known PNG") {
+    // 4x4 PNG whose quadrants are solid red/green/blue/white; a 2x2
+    // thumbnail must sample pixels (0,0),(2,0),(0,2),(2,2) — one per
+    // quadrant — by the floor(t*src/dst) rule
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) {
+      val c = (x < 2, y < 2) match {
+        case (true, true)   => 0xff0000
+        case (false, true)  => 0x00ff00
+        case (true, false)  => 0x0000ff
+        case (false, false) => 0xffffff
+      }
+      img.setRGB(x, y, c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val media = Seq((1L, "image/png", bos.toByteArray, 4, 4))
+      .toDF("media_id", "modality", "payload", "width", "height")
+    val r = Multimodal.extractFeatures(media,
+      graft.multimodal.ThumbnailCodec(2, 2)).first()
+    val f = r.getSeq[Float](r.fieldIndex("feature"))
+    assert(f == Seq(
+      255f, 0f, 0f,      0f, 255f, 0f,   // top row: red, green
+      0f, 0f, 255f,      255f, 255f, 255f)) // bottom row: blue, white
+    // the byName default (4x4) on the same image is the identity resize
+    val f4 = Multimodal.extractFeatures(media,
+      graft.multimodal.MediaCodec.byName("image-thumbnail")).first()
+    assert(f4.getSeq[Float](f4.fieldIndex("feature")).length == 48)
+  }
+
+  test("ThumbnailCodec: non-image modality falls back to same-width byte histogram") {
+    val media = Multimodal.mediaFromText(
+      Seq((1L, "hello world")).toDF("doc_id", "text"), "doc_id", "text")
+    val got = Multimodal.extractFeatures(media,
+      graft.multimodal.ThumbnailCodec(2, 2)).first()
+    val want = Multimodal.extractFeatures(media,
+      graft.multimodal.ByteHistogramCodec(featureDim = 12)).first()
+    assert(got.getSeq[Float](got.fieldIndex("feature")) ==
+      want.getSeq[Float](want.fieldIndex("feature")))
+  }
+
+  test("frameSample: exact frames, stride skipping, short-payload drop") {
+    val media = Multimodal.mediaFromText(Seq(
+        (1L, "abcdefghij"), // 10 bytes, frame=3 → frames abc,def,ghi; stride 2 → 0,2
+        (2L, "xy")          // shorter than one frame → dropped
+      ).toDF("doc_id", "text"), "doc_id", "text")
+    val rows = Multimodal.frameSample(media, frameBytes = 3, stride = 2)
+      .select($"media_id", $"n_frames", $"frame_idx",
+        decode($"frame", "UTF-8").as("t"))
+      .as[(Long, Int, Int, String)].collect().sortBy(r => (r._1, r._3))
+    assert(rows.toSeq == Seq((1L, 3, 0, "abc"), (1L, 3, 2, "ghi")))
+  }
+
   test("media schema carries binary payload + typed metadata") {
     val df = Seq((1L, "x")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromText(df, "doc_id", "text")

@@ -47,6 +47,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall too low on clustered data: $recall")
   }
 
+  test("ivfCosineTopK with nProbe == nCells equals the exact scan") {
+    // probing every cell visits the whole corpus: IVF must then reproduce
+    // brute force exactly (same cosine fold, same tie-break)
+    val rng = new scala.util.Random(29)
+    val corpus = (10 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(queries, corpus, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf == exact)
+  }
+
+  test("ivfCosineTopK: reasonable recall at nProbe < nCells on clustered data") {
+    val rng = new scala.util.Random(31)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    def pt(c: Int) = centers(c).map(v => (v + 0.15 * rng.nextGaussian()).toFloat)
+    val corpus = (10 until 300).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(queries, corpus, "vec_id", "embedding", 5,
+        nCells = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall too low on clustered data: $recall")
+  }
+
   test("cosineNearDupPairs == brute-force cross-join pairs, exactly") {
     // random corpus + planted near-dups; grid blocking must lose nothing
     val rng = new scala.util.Random(7)
