@@ -786,7 +786,12 @@ object Queries {
           graft.multimodal.Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
           frameBytes = 64, stride = 4)
         .select(col("media_id"), col("n_frames"), col("frame_idx"),
-          decode(col("frame"), "UTF-8").as("frame_text")))
+          decode(col("frame"), "UTF-8").as("frame_text"))),
+
+    // Streaming stream–static broadcast join (stateless enrichment): every
+    // event enriched with its user's batch-aggregated profile; a single
+    // AvailableNow batch makes it equal to the batch join the oracle runs.
+    "q75_stream_static_join" -> ((s, d) => EventsStream.streamStaticJoin(s, d))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -1763,6 +1768,16 @@ object Queries {
         |SELECT media_id, n_frames, CAST(u.i AS INT) AS frame_idx,
         | substr(text, CAST(u.i AS INT) * 64 + 1, 64) AS frame_text
         |FROM f, unnest(range(0, n_frames, 4)) u(i)
-        |WHERE n_frames > 0""".stripMargin
+        |WHERE n_frames > 0""".stripMargin,
+
+    // Stream-static enrichment == the plain batch join (single
+    // AvailableNow microbatch); round(sum,4) is the q29-established
+    // tolerance for order-dependent float aggregation.
+    "q75_stream_static_join" ->
+      """WITH u AS (
+        | SELECT user_id, count(*) AS user_cnt, round(sum(value), 4) AS user_total
+        | FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, u.user_cnt, u.user_total
+        |FROM events e JOIN u USING (user_id)""".stripMargin
   )
 }

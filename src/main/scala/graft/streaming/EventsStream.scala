@@ -102,6 +102,38 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Stream–static broadcast join — the canonical streaming ENRICHMENT
+    * shape: an unbounded event stream joined per-microbatch against a
+    * bounded dimension/profile table. The static side here is a per-user
+    * profile aggregated in batch (count + value total); the stream side is
+    * the raw event feed. A stream-static inner join is STATELESS (the
+    * static side is re-broadcast per microbatch, no watermark or join
+    * state), so append mode emits every enriched event exactly once — at
+    * scale the only cost above the stream scan is the broadcast, sized by
+    * the dimension, not the stream.
+    *
+    * Returns every event enriched with its user's profile, via one
+    * AvailableNow batch for equivalence against the batch join oracle. */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val profile = broadcast(
+      graft.Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("user_cnt"), sum(col("value")).as("user_total")))
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    val src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val joined = src.join(profile, Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("user_cnt"),
+        round(col("user_total"), 4).as("user_total"))
+    val qname = "graft_stream_static"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** The cleaning operators applied over a STREAM (SURVEY.md §2.11: the
     * batch cleaning pipeline is structurally expressible over Structured
     * Streaming): blank-normalize + winsorize are stateless row maps, so
