@@ -18,6 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   simhash64_md5(tokens)         — oracle-replayable md5 SimHash
   *   minhash_sig_p61(tokens, k, n) — oracle-replayable md5/mod-p MinHash
   *   arg_min_by(p, d, t)       — hash-aggregable argmin aggregate
+  *   lambert93_to_wgs84(x, y)  — struct(lon, lat) inverse reprojection
+  *                               (SURVEY.md §4 X1-as-FunctionBuilder)
+  *   dot_d(a, b)               — tight-loop double-array dot product
+  *   norm_d(a)                 — tight-loop double-array L2 norm
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -66,5 +70,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArgMinBy].getName, "arg_min_by"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArgMinBy.coerced(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    // X1 as a SQL function (SURVEY.md §4): the projection is pure column
+    // math, so the "builder" assembles the same expression tree the
+    // DataFrame path uses — identical results by construction.
+    e.injectFunction((
+      new FunctionIdentifier("lambert93_to_wgs84"),
+      new ExpressionInfo("graft.functions.Lambert93", "lambert93_to_wgs84"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        import org.apache.spark.sql.functions.struct
+        require(exprs.length == 2,
+          s"lambert93_to_wgs84(x, y) takes 2 arguments, got ${exprs.length}")
+        val x = ColumnBridge.column(exprs(0))
+        val y = ColumnBridge.column(exprs(1))
+        ColumnBridge.eagerExpression(struct(
+          graft.functions.Lambert93.lonDeg(x, y).as("lon"),
+          graft.functions.Lambert93.latDeg(x, y).as("lat")))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[graft.functions.DotProductD].getName, "dot_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProductD(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("norm_d"),
+      new ExpressionInfo(classOf[graft.functions.NormD].getName, "norm_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.NormD(exprs(0))))
   }
 }

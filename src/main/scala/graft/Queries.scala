@@ -381,18 +381,53 @@ object Queries {
     }),
 
     // Sketch-based scale path of A2/distinct-count: HLL + t-digest-style
-    // approx quantiles (rows-only: sketches are engine-specific by design;
-    // exact twins are q12/q01).
-    "q40_approx_stats" -> ((s, d) =>
+    // approx quantiles. Raw sketch values are engine-specific (DuckDB's HLL
+    // ≠ Spark's), so the oracle-able output is the EXACT twins plus
+    // tolerance booleans computed Spark-side: the sketch path is still
+    // exercised (it feeds the booleans), and the oracle asserts the exact
+    // columns plus literal-TRUE booleans — i.e. the sketches really honor
+    // their guarantees. Tolerances match what each sketch PROMISES:
+    //  - HLL promises relative cardinality error (rsd=0.005 → the 2% gate
+    //    is a 4σ margin);
+    //  - the GK quantile sketch promises RANK accuracy (1/10000), not
+    //    value accuracy — on a discrete column a value-relative gate is
+    //    wrong (one grid step of l_quantity at p25=13 is 7.7%) — so the
+    //    gate is the rank form: the sketch value must lie between the
+    //    exact quantiles at p±0.01 (100× the sketch's guaranteed error).
+    // At 100 TB you'd drop the exact twins and ship the sketches alone —
+    // this query proves they'd be trustworthy.
+    "q40_approx_stats" -> ((s, d) => {
+      def within2pct(approxC: Column, exactC: Column): Column =
+        abs(approxC.cast("double") - exactC.cast("double")) <=
+          abs(exactC.cast("double")) * lit(0.02)
+      def rankOk(approxC: Column, loC: Column, hiC: Column): Column =
+        approxC.cast("double").between(loC, hiC)
       li(s, d).agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
         expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("q"))
-        .select(col("approx_orders"), col("approx_parts"),
-          col("q").getItem(0).as("approx_p25"),
-          col("q").getItem(1).as("approx_p50"),
-          col("q").getItem(2).as("approx_p75"))),
+          .as("aq"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("eq"),
+        expr("percentile(l_quantity, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))")
+          .as("qb"))
+        .select(
+          col("exact_orders"), col("exact_parts"),
+          round(col("eq").getItem(0), 4).as("exact_p25"),
+          round(col("eq").getItem(1), 4).as("exact_p50"),
+          round(col("eq").getItem(2), 4).as("exact_p75"),
+          within2pct(col("approx_orders"), col("exact_orders"))
+            .as("orders_within_2pct"),
+          within2pct(col("approx_parts"), col("exact_parts"))
+            .as("parts_within_2pct"),
+          rankOk(col("aq").getItem(0), col("qb").getItem(0), col("qb").getItem(1))
+            .as("p25_rank_ok"),
+          rankOk(col("aq").getItem(1), col("qb").getItem(2), col("qb").getItem(3))
+            .as("p50_rank_ok"),
+          rankOk(col("aq").getItem(2), col("qb").getItem(4), col("qb").getItem(5))
+            .as("p75_rank_ok"))
+    }),
 
     // E1-shaped multi-stage cleaning chain with ONE cross-engine oracle:
     // keyed dedup keep-first → winsorize → window count enrichment, all
@@ -791,7 +826,24 @@ object Queries {
     // Streaming stream–static broadcast join (stateless enrichment): every
     // event enriched with its user's batch-aggregated profile; a single
     // AvailableNow batch makes it equal to the batch join the oracle runs.
-    "q75_stream_static_join" -> ((s, d) => EventsStream.streamStaticJoin(s, d))
+    "q75_stream_static_join" -> ((s, d) => EventsStream.streamStaticJoin(s, d)),
+
+    // X1 through the pure-SQL surface (SURVEY.md §4): the same
+    // reprojection as q28, but written in SQL against the
+    // `lambert93_to_wgs84` function GraftExtensions registers — the
+    // builder assembles the identical expression tree, so this shares
+    // q28's oracle verbatim. Requires spark.sql.extensions=
+    // graft.GraftExtensions (how Verify/Bench build their sessions).
+    "q76_lambert93_sql" -> ((s, d) => {
+      Catalog.registerAll(s, d)
+      s.sql("""SELECT event_id,
+              |  round(ll.lon, 6) AS lon, round(ll.lat, 6) AS lat
+              |FROM (
+              |  SELECT event_id,
+              |    lambert93_to_wgs84(600000.0 + user_id * 1000.0 + value,
+              |                       6600000.0 + value * 1000.0) AS ll
+              |  FROM events) t""".stripMargin)
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -1129,6 +1181,9 @@ object Queries {
 
     "q28_lambert93" -> lambertOracle,
 
+    // q76 is q28 through the SQL surface — same result, same oracle.
+    "q76_lambert93_sql" -> lambertOracle,
+
     "q29_stream_windowed" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
         | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
@@ -1328,6 +1383,21 @@ object Queries {
     "q39_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // q40: the oracle asserts the exact twins and that Spark's sketches
+    // landed within 2% of truth (the booleans must be literally TRUE).
+    "q40_approx_stats" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS exact_p25,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        | round(quantile_cont(l_quantity, 0.75), 4) AS exact_p75,
+        | TRUE AS orders_within_2pct,
+        | TRUE AS parts_within_2pct,
+        | TRUE AS p25_rank_ok,
+        | TRUE AS p50_rank_ok,
+        | TRUE AS p75_rank_ok
+        |FROM lineitem""".stripMargin,
 
     "q41_corr_matrix" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

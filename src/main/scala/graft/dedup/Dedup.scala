@@ -124,11 +124,23 @@ object Dedup {
     * round is one join + one min-aggregation, so a round is two shuffles
     * regardless of corpus size, and near-dup clusters (tiny diameters)
     * converge in 2-3 rounds. Returns (doc_id, canonical_id); singleton
-    * docs map to themselves. */
+    * docs map to themselves.
+    *
+    * The LSH candidate stage is approximate (recall bounded by the band
+    * scheme), but the components of the VERIFIED edge list are computed
+    * exactly: `requireFixpoint` (default true) throws if `rounds` runs out
+    * with labels still changing, because a silently truncated propagation
+    * would split a long near-dup chain in a data-dependent way (and
+    * diverge from the external connected-components oracle this operator
+    * is verified against). Near-dup components converge in 2-3 rounds, so
+    * hitting the cap means the cap is too small, not that truncation is
+    * acceptable; pass `requireFixpoint = false` only to accept best-effort
+    * labels from a bounded round budget. */
   def canonicalize(df: DataFrame, textCol: String, idCol: String,
                    k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                    jaccardThreshold: Double = 0.5, rounds: Int = 4,
-                   family: String = "xxh64"): DataFrame = {
+                   family: String = "xxh64",
+                   requireFixpoint: Boolean = true): DataFrame = {
     // LSH candidates prefiltered by estimated jaccard at half the verify
     // threshold — cheap signature agreement culls the long tail before the
     // exact set comparison (recall is bounded by the band scheme either way)
@@ -144,13 +156,16 @@ object Dedup {
         size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("__j") >= jaccardThreshold)
       .select(col("id_a"), col("id_b"))
-    // undirected edges both ways, then min-label propagation (early-exit
-    // fixpoint; near-dup clusters converge in 2-3 rounds, so the round cap
-    // is only a backstop against adversarial chains — approximate recall
-    // is already inherent to the LSH candidate stage, so a truncated chain
-    // merge is within this operator's contract, unlike canonicalizeExact's)
-    val (labels, _) = minLabelPropagate(verified, df.select(col(idCol).as("node")),
-      maxRounds = rounds)
+    // undirected edges both ways, then min-label propagation to the
+    // early-exit fixpoint (near-dup clusters converge in 2-3 rounds; the
+    // round cap is a backstop, and exhausting it fails loudly by default)
+    val (labels, converged) = minLabelPropagate(verified,
+      df.select(col(idCol).as("node")), maxRounds = rounds)
+    if (requireFixpoint && !converged)
+      throw new IllegalStateException(
+        s"canonicalize: min-label propagation did not reach a fixpoint in " +
+          s"rounds=$rounds; raise rounds (component diameter exceeds it) " +
+          s"or pass requireFixpoint=false to accept truncated labels")
     labels.select(col("node").as(idCol), col("label").as("canonical_id"))
   }
 
@@ -161,31 +176,35 @@ object Dedup {
     * Each round is one join + one min-aggregation (two shuffles) over the
     * edge list and label table, independent of corpus size; every round's
     * output is checkpointed — without lineage truncation the plan doubles
-    * per iteration (on a cluster, swap localCheckpoint for a reliable
-    * checkpoint dir). The per-round convergence probe is one tiny count
-    * job on already-checkpointed data.
+    * per iteration. Checkpoints go through [[graft.io.Checkpoints.truncate]]:
+    * executor-local by default, reliable (executor-loss-safe) when
+    * `spark.graft.checkpointDir` is set — the cluster deployment knob. The
+    * per-round convergence probe is one tiny count job on
+    * already-checkpointed data.
     *
     * Returns (labels, converged): labels = (node, label) with label the
     * component minimum reached; converged = false iff maxRounds ran out
     * with changes still flowing. */
   private def minLabelPropagate(pairs: DataFrame, nodes: DataFrame,
                                 maxRounds: Int): (DataFrame, Boolean) = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val edges = graft.io.Checkpoints.truncate(
+      pairs.select(col("id_a"), col("id_b"))
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+      eager = true)
+    var labels = graft.io.Checkpoints.truncate(
+      nodes.select(col("node"), col("node").as("label")), eager = true)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "id_b"), "id_b")
         .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("changed"))
-        .localCheckpoint(true)
+      val next = graft.io.Checkpoints.truncate(
+        labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (col("nlabel") < col("label")).as("changed")),
+        eager = true)
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.drop("changed")
       round += 1
@@ -287,10 +306,11 @@ object Dedup {
     // cached blocks. A wash at sf0.1 (the subtrees are small) but the
     // shingle+doc-freq+rank work is the dominant LINEAR cost at corpus
     // scale and must not run twice. materializeShared=false keeps the plan
-    // fully declarative (plan-inspection / small one-shot corpora). On a
-    // cluster, swap localCheckpoint for a reliable checkpoint dir.
+    // fully declarative (plan-inspection / small one-shot corpora).
+    // Truncation goes through the Checkpoints seam: local by default,
+    // reliable when spark.graft.checkpointDir is set.
     def shared(d: DataFrame): DataFrame =
-      if (materializeShared) d.localCheckpoint(false) else d
+      if (materializeShared) graft.io.Checkpoints.truncate(d, eager = false) else d
     val sets = shared(df.select(col(idCol).as("__id"),
         array_sort(array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)))
           .as("__set"))

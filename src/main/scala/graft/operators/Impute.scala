@@ -123,18 +123,20 @@ object Impute {
     // unionByName/left_anti plans round over round, re-executing the whole
     // upstream clean chain up to maxRounds times and doubling the plan.
     // Checkpoint each once per round so every upstream stage runs exactly
-    // once (on a cluster, swap localCheckpoint for a reliable checkpoint
-    // dir). The emptiness check is a counter over already-materialized
-    // checkpoints, not a job re-deriving the chain.
-    val k0 = known.select(
-      (Seq(col(xCol).as("__kx"), col(yCol).as("__ky"), col(knownTieBreak).as("__ktb"))
-        ++ payloadCols.map(col)): _*)
-      .withColumn("__kcx", floor(col("__kx") / cellSize))
-      .withColumn("__kcy", floor(col("__ky") / cellSize))
-      .localCheckpoint(true)
-    var unresolved = missing
-      .select(col(idCol), col(xCol).as("__mx"), col(yCol).as("__my"))
-      .localCheckpoint(true)
+    // once — through the graft.io.Checkpoints seam (executor-local by
+    // default; reliable when spark.graft.checkpointDir is set). The
+    // emptiness check is a counter over already-materialized checkpoints,
+    // not a job re-deriving the chain.
+    val k0 = graft.io.Checkpoints.truncate(
+      known.select(
+        (Seq(col(xCol).as("__kx"), col(yCol).as("__ky"), col(knownTieBreak).as("__ktb"))
+          ++ payloadCols.map(col)): _*)
+        .withColumn("__kcx", floor(col("__kx") / cellSize))
+        .withColumn("__kcy", floor(col("__ky") / cellSize)),
+      eager = true)
+    var unresolved = graft.io.Checkpoints.truncate(
+      missing.select(col(idCol), col(xCol).as("__mx"), col(yCol).as("__my")),
+      eager = true)
     var unresolvedCount = unresolved.count()
     var resolved: DataFrame = null
     var ring = 1
@@ -162,14 +164,16 @@ object Impute {
           col("__dist2"), col("__ktb")).as("__nn"))
       // Exactness guard: accept only if the best candidate is provably
       // global-nearest (anything outside ring r is at least r*cell away).
-      val accepted = best.filter(col("__nn.__dist2") <= lit(r * cellSize * r * cellSize))
-        .select((col(idCol) +: payloadCols.map(c => col(s"__nn.$c").as(s"${c}_nn"))): _*)
-        .localCheckpoint(true)
+      val accepted = graft.io.Checkpoints.truncate(
+        best.filter(col("__nn.__dist2") <= lit(r * cellSize * r * cellSize))
+          .select((col(idCol) +: payloadCols.map(c => col(s"__nn.$c").as(s"${c}_nn"))): _*),
+        eager = true)
       val acceptedCount = accepted.count()
       resolved = if (resolved == null) accepted else resolved.unionByName(accepted)
       if (acceptedCount > 0 && acceptedCount < unresolvedCount) {
-        unresolved = unresolved.join(accepted.select(idCol), Seq(idCol), "left_anti")
-          .localCheckpoint(true)
+        unresolved = graft.io.Checkpoints.truncate(
+          unresolved.join(accepted.select(idCol), Seq(idCol), "left_anti"),
+          eager = true)
       }
       unresolvedCount -= acceptedCount
       ring *= 2

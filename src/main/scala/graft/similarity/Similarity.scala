@@ -197,18 +197,40 @@ object Similarity {
     * shuffle of the corpus itself beyond the cell equi-join), queries
     * probe nProbe cells each, and the only shuffle keys are cell ids,
     * uniformly loaded when nCells ≫ skew. Ties in the nearest-centroid
-    * argmin break deterministically by centroid id. */
+    * argmin break deterministically by centroid id.
+    *
+    * Two assignment forms, result-identical (IvfSpec proves it):
+    *  - nCells <= `inlineMaxCells`: centroids inlined as literal struct
+    *    expressions — the plan IS the centroid table, trivially auditable.
+    *  - nCells > `inlineMaxCells` (the 100 TB path — real corpora want
+    *    nCells ≈ 10³–10⁴): [[graft.functions.NearestCentroidCell]] /
+    *    [[graft.functions.TopProbeCells]] carry the centroid matrix as ONE
+    *    reference object, so plan size and codegen stay O(1) in nCells
+    *    (the literal form is an O(nCells·dim) expression tree that pushes
+    *    Janino past its method limit around nCells ≈ 10³) and the probe
+    *    side replaces the O(nCells log nCells) in-row sort with an
+    *    O(nCells·nProbe) selection. Assignment stays a pure map-side
+    *    expression in both forms — deliberately NOT a broadcast-join +
+    *    arg-min aggregation, which would explode the corpus ×nCells and
+    *    re-aggregate it (a full corpus shuffle the map-only form never
+    *    pays).
+    *
+    * Precondition: embeddings are non-null, uniform-dimension, and
+    * nonzero-norm. Zero-norm vectors have undefined cosine (NaN), and
+    * Spark's NaN-is-largest sort order diverges from SQL engines that sort
+    * NaN first — so both sides filter `norm > 0` and the contract excludes
+    * them outright. */
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+                    nCells: Int = 16, nProbe: Int = 4,
+                    inlineMaxCells: Int = 32): DataFrame = {
     val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
       .withColumn("nn", graft.functions.NormD(col("nv")))
+      .filter(col("nn") > 0)
     // The centroid table is nCells rows by construction — materialize it to
-    // the driver (one tiny job, the Stats/PCA precedent) and inline it as
-    // literals, so cell ASSIGNMENT is a pure per-row map: no corpus
-    // explosion, no shuffle, no window. The norm replicates NormD's fold
-    // (sequential acc + x·x, then sqrt) so cosines are bit-identical to
-    // what a joined NormD column would give.
+    // the driver (one tiny job, the Stats/PCA precedent). The norm
+    // replicates NormD's fold (sequential acc + x·x, then sqrt) so cosines
+    // are bit-identical to what a joined NormD column would give.
     val centroids: Array[(Long, Array[Double], Double)] = c0
       .orderBy("neighbor_id").limit(nCells)
       .select(col("neighbor_id"), col("nv"))
@@ -218,6 +240,11 @@ object Similarity {
         val v = r.getSeq[Double](1).toArray
         (id, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
       }
+      .sortBy(_._1)
+    val centIds = centroids.map(_._1)
+    val centVecs = centroids.map(_._2)
+    val centNorms = centroids.map(_._3)
+    val inline = centroids.length <= inlineMaxCells
     def centCos(vCol: String, nCol: String)(c: (Long, Array[Double], Double)): Column =
       graft.functions.DotProductD(col(vCol), array(c._2.map(lit).toIndexedSeq: _*)) /
         (col(nCol) * lit(c._3))
@@ -226,16 +253,25 @@ object Similarity {
     def cellStructs(vCol: String, nCol: String): Seq[Column] =
       centroids.toIndexedSeq.map(c =>
         struct(centCos(vCol, nCol)(c).as("c"), lit(-c._1).as("nid")))
-    val assigned = c0.withColumn("cell",
-      -greatest(cellStructs("nv", "nn"): _*).getField("nid"))
-    // query side: top-nProbe cells via array_sort on (-cos, cent_id) — the
-    // per-row candidate list is nCells long, sorted in-row, no shuffle
+    val assigned =
+      if (inline) c0.withColumn("cell",
+        -greatest(cellStructs("nv", "nn"): _*).getField("nid"))
+      else c0.withColumn("cell", graft.functions.NearestCentroidCell(
+        col("nv"), col("nn"), centIds, centVecs, centNorms))
+    // query side: top-nProbe cells — in-row sort of the literal struct
+    // array (inline form) or the O(1)-plan-size selection expression
     val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", graft.functions.NormD(col("qv")))
-    val probeCells = slice(array_sort(array(centroids.toIndexedSeq.map(c =>
-      struct((-centCos("qv", "qn")(c)).as("negc"), lit(c._1).as("cid"))): _*)), 1, nProbe)
-    val probes = q0.withColumn("__probe", explode(probeCells))
-      .withColumn("cell", col("__probe").getField("cid")).drop("__probe")
+      .filter(col("qn") > 0)
+    val probeCells =
+      if (inline) {
+        val sorted = slice(array_sort(array(centroids.toIndexedSeq.map(c =>
+          struct((-centCos("qv", "qn")(c)).as("negc"), lit(c._1).as("cid"))): _*)),
+          1, nProbe)
+        transform(sorted, p => p.getField("cid"))
+      } else graft.functions.TopProbeCells(
+        col("qv"), col("qn"), centIds, centVecs, centNorms, nProbe)
+    val probes = q0.withColumn("cell", explode(probeCells))
     val sim = graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     probes.join(assigned, Seq("cell"))

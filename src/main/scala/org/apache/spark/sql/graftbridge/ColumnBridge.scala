@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode→Expression conversion. `expression` wraps the node in
+    * a lazy `ColumnNodeExpression` whose dataType reads NullType until the
+    * plan binds it — fine inside DataFrame transformations, but an
+    * `injectFunction` builder must hand the analyzer a real expression tree
+    * (the surrounding query resolves field extraction against its dataType
+    * immediately). */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -58,4 +58,35 @@ class ExtensionsSpec extends AnyFunSuite {
       """.stripMargin).as[String].first()
     assert(r == "near") // dist tie broken by lower id
   }
+
+  test("lambert93_to_wgs84 available in SQL and equals the Column API") {
+    // the EPSG:2154 false origin reprojects to the projection origin
+    // (3°E, 46.5°N); SQL and Column paths must agree bit-for-bit since the
+    // builder assembles the same expression tree
+    val sql = spark.sql(
+      "SELECT lambert93_to_wgs84(700000.0, 6600000.0) AS ll")
+      .select("ll.lon", "ll.lat").as[(Double, Double)].first()
+    assert(math.abs(sql._1 - 3.0) < 1e-9 && math.abs(sql._2 - 46.5) < 1e-9)
+    val api = Seq((700000.0, 6600000.0)).toDF("x", "y")
+      .select(graft.functions.Lambert93.lonDeg($"x", $"y"),
+        graft.functions.Lambert93.latDeg($"x", $"y"))
+      .as[(Double, Double)].first()
+    assert(sql == api)
+  }
+
+  test("dot_d and norm_d available in SQL") {
+    val r = spark.sql(
+      """SELECT dot_d(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       norm_d(array(3.0D, 4.0D)) AS n""".stripMargin)
+      .as[(Double, Double)].first()
+    assert(r == ((32.0, 5.0)))
+  }
+
+  test("q76 SQL-surface reprojection equals the q28 DataFrame form") {
+    val sf = TestSpark.sf0001
+    val viaSql = Queries.queries("q76_lambert93_sql")(spark, sf)
+    val viaDf = Queries.queries("q28_lambert93")(spark, sf)
+    assert(viaSql.schema.fieldNames.toSeq == viaDf.schema.fieldNames.toSeq)
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
 }

@@ -194,6 +194,61 @@ class TextDedupSpec extends AnyFunSuite {
     assert(truth.values.toSet.size < parent.size, "chain must actually merge")
   }
 
+  test("canonicalize fails loudly when the round budget truncates propagation") {
+    // q44 is verified against an exact connected-components oracle, so a
+    // silently truncated propagation is a correctness bug, not degraded
+    // recall: a chain of diameter 5 cannot converge in 1 round
+    val words = (0 until 30).map(i => s"w$i")
+    val chain = (0 until 6).map(i => (100L + i, words.slice(i * 3, i * 3 + 12).mkString(" ")))
+    val df = chain.toDF("doc_id", "text")
+    val e = intercept[IllegalStateException] {
+      Dedup.canonicalize(df, "text", "doc_id", k = 2, jaccardThreshold = 0.5,
+        rounds = 1)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    // same budget with requireFixpoint=false returns (truncated) labels
+    val truncated = Dedup.canonicalize(df, "text", "doc_id", k = 2,
+      jaccardThreshold = 0.5, rounds = 1, requireFixpoint = false)
+      .as[(Long, Long)].collect().toMap
+    assert(truncated.size == 6)
+    // and an adequate budget converges without throwing, to labels that
+    // are a fixpoint (every canonical id is itself canonical; LSH recall
+    // decides which chain edges exist, so the exact component split is the
+    // band scheme's business, not this test's)
+    val full = Dedup.canonicalize(df, "text", "doc_id", k = 2,
+      jaccardThreshold = 0.5, rounds = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(full.size == 6)
+    assert(full.values.forall(c => full(c) == c), "canonical ids are fixpoints")
+    assert(full.values.toSet.size < 6, "adjacent near-dups must merge")
+  }
+
+  test("canonicalize: local and reliable checkpoint modes give identical results") {
+    // the spark.graft.checkpointDir seam must change durability only —
+    // same labels either way (this is the cluster-deployment switch for
+    // every iterative operator)
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val df = Seq(
+      (10L, base),
+      (11L, base.replace("today", "tomorrow")),
+      (12L, base.replace("quick", "rapid")),
+      (30L, "completely different content about spark catalyst optimizer internals here"))
+      .toDF("doc_id", "text")
+    def run() = Dedup.canonicalize(df, "text", "doc_id", k = 2, jaccardThreshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.io.Checkpoints.ConfKey, dir)
+    try {
+      val reliable = run()
+      assert(reliable == local)
+      // reliable mode really wrote checkpoint data to the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(graft.io.Checkpoints.ConfKey)
+  }
+
   test("winnowing fingerprint is stable and edit-local") {
     val df = Seq("one two three four five six seven eight nine ten").toDF("t")
     val fp = df.select(Text.winnowingFingerprint(Text.tokens(col("t"))).as("f"))
