@@ -57,9 +57,27 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // Record the active focus filter so bench_gate can refuse a partial
-    // run that would otherwise read as a green full gate.
-    val onlyJson = only.map(s => "\"" + s.mkString(",") + "\"").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // run that would otherwise read as a green full gate. Env values are
+    // JSON-escaped — a quote/backslash/control char in the filter (or the
+    // sf path) must not emit an unparseable line.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val onlyJson = only.map(s => jstr(s.mkString(","))).getOrElse("null")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}"""
+    println(line)
+    // The driver captures a bounded stdout tail; a long line can lose its
+    // head (round 6 lost q01-q13 that way). The file artifact is the
+    // truncation-proof copy — bench_gate reads either.
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      line + "\n")
     spark.stop()
   }
 }

@@ -340,7 +340,13 @@ object Queries {
         // stable at 5 iterations (0.3σ margin); 12 is a 2.4× safety factor.
         // Beyond that, iterations cost ~0.1 s each while the pipeline's
         // fixed cost (indexer/encoder/assembler passes + instance caching +
-        // transform) dominates at ~4.5 s — so 12 captures the whole win.
+        // transform) dominates — so 12 captures the whole win.
+        // SF-dependence: the label is SEPARABLE BY CONSTRUCTION
+        // (is_high_disc is a threshold on a feature), so the boundary the
+        // 0.5 threshold sees is scale-free — more rows sharpen the same
+        // separating direction rather than move it. Verified empirically at
+        // sf0.001/0.01 (Verify gate) and sf0.1 (TuneQ37); if the gate SF
+        // ever exceeds 0.1, re-run TuneQ37 at that SF before trusting 12.
         maxIter = 12)),
 
     // M2 matrix form — distributed Pearson correlation matrix, long form.
@@ -719,8 +725,8 @@ object Queries {
       df = Cleaning.relabel(df, "etype", "click", "tap")                    // F2
       df = df.filter(!col("etype").isin("error") || col("etype").isNull)    // P10
       df = Cleaning.titleCase(df, "etype")                                  // F3
-      df = Impute.firstNonNullFill(df, Seq("etype"), "pied", "event_id")    // A9
-      df = Impute.firstInclNullFill(df, Seq("etype"), "situ", "event_id")   // A10
+      df = Impute.firstFills(df, Seq("etype"),
+        Seq("pied" -> false, "situ" -> true), "event_id")     // A9+A10 fused
       df = Impute.modeFill(df, Seq("etype"), "ville")                       // A7+J1
       df = Cleaning.fillUnknown(df, "Inconnue",
         Seq("etype", "pied", "situ", "ville"))                              // F8

@@ -1,8 +1,8 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.LogisticRegression
-import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.{OneHotEncoder, OneHotEncoderModel, StringIndexer, StringIndexerModel, VectorAssembler}
 import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -242,6 +242,42 @@ object Models {
     rows.toDF("var_a", "var_b", "corr")
   }
 
+  /** Shared fit→confusion drive for the spark.ml classifiers: selects only
+    * the needed columns, PERSISTS that input (a spark.ml Pipeline traverses
+    * it once per indexer fit, once per transform chain, and repeatedly
+    * inside the optimizer — without a cache each traversal re-runs the
+    * upstream scan + feature exprs), fits, computes the confusion counts
+    * eagerly (≤ |labels|² rows), and unpersists before returning. The tiny
+    * result is re-parallelized so downstream consumers never re-trigger the
+    * pipeline. */
+  private def fitConfusion(df: DataFrame, labelCol: String,
+                           inputCols: Seq[String],
+                           stages: Array[org.apache.spark.ml.PipelineStage]): DataFrame = {
+    val spark = df.sparkSession
+    val selected = df.select(inputCols.distinct.map(col): _*)
+    // Right-size partitions for the fit: each L-BFGS/tree iteration is one
+    // treeAggregate job, so at small row counts 32 near-empty partitions
+    // cost more in task scheduling than in compute (measured: 3.0 s → 2.1 s
+    // for q37's 12-iteration fit at sf0.1 when 32 → 8). Target ~150k rows
+    // per partition, capped at the session's parallelism — a no-op at real
+    // scale, where n/150k exceeds it. The sizing count is column-pruned to
+    // parquet footer metadata, negligible next to the fit's many passes.
+    val n = selected.count()
+    val parts = math.max(1L,
+      math.min(spark.sparkContext.defaultParallelism.toLong, n / 150000L + 1)).toInt
+    val input = selected.coalesce(parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new Pipeline().setStages(stages).fit(input)
+      val confusion = model.transform(input)
+        .groupBy(col(labelCol).as("label"), col("prediction").cast("int").as("prediction"))
+        .agg(count(lit(1)).as("cnt"))
+      val rows = confusion.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), confusion.schema)
+    } finally input.unpersist(blocking = false)
+  }
+
   /** M13 — decision tree classifier (imported but never used by the
     * reference; provided for completeness). Returns (label, prediction,
     * cnt) like [[logisticConfusion]]. */
@@ -251,10 +287,7 @@ object Models {
       .setOutputCol("features")
     val dt = new org.apache.spark.ml.classification.DecisionTreeClassifier()
       .setLabelCol(labelCol).setFeaturesCol("features").setMaxDepth(maxDepth).setSeed(42L)
-    val model = new Pipeline().setStages(Array(assembler, dt)).fit(df)
-    model.transform(df)
-      .groupBy(col(labelCol).as("label"), col("prediction").cast("int").as("prediction"))
-      .agg(count(lit(1)).as("cnt"))
+    fitConfusion(df, labelCol, labelCol +: numericCols, Array(assembler, dt))
   }
 
   /** M9-M11 — logistic regression + 0.5-threshold confusion matrix.
@@ -264,14 +297,6 @@ object Models {
                         numericCols: Seq[String], categoricalCols: Seq[String] = Nil,
                         maxIter: Int = 100)
   : DataFrame = {
-    val indexers = categoricalCols.map(c =>
-      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
-        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"))
-    val encoders = categoricalCols.map(c =>
-      new OneHotEncoder().setInputCol(s"${c}_idx").setOutputCol(s"${c}_oh"))
-    val assembler = new VectorAssembler()
-      .setInputCols((numericCols ++ categoricalCols.map(c => s"${c}_oh")).toArray)
-      .setOutputCol("features")
     // On a linearly-separable label the logistic loss has no finite optimum,
     // so L-BFGS never meets tol and always burns the full budget — callers
     // fitting a separable construction should cap maxIter at the point the
@@ -279,12 +304,66 @@ object Models {
     // coefficient digits the 0.5-threshold never sees.
     val lr = new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features")
       .setMaxIter(maxIter).setTol(1e-6).setThreshold(0.5)
-    val model = new Pipeline().setStages((indexers ++ encoders :+ assembler :+ lr).toArray)
-      .fit(df)
-    val confusion = model.transform(df)
-      .groupBy(col(labelCol).as("label"), col("prediction").cast("int").as("prediction"))
-      .agg(count(lit(1)).as("cnt"))
-    // M11's "précision": (TP+TN)/N attached alongside the matrix
+    val spark = df.sparkSession
+    import spark.implicits._
+    val selected = df.select(
+      (labelCol +: (numericCols ++ categoricalCols)).distinct.map(col): _*)
+    // same partition right-sizing as fitConfusion (see its comment)
+    val n = selected.count()
+    val parts = math.max(1L,
+      math.min(spark.sparkContext.defaultParallelism.toLong, n / 150000L + 1)).toInt
+    val input = selected.coalesce(parts)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val confusion = try {
+      // One-hot encoding as pure column expressions instead of the
+      // StringIndexer→OneHotEncoder→VectorAssembler stage chain: the labels
+      // query below is the exact StringIndexer(alphabetAsc)+OHE contract —
+      // distinct non-null values sorted ascending each get a slot (with
+      // handleInvalid=keep the phantom "unseen" index is what dropLast
+      // drops), null/unseen rows are all-zeros. Same feature vectors, but
+      // the ~1 s of indexer-fit RDD jobs becomes one codegen'd distinct
+      // per categorical column over the cached input, and the assembled
+      // vector goes straight to LR via array_to_vector.
+      val labelsPerCat: Seq[Array[String]] = categoricalCols.map { c =>
+        input.filter(col(c).isNotNull).select(col(c).cast("string"))
+          .distinct().as[String].collect().sorted
+      }
+      val oneHots = categoricalCols.zip(labelsPerCat).flatMap { case (c, labels) =>
+        labels.map(lab => when(col(c) === lit(lab), 1.0).otherwise(0.0))
+      }
+      val featArr = array(
+        (numericCols.map(c => col(c).cast("double")) ++ oneHots): _*)
+      val lrModel = lr.fit(input.withColumn("features",
+        org.apache.spark.ml.functions.array_to_vector(featArr)))
+      // M12 columnar score-back: at threshold 0.5 the model's binary
+      // decision is exactly `margin > 0` (raw2prediction compares the raw
+      // score against log(t/(1-t)) = 0), and the margin is an affine form
+      // of the input columns — a pure codegen'd expression over the cached
+      // input instead of model.transform's per-row ML vector conversion.
+      val coefs = lrModel.coefficients.toArray
+      val numericSum = numericCols.zipWithIndex
+        .map { case (c, i) => col(c).cast("double") * lit(coefs(i)) }
+        .reduceOption(_ + _).getOrElse(lit(0.0))
+      var off = numericCols.length
+      val catSum = categoricalCols.indices.map { j =>
+        val labels = labelsPerCat(j)
+        val term = labels.zipWithIndex
+          .foldLeft(when(lit(false), 0.0)) { case (acc, (lab, i)) =>
+            acc.when(col(categoricalCols(j)) === lit(lab), lit(coefs(off + i)))
+          }.otherwise(lit(0.0))
+        off += labels.length
+        term
+      }.reduceOption(_ + _).getOrElse(lit(0.0))
+      val margin = numericSum + catSum + lit(lrModel.intercept)
+      val rows = input
+        .select(col(labelCol).as("label"),
+          when(margin > 0.0, 1).otherwise(0).as("prediction"))
+        .groupBy("label", "prediction").agg(count(lit(1)).as("cnt"))
+      spark.createDataFrame(java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    } finally input.unpersist(blocking = false)
+    // M11's "précision": (TP+TN)/N attached alongside the matrix — the
+    // same Spark expression as always, evaluated over the (tiny,
+    // re-parallelized) confusion so rounding is bit-identical
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     confusion.withColumn("accuracy",
       round(sum(when(col("label") === col("prediction"), col("cnt")).otherwise(0L)).over(wAll)

@@ -154,13 +154,105 @@ case class ThumbnailCodec(w: Int = 4, h: Int = 4) extends MediaCodec {
   }
 }
 
+/** A REAL audio decode path with zero external dependencies: a hand-rolled
+  * RIFF/WAVE chunk parser (PCM format 1, 8-bit unsigned or 16-bit signed
+  * little-endian, any channel count) and a feature of `bins` amplitude
+  * buckets — samples normalized to [-1, 1], bucket `⌊(a+1)/2·bins⌋` clamped
+  * into range, the audio analogue of the RGB histogram. The WAV container
+  * is simple enough that the JDK needs no codec library: header fields are
+  * read with a little-endian ByteBuffer, chunks are walked to `fmt ` then
+  * `data` (chunk sizes pad to even length per the RIFF spec).
+  *
+  * Non-audio modalities, truncated containers, and non-PCM encodings fall
+  * back to [[ByteHistogramCodec]] at the SAME width — no row dropped,
+  * mixed-modality tables stay rectangular, checksum always covers the raw
+  * payload. Same 100 TB shape as the image path: CPU-bound map work, no
+  * shuffle, batch amortized per partition. */
+case class WavAmplitudeHistogramCodec(bins: Int = 16) extends MediaCodec {
+  require(bins > 0, s"bins must be positive, got $bins")
+
+  override def featureDim: Int = bins
+
+  override def decode(payload: Array[Byte], modality: String): MediaDecoded = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) {
+      checksum = checksum * 31 + (payload(i) & 0xff)
+      i += 1
+    }
+    val hist =
+      if (modality.startsWith("audio/"))
+        try decodePcm(payload) catch { case scala.util.control.NonFatal(_) => null }
+      else null
+    if (hist == null) {
+      val d = ByteHistogramCodec(featureDim).decode(payload, modality)
+      return MediaDecoded(checksum, d.feature)
+    }
+    MediaDecoded(checksum, hist)
+  }
+
+  /** Null for anything that is not a well-formed PCM 8/16-bit WAV. */
+  private def decodePcm(payload: Array[Byte]): Array[Float] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    if (payload.length < 44) return null
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int) = new String(payload, at, 4, "US-ASCII")
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return null
+    var pos = 12
+    var fmtOk = false
+    var bits = 0
+    var dataAt = -1
+    var dataLen = 0
+    while (pos + 8 <= payload.length && (dataAt < 0 || !fmtOk)) {
+      val id = tag4(pos)
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > payload.length) return null
+      id match {
+        case "fmt " =>
+          if (size < 16) return null
+          val audioFormat = bb.getShort(pos + 8) & 0xffff
+          bits = bb.getShort(pos + 8 + 14) & 0xffff
+          fmtOk = audioFormat == 1 && (bits == 8 || bits == 16)
+          if (!fmtOk) return null
+        case "data" =>
+          dataAt = pos + 8
+          dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks pad to even length
+    }
+    if (!fmtOk || dataAt < 0) return null
+    val hist = new Array[Float](bins)
+    def bucket(amp: Double): Int = {
+      val b = ((amp + 1.0) / 2.0 * bins).toInt
+      if (b < 0) 0 else if (b >= bins) bins - 1 else b
+    }
+    if (bits == 8) {
+      var i = 0
+      while (i < dataLen) {
+        // 8-bit WAV is UNSIGNED, midpoint 128
+        hist(bucket(((payload(dataAt + i) & 0xff) - 128) / 128.0)) += 1f
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + 1 < dataLen) {
+        hist(bucket(bb.getShort(dataAt + i) / 32768.0)) += 1f
+        i += 2
+      }
+    }
+    hist
+  }
+}
+
 object MediaCodec {
   /** Config-driven codec selection
-    * ("byte-histogram" | "image-rgb" | "image-thumbnail"). */
+    * ("byte-histogram" | "image-rgb" | "image-thumbnail" | "audio-wav"). */
   def byName(name: String): MediaCodec = name match {
     case "byte-histogram"  => ByteHistogramCodec()
     case "image-rgb"       => ImageRgbHistogramCodec()
     case "image-thumbnail" => ThumbnailCodec()
+    case "audio-wav"       => WavAmplitudeHistogramCodec()
     case other => throw new IllegalArgumentException(s"unknown media codec: $other")
   }
 }

@@ -43,6 +43,30 @@ object Impute {
       .drop("__graft_fill")
   }
 
+  /** A9+A10 fused — several first-row fills sharing ONE group key computed
+    * in a single aggregation pass + a single join, instead of one
+    * agg+join per column. `specs` is (valueCol, inclNull): inclNull=false
+    * reproduces [[firstNonNullFill]] (a null value cannot be chosen — its
+    * order key is masked to null, which min_by ignores), true reproduces
+    * [[firstInclNullFill]]. Same results as chaining the single-column
+    * operators (ImputeSpec proves it); at scale this halves the shuffles
+    * of a multi-fill pipeline stage (the reference's part-1 chain fills
+    * fk_pied and fk_situation over the same secteur key back-to-back). */
+  def firstFills(df: DataFrame, groupKeys: Seq[String],
+                 specs: Seq[(String, Boolean)], orderCol: String): DataFrame = {
+    require(specs.nonEmpty, "firstFills needs at least one (valueCol, inclNull) spec")
+    val aggs = specs.map { case (v, inclNull) =>
+      val ord = if (inclNull) col(orderCol) else when(col(v).isNotNull, col(orderCol))
+      min_by(col(v), ord).as(s"__graft_fill_$v")
+    }
+    val fills = df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val joined = df.join(fills, groupKeys, "left")
+    val filled = specs.foldLeft(joined) { case (d, (v, _)) =>
+      d.withColumn(v, coalesce(col(v), col(s"__graft_fill_$v")))
+    }
+    filled.drop(specs.map(s => s"__graft_fill_${s._1}"): _*)
+  }
+
   /** A7+J1 — fill nulls with the group's most frequent value (ref
     * `R_groupe4.R:194-205`: mode table + left join + coalesce). The mode
     * table is |groups| rows → broadcast to make the join shuffle-free on

@@ -134,10 +134,9 @@ object TreePipeline {
     df = df.filter(!col("clc_secteur").isin("Gricourt", "Griourt") ||
       col("clc_secteur").isNull)                                         // P10 :145-146
     df = Cleaning.titleCase(df, "clc_secteur")                           // F3  :178
-    df = Impute.firstNonNullFill(df, Seq("clc_secteur"), "fk_pied",
-      "__ingest_id")                                                     // A9  :181-184
-    df = Impute.firstInclNullFill(df, Seq("clc_secteur"), "fk_situation",
-      "__ingest_id")                                                     // A10 :187-190
+    df = Impute.firstFills(df, Seq("clc_secteur"),
+      Seq("fk_pied" -> false, "fk_situation" -> true),
+      "__ingest_id")                                    // A9+A10 fused :181-190
     df = Impute.modeFill(df, Seq("clc_quartier"), "villeca")             // A7+J1 :194-205
     val stringCols = df.schema.fields
       .filter(f => f.dataType == StringType && exportCols.contains(f.name)).map(_.name)

@@ -26,6 +26,32 @@ class ImputeSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(None, Some("a")))
   }
 
+  test("firstFills == chained firstNonNullFill + firstInclNullFill, one agg pass") {
+    // the fused multi-column form must be value-identical to the two
+    // single-column operators run back-to-back (the q66 pipeline shape:
+    // two fills over the same group key)
+    val df = Seq(
+      ("g1", 1L, None: Option[String], None: Option[String]),
+      ("g1", 2L, Some("a"), Some("x")),
+      ("g1", 3L, Some("b"), None: Option[String]),
+      ("g2", 1L, None: Option[String], Some("y")),
+      ("g2", 2L, Some("c"), None: Option[String]),
+      ("g3", 1L, None: Option[String], None: Option[String]))
+      .toDF("g", "id", "p", "s")
+    val chained = Impute.firstInclNullFill(
+      Impute.firstNonNullFill(df, Seq("g"), "p", "id"), Seq("g"), "s", "id")
+      .orderBy("g", "id").collect().toSeq
+    val fused = Impute.firstFills(df, Seq("g"), Seq("p" -> false, "s" -> true), "id")
+      .orderBy("g", "id").collect().toSeq
+    assert(fused == chained)
+    // and the fused plan really has a single aggregation over df
+    val nAggs = Impute.firstFills(df, Seq("g"), Seq("p" -> false, "s" -> true), "id")
+      .queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.size
+    assert(nAggs == 1, s"expected one aggregation, got $nAggs")
+  }
+
   test("modePerGroup breaks count ties by value ascending") {
     val df = Seq(("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c"))
       .toDF("g", "v")

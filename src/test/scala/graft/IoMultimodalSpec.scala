@@ -129,6 +129,61 @@ class IoMultimodalSpec extends AnyFunSuite {
       want.getSeq[Float](want.fieldIndex("feature")))
   }
 
+  test("WavAmplitudeHistogramCodec: real 16-bit PCM WAV decode to exact amplitude buckets") {
+    // synthesize a minimal RIFF/WAVE container with the JDK audio API so
+    // the parser is exercised against a spec-conforming writer: 8 samples
+    // at known 16-bit amplitudes
+    val samples = Array[Short](Short.MinValue, -16384, -1, 0, 1, 8192, 16384, Short.MaxValue)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val media = Seq((3L, "audio/wav", wav))
+      .toDF("media_id", "modality", "payload")
+    val r = Multimodal.extractFeatures(media,
+      graft.multimodal.MediaCodec.byName("audio-wav")).first()
+    val f = r.getSeq[Float](r.fieldIndex("feature"))
+    assert(f.size == 16)
+    // bucket = floor((s/32768 + 1)/2 * 16) clamped: -32768→0, -16384→4,
+    // -1→7, 0→8, 1→8, 8192→10, 16384→12, 32767→15
+    val want = Array.fill(16)(0f)
+    Seq(0, 4, 7, 8, 8, 10, 12, 15).foreach(b => want(b) += 1f)
+    assert(f == want.toSeq)
+    assert(r.getAs[Long]("n_bytes") == wav.length.toLong)
+  }
+
+  test("WavAmplitudeHistogramCodec: 8-bit PCM and truncated/non-audio fallback") {
+    // 8-bit unsigned samples: 0→bucket 0, 128→8, 255→15
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val raw = Array[Byte](0, -128 /*0x80=128*/, -1 /*0xff=255*/)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt8, raw.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav8 = bos.toByteArray
+    val codec = graft.multimodal.WavAmplitudeHistogramCodec(bins = 16)
+    val d8 = codec.decode(wav8, "audio/wav")
+    val want8 = Array.fill(16)(0f); Seq(0, 8, 15).foreach(b => want8(b) += 1f)
+    assert(d8.feature.toSeq == want8.toSeq)
+    // truncated container → same-width byte-histogram fallback, no throw
+    val truncated = wav8.take(20)
+    val fb = codec.decode(truncated, "audio/wav")
+    val wantFb = graft.multimodal.ByteHistogramCodec(16).decode(truncated, "audio/wav")
+    assert(fb.feature.toSeq == wantFb.feature.toSeq)
+    assert(fb.checksum == wantFb.checksum)
+    // non-audio modality → fallback too
+    val txt = "hello".getBytes("UTF-8")
+    assert(codec.decode(txt, "text/plain").feature.toSeq ==
+      graft.multimodal.ByteHistogramCodec(16).decode(txt, "text/plain").feature.toSeq)
+  }
+
   test("frameSample: exact frames, stride skipping, short-payload drop") {
     val media = Multimodal.mediaFromText(Seq(
         (1L, "abcdefghij"), // 10 bytes, frame=3 → frames abc,def,ghi; stride 2 → 0,2

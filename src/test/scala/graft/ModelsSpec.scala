@@ -42,6 +42,41 @@ class ModelsSpec extends AnyFunSuite {
     assert(out.select("accuracy").as[Double].collect().forall(_ == 1.0))
   }
 
+  test("logisticConfusion columnar score-back == model.transform, non-separable data") {
+    // overlapping classes → points on both sides of the boundary, so this
+    // genuinely exercises the margin>0 decision rule the columnar
+    // score-back replaces model.transform with (threshold 0.5 ⟺ raw
+    // threshold 0); includes a categorical column to cover the one-hot
+    // coefficient resolution (labels, dropLast, unseen→0)
+    val rng = new scala.util.Random(17)
+    val df = (1 to 400).map { i =>
+      val x = rng.nextGaussian() * 2.0
+      val g = Seq("u", "v", "w")(i % 3)
+      val label = if (x + (if (g == "v") 1.0 else 0.0) + rng.nextGaussian() > 0) 1.0 else 0.0
+      (label, x, rng.nextGaussian(), g)
+    }.toDF("label", "x1", "x2", "g")
+    val got = Models.logisticConfusion(df, "label", Seq("x1", "x2"), Seq("g"), maxIter = 20)
+      .select("label", "prediction", "cnt").as[(Double, Int, Long)].collect().toSet
+    // independent ground truth: the same pipeline scored via model.transform
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+    import org.apache.spark.ml.classification.LogisticRegression
+    val stages = Array[org.apache.spark.ml.PipelineStage](
+      new StringIndexer().setInputCol("g").setOutputCol("g_idx")
+        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"),
+      new OneHotEncoder().setInputCol("g_idx").setOutputCol("g_oh"),
+      new VectorAssembler().setInputCols(Array("x1", "x2", "g_oh"))
+        .setOutputCol("features"),
+      new LogisticRegression().setLabelCol("label").setFeaturesCol("features")
+        .setMaxIter(20).setTol(1e-6).setThreshold(0.5))
+    val want = new Pipeline().setStages(stages).fit(df).transform(df)
+      .groupBy(col("label"), col("prediction").cast("int").as("prediction"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Double, Int, Long)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._2 == 0) && got.exists(_._2 == 1), "both classes predicted")
+  }
+
   test("linearRegression with categorical predictor fits group offsets") {
     // y = 10 + 5*[g=b] : categorical-only model
     val df = (1 to 40).map { i =>

@@ -83,11 +83,13 @@ def main():
             flag = "improved"
             improved.append(q)
         print(f"{flag:12s} {q:28s} {cur[q]:7.3f}s vs best {best[q]:7.3f}s  ({ratio:4.2f}x)")
-    print(f"\n{len(fails)} fail, {len(investigates)} investigate, "
-          f"{len(improved)} improved/new, {len(missing)} missing, {len(cur)} queries")
+    # fold missing into fails BEFORE the summary so the printed fail count
+    # always agrees with the exit status
     if missing and not allow_missing:
         print("missing queries fail the gate (pass --allow-missing to waive)")
         fails.extend(missing)
+    print(f"\n{len(fails)} fail, {len(investigates)} investigate, "
+          f"{len(improved)} improved/new, {len(missing)} missing, {len(cur)} queries")
     if update and improved:
         text = open(BASELINE).read()
         for q in improved:
