@@ -408,16 +408,25 @@ object Queries {
           abs(exactC.cast("double")) * lit(0.02)
       def rankOk(approxC: Column, loC: Column, hiC: Column): Column =
         approxC.cast("double").between(loC, hiC)
-      li(s, d).agg(
+      // The exact count-distincts run in their OWN aggregation, apart from
+      // the sketch/percentile buffers: mixing count(DISTINCT x) with
+      // imperative aggregates makes Spark's distinct rewrite group the
+      // FIRST partial aggregate by the distinct keys — ~|orders| groups
+      // each dragging a multi-KB HLL/percentile buffer (measured: ~700 s
+      // at sf0.1). Split, both sides are one healthy pass; the one-row
+      // results cross-join for free.
+      val exact = li(s, d).agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      val sketches = li(s, d).agg(
         approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
         expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
           .as("aq"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("eq"),
-        expr("percentile(l_quantity, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))")
-          .as("qb"))
+        // one buffer for all nine exact quantiles (targets + rank brackets)
+        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, " +
+          "0.24, 0.26, 0.49, 0.51, 0.74, 0.76))").as("eq"))
+      exact.crossJoin(sketches)
         .select(
           col("exact_orders"), col("exact_parts"),
           round(col("eq").getItem(0), 4).as("exact_p25"),
@@ -427,11 +436,11 @@ object Queries {
             .as("orders_within_2pct"),
           within2pct(col("approx_parts"), col("exact_parts"))
             .as("parts_within_2pct"),
-          rankOk(col("aq").getItem(0), col("qb").getItem(0), col("qb").getItem(1))
+          rankOk(col("aq").getItem(0), col("eq").getItem(3), col("eq").getItem(4))
             .as("p25_rank_ok"),
-          rankOk(col("aq").getItem(1), col("qb").getItem(2), col("qb").getItem(3))
+          rankOk(col("aq").getItem(1), col("eq").getItem(5), col("eq").getItem(6))
             .as("p50_rank_ok"),
-          rankOk(col("aq").getItem(2), col("qb").getItem(4), col("qb").getItem(5))
+          rankOk(col("aq").getItem(2), col("eq").getItem(7), col("eq").getItem(8))
             .as("p75_rank_ok"))
     }),
 
