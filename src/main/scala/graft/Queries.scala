@@ -858,6 +858,105 @@ object Queries {
               |    lambert93_to_wgs84(600000.0 + user_id * 1000.0 + value,
               |                       6600000.0 + value * 1000.0) AS ll
               |  FROM events) t""".stripMargin)
+    }),
+
+    // Streaming exact dedup under a watermark (dropDuplicates state bounded
+    // by the event-time horizon): dedup on the coarser (user_id, event_type)
+    // key — real duplicates exist, unlike the unique event_id — then count
+    // survivors per type. Survivor CONTENT is arrival-order dependent, but
+    // the per-type survivor count equals the distinct key count exactly,
+    // which is what the oracle checks.
+    "q77_stream_dedup" -> ((s, d) =>
+      EventsStream.dedupStreamCounts(s, d, Seq("user_id", "event_type"))),
+
+    // Winnowing (MOSS) fingerprint near-dup — the fifth dedup modality
+    // (exact / MinHash-LSH / SimHash / n-gram-Jaccard / winnowing): distinct
+    // window-minima of md5p61 shingle hashes per document, inverted postings
+    // self-join, pairs sharing >= 8 fingerprints. The signature is ~2/(w+1)
+    // of the full shingle index — winnowing is how the postings table
+    // shrinks at corpus scale while keeping recall 1.0 for matches of
+    // >= k+w-1 tokens. maxDocFreq=64 drops boilerplate fingerprints, the
+    // standard O(df²) join-fan-out skew guard (mirrored in the oracle).
+    "q78_winnow_neardup" -> ((s, d) =>
+      Dedup.winnowNearDupPairs(doc(s, d), "text", "doc_id",
+        k = 3, w = 4, minShared = 8, maxDocFreq = 64)),
+
+    // TF-IDF top-terms per document — the classic corpus-weighting operator.
+    // idf is the RATIONAL form N/df (one correctly-rounded IEEE division,
+    // bit-exact on any engine) rather than ln(N/df), whose libm rounding is
+    // engine-specific; swap functions.log in for production use — the plan
+    // shape (explode -> two hash aggs -> term join -> per-doc top-k window)
+    // is identical. N arrives as a broadcast 1-row cross join, never a
+    // driver-side collect.
+    "q79_tfidf_topk" -> ((s, d) => {
+      val tf = doc(s, d)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
+      val nDocs = doc(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * (col("n_docs").cast("double") / col("df_docs")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+          col("rnk"), round(col("score"), 6).as("tfidf"))
+    }),
+
+    // Partition-pruned layout — the 100 TB table design this engine assumes:
+    // events written as date-partitioned parquet (the sink side of a daily
+    // ingest), re-read with a partition-column predicate. The filter never
+    // touches file contents: it prunes whole directories at planning time
+    // (PartitionFilters in the scan, see PLANS.md), so a 3-day query over a
+    // 10-year corpus reads 0.1% of the files. Oracle = the same aggregate
+    // over the unpartitioned original.
+    "q80_partition_prune" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q80_partitioned_${s.sparkContext.applicationId}").getAbsolutePath
+      ev(s, d).withColumn("dt", to_date(col("ts")))
+        .write.partitionBy("dt").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("dt").between(lit("2024-01-10"), lit("2024-01-12")))
+        .groupBy(col("dt").cast("string").as("dt"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // Int8 scalar-quantized ANN — the memory-side scale path ANN indexes
+    // actually ship (FAISS SQ8): per-vector symmetric quantization
+    // (scale = max|x|/127, code = floor(x/scale + 0.5)), then brute-force
+    // cosine over the CODES. Dot products become exact integer arithmetic
+    // (bounded by 64·127² < 2^21 — no overflow, no float summation-order
+    // ambiguity), 4× less memory traffic than float32; only the final
+    // norm/ratio touches doubles (sqrt and division are correctly rounded,
+    // so the oracle replays bit-for-bit). Zero vectors are excluded by the
+    // same nonzero-norm contract as q73.
+    "q81_quantized_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+        .filter(col("scale") > 0)
+        .withColumn("qv",
+          transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
+        .withColumn("qn", sqrt(aggregate(
+          col("qv"), lit(0L), (acc, x) => acc + x * x).cast("double")))
+        .select(col("vec_id"), col("qv"), col("qn"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qan"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("qn").as("qbn"))
+      val qdot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("qcos").desc, col("neighbor_id").asc)
+      broadcast(q).crossJoin(c)
+        .withColumn("qcos", qdot.cast("double") / (col("qan") * col("qbn")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"),
+          round(col("qcos"), 6).as("qcos"))
     })
   )
 
@@ -1863,6 +1962,109 @@ object Queries {
         | SELECT user_id, count(*) AS user_cnt, round(sum(value), 4) AS user_total
         | FROM events GROUP BY user_id)
         |SELECT e.event_id, e.user_id, u.user_cnt, u.user_total
-        |FROM events e JOIN u USING (user_id)""".stripMargin
+        |FROM events e JOIN u USING (user_id)""".stripMargin,
+
+    // Streaming dedup on (user_id, event_type): the per-type survivor count
+    // is exactly the distinct key count, independent of arrival order.
+    "q77_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Winnowing replayed bit-for-bit: 3-token shingles hashed with q32's
+    // md5p61 base (md5_number_lower mod 2^61-1, values < 2^61 so signed
+    // BIGINT order = unsigned), window minima over w=4 consecutive shingle
+    // hashes with the same clamping as Spark's slice(), list_distinct, then
+    // the identical postings self-join with the df<=64 fingerprint cap.
+    "q78_winnow_neardup" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
+        | FROM toks),
+        |bs AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::BIGINT) AS h
+        | FROM sh),
+        |fp AS (
+        | SELECT doc_id, unnest(list_distinct(
+        |   list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+        |     j -> list_min(h[j + 1 : j + 4])))) AS fp
+        | FROM bs),
+        |kept AS (
+        | SELECT doc_id, fp FROM (
+        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp)
+        | WHERE df <= 64)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin,
+
+    // TF-IDF with the rational idf N/df: integer counts and one
+    // correctly-rounded division — bit-exact cross-engine (see the Spark
+    // side for why ln() is deliberately avoided).
+    "q79_tfidf_topk" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (
+        | SELECT doc_id, term, tf, df_docs,
+        |  tf * (CAST(n_docs AS DOUBLE) / df_docs) AS score
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (
+        | SELECT doc_id, term, tf, df_docs, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS INT) AS rnk
+        | FROM sc)
+        |SELECT doc_id, term, tf, df_docs, rnk, round(score, 6) AS tfidf
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // The partition-pruned re-read aggregates exactly what a date filter on
+    // the original computes (UTC session on the Spark side = DuckDB's naive
+    // timestamps, the q29-established parity).
+    "q80_partition_prune" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_type,
+        | count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Int8 quantization replayed exactly: scale = list_max(|x|)/127 and
+    // code = floor(x/scale + 0.5) are correctly-rounded IEEE ops; the code
+    // dot/norms are pure integer arithmetic, so the only doubles in the
+    // final cosine are one sqrt and one division — both correctly rounded,
+    // hence bit-identical to Spark's.
+    "q81_quantized_ann" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |s AS (
+        | SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        | FROM e WHERE list_max(list_transform(v, x -> abs(x))) / 127.0 > 0),
+        |qz AS (
+        | SELECT vec_id,
+        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+        | FROM s),
+        |nm AS (
+        | SELECT vec_id, qv,
+        |  sqrt(CAST(list_reduce(list_transform(qv, x -> x * x),
+        |    (x, y) -> x + y) AS DOUBLE)) AS qn
+        | FROM qz),
+        |q AS (SELECT vec_id AS query_id, qv AS qa, qn AS qan FROM nm WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, qv AS qb, qn AS qbn FROM nm WHERE vec_id >= 5),
+        |p AS (
+        | SELECT query_id, neighbor_id,
+        |  CAST(list_reduce(list_transform(list_zip(qa, qb), z -> z[1] * z[2]),
+        |    (x, y) -> x + y) AS DOUBLE) / (qan * qbn) AS qcos
+        | FROM q CROSS JOIN c),
+        |r AS (
+        | SELECT query_id, neighbor_id, qcos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qcos DESC, neighbor_id) AS INT) AS rnk
+        | FROM p)
+        |SELECT query_id, neighbor_id, rnk, round(qcos, 6) AS qcos
+        |FROM r WHERE rnk <= 5""".stripMargin
   )
 }

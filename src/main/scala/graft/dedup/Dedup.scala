@@ -350,6 +350,39 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Winnowing (MOSS) near-dup pairs: each document keeps the distinct
+    * window minima of its md5p61 shingle hashes (the
+    * [[graft.functions.WinnowFingerprintP61]] one-pass expression —
+    * guarantee: any shared run of ≥ k+w−1 tokens shares ≥ 1 fingerprint),
+    * fingerprints explode into an inverted postings table, and a self
+    * equi-join on the fingerprint counts shared prints per pair. Pairs
+    * sharing ≥ `minShared` distinct fingerprints are reported.
+    *
+    * Scale shape: identical to [[ngramJaccardPairs]] (postings equi-join,
+    * no cross join) but over a signature ~2/(w+1) the size of the full
+    * shingle index — winnowing IS the standard way to shrink the postings
+    * table at corpus scale. `maxDocFreq` drops fingerprints occurring in
+    * more than that many documents (boilerplate/stopword runs) — the
+    * classic skew guard: a hot fingerprint contributes O(df²) join pairs,
+    * so capping df bounds per-key join fan-out; 0 disables. */
+  def winnowNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+                         k: Int = 3, w: Int = 4, minShared: Int = 2,
+                         maxDocFreq: Int = 0): DataFrame = {
+    val fps = docs.select(col(idCol).as("__id"),
+      explode(graft.functions.WinnowFingerprintP61(
+        Text.tokens(col(textCol)), k, w)).as("fp"))
+    val kept =
+      if (maxDocFreq <= 0) fps
+      else fps.withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= maxDocFreq).drop("__df")
+    kept.select(col("__id").as("id_a"), col("fp"))
+      .join(kept.select(col("__id").as("id_b"), col("fp")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similarity via an inverted shingle index — no
     * cross join at any scale. Both sides explode to (id, shingleHash, |set|)
     * postings; an equi-join on the shingle hash + count(*) per pair yields

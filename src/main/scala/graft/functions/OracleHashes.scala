@@ -178,3 +178,79 @@ object SimHash64Md5 {
   def apply(tokens: Column): Column =
     ColumnBridge.column(SimHash64Md5(ColumnBridge.expression(tokens)))
 }
+
+/** Winnowing (MOSS, Schleimer/Wilkerson/Aiken SIGMOD'03) fingerprint over
+  * the md5p61 shingle family: hash every k-token shingle (md5 low-64
+  * reduced mod p = 2⁶¹−1, same base as [[MinHashSigP61]]), then keep the
+  * minimum hash of each window of `w` consecutive shingle hashes, distinct,
+  * in first-occurrence order. The guarantee: any match of length ≥ k+w−1
+  * tokens between two documents shares at least one fingerprint, so a
+  * postings equi-join on fingerprints has recall 1.0 for long matches at
+  * ~2/(w+1) of the shingle-index size.
+  *
+  * One pass per document (shingle hashing and the sliding-window min fused
+  * in a single JVM loop), mirroring the clamping of the pure-HOF
+  * formulation `array_distinct(transform(sequence(0, greatest(nSh-w, 0)),
+  * j -> array_min(slice(sh, j+1, w))))` over [[graft.text.Text]] shingles:
+  * documents with fewer than w shingles yield one whole-array window.
+  * Values lie in [0, 2⁶¹) so signed order agrees with DuckDB's unsigned
+  * (the oracle replays the whole construction with `md5_number_lower` +
+  * list lambdas). */
+case class WinnowFingerprintP61(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    val nShingles = math.max(n - k + 1, 1)
+    val hs = new Array[Long](nShingles)
+    val space = UTF8String.fromString(" ")
+    var sh = 0
+    while (sh < nShingles) {
+      val end = math.min(sh + k, n)
+      var shingle: UTF8String = null
+      var j = sh
+      while (j < end) {
+        if (toks(j) != null)
+          shingle = if (shingle == null) toks(j)
+                    else UTF8String.concat(shingle, space, toks(j))
+        j += 1
+      }
+      if (shingle == null) shingle = UTF8String.EMPTY_UTF8
+      hs(sh) = java.lang.Long.remainderUnsigned(
+        OracleHash.md5Low64(shingle.getBytes), OracleHash.P61)
+      sh += 1
+    }
+    // window minima, deduped in first-occurrence order (values are ≥ 0 so
+    // plain Long comparison is the unsigned order)
+    val nWindows = math.max(nShingles - w + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nWindows)
+    var j0 = 0
+    while (j0 < nWindows) {
+      val end = math.min(j0 + w, nShingles)
+      var m = hs(j0)
+      var j = j0 + 1
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      if (seen.add(m)) out += m
+      j0 += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintP61 =
+    copy(child = newChild)
+  override def prettyName: String = "winnow_fingerprint_p61"
+}
+
+object WinnowFingerprintP61 {
+  def apply(tokens: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFingerprintP61(ColumnBridge.expression(tokens), k, w))
+}

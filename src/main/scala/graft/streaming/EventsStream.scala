@@ -81,18 +81,23 @@ object EventsStream {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
-  /** Streaming exact dedup: `dropDuplicates` keyed on the event id with a
+  /** Streaming exact dedup: `dropDuplicates` keyed on `keys` with a
     * watermark so the dedup state is bounded by the event-time horizon —
     * the streaming twin of the batch P2/P3 operators and the shape a
     * continuously-ingesting training pipeline needs. Returns the deduped
-    * per-type counts for easy equivalence checking against batch. */
-  def dedupStreamCounts(spark: SparkSession, dir: String): DataFrame = {
+    * per-type counts for easy equivalence checking against batch: with a
+    * key coarser than the event id (e.g. (user_id, event_type)) the
+    * surviving-row CONTENT depends on arrival order, but the per-type
+    * count of survivors is exactly the distinct key count — deterministic,
+    * hence oracle-able. */
+  def dedupStreamCounts(spark: SparkSession, dir: String,
+                        keys: Seq[String] = Seq("event_id")): DataFrame = {
     val schema = graft.Tables.eventsRawSchema(spark, dir)
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicates(keys)
     val qname = "graft_dedup_stream"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
     val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))

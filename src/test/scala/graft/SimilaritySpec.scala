@@ -202,6 +202,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got == Set((1L, 2L)))
   }
 
+  test("int8 scalar quantization (q81): codes bounded, reconstruction within scale/2") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))) / lit(127.0))
+      .filter(col("scale") > 0)
+      .withColumn("qv", transform(col("v"),
+        x => floor(x / col("scale") + lit(0.5)).cast("long")))
+    val rows = e.select(col("v"), col("scale"), col("qv"))
+      .as[(Seq[Double], Double, Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, scale, qv) =>
+      assert(qv.forall(c => c >= -127 && c <= 127), s"code out of int8 range: $qv")
+      v.zip(qv).foreach { case (x, c) =>
+        assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+          s"reconstruction error ${math.abs(x - c * scale)} > ${scale / 2}")
+      }
+    }
+  }
+
+  test("quantized ANN agrees with exact ANN on most neighbors (recall sanity)") {
+    val exact = Queries.queries("q27_ann_cosine")(spark, TestSpark.sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Queries.queries("q81_quantized_ann")(spark, TestSpark.sf0001)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // int8 quantization perturbs cosines by ~1e-3; top-5 sets may differ at
+    // the margin but must overlap strongly (>= 60% here, empirically 90%+)
+    val overlap = exact.intersect(quant).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"quantized recall too low: $overlap")
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     val e = Tables.embeddings(spark, TestSpark.sf0001).limit(20)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))

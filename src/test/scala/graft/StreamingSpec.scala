@@ -147,6 +147,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.values.sum == 1000)
   }
 
+  test("streaming dedup on a coarse key counts distinct keys (q77 shape)") {
+    val stream = EventsStream.dedupStreamCounts(spark, TestSpark.sf0001,
+      Seq("user_id", "event_type")).as[(String, Long)].collect().toMap
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    assert(stream == batch)
+    // the coarse key really dedups (fewer survivors than events)
+    assert(stream.values.sum < 1000)
+  }
+
   test("cleaning operators compose onto a stream unchanged (stream == batch clean)") {
     import graft.operators.Cleaning
     val stream = EventsStream.cleanStream(spark, TestSpark.sf0001)

@@ -259,4 +259,57 @@ class TextDedupSpec extends AnyFunSuite {
       .as[Seq[Long]].collect().head
     assert(fp == fp2)
   }
+
+  test("WinnowFingerprintP61 equals a direct Scala recomputation (incl. clamps)") {
+    import graft.functions.OracleHash
+    def expected(text: String, k: Int, w: Int): Seq[Long] = {
+      val toks = text.split(" ")
+      val nSh = math.max(toks.length - k + 1, 1)
+      val hs = (0 until nSh).map { i =>
+        val shingle = toks.slice(i, math.min(i + k, toks.length)).mkString(" ")
+        java.lang.Long.remainderUnsigned(OracleHash.md5Low64(shingle), OracleHash.P61)
+      }
+      val nWin = math.max(nSh - w + 1, 1)
+      (0 until nWin).map(j => hs.slice(j, math.min(j + w, nSh)).min).distinct
+    }
+    // long doc, doc shorter than w windows, doc shorter than k tokens
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "four tokens only here",
+      "tiny")
+    val got = texts.toDF("t")
+      .select(graft.functions.WinnowFingerprintP61(Text.tokens(col("t")), 3, 4).as("f"))
+      .as[Seq[Long]].collect().toSeq
+    assert(got == texts.map(expected(_, 3, 4)))
+    // all values in the oracle-comparable [0, 2^61) range
+    assert(got.flatten.forall(h => h >= 0 && h < OracleHash.P61))
+  }
+
+  test("winnowNearDupPairs finds the engineered near-dup, not the unrelated doc") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep dark forest tonight while everyone sleeps soundly"
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tonight", "today")), // one-token edit: long shared runs
+      (3L, "completely different content about spark catalyst optimizer " +
+        "internals and whole stage codegen fusion boundaries explained"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDupPairs(df, "text", "doc_id",
+        k = 3, w = 4, minShared = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowNearDupPairs maxDocFreq drops boilerplate fingerprints") {
+    // every doc shares the same boilerplate sentence; with the cap at
+    // (nDocs - 1) the boilerplate prints (df = nDocs) are dropped and no
+    // pair survives, while without the cap all pairs collide on it
+    val boiler = "this page is copyright the example corporation all rights reserved"
+    val df = (1L to 5L).map(i => (i, s"$boiler unique tail number $i here")).toDF("doc_id", "text")
+    val uncapped = Dedup.winnowNearDupPairs(df, "text", "doc_id", 3, 4, minShared = 1)
+    assert(uncapped.count() == 10) // all C(5,2) pairs share boilerplate prints
+    val capped = Dedup.winnowNearDupPairs(df, "text", "doc_id", 3, 4,
+      minShared = 1, maxDocFreq = 4)
+    assert(capped.count() == 0)
+  }
 }
