@@ -957,7 +957,15 @@ object Queries {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("neighbor_id"), col("rnk"),
           round(col("qcos"), 6).as("qcos"))
-    })
+    }),
+
+    // Stream–stream event-time interval join (click→purchase attribution
+    // within 1h): both sides watermarked, state evicted past the interval
+    // bound — the two-unbounded-sides join Structured Streaming shape that
+    // completes the streaming surface (windowed agg / dedup / stream-static
+    // / stateful sessions / stream-stream). One AvailableNow batch emits
+    // exactly the batch interval join the oracle runs.
+    "q82_stream_stream_join" -> ((s, d) => EventsStream.streamStreamJoin(s, d))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -2065,6 +2073,18 @@ object Queries {
         |    ORDER BY qcos DESC, neighbor_id) AS INT) AS rnk
         | FROM p)
         |SELECT query_id, neighbor_id, rnk, round(qcos, 6) AS qcos
-        |FROM r WHERE rnk <= 5""".stripMargin
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // The stream-stream interval join == the batch interval join (inner
+    // join emission is watermark-independent; single AvailableNow batch).
+    // Epoch seconds floored on both engines before differencing.
+    "q82_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+        |   AS secs_to_purchase,
+        | p.value AS purchase_value
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin
   )
 }

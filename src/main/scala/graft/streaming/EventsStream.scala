@@ -139,6 +139,46 @@ object EventsStream {
     spark.table(qname)
   }
 
+  /** Stream–stream event-time INTERVAL join — the canonical two-unbounded-
+    * sides shape (click → purchase attribution within an hour). Both sides
+    * carry watermarks and the join condition bounds purchase_ts to
+    * [click_ts, click_ts + 1h], so each side's buffered state is evicted
+    * once the other side's watermark passes the interval bound — state is
+    * O(events per horizon), not O(stream history), on both sides. Inner
+    * joins emit a match as soon as both rows have arrived (the watermark
+    * gates only eviction and outer-null emission), so one AvailableNow
+    * batch over static data emits exactly the batch interval-join — which
+    * is what the oracle checks. Epoch seconds are floored on both engines
+    * (the q29/q31 parity rule). */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("secs_to_purchase"),
+        col("value").as("purchase_value"))
+    val qname = "graft_stream_stream"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname)
+  }
+
   /** The cleaning operators applied over a STREAM (SURVEY.md §2.11: the
     * batch cleaning pipeline is structurally expressible over Structured
     * Streaming): blank-normalize + winsorize are stateless row maps, so

@@ -159,6 +159,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.values.sum < 1000)
   }
 
+  test("stream-stream interval join emits exactly the batch interval join (q82 shape)") {
+    val stream = EventsStream.streamStreamJoin(spark, TestSpark.sf0001)
+      .select("click_id", "purchase_id", "secs_to_purchase")
+      .as[(Long, Long, Long)].collect().toSet
+    val e = Tables.events(spark, TestSpark.sf0001)
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts")),
+        Seq("user_id"))
+      .filter(col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("pts")) - unix_timestamp(col("cts"))).as("secs"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+    // the interval bound really constrains (not a plain equi-join)
+    assert(stream.forall { case (_, _, secs) => secs >= 0 && secs <= 3600 })
+  }
+
   test("cleaning operators compose onto a stream unchanged (stream == batch clean)") {
     import graft.operators.Cleaning
     val stream = EventsStream.cleanStream(spark, TestSpark.sf0001)
