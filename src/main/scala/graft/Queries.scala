@@ -965,7 +965,25 @@ object Queries {
     // completes the streaming surface (windowed agg / dedup / stream-static
     // / stateful sessions / stream-stream). One AvailableNow batch emits
     // exactly the batch interval join the oracle runs.
-    "q82_stream_stream_join" -> ((s, d) => EventsStream.streamStreamJoin(s, d))
+    "q82_stream_stream_join" -> ((s, d) => EventsStream.streamStreamJoin(s, d)),
+
+    // JSONL sink + re-read — the LLM-corpus interchange format (one JSON
+    // object per line): the documents table written through the JSON sink
+    // and read back with the DECLARED schema must equal the original, i.e.
+    // the sink loses nothing (quotes/control chars escape and unescape,
+    // nulls stay null, BIGINTs stay integral). Reading with an explicit
+    // schema matters at scale: schema inference is a full extra pass over
+    // the corpus before the real read — at 100 TB that is the difference
+    // between one scan and two. Completes the format matrix: CSV (q72),
+    // partitioned parquet (q80), JSONL (here).
+    "q83_jsonl_roundtrip" -> ((s, d) => {
+      val docs = doc(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q83_jsonl_${s.sparkContext.applicationId}").getAbsolutePath
+      docs.write.mode("overwrite").json(dir)
+      s.read.schema(docs.schema).json(dir)
+        .select(docs.columns.map(col): _*)
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -2085,6 +2103,11 @@ object Queries {
         | p.value AS purchase_value
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    // Round-trip fidelity: the re-read must equal the ORIGINAL table, so
+    // the oracle is simply the original (the q72 pattern for JSONL).
+    "q83_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents"
   )
 }

@@ -204,6 +204,23 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(types("media_id") == LongType)
     assert(types("modality") == StringType)
   }
+
+  test("JSONL round-trip preserves quotes, newlines, unicode, and nulls (q83 shape)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "with \"embedded quotes\" and back\\slash"),
+      (3L, "new\nline, tab\t, and carriage\r"),
+      (4L, "accents éàü and 中文 and emoji 😀"),
+      (5L, null))
+    val df = rows.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(df.schema).json(dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (i, t) => (i, Option(t)) }.toSet
+    assert(back == rows.map { case (i, t) => (i, Option(t)) }.toSet)
+  }
 }
 
 object IoMultimodalSpec {
