@@ -17,6 +17,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   minhash_sig(tokens, k, n) — MinHash signature array<long>
   *   simhash64_md5(tokens)         — oracle-replayable md5 SimHash
   *   minhash_sig_p61(tokens, k, n) — oracle-replayable md5/mod-p MinHash
+  *   winnow_fingerprint_p61(tokens, k, w) — winnowing (MOSS) fingerprints
   *   arg_min_by(p, d, t)       — hash-aggregable argmin aggregate
   *   lambert93_to_wgs84(x, y)  — struct(lon, lat) inverse reprojection
   *                               (SURVEY.md §4 X1-as-FunctionBuilder)
@@ -64,6 +65,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig_p61 argument ${i + 1} must be an integer literal, got $other")
         }
         MinHashSigP61(exprs.head, intArg(1), intArg(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("winnow_fingerprint_p61"),
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprintP61].getName,
+        "winnow_fingerprint_p61"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def intArg(i: Int) = exprs(i) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnow_fingerprint_p61 argument ${i + 1} must be an integer literal, got $other")
+        }
+        graft.functions.WinnowFingerprintP61(exprs.head, intArg(1), intArg(2))
       }))
     e.injectFunction((
       new FunctionIdentifier("arg_min_by"),

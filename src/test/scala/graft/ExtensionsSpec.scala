@@ -51,6 +51,17 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.as[String].collect().forall(_.startsWith("Nation_")))
   }
 
+  test("winnow_fingerprint_p61 available in SQL and equals the Column API") {
+    val sql = spark.sql(
+      "SELECT winnow_fingerprint_p61(split('a b c d e f g h', ' '), 3, 4) AS f")
+      .as[Seq[Long]].first()
+    val api = Seq("a b c d e f g h").toDF("t")
+      .select(graft.functions.WinnowFingerprintP61(
+        graft.text.Text.tokens($"t"), 3, 4).as("f"))
+      .as[Seq[Long]].first()
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("arg_min_by aggregate available in SQL") {
     val r = spark.sql(
       """SELECT arg_min_by(name, dist, id) AS nearest FROM VALUES
