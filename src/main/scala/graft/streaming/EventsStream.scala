@@ -15,6 +15,27 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStream {
 
+  /** Runs `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `spark.graft.streaming.statePartitions` (default 8). Streaming STATE
+    * partitioning is fixed per query from that conf at start, and every
+    * microbatch commits partitions × state-stores files (a stream-stream
+    * join keeps 4 stores per partition), so inheriting a batch-sized
+    * shuffle width pays pure filesystem overhead on state that is orders
+    * of magnitude smaller than the batch shuffles the width was chosen
+    * for. Measured at sf0.1/local[32]: q82 7.0 s → 2.8 s, q67 2.5 → 1.4,
+    * q77 2.9 → 1.9, q29 1.8 → 1.1. At real scale the same principle
+    * holds — size state partitions to state volume, not CPU count; set
+    * the conf per workload. Restored in finally (queries run sequentially
+    * per session in Verify/Bench/specs). */
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val target = spark.conf.getOption("spark.graft.streaming.statePartitions")
+      .getOrElse("8")
+    spark.conf.set(key, target)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour windowed counts/sums per event_type, run synchronously
     * over the static parquet as a single-batch stream (memory sink,
     * `processAllAvailable`). Returns the full ("complete"-mode) result,
@@ -33,13 +54,15 @@ object EventsStream {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
     val qname = "graft_windowed_counts"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(qname)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qname)
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
@@ -66,13 +89,15 @@ object EventsStream {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
     val qname = "graft_windowed_counts_append"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = agg.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(qname)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qname)
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
@@ -100,10 +125,12 @@ object EventsStream {
       .dropDuplicates(keys)
     val qname = "graft_dedup_stream"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-      .writeStream.outputMode("complete").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .writeStream.outputMode("complete").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
   }
 
@@ -173,9 +200,11 @@ object EventsStream {
         col("value").as("purchase_value"))
     val qname = "graft_stream_stream"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
   }
 
@@ -255,10 +284,12 @@ object EventsStream {
 
     val qname = "graft_sessions_stateful"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = sessionizeStatefulOn(src, gapMinutes * 60L)
-      .writeStream.outputMode("append").format("memory").queryName(qname)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(spark) {
+      val q = sessionizeStatefulOn(src, gapMinutes * 60L)
+        .writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(qname)
       .withColumn("session_value", round(col("session_value"), 4))
   }
