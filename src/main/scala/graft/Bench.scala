@@ -75,9 +75,11 @@ object Bench {
     println(line)
     // The driver captures a bounded stdout tail; a long line can lose its
     // head (round 6 lost q01-q13 that way). The file artifact is the
-    // truncation-proof copy — bench_gate reads either.
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      line + "\n")
+    // truncation-proof copy — bench_gate reads either. A SPARK_GRAFT_ONLY
+    // run writes to a separate file so a local focused iteration can never
+    // clobber the committed full-run artifact with a partial one.
+    val artifact = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_PARTIAL.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
     spark.stop()
   }
 }

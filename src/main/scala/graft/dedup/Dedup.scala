@@ -371,10 +371,16 @@ object Dedup {
     val fps = docs.select(col(idCol).as("__id"),
       explode(graft.functions.WinnowFingerprintP61(
         Text.tokens(col(textCol)), k, w)).as("fp"))
-    val kept =
+    val kept0 =
       if (maxDocFreq <= 0) fps
       else fps.withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("__df") <= maxDocFreq).drop("__df")
+    // Both sides of the self-join read this subtree; without lineage
+    // truncation each side re-hashes every document (the exchanges don't
+    // unify once one side becomes a BroadcastExchange). Same seam as
+    // ngramJaccardSelfPairs: localCheckpoint locally, reliable checkpoint
+    // under spark.graft.checkpointDir on a cluster.
+    val kept = graft.io.Checkpoints.truncate(kept0, eager = false)
     kept.select(col("__id").as("id_a"), col("fp"))
       .join(kept.select(col("__id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))
