@@ -367,7 +367,8 @@ object Dedup {
     * so capping df bounds per-key join fan-out; 0 disables. */
   def winnowNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
                          k: Int = 3, w: Int = 4, minShared: Int = 2,
-                         maxDocFreq: Int = 0): DataFrame = {
+                         maxDocFreq: Int = 0,
+                         materializeShared: Boolean = true): DataFrame = {
     val fps = docs.select(col(idCol).as("__id"),
       explode(graft.functions.WinnowFingerprintP61(
         Text.tokens(col(textCol)), k, w)).as("fp"))
@@ -376,11 +377,15 @@ object Dedup {
       else fps.withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("__df") <= maxDocFreq).drop("__df")
     // Both sides of the self-join read this subtree; without lineage
-    // truncation each side re-hashes every document (the exchanges don't
-    // unify once one side becomes a BroadcastExchange). Same seam as
-    // ngramJaccardSelfPairs: localCheckpoint locally, reliable checkpoint
-    // under spark.graft.checkpointDir on a cluster.
-    val kept = graft.io.Checkpoints.truncate(kept0, eager = false)
+    // truncation each side re-hashes every document (the projections'
+    // renames keep the two exchanges from canonicalizing to one —
+    // verified: no ReusedExchange even with broadcast disabled). Same
+    // seam as ngramJaccardSelfPairs: localCheckpoint locally, reliable
+    // checkpoint under spark.graft.checkpointDir on a cluster.
+    // materializeShared=false keeps the plan declarative (plan dumps).
+    val kept =
+      if (materializeShared) graft.io.Checkpoints.truncate(kept0, eager = false)
+      else kept0
     kept.select(col("__id").as("id_a"), col("fp"))
       .join(kept.select(col("__id").as("id_b"), col("fp")), Seq("fp"))
       .filter(col("id_a") < col("id_b"))

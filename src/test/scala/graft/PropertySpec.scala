@@ -159,4 +159,33 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(lat2 - lat) < 1e-9, s"lat $lat → $lat2")
     }
   }
+
+  test("winnow invariants: fingerprints ⊆ shingle hashes; shared run ⇒ shared print") {
+    import graft.functions.OracleHash
+    val k = 3; val w = 4
+    def shingleHashes(toks: Seq[String]): Seq[Long] = {
+      val nSh = math.max(toks.length - k + 1, 1)
+      (0 until nSh).map { i =>
+        val sh = toks.slice(i, math.min(i + k, toks.length)).mkString(" ")
+        java.lang.Long.remainderUnsigned(OracleHash.md5Low64(sh), OracleHash.P61)
+      }
+    }
+    def winnow(text: String): Set[Long] = Seq(text).toDF("t")
+      .select(graft.functions.WinnowFingerprintP61(
+        graft.text.Text.tokens(col("t")), k, w).as("f"))
+      .as[Seq[Long]].first().toSet
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "mu")
+    val gen = Gen.zip(Gen.listOfN(14, word), Gen.listOfN(14, word), Gen.listOfN(8, word))
+    samples(gen, 15).foreach { case (a, b, run) =>
+      // subset invariant: every fingerprint is one of the doc's shingle hashes
+      val docA = (a ++ run).mkString(" ")
+      val docB = (run ++ b).mkString(" ")
+      val (fpA, fpB) = (winnow(docA), winnow(docB))
+      assert(fpA.subsetOf(shingleHashes((a ++ run)).toSet))
+      // MOSS guarantee: a shared run of >= k+w-1 tokens (here 8 >= 6)
+      // shares at least one fingerprint — candidate recall for long matches
+      assert(fpA.intersect(fpB).nonEmpty,
+        s"no shared fingerprint despite an ${run.length}-token shared run")
+    }
+  }
 }
