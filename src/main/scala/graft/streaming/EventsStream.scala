@@ -185,19 +185,10 @@ object EventsStream {
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("value"))
-      .withWatermark("purchase_ts", "1 hour")
-    val joined = clicks.join(purchases,
-        col("c_user") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
-        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
-          .as("secs_to_purchase"),
-        col("value").as("purchase_value"))
+    val joined = streamStreamJoinOn(clicks, purchases)
     val qname = "graft_stream_stream"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
     withStatePartitions(spark) {
@@ -207,6 +198,22 @@ object EventsStream {
     }
     spark.table(qname)
   }
+
+  /** The watermarked join core of [[streamStreamJoin]], on any pair of
+    * streams shaped (c_user, click_id, click_ts) / (p_user, purchase_id,
+    * purchase_ts, value) — separated so tests can drive it across MULTIPLE
+    * microbatches (MemoryStream), where cross-batch matching and
+    * watermark-driven state eviction are actually reachable. */
+  def streamStreamJoinOn(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.withWatermark("click_ts", "1 hour")
+      .join(purchases.withWatermark("purchase_ts", "1 hour"),
+        col("c_user") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+          .as("secs_to_purchase"),
+        col("value").as("purchase_value"))
 
   /** The cleaning operators applied over a STREAM (SURVEY.md §2.11: the
     * batch cleaning pipeline is structurally expressible over Structured

@@ -159,6 +159,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.values.sum < 1000)
   }
 
+  test("multi-batch stream-stream join: cross-batch match; watermark evicts stale state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000L
+    def ts(minutes: Long) = new java.sql.Timestamp((t0 + minutes * 60) * 1000)
+    val clickIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buyIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val out = EventsStream.streamStreamJoinOn(
+      clickIn.toDF().toDF("c_user", "click_id", "click_ts"),
+      buyIn.toDF().toDF("p_user", "purchase_id", "purchase_ts", "value"))
+    val qname = "graft_multibatch_ssj"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      // batch A: a click, no purchases yet — buffered in join state
+      clickIn.addData((1L, 100L, ts(0)))
+      q.processAllAvailable()
+      // batch B: a purchase 30 min later matches the BUFFERED click from
+      // batch A (cross-batch emission), plus one outside the 1h window
+      buyIn.addData((1L, 200L, ts(30), 9.99), (1L, 201L, ts(90), 5.0))
+      q.processAllAvailable()
+      val afterB = spark.table(qname)
+        .select("click_id", "purchase_id", "secs_to_purchase")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(afterB == Set((100L, 200L, 1800L)), s"got $afterB")
+      // batches C+D: advance BOTH watermarks far past the click's
+      // eviction bound (click_ts + 1h); the click leaves the state store
+      clickIn.addData((2L, 101L, ts(600)))
+      buyIn.addData((2L, 202L, ts(601), 1.0))
+      q.processAllAvailable()
+      clickIn.addData((2L, 102L, ts(610)))
+      buyIn.addData((2L, 203L, ts(611), 1.0))
+      q.processAllAvailable()
+      // batch E: a late purchase that WOULD have matched the evicted
+      // click must not emit — state really is bounded by the watermark
+      buyIn.addData((1L, 204L, ts(40), 7.0))
+      q.processAllAvailable()
+      val lateMatches = spark.table(qname)
+        .filter(col("purchase_id") === 204L).count()
+      assert(lateMatches == 0, "evicted click matched a late purchase")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch interval join (q82 shape)") {
     val stream = EventsStream.streamStreamJoin(spark, TestSpark.sf0001)
       .select("click_id", "purchase_id", "secs_to_purchase")
