@@ -983,7 +983,16 @@ object Queries {
       docs.write.mode("overwrite").json(dir)
       s.read.schema(docs.schema).json(dir)
         .select(docs.columns.map(col): _*)
-    })
+    }),
+
+    // Sequence packing (concat-and-chop) for LLM pretraining: each doc's
+    // global token offset and 2048-token training-sequence id, via the
+    // two-phase distributed prefix sum in SequencePack — the global cumsum
+    // WITHOUT the single-partition window the naive `sum() over (ORDER BY)`
+    // plans (the oracle runs exactly that naive form; same integers).
+    "q84_pack_sequences" -> ((s, d) =>
+      graft.text.SequencePack.packOffsets(
+        doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -2108,6 +2117,22 @@ object Queries {
     // Round-trip fidelity: the re-read must equal the ORIGINAL table, so
     // the oracle is simply the original (the q72 pattern for JSONL).
     "q83_jsonl_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents"
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // The naive single-window global cumsum — the semantics the two-phase
+    // prefix sum must reproduce integer-for-integer.
+    "q84_pack_sequences" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d)
+        |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+        | (cum - n_tokens) // 2048 AS seq_id
+        |FROM c""".stripMargin
   )
 }

@@ -300,6 +300,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("packOffsets == naive single-window cumsum; sequences chop at the budget") {
+    import graft.text.SequencePack
+    // irregular ids and sizes so buckets are uneven and some are empty
+    val docs = Seq(
+      (3L, "a b c"), (7L, "d e"), (8L, "f"), (21L, "g h i j k"),
+      (22L, "l m"), (40L, "n"), (41L, "o p q"), (99L, "r s t u"))
+      .toDF("doc_id", "text")
+    val got = SequencePack.packOffsets(docs, "doc_id",
+        Text.tokenCount(col("text")), budget = 4L, nBuckets = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "seq_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val naive = docs
+      .select(col("doc_id"), Text.tokenCount(col("text")).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy("doc_id")
+      .select(col("doc_id"), col("n"), (col("cum") - col("n")).as("off"),
+        ((col("cum") - col("n")) / 4).cast("long").as("seq"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == naive)
+    // offsets are gap-free: each doc starts where the previous one ended
+    got.sliding(2).foreach { case Seq((_, n1, o1, _), (_, _, o2, _)) =>
+      assert(o2 == o1 + n1)
+    }
+  }
+
   test("winnowNearDupPairs maxDocFreq drops boilerplate fingerprints") {
     // every doc shares the same boilerplate sentence; with the cap at
     // (nDocs - 1) the boilerplate prints (df = nDocs) are dropped and no
