@@ -2131,8 +2131,9 @@ object Queries {
         | SELECT doc_id, n_tokens,
         |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
         | FROM d)
-        |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
-        | (cum - n_tokens) // 2048 AS seq_id
+        |SELECT doc_id, n_tokens,
+        | CAST(cum - n_tokens AS BIGINT) AS start_offset,
+        | CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
         |FROM c""".stripMargin
   )
 }

@@ -25,6 +25,53 @@ class QueriesContractSpec extends AnyFunSuite {
     }
   }
 
+  test("oracle lint: integer window sums flow through CAST(... AS BIGINT)") {
+    // DuckDB promotes integer sum() to HUGEINT; a HUGEINT output column is
+    // rendered float64 by the driver's pandas fetch and the value hash
+    // diverges even when the integers match (the q84_r7 bug). Lint: every
+    // windowed sum must either be CAST(... AS BIGINT) at the window, sum a
+    // float expression, or have every later projection of its alias wrapped
+    // in an AS BIGINT cast.
+    val winSum = """(?i)\bSUM\s*\(([^()]*)\)\s+OVER\b""".r
+    val violations = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val lines = sql.linesIterator.toVector
+        // Columns defined as DOUBLE earlier in the SQL (CAST(... AS DOUBLE)
+        // AS x, or avg/var/round outputs) are float; summing them is safe.
+        val floatAliases = """(?i)(?:AS\s+DOUBLE\s*\)|\bavg\s*\(|\bvar_samp\s*\(|\bround\s*\()[^,\n]*?\bAS\s+(\w+)""".r
+          .findAllMatchIn(sql).map(_.group(1)).toSet
+        winSum.findAllMatchIn(sql).flatMap { m =>
+          val arg = m.group(1)
+          val argIdents = """[A-Za-z_]\w*""".r.findAllIn(arg).toSet
+          val lineOfMatch = sql.take(m.start).count(_ == '\n')
+          val line = lines(lineOfMatch)
+          val castAtWindow =
+            """(?i)CAST\s*\(\s*SUM\b""".r.findFirstIn(line).isDefined &&
+              line.toUpperCase.contains("AS BIGINT")
+          val floatSum = argIdents.exists(floatAliases) ||
+            arg.contains("1.0") || arg.toUpperCase.contains("DOUBLE")
+          if (castAtWindow || floatSum) None
+          else {
+            // Uncast integer window sum: its alias may only be projected
+            // through CAST(... AS BIGINT) on later lines.
+            val alias = """(?i)OVER\s*\([^)]*\)\s+AS\s+(\w+)""".r
+              .findFirstMatchIn(sql.drop(m.start)).map(_.group(1))
+            alias match {
+              case None => Some(s"$name: windowed sum '${m.matched}' has no CAST and no alias")
+              case Some(a) =>
+                val uses = lines.drop(lineOfMatch + 1).filter(l =>
+                  s"""\\b$a\\b""".r.findFirstIn(l).isDefined)
+                val bad = uses.filterNot(_.toUpperCase.contains("AS BIGINT"))
+                if (bad.nonEmpty)
+                  Some(s"$name: window-sum alias '$a' projected without CAST(... AS BIGINT): ${bad.head.trim}")
+                else None
+            }
+          }
+        }
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: runs at sf0.001, rows > 0, clean schema") {
       val df = fn(spark, TestSpark.sf0001)
