@@ -992,6 +992,15 @@ object Queries {
     // plans (the oracle runs exactly that naive form; same integers).
     "q84_pack_sequences" -> ((s, d) =>
       graft.text.SequencePack.packOffsets(
+        doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L)),
+
+    // Chunk-level packing: documents SPLIT across sequence boundaries —
+    // one row per (sequence, doc-slice), the exact shape a trainer's data
+    // loader consumes. Spark side explodes each doc over the sequences it
+    // spans; the oracle replays the same slice arithmetic off the naive
+    // global cumsum.
+    "q85_pack_slices" -> ((s, d) =>
+      graft.text.SequencePack.packSlices(
         doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L))
   )
 
@@ -2134,6 +2143,31 @@ object Queries {
         |SELECT doc_id, n_tokens,
         | CAST(cum - n_tokens AS BIGINT) AS start_offset,
         | CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // Same naive cumsum, then each document unnested over the sequences it
+    // spans; slice_start is the offset WITHIN the document.
+    "q85_pack_slices" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM d),
+        |s AS (
+        | SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS so
+        | FROM c WHERE n_tokens > 0),
+        |x AS (
+        | SELECT doc_id, n_tokens, so,
+        |  unnest(range(so // 2048, (so + n_tokens - 1) // 2048 + 1)) AS seq_id
+        | FROM s)
+        |SELECT seq_id, doc_id,
+        | greatest(so, seq_id * 2048) - so AS slice_start,
+        | least(so + n_tokens, (seq_id + 1) * 2048)
+        |   - greatest(so, seq_id * 2048) AS slice_len
+        |FROM x""".stripMargin
   )
 }

@@ -328,6 +328,51 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("packSlices: every sequence holds exactly budget tokens (last may be short), " +
+       "doc slices are gap-free, and boundary docs split") {
+    import graft.text.SequencePack
+    val docs = Seq(
+      (3L, "a b c"), (7L, "d e"), (8L, "f"), (21L, "g h i j k"),
+      (22L, "l m"), (40L, "n"), (41L, "o p q"), (99L, "r s t u"))
+      .toDF("doc_id", "text")
+    val B = 4L
+    val rows = SequencePack.packSlices(docs, "doc_id",
+        Text.tokenCount(col("text")), budget = B, nBuckets = 4)
+      .select("seq_id", "doc_id", "slice_start", "slice_len")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val total = 3 + 2 + 1 + 5 + 2 + 1 + 3 + 4 // 21 tokens
+    // every sequence packs exactly B tokens; the final one takes the rest
+    val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val lastSeq = bySeq.keys.max
+    assert(lastSeq == (total - 1) / B)
+    bySeq.foreach { case (s, n) =>
+      if (s == lastSeq) assert(n == total - B * lastSeq)
+      else assert(n == B, s"sequence $s holds $n tokens, want $B")
+    }
+    // per-doc slices are gap-free, ordered by seq_id, and cover [0, n)
+    val nTok = Map(3L -> 3L, 7L -> 2L, 8L -> 1L, 21L -> 5L, 22L -> 2L,
+      40L -> 1L, 41L -> 3L, 99L -> 4L)
+    rows.groupBy(_._2).foreach { case (id, slices) =>
+      val ord = slices.sortBy(_._1)
+      assert(ord.head._3 == 0L, s"doc $id first slice starts at ${ord.head._3}")
+      ord.sliding(2).foreach {
+        case Seq((s1, _, st1, l1), (s2, _, st2, _)) =>
+          assert(s2 == s1 + 1 && st2 == st1 + l1, s"doc $id slices not contiguous")
+        case _ => ()
+      }
+      assert(ord.map(_._4).sum == nTok(id), s"doc $id slices don't cover the doc")
+      assert(ord.forall(_._4 > 0))
+    }
+    // the 5-token doc 21 MUST split across a boundary (budget 4)
+    assert(rows.count(_._2 == 21L) >= 2)
+    // slice count = docs + boundary crossings
+    val offsets = SequencePack.packOffsets(docs, "doc_id",
+        Text.tokenCount(col("text")), budget = B, nBuckets = 4)
+      .select("start_offset", "n_tokens").as[(Long, Long)].collect()
+    val crossings = offsets.map { case (o, n) => (o + n - 1) / B - o / B }.sum
+    assert(rows.size == docs.count() + crossings)
+  }
+
   test("winnowNearDupPairs maxDocFreq drops boilerplate fingerprints") {
     // every doc shares the same boilerplate sentence; with the cap at
     // (nDocs - 1) the boilerplate prints (df = nDocs) are dropped and no
