@@ -860,12 +860,14 @@ object Queries {
               |  FROM events) t""".stripMargin)
     }),
 
-    // Streaming exact dedup under a watermark (dropDuplicates state bounded
-    // by the event-time horizon): dedup on the coarser (user_id, event_type)
-    // key — real duplicates exist, unlike the unique event_id — then count
+    // Streaming exact dedup via dropDuplicatesWithinWatermark: state for
+    // each key expires once the watermark passes it, so memory is bounded
+    // by arrival-rate × horizon (plain dropDuplicates without ts in the
+    // key never evicts). Dedup on the coarser (user_id, event_type) key —
+    // real duplicates exist, unlike the unique event_id — then count
     // survivors per type. Survivor CONTENT is arrival-order dependent, but
-    // the per-type survivor count equals the distinct key count exactly,
-    // which is what the oracle checks.
+    // in the single AvailableNow batch the per-type survivor count equals
+    // the distinct key count exactly, which is what the oracle checks.
     "q77_stream_dedup" -> ((s, d) =>
       EventsStream.dedupStreamCounts(s, d, Seq("user_id", "event_type"))),
 

@@ -106,15 +106,23 @@ object EventsStream {
         round(col("sum_value"), 4).as("sum_value"))
   }
 
-  /** Streaming exact dedup: `dropDuplicates` keyed on `keys` with a
-    * watermark so the dedup state is bounded by the event-time horizon —
+  /** Streaming exact dedup via `dropDuplicatesWithinWatermark(keys)` —
     * the streaming twin of the batch P2/P3 operators and the shape a
-    * continuously-ingesting training pipeline needs. Returns the deduped
-    * per-type counts for easy equivalence checking against batch: with a
-    * key coarser than the event id (e.g. (user_id, event_type)) the
-    * surviving-row CONTENT depends on arrival order, but the per-type
-    * count of survivors is exactly the distinct key count — deterministic,
-    * hence oracle-able. */
+    * continuously-ingesting training pipeline needs. Plain
+    * `dropDuplicates(keys)` would NEVER evict state when the event-time
+    * column is not part of the key (the watermark only bounds state for
+    * keys it can expire), so on an unbounded stream its state grows
+    * without bound; the WithinWatermark variant expires each key once the
+    * watermark passes its event time + delay, making state proportional
+    * to the key arrival rate × horizon. The honest contract is therefore
+    * "exactly-once within the watermark delay": a duplicate arriving
+    * after its key's state expired is re-emitted. In the AvailableNow
+    * harness everything lands in one microbatch (watermark still at
+    * epoch, no eviction mid-batch), so the result equals full batch
+    * distinct — which is what the oracle checks. Returns deduped per-type
+    * counts: with a key coarser than the event id the surviving-row
+    * CONTENT depends on arrival order, but the per-type survivor count is
+    * exactly the distinct key count — deterministic, hence oracle-able. */
   def dedupStreamCounts(spark: SparkSession, dir: String,
                         keys: Seq[String] = Seq("event_id")): DataFrame = {
     val schema = graft.Tables.eventsRawSchema(spark, dir)
@@ -122,7 +130,7 @@ object EventsStream {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
-      .dropDuplicates(keys)
+      .dropDuplicatesWithinWatermark(keys)
     val qname = "graft_dedup_stream"
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
     withStatePartitions(spark) {
