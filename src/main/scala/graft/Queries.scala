@@ -155,13 +155,15 @@ object Queries {
         .select(col("event_id"), col("v").as("v_filled"))
     }),
 
-    // J4/J5/F9/W2 — exact 1-NN imputation (cross-join form; the grid-
-    // bucketed scale path is Impute.knnImputeGrid, equivalence-tested).
+    // J4/J5/F9/W2 — 1-NN imputation via the size-aware dispatcher: exact
+    // (broadcast cross-join) while the missing side fits the broadcast
+    // threshold, grid-bucketed ring escalation beyond it (value-identical;
+    // ImputeSpec proves both the equivalence and the switch).
     "q17_knn_impute" -> ((s, d) => {
       val e = ev(s, d)
       val missing = e.filter(col("event_id") % 1000 === 0)
       val known = e.filter(col("event_id") % 1000 =!= 0)
-      Impute.knnImputeExact(missing, known, "user_id", "value", "event_id",
+      Impute.knnImpute(missing, known, "user_id", "value", "event_id",
           "event_id", Seq("event_type"))
         .select(col("event_id"), col("event_type_nn"))
     }),

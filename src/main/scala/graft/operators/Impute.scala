@@ -123,6 +123,45 @@ object Impute {
       .select((col(idCol) +: payloadCols.map(c => col(s"__nn.$c").as(s"${c}_nn"))): _*)
   }
 
+  /** J4/J5, size-aware — dispatches to [[knnImputeExact]] while the
+    * missing side's plan-estimated size fits the session's broadcast
+    * threshold, and to [[knnImputeGrid]] (the 100 TB path) beyond it.
+    * The switch reads `optimizedPlan.stats.sizeInBytes` against
+    * `spark.sql.autoBroadcastJoinThreshold` — the same signal Spark's own
+    * broadcast planning uses, so no extra count job; a disabled threshold
+    * (-1) always routes to the grid. The grid's cell size defaults to
+    * sqrt(extent area / |known|) — one expected known point per cell, so
+    * ring 1 probes ~9 candidates — computed from one min/max/count agg
+    * over the known side (only when the grid path is taken). Both paths
+    * are value-identical (ImputeSpec equivalence tests). */
+  def knnImpute(missing: DataFrame, known: DataFrame,
+                xCol: String, yCol: String, idCol: String,
+                knownTieBreak: String, payloadCols: Seq[String],
+                cellSize: Option[Double] = None, maxRounds: Int = 8): DataFrame =
+    if (fitsBroadcast(missing))
+      knnImputeExact(missing, known, xCol, yCol, idCol, knownTieBreak, payloadCols)
+    else
+      knnImputeGrid(missing, known, xCol, yCol, idCol, knownTieBreak, payloadCols,
+        cellSize.getOrElse(autoCellSize(known, xCol, yCol)), maxRounds)
+
+  private[graft] def fitsBroadcast(df: DataFrame): Boolean = {
+    val threshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+  }
+
+  /** ~1 known point per cell in expectation. Degenerate extents (empty or
+    * single-point known side) get a unit cell — any positive cell size is
+    * correct, the ring escalation/fallback handles sparseness. */
+  private[graft] def autoCellSize(known: DataFrame, xCol: String, yCol: String): Double = {
+    val r = known.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double"),
+      count(lit(1))).head()
+    if (r.isNullAt(0) || r.getLong(4) == 0L) return 1.0
+    val area = (r.getDouble(1) - r.getDouble(0)) * (r.getDouble(3) - r.getDouble(2))
+    if (area <= 0.0) 1.0 else math.sqrt(area / r.getLong(4))
+  }
+
   /** J4/J5 at scale — grid-bucketed exact 1-NN (SURVEY.md §4 "1-NN spatial
     * join optimization", v2 design).
     *

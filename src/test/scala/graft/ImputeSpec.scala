@@ -111,6 +111,42 @@ class ImputeSpec extends AnyFunSuite {
     assert(exact.nonEmpty && grid == exact)
   }
 
+  test("knnImpute auto-switches on the broadcast threshold and stays value-identical") {
+    val rng = new scala.util.Random(11)
+    val known = (1 to 200).map(i =>
+      (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100, s"v$i"))
+      .toDF("kid", "x", "y", "label")
+    val missing = (1 to 30).map(i =>
+      (1000L + i, rng.nextDouble() * 100, rng.nextDouble() * 100))
+      .toDF("id", "x", "y")
+    // default threshold (10MB): tiny local relation → exact path
+    assert(Impute.fitsBroadcast(missing))
+    val exact = Impute.knnImpute(missing, known, "x", "y", "id", "kid", Seq("label"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    // threshold of 1 byte: nothing fits → grid path with the auto cell
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      assert(!Impute.fitsBroadcast(missing), "switch must trigger at threshold 1")
+      val grid = Impute.knnImpute(missing, known, "x", "y", "id", "kid", Seq("label"))
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(grid == exact)
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("autoCellSize targets ~1 known point per cell; degenerate extents get 1.0") {
+    val rng = new scala.util.Random(3)
+    val known = (1 to 400).map(i =>
+      (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100)).toDF("kid", "x", "y")
+    val c = Impute.autoCellSize(known, "x", "y")
+    // area ~100x100 over 400 points → cell ~5; extent is random so allow slack
+    assert(c > 3.0 && c < 7.0, s"cell $c")
+    val point = Seq((1L, 42.0, 42.0)).toDF("kid", "x", "y")
+    assert(Impute.autoCellSize(point, "x", "y") == 1.0)
+    assert(Impute.autoCellSize(point.filter(col("kid") > 1), "x", "y") == 1.0)
+  }
+
   test("knnImputeGrid resolves isolated points via ring escalation/fallback") {
     val known = Seq((1L, 0.0, 0.0, "origin")).toDF("kid", "x", "y", "label")
     val missing = Seq((10L, 500.0, 500.0)).toDF("id", "x", "y") // 50 cells away
