@@ -51,7 +51,11 @@ object Bench {
       val ok = try { runNoop(name); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds (0.1 ms resolution — far below run-to-run noise):
+    // raw doubles print ~17 chars each and in round 7 pushed the line past
+    // the driver's stdout-tail capture, losing q01-q24's timings.
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -71,7 +75,7 @@ object Bench {
     } + "\""
     val onlyJson = only.map(s => jstr(s.mkString(","))).getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}"""
     println(line)
     // The driver captures a bounded stdout tail; a long line can lose its
     // head (round 6 lost q01-q13 that way). The file artifact is the

@@ -1005,7 +1005,37 @@ object Queries {
     // global cumsum.
     "q85_pack_slices" -> ((s, d) =>
       graft.text.SequencePack.packSlices(
-        doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L))
+        doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L)),
+
+    // Forward as-of join: each purchase enriched with the user's NEXT view
+    // at-or-after it (q51's mirror — same one-shuffle tagged-union window,
+    // descending time). Right side deduped per (user, ts) as in q51 so tie
+    // semantics are engine-independent.
+    "q86_asof_forward" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
+      operators.AsOfJoin.forward(purchases, views, "user_id", "ts",
+          "event_id", "view_id", Seq("view_id", "view_value"))
+        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
+    }),
+
+    // Nearest as-of join: the closer of the backward/forward matches,
+    // backward on distance ties — both directions from ONE union and ONE
+    // sort (AsOfJoin.nearest). The oracle replays it as two DuckDB ASOF
+    // joins + a distance CASE.
+    "q87_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
+      operators.AsOfJoin.nearest(purchases, views, "user_id", "ts",
+          "event_id", "view_id", Seq("view_id", "view_value"))
+        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -2172,6 +2202,43 @@ object Queries {
         | greatest(so, seq_id * 2048) - so AS slice_start,
         | least(so + n_tokens, (seq_id + 1) * 2048)
         |   - greatest(so, seq_id * 2048) AS slice_len
-        |FROM x""".stripMargin
+        |FROM x""".stripMargin,
+
+    "q86_asof_forward" ->
+      """WITH purchases AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        |SELECT p.event_id, v.view_id AS view_id_asof, v.view_value AS view_value_asof
+        |FROM purchases p
+        |ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
+
+    // Nearest = closer of the two directed matches; distance compared in
+    // epoch seconds (double) on both engines, backward wins ties.
+    "q87_asof_nearest" ->
+      """WITH purchases AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |b AS (
+        | SELECT p.event_id, p.ts, v.ts AS bts, v.view_id AS b_id, v.view_value AS b_val
+        | FROM purchases p
+        | ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts),
+        |f AS (
+        | SELECT p.event_id, v.ts AS fts, v.view_id AS f_id, v.view_value AS f_val
+        | FROM purchases p
+        | ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts >= p.ts)
+        |SELECT b.event_id,
+        | CASE WHEN b_id IS NULL THEN f_id
+        |      WHEN f_id IS NULL THEN b_id
+        |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_id
+        |      ELSE b_id END AS view_id_asof,
+        | CASE WHEN b_id IS NULL THEN f_val
+        |      WHEN f_id IS NULL THEN b_val
+        |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
+        |      ELSE b_val END AS view_value_asof
+        |FROM b JOIN f USING (event_id)""".stripMargin
   )
 }

@@ -4,28 +4,37 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for each left row, the right row with the greatest
-  * timestamp <= the left timestamp within the same key (the time-series
-  * enrichment join Spark has no built-in for).
+/** As-of joins: for each left row, the right row with the nearest timestamp
+  * within the same key — backward (greatest ts <= left ts), forward
+  * (smallest ts >= left ts), or nearest (min |ts diff|, backward on ties).
+  * The time-series enrichment join Spark has no built-in for.
   *
-  * Implemented by composition (preference (a) of SURVEY.md §4): tag both
-  * sides, union, and carry the latest right payload forward over a
-  * (key)-partitioned (ts, tag, tie) ordering — one shuffle on the key, one
-  * in-partition sort, zero range explosion. This is the shape that
-  * survives 100 TB: no per-row range scan, no broadcast requirement, skew
-  * bounded by the hottest key like any window.
+  * All three are implemented by composition (preference (a) of SURVEY.md
+  * §4): tag both sides, union, and carry the right payload across a
+  * (key)-partitioned in-partition sort — one shuffle on the key, one sort,
+  * zero range explosion. This is the shape that survives 100 TB: no
+  * per-row range scan, no broadcast requirement, skew bounded by the
+  * hottest key like any window.
   *
   * The whole right payload is carried as ONE struct (non-null per right
   * row), so a null payload FIELD can never tear the match across two
-  * different right rows. Right rows sort before left rows at equal ts
-  * (tag 0 < 1), so equal timestamps match (<= semantics). If several right
-  * rows share (key, ts), the greatest `rightTieBreak` wins.
+  * different right rows.
+  *
+  * Tie rules (engine-independent, spec-pinned): equal timestamps satisfy
+  * both <= and >=. Among right rows sharing (key, ts), BACKWARD takes the
+  * greatest `rightTieBreak` (the last row at-or-before the left row in
+  * ascending order) and FORWARD the smallest (the first row at-or-after) —
+  * each direction picks the right row "closest" to the left row in time
+  * order. NEAREST resolves equal |distance| to the backward match.
   */
 object AsOfJoin {
-  def backward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-               leftId: String, rightTieBreak: String,
-               rightPayloadCols: Seq[String]): DataFrame = {
-    val payload = struct(rightPayloadCols.map(col): _*)
+
+  /** Tagged union of the two sides: right rows carry (__rtb, __p), left
+    * rows carry __lid; __tag orders right rows before left rows at equal
+    * ts so equality matches in both directions. */
+  private def tagged(left: DataFrame, right: DataFrame, keyCol: String,
+                     tsCol: String, leftId: String, rightTieBreak: String,
+                     payload: Column): DataFrame = {
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("__tag"),
       lit(null).cast(left.schema(leftId).dataType).as("__lid"),
       col(rightTieBreak).cast("long").as("__rtb"),
@@ -33,13 +42,76 @@ object AsOfJoin {
     val l = left.select(col(keyCol), col(tsCol), lit(1).as("__tag"),
       col(leftId).as("__lid"), lit(null).cast("long").as("__rtb"),
       lit(null).cast(r.schema("__p").dataType).as("__p"))
+    r.unionByName(l)
+  }
+
+  private def project(df: DataFrame, leftId: String,
+                      rightPayloadCols: Seq[String]): DataFrame =
+    df.filter(col("__tag") === 1)
+      .select((col("__lid").as(leftId) +:
+        rightPayloadCols.map(c => col(s"__c.$c").as(s"${c}_asof"))): _*)
+
+  /** Backward: the right row with the greatest timestamp <= the left
+    * timestamp. Greatest `rightTieBreak` wins equal (key, ts). */
+  def backward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               leftId: String, rightTieBreak: String,
+               rightPayloadCols: Seq[String]): DataFrame = {
+    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak,
+      struct(rightPayloadCols.map(col): _*))
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__tag").asc, col("__rtb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    r.unionByName(l)
-      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
-      .select((col("__lid").as(leftId) +:
-        rightPayloadCols.map(c => col(s"__c.$c").as(s"${c}_asof"))): _*)
+    project(u.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w)),
+      leftId, rightPayloadCols)
+  }
+
+  /** Forward: the right row with the smallest timestamp >= the left
+    * timestamp. Mirror of [[backward]] — descending time, right rows
+    * still first at equal ts (>= matches equality), tie order reversed so
+    * the SMALLEST `rightTieBreak` wins equal (key, ts). */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+              leftId: String, rightTieBreak: String,
+              rightPayloadCols: Seq[String]): DataFrame = {
+    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak,
+      struct(rightPayloadCols.map(col): _*))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col("__tag").asc, col("__rtb").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    project(u.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w)),
+      leftId, rightPayloadCols)
+  }
+
+  /** Nearest: whichever of the backward/forward matches is closer in
+    * |ts diff|; equal distance (including an exact-ts match, distance 0)
+    * resolves backward. ONE union and ONE sort compute both directions —
+    * the backward carry looks at the preceding frame, the forward carry at
+    * the following frame of the same ascending order. (Right rows at the
+    * left row's exact ts sort before it, so they are found by the backward
+    * frame at distance 0 — which wins by the tie rule — making their
+    * absence from the forward frame immaterial.) */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+              leftId: String, rightTieBreak: String,
+              rightPayloadCols: Seq[String]): DataFrame = {
+    // Right ts travels inside the payload (cast to double: monotonic for
+    // both numeric and timestamp columns) so distances compare exactly.
+    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak,
+      struct((col(tsCol).cast("double").as("__rts") +:
+        rightPayloadCols.map(col)): _*))
+    val ord = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__tag").asc, col("__rtb").asc_nulls_first)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val lts = col(tsCol).cast("double")
+    val back = col("__b")
+    val fwd = col("__f")
+    project(
+      u.withColumn("__b", last(col("__p"), ignoreNulls = true).over(wBack))
+        .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wFwd))
+        .withColumn("__c",
+          when(back.isNull, fwd)
+            .when(fwd.isNull, back)
+            .when(fwd("__rts") - lts < lts - back("__rts"), fwd)
+            .otherwise(back)),
+      leftId, rightPayloadCols)
   }
 }
