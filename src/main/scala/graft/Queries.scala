@@ -1035,7 +1035,42 @@ object Queries {
       operators.AsOfJoin.nearest(purchases, views, "user_id", "ts",
           "event_id", "view_id", Seq("view_id", "view_value"))
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
-    })
+    }),
+
+    // Unicode NFC canonicalization — the mandatory first step before any
+    // hash-based dedup (composed vs decomposed spellings of one grapheme
+    // hash differently). Custom codegen'd expression (Spark has no
+    // built-in); exercised against text with a decomposed-é suffix so the
+    // normalization is non-trivial, DuckDB nfc_normalize as the twin.
+    "q88_nfc_normalize" -> ((s, d) =>
+      doc(s, d).select(col("doc_id"),
+        graft.functions.NfcNormalize(
+          // decomposed "café straße": e + COMBINING ACUTE (U+0301) --
+          // NFC must compose it to U+00E9; ß (U+00DF) is NFC-stable
+          concat(col("text"), lit(" cafe\u0301 stra\u00dfe")))
+          .as("norm_text"))),
+
+    // Gopher-style repetition signal: duplicate 3-gram fraction per doc —
+    // pure per-row column arithmetic, no explode/shuffle.
+    "q89_repetition" -> ((s, d) =>
+      doc(s, d).select(col("doc_id"),
+        size(Text.ngramStrings(col("text"), 3)).cast("long").as("total_ngrams"),
+        Text.dupNgramFraction(col("text"), 3).as("dup_fraction"))),
+
+    // Per-source quota sampling — training-data curation: keep at most K
+    // docs per source, selected by deterministic hash order (md5 of the
+    // id, replayable in any engine) so the sample is stable across runs
+    // and engines. One shuffle on source; skew bounded by the hottest
+    // source like any window — at extreme per-source cardinality the same
+    // pattern runs on a salted pre-pass, but the quota semantics ARE a
+    // per-key rank, so the window form is the honest baseline.
+    "q90_source_quota" -> ((s, d) =>
+      doc(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("source"), col("doc_id"), col("rk")))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -2239,6 +2274,40 @@ object Queries {
         |      WHEN f_id IS NULL THEN b_val
         |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
         |      ELSE b_val END AS view_value_asof
-        |FROM b JOIN f USING (event_id)""".stripMargin
+        |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    // chr(769) = U+0301 COMBINING ACUTE, chr(223) = ß — the same
+    // decomposed suffix the Spark side appends; both engines must compose
+    // the e+accent to U+00E9 and leave ß alone.
+    "q88_nfc_normalize" ->
+      """SELECT doc_id,
+        | nfc_normalize(text || ' cafe' || chr(769) || ' stra' || chr(223) || 'e')
+        |   AS norm_text
+        |FROM documents""".stripMargin,
+
+    "q89_repetition" ->
+      """WITH t AS (
+        | SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [] END AS grams
+        | FROM t)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS total_ngrams,
+        | CASE WHEN len(grams) > 0
+        |  THEN round((len(grams) - len(list_distinct(grams)))
+        |        / CAST(len(grams) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS dup_fraction
+        |FROM g""".stripMargin,
+
+    "q90_source_quota" ->
+      """SELECT source, doc_id, rk FROM (
+        | SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        | FROM documents)
+        |WHERE rk <= 10""".stripMargin
   )
 }

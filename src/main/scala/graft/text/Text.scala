@@ -30,6 +30,31 @@ object Text {
   /** Whitespace tokens as an array (for shingling). */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Token n-grams as strings (empty array when the doc has fewer than n
+    * tokens — `sequence` would otherwise count DOWN and fabricate grams). */
+  def ngramStrings(c: Column, n: Int): Column = {
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Duplicate n-gram fraction — the Gopher-style repetition signal used
+    * to drop boilerplate/spam from pretraining corpora: the share of a
+    * document's n-grams that are repeats of an earlier one
+    * (1 − distinct/total; 0 for docs too short to have any). Pure
+    * codegen'd column arithmetic per row — no shuffle, no explode: the
+    * gram array lives and dies inside the projection. Rounded to 6 dp for
+    * cross-engine parity (the ratio is a division of exact integers). */
+  def dupNgramFraction(c: Column, n: Int = 3): Column = {
+    val g = ngramStrings(c, n)
+    val total = size(g)
+    when(total > 0,
+      round((total - size(array_distinct(g))).cast("double") / total.cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
   /** Occurrences of literal `needle` via length difference — deterministic
     * across engines (no regex). */
   def occurrences(c: Column, needle: String): Column =

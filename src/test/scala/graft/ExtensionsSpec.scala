@@ -13,6 +13,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == "Jean-Pierre")
   }
 
+  test("nfc_normalize composes decomposed graphemes (SQL and Column API)") {
+    // "cafe" + U+0301 (combining acute) must compose to U+00E9; ß stays.
+    val decomposed = "cafe\u0301 stra\u00dfe"
+    val composed = "caf\u00e9 stra\u00dfe"
+    assert(decomposed != composed && decomposed.length == composed.length + 1)
+    val sql = spark.sql(s"SELECT nfc_normalize('$decomposed') AS t").as[String].first()
+    assert(sql == composed)
+    val api = Seq(decomposed).toDF("t")
+      .select(graft.functions.NfcNormalize($"t")).as[String].first()
+    assert(api == composed)
+    // already-NFC input passes through unchanged (the short-circuit path)
+    val stable = spark.sql(s"SELECT nfc_normalize('$composed') AS t").as[String].first()
+    assert(stable == composed)
+  }
+
   test("simhash64 available in SQL and equals the Column API") {
     val sql = spark.sql("SELECT simhash64(split('a b c', ' ')) AS h").as[Long].first()
     val api = Seq("a b c").toDF("t")

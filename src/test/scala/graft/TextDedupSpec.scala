@@ -328,6 +328,25 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramStrings / dupNgramFraction: repeats counted, short docs are 0") {
+    val df = Seq(
+      "a b c a b c a b",   // 6 trigrams: abc bca cab abc bca cab → 3 distinct
+      "w x y z",           // 2 trigrams, both unique
+      "a b",               // too short → no trigrams
+      "spam spam spam spam spam spam") // 4 identical trigrams
+      .toDF("t")
+    val grams = df.select(Text.ngramStrings(col("t"), 3)).as[Seq[String]].collect()
+    assert(grams(0) == Seq("a b c", "b c a", "c a b", "a b c", "b c a", "c a b"))
+    assert(grams(1) == Seq("w x y", "x y z"))
+    assert(grams(2) == Seq.empty)
+    assert(grams(3) == Seq.fill(4)("spam spam spam"))
+    val frac = df.select(Text.dupNgramFraction(col("t"), 3)).as[Double].collect()
+    assert(frac(0) == 0.5)       // 3 of 6 are repeats
+    assert(frac(1) == 0.0)
+    assert(frac(2) == 0.0)       // no grams → defined as 0
+    assert(frac(3) == 0.75)      // 3 of 4 are repeats
+  }
+
   test("packSlices: every sequence holds exactly budget tokens (last may be short), " +
        "doc slices are gap-free, and boundary docs split") {
     import graft.text.SequencePack
