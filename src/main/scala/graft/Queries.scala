@@ -1037,6 +1037,22 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Backward as-of with a 10-minute tolerance (pandas merge_asof
+    // semantics): the left row survives unenriched when its match is
+    // farther than the bound — the common "stale quote" guard in
+    // time-series enrichment.
+    "q91_asof_tolerance" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
+      operators.AsOfJoin.backward(purchases, views, "user_id", "ts",
+          "event_id", "view_id", Seq("view_id", "view_value"),
+          toleranceSecs = Some(600.0))
+        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
+    }),
+
     // Unicode NFC canonicalization — the mandatory first step before any
     // hash-based dedup (composed vs decomposed spellings of one grapheme
     // hash differently). Custom codegen'd expression (Spark has no
@@ -2275,6 +2291,22 @@ object Queries {
         |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
         |      ELSE b_val END AS view_value_asof
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    "q91_asof_tolerance" ->
+      """WITH purchases AS (
+        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |views AS (
+        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
+        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |j AS (
+        | SELECT p.event_id, p.ts, v.ts AS vts, v.view_id, v.view_value
+        | FROM purchases p
+        | ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |SELECT event_id,
+        | CASE WHEN epoch(ts) - epoch(vts) <= 600 THEN view_id END AS view_id_asof,
+        | CASE WHEN epoch(ts) - epoch(vts) <= 600 THEN view_value END
+        |   AS view_value_asof
+        |FROM j""".stripMargin,
 
     // chr(769) = U+0301 COMBINING ACUTE, chr(223) = ß — the same
     // decomposed suffix the Spark side appends; both engines must compose

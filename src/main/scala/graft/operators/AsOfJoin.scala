@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   *
   * The whole right payload is carried as ONE struct (non-null per right
   * row), so a null payload FIELD can never tear the match across two
-  * different right rows.
+  * different right rows. The struct also carries the right timestamp
+  * (`__rts`, cast to double — monotonic for numeric and timestamp
+  * columns), which implements `toleranceSecs`: a match farther than the
+  * tolerance is nulled out AFTER the carry (pandas `merge_asof`
+  * semantics — the left row survives, unenriched; a nearer-but-
+  * out-of-tolerance right row does NOT let a farther in-tolerance one
+  * win, exactly like pandas).
   *
   * Tie rules (engine-independent, spec-pinned): equal timestamps satisfy
   * both <= and >=. Among right rows sharing (key, ts), BACKWARD takes the
@@ -31,10 +37,13 @@ object AsOfJoin {
 
   /** Tagged union of the two sides: right rows carry (__rtb, __p), left
     * rows carry __lid; __tag orders right rows before left rows at equal
-    * ts so equality matches in both directions. */
+    * ts so equality matches in both directions. The payload struct always
+    * leads with `__rts`, the right timestamp as double. */
   private def tagged(left: DataFrame, right: DataFrame, keyCol: String,
                      tsCol: String, leftId: String, rightTieBreak: String,
-                     payload: Column): DataFrame = {
+                     rightPayloadCols: Seq[String]): DataFrame = {
+    val payload = struct((col(tsCol).cast("double").as("__rts") +:
+      rightPayloadCols.map(col)): _*)
     val r = right.select(col(keyCol), col(tsCol), lit(0).as("__tag"),
       lit(null).cast(left.schema(leftId).dataType).as("__lid"),
       col(rightTieBreak).cast("long").as("__rtb"),
@@ -45,6 +54,16 @@ object AsOfJoin {
     r.unionByName(l)
   }
 
+  /** Null out a carried match farther than `toleranceSecs` (distance =
+    * signed |left ts − right ts| supplied by the caller, always >= 0 for
+    * its direction). */
+  private def withinTolerance(chosen: Column, dist: Column,
+                              toleranceSecs: Option[Double]): Column =
+    toleranceSecs match {
+      case Some(t) => when(chosen.isNotNull && dist <= lit(t), chosen)
+      case None    => chosen
+    }
+
   private def project(df: DataFrame, leftId: String,
                       rightPayloadCols: Seq[String]): DataFrame =
     df.filter(col("__tag") === 1)
@@ -52,51 +71,63 @@ object AsOfJoin {
         rightPayloadCols.map(c => col(s"__c.$c").as(s"${c}_asof"))): _*)
 
   /** Backward: the right row with the greatest timestamp <= the left
-    * timestamp. Greatest `rightTieBreak` wins equal (key, ts). */
+    * timestamp (within `toleranceSecs`, if given). Greatest
+    * `rightTieBreak` wins equal (key, ts). */
   def backward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                leftId: String, rightTieBreak: String,
-               rightPayloadCols: Seq[String]): DataFrame = {
-    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak,
-      struct(rightPayloadCols.map(col): _*))
+               rightPayloadCols: Seq[String],
+               toleranceSecs: Option[Double] = None): DataFrame = {
+    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak, rightPayloadCols)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__tag").asc, col("__rtb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    project(u.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w)),
+    val carried = last(col("__p"), ignoreNulls = true).over(w)
+    val lts = col(tsCol).cast("double")
+    project(
+      u.withColumn("__c0", carried)
+        .withColumn("__c",
+          withinTolerance(col("__c0"), lts - col("__c0.__rts"), toleranceSecs)),
       leftId, rightPayloadCols)
   }
 
   /** Forward: the right row with the smallest timestamp >= the left
-    * timestamp. Mirror of [[backward]] — descending time, right rows
-    * still first at equal ts (>= matches equality), tie order reversed so
-    * the SMALLEST `rightTieBreak` wins equal (key, ts). */
+    * timestamp (within `toleranceSecs`, if given). Mirror of [[backward]]
+    * — descending time, right rows still first at equal ts (>= matches
+    * equality), tie order reversed so the SMALLEST `rightTieBreak` wins
+    * equal (key, ts). */
   def forward(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
               leftId: String, rightTieBreak: String,
-              rightPayloadCols: Seq[String]): DataFrame = {
-    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak,
-      struct(rightPayloadCols.map(col): _*))
+              rightPayloadCols: Seq[String],
+              toleranceSecs: Option[Double] = None): DataFrame = {
+    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak, rightPayloadCols)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).desc, col("__tag").asc, col("__rtb").desc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, 0)
-    project(u.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w)),
+    val carried = last(col("__p"), ignoreNulls = true).over(w)
+    val lts = col(tsCol).cast("double")
+    project(
+      u.withColumn("__c0", carried)
+        .withColumn("__c",
+          withinTolerance(col("__c0"), col("__c0.__rts") - lts, toleranceSecs)),
       leftId, rightPayloadCols)
   }
 
   /** Nearest: whichever of the backward/forward matches is closer in
-    * |ts diff|; equal distance (including an exact-ts match, distance 0)
-    * resolves backward. ONE union and ONE sort compute both directions —
-    * the backward carry looks at the preceding frame, the forward carry at
-    * the following frame of the same ascending order. (Right rows at the
-    * left row's exact ts sort before it, so they are found by the backward
-    * frame at distance 0 — which wins by the tie rule — making their
-    * absence from the forward frame immaterial.) */
+    * |ts diff| (and within `toleranceSecs`, if given); equal distance
+    * (including an exact-ts match, distance 0) resolves backward. ONE
+    * union and ONE sort compute both directions — the backward carry
+    * looks at the preceding frame, the forward carry at the following
+    * frame of the same ascending order. (Right rows at the left row's
+    * exact ts sort before it, so they are found by the backward frame at
+    * distance 0 — which wins by the tie rule — making their absence from
+    * the forward frame immaterial.) Tolerance is applied per direction
+    * BEFORE choosing, so an out-of-tolerance nearer side correctly loses
+    * to an in-tolerance farther side. */
   def nearest(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
               leftId: String, rightTieBreak: String,
-              rightPayloadCols: Seq[String]): DataFrame = {
-    // Right ts travels inside the payload (cast to double: monotonic for
-    // both numeric and timestamp columns) so distances compare exactly.
-    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak,
-      struct((col(tsCol).cast("double").as("__rts") +:
-        rightPayloadCols.map(col)): _*))
+              rightPayloadCols: Seq[String],
+              toleranceSecs: Option[Double] = None): DataFrame = {
+    val u = tagged(left, right, keyCol, tsCol, leftId, rightTieBreak, rightPayloadCols)
     val ord = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__tag").asc, col("__rtb").asc_nulls_first)
     val wBack = ord.rowsBetween(Window.unboundedPreceding, 0)
@@ -105,8 +136,12 @@ object AsOfJoin {
     val back = col("__b")
     val fwd = col("__f")
     project(
-      u.withColumn("__b", last(col("__p"), ignoreNulls = true).over(wBack))
-        .withColumn("__f", first(col("__p"), ignoreNulls = true).over(wFwd))
+      u.withColumn("__b0", last(col("__p"), ignoreNulls = true).over(wBack))
+        .withColumn("__f0", first(col("__p"), ignoreNulls = true).over(wFwd))
+        .withColumn("__b",
+          withinTolerance(col("__b0"), lts - col("__b0.__rts"), toleranceSecs))
+        .withColumn("__f",
+          withinTolerance(col("__f0"), col("__f0.__rts") - lts, toleranceSecs))
         .withColumn("__c",
           when(back.isNull, fwd)
             .when(fwd.isNull, back)

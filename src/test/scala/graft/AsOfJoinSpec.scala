@@ -106,9 +106,9 @@ class AsOfJoinSpec extends AnyFunSuite {
       f(purchases, views, "user_id", "ts", "event_id", "view_id",
         Seq("view_id", "view_value"))
         .as[(Long, Option[Long], Option[Double])].collect().map(r => r._1 -> r).toMap
-    val nearest = run(AsOfJoin.nearest)
-    val back = run(AsOfJoin.backward)
-    val fwd = run(AsOfJoin.forward)
+    val nearest = run(AsOfJoin.nearest(_, _, _, _, _, _, _))
+    val back = run(AsOfJoin.backward(_, _, _, _, _, _, _))
+    val fwd = run(AsOfJoin.forward(_, _, _, _, _, _, _))
     val rightTs = views.select(col("view_id"), col("ts").cast("double"))
       .as[(Long, Double)].collect().toMap
     val leftTs = purchases.select(col("event_id"), col("ts").cast("double"))
@@ -125,6 +125,48 @@ class AsOfJoinSpec extends AnyFunSuite {
       }
       assert(got == expected, s"event $id")
     }
+  }
+
+  test("tolerance (merge_asof semantics): boundary inclusive, stale match nulled, " +
+       "nearest prefers the in-tolerance side") {
+    val right = Seq(
+      (10L, "u", ts(100), 1.0),
+      (20L, "u", ts(300), 2.0))
+      .toDF("rid", "key", "t", "rv")
+    // backward, tol=50: left at 149 matches r10 (d=49); at 151 the only
+    // at-or-before row is 51 away → null; at 150 boundary d=50 included
+    val left = Seq((1L, "u", ts(149)), (2L, "u", ts(151)), (3L, "u", ts(150)))
+      .toDF("event_id", "key", "t")
+    val back = AsOfJoin.backward(left, right, "key", "t", "event_id", "rid",
+        Seq("rid", "rv"), toleranceSecs = Some(50.0))
+      .orderBy("event_id").as[(Long, Option[Long], Option[Double])].collect()
+    assert(back.toSeq == Seq(
+      (1L, Some(10L), Some(1.0)),
+      (2L, None, None),
+      (3L, Some(10L), Some(1.0))))
+    // nearest, tol=60: left at 240 is 140 from r10 and 60 from r20 —
+    // r20 in tolerance wins; at 170 (70 from r10, 130 from r20) BOTH are
+    // out of tolerance → null even though matches exist untolerated
+    val l2 = Seq((1L, "u", ts(240)), (2L, "u", ts(170))).toDF("event_id", "key", "t")
+    val near = AsOfJoin.nearest(l2, right, "key", "t", "event_id", "rid",
+        Seq("rid", "rv"), toleranceSecs = Some(60.0))
+      .orderBy("event_id").as[(Long, Option[Long], Option[Double])].collect()
+    assert(near.toSeq == Seq((1L, Some(20L), Some(2.0)), (2L, None, None)))
+    // nearest, tol=45: the NEARER side (r10 at d=40 from ts 140) stays in
+    // tolerance and wins over r20 (d=160, out)
+    val l3 = Seq((1L, "u", ts(140))).toDF("event_id", "key", "t")
+    val n3 = AsOfJoin.nearest(l3, right, "key", "t", "event_id", "rid",
+        Seq("rid", "rv"), toleranceSecs = Some(45.0))
+      .as[(Long, Option[Long], Option[Double])].collect()
+    assert(n3.toSeq == Seq((1L, Some(10L), Some(1.0))))
+    // forward with tolerance
+    val fwd = AsOfJoin.forward(left, right, "key", "t", "event_id", "rid",
+        Seq("rid", "rv"), toleranceSecs = Some(150.0))
+      .orderBy("event_id").as[(Long, Option[Long], Option[Double])].collect()
+    assert(fwd.toSeq == Seq(
+      (1L, None, None),             // 300-149=151 > 150 → out of tolerance
+      (2L, Some(20L), Some(2.0)),   // d=149, in
+      (3L, Some(20L), Some(2.0))))  // d=150, boundary inclusive
   }
 
   test("duplicate right timestamps: greatest tie-break wins; null fields don't tear") {
