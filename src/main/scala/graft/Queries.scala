@@ -1037,6 +1037,15 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Z-order (Morton) key over (doc_id, n_chars) — the multi-dimensional
+    // clustering key behind io.ZOrder.cluster: pure bit-interleave
+    // arithmetic, replayed exactly in DuckDB (sum of disjoint bits == OR).
+    // The layout operator itself is ZOrderSpec's territory (file splits
+    // are sampling-dependent); the KEY is what must be engine-exact.
+    "q92_zorder_key" -> ((s, d) =>
+      doc(s, d).select(col("doc_id"),
+        graft.io.ZOrder.zValue(Seq(col("doc_id"), col("n_chars")), 16).as("z"))),
+
     // Backward as-of with a 10-minute tolerance (pandas merge_asof
     // semantics): the left row survives unenriched when its match is
     // farther than the bound — the common "stale quote" guard in
@@ -2291,6 +2300,15 @@ object Queries {
         |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
         |      ELSE b_val END AS view_value_asof
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    // Disjoint bit positions, so list_sum == bitwise OR; CAST guards the
+    // HUGEINT promotion per the house rule.
+    "q92_zorder_key" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(range(0, 16), i ->
+        |   (((doc_id >> i) & 1) << (2 * i))
+        |   + (((n_chars >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |FROM documents""".stripMargin,
 
     "q91_asof_tolerance" ->
       """WITH purchases AS (
