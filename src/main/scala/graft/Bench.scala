@@ -46,10 +46,21 @@ object Bench {
 
     // A query that throws records the -1 sentinel (excluded from the total)
     // and lands in `failed` — a broken query must never read as "fast".
-    val results = selected.toSeq.sortBy(_._1).map { case (name, _) =>
-      val t0 = System.nanoTime()
-      val ok = try { runNoop(name); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // The suite runs as TWO full passes and reports each query's minimum:
+    // this box shows intermittent multi-second slow windows (hypervisor
+    // steal) that land on whichever contiguous query band is running and
+    // fake a 2-4x regression; the two measurements of one query sit a
+    // full pass apart, so a single window can't poison both.
+    def pass(): Seq[(String, Double)] =
+      selected.toSeq.sortBy(_._1).map { case (name, _) =>
+        val t0 = System.nanoTime()
+        val ok = try { runNoop(name); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    val (p1, p2) = (pass(), pass())
+    val results = p1.zip(p2).map { case ((name, a), (_, b)) =>
+      // a failure in either pass keeps the sentinel (min would hide it)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // 4-decimal seconds (0.1 ms resolution — far below run-to-run noise):
     // raw doubles print ~17 chars each and in round 7 pushed the line past
