@@ -1037,6 +1037,44 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Near-dup survivor selection — the curation step AFTER clustering:
+    // within each exact-Jaccard connected component keep the "best"
+    // document (longest text, lowest id on ties) and record the cluster
+    // size. Composes canonicalizeExact with the house arg_min_by hash
+    // aggregate (argmax q == argmin -q): one |clusters|-group agg, no
+    // window over the corpus.
+    "q94_dedup_survivors" -> ((s, d) => {
+      val clusters = Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
+        k = 2, jaccardThreshold = 0.5)
+      clusters
+        .join(doc(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("q")), "doc_id")
+        .groupBy(col("canonical_id"))
+        .agg(
+          graft.functions.ArgMinBy(col("doc_id"),
+            (-col("q")).cast("double"), col("doc_id")).as("keep_id"),
+          count(lit(1)).as("cluster_size"),
+          max(col("q")).as("keep_len"))
+    }),
+
+    // Per-dimension z-score standardization of the embedding corpus — the
+    // ML feature-prep twin of q53: dimension stats are a |dims|-row
+    // broadcast, the fact side never shuffles for the join (the only
+    // shuffle is the |dims|-group stats agg with map-side partials).
+    // Rounded at 4dp AFTER the (x-mu)/sigma division (engine summation
+    // order differs ~1e-15 in mu/sigma; the house float-parity rule).
+    "q93_standardize" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("x"))
+      val stats = e.groupBy("dim")
+        .agg(avg("x").as("mu"), stddev_samp("x").as("sigma"))
+      e.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
+    }),
+
     // Z-order (Morton) key over (doc_id, n_chars) — the multi-dimensional
     // clustering key behind io.ZOrder.cluster: pure bit-interleave
     // arithmetic, replayed exactly in DuckDB (sum of disjoint bits == OR).
@@ -2300,6 +2338,56 @@ object Queries {
         |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
         |      ELSE b_val END AS view_value_asof
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    // q70's recursive-CTE clustering + a longest-text/lowest-id survivor
+    // pick per component (count(*) OVER is BIGINT in DuckDB — no HUGEINT).
+    "q94_dedup_survivors" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION ALL SELECT ib, ia FROM pairs),
+        |cc(node, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a),
+        |cl AS (
+        | SELECT node AS doc_id, min(label) AS canonical_id
+        | FROM cc GROUP BY node),
+        |scored AS (
+        | SELECT cl.canonical_id, cl.doc_id,
+        |  CAST(length(d.text) AS BIGINT) AS q
+        | FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+        |SELECT canonical_id, doc_id AS keep_id, cnt AS cluster_size,
+        | q AS keep_len
+        |FROM (
+        | SELECT canonical_id, doc_id, q,
+        |  row_number() OVER (PARTITION BY canonical_id
+        |    ORDER BY q DESC, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY canonical_id) AS cnt
+        | FROM scored)
+        |WHERE rn = 1""".stripMargin,
+
+    "q93_standardize" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(d.i AS BIGINT) AS dim,
+        |  CAST(embedding[d.i] AS DOUBLE) AS x
+        | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
+        |s AS (
+        | SELECT dim, avg(x) AS mu, stddev_samp(x) AS sigma
+        | FROM e GROUP BY dim)
+        |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
+        |FROM e JOIN s USING (dim)""".stripMargin,
 
     // Disjoint bit positions, so list_sum == bitwise OR; CAST guards the
     // HUGEINT promotion per the house rule.

@@ -328,6 +328,30 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("survivor selection keeps the longest doc per cluster, lowest id on ties") {
+    // docs 1-3 form one near-dup cluster (bigram Jaccard >= 0.5); doc 3 is
+    // longest -> keeper; docs 10/11 are identical twins -> tie, keep 10
+    val df = Seq(
+      (1L, "the quick brown fox jumps over dogs"),
+      (2L, "the quick brown fox jumps over dogs tonight"),
+      (3L, "the quick brown fox jumps over dogs tonight again"),
+      (10L, "completely different words entirely here"),
+      (11L, "completely different words entirely here"),
+      (20L, "a lone unmatched document"))
+      .toDF("doc_id", "text")
+    val clusters = Dedup.canonicalizeExact(df, "text", "doc_id", k = 2,
+      jaccardThreshold = 0.5)
+    val survivors = clusters
+      .join(df.select(col("doc_id"), length(col("text")).cast("long").as("q")), "doc_id")
+      .groupBy(col("canonical_id"))
+      .agg(graft.functions.ArgMinBy(col("doc_id"),
+          (-col("q")).cast("double"), col("doc_id")).as("keep_id"),
+        count(lit(1)).as("cluster_size"))
+      .orderBy("canonical_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(survivors == Seq((1L, 3L, 3L), (10L, 10L, 2L), (20L, 20L, 1L)))
+  }
+
   test("ngramStrings / dupNgramFraction: repeats counted, short docs are 0") {
     val df = Seq(
       "a b c a b c a b",   // 6 trigrams: abc bca cab abc bca cab → 3 distinct
