@@ -1037,6 +1037,15 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Stream-stream LEFT OUTER interval join: q82's twin with the
+    // watermark-gated null emissions — an unmatched click emits nulls
+    // only once the global watermark (min of both sides' max ts − 1h)
+    // passes the end of its join interval; later clicks stay buffered
+    // (they could still match). The gate is deterministic, so the oracle
+    // replays it as batch SQL with the same cutoff.
+    "q95_stream_left_join" -> ((s, d) =>
+      EventsStream.streamStreamLeftJoin(s, d)),
+
     // Near-dup survivor selection — the curation step AFTER clustering:
     // within each exact-Jaccard connected component keep the "best"
     // document (longest text, lowest id on ties) and record the cluster
@@ -2338,6 +2347,37 @@ object Queries {
         |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
         |      ELSE b_val END AS view_value_asof
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    // The left-outer gate: nulls exactly for unmatched clicks whose join
+    // interval end (click_ts + 1h) is below the final watermark
+    // (min(max click ts, max purchase ts) − 1h) — i.e. ts + 2h < mx.
+    "q95_stream_left_join" ->
+      """WITH c AS (
+        | SELECT event_id AS click_id, user_id, ts FROM events
+        | WHERE event_type = 'click'),
+        |p AS (
+        | SELECT event_id AS purchase_id, user_id, ts, value FROM events
+        | WHERE event_type = 'purchase'),
+        |m AS (
+        | SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS mx),
+        |matched AS (
+        | SELECT c.user_id, c.click_id, p.purchase_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+        |    AS secs_to_purchase,
+        |  p.value AS purchase_value
+        | FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |unmatched AS (
+        | SELECT c.user_id, c.click_id,
+        |  CAST(NULL AS BIGINT) AS purchase_id,
+        |  CAST(NULL AS BIGINT) AS secs_to_purchase,
+        |  CAST(NULL AS DOUBLE) AS purchase_value
+        | FROM c, m
+        | WHERE NOT EXISTS (SELECT 1 FROM p
+        |   WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |  AND c.ts + INTERVAL 2 HOUR < m.mx)
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
 
     // q70's recursive-CTE clustering + a longest-text/lowest-id survivor
     // pick per component (count(*) OVER is BIGINT in DuckDB — no HUGEINT).

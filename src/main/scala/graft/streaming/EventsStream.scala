@@ -211,17 +211,52 @@ object EventsStream {
     * streams shaped (c_user, click_id, click_ts) / (p_user, purchase_id,
     * purchase_ts, value) — separated so tests can drive it across MULTIPLE
     * microbatches (MemoryStream), where cross-batch matching and
-    * watermark-driven state eviction are actually reachable. */
-  def streamStreamJoinOn(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    * watermark-driven state eviction are actually reachable.
+    *
+    * `joinType = "leftOuter"` adds the watermark-gated null emissions: an
+    * unmatched click emits (nulls) only once the watermark passes the END
+    * of its join interval (click_ts + 1h) — i.e. final watermark
+    * maxTs − 1h ⇒ nulls exactly for unmatched clicks with
+    * click_ts < maxTs − 2h. That gate is deterministic, which is what
+    * makes the q95 oracle expressible in batch SQL; clicks nearer the
+    * stream head stay buffered (they could still match a future
+    * purchase) and emit nothing — the honest streaming contract. */
+  def streamStreamJoinOn(clicks: DataFrame, purchases: DataFrame,
+                         joinType: String = "inner"): DataFrame =
     clicks.withWatermark("click_ts", "1 hour")
       .join(purchases.withWatermark("purchase_ts", "1 hour"),
         col("c_user") === col("p_user") &&
           col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
           .as("secs_to_purchase"),
         col("value").as("purchase_value"))
+
+  /** [[streamStreamJoin]] with leftOuter semantics — one AvailableNow
+    * batch; see [[streamStreamJoinOn]] for the null-emission gate. */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.eventsRawSchema(spark, dir)
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val joined = streamStreamJoinOn(clicks, purchases, "leftOuter")
+    val qname = "graft_stream_stream_left"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    withStatePartitions(spark) {
+      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.table(qname)
+  }
 
   /** The cleaning operators applied over a STREAM (SURVEY.md §2.11: the
     * batch cleaning pipeline is structurally expressible over Structured

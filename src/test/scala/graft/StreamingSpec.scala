@@ -203,6 +203,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("multi-batch LEFT OUTER stream-stream join: nulls emitted only after the " +
+       "watermark passes the join window; buffered clicks stay silent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val t0 = 1700000000L
+    def ts(minutes: Long) = new java.sql.Timestamp((t0 + minutes * 60) * 1000)
+    val clickIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buyIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val out = EventsStream.streamStreamJoinOn(
+      clickIn.toDF().toDF("c_user", "click_id", "click_ts"),
+      buyIn.toDF().toDF("p_user", "purchase_id", "purchase_ts", "value"),
+      "leftOuter")
+    val qname = "graft_multibatch_ssj_left"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      // batch A: two clicks; one will match, one never will
+      clickIn.addData((1L, 100L, ts(0)), (1L, 101L, ts(5)))
+      buyIn.addData((1L, 200L, ts(30), 9.99)) // matches click 100 (and 101)
+      q.processAllAvailable()
+      val afterA = spark.table(qname)
+        .select("click_id", "purchase_id").as[(Long, Option[Long])].collect().toSet
+      // both clicks matched inner-style; NO nulls yet (watermark at ~ -1h)
+      assert(afterA == Set((100L, Some(200L)), (101L, Some(200L))), s"got $afterA")
+      // batch B: an unmatched click + watermark advance on both sides far
+      // past its window end → its null row must emit
+      clickIn.addData((2L, 102L, ts(40)))
+      q.processAllAvailable()
+      clickIn.addData((3L, 103L, ts(600)))
+      buyIn.addData((3L, 300L, ts(601), 1.0))
+      q.processAllAvailable()
+      clickIn.addData((3L, 104L, ts(610)))
+      buyIn.addData((3L, 301L, ts(611), 1.0))
+      q.processAllAvailable()
+      val nulls = spark.table(qname).filter(col("purchase_id").isNull)
+        .select("click_id").as[Long].collect().toSet
+      // click 102's window ended at ts(100) < watermark (~ts(550)) → null
+      // emitted; clicks 103/104 matched; no null for them
+      assert(nulls == Set(102L), s"got $nulls")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits exactly the batch interval join (q82 shape)") {
     val stream = EventsStream.streamStreamJoin(spark, TestSpark.sf0001)
       .select("click_id", "purchase_id", "secs_to_purchase")
