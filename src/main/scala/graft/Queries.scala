@@ -1037,6 +1037,36 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Small-file compaction round-trip: scatter documents into 32 tiny
+    // files, compact to ~1 file, re-read — the content contract is
+    // re-read == original (the q83 pattern); CompactionSpec asserts the
+    // file-count mechanics.
+    "q96_compact_roundtrip" -> ((s, d) => {
+      val docs = doc(s, d)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q96_${s.sparkContext.applicationId}").getAbsolutePath
+      docs.repartition(32).write.mode("overwrite").parquet(s"$base/small")
+      graft.io.Compact.compact(s, s"$base/small", s"$base/compact",
+        targetBytes = 1L << 30)
+      s.read.parquet(s"$base/compact").select(docs.columns.map(col): _*)
+    }),
+
+    // Key-skew profile — the diagnostic before choosing a salting/AQE
+    // strategy: per-key counts, then their distribution (exact quantiles
+    // over |keys| rows, not the corpus) and the hottest key. One shuffle
+    // for the per-key agg; the profile agg runs over |keys| rows.
+    "q97_skew_profile" -> ((s, d) => {
+      val counts = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      counts.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("p50"),
+        round(expr("percentile(cnt, 0.9)"), 4).as("p90"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99"),
+        graft.functions.ArgMinBy(col("user_id"),
+          (-col("cnt")).cast("double"), col("user_id")).as("top_key"))
+    }),
+
     // Stream-stream LEFT OUTER interval join: q82's twin with the
     // watermark-gated null emissions — an unmatched click emits nulls
     // only once the global watermark (min of both sides' max ts − 1h)
@@ -2347,6 +2377,23 @@ object Queries {
         |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
         |      ELSE b_val END AS view_value_asof
         |FROM b JOIN f USING (event_id)""".stripMargin,
+
+    "q96_compact_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // quantile_cont == Spark's exact percentile (the q12 parity pattern);
+    // hottest key = min key among those at the max count.
+    "q97_skew_profile" ->
+      """WITH c AS (
+        | SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        | CAST(max(cnt) AS BIGINT) AS max_cnt,
+        | round(quantile_cont(cnt, 0.5), 4) AS p50,
+        | round(quantile_cont(cnt, 0.9), 4) AS p90,
+        | round(quantile_cont(cnt, 0.99), 4) AS p99,
+        | CAST(min(user_id) FILTER (WHERE cnt = (SELECT max(cnt) FROM c))
+        |   AS BIGINT) AS top_key
+        |FROM c""".stripMargin,
 
     // The left-outer gate: nulls exactly for unmatched clicks whose join
     // interval end (click_ts + 1h) is below the final watermark
