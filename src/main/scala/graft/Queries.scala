@@ -1037,6 +1037,27 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Heavy hitters, sketch → exact-verify: the SpaceSaving aggregate
+    // condenses each partition to k=256 counters (map-side combine; the
+    // shuffle carries k per partition regardless of key cardinality),
+    // its superset guarantee (any item with freq > n/k is present,
+    // 1/256 < the 0.5% threshold) makes the candidate list complete, and
+    // the exact recount of that broadcast candidate set yields the EXACT
+    // heavy-hitter relation — which is what the oracle computes.
+    "q98_heavy_hitters" -> ((s, d) => {
+      val e = ev(s, d)
+      val sketch = e.agg(
+        graft.functions.SpaceSavingTopK(col("user_id"), 256).as("sk"),
+        count(lit(1)).as("n"))
+      val cand = sketch.select(explode(col("sk")).as("c"))
+        .select(col("c.item").as("user_id"))
+      e.join(broadcast(cand), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(sketch.select(col("n"))))
+        .filter(col("cnt") * 200 > col("n"))
+        .select(col("user_id"), col("cnt"))
+    }),
+
     // Small-file compaction round-trip: scatter documents into 32 tiny
     // files, compact to ~1 file, re-read — the content contract is
     // re-read == original (the q83 pattern); CompactionSpec asserts the
@@ -2380,6 +2401,14 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // The exact heavy-hitter relation the two-phase sketch must equal
+    // (count(*) is BIGINT — no HUGEINT sum in sight).
+    "q98_heavy_hitters" ->
+      """WITH c AS (
+        | SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT count(*) AS n FROM events)
+        |SELECT user_id, cnt FROM c, t WHERE cnt * 200 > n""".stripMargin,
 
     // quantile_cont == Spark's exact percentile (the q12 parity pattern);
     // hottest key = min key among those at the max count.
