@@ -1037,6 +1037,17 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // BPE-ish pre-tokenization counts (word/number/punct runs — the usual
+    // byte-pair-encoder first pass): total and distinct token counts per
+    // doc, pure per-row regex + array arithmetic. The q24 whitespace
+    // count's sub-word twin.
+    "q99_regex_tokens" -> ((s, d) => {
+      val toks = Text.tokenizeRegex(col("text"))
+      doc(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_toks"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+    }),
+
     // Heavy hitters, sketch → exact-verify: the SpaceSaving aggregate
     // condenses each partition to k=256 counters (map-side combine; the
     // shuffle carries k per partition regardless of key cardinality),
@@ -2401,6 +2412,17 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Same pattern, same token semantics: Java and RE2 agree on this
+    // alternation of literal classes.
+    "q99_regex_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+        |   AS BIGINT) AS n_toks,
+        | CAST(len(list_distinct(
+        |   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
+        |   AS BIGINT) AS n_distinct
+        |FROM documents""".stripMargin,
 
     // The exact heavy-hitter relation the two-phase sketch must equal
     // (count(*) is BIGINT — no HUGEINT sum in sight).
