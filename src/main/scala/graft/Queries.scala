@@ -1037,6 +1037,33 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // The LLM-data-pipeline E2E — the composed flagship, q66's twin for
+    // the curation surface: NFC normalize → token/repetition quality gate
+    // → exact dedup keep-first → per-source quota → sequence packing.
+    // Every stage BINDS on this corpus (dups exist, quota 20 < 25
+    // docs/source) and every stage is one of the already-oracled
+    // operators, so the chain replays in SQL end-to-end.
+    "q100_pipeline_e2e" -> ((s, d) => {
+      val normed = doc(s, d)
+        .withColumn("text", graft.functions.NfcNormalize(col("text")))
+      val qual = normed
+        .withColumn("n_tokens", Text.tokenCount(col("text")))
+        .filter(col("n_tokens") >= 5 &&
+          Text.dupNgramFraction(col("text"), 3) <= 0.5)
+      val keepers = qual
+        .groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val ded = qual.join(broadcast(keepers), Seq("doc_id"), "left_semi")
+      val quota = ded
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("__rk") <= 20)
+      graft.text.SequencePack.packOffsets(
+        quota, "doc_id", col("n_tokens"), budget = 2048L)
+    }),
+
     // BPE-ish pre-tokenization counts (word/number/punct runs — the usual
     // byte-pair-encoder first pass): total and distinct token counts per
     // doc, pure per-row regex + array arithmetic. The q24 whitespace
@@ -2412,6 +2439,51 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Each CTE replays one already-proven stage (q88/q24/q89/q23/q90/q84
+    // fragments); the window-sum alias is CAST at use per the house rule.
+    "q100_pipeline_e2e" ->
+      """WITH nrm AS (
+        | SELECT doc_id, source, nfc_normalize(text) AS text FROM documents),
+        |tok AS (
+        | SELECT doc_id, source, text,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens,
+        |  str_split(text, ' ') AS toks
+        | FROM nrm),
+        |g AS (
+        | SELECT doc_id, source, text, n_tokens,
+        |  CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [] END AS grams
+        | FROM tok),
+        |qual AS (
+        | SELECT doc_id, source, text, n_tokens FROM g
+        | WHERE n_tokens >= 5 AND
+        |  (CASE WHEN len(grams) > 0
+        |    THEN round((len(grams) - len(list_distinct(grams)))
+        |          / CAST(len(grams) AS DOUBLE), 6)
+        |    ELSE 0.0 END) <= 0.5),
+        |ded AS (
+        | SELECT qual.* FROM qual
+        | JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |       FROM qual GROUP BY md5(text)) k USING (doc_id)),
+        |quota AS (
+        | SELECT doc_id, n_tokens FROM (
+        |  SELECT doc_id, n_tokens,
+        |   CAST(row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM ded)
+        | WHERE rk <= 20),
+        |c AS (
+        | SELECT doc_id, n_tokens,
+        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM quota)
+        |SELECT doc_id, n_tokens,
+        | CAST(cum - n_tokens AS BIGINT) AS start_offset,
+        | CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
 
     // Same pattern, same token semantics: Java and RE2 agree on this
     // alternation of literal classes.
