@@ -1037,6 +1037,13 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Stream-stream FULL OUTER interval join — q95 plus the purchase-side
+    // gate: a purchase only matches clicks at-or-before it, so its state
+    // is final once the watermark reaches its own event time (ts + 1h
+    // delay < max ts); the click side keeps q95's interval-end gate.
+    "q101_stream_full_join" -> ((s, d) =>
+      EventsStream.streamStreamFullJoin(s, d)),
+
     // The LLM-data-pipeline E2E — the composed flagship, q66's twin for
     // the curation surface: NFC normalize → token/repetition quality gate
     // → exact dedup keep-first → per-source quota → sequence packing.
@@ -2439,6 +2446,46 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // q95's oracle plus the purchase-side nulls with their own gate.
+    "q101_stream_full_join" ->
+      """WITH c AS (
+        | SELECT event_id AS click_id, user_id, ts FROM events
+        | WHERE event_type = 'click'),
+        |p AS (
+        | SELECT event_id AS purchase_id, user_id, ts, value FROM events
+        | WHERE event_type = 'purchase'),
+        |m AS (
+        | SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS mx),
+        |matched AS (
+        | SELECT c.user_id, c.click_id, p.purchase_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+        |    AS secs_to_purchase,
+        |  p.value AS purchase_value
+        | FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |uc AS (
+        | SELECT c.user_id, c.click_id,
+        |  CAST(NULL AS BIGINT) AS purchase_id,
+        |  CAST(NULL AS BIGINT) AS secs_to_purchase,
+        |  CAST(NULL AS DOUBLE) AS purchase_value
+        | FROM c, m
+        | WHERE NOT EXISTS (SELECT 1 FROM p
+        |   WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |  AND c.ts + INTERVAL 2 HOUR < m.mx),
+        |up AS (
+        | SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
+        |  CAST(NULL AS BIGINT) AS secs_to_purchase,
+        |  p.value AS purchase_value
+        | FROM p, m
+        | WHERE NOT EXISTS (SELECT 1 FROM c
+        |   WHERE c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |  AND p.ts + INTERVAL 1 HOUR < m.mx)
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM uc
+        |UNION ALL SELECT * FROM up""".stripMargin,
 
     // Each CTE replays one already-proven stage (q88/q24/q89/q23/q90/q84
     // fragments); the window-sum alias is CAST at use per the house rule.

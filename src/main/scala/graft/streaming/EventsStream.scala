@@ -229,14 +229,32 @@ object EventsStream {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
         joinType)
-      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+      .select(
+        // coalesce matters only for fullOuter's right-only rows (c_user
+        // null there); inner/leftOuter always have c_user
+        coalesce(col("c_user"), col("p_user")).as("user_id"),
+        col("click_id"), col("purchase_id"),
         (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
           .as("secs_to_purchase"),
         col("value").as("purchase_value"))
 
+  /** [[streamStreamJoin]] with fullOuter semantics — null emission gated
+    * per side: an unmatched click once the watermark passes click_ts + 1h
+    * (its interval END), an unmatched purchase once it passes purchase_ts
+    * (a purchase only matches clicks AT OR BEFORE it, so its state is
+    * final as soon as the watermark reaches its own event time). Both
+    * gates are deterministic — the q101 oracle replays them in batch
+    * SQL. */
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuter(spark, dir, "fullOuter", "graft_stream_stream_full")
+
   /** [[streamStreamJoin]] with leftOuter semantics — one AvailableNow
     * batch; see [[streamStreamJoinOn]] for the null-emission gate. */
-  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame =
+    streamStreamOuter(spark, dir, "leftOuter", "graft_stream_stream_left")
+
+  private def streamStreamOuter(spark: SparkSession, dir: String,
+                                joinType: String, qname: String): DataFrame = {
     val schema = graft.Tables.eventsRawSchema(spark, dir)
     def src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -247,8 +265,7 @@ object EventsStream {
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"), col("value"))
-    val joined = streamStreamJoinOn(clicks, purchases, "leftOuter")
-    val qname = "graft_stream_stream_left"
+    val joined = streamStreamJoinOn(clicks, purchases, joinType)
     spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
     withStatePartitions(spark) {
       val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)

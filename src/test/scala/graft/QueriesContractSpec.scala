@@ -14,6 +14,13 @@ class QueriesContractSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle (no rows-only checks on this surface)") {
+    // The driver downgrades oracle-less queries to a weak rows>0 check;
+    // this surface has held 100% oracled since round 1 — lock it in.
+    val weak = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(weak.isEmpty, s"query without oracle: $weak")
+  }
+
   test("entry() is non-empty (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
