@@ -1037,6 +1037,26 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Schema evolution: two parquet batches written with DIFFERENT
+    // column sets (the long-lived-table reality — producers add fields),
+    // read back as one relation via mergeSchema. Spark unions by column
+    // name, absent columns null-filled; the oracle builds the same
+    // relation explicitly. mergeSchema costs a footer pass per file at
+    // planning — acceptable at write-batch granularity, and the committed
+    // layout answer at scale is a declared catalog schema; this query
+    // pins the read semantics.
+    "q102_schema_evolution" -> ((s, d) => {
+      val docs = doc(s, d)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q102_${s.sparkContext.applicationId}").getAbsolutePath
+      docs.select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$base/v1")
+      docs.select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$base/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }),
+
     // Stream-stream FULL OUTER interval join — q95 plus the purchase-side
     // gate: a purchase only matches clicks at-or-before it, so its state
     // is final once the watermark reaches its own event time (ts + 1h
@@ -2446,6 +2466,15 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q102_schema_evolution" ->
+      """SELECT doc_id, text, lang,
+        | CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        | source, n_chars
+        |FROM documents""".stripMargin,
 
     // q95's oracle plus the purchase-side nulls with their own gate.
     "q101_stream_full_join" ->
