@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * users:
   *
   *   title_case(s)             — str_to_title-compatible casing
+  *   nfc_normalize(s)          — Unicode NFC canonicalization
   *   simhash64(tokens)         — 64-bit SimHash of array<string>
   *   minhash_sig(tokens, k, n) — MinHash signature array<long>
   *   simhash64_md5(tokens)         — oracle-replayable md5 SimHash

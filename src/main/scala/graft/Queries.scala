@@ -984,8 +984,8 @@ object Queries {
       val docs = doc(s, d)
       val dir = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_q83_jsonl_${s.sparkContext.applicationId}").getAbsolutePath
-      docs.write.mode("overwrite").json(dir)
-      s.read.schema(docs.schema).json(dir)
+      graft.io.Jsonl.write(docs, dir)
+      graft.io.Jsonl.read(s, dir, docs.schema, quarantine = false)
         .select(docs.columns.map(col): _*)
     }),
 

@@ -32,6 +32,31 @@ class IoMultimodalSpec extends AnyFunSuite {
     assert(out.count(_.isNullAt(0)) == 1) // corrupt row surfaces as nulls
   }
 
+  test("permissive JSONL read quarantines malformed lines as data") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_badjsonl")
+    val f = tmp.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"id": 1, "text": "ok one"}
+        |{"id": 2 "text": "missing comma"}
+        |{"id": 3, "text": "ok two"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val out = graft.io.Jsonl.read(spark, f.toString, schema).collect()
+    assert(out.length == 3)
+    val bad = out.filter(!_.isNullAt(2))
+    assert(bad.length == 1 && bad.head.isNullAt(0),
+      "malformed line must land whole in _corrupt_record with data cols null")
+    assert(bad.head.getString(2).contains("missing comma"))
+    val good = out.filter(_.isNullAt(2))
+    assert(good.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // failFast refuses the same file
+    assertThrows[org.apache.spark.SparkException] {
+      graft.io.Jsonl.read(spark, f.toString, schema,
+        quarantine = false, failFast = true).collect()
+    }
+  }
+
   test("default ByteHistogramCodec: exact histogram + checksum on known bytes") {
     val df = Seq((1L, "ab")).toDF("doc_id", "text") // bytes 97, 98
     val media = Multimodal.mediaFromText(df, "doc_id", "text")
