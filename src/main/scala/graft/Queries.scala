@@ -1037,6 +1037,41 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Length-weighted sampling — curation that preferentially keeps
+    // longer documents: keep with probability min(1, n_tokens/80), decided
+    // by a DETERMINISTIC per-doc uniform (first 8 md5 hex digits / 2^32 —
+    // replayable in any engine, stable across runs; no rand()). The
+    // u < p comparison uses one correctly-rounded double division per
+    // side, so the kept set is engine-exact.
+    "q103_weighted_sample" -> ((s, d) => {
+      val n = Text.tokenCount(col("text"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long").cast("double") / lit(4294967296.0)
+      doc(s, d)
+        .select(col("doc_id"), n.as("n_tokens"), u.as("u"))
+        .filter(col("u") < least(lit(1.0), col("n_tokens").cast("double") / lit(80.0)))
+        .select(col("doc_id"), col("n_tokens"))
+    }),
+
+    // Curriculum binning — difficulty buckets WITHOUT a global sort:
+    // exact quartile cutpoints (one tiny agg, broadcast as a 1-row cross
+    // join) and a counting CASE per row. The ntile() a naive version
+    // would use is a single-partition window over the corpus — the q84
+    // scale cliff; cutpoint binning is the 100 TB shape.
+    "q104_curriculum_bins" -> ((s, d) => {
+      val base = doc(s, d).select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      val cuts = base.agg(
+        expr("percentile(n_tokens, 0.25)").as("q1"),
+        expr("percentile(n_tokens, 0.5)").as("q2"),
+        expr("percentile(n_tokens, 0.75)").as("q3"))
+      base.crossJoin(broadcast(cuts))
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1L) + (col("n_tokens") > col("q1")).cast("long")
+            + (col("n_tokens") > col("q2")).cast("long")
+            + (col("n_tokens") > col("q3")).cast("long")).as("bucket"))
+    }),
+
     // Schema evolution: two parquet batches written with DIFFERENT
     // column sets (the long-lived-table reality — producers add fields),
     // read back as one relation via mergeSchema. Spark unions by column
@@ -2466,6 +2501,35 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "q103_weighted_sample" ->
+      """SELECT doc_id, n_tokens FROM (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |    AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM documents)
+        |WHERE u < least(1.0, n_tokens / 80.0)""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile (q12 parity); boolean
+    // sums replaced by a counting CASE to keep everything BIGINT.
+    "q104_curriculum_bins" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |c AS (
+        | SELECT quantile_cont(n_tokens, 0.25) AS q1,
+        |  quantile_cont(n_tokens, 0.5) AS q2,
+        |  quantile_cont(n_tokens, 0.75) AS q3
+        | FROM t)
+        |SELECT doc_id, n_tokens,
+        | CAST(1 + (CASE WHEN n_tokens > q1 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN n_tokens > q2 THEN 1 ELSE 0 END)
+        |   + (CASE WHEN n_tokens > q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
+        |FROM t, c""".stripMargin,
 
     "q102_schema_evolution" ->
       """SELECT doc_id, text, lang,
