@@ -188,4 +188,78 @@ class PropertySpec extends AnyFunSuite {
         s"no shared fingerprint despite an ${run.length}-token shared run")
     }
   }
+
+  test("as-of joins == the naive theta-join argmin on random data (all directions)") {
+    import graft.operators.AsOfJoin
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 500L))),
+      Gen.listOfN(15, Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 500L))))
+    samples(gen, 8).foreach { case (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (1000L + i, s"k$k", t) }
+      val ldf = left.toDF("event_id", "key", "t")
+      val rdf = right.toDF("rid", "key", "t")
+      def naive(dir: String): Map[Long, Option[Long]] =
+        left.map { case (id, k, lt) =>
+          val cands = right.filter(_._2 == k).filter { case (_, _, rt) =>
+            dir match {
+              case "b" => rt <= lt
+              case "f" => rt >= lt
+              case "n" => true
+            }
+          }
+          val pick = dir match {
+            case "b" => cands.sortBy { case (rid, _, rt) => (-rt, -rid) }.headOption
+            case "f" => cands.sortBy { case (rid, _, rt) => (rt, rid) }.headOption
+            case "n" => cands.sortBy { case (rid, _, rt) =>
+              // min distance; backward (rt <= lt) wins ties; then the
+              // per-direction tie-break on rid
+              (math.abs(rt - lt), if (rt <= lt) 0L else 1L,
+                if (rt <= lt) -rid else rid)
+            }.headOption
+          }
+          id -> pick.map(_._1)
+        }.toMap
+      def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                  String, String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame) =
+        f(ldf, rdf, "key", "t", "event_id", "rid", Seq("rid"))
+          .as[(Long, Option[Long])].collect().toMap
+      assert(run(AsOfJoin.backward(_, _, _, _, _, _, _)) == naive("b"))
+      assert(run(AsOfJoin.forward(_, _, _, _, _, _, _)) == naive("f"))
+      assert(run(AsOfJoin.nearest(_, _, _, _, _, _, _)) == naive("n"))
+    }
+  }
+
+  test("packSlices invariants on random corpora: coverage, gap-free, budget-exact") {
+    import graft.text.SequencePack
+    val gen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 10000L), Gen.chooseNum(1, 30)))
+    samples(gen, 8).foreach { docs0 =>
+      val docs = docs0.distinctBy(_._1) // unique ids
+      if (docs.nonEmpty) {
+        val df = docs.map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+          .toDF("doc_id", "text")
+        val B = 7L
+        val rows = SequencePack.packSlices(df, "doc_id",
+            graft.text.Text.tokenCount(col("text")), budget = B, nBuckets = 4)
+          .as[(Long, Long, Long, Long)].collect().toSeq
+        val total = docs.map(_._2.toLong).sum
+        // per-sequence token sums: exactly B except the last
+        val bySeq = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+        val last = bySeq.keys.max
+        bySeq.foreach { case (sq, n) =>
+          if (sq == last) assert(n == total - B * last) else assert(n == B)
+        }
+        // per-doc slices cover [0, n) gap-free
+        rows.groupBy(_._2).foreach { case (id, slices) =>
+          val ord = slices.sortBy(_._1)
+          assert(ord.head._3 == 0L)
+          ord.sliding(2).foreach {
+            case Seq((_, _, st1, l1), (_, _, st2, _)) => assert(st2 == st1 + l1)
+            case _ => ()
+          }
+          assert(ord.map(_._4).sum == docs.find(_._1 == id).get._2.toLong)
+        }
+      }
+    }
+  }
 }
