@@ -1037,6 +1037,17 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // Distributed Lloyd's k-means, 2 fixed iterations over the embedding
+    // corpus (k=8, deterministic lowest-id init): assignment is a pure
+    // column expression per row, the update collects only the k x dims
+    // rounded-mean centroid table — the corpus never leaves executors.
+    // Every arithmetic step is engine-replayable (sequential distance
+    // folds, 6-dp centroid rounding as the float-parity seam), so the
+    // oracle recomputes BOTH iterations in SQL.
+    "q105_kmeans" -> ((s, d) =>
+      graft.ml.KMeans.lloyd(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)),
+
     // Length-weighted sampling — curation that preferentially keeps
     // longer documents: keep with probability min(1, n_tokens/80), decided
     // by a DETERMINISTIC per-doc uniform (first 8 md5 hex digits / 2^32 —
@@ -2501,6 +2512,39 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Both Lloyd iterations replayed: same init rule, same sequential
+    // distance fold (list_reduce == aggregate-with-0-init since 0+x==x),
+    // same 6-dp centroid rounding.
+    "q105_kmeans" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |c0 AS (
+        | SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        | SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(e.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+        |c1 AS (
+        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
+        |  GROUP BY cell, d.i) s
+        | GROUP BY cell),
+        |a2 AS (
+        | SELECT vec_id, cell FROM (
+        |  SELECT e.vec_id, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(e.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c1 c) t WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM a2""".stripMargin,
 
     "q103_weighted_sample" ->
       """SELECT doc_id, n_tokens FROM (
