@@ -25,15 +25,15 @@ object EventsStream {
     * for. Measured at sf0.1/local[32]: q82 7.0 s → 2.8 s, q67 2.5 → 1.4,
     * q77 2.9 → 1.9, q29 1.8 → 1.1. At real scale the same principle
     * holds — size state partitions to state volume, not CPU count; set
-    * the conf per workload. Restored in finally (queries run sequentially
-    * per session in Verify/Bench/specs). */
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val target = spark.conf.getOption("spark.graft.streaming.statePartitions")
-      .getOrElse("8")
-    spark.conf.set(key, target)
-    try body finally spark.conf.set(key, prev)
+    * the conf per workload. The width is scoped to a CLONED session (the
+    * stream source, query and memory sink all live on the clone), so a
+    * batch query planned concurrently on the caller's session can never
+    * inherit it. */
+  private def withStateSession[T](spark: SparkSession)(body: SparkSession => T): T = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("8"))
+    body(s)
   }
 
   /** Tumbling 1-hour windowed counts/sums per event_type, run synchronously
@@ -42,33 +42,35 @@ object EventsStream {
     * identical to the equivalent batch aggregation — which is exactly what
     * the correctness oracle checks. */
   def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
-    // The streaming file source wants a directory; narrow to the events
-    // table with a glob filter rather than copying the file anywhere.
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = src
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
-    val qname = "graft_windowed_counts"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(qname)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    withStateSession(spark) { s =>
+      // The streaming file source wants a directory; narrow to the events
+      // table with a glob filter rather than copying the file anywhere.
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      val qname = "graft_windowed_counts"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"),
+          col("cnt"),
+          round(col("sum_value"), 4).as("sum_value"))
     }
-    spark.table(qname)
-      .select(
-        unix_timestamp(col("window.start")).as("win_start"),
-        col("event_type"),
-        col("cnt"),
-        round(col("sum_value"), 4).as("sum_value"))
   }
 
   /** The scale-correct variant of [[windowedCounts]]: APPEND output mode,
@@ -79,31 +81,33 @@ object EventsStream {
     * over static data that is every window except the stream's last one.
     */
   def windowedCountsAppend(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val agg = src
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
-    val qname = "graft_windowed_counts_append"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = agg.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(qname)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      val qname = "graft_windowed_counts_append"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"),
+          col("cnt"),
+          round(col("sum_value"), 4).as("sum_value"))
     }
-    spark.table(qname)
-      .select(
-        unix_timestamp(col("window.start")).as("win_start"),
-        col("event_type"),
-        col("cnt"),
-        round(col("sum_value"), 4).as("sum_value"))
   }
 
   /** Streaming exact dedup via `dropDuplicatesWithinWatermark(keys)` —
@@ -125,21 +129,23 @@ object EventsStream {
     * exactly the distinct key count — deterministic, hence oracle-able. */
   def dedupStreamCounts(spark: SparkSession, dir: String,
                         keys: Seq[String] = Seq("event_id")): DataFrame = {
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(keys)
-    val qname = "graft_dedup_stream"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-        .writeStream.outputMode("complete").format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(keys)
+      val qname = "graft_dedup_stream"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+          .writeStream.outputMode("complete").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
     }
-    spark.table(qname)
   }
 
   /** Stream–static broadcast join — the canonical streaming ENRICHMENT
@@ -186,25 +192,27 @@ object EventsStream {
     * is what the oracle checks. Epoch seconds are floored on both engines
     * (the q29/q31 parity rule). */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"), col("value"))
-    val joined = streamStreamJoinOn(clicks, purchases)
-    val qname = "graft_stream_stream"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      val joined = streamStreamJoinOn(clicks, purchases)
+      val qname = "graft_stream_stream"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
     }
-    spark.table(qname)
   }
 
   /** The watermarked join core of [[streamStreamJoin]], on any pair of
@@ -255,24 +263,26 @@ object EventsStream {
 
   private def streamStreamOuter(spark: SparkSession, dir: String,
                                 joinType: String, qname: String): DataFrame = {
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    def src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("purchase_ts"), col("value"))
-    val joined = streamStreamJoinOn(clicks, purchases, joinType)
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      def src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      val joined = streamStreamJoinOn(clicks, purchases, joinType)
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
     }
-    spark.table(qname)
   }
 
   /** The cleaning operators applied over a STREAM (SURVEY.md §2.11: the
@@ -339,26 +349,28 @@ object EventsStream {
     * that is the semantics, not a bug: a restarted stream must be able to
     * extend them. The q67 oracle mirrors this predicate in SQL. */
   def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
-    import spark.implicits._
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tsSec"),
-        col("value"), col("ts"))
-      .withWatermark("ts", s"$gapMinutes minutes")
-      .as[SessionEvent]
+    withStateSession(spark) { s =>
+      import s.implicits._
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tsSec"),
+          col("value"), col("ts"))
+        .withWatermark("ts", s"$gapMinutes minutes")
+        .as[SessionEvent]
 
-    val qname = "graft_sessions_stateful"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    withStatePartitions(spark) {
-      val q = sessionizeStatefulOn(src, gapMinutes * 60L)
-        .writeStream.outputMode("append").format("memory").queryName(qname)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      val qname = "graft_sessions_stateful"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = sessionizeStatefulOn(src, gapMinutes * 60L)
+          .writeStream.outputMode("append").format("memory").queryName(qname)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+        .withColumn("session_value", round(col("session_value"), 4))
     }
-    spark.table(qname)
-      .withColumn("session_value", round(col("session_value"), 4))
   }
 
   /** The stateful core of [[sessionizeStateful]], on any watermarked
