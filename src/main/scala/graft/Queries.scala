@@ -1037,6 +1037,19 @@ object Queries {
         .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
     }),
 
+    // IVF-flat ANN with TRAINED centroids — q73's production upgrade: the
+    // coarse quantizer is k-means over the corpus (q105's machinery), so
+    // cells follow the data distribution; L2 cell assignment + probe,
+    // cosine re-rank inside probed cells. The oracle replays training,
+    // assignment, probing and re-ranking end-to-end.
+    "q106_ann_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTrainedTopK(
+        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3, trainIters = 2)
+        .withColumnRenamed("rank", "rnk")
+    }),
+
     // Distributed Lloyd's k-means, 2 fixed iterations over the embedding
     // corpus (k=8, deterministic lowest-id init): assignment is a pure
     // column expression per row, the update collects only the k x dims
@@ -2512,6 +2525,65 @@ object Queries {
 
     "q96_compact_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Train (q105's CTEs on the corpus slice) -> assign -> probe -> cosine
+    // re-rank, all replayed.
+    "q106_ann_ivf_trained" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |co AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |qs AS (
+        | SELECT vec_id AS query_id, v AS qv,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS qn
+        | FROM e WHERE vec_id < 5),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM co ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        | SELECT vec_id, v, cell FROM (
+        |  SELECT co.vec_id, co.v, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY co.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(co.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM co CROSS JOIN c0 c) t WHERE rn = 1),
+        |c1 AS (
+        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
+        |  GROUP BY cell, d.i) s
+        | GROUP BY cell),
+        |asg AS (
+        | SELECT vec_id AS neighbor_id, v AS nv,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn,
+        |  cell
+        | FROM (
+        |  SELECT co.vec_id, co.v AS v, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY co.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(co.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM co CROSS JOIN c1 c) t
+        | WHERE rn = 1
+        |   AND list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0),
+        |probes AS (
+        | SELECT query_id, qv, qn, cell FROM (
+        |  SELECT q.query_id, q.qv, q.qn, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |     list_reduce(list_transform(list_zip(q.qv, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM qs q CROSS JOIN c1 c) t WHERE rn <= 3 AND qn > 0),
+        |r AS (
+        | SELECT query_id, neighbor_id,
+        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]),
+        |    (a, b) -> a + b) / (qn * nn) AS qcos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_reduce(list_transform(list_zip(qv, nv),
+        |      z -> z[1] * z[2]), (a, b) -> a + b) / (qn * nn) DESC,
+        |    neighbor_id ASC) AS INT) AS rnk
+        | FROM probes JOIN asg USING (cell))
+        |SELECT query_id, neighbor_id, rnk, round(qcos, 6) AS cos_sim
+        |FROM r WHERE rnk <= 5""".stripMargin,
 
     // Both Lloyd iterations replayed: same init rule, same sequential
     // distance fold (list_reduce == aggregate-with-0-init since 0+x==x),

@@ -67,6 +67,16 @@ object KMeans {
     * assignment (idCol, cluster). */
   def lloyd(vecs: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int): DataFrame = {
+    val (centroids, v) = lloydCentroids(vecs, idCol, vecCol, k, iters)
+    assign(v, idCol, "__v", centroids).select(col(idCol), col("cluster"))
+  }
+
+  /** The trained centroid table (and the double-cast vectors it was
+    * trained on): `iters` rounds of assign → rounded-mean update starting
+    * from the k lowest-id vectors. `iters = 2` means one update — the
+    * centroids q105's second assignment uses. */
+  def lloydCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                     k: Int, iters: Int): (Seq[(Long, Array[Double])], DataFrame) = {
     val v = vecs.select(col(idCol), transform(col(vecCol), _.cast("double")).as("__v"))
     val dims = v.select(size(col("__v"))).first().getInt(0)
     var centroids: Seq[(Long, Array[Double])] = v.orderBy(idCol).limit(k).collect()
@@ -74,13 +84,11 @@ object KMeans {
         val id = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
         id -> r.getSeq[Double](1).toArray
       }.sortBy(_._1).toSeq
-    var assigned = assign(v, idCol, "__v", centroids)
     var i = 1
     while (i < iters) {
-      centroids = roundedMeans(assigned, "__v", dims)
-      assigned = assign(v, idCol, "__v", centroids)
+      centroids = roundedMeans(assign(v, idCol, "__v", centroids), "__v", dims)
       i += 1
     }
-    assigned.select(col(idCol), col("cluster"))
+    (centroids, v)
   }
 }

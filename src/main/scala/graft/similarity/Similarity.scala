@@ -220,6 +220,50 @@ object Similarity {
     * Spark's NaN-is-largest sort order diverges from SQL engines that sort
     * NaN first — so both sides filter `norm > 0` and the contract excludes
     * them outright. */
+  /** IVF-flat with TRAINED centroids — the production IVF shape: the
+    * coarse quantizer comes from k-means over the corpus
+    * ([[graft.ml.KMeans.lloydCentroids]], engine-replayable arithmetic)
+    * instead of [[ivfCosineTopK]]'s lowest-id rule, so cells reflect the
+    * data distribution and probe recall is what the cell count promises.
+    * Cell assignment and probe ranking use squared L2 to the trained
+    * centroids (the metric k-means optimized); the final re-rank inside
+    * probed cells is cosine, same folds as [[cosineTopK]]. Assignment is
+    * a pure per-row expression over k literal centroid structs — no
+    * shuffle; the probe join shuffles on cell id only. */
+  def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nCells: Int = 8, nProbe: Int = 3,
+                     trainIters: Int = 2): DataFrame = {
+    val (centroids, cv) = graft.ml.KMeans.lloydCentroids(
+      corpus, idCol, vecCol, nCells, trainIters)
+    val assigned = graft.ml.KMeans.assign(cv, idCol, "__v", centroids)
+      .select(col(idCol).as("neighbor_id"), col("__v").as("nv"),
+        col("cluster").as("cell"))
+      .withColumn("nn", norm(col("nv")))
+      .filter(col("nn") > 0)
+    val q0 = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .filter(col("qn") > 0)
+    def dist2(c: Array[Double]): Column =
+      aggregate(zip_with(col("qv"), array(c.map(lit).toIndexedSeq: _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b)
+    val probeCells = slice(array_sort(array(centroids.toIndexedSeq.map {
+      case (cid, cvec) => struct(dist2(cvec).as("d"), lit(cid).as("cid"))
+    }: _*)), 1, nProbe)
+    val probes = q0.withColumn("cell",
+      explode(transform(probeCells, p => p.getField("cid"))))
+    val sim = dot(col("qv"), col("nv")) / (col("qn") * col("nn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    probes.join(assigned, Seq("cell"))
+      .withColumn("cos_sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,

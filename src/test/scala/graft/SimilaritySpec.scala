@@ -63,6 +63,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("ivfTrainedTopK: trained cells beat or match lowest-id cells on clustered data") {
+    val rng = new scala.util.Random(29)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
+    def pt(c: Int) = centers(c).map(v => (v + 0.15 * rng.nextGaussian()).toFloat)
+    val corpus = (10 until 300).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val trained = recallOf(Similarity.ivfTrainedTopK(queries, corpus,
+      "vec_id", "embedding", 5, nCells = 8, nProbe = 2, trainIters = 3))
+    val static = recallOf(Similarity.ivfCosineTopK(queries, corpus,
+      "vec_id", "embedding", 5, nCells = 8, nProbe = 2))
+    assert(trained >= 0.8, s"trained-IVF recall too low: $trained")
+    assert(trained >= static - 1e-9,
+      s"training should not hurt recall here: trained $trained vs static $static")
+  }
+
   test("ivfCosineTopK: reasonable recall at nProbe < nCells on clustered data") {
     val rng = new scala.util.Random(31)
     val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian()))
