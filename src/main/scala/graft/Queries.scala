@@ -1317,7 +1317,67 @@ object Queries {
           Window.partitionBy(col("source"))
             .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
         .filter(col("rk") <= 10)
-        .select(col("source"), col("doc_id"), col("rk")))
+        .select(col("source"), col("doc_id"), col("rk"))),
+
+    // Eval-set decontamination (the GPT-3-style n-gram overlap filter):
+    // docs with doc_id % 100 == 0 stand in for the held-out benchmark;
+    // the rest of the corpus is annotated with its distinct shared-gram
+    // count. Eval grams are a broadcast distinct set — a map-side
+    // semi-join, zero corpus shuffle.
+    "q107_decontaminate" -> ((s, d) => {
+      val docs = doc(s, d)
+      graft.text.Decontaminate.flagContaminated(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("shared_grams"), col("contaminated"))
+    }),
+
+    // SemDeDup — semantic (embedding-space) dedup: k-means clusters
+    // (q105's engine-replayable Lloyd's), pairwise cosine INSIDE each
+    // cluster only, lowest-id survivor. Near-duplicates injected the
+    // q69 way so the flagged set is non-trivial; the oracle replays
+    // train → assign → pairwise → flag end-to-end.
+    "q108_semdedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+      val dups = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) + lit(0.05)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      graft.dedup.SemDedup.semDedup(e.unionByName(dups), "vec_id", "embedding",
+        k = 8, trainIters = 2, threshold = 0.99)
+    }),
+
+    // ORC round-trip — the Hive-era columnar format, source-coverage twin
+    // of q72 (CSV) / q83 (JSONL): declared-schema read back of what was
+    // written must equal the original relation.
+    "q109_orc_roundtrip" -> ((s, d) => {
+      val docs = doc(s, d)
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q109_orc_${s.sparkContext.applicationId}").getAbsolutePath
+      graft.io.Orc.write(docs, dir)
+      graft.io.Orc.read(s, dir, docs.schema).select(docs.columns.map(col): _*)
+    }),
+
+    // Deterministic per-epoch training shuffle: md5(seed ‖ id) order key,
+    // global rank via the two-phase decomposition (256 parallel bucket
+    // windows + one O(256) offset window) — no rand(), no single-
+    // partition corpus-wide window.
+    "q110_training_shuffle" -> ((s, d) =>
+      graft.operators.TrainingShuffle.shuffleRank(
+        doc(s, d).select(col("doc_id")), "doc_id", seed = "epoch1")),
+
+    // Robust per-group outlier flags: median/MAD cut (50% breakdown
+    // point) over per-lang token counts — two grouped exact-median aggs,
+    // group tables broadcast back; integer inputs make every comparison
+    // IEEE-exact with no rounding seam.
+    "q111_mad_outliers" -> ((s, d) =>
+      Stats.madOutliers(
+        doc(s, d).select(col("doc_id"), col("lang"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        Seq("lang"), "n_tokens", cutoff = 3.0))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -2912,6 +2972,113 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
         | FROM documents)
-        |WHERE rk <= 10""".stripMargin
+        |WHERE rk <= 10""".stripMargin,
+
+    // 3-gram shingling mirrors q89's oracle idiom (empty when < 3 tokens,
+    // matching Spark's ngramStrings); per-doc grams distinct before the
+    // join so `shared_grams` counts distinct contaminating grams.
+    "q107_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(toks) >= 3
+        |   THEN list_distinct(list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' ')))
+        |   ELSE [] END AS grams
+        | FROM t),
+        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 <> 0),
+        |sh AS (SELECT cg.doc_id, count(*) AS shared
+        |       FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams,
+        | CAST(CASE WHEN coalesce(sh.shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS contaminated
+        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+        |WHERE d.doc_id % 100 <> 0""".stripMargin,
+
+    // q105's two-iteration Lloyd's replay over the dup-injected corpus
+    // (q69's injection), then within-cell pairwise cosine (the same
+    // sequential folds the q69 oracle proves bit-identical) and the
+    // lowest-id survivor flag.
+    "q108_semdedup" ->
+      """WITH e0 AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |dups AS (
+        | SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.05], v[2:64]) AS v
+        | FROM e0 WHERE vec_id % 50 = 0),
+        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM dups),
+        |c0 AS (
+        | SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        | SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(e.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+        |c1 AS (
+        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
+        |  GROUP BY cell, d.i) s
+        | GROUP BY cell),
+        |a2 AS (
+        | SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(e.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c1 c) t WHERE rn = 1),
+        |p AS (
+        | SELECT a.vec_id AS ia, b.vec_id AS ib
+        | FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE list_reduce(list_transform(list_zip(a.v, b.v),
+        |         z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |   >= 0.99),
+        |drp AS (SELECT DISTINCT ib FROM p)
+        |SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cluster,
+        | CAST(CASE WHEN drp.ib IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.ib""".stripMargin,
+
+    // Round-trip fidelity (q83's rule): the re-read must equal the
+    // ORIGINAL table, so the oracle is simply the original.
+    "q109_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // The naive single-window global rank the two-phase form must equal;
+    // md5 hex is lowercase in both engines, ASCII compare, id tiebreak.
+    "q110_training_shuffle" ->
+      """SELECT doc_id,
+        | row_number() OVER (
+        |   ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  AS shuffle_rank
+        |FROM documents""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile (q12/q104 parity); integer
+    // inputs make med multiples of 0.5, adev exact, mad multiples of 0.25,
+    // 3*mad exact — no rounding seam anywhere. Inner join on lang drops
+    // NULL-lang rows identically on both engines.
+    "q111_mad_outliers" ->
+      """WITH t AS (
+        | SELECT doc_id, lang,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med
+        |      FROM t GROUP BY lang),
+        |d AS (SELECT t.doc_id, t.lang, t.n_tokens, m.med,
+        |       abs(t.n_tokens - m.med) AS adev FROM t JOIN m USING (lang)),
+        |md AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
+        |       FROM d GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_tokens, d.med, md.mad,
+        | CAST(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END AS BIGINT)
+        |   AS is_outlier
+        |FROM d JOIN md USING (lang)""".stripMargin
   )
 }

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,5 +108,39 @@ object Stats {
     }
     if (exact) expr(s"percentile($c, $prob)")
     else expr(s"percentile_approx($c, $prob, 10000)")
+  }
+
+  /** Robust per-group outlier flags via median absolute deviation — the
+    * quality-control cut that survives the heavy-tailed length/score
+    * distributions real corpora have (mean/stddev z-scores are dragged by
+    * the very outliers they're meant to find; the median/MAD pair has a
+    * 50% breakdown point).
+    *
+    * Two grouped exact-median aggregations (median of the value, then
+    * median of |value − median|), each a map-side-combinable hash agg on
+    * the group key; the per-group (med, mad) tables are |groups| rows and
+    * broadcast back, so the corpus itself is scanned twice and never
+    * re-shuffled. At unbounded per-group cardinality the exact percentile
+    * buffers a value multiset — same trade as [[quantiles]], and the same
+    * switch applies (flip to percentile_approx for the 100 TB default).
+    *
+    * Parity: exact `percentile(·, 0.5)` is linear-interpolated like
+    * DuckDB's `quantile_cont` (q12/q104 precedent). Over integer inputs
+    * every median is an exact multiple of 0.5, |x − med| and 3·mad are
+    * exact IEEE doubles, so the cutoff comparison needs no rounding seam.
+    * The flag is a counting CASE (BIGINT 0/1), not a boolean sum. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  cutoff: Double = 3.0): DataFrame = {
+    val keys = groupCols.map(col)
+    val med = df.groupBy(keys: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val dev = df.join(F.broadcast(med), groupCols)
+      .withColumn("__adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(keys: _*)
+      .agg(expr("percentile(__adev, 0.5)").as("mad"))
+    dev.join(F.broadcast(mad), groupCols)
+      .withColumn("is_outlier",
+        (col("__adev") > lit(cutoff) * col("mad")).cast("long"))
+      .drop("__adev")
   }
 }

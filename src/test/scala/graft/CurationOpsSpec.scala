@@ -1,0 +1,129 @@
+package graft
+
+import graft.dedup.SemDedup
+import graft.operators.TrainingShuffle
+import graft.stats.Stats
+import graft.text.Decontaminate
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 curation operators: decontamination, SemDeDup, ORC round-trip,
+  * deterministic training shuffle, MAD outliers. */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------ ORC
+
+  test("ORC round-trip preserves the documents relation exactly") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = s"/tmp/graft-test-orc-${System.nanoTime()}"
+    graft.io.Orc.write(docs, dir)
+    val back = graft.io.Orc.read(spark, dir, docs.schema)
+      .select(docs.columns.map(col): _*)
+    assert(back.schema == docs.select(docs.columns.map(col): _*).schema)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+
+  // ------------------------------------------------- training shuffle
+
+  test("shuffle ranks are a permutation of 1..n and equal the naive global window") {
+    val ids = (1L to 500L).toDF("id")
+    val ranked = TrainingShuffle.shuffleRank(ids, "id", seed = "s1")
+    val got = ranked.select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(got.values.toSeq.sorted == (1L to 500L).toSeq)
+    val naive = ids
+      .withColumn("shuffle_rank",
+        row_number().over(Window.orderBy(
+          TrainingShuffle.shuffleKey(col("id"), "s1"), col("id"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("different seeds give different permutations; same seed is stable") {
+    val ids = (1L to 200L).toDF("id")
+    def ranks(seed: String) =
+      TrainingShuffle.shuffleRank(ids, "id", seed)
+        .as[(Long, Long)].collect().toMap
+    assert(ranks("epoch1") == ranks("epoch1"))
+    assert(ranks("epoch1") != ranks("epoch2"))
+  }
+
+  // -------------------------------------------------- decontamination
+
+  test("decontamination counts distinct shared 3-grams; clean and short docs unflagged") {
+    val eval = Seq((100L, "the quick brown fox jumps")).toDF("id", "text")
+    val corpus = Seq(
+      // shares "the quick brown" and "quick brown fox" -> 2 distinct grams
+      (1L, "so the quick brown fox ran"),
+      // repeats the same contaminated gram; distinct count stays 1
+      (2L, "the quick brown x the quick brown"),
+      (3L, "entirely different words here"),
+      (4L, "fox jumps")) // < 3 tokens: no grams, never contaminated
+      .toDF("id", "text")
+    val out = Decontaminate.flagContaminated(corpus, eval, "id", "text", k = 3)
+      .select("id", "shared_grams", "contaminated")
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out == Map(1L -> ((2L, 1L)), 2L -> ((1L, 1L)),
+      3L -> ((0L, 0L)), 4L -> ((0L, 0L))))
+  }
+
+  implicit class Tup3Ops(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map { case (a, b, c) => a -> ((b, c)) }.toMap
+  }
+
+  // --------------------------------------------------------- SemDeDup
+
+  test("SemDeDup drops the higher-id member of an identical pair, keeps singles") {
+    // deterministic grid blobs: within-blob cosine tops out at
+    // (100+72)/(√164·√181) ≈ 0.9984 — safely under the threshold — while
+    // the injected exact copy has cosine exactly 1.0
+    val base = (0 until 10).map(i => (i.toLong, Seq(10.0, i.toDouble, 0.0))) ++
+      (10 until 20).map(i => (i.toLong, Seq((i - 10).toDouble, 10.0, 0.0)))
+    val df = (base :+ ((99L, base(3)._2))) // exact copy of id 3, higher id
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(df, "vec_id", "embedding",
+        k = 2, trainIters = 3, threshold = 0.9999)
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(out(99L)._2 == 0L, "exact duplicate must be dropped")
+    assert(out(3L)._2 == 1L, "lowest-id original survives")
+    assert(out.size == 21)
+    // identical vectors land in the same cluster
+    assert(out(99L)._1 == out(3L)._1)
+    // nothing else is a near-duplicate at this threshold
+    assert(out.count(_._2._2 == 0L) == 1)
+  }
+
+  test("SemDeDup keeps everything when the threshold is unreachable") {
+    val df = (0 until 12).map(i => (i.toLong, Seq(i + 1.0, 2.0, 3.0)))
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(df, "vec_id", "embedding",
+        k = 2, trainIters = 2, threshold = 1.5)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(_._3 == 1L))
+  }
+
+  // ------------------------------------------------------ MAD outliers
+
+  test("MAD outliers: hand-computed median/MAD, flag only beyond cutoff*MAD") {
+    // group g: values 1..9 plus 100 -> med 5.5, adevs {4.5,3.5,...,0.5,94.5},
+    // mad = median({0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,94.5}) = 2.5,
+    // cutoff 3 -> |x-med| > 7.5 flags only x=100
+    val df = ((1 to 9).map(v => ("g", v.toLong)) :+ (("g", 100L)))
+      .toDF("grp", "v")
+    val out = Stats.madOutliers(df, Seq("grp"), "v", cutoff = 3.0)
+      .select("v", "med", "mad", "is_outlier")
+      .as[(Long, Double, Double, Long)].collect()
+    assert(out.forall { case (_, med, mad, _) => med == 5.5 && mad == 2.5 })
+    assert(out.filter(_._4 == 1L).map(_._1).toSeq == Seq(100L))
+  }
+
+  test("MAD outliers: a singleton group has mad 0 and is never flagged") {
+    val df = Seq(("a", 7L), ("b", 1L), ("b", 2L), ("b", 3L)).toDF("grp", "v")
+    val out = Stats.madOutliers(df, Seq("grp"), "v")
+      .select("grp", "is_outlier").as[(String, Long)].collect()
+    assert(out.forall(_._2 == 0L))
+  }
+}
