@@ -1,8 +1,7 @@
 package graft.dedup
 
 import graft.ml.KMeans
-import graft.similarity.Similarity
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SemDeDup — semantic deduplication via embedding clustering (Abbas et
@@ -36,18 +35,24 @@ object SemDedup {
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, trainIters: Int, threshold: Double): DataFrame = {
     val assigned = KMeans.lloyd(vecs, idCol, vecCol, k, trainIters)
+    // norms once per ROW (NormD), one tight-loop dot per PAIR — the
+    // q27/q69 pattern: same IEEE sequence as the per-pair HOF cosine
+    // (norms are per-row constants), so values are bit-unchanged while
+    // the dominant per-pair cost drops to a single JVM loop.
     val v = vecs.select(col(idCol),
       transform(col(vecCol), _.cast("double")).as("__v"))
     val withVec = assigned.join(v, idCol)
+      .withColumn("__n", graft.functions.NormD(col("__v")))
     val a = withVec.select(col(idCol).as("__id_a"), col("cluster"),
-      col("__v").as("__va"))
+      col("__v").as("__va"), col("__n").as("__na"))
     val b = withVec.select(col(idCol).as("__id_b"), col("cluster"),
-      col("__v").as("__vb"))
+      col("__v").as("__vb"), col("__n").as("__nb"))
     // Equi-join on cluster (shuffle partitioned by cluster id), id-ordered
     // so each duplicate pair is examined once; never a cross join.
     val dropped = a.join(b, "cluster")
       .where(col("__id_a") < col("__id_b"))
-      .where(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .where(graft.functions.DotProductD(col("__va"), col("__vb"))
+        / (col("__na") * col("__nb")) >= threshold)
       .select(col("__id_b").as(idCol)).distinct()
     withVec.join(dropped.withColumn("__dup", lit(1L)), Seq(idCol), "left")
       .withColumn("kept", col("__dup").isNull.cast("long"))
