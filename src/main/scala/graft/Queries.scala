@@ -1377,7 +1377,68 @@ object Queries {
       Stats.madOutliers(
         doc(s, d).select(col("doc_id"), col("lang"),
           Text.tokenCount(col("text")).as("n_tokens")),
-        Seq("lang"), "n_tokens", cutoff = 3.0))
+        Seq("lang"), "n_tokens", cutoff = 3.0)),
+
+    // RAG chunking: sliding token windows (window 50, stride 30) per doc
+    // — overlapping chunks so no retrieval context straddles a hard cut.
+    // Pure codegen'd explode arithmetic (starts 0,30,… while < n_tokens,
+    // length clipped at the doc end), no shuffle anywhere.
+    "q112_chunk_overlap" -> ((s, d) =>
+      doc(s, d)
+        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
+        .where(col("n_tokens") > 0)
+        .withColumn("chunk_start",
+          explode(sequence(lit(0L), col("n_tokens") - 1, lit(30L))))
+        .select(col("doc_id"),
+          expr("chunk_start DIV 30").as("chunk_id"),
+          col("chunk_start"),
+          least(lit(50L), col("n_tokens") - col("chunk_start")).as("chunk_len"))),
+
+    // Exact stratified train/val/test split: 80/10/10 WITHIN each lang
+    // stratum, membership decided by deterministic md5 rank — stable
+    // across runs/engines, exact per-stratum proportions (integer
+    // arithmetic: rk*10 <= n*8), no rand(). Per-stratum window ranks,
+    // parallel across strata (the q90 shape).
+    "q113_stratified_split" -> ((s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      doc(s, d).select(col("doc_id"), col("lang"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
+        .select(col("doc_id"), col("lang"),
+          when(col("rk") * 10 <= col("nl") * 8, "train")
+            .when(col("rk") * 10 <= col("nl") * 9, "val")
+            .otherwise("test").as("split"))
+    }),
+
+    // Cross-batch incremental dedup — the nightly-ingest gate: an
+    // incoming batch is admitted only where its content fingerprint does
+    // not already exist in the corpus. Anti-join on the fingerprint (md5
+    // here so the oracle replays it; production swaps xxhash64): one
+    // shuffle of 16-byte fingerprints, never of text. Exact duplicates
+    // injected (q69's convention) so the gate provably rejects.
+    "q114_incremental_dedup" -> ((s, d) => {
+      val docs = doc(s, d)
+      val cols = docs.columns
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+      val incoming = docs.filter(col("doc_id") % 10 === 7)
+        .unionByName(docs.filter(col("doc_id") % 25 === 3)
+          .select((cols.map {
+            case "doc_id" => (col("doc_id") + 100000).as("doc_id")
+            case c        => col(c)
+          }).toIndexedSeq: _*))
+      incoming.withColumn("fp", md5(col("text")))
+        .join(corpus.select(md5(col("text")).as("fp")).distinct(),
+          Seq("fp"), "left_anti")
+        .select("doc_id")
+    }),
+
+    // Streaming heavy hitters, lambda shape: per-window SpaceSaving
+    // sketch as the streaming state (k counters per open window), exact
+    // batch recount of the emitted candidate set — provably exact for
+    // the 0.5% threshold since k=256 ≥ 200.
+    "q115_stream_heavy_hitters" -> ((s, d) =>
+      EventsStream.windowedHeavyHitters(s, d))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -3079,6 +3140,62 @@ object Queries {
         |SELECT d.doc_id, d.lang, d.n_tokens, d.med, md.mad,
         | CAST(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END AS BIGINT)
         |   AS is_outlier
-        |FROM d JOIN md USING (lang)""".stripMargin
+        |FROM d JOIN md USING (lang)""".stripMargin,
+
+    // range(0, n, 30) == Spark's sequence(0, n-1, 30) for n > 0.
+    "q112_chunk_overlap" ->
+      """WITH t AS (
+        | SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |x AS (
+        | SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 30)) AS chunk_start
+        | FROM t WHERE n_tokens > 0)
+        |SELECT doc_id,
+        | CAST(chunk_start // 30 AS BIGINT) AS chunk_id,
+        | CAST(chunk_start AS BIGINT) AS chunk_start,
+        | CAST(least(50, n_tokens - chunk_start) AS BIGINT) AS chunk_len
+        |FROM x""".stripMargin,
+
+    // NULL lang forms its own window partition in both engines (unlike
+    // join keys), so no rows are lost.
+    "q113_stratified_split" ->
+      """WITH r AS (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS nl
+        | FROM documents)
+        |SELECT doc_id, lang,
+        | CASE WHEN rk * 10 <= nl * 8 THEN 'train'
+        |      WHEN rk * 10 <= nl * 9 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM r""".stripMargin,
+
+    "q114_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT md5(text) AS fp FROM d WHERE doc_id % 10 <> 7),
+        |inc AS (
+        | SELECT doc_id, text FROM d WHERE doc_id % 10 = 7
+        | UNION ALL
+        | SELECT doc_id + 100000 AS doc_id, text FROM d WHERE doc_id % 25 = 3)
+        |SELECT doc_id FROM inc
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = md5(inc.text))""".stripMargin,
+
+    // The exact per-window heavy-hitter relation the sketch + recount
+    // composition must equal (win_start = epoch-aligned tumbling hour,
+    // q29's idiom).
+    "q115_stream_heavy_hitters" ->
+      """WITH w AS (
+        | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |   AS win_start, user_id
+        | FROM events),
+        |n AS (SELECT win_start, count(*) AS n FROM w GROUP BY win_start),
+        |c AS (SELECT win_start, user_id, count(*) AS cnt
+        |      FROM w GROUP BY win_start, user_id)
+        |SELECT c.win_start, c.user_id, c.cnt
+        |FROM c JOIN n USING (win_start)
+        |WHERE c.cnt * 200 > n.n""".stripMargin
   )
 }

@@ -422,4 +422,60 @@ object EventsStream {
     src.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  /** Streaming heavy hitters — the lambda shape: a per-window SpaceSaving
+    * sketch ([[graft.functions.SpaceSavingTopK]]) runs as the STREAMING
+    * aggregate (the TypedImperativeAggregate's serialized buffer IS the
+    * streaming state: one O(k) counter map per open window, regardless of
+    * key cardinality — exact per-key windowed counts would instead hold
+    * every key ever seen), and the emitted candidate set gets the q98
+    * batch recount for exact counts.
+    *
+    * The composition is EXACT, not approximate: any key with windowed
+    * frequency > n/k survives in the sketch (SpaceSaving's superset
+    * guarantee, preserved under the mergeable-summaries merge), so with
+    * k ≥ 200 the candidate list provably contains every 0.5% heavy
+    * hitter; the recount of that broadcast candidate set then yields
+    * exact counts — which is what the oracle computes from scratch. */
+  def windowedHeavyHitters(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    require(k >= 200, s"k >= 200 keeps the n/200 threshold inside the sketch guarantee, got $k")
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.SpaceSavingTopK(col("user_id"), k).as("sk"),
+          count(lit(1)).as("n"))
+      val qname = "graft_windowed_heavy_hitters"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val cand = s.table(qname)
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("n"), explode(col("sk")).as("c"))
+        .select(col("win_start"), col("c.item").as("user_id"), col("n"))
+      // Exact recount of the (windows × k)-bounded candidate set: the
+      // corpus is scanned once, semi-joined against the broadcast
+      // candidates, and only candidate keys are counted.
+      val evW = graft.Tables.events(s, dir)
+        .select(unix_timestamp(window(col("ts"), "1 hour")
+          .getField("start")).as("win_start"), col("user_id"))
+      evW.join(broadcast(cand.select("win_start", "user_id")),
+          Seq("win_start", "user_id"))
+        .groupBy("win_start", "user_id").agg(count(lit(1)).as("cnt"))
+        .join(broadcast(cand.select("win_start", "n").distinct()), "win_start")
+        .filter(col("cnt") * 200 > col("n"))
+        .select("win_start", "user_id", "cnt")
+    }
+  }
 }

@@ -105,6 +105,56 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 1L))
   }
 
+  // ---------------------------------------------- chunking / split / gate
+
+  test("sliding-window chunks cover every token, stride 30, len <= 50, gap-free") {
+    val out = Queries.queries("q112_chunk_overlap")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    val n = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), graft.text.Text.tokenCount(col("text")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, chunks) =>
+      chunks.zipWithIndex.foreach { case ((_, cid, start, len), i) =>
+        assert(cid == i && start == 30L * i, s"doc $id chunk grid broken")
+        assert(len >= 1 && len <= 50, s"doc $id chunk len $len")
+      }
+      val (_, _, lastStart, lastLen) = chunks.last
+      assert(lastStart + lastLen == n(id), s"doc $id tail not covered")
+      // consecutive chunks overlap by 20 tokens except possibly the tail
+      chunks.sliding(2).foreach {
+        case Array((_, _, s1, l1), (_, _, s2, _)) =>
+          assert(s2 < s1 + l1, s"doc $id gap between chunks at $s2")
+        case _ =>
+      }
+    }
+  }
+
+  test("stratified split: exact floor-based 80/10/10 per stratum, deterministic") {
+    val run1 = Queries.queries("q113_stratified_split")(spark, TestSpark.sf0001)
+      .as[(Long, String, String)].collect().toSet
+    val run2 = Queries.queries("q113_stratified_split")(spark, TestSpark.sf0001)
+      .as[(Long, String, String)].collect().toSet
+    assert(run1 == run2 && run1.nonEmpty)
+    run1.groupBy(_._2).foreach { case (lang, rows) =>
+      val n = rows.size
+      val byS = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      assert(byS.getOrElse("train", 0) == n * 8 / 10, s"$lang train")
+      assert(byS.getOrElse("val", 0) == n * 9 / 10 - n * 8 / 10, s"$lang val")
+      assert(byS.getOrElse("test", 0) == n - n * 9 / 10, s"$lang test")
+    }
+  }
+
+  test("incremental dedup admits the novel batch and rejects every injected copy") {
+    val admitted = Queries.queries("q114_incremental_dedup")(spark, TestSpark.sf0001)
+      .as[Long].collect().toSet
+    val all = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = all.filter(_ % 10 == 7)
+    assert(admitted == expected, "novel docs admitted, injected copies (+100000) rejected")
+  }
+
   // ------------------------------------------------------ MAD outliers
 
   test("MAD outliers: hand-computed median/MAD, flag only beyond cutoff*MAD") {

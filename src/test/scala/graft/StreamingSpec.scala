@@ -23,6 +23,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("streaming heavy hitters (sketch + recount) equal the exact batch relation") {
+    val stream = EventsStream.windowedHeavyHitters(spark, TestSpark.sf0001)
+      .orderBy("win_start", "user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val w = Tables.events(spark, TestSpark.sf0001)
+      .select(unix_timestamp(window(col("ts"), "1 hour")
+        .getField("start")).as("win_start"), col("user_id"))
+    val n = w.groupBy("win_start").agg(count(lit(1)).as("n"))
+    val batch = w.groupBy("win_start", "user_id").agg(count(lit(1)).as("cnt"))
+      .join(n, "win_start")
+      .filter(col("cnt") * 200 > col("n"))
+      .select("win_start", "user_id", "cnt")
+      .orderBy("win_start", "user_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("append-mode (watermark-bounded) windows are exactly the sealed complete-mode windows") {
     val complete = EventsStream.windowedCounts(spark, TestSpark.sf0001)
       .as[(Long, String, Long, Double)].collect().toSet
