@@ -1438,7 +1438,55 @@ object Queries {
     // batch recount of the emitted candidate set — provably exact for
     // the 0.5% threshold since k=256 ≥ 200.
     "q115_stream_heavy_hitters" -> ((s, d) =>
-      EventsStream.windowedHeavyHitters(s, d))
+      EventsStream.windowedHeavyHitters(s, d)),
+
+    // Vocabulary construction — tokenizer training's first step: corpus
+    // token frequencies, deterministic (freq desc, token asc) rank, top V
+    // become vocab ids 1..V. The global order is TakeOrderedAndProject
+    // (parallel partial top-V heaps, no full sort); the rank window then
+    // runs over the V surviving rows only — the W3 tiny-result shape, not
+    // a corpus-wide window.
+    "q116_vocab" -> ((s, d) => {
+      val counts = doc(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      counts.orderBy(col("freq").desc, col("token").asc).limit(256)
+        .withColumn("vocab_id", row_number().over(
+          Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
+    }),
+
+    // OOV rate per document against the q116 vocabulary — the coverage
+    // metric a tokenizer-training loop iterates on. Vocab (V rows) is
+    // broadcast; the corpus-side check is a map-side hash join on the
+    // exploded token stream, then one per-doc agg.
+    "q117_oov_rate" -> ((s, d) => {
+      // V = 16 < the corpus's distinct-token count, so the OOV path is
+      // non-trivially exercised (V = 256 would cover every token here).
+      val vocab = doc(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(16)
+        .select(col("token"), lit(1L).as("__in_vocab"))
+      doc(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate",
+          round(col("n_oov").cast("double") / col("n_tokens"), 6))
+    }),
+
+    // Inverted-index posting relation (token, doc_id, pos) — the
+    // substrate of phrase search / exact-match retrieval. posexplode is
+    // codegen'd projection work, no shuffle; at scale the relation is
+    // written bucketed by token (io/Bucketing) so lookups are
+    // shuffle-free.
+    "q118_postings" -> ((s, d) =>
+      doc(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("col").as("token"), col("doc_id"),
+          col("pos").cast("long").as("pos")))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -3196,6 +3244,39 @@ object Queries {
         |      FROM w GROUP BY win_start, user_id)
         |SELECT c.win_start, c.user_id, c.cnt
         |FROM c JOIN n USING (win_start)
-        |WHERE c.cnt * 200 > n.n""".stripMargin
+        |WHERE c.cnt * 200 > n.n""".stripMargin,
+
+    // Same (freq DESC, token ASC) total order on both sides, so the
+    // top-256 set and the rank labels agree exactly.
+    "q116_vocab" ->
+      """WITH t AS (
+        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
+        |SELECT token, freq,
+        | CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
+        |   AS vocab_id
+        |FROM c ORDER BY freq DESC, token ASC LIMIT 256""".stripMargin,
+
+    "q117_oov_rate" ->
+      """WITH t AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),
+        |v AS (SELECT token FROM c ORDER BY freq DESC, token ASC LIMIT 16)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
+        | round(count(CASE WHEN v.token IS NULL THEN 1 END)
+        |   / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM t LEFT JOIN v ON t.token = v.token
+        |GROUP BY doc_id""".stripMargin,
+
+    // Parallel unnests zip positionally in DuckDB; range(0, len) matches
+    // posexplode's 0-based positions.
+    "q118_postings" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT unnest(toks) AS token, doc_id,
+        | unnest(range(0, len(toks))) AS pos
+        |FROM t""".stripMargin
   )
 }

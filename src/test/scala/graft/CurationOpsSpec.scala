@@ -155,6 +155,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(admitted == expected, "novel docs admitted, injected copies (+100000) rejected")
   }
 
+  // ------------------------------------- vocab / OOV / postings
+
+  test("vocab: dense 1..V ids, frequency-sorted, counts match a brute recount") {
+    val vocab = Queries.queries("q116_vocab")(spark, TestSpark.sf0001)
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(vocab.nonEmpty && vocab.map(_._3).toSeq == (1L to vocab.length).toSeq)
+    assert(vocab.sliding(2).forall {
+      case Array((t1, f1, _), (t2, f2, _)) => f1 > f2 || (f1 == f2 && t1 < t2)
+      case _ => true
+    }, "rank order must be (freq desc, token asc)")
+    val brute = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("text")).as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    vocab.foreach { case (t, f, _) => assert(brute(t) == f, s"freq of '$t'") }
+  }
+
+  test("OOV rate equals a driver-side brute-force recount on every doc") {
+    val got = Queries.queries("q117_oov_rate")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, o, r) => id -> ((n, o, r)) }.toMap
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val freq = docs.flatMap(_._2.split(" "))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val vocab = freq.toSeq.sortBy { case (t, f) => (-f, t) }.take(16).map(_._1).toSet
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val oov = toks.count(!vocab.contains(_))
+      val (n, o, r) = got(id)
+      assert(n == toks.length && o == oov, s"doc $id counts")
+      assert(math.abs(r - oov.toDouble / toks.length) < 1e-6, s"doc $id rate")
+    }
+  }
+
+  test("postings reassemble every document in position order") {
+    val postings = Queries.queries("q118_postings")(spark, TestSpark.sf0001)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).mkString(" ")).toMap
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(postings.keySet == docs.keySet)
+    postings.foreach { case (id, rebuilt) =>
+      assert(rebuilt == docs(id), s"doc $id reassembly") }
+  }
+
   // ------------------------------------------------------ MAD outliers
 
   test("MAD outliers: hand-computed median/MAD, flag only beyond cutoff*MAD") {
