@@ -262,4 +262,56 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("shuffleRank: permutation of 1..n equal to the naive window, on sparse random id sets") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(60, Gen.chooseNum(0L, Long.MaxValue / 2))
+    samples(gen, 8).foreach { rawIds =>
+      val ids = rawIds.distinct
+      val df = ids.toDF("id")
+      val got = graft.operators.TrainingShuffle.shuffleRank(df, "id", "pseed")
+        .as[(Long, Long)].collect().toMap
+      assert(got.values.toSeq.sorted == (1L to ids.length).toSeq)
+      val naive = df.withColumn("r", row_number().over(Window.orderBy(
+          graft.operators.TrainingShuffle.shuffleKey(col("id"), "pseed"),
+          col("id"))).cast("long"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == naive)
+    }
+  }
+
+  test("madOutliers: flags invariant under group translation (median/MAD equivariance)") {
+    val gen = Gen.listOfN(25, Gen.chooseNum(-1000L, 1000L))
+    samples(gen, 8).zipWithIndex.foreach { case (vs, i) =>
+      val base = vs.zipWithIndex.map { case (v, j) => (j.toLong, "g", v) }
+        .toDF("id", "grp", "v")
+      val shifted = vs.zipWithIndex.map { case (v, j) => (j.toLong, "g", v + 5000L) }
+        .toDF("id", "grp", "v")
+      def flags(df: org.apache.spark.sql.DataFrame) =
+        graft.stats.Stats.madOutliers(df, Seq("grp"), "v")
+          .select("id", "is_outlier").as[(Long, Long)].collect().toMap
+      assert(flags(base) == flags(shifted), s"sample $i not translation-invariant")
+    }
+  }
+
+  test("decontamination equals a brute-force distinct-gram intersection on random corpora") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val gen = Gen.zip(Gen.listOfN(6, docGen), Gen.listOfN(10, docGen))
+    samples(gen, 8).foreach { case (evalTexts, corpusTexts) =>
+      val eval = evalTexts.zipWithIndex.map { case (t, i) => (1000L + i, t) }.toDF("id", "text")
+      val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = graft.text.Decontaminate.flagContaminated(corpus, eval, "id", "text", k = 3)
+        .select("id", "shared_grams").as[(Long, Long)].collect().toMap
+      def grams(t: String): Set[String] = {
+        val w = t.split(" ")
+        if (w.length < 3) Set.empty
+        else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val evalGrams = evalTexts.flatMap(grams).toSet
+      corpusTexts.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i.toLong) == (grams(t) & evalGrams).size.toLong, s"doc $i")
+      }
+    }
+  }
 }
