@@ -8,7 +8,7 @@ import graft.operators.{Cleaning, Impute, Rankings}
 import graft.similarity.Similarity
 import graft.stats.Stats
 import graft.streaming.EventsStream
-import graft.text.Text
+import graft.text.{Mixing, Text}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1486,7 +1486,38 @@ object Queries {
       doc(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " ")))
         .select(col("col").as("token"), col("doc_id"),
-          col("pos").cast("long").as("pos")))
+          col("pos").cast("long").as("pos"))),
+
+    // Matryoshka two-stage retrieval: coarse rank on the 16-dim embedding
+    // PREFIX (a 4× narrower scan at the storage layer), exact full-dim
+    // rerank on the per-query shortlist only. Deterministic candidate cut
+    // ⇒ exactly oracle-replayable.
+    "q119_matryoshka_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.matryoshkaTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", 5, coarseDim = 16, candidates = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // Binary sign-quantized ANN: 1 bit/dim (16× under float32), Hamming
+    // candidate scan as popcount-of-XOR over two longs, exact cosine
+    // rerank of the shortlist. Integer ranking keys ⇒ deterministic cut.
+    "q120_binary_hamming" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.binaryHammingTopK(
+          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
+          "vec_id", "embedding", 5, dim = 64, candidates = 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
+          col("hamming"), round(col("cos_sim"), 6).as("cos_sim"))
+    }),
+
+    // Temperature-scaled source mixing (τ = 1/2): per-source targets
+    // ∝ √n_s flatten the natural source distribution; selection is
+    // rank-by-md5 — reproducible, engine-neutral, no RNG.
+    "q121_temperature_mix" -> ((s, d) =>
+      Mixing.temperatureMix(doc(s, d), "source", "doc_id", 200))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -3277,6 +3308,98 @@ object Queries {
         | SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         |SELECT unnest(toks) AS token, doc_id,
         | unnest(range(0, len(toks))) AS pos
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    // Both stages are the q27 sequential folds (parity proven there), the
+    // coarse stage over the [1:16] list prefix; candidate cut and final
+    // rank are total orders, so the two-stage result replays exactly.
+    "q119_matryoshka_topk" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, v AS nv FROM e WHERE vec_id >= 5),
+        |p AS (
+        | SELECT query_id, neighbor_id, qv, nv,
+        |  list_reduce(list_transform(list_zip(qv[1:16], nv[1:16]), z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(qv[1:16], x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(nv[1:16], x -> x * x), (x, y) -> x + y))) AS coarse
+        | FROM q CROSS JOIN c),
+        |cand AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
+        |  FROM p) WHERE crnk <= 20),
+        |f AS (
+        | SELECT query_id, neighbor_id,
+        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(nv, x -> x * x), (x, y) -> x + y))) AS cos_sim
+        | FROM cand),
+        |r AS (
+        | SELECT query_id, neighbor_id, cos_sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        | FROM f)
+        |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Sign packing replayed word-for-word: 32-bit words (DuckDB's BIGINT
+    // shift rejects bit 63, which is why the engine packs 32-bit words —
+    // Similarity.signPack), integer Hamming = popcount of XOR per word,
+    // exact-cosine rerank identical to q27's folds.
+    "q120_binary_hamming" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |sg AS (
+        | SELECT vec_id, v,
+        |  list_transform([0, 1], w ->
+        |   CAST(list_sum(list_transform(range(32), i ->
+        |    CASE WHEN v[w * 32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))
+        |   AS BIGINT)) AS words
+        | FROM e),
+        |q AS (SELECT vec_id AS query_id, v AS qv, words AS qw FROM sg WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, v AS nv, words AS nw FROM sg WHERE vec_id >= 5),
+        |h AS (
+        | SELECT query_id, neighbor_id, qv, nv,
+        |  CAST(bit_count(xor(qw[1], nw[1])) + bit_count(xor(qw[2], nw[2])) AS BIGINT) AS hamming
+        | FROM q CROSS JOIN c),
+        |cand AS (
+        | SELECT * FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id) AS crnk
+        |  FROM h) WHERE crnk <= 20),
+        |f AS (
+        | SELECT query_id, neighbor_id, hamming,
+        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(nv, x -> x * x), (x, y) -> x + y))) AS cos_sim
+        | FROM cand),
+        |r AS (
+        | SELECT query_id, neighbor_id, hamming, cos_sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        | FROM f)
+        |SELECT query_id, neighbor_id, rnk, hamming, round(cos_sim, 6) AS cos_sim
+        |FROM r WHERE rnk <= 5""".stripMargin,
+
+    // Σ√n_s is a sequential source-asc fold on both engines (list(... ORDER
+    // BY source) ↔ sort_array(collect_list)), so the normalizer is the
+    // same double and the floor'd targets match exactly; row selection is
+    // the md5-rank construction (q60/q103 family).
+    "q121_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |w AS (
+        | SELECT list_reduce(list_transform(list(cnt ORDER BY source), x ->
+        |   sqrt(CAST(x AS DOUBLE))), (a, b) -> a + b) AS wsum
+        | FROM c),
+        |t AS (
+        | SELECT source, CAST(floor(200.0 * sqrt(CAST(cnt AS DOUBLE)) / wsum) AS BIGINT)
+        |   AS target_cnt
+        | FROM c, w),
+        |r AS (
+        | SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
+        | FROM documents)
+        |SELECT doc_id, r.source, target_cnt
+        |FROM r JOIN t ON r.source = t.source WHERE rnk <= target_cnt""".stripMargin
   )
 }

@@ -264,6 +264,114 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Matryoshka two-stage retrieval — the truncation-tolerant-embedding
+    * pattern (MRL): embeddings trained so any PREFIX of the vector is
+    * itself a usable lower-dimensional embedding. Retrieval exploits that
+    * in two stages:
+    *
+    *   1. coarse: cosine over only the first `coarseDim` dims selects
+    *      `candidates` per query. At scale the prefix is stored as its own
+    *      (much narrower) column, so this scan reads `coarseDim/dim` of
+    *      the bytes a full-vector scan would — with dim 64 → 16 that is a
+    *      4× cut in scan traffic, and the per-pair dot is 4× cheaper.
+    *   2. rerank: ONLY the candidate ids join back to the full-vector
+    *      table (k·|Q| lookups, not a corpus scan) and are re-ranked by
+    *      full-dim cosine.
+    *
+    * The join-back is deliberate: carrying full vectors through stage 1
+    * would forfeit the narrow-scan benefit that motivates the operator.
+    * Candidate selection is deterministic ((coarse desc, id asc) cut), so
+    * the result is exactly reproducible by an external oracle. Both
+    * stages are the same sequential IEEE folds as [[cosineTopK]]. */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     coarseDim: Int = 16, candidates: Int = 20): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qc", slice(col("qv"), 1, coarseDim))
+      .withColumn("qn", graft.functions.NormD(col("qv")))
+      .withColumn("qcn", graft.functions.NormD(col("qc")))
+    // stage-1 corpus projection: prefix + its norm only (the narrow scan)
+    val cCoarse = corpus.select(col(idCol).as("neighbor_id"),
+        slice(asDouble(col(vecCol)), 1, coarseDim).as("nc"))
+      .withColumn("ncn", graft.functions.NormD(col("nc")))
+    val coarse = graft.functions.DotProductD(col("qc"), col("nc")) / (col("qcn") * col("ncn"))
+    val wC = Window.partitionBy("query_id").orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val cand = broadcast(q).crossJoin(cCoarse)
+      .withColumn("coarse", coarse)
+      .withColumn("crnk", row_number().over(wC))
+      .filter(col("crnk") <= candidates)
+      .select("query_id", "qv", "qn", "neighbor_id")
+    // stage-2: fetch full vectors for candidates only, exact rerank
+    val cFull = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", graft.functions.NormD(col("nv")))
+    val sim = graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn"))
+    val wF = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.join(cFull, Seq("neighbor_id"))
+      .withColumn("cos_sim", sim)
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cos_sim")
+  }
+
+  /** Sign-bit binary quantization of a double-array column: bit i of word
+    * w is `v[w·wordBits + i] > 0`. Words are `wordBits`-bit (32 by
+    * default) so the packing is replayable on SQL engines whose BIGINT
+    * left-shift rejects bit 63 (DuckDB raises on `1 << 63`); the cost vs
+    * full 64-bit words is one extra long per 64 dims — noise next to the
+    * 16× (float32) compression the quantization buys. The expression is a
+    * static tree of `dim` codegen'd conditionals — no UDF. */
+  def signPack(vec: Column, dim: Int, wordBits: Int = 32): Column = {
+    require(dim % wordBits == 0, s"dim $dim must be a multiple of wordBits $wordBits")
+    array((0 until dim by wordBits).map { w =>
+      (0 until wordBits).map { i =>
+        when(element_at(vec, w + i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Binary-quantized ANN: corpus and queries are sign-packed
+    * ([[signPack]]) to dim/8 bytes, candidates are selected by Hamming
+    * distance (popcount of XOR — pure integer ops over 2 longs per pair
+    * instead of 64 float multiply-adds), and the top `candidates` per
+    * query join back to the float table for an exact cosine rerank.
+    *
+    * This is the memory-bandwidth play, complementing [[lshCosineTopK]]
+    * (fewer pairs via bucketing) and the SQ8 path (cheaper bytes per
+    * pair): at 100 TB the packed corpus is 16× smaller than float32, so
+    * the stage-1 scan is bandwidth-bound on 1/16 the bytes; sign-bit
+    * Hamming approximates angular distance (Charikar), and rerank
+    * restores exactness on the shortlist. Ranking keys are integers, so
+    * the candidate cut is deterministic ((hamming asc, id asc)) and
+    * exactly oracle-replayable. */
+  def binaryHammingTopK(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        dim: Int = 64, candidates: Int = 20): DataFrame = {
+    val nWords = dim / 32
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qw", signPack(col("qv"), dim))
+      .withColumn("qn", graft.functions.NormD(col("qv")))
+    val cPacked = corpus.select(col(idCol).as("neighbor_id"),
+      signPack(asDouble(col(vecCol)), dim).as("nw"))
+    val hamming = (0 until nWords).map { w =>
+      bit_count(element_at(col("qw"), w + 1).bitwiseXOR(element_at(col("nw"), w + 1)))
+    }.reduce(_ + _).cast("long")
+    val wH = Window.partitionBy("query_id").orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = broadcast(q).crossJoin(cPacked)
+      .withColumn("hamming", hamming)
+      .withColumn("crnk", row_number().over(wH))
+      .filter(col("crnk") <= candidates)
+      .select("query_id", "qv", "qn", "neighbor_id", "hamming")
+    val cFull = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", graft.functions.NormD(col("nv")))
+    val sim = graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn"))
+    val wF = Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.join(cFull, Seq("neighbor_id"))
+      .withColumn("cos_sim", sim)
+      .withColumn("rank", row_number().over(wF))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "hamming", "cos_sim")
+  }
+
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,

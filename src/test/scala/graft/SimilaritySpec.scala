@@ -253,6 +253,80 @@ class SimilaritySpec extends AnyFunSuite {
     assert(overlap >= 0.6, s"quantized recall too low: $overlap")
   }
 
+  test("matryoshkaTopK with candidates == |corpus| equals the exact scan") {
+    // an unfiltered coarse stage passes every row to the rerank, which is
+    // the same fold as cosineTopK — results must be identical
+    val rng = new scala.util.Random(41)
+    val corpus = (10 until 150).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val mrl = Similarity.matryoshkaTopK(queries, corpus, "vec_id", "embedding", 5,
+        coarseDim = 16, candidates = 140)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(mrl == exact)
+  }
+
+  test("matryoshkaTopK: good recall at a 20-candidate shortlist on clustered data") {
+    // clustered corpus: the 16-dim prefix preserves cluster geometry, so a
+    // small shortlist already contains the true top-5
+    val rng = new scala.util.Random(43)
+    val centers = Array.fill(8)(Array.fill(64)(rng.nextGaussian()))
+    def pt(c: Int) = centers(c).map(v => (v + 0.15 * rng.nextGaussian()).toFloat)
+    val corpus = (10 until 300).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (i.toLong, pt(i % 8))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the prefix nails the CLUSTER every time; ranking WITHIN a ~36-member
+    // cluster carries only 16/64 of the signal, so the shortlist must be a
+    // small multiple of the cluster size for the true top-5 to survive
+    val mrl = Similarity.matryoshkaTopK(queries, corpus, "vec_id", "embedding", 5,
+        coarseDim = 16, candidates = 40)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect mrl).size.toDouble / exact.size
+    assert(recall >= 0.85, s"matryoshka recall too low on clustered data: $recall")
+  }
+
+  test("signPack: hand-checked bit layout in 32-bit words") {
+    // dims 0,3 positive in word 0; dims 32,34 positive in word 1
+    val v = Array.fill(64)(-1.0f)
+    v(0) = 1f; v(3) = 1f; v(32) = 1f; v(34) = 1f
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val words = df.select(Similarity.signPack(
+        transform(col("embedding"), _.cast("double")), 64).as("w"))
+      .as[Seq[Long]].head()
+    assert(words == Seq((1L << 0) | (1L << 3), (1L << 0) | (1L << 2)))
+  }
+
+  test("binaryHammingTopK: identical vector has hamming 0 and rank 1") {
+    val rng = new scala.util.Random(47)
+    val base = Array.fill(64)(rng.nextGaussian().toFloat)
+    val corpus = ((10 until 60).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))) :+ (99L, base))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, base)).toDF("vec_id", "embedding")
+    val top = Similarity.binaryHammingTopK(queries, corpus, "vec_id", "embedding", 1,
+        candidates = 10)
+      .select("neighbor_id", "hamming", "rank").as[(Long, Long, Int)].head()
+    assert(top == ((99L, 0L, 1)))
+  }
+
+  test("binaryHammingTopK with candidates == |corpus| equals the exact scan") {
+    val rng = new scala.util.Random(53)
+    val corpus = (10 until 150).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bin = Similarity.binaryHammingTopK(queries, corpus, "vec_id", "embedding", 5,
+        candidates = 140)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(bin == exact)
+  }
+
   test("hyperplane signature is deterministic across evaluations") {
     val e = Tables.embeddings(spark, TestSpark.sf0001).limit(20)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
