@@ -1517,7 +1517,64 @@ object Queries {
     // ∝ √n_s flatten the natural source distribution; selection is
     // rank-by-md5 — reproducible, engine-neutral, no RNG.
     "q121_temperature_mix" -> ((s, d) =>
-      Mixing.temperatureMix(doc(s, d), "source", "doc_id", 200))
+      Mixing.temperatureMix(doc(s, d), "source", "doc_id", 200)),
+
+    // BM25 lexical retrieval — the term-weighting complement to the ANN
+    // family; postings-shaped (q79/q118), corpus scalars on a broadcast
+    // 1-row cross join, global top-k via TakeOrderedAndProject.
+    "q122_bm25" -> ((s, d) =>
+      graft.text.Bm25.topK(doc(s, d), "doc_id", "text",
+        Seq("vector", "join", "scan"), 20)),
+
+    // Per-source quality pruning: drop each source's bottom length
+    // quartile — exact per-group percentile cutpoints (tiny agg,
+    // broadcast back), then a map-side filter; no corpus-wide ntile.
+    "q123_quality_prune" -> ((s, d) => {
+      val base = doc(s, d).select(col("doc_id"), col("source"),
+        Text.tokenCount(col("text")).as("n_tokens"))
+      val cuts = base.groupBy("source")
+        .agg(expr("percentile(n_tokens, 0.25)").as("q1"))
+      base.join(broadcast(cuts), Seq("source"))
+        .filter(col("n_tokens") > col("q1"))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
+
+    // Near-dup canonicalization keeping the BEST-quality representative
+    // (not the lowest id): clusters from the exact-Jaccard connected
+    // components (q70), representative = argmax (n_chars desc, doc_id
+    // asc) per cluster — what a curation pipeline actually keeps.
+    // Integer ranking keys ⇒ exactly oracle-replayable.
+    "q124_cluster_best" -> ((s, d) => {
+      val canon = Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
+        k = 2, jaccardThreshold = 0.5)
+      val w = Window.partitionBy("canonical_id")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      doc(s, d).select(col("doc_id"), col("n_chars"))
+        .join(canon, Seq("doc_id"))
+        .withColumn("__r", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("canonical_id")))
+        .filter(col("__r") === 1)
+        .select(col("canonical_id"), col("doc_id").as("kept_doc_id"),
+          col("n_chars").as("kept_n_chars"), col("cluster_size"))
+    }),
+
+    // Unigram log-probability scoring (the CCNet-style LM-quality
+    // signal): mean ln p(token) under the corpus unigram distribution.
+    // Token freqs are one hash agg; the per-doc mean is a second agg over
+    // the postings join; ln is libm → rounded 4 dp per the parity rule.
+    "q125_unigram_logprob" -> ((s, d) => {
+      val postings = doc(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val freqs = postings.groupBy("token").agg(count(lit(1)).as("freq"))
+      val total = postings.agg(count(lit(1)).as("total"))
+      postings.join(freqs, Seq("token"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(
+          sum(log(col("freq").cast("double") / col("total"))) / count(lit(1)),
+          4).as("avg_logprob"))
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -3400,6 +3457,90 @@ object Queries {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
         | FROM documents)
         |SELECT doc_id, r.source, target_cnt
-        |FROM r JOIN t ON r.source = t.source WHERE rnk <= target_cnt""".stripMargin
+        |FROM r JOIN t ON r.source = t.source WHERE rnk <= target_cnt""".stripMargin,
+
+    // ln is libm (not bit-guaranteed across engines) → scores rounded 4 dp
+    // on BOTH sides and ranked by the ROUNDED value (house parity rule).
+    // Literals: 1.2::DOUBLE + 1.0 replays Scala's k1 + 1.0 (the double of
+    // the literal 2.2 is a DIFFERENT value); avgdl is an exact integer
+    // ratio in double on both engines.
+    "q122_bm25" ->
+      """WITH p AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
+        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
+        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
+        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4) AS score
+        | FROM tf JOIN df ON tf.token = df.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id, s
+        | GROUP BY tf.doc_id),
+        |r AS (SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        | FROM sc)
+        |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile (q12/q104 parity).
+    "q123_quality_prune" ->
+      """WITH t AS (
+        | SELECT doc_id, source,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |    AS n_tokens
+        | FROM documents),
+        |c AS (SELECT source, quantile_cont(n_tokens, 0.25) AS q1
+        |      FROM t GROUP BY source)
+        |SELECT doc_id, t.source, n_tokens
+        |FROM t JOIN c ON t.source = c.source WHERE n_tokens > q1""".stripMargin,
+
+    // q70's recursive-CTE connected components, then the keep-best window
+    // — integer ranking keys (n_chars, doc_id), exact replay.
+    "q124_cluster_best" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION ALL SELECT ib, ia FROM pairs),
+        |cc(node, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a),
+        |lab AS (SELECT node AS doc_id, min(label) AS canonical_id
+        |        FROM cc GROUP BY node),
+        |r AS (
+        | SELECT l.canonical_id, d.doc_id, d.n_chars,
+        |  row_number() OVER (PARTITION BY l.canonical_id
+        |    ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY l.canonical_id) AS cluster_size
+        | FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+        |SELECT canonical_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+        | CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Same ln-rounding rule as q122; freq/total is double on both sides.
+    "q125_unigram_logprob" ->
+      """WITH p AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM p GROUP BY token),
+        |t AS (SELECT count(*) AS total FROM p)
+        |SELECT doc_id,
+        | round(sum(ln(CAST(freq AS DOUBLE) / total)) / count(*), 4) AS avg_logprob
+        |FROM p JOIN f ON p.token = f.token, t GROUP BY doc_id""".stripMargin
   )
 }
