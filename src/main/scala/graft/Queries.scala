@@ -1559,6 +1559,47 @@ object Queries {
           col("n_chars").as("kept_n_chars"), col("cluster_size"))
     }),
 
+    // Exactly-once streaming file sink: foreachBatch + idempotent
+    // per-batch-id overwrite; the stream runs TWICE (simulated retry) —
+    // an appending sink would double every row and fail the hash.
+    "q126_stream_exactly_once" -> ((s, d) =>
+      EventsStream.idempotentSinkCounts(s, d)),
+
+    // MERGE-style snapshot upsert: a deterministic changeset (updates for
+    // doc_id%10==0, deletes for %10==1, 3 inserts) applied via
+    // anti-join ∪ upserts — the logical core of Delta/Iceberg merge.
+    "q127_upsert_snapshot" -> ((s, d) => {
+      val snap = doc(s, d)
+      val updates = snap.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("source", lit("updated"))
+        .withColumn("op", lit("update"))
+      val deletes = snap.filter(col("doc_id") % 10 === 1)
+        .withColumn("op", lit("delete"))
+      val inserts = s.range(3).select(
+        (col("id") + 1000000L).as("doc_id"),
+        concat(lit("new doc "), col("id")).as("text"),
+        lit("en").as("lang"),
+        lit("ingest").as("source"),
+        length(concat(lit("new doc "), col("id"))).cast("long").as("n_chars"),
+        lit("insert").as("op"))
+      graft.operators.Upsert(snap,
+        updates.unionByName(deletes).unionByName(inserts), "doc_id")
+    }),
+
+    // SCD2 history build: changelog → [valid_from, valid_to) validity
+    // intervals per key via one lead window (total order on (ts,
+    // event_id)); pairs with the as-of joins for point-in-time lookups.
+    "q128_scd2" -> ((s, d) =>
+      graft.operators.Scd2.intervals(
+          ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+          "user_id", "ts", "event_id")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(col("valid_from")).as("valid_from_s"),
+          unix_timestamp(col("valid_to")).as("valid_to_s"),
+          col("is_current"))),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -3532,6 +3573,45 @@ object Queries {
         |SELECT canonical_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
         | CAST(cluster_size AS BIGINT) AS cluster_size
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // The batch equivalence of the exactly-once sink (q29's relation):
+    // if the simulated retry duplicated rows, cnt/sum would double.
+    "q126_stream_exactly_once" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
+        | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Anti-join ∪ upserts replay; integer/string columns only ⇒ exact.
+    "q127_upsert_snapshot" ->
+      """WITH upd AS (
+        | SELECT doc_id, text, lang, 'updated' AS source,
+        |  n_chars + 1000 AS n_chars, 'update' AS op
+        | FROM documents WHERE doc_id % 10 = 0),
+        |del AS (
+        | SELECT doc_id, text, lang, source, n_chars, 'delete' AS op
+        | FROM documents WHERE doc_id % 10 = 1),
+        |ins AS (
+        | SELECT 1000000 + i AS doc_id, 'new doc ' || i AS text,
+        |  'en' AS lang, 'ingest' AS source,
+        |  CAST(length('new doc ' || i) AS BIGINT) AS n_chars, 'insert' AS op
+        | FROM (SELECT unnest(range(0, 3)) AS i)),
+        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |       UNION ALL SELECT * FROM ins)
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM ch)
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM ch
+        |WHERE op <> 'delete'""".stripMargin,
+
+    // lead() window replay; epoch seconds via floor on both sides (house
+    // rule), null valid_to ⇒ current row.
+    "q128_scd2" ->
+      """SELECT user_id, event_id, event_type,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+        | CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+        | lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

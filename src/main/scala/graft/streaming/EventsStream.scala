@@ -110,6 +110,55 @@ object EventsStream {
     }
   }
 
+  /** Exactly-once file sink via `foreachBatch` + idempotent per-batch
+    * overwrite — the production answer to "a micro-batch can be retried":
+    * each batch writes to a DETERMINISTIC path keyed by its batch id with
+    * mode=overwrite, so a replayed batch replaces its own previous
+    * (possibly partial) output instead of appending a duplicate. Combined
+    * with checkpointed offsets this is the standard exactly-once recipe
+    * for file sinks; here the retry is SIMULATED by running the whole
+    * AvailableNow stream twice without a checkpoint (batch ids restart at
+    * 0, so the second run rewrites the same directories) — if the sink
+    * appended, every row would double and the q126 oracle hash would
+    * catch it.
+    *
+    * Returns the relation read back from the sink files — the oracle
+    * compares it to the equivalent batch aggregation. */
+  def idempotentSinkCounts(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      // keyed by input dir: runs against different SF dirs never share a
+      // sink path (each run still overwrites ITS path idempotently)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_idem_sink_${dir.hashCode.toHexString}").getAbsolutePath
+      def runOnce(): Unit = {
+        val schema = graft.Tables.eventsRawSchema(s, dir)
+        val src = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val agg = src
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+        val q = agg.writeStream
+          .outputMode("complete")
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            df.write.mode("overwrite").parquet(s"$out/batch=$batchId")
+          }
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runOnce()
+      runOnce() // the simulated retry: same batch ids, same paths, no dupes
+      s.read.parquet(s"$out/batch=*")
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"),
+          col("cnt"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }
+  }
+
   /** Streaming exact dedup via `dropDuplicatesWithinWatermark(keys)` —
     * the streaming twin of the batch P2/P3 operators and the shape a
     * continuously-ingesting training pipeline needs. Plain

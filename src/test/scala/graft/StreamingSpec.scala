@@ -299,6 +299,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.size == 1000)
   }
 
+  test("exactly-once sink: the doubled run emits the batch relation once (q126)") {
+    // idempotentSinkCounts runs the stream TWICE into the same batch-id
+    // paths; an appending sink would double cnt — equality with the batch
+    // aggregation proves the overwrite made the retry idempotent
+    val sink = EventsStream.idempotentSinkCounts(spark, TestSpark.sf0001)
+      .select("win_start", "event_type", "cnt")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(sink == batch)
+  }
+
   test("sessionize: session boundaries at the idle gap, totals consistent") {
     val out = EventsStream.sessionize(spark, TestSpark.sf0001, 30)
     val total = out.agg(sum("n_events")).as[Long].first()
