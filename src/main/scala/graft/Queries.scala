@@ -1600,6 +1600,72 @@ object Queries {
           unix_timestamp(col("valid_to")).as("valid_to_s"),
           col("is_current"))),
 
+    // Fuzzy entity matching: min-edit-distance lookup of misspelled names
+    // against a dimension table — the data-cleaning complement to exact
+    // isin (q04). The dimension is broadcast; levenshtein is a codegen'd
+    // built-in on both engines with the identical classic DP definition.
+    "q129_fuzzy_match" -> ((s, d) => {
+      // misspellings of the synthetic NATION_N names, chosen so each
+      // argmin is unique (one deletion/insertion/substitution/transposition)
+      val probes = s.range(1).select(explode(array(
+        Seq("NATIN_3", "NATIONN_8", "MATION_19", "NATI0N_21", "NATOIN_14")
+          .map(lit): _*)).as("probe"))
+      val nat = Tables.nation(s, d).select(col("n_name"))
+      val w = Window.partitionBy("probe")
+        .orderBy(col("dist").asc, col("n_name").asc)
+      probes.crossJoin(broadcast(nat))
+        .withColumn("dist", levenshtein(col("probe"), col("n_name")).cast("long"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("probe"), col("n_name").as("best_name"), col("dist"))
+    }),
+
+    // Distribution-analytic window functions — percent_rank / cume_dist /
+    // ntile per group over a TOTAL (price, key) order, so the doubles are
+    // exact small-integer ratios and replay bit-for-bit. Groups hash
+    // across executors; no global window.
+    "q130_analytic_ranks" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
+    // Unpivot/melt: wide measure columns → (measure, value) rows — the
+    // inverse of q45's pivot; pure projection+generate, no shuffle.
+    "q131_unpivot" -> ((s, d) =>
+      li(s, d).filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")),
+
+    // Time-series resampling with gap fill: per-entity hourly grid from
+    // its own [min, max] span (sequence+explode — no driver loop), left
+    // join of observed counts, zero-fill. The grid is generated, never
+    // stored; at scale both sides shuffle on (entity, hour).
+    "q132_resample" -> ((s, d) => {
+      val e = ev(s, d).filter(col("user_id") < 30)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+          col("value"))
+      val span = e.groupBy("user_id")
+        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      val grid = span.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("hour"))
+      val obs = e.groupBy("user_id", "hour")
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      grid.join(obs, Seq("user_id", "hour"), "left")
+        .select(col("user_id"), unix_timestamp(col("hour")).as("hour_s"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          round(coalesce(col("sv"), lit(0.0)), 4).as("sum_value"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -3612,6 +3678,59 @@ object Queries {
         | lead(ts) OVER w IS NULL AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
+    // levenshtein is the identical classic DP on both engines (integers).
+    "q129_fuzzy_match" ->
+      """WITH p AS (
+        | SELECT unnest(['NATIN_3', 'NATIONN_8', 'MATION_19', 'NATI0N_21',
+        |   'NATOIN_14']) AS probe),
+        |d AS (SELECT probe, n_name, levenshtein(probe, n_name) AS dist
+        |      FROM p CROSS JOIN nation),
+        |r AS (SELECT probe, n_name, dist,
+        |  row_number() OVER (PARTITION BY probe ORDER BY dist, n_name) AS rn
+        | FROM d)
+        |SELECT probe, n_name AS best_name, CAST(dist AS BIGINT) AS dist
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // percent_rank/cume_dist are exact small-integer ratios over a total
+    // order — bit-identical doubles, no rounding needed.
+    "q130_analytic_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    // Manual UNION ALL replay of the melt (all measures already DOUBLE).
+    "q131_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |  l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 2000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 2000
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 2000""".stripMargin,
+
+    // generate_series == Spark's sequence with an hour step (both closed
+    // ranges over exact hour-truncated timestamps).
+    "q132_resample" ->
+      """WITH e AS (
+        | SELECT user_id, date_trunc('hour', ts) AS hour, value
+        | FROM events WHERE user_id < 30),
+        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |         FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+        |obs AS (SELECT user_id, hour, count(*) AS cnt, sum(value) AS sv
+        |        FROM e GROUP BY user_id, hour)
+        |SELECT g.user_id, CAST(floor(epoch(g.hour)) AS BIGINT) AS hour_s,
+        | COALESCE(cnt, 0) AS cnt, round(COALESCE(sv, 0.0), 4) AS sum_value
+        |FROM grid g LEFT JOIN obs o
+        | ON g.user_id = o.user_id AND g.hour = o.hour""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fuzzy matching, analytic rank functions, unpivot, resampling
+  * (q129-q132). */
+class AnalyticsSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fuzzy match resolves each misspelling to the intended nation") {
+    val got = Queries.queries("q129_fuzzy_match")(spark, TestSpark.sf0001)
+      .select("probe", "best_name").as[(String, String)].collect().toMap
+    assert(got == Map(
+      "NATIN_3" -> "NATION_3", "NATIONN_8" -> "NATION_8",
+      "MATION_19" -> "NATION_19", "NATI0N_21" -> "NATION_21",
+      "NATOIN_14" -> "NATION_14"))
+  }
+
+  test("analytic ranks: bounds, quartile balance, cume_dist reaches 1") {
+    val out = Queries.queries("q130_analytic_ranks")(spark, TestSpark.sf0001)
+      .select("o_orderpriority", "pct_rank", "cume", "quartile")
+      .as[(String, Double, Double, Long)].collect()
+    assert(out.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    assert(out.forall(r => r._3 > 0.0 && r._3 <= 1.0))
+    out.groupBy(_._1).foreach { case (grp, rows) =>
+      val sizes = rows.groupBy(_._4).view.mapValues(_.length).values.toSeq
+      assert(rows.map(_._4).toSet == Set(1L, 2L, 3L, 4L), s"quartiles in $grp")
+      assert(sizes.max - sizes.min <= 1, s"ntile balance in $grp: $sizes")
+      assert(rows.map(_._3).max == 1.0, s"cume_dist max in $grp")
+    }
+  }
+
+  test("unpivot emits measures x rows and round-trips through re-pivot") {
+    val base = Tables.lineitem(spark, TestSpark.sf0001)
+      .filter(col("l_orderkey") < 2000)
+    val out = Queries.queries("q131_unpivot")(spark, TestSpark.sf0001)
+    assert(out.count() == 3 * base.count())
+    // re-pivot one measure and compare to the original column
+    val back = out.filter(col("measure") === "l_quantity")
+      .select(col("l_orderkey"), col("l_linenumber"), col("value"))
+    val orig = base.select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").as("value"))
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
+  }
+
+  test("resample grid is gap-free per user and preserves observed counts") {
+    val out = Queries.queries("q132_resample")(spark, TestSpark.sf0001)
+      .select("user_id", "hour_s", "cnt").as[(Long, Long, Long)].collect()
+    val byUser = out.groupBy(_._1)
+    byUser.foreach { case (u, rows) =>
+      val hours = rows.map(_._2).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600 },
+        s"user $u grid has gaps")
+    }
+    val observed = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("user_id") < 30).count()
+    assert(out.map(_._3).sum == observed, "zero-fill must not invent events")
+  }
+}
