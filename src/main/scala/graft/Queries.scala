@@ -1666,6 +1666,64 @@ object Queries {
           round(coalesce(col("sv"), lit(0.0)), 4).as("sum_value"))
     }),
 
+    // PageRank over the symmetrized customer↔supplier purchase graph —
+    // iterative compute #3 (after k-means and CC), engine-replayable via
+    // per-iteration rounding (the q105 rule). Symmetrizing removes
+    // dangling mass and the two node-id ranges are disjoint by the +1e6
+    // offset.
+    "q133_pagerank" -> ((s, d) => {
+      val eo = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
+      graft.graph.PageRank.iterate(edges, iters = 2)
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+    }),
+
+    // Tie-corrected (mid-rank) Mann-Whitney AUC of `value` as a score for
+    // the click label. Every term is an exact multiple of 0.5 below 2^52,
+    // so all sums are IEEE-exact and ORDER-INDEPENDENT — bit parity with
+    // no rounding seam. The only ordered scan is the two-phase exclusive
+    // prefix sum over the DISTINCT-value table (GlobalRank — no global
+    // row window).
+    "q134_auc" -> ((s, d) => {
+      val sc = ev(s, d).select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("lab"))
+      val g = sc.groupBy("value")
+        .agg(count(lit(1)).as("cnt"), sum(col("lab")).as("npos_v"))
+      val c = graft.operators.GlobalRank.exclusivePrefixSum(g, "value", "cnt")
+      val scalars = sc.agg(sum(col("lab")).as("npos"),
+        (count(lit(1)) - sum(col("lab"))).as("nneg"))
+      c.agg(sum(col("npos_v") *
+          (col("cum_before") + (col("cnt") + 1) / lit(2.0))).as("rsum"))
+        .crossJoin(broadcast(scalars))
+        .select(
+          round((col("rsum") - col("npos").cast("double") * (col("npos") + 1) / 2)
+            / (col("npos").cast("double") * col("nneg")), 6).as("auc"),
+          col("npos"), col("nneg"))
+    }),
+
+    // Calibration / reliability bins: equal-width score bins over the
+    // observed [min, max] (broadcast bounds), per-bin positive rate (an
+    // exact integer ratio — no rounding) and mean score (rounded).
+    "q135_calibration_bins" -> ((s, d) => {
+      val b = ev(s, d).agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+      ev(s, d).crossJoin(broadcast(b))
+        .select(
+          least(lit(9L), floor((col("value") - col("mn"))
+            / ((col("mx") - col("mn")) / lit(10))).cast("long")).as("bin"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("lab"),
+          col("value"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("lab")).cast("double") / count(lit(1))).as("pos_rate"),
+          round(sum(col("value")) / count(lit(1)), 4).as("mean_value"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -3731,6 +3789,66 @@ object Queries {
         | COALESCE(cnt, 0) AS cnt, round(COALESCE(sv, 0.0), 4) AS sum_value
         |FROM grid g LEFT JOIN obs o
         | ON g.user_id = o.user_id AND g.hour = o.hour""".stripMargin,
+
+    // Two unrolled power iterations; (1.0 - 0.85::DOUBLE) replays Scala's
+    // 1.0 - damping (the double of the literal 0.15 is a DIFFERENT
+    // value); per-iteration round(8) makes the order-dependent incoming
+    // sums engine-identical before they feed the next iteration.
+    "q133_pagerank" ->
+      """WITH eo AS (
+        | SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM eo
+        |      UNION ALL SELECT supp, cust FROM eo),
+        |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |pr0 AS (SELECT node, 1.0::DOUBLE / n AS pr FROM deg, nn),
+        |pr1 AS (
+        | SELECT e.dst AS node,
+        |  round((1.0 - 0.85::DOUBLE) / n
+        |    + 0.85::DOUBLE * sum(p.pr / d.outdeg), 8) AS pr
+        | FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.src, nn
+        | GROUP BY e.dst, n),
+        |pr2 AS (
+        | SELECT e.dst AS node,
+        |  round((1.0 - 0.85::DOUBLE) / n
+        |    + 0.85::DOUBLE * sum(p.pr / d.outdeg), 8) AS pr
+        | FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.src, nn
+        | GROUP BY e.dst, n)
+        |SELECT node, round(pr, 6) AS pr FROM pr2""".stripMargin,
+
+    // Mid-rank Mann-Whitney replay; the oracle may use the naive ordered
+    // window over distinct values (it has no scale constraint) — the
+    // engine's two-phase prefix sum computes the identical cum_before.
+    "q134_auc" ->
+      """WITH s AS (
+        | SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab
+        | FROM events),
+        |g AS (SELECT value, count(*) AS cnt, sum(lab) AS npos_v
+        |      FROM s GROUP BY value),
+        |c AS (SELECT value, cnt, npos_v,
+        |  COALESCE(CAST(sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+        | FROM g),
+        |t AS (SELECT sum(npos_v * (cum_before + (cnt + 1) / 2.0)) AS rsum FROM c),
+        |sc AS (SELECT CAST(sum(lab) AS BIGINT) AS npos,
+        |  CAST(count(*) - sum(lab) AS BIGINT) AS nneg FROM s)
+        |SELECT round((rsum - CAST(npos AS DOUBLE) * (npos + 1) / 2)
+        |  / (CAST(npos AS DOUBLE) * nneg), 6) AS auc, npos, nneg
+        |FROM t, sc""".stripMargin,
+
+    // Bin arithmetic is identical IEEE on both engines (stored doubles,
+    // same op sequence); pos_rate is an exact integer ratio.
+    "q135_calibration_bins" ->
+      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        |x AS (
+        | SELECT least(9, CAST(floor((value - mn) / ((mx - mn) / 10))
+        |   AS BIGINT)) AS bin,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab, value
+        | FROM events, b)
+        |SELECT bin, count(*) AS cnt,
+        | CAST(sum(lab) AS DOUBLE) / count(*) AS pos_rate,
+        | round(sum(value) / count(*), 4) AS mean_value
+        |FROM x GROUP BY bin""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

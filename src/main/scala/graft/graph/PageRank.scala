@@ -1,0 +1,55 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by power iteration — the third iterative-compute
+  * pattern in the engine, beside Lloyd's k-means ([[graft.ml.KMeans]]) and
+  * min-label connected components ([[graft.dedup.Dedup]]).
+  *
+  * Per iteration: pr' (node) = (1−d)/N + d·Σ_{in-neighbors u} pr(u)/outdeg(u)
+  * — one join of the rank table to the edge list (shuffle on src), one
+  * hash aggregation (shuffle on dst). Ranks and degrees stay fully
+  * distributed; N rides a broadcast 1-row cross join. The iteration count
+  * is fixed and small, so the unrolled plan needs no checkpoint seam
+  * (lineage depth ~2 joins/iteration; for deep iteration counts reuse
+  * io/Checkpoints like the CC fixpoint does).
+  *
+  * Engine-replayable arithmetic (the q105 k-means design rule): the
+  * per-node incoming sum is order-nondeterministic in its float
+  * association, so each iteration's rank is ROUNDED to `roundDp` decimals
+  * — both engines then enter the next iteration with bit-identical
+  * inputs, and a SQL oracle can replay the whole computation as unrolled
+  * CTEs. The rounding perturbs ranks by ≤5e-9/iteration (roundDp=8),
+  * far below any ranking use of PageRank.
+  *
+  * Caller contract: `edges` (src, dst) should be the graph's full edge
+  * set; every node must have at least one OUT edge (no dangling-mass
+  * term — symmetrize the graph or pre-drop sinks; the q133 caller
+  * symmetrizes, which also guarantees every node receives mass). */
+object PageRank {
+
+  def iterate(edges: DataFrame, iters: Int = 2, damping: Double = 0.85,
+              roundDp: Int = 8): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val n = outdeg.agg(count(lit(1)).as("n"))
+    // all nodes have out-edges by contract, so outdeg's keys ARE the nodes
+    var pr = outdeg.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
+      pr = contrib.groupBy("node")
+        .agg(sum(col("c")).as("__in"))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          round(lit(1.0 - damping) / col("n") + lit(damping) * col("__in"),
+            roundDp).as("pr"))
+    }
+    pr
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.graph.PageRank
+import graft.operators.GlobalRank
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank, the two-phase global prefix sum, AUC, calibration
+  * (q133-q135). */
+class GraphMetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pagerank: uniform on a symmetric ring, mass conserved") {
+    // ring 0-1-2-3-0 symmetrized: perfectly regular → pr = 1/4 everywhere
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val pr = PageRank.iterate(edges, iters = 3).as[(Long, Double)].collect().toMap
+    assert(pr.values.forall(p => math.abs(p - 0.25) < 1e-7), pr.toString)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6, "mass conserved")
+  }
+
+  test("pagerank: the hub of a symmetrized star outranks the leaves") {
+    val star = (1L to 6L).map(i => (0L, i))
+    val edges = (star ++ star.map(_.swap)).toDF("src", "dst")
+    val pr = PageRank.iterate(edges, iters = 3).as[(Long, Double)].collect().toMap
+    assert((1L to 6L).forall(l => pr(0L) > pr(l)), pr.toString)
+  }
+
+  test("exclusivePrefixSum equals the naive global window on random data") {
+    val rng = new scala.util.Random(61)
+    val rows = (1 to 2000).map(_ => rng.nextDouble() * 100)
+      .distinct.map(v => (v, 1L + rng.nextInt(5)))
+    val df = rows.toDF("v", "w")
+    val got = GlobalRank.exclusivePrefixSum(df, "v", "w", nBuckets = 16)
+      .select("v", "cum_before").as[(Double, Long)].collect().toMap
+    val naive = df.withColumn("cb", coalesce(sum(col("w")).over(
+        Window.orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("v", "cb").as[(Double, Long)].collect().toMap
+    assert(got == naive)
+  }
+
+  test("exclusivePrefixSum: constant order column lands in one bucket, still exact") {
+    // degenerate mn == mx guard: single value, single row
+    val df = Seq((5.0, 7L)).toDF("v", "w")
+    val got = GlobalRank.exclusivePrefixSum(df, "v", "w")
+      .select("cum_before").as[Long].collect().toSeq
+    assert(got == Seq(0L))
+  }
+
+  test("AUC: perfectly separated scores give 1.0; hand-computed ties case") {
+    def auc(rows: Seq[(Double, Long)]): Double = {
+      val sc = rows.toDF("value", "lab")
+      val g = sc.groupBy("value")
+        .agg(count(lit(1)).as("cnt"), sum(col("lab")).as("npos_v"))
+      val c = GlobalRank.exclusivePrefixSum(g, "value", "cnt")
+      val scalars = sc.agg(sum(col("lab")).as("npos"),
+        (count(lit(1)) - sum(col("lab"))).as("nneg"))
+      c.agg(sum(col("npos_v") *
+          (col("cum_before") + (col("cnt") + 1) / lit(2.0))).as("rsum"))
+        .crossJoin(scalars)
+        .select((col("rsum") - col("npos").cast("double") * (col("npos") + 1) / 2)
+          / (col("npos").cast("double") * col("nneg")))
+        .as[Double].head()
+    }
+    val sep = (1 to 10).map(i => (i.toDouble, if (i > 5) 1L else 0L))
+    assert(auc(sep) == 1.0)
+    // ties: pos {1, 2}, neg {2, 3}: pairs (1<2:0) (1<3:0) (2=2:.5) (2<3:0)
+    // → U = 0.5 → AUC = 0.125
+    val tied = Seq((1.0, 1L), (2.0, 1L), (2.0, 0L), (3.0, 0L))
+    assert(auc(tied) == 0.125)
+  }
+
+  test("calibration bins partition the events and pos_rate is a valid rate") {
+    val out = Queries.queries("q135_calibration_bins")(spark, TestSpark.sf0001)
+      .select("bin", "cnt", "pos_rate").as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).sum == Tables.events(spark, TestSpark.sf0001).count())
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+}
