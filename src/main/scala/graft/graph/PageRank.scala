@@ -31,7 +31,12 @@ object PageRank {
 
   def iterate(edges: DataFrame, iters: Int = 2, damping: Double = 0.85,
               roundDp: Int = 8): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // the edge list is reused by outdeg, N, and EVERY iteration's join —
+    // truncate lineage once so the (possibly expensive) edge-building
+    // subtree is computed once, not once per consumer (the CC-fixpoint
+    // checkpoint seam; reliable checkpoint on a cluster via conf)
+    val e = graft.io.Checkpoints.truncate(
+      edges.select(col("src"), col("dst")).distinct(), eager = true)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val n = outdeg.agg(count(lit(1)).as("n"))
