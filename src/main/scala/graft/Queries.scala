@@ -1724,6 +1724,48 @@ object Queries {
           round(sum(col("value")) / count(lit(1)), 4).as("mean_value"))
     }),
 
+    // Funnel analysis: per (user, day), the ordered view→click→purchase
+    // progression as three chained min-timestamp aggregations (each stage
+    // = one hash join + one grouped min on the (user, day) key — no
+    // per-row state machine, no window); strict > means a later stage
+    // must strictly follow the previous one.
+    "q136_funnel" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"),
+        col("ts"), col("event_type"))
+      val groups = e.select("user_id", "d").distinct()
+      val g1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "d").agg(min(col("ts")).as("f1"))
+      val g2 = e.join(g1, Seq("user_id", "d"))
+        .filter(col("event_type") === "click" && col("ts") > col("f1"))
+        .groupBy("user_id", "d").agg(min(col("ts")).as("f2"))
+      val g3 = e.join(g2, Seq("user_id", "d"))
+        .filter(col("event_type") === "purchase" && col("ts") > col("f2"))
+        .groupBy("user_id", "d").agg(min(col("ts")).as("f3"))
+      groups
+        .join(g1, Seq("user_id", "d"), "left")
+        .join(g2, Seq("user_id", "d"), "left")
+        .join(g3, Seq("user_id", "d"), "left")
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_groups"),
+          count(col("f1")).as("reached_view"),
+          count(col("f2")).as("reached_click"),
+          count(col("f3")).as("reached_purchase"))
+    }),
+
+    // Retention cohorts: cohort = a user's first active week, retention
+    // cell (cohort, k) = distinct users active k weeks later — two hash
+    // aggs + one broadcast-joinable first-week table; all-integer
+    // arithmetic (epoch-week via integer division).
+    "q137_retention" -> ((s, d) => {
+      val wk = ev(s, d).select(col("user_id"),
+        expr("unix_timestamp(ts) div 604800").as("wk")).distinct()
+      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      wk.join(broadcast(cohort), Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -3849,6 +3891,44 @@ object Queries {
         | CAST(sum(lab) AS DOUBLE) / count(*) AS pos_rate,
         | round(sum(value) / count(*), 4) AS mean_value
         |FROM x GROUP BY bin""".stripMargin,
+
+    // Chained min-timestamp replay; timestamps compare at full µs
+    // precision on both engines, strict > as in the Spark plan.
+    "q136_funnel" ->
+      """WITH e AS (
+        | SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, ts, event_type
+        | FROM events),
+        |groups AS (SELECT DISTINCT user_id, d FROM e),
+        |g1 AS (SELECT user_id, d, min(ts) AS f1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id, d),
+        |g2 AS (SELECT e.user_id, e.d, min(ts) AS f2
+        |       FROM e JOIN g1 ON e.user_id = g1.user_id AND e.d = g1.d
+        |       WHERE event_type = 'click' AND ts > f1 GROUP BY e.user_id, e.d),
+        |g3 AS (SELECT e.user_id, e.d, min(ts) AS f3
+        |       FROM e JOIN g2 ON e.user_id = g2.user_id AND e.d = g2.d
+        |       WHERE event_type = 'purchase' AND ts > f2 GROUP BY e.user_id, e.d)
+        |SELECT g.d, count(*) AS n_groups,
+        | count(f1) AS reached_view,
+        | count(f2) AS reached_click,
+        | count(f3) AS reached_purchase
+        |FROM groups g
+        | LEFT JOIN g1 ON g.user_id = g1.user_id AND g.d = g1.d
+        | LEFT JOIN g2 ON g.user_id = g2.user_id AND g.d = g2.d
+        | LEFT JOIN g3 ON g.user_id = g3.user_id AND g.d = g3.d
+        |GROUP BY g.d""".stripMargin,
+
+    // Integer epoch-week arithmetic on both engines (floor'd epoch
+    // seconds, integer division by 604800).
+    "q137_retention" ->
+      """WITH wk AS (
+        | SELECT DISTINCT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        | FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id)
+        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
+        | count(DISTINCT w.user_id) AS n_users
+        |FROM wk w JOIN cohort c ON w.user_id = c.user_id
+        |GROUP BY cohort_wk, week_offset""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

@@ -45,6 +45,39 @@ class AnalyticsSurfaceSpec extends AnyFunSuite {
     assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty)
   }
 
+  test("funnel stages are monotone and bounded by the group count") {
+    val out = Queries.queries("q136_funnel")(spark, TestSpark.sf0001)
+      .select("n_groups", "reached_view", "reached_click", "reached_purchase")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (n, v, c, p) =>
+      assert(n >= v && v >= c && c >= p && p >= 0,
+        s"funnel not monotone: $n >= $v >= $c >= $p")
+    }
+    // the funnel actually discriminates on this data: some group completes
+    // it and some group doesn't
+    assert(out.map(_._4).sum > 0, "no group ever completes the funnel")
+    assert(out.exists { case (n, _, _, p) => p < n }, "funnel never filters")
+  }
+
+  test("retention: offset-0 cell equals the cohort size; later cells shrink-or-equal") {
+    val out = Queries.queries("q137_retention")(spark, TestSpark.sf0001)
+      .select("cohort_wk", "week_offset", "n_users")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 >= 0))
+    val byCohort = out.groupBy(_._1)
+    byCohort.foreach { case (ck, rows) =>
+      val base = rows.find(_._2 == 0)
+      assert(base.isDefined, s"cohort $ck missing its offset-0 cell")
+      assert(rows.forall(_._3 <= base.get._3),
+        s"cohort $ck: a later cell exceeds the cohort size")
+    }
+    // cohort sizes sum to the distinct-user count
+    val users = Tables.events(spark, TestSpark.sf0001)
+      .select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
+  }
+
   test("resample grid is gap-free per user and preserves observed counts") {
     val out = Queries.queries("q132_resample")(spark, TestSpark.sf0001)
       .select("user_id", "hour_s", "cnt").as[(Long, Long, Long)].collect()
