@@ -1766,6 +1766,52 @@ object Queries {
         .agg(count_distinct(col("user_id")).as("n_users"))
     }),
 
+    // Incremental NEAR-dup admission (q114's exact twin, approximate
+    // family): the batch (doc_id%7==0) probes the corpus's MinHash band
+    // index; md5/mod-p family so the whole pipeline replays in SQL.
+    "q138_incremental_minhash" -> ((s, d) =>
+      Dedup.incrementalMinHash(
+        doc(s, d).filter(col("doc_id") % 7 =!= 0),
+        doc(s, d).filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", k = 3, bands = 8, rowsPerBand = 2,
+        threshold = 0.5, family = "md5p61")),
+
+    // Higher distribution moments per group from ONE pass of power sums
+    // (Σx..Σx⁴ — map-side-combinable aggs); skewness/kurtosis assembled
+    // from raw sums with sqrt-only arithmetic (v^1.5 = v·√v, no pow),
+    // rounded 4 dp per the float-sum parity rule.
+    "q139_moments" -> ((s, d) => {
+      val x = col("l_quantity")
+      val g = li(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
+        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
+      val mean = col("s1") / col("n")
+      val v = col("s2") / col("n") - mean * mean
+      val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
+        lit(2.0) * mean * mean * mean
+      val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
+        lit(6.0) * mean * mean * (col("s2") / col("n")) -
+        lit(3.0) * mean * mean * mean * mean
+      g.select(col("l_returnflag"), col("n"),
+        round(mean, 4).as("mean"), round(v, 4).as("variance"),
+        round(m3 / (v * sqrt(v)), 4).as("skewness"),
+        round(m4 / (v * v) - lit(3.0), 4).as("kurtosis_excess"))
+    }),
+
+    // Shannon entropy of each user's event-type mix — the categorical
+    // concentration profile (behavioral diversity signal). Two hash aggs;
+    // ln is libm → rounded 4 dp.
+    "q140_type_entropy" -> ((s, d) => {
+      val c = ev(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = c.groupBy("user_id").agg(sum(col("cnt")).as("n_events"))
+      val p = col("cnt").cast("double") / col("n_events")
+      c.join(tot, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          round(-sum(p * log(p)), 4).as("entropy"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -3929,6 +3975,82 @@ object Queries {
         | count(DISTINCT w.user_id) AS n_users
         |FROM wk w JOIN cohort c ON w.user_id = c.user_id
         |GROUP BY cohort_wk, week_offset""".stripMargin,
+
+    // q32's md5/mod-p minhash replay, split into batch-probes-corpus; the
+    // lowest matching corpus id is the canonical attribution.
+    "q138_incremental_minhash" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
+        | FROM toks),
+        |base AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
+        | FROM sh),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(16), j ->
+        |   list_min(list_transform(bs, x ->
+        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
+        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
+        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
+        | FROM base),
+        |bb AS (
+        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
+        | FROM sig, range(8) r(b) WHERE doc_id % 7 = 0),
+        |cb AS (
+        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
+        | FROM sig, range(8) r(b) WHERE doc_id % 7 <> 0),
+        |m AS (
+        | SELECT DISTINCT bb.doc_id AS id, cb.doc_id AS corpus_id,
+        |  list_sum(list_transform(range(16), i ->
+        |    CASE WHEN bb.sig[i + 1] = cb.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
+        | FROM bb JOIN cb
+        |   ON bb.band = cb.band AND bb.band_key = cb.band_key),
+        |mm AS (SELECT id, min(corpus_id) AS dup_of FROM m
+        |       WHERE est >= 0.5 GROUP BY id)
+        |SELECT d.doc_id, dup_of, dup_of IS NOT NULL AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+        |LEFT JOIN mm ON d.doc_id = mm.id""".stripMargin,
+
+    // Raw power sums → central moments in the same left-associative
+    // textual order as the Spark expressions; v^1.5 as v*sqrt(v) (no
+    // pow); rounded 4 dp (order-dependent sums).
+    "q139_moments" ->
+      """WITH g AS (
+        | SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s1,
+        |  sum(l_quantity * l_quantity) AS s2,
+        |  sum(l_quantity * l_quantity * l_quantity) AS s3,
+        |  sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
+        | FROM lineitem GROUP BY l_returnflag),
+        |m AS (
+        | SELECT l_returnflag, n, s1 / n AS mean,
+        |  s2 / n - (s1 / n) * (s1 / n) AS v,
+        |  s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |  s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        | FROM g)
+        |SELECT l_returnflag, n, round(mean, 4) AS mean,
+        | round(v, 4) AS variance,
+        | round(m3 / (v * sqrt(v)), 4) AS skewness,
+        | round(m4 / (v * v) - 3.0, 4) AS kurtosis_excess
+        |FROM m""".stripMargin,
+
+    // Exact integer ratios into ln (libm → rounded 4 dp).
+    "q140_type_entropy" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS cnt
+        | FROM events GROUP BY user_id, event_type),
+        |t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events
+        |      FROM c GROUP BY user_id)
+        |SELECT c.user_id, max(n_events) AS n_events,
+        | round(-sum((CAST(cnt AS DOUBLE) / n_events)
+        |   * ln(CAST(cnt AS DOUBLE) / n_events)), 4) AS entropy
+        |FROM c JOIN t ON c.user_id = t.user_id
+        |GROUP BY c.user_id""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

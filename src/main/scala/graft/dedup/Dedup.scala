@@ -80,6 +80,51 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental NEAR-dup admission — the production dedup-ingest shape
+    * complementing q114's exact fingerprint anti-join: an incoming batch is
+    * checked against the EXISTING corpus's MinHash band index instead of
+    * against itself.
+    *
+    * The corpus side is exactly the banded-signature relation a live
+    * pipeline would keep materialized (bucketed by (band, band_key) —
+    * io/Bucketing — so per-batch probes are shuffle-free index lookups);
+    * here it is computed inline from `corpus` for self-containedness. The
+    * batch computes its own signatures (one map-side pass over batch text),
+    * probes the index with a band equi-join, verifies candidates by
+    * estimated Jaccard, and reports each batch doc's lowest-id corpus match
+    * (the canonical attribution rule) or novelty. Batch text never joins
+    * corpus text — only fixed-width signatures move.
+    *
+    * Returns (idCol, dup_of nullable, is_dup). */
+  def incrementalMinHash(corpus: DataFrame, batch: DataFrame,
+                         textCol: String, idCol: String,
+                         k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                         threshold: Double = 0.5,
+                         family: String = "xxh64"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("sig", minHashSignature(col("toks"), k, numHashes, family))
+      .withColumn("band", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("band_key",
+        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
+      .select(col("id"), col("sig"), col("band"), col("band_key"))
+    val idx = banded(corpus).select(col("id").as("corpus_id"),
+      col("sig").as("csig"), col("band"), col("band_key"))
+    val est = aggregate(
+      zip_with(col("sig"), col("csig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    val matches = banded(batch).join(idx, Seq("band", "band_key"))
+      .dropDuplicates("id", "corpus_id")
+      .withColumn("est", est)
+      .filter(col("est") >= threshold)
+      .groupBy("id").agg(min(col("corpus_id")).as("dup_of"))
+    batch.select(col(idCol).as("id"))
+      .join(matches, Seq("id"), "left")
+      .select(col("id").as(idCol), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   /** SimHash: 64-bit locality-sensitive fingerprint. Each token hash votes
     * ±1 per bit position; the sign vector becomes the fingerprint. Near-dups
     * differ in few bits (Hamming distance). Pure HOF fold over the token

@@ -66,4 +66,37 @@ class StatsSpec extends AnyFunSuite {
       .select(Text.tokenizeRegex(col("t"))).as[Seq[String]].collect().head
     assert(out == Seq("ab", "12", "cd", "-", "ef", "!"))
   }
+
+  test("q139 power-sum moments match Spark's builtin population aggregates") {
+    val got = Queries.queries("q139_moments")(spark, TestSpark.sf0001)
+      .select("l_returnflag", "mean", "variance", "skewness", "kurtosis_excess")
+      .as[(String, Double, Double, Double, Double)].collect()
+    val ref = Tables.lineitem(spark, TestSpark.sf0001).groupBy("l_returnflag")
+      .agg(avg(col("l_quantity")).as("m"), var_pop(col("l_quantity")).as("v"),
+        skewness(col("l_quantity")).as("sk"), kurtosis(col("l_quantity")).as("ku"))
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (g, m, v, sk, ku) =>
+      val r = ref(g)
+      assert(math.abs(m - r._2) < 1e-4, s"$g mean")
+      assert(math.abs(v - r._3) < 1e-4, s"$g variance")
+      assert(math.abs(sk - r._4) < 1e-4, s"$g skewness: $sk vs ${r._4}")
+      assert(math.abs(ku - r._5) < 1e-4, s"$g kurtosis: $ku vs ${r._5}")
+    }
+  }
+
+  test("q140 entropy is in [0, ln k] and zero for single-type users") {
+    val out = Queries.queries("q140_type_entropy")(spark, TestSpark.sf0001)
+      .select("user_id", "entropy").as[(Long, Double)].collect().toMap
+    val k = Tables.events(spark, TestSpark.sf0001)
+      .groupBy("user_id").agg(countDistinct(col("event_type")).as("k"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.nonEmpty && out.keySet == k.keySet)
+    out.foreach { case (u, h) =>
+      assert(h >= 0.0 && h <= math.log(k(u).toDouble) + 1e-9,
+        s"user $u entropy $h outside [0, ln ${k(u)}]")
+      if (k(u) == 1L) assert(h == 0.0, s"single-type user $u entropy $h")
+    }
+  }
 }

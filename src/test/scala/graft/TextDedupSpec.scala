@@ -428,4 +428,20 @@ class TextDedupSpec extends AnyFunSuite {
       minShared = 1, maxDocFreq = 4)
     assert(capped.count() == 0)
   }
+
+  test("incrementalMinHash flags the batch copy of a corpus doc, admits a novel one") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta"), // copy of 10
+      (21L, "totally different words with nothing shared anywhere at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinHash(corpus, batch, "text", "doc_id")
+      .select("doc_id", "dup_of", "is_dup")
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(20L) == ((20L, Some(10L), true)))
+    assert(out(21L) == ((21L, None, false)))
+  }
 }
