@@ -1812,6 +1812,39 @@ object Queries {
           round(-sum(p * log(p)), 4).as("entropy"))
     }),
 
+    // Batch FULL OUTER join (the remaining join-type surface beside
+    // inner/left/semi/anti/intersect/except): per-nation customer vs
+    // supplier counts with deliberately disjoint filters so both
+    // null-extension sides are exercised; key coalesced from both sides.
+    "q141_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_nationkey") >= 5)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("cust_cnt"))
+      val sp = Tables.supplier(s, d).filter(col("s_nationkey") < 15)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("supp_cnt"))
+      c.join(sp, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          col("cust_cnt"), col("supp_cnt"))
+    }),
+
+    // Edit-distance self-join over the DISTINCT name dictionary with
+    // length-band blocking (|len a − len b| ≤ maxDist prunes pairs before
+    // any DP runs — the standard scale guard, since levenshtein ≥ length
+    // difference); entity-resolution's pair-generation stage.
+    "q142_fuzzy_join" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"),
+        length(col("p_name")).as("la"))
+      val b = names.select(col("p_name").as("name_b"),
+        length(col("p_name")).as("lb"))
+      a.join(b, col("name_a") < col("name_b") &&
+          abs(col("la") - col("lb")) <= 2)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4051,6 +4084,27 @@ object Queries {
         |   * ln(CAST(cnt AS DOUBLE) / n_events)), 4) AS entropy
         |FROM c JOIN t ON c.user_id = t.user_id
         |GROUP BY c.user_id""".stripMargin,
+
+    // FULL JOIN + COALESCE replay; integer counts and nulls only.
+    "q141_full_outer" ->
+      """WITH c AS (
+        | SELECT c_nationkey AS nk_c, count(*) AS cust_cnt
+        | FROM customer WHERE c_nationkey >= 5 GROUP BY c_nationkey),
+        |s AS (
+        | SELECT s_nationkey AS nk_s, count(*) AS supp_cnt
+        | FROM supplier WHERE s_nationkey < 15 GROUP BY s_nationkey)
+        |SELECT COALESCE(nk_c, nk_s) AS nationkey, cust_cnt, supp_cnt
+        |FROM c FULL JOIN s ON nk_c = nk_s""".stripMargin,
+
+    // Same length-band prefilter + identical classic-DP levenshtein.
+    "q142_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b
+        | ON a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

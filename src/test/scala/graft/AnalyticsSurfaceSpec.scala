@@ -78,6 +78,44 @@ class AnalyticsSurfaceSpec extends AnyFunSuite {
     assert(byCohort.values.map(_.find(_._2 == 0).get._3).sum == users)
   }
 
+  test("full outer join null-extends exactly the filter-disjoint nations") {
+    val out = Queries.queries("q141_full_outer")(spark, TestSpark.sf0001)
+      .select("nationkey", "cust_cnt", "supp_cnt")
+      .as[(Long, Option[Long], Option[Long])].collect().map(r => r._1 -> r).toMap
+    // customers kept for nation >= 5, suppliers for nation < 15 (a nation
+    // may simply have no suppliers at sf0.001, so only the implication
+    // directions hold); a full outer row can never be null on both sides
+    out.foreach { case (nk, (_, c, s)) =>
+      assert(c.isEmpty || nk >= 5, s"nation $nk cust side outside filter")
+      assert(s.isEmpty || nk < 15, s"nation $nk supp side outside filter")
+      assert(c.isDefined || s.isDefined, s"nation $nk all-null row")
+    }
+    // both null-extension directions are actually exercised
+    assert(out.values.exists(r => r._2.isEmpty && r._3.isDefined))
+    assert(out.values.exists(r => r._2.isDefined && r._3.isEmpty))
+  }
+
+  test("fuzzy join: length-band blocking is lossless vs the unblocked join") {
+    val out = Queries.queries("q142_fuzzy_join")(spark, TestSpark.sf0001)
+      .select("name_a", "name_b", "dist").as[(String, String, Long)].collect()
+    assert(out.forall(r => r._3 <= 2 && r._1 < r._2))
+    // levenshtein >= |len difference|, so the band can't drop a real pair
+    val names = Tables.part(spark, TestSpark.sf0001)
+      .select("p_name").distinct().as[String].collect()
+    val brute = (for {
+      a <- names; b <- names if a < b
+      d = {
+        val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        m(a.length)(b.length)
+      } if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(out.toSet == brute)
+  }
+
   test("resample grid is gap-free per user and preserves observed counts") {
     val out = Queries.queries("q132_resample")(spark, TestSpark.sf0001)
       .select("user_id", "hour_s", "cnt").as[(Long, Long, Long)].collect()
