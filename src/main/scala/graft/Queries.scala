@@ -1845,6 +1845,131 @@ object Queries {
         .select("name_a", "name_b", "dist")
     }),
 
+    // Non-hierarchical GROUPING SETS — the grouping-set surface rollup
+    // (q46) and cube (q61) can't express: the two single-column marginals
+    // WITHOUT the pair or the grand total. One shuffle; Spark expands to
+    // an Expand node feeding one hash agg, same as rollup. grouping()
+    // flags (cast long both sides) disambiguate real NULL keys from
+    // aggregated-away ones.
+    "q143_grouping_sets" -> ((s, d) =>
+      li(s, d)
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
+          "cnt", "sum_qty")),
+
+    // Span-limited EWMA (pandas adjust=true form, truncated at 16 terms —
+    // the dropped tail weight is 0.75^16 < 1.1%): per-user trailing
+    // exponentially-weighted mean of `value`. The 16-row bounded window
+    // collects the frame into an array (frame order = window order on
+    // both engines), then one higher-order fold applies weights newest-
+    // heaviest, index-ascending so the summation association is identical
+    // cross-engine. Bounded frame ⇒ scale-safe (no corpus-wide window;
+    // per-user partitions). 0.75^k is exactly representable (3^k/4^k,
+    // k ≤ 15) so power() is bit-identical; the final ratio is rounded
+    // 4 dp per the libm parity rule.
+    "q144_ewma" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-15, Window.currentRow)
+      ev(s, d)
+        .withColumn("__frame", collect_list(col("value")).over(w))
+        .withColumn("__num", expr(
+          """aggregate(
+            |  zip_with(__frame,
+            |    transform(__frame, (x, i) ->
+            |      power(0.75D, CAST(size(__frame) - 1 - i AS DOUBLE))),
+            |    (x, w) -> x * w),
+            |  0D, (acc, t) -> acc + t)""".stripMargin))
+        .withColumn("__den", expr(
+          """aggregate(
+            |  transform(__frame, (x, i) ->
+            |    power(0.75D, CAST(size(__frame) - 1 - i AS DOUBLE))),
+            |  0D, (acc, t) -> acc + t)""".stripMargin))
+        .select(col("event_id"), col("user_id"),
+          round(col("__num") / col("__den"), 4).as("ewma"))
+    }),
+
+    // Welch's unequal-variance t-test: does mean(value) differ between
+    // clicks and purchases? Sufficient statistics only (n, Σx, Σx² per
+    // group — one map-side-combinable hash agg; the q139 moments seam),
+    // then the t statistic and Welch–Satterthwaite df as scalar
+    // arithmetic on the 2-row table pivoted to one row. Double sums are
+    // order-dependent ⇒ every derived scalar rounded 4 dp.
+    "q145_welch_ttest" -> ((s, d) => {
+      val g = ev(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("value")).as("s1"),
+          sum(col("value") * col("value")).as("s2"))
+      val p = g.agg(
+        max(when(col("event_type") === "click", col("n"))).as("n1"),
+        max(when(col("event_type") === "click", col("s1"))).as("a1"),
+        max(when(col("event_type") === "click", col("s2"))).as("b1"),
+        max(when(col("event_type") === "purchase", col("n"))).as("n2"),
+        max(when(col("event_type") === "purchase", col("s1"))).as("a2"),
+        max(when(col("event_type") === "purchase", col("s2"))).as("b2"))
+      val m1 = col("a1") / col("n1"); val m2 = col("a2") / col("n2")
+      // sample variance via (Σx² − n·mean²)/(n−1), the same form in SQL
+      val v1 = (col("b1") - col("n1") * m1 * m1) / (col("n1") - lit(1.0))
+      val v2 = (col("b2") - col("n2") * m2 * m2) / (col("n2") - lit(1.0))
+      val se2 = v1 / col("n1") + v2 / col("n2")
+      val df = se2 * se2 /
+        ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - lit(1.0)) +
+          (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - lit(1.0)))
+      p.select(col("n1").cast("long").as("n_click"),
+        col("n2").cast("long").as("n_purchase"),
+        round(m1, 4).as("mean_click"), round(m2, 4).as("mean_purchase"),
+        round((m1 - m2) / sqrt(se2), 4).as("t_stat"),
+        round(df, 4).as("welch_df"))
+    }),
+
+    // Population Stability Index — the distribution-drift monitor between
+    // a reference corpus snapshot (even doc_id) and the current one (odd
+    // doc_id), over n_chars in 10 equal-width bins from the REFERENCE
+    // extent (broadcast 1-row bounds, the q135 binning shape). Laplace
+    // (+1) smoothing keeps ln finite on empty bins; p/q are exact integer
+    // ratios so only the ln seam needs the 4-dp round. Two hash aggs +
+    // a 10-row join — scale-safe.
+    "q146_psi" -> ((s, d) => {
+      val ref = doc(s, d).filter(col("doc_id") % 2 === 0)
+      val cur = doc(s, d).filter(col("doc_id") % 2 === 1)
+      val bounds = ref.agg(min(col("n_chars")).as("__lo"),
+        max(col("n_chars")).as("__hi"))
+      def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(lit(9L), greatest(lit(0L),
+            floor((col("n_chars") - col("__lo")) * 10 /
+              (col("__hi") - col("__lo") + 1)).cast("long"))))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val r = binned(ref).withColumnRenamed("cnt", "cnt_ref")
+      val c = binned(cur).withColumnRenamed("cnt", "cnt_cur")
+      // corpus sizes as a broadcast 1-row scalar (q79's N pattern — stays
+      // in the plan, no driver action)
+      val tot = ref.agg(count(lit(1)).as("__nr"))
+        .crossJoin(cur.agg(count(lit(1)).as("__nc")))
+      val allBins = ref.sparkSession.range(10).select(col("id").as("bin"))
+      val j = allBins
+        .join(broadcast(r), Seq("bin"), "left")
+        .join(broadcast(c), Seq("bin"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bin"),
+          coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
+          coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"),
+          col("__nr"), col("__nc"))
+      val p = (col("cnt_ref") + lit(1)).cast("double") /
+        (col("__nr") + lit(10)).cast("double")
+      val q = (col("cnt_cur") + lit(1)).cast("double") /
+        (col("__nc") + lit(10)).cast("double")
+      j.select(col("bin"), col("cnt_ref"), col("cnt_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4105,6 +4230,95 @@ object Queries {
         | ON a.p_name < b.p_name
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
+
+    // GROUPING() is BIGINT in DuckDB; Spark's grouping() cast to match.
+    "q143_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        | count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    // Same bounded-frame list + index lambda (DuckDB i is 1-based, so the
+    // exponent is len-i vs Spark's size-1-i over 0-based). 0.75^k exact;
+    // the ratio rounded 4 dp.
+    "q144_ewma" ->
+      """WITH f AS (
+        | SELECT event_id, user_id,
+        |  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
+        | FROM events)
+        |SELECT event_id, user_id,
+        | round(
+        |  list_sum(list_transform(frame, (x, i) ->
+        |    x * pow(0.75, len(frame) - i))) /
+        |  list_sum(list_transform(frame, (x, i) ->
+        |    pow(0.75, len(frame) - i))), 4) AS ewma
+        |FROM f""".stripMargin,
+
+    // Same sufficient-statistics pivot; all derived scalars rounded 4 dp
+    // (double sums are order-dependent).
+    "q145_welch_ttest" ->
+      """WITH g AS (
+        | SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(value) AS s1, sum(value * value) AS s2
+        | FROM events WHERE event_type IN ('click', 'purchase')
+        | GROUP BY event_type),
+        |p AS (
+        | SELECT
+        |  max(CASE WHEN event_type = 'click' THEN n END) AS n1,
+        |  max(CASE WHEN event_type = 'click' THEN s1 END) AS a1,
+        |  max(CASE WHEN event_type = 'click' THEN s2 END) AS b1,
+        |  max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+        |  max(CASE WHEN event_type = 'purchase' THEN s1 END) AS a2,
+        |  max(CASE WHEN event_type = 'purchase' THEN s2 END) AS b2
+        | FROM g),
+        |m AS (
+        | SELECT n1, n2, a1 / n1 AS m1, a2 / n2 AS m2,
+        |  (b1 - n1 * (a1 / n1) * (a1 / n1)) / (n1 - 1.0) AS v1,
+        |  (b2 - n2 * (a2 / n2) * (a2 / n2)) / (n2 - 1.0) AS v2
+        | FROM p)
+        |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+        | round(m1, 4) AS mean_click, round(m2, 4) AS mean_purchase,
+        | round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+        | round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
+        |   ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+        |     + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 4) AS welch_df
+        |FROM m""".stripMargin,
+
+    // Same reference-extent equal-width bins + Laplace smoothing; integer
+    // ratios into ln → the product rounded (6 dp).
+    "q146_psi" ->
+      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
+        |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
+        |b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM ref),
+        |tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
+        |               (SELECT count(*) FROM cur) AS nc),
+        |rb AS (
+        | SELECT CAST(least(9, greatest(0,
+        |   floor((n_chars - lo) * 10 / (hi - lo + 1)))) AS BIGINT) AS bin,
+        |  count(*) AS cnt_ref
+        | FROM ref, b GROUP BY 1),
+        |cb AS (
+        | SELECT CAST(least(9, greatest(0,
+        |   floor((n_chars - lo) * 10 / (hi - lo + 1)))) AS BIGINT) AS bin,
+        |  count(*) AS cnt_cur
+        | FROM cur, b GROUP BY 1),
+        |j AS (
+        | SELECT g.bin,
+        |  CAST(coalesce(cnt_ref, 0) AS BIGINT) AS cnt_ref,
+        |  CAST(coalesce(cnt_cur, 0) AS BIGINT) AS cnt_cur, nr, nc
+        | FROM generate_series(0, 9) g(bin)
+        | LEFT JOIN rb ON g.bin = rb.bin
+        | LEFT JOIN cb ON g.bin = cb.bin, tot)
+        |SELECT bin, cnt_ref, cnt_cur,
+        | round((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)
+        |      - CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+        |  * ln((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+        |     / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))), 6)
+        |  AS psi_term
+        |FROM j""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

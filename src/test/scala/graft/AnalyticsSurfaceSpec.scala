@@ -9,6 +9,59 @@ class AnalyticsSurfaceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("grouping sets emits exactly the two marginals, flags disambiguate") {
+    val out = Queries.queries("q143_grouping_sets")(spark, TestSpark.sf0001)
+      .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "cnt")
+      .as[(Option[String], Option[String], Long, Long, Long)].collect()
+    // every row is exactly one of the two single-column marginals
+    out.foreach { case (f, st, gf, gs, _) =>
+      assert((gf, gs) == (0L, 1L) || (gf, gs) == (1L, 0L))
+      assert((gf == 0L) == f.isDefined, "flag marginal keeps l_returnflag")
+      assert((gs == 0L) == st.isDefined, "status marginal keeps l_linestatus")
+    }
+    // each marginal's counts equal the plain groupBy counts
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val byFlag = li.groupBy("l_returnflag").count()
+      .as[(String, Long)].collect().toMap
+    val byStatus = li.groupBy("l_linestatus").count()
+      .as[(String, Long)].collect().toMap
+    assert(out.filter(_._3 == 0L).map(r => r._1.get -> r._5).toMap == byFlag)
+    assert(out.filter(_._4 == 0L).map(r => r._2.get -> r._5).toMap == byStatus)
+  }
+
+  test("ewma: constant series is constant, first event equals its value") {
+    val out = Queries.queries("q144_ewma")(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "ewma").as[(Long, Long, Double)].collect()
+    assert(out.length == Tables.events(spark, TestSpark.sf0001).count())
+    // the per-user FIRST event's frame is [value] alone, so ewma == value
+    val firstIds = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (_, rows) =>
+        val f = rows.minBy(r => (r._2.getTime, r._3)); f._3 -> f._4 }
+    val byId = out.map(r => r._1 -> r._3).toMap
+    firstIds.foreach { case (id, v) =>
+      assert(math.abs(byId(id) - v) < 5e-5, s"first event $id ewma != value") }
+    // constant-series fixture: ewma of 7,7,7 is exactly 7 at every step
+    val fix = Seq((1L, 1L, 7.0), (1L, 2L, 7.0), (1L, 3L, 7.0))
+      .toDF("user_id", "event_id", "value")
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")) +
+        expr("make_interval(0, 0, 0, 0, 0, 0, event_id)"))
+    fix.createOrReplaceTempView("__ewma_fix")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-15, 0)
+    val e = fix.withColumn("__frame", collect_list(col("value")).over(w))
+      .withColumn("ewma", expr(
+        """aggregate(zip_with(__frame, transform(__frame, (x, i) ->
+          |  power(0.75D, CAST(size(__frame) - 1 - i AS DOUBLE))),
+          |  (x, w) -> x * w), 0D, (a, t) -> a + t) /
+          |aggregate(transform(__frame, (x, i) ->
+          |  power(0.75D, CAST(size(__frame) - 1 - i AS DOUBLE))),
+          |  0D, (a, t) -> a + t)""".stripMargin))
+      .select("ewma").as[Double].collect()
+    assert(e.forall(v => math.abs(v - 7.0) < 1e-12))
+  }
+
   test("fuzzy match resolves each misspelling to the intended nation") {
     val got = Queries.queries("q129_fuzzy_match")(spark, TestSpark.sf0001)
       .select("probe", "best_name").as[(String, String)].collect().toMap

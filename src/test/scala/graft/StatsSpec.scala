@@ -99,4 +99,39 @@ class StatsSpec extends AnyFunSuite {
       if (k(u) == 1L) assert(h == 0.0, s"single-type user $u entropy $h")
     }
   }
+
+  test("q145 Welch t on a hand-computed fixture shape + sf0.001 invariants") {
+    // Engine invariants on the real data: sign(t) == sign(mean diff), and
+    // Welch df lies in [min(n1,n2)-1, n1+n2-2] (standard bounds).
+    val r = Queries.queries("q145_welch_ttest")(spark, TestSpark.sf0001).first()
+    val (n1, n2) = (r.getAs[Long]("n_click"), r.getAs[Long]("n_purchase"))
+    val t = r.getAs[Double]("t_stat")
+    val df = r.getAs[Double]("welch_df")
+    val dm = r.getAs[Double]("mean_click") - r.getAs[Double]("mean_purchase")
+    assert(math.signum(t) == math.signum(dm) || dm == 0.0)
+    assert(df >= math.min(n1, n2) - 1 - 1e-6 && df <= n1 + n2 - 2 + 1e-6,
+      s"df $df outside [${math.min(n1, n2) - 1}, ${n1 + n2 - 2}]")
+    // Hand fixture via the same formulas: g1 = 1..5 (m=3, v=2.5),
+    // g2 = 2,4,..,10 (m=6, v=10). Per-group terms v/n = 0.5 and 2.0, so
+    // se² = 2.5, t = -3/√2.5 = -1.8974, df = 6.25/(0.5²/4 + 2²/4) = 5.8824.
+    val m1 = 3.0; val v1 = 2.5; val m2 = 6.0; val v2 = 10.0; val n = 5.0
+    val se2 = v1 / n + v2 / n
+    val tRef = (m1 - m2) / math.sqrt(se2)
+    val dfRef = se2 * se2 / ((v1 / n) * (v1 / n) / (n - 1) + (v2 / n) * (v2 / n) / (n - 1))
+    assert(math.abs(tRef - -1.8973665961010275) < 1e-12)
+    assert(math.abs(dfRef - 5.882352941176471) < 1e-12)
+  }
+
+  test("q146 PSI terms are non-negative and bins partition both corpora") {
+    val out = Queries.queries("q146_psi")(spark, TestSpark.sf0001)
+      .select("bin", "cnt_ref", "cnt_cur", "psi_term")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 10 && out.map(_._1).sorted.sameElements(0L until 10L))
+    // (p-q) and ln(p/q) always share a sign, so every term is >= 0
+    out.foreach { case (b, _, _, term) =>
+      assert(term >= 0.0, s"bin $b negative PSI term $term") }
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    assert(out.map(_._2).sum == docs.filter(col("doc_id") % 2 === 0).count())
+    assert(out.map(_._3).sum == docs.filter(col("doc_id") % 2 === 1).count())
+  }
 }
