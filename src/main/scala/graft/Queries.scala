@@ -1970,6 +1970,104 @@ object Queries {
         round((p - q) * log(p / q), 6).as("psi_term"))
     }),
 
+    // Triangle counting over the co-purchase part graph (parts sharing an
+    // order), by degree orientation — O(m^1.5) work whatever the skew
+    // (graph/Triangles.scala). Edge building self-joins lineitem per
+    // order (bounded basket size), then all-integer joins/aggs.
+    "q147_triangles" -> ((s, d) => {
+      val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val edges = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select("u", "v").distinct()
+      graft.graph.Triangles.count(edges)
+    }),
+
+    // Two-sample Kolmogorov–Smirnov: D = max |ECDF_click − ECDF_view|
+    // over the shared distinct-value table. Cumulative counts come from
+    // ONE multi-weight two-phase prefix sum (GlobalRank — no corpus-wide
+    // window); the ECDFs are integer-ratio divisions, so every derived
+    // double is bit-deterministic cross-engine: NO rounding seam at all.
+    // argmax is the ≤-smallest value attaining D (TakeOrdered, k=1).
+    "q148_ks_test" -> ((s, d) => {
+      val sc = ev(s, d).filter(col("event_type").isin("click", "view"))
+        .select(col("value"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("c2"))
+      val g = sc.groupBy("value")
+        .agg(sum(col("c1")).as("n1v"), sum(col("c2")).as("n2v"))
+      val cum = graft.operators.GlobalRank
+        .exclusivePrefixSums(g, "value", Seq("n1v", "n2v"))
+      val tot = g.agg(sum(col("n1v")).as("__n1"), sum(col("n2v")).as("__n2"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("value"),
+          abs((col("cum_before_n1v") + col("n1v")).cast("double") / col("__n1")
+            - (col("cum_before_n2v") + col("n2v")).cast("double") / col("__n2"))
+            .as("d"),
+          col("__n1"), col("__n2"))
+        .orderBy(col("d").desc, col("value").asc).limit(1)
+        .select(col("__n1").as("n_click"), col("__n2").as("n_view"),
+          col("d").as("d_stat"), col("value").as("at_value"))
+    }),
+
+    // Runtime Bloom pre-filter ahead of an exact semi-join — the
+    // user-level form of AQE's InjectRuntimeFilter: the dim side's keys
+    // condense into a 1 KB bitset (bloom_build, map-side-combinable OR),
+    // broadcast as a 1-row scalar, and the fact side drops non-members
+    // MAP-SIDE before any shuffle. The exact semi-join then removes the
+    // ~ε false positives, so the bloom stage is semantically transparent
+    // (the oracle is the plain semi-join) — it exists to cut the shuffled
+    // fact volume to ~|matching| at 100 TB. Probe and build share one JVM
+    // hash (Murmur3), so no false negatives by construction.
+    "q149_bloom_join" -> ((s, d) => {
+      import graft.functions.BloomFilterAgg
+      val dim = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"))
+      val bloom = dim.agg(
+        BloomFilterAgg(col("s_suppkey"), numWords = 128, numHashes = 3)
+          .as("bloom"))
+      val pre = li(s, d).select(col("l_suppkey"), col("l_extendedprice"))
+        .crossJoin(broadcast(bloom))
+        .filter(BloomFilterAgg.mightContain(col("l_suppkey"), col("bloom"),
+          numWords = 128, numHashes = 3))
+      pre.join(dim, col("l_suppkey") === col("s_suppkey"), "leftsemi")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"))
+    }),
+
+    // Bigram PMI — collocation mining over the corpus (the phrase-merge
+    // signal tokenizer/vocab pipelines use). Adjacent pairs via a
+    // codegen'd zip_with of the token array against its own shift (zero
+    // shuffle to build), then two hash aggs; scalars ride a broadcast
+    // 1-row cross join. PMI in log space (counts can exceed double-exact
+    // products at corpus scale): ln(c_xy) + 2ln(N_tok) − ln(N_big) −
+    // ln(c_x) − ln(c_y), libm → rounded 4 dp. Support floor c_xy ≥ 5;
+    // top-100 by (pmi desc, pair asc) via TakeOrderedAndProject.
+    "q150_bigram_pmi" -> ((s, d) => {
+      val toks = doc(s, d).select(split(col("text"), " ").as("t"))
+      val uni = toks.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val big = toks.select(explode(expr(
+        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
+          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val bigc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val tot = uni.agg(sum(col("cw")).as("__nt"))
+        .crossJoin(big.agg(count(lit(1)).as("__nb")))
+      bigc
+        .join(uni.select(col("w").as("w1"), col("cw").as("cx")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cy")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(log(col("cxy")) + lit(2.0) * log(col("__nt"))
+            - log(col("__nb")) - log(col("cx")) - log(col("cy")), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(100)
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4319,6 +4417,99 @@ object Queries {
         |     / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))), 6)
         |  AS psi_term
         |FROM j""".stripMargin,
+
+    // All-integer replay of the degree-oriented scheme: same (deg, id)
+    // total order, same one-wedge-per-triangle invariant.
+    "q147_triangles" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        | SELECT node, count(*) AS deg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        | GROUP BY node),
+        |o AS (
+        | SELECT
+        |  CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |   THEN u ELSE v END AS src,
+        |  CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+        |   THEN v ELSE u END AS dst
+        | FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node),
+        |orr AS (SELECT o.src, o.dst, deg.deg AS ddst
+        |        FROM o JOIN deg ON o.dst = deg.node),
+        |w AS (
+        | SELECT a.src, a.dst AS w1, b.dst AS w2
+        | FROM orr a JOIN orr b ON a.src = b.src
+        | WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
+        |t AS (
+        | SELECT * FROM w
+        | WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.w1 AND o.dst = w.w2))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        | (SELECT count(*) FROM e) AS n_edges,
+        | (SELECT count(*) FROM w) AS n_wedges,
+        | (SELECT count(*) FROM t) AS n_triangles""".stripMargin,
+
+    // The naive single-window ECDF replay; the two-phase prefix sums must
+    // reproduce it bit-for-bit (integer-ratio doubles, no rounding).
+    "q148_ks_test" ->
+      """WITH g AS (
+        | SELECT value,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n1v,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n2v
+        | FROM events WHERE event_type IN ('click', 'view')
+        | GROUP BY value),
+        |c AS (
+        | SELECT value,
+        |  CAST(sum(n1v) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum1,
+        |  CAST(sum(n2v) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum2
+        | FROM g),
+        |tot AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
+        |               CAST(sum(n2v) AS BIGINT) AS n2 FROM g)
+        |SELECT n1 AS n_click, n2 AS n_view,
+        | abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS d_stat,
+        | value AS at_value
+        |FROM c, tot
+        |ORDER BY d_stat DESC, value LIMIT 1""".stripMargin,
+
+    // The bloom stage is semantically transparent (false positives die in
+    // the exact semi-join), so the oracle is the plain semi-join + agg.
+    "q149_bloom_join" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        | round(sum(l_extendedprice), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey IN
+        | (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
+        |GROUP BY l_suppkey""".stripMargin,
+
+    // Same shift-zip bigrams (DuckDB 1-based slices), same log-space PMI.
+    "q150_bigram_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (
+        | SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM tk)
+        | GROUP BY w),
+        |bg AS (
+        | SELECT bg[1] AS w1, bg[2] AS w2 FROM (
+        |  SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS bg
+        |  FROM tk)),
+        |bigc AS (
+        | SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2
+        | HAVING count(*) >= 5),
+        |tot AS (
+        | SELECT (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS nt,
+        |        (SELECT count(*) FROM bg) AS nb)
+        |SELECT w1, w2, cxy,
+        | round(ln(cxy) + 2.0 * ln(nt) - ln(nb) - ln(cx) - ln(cy), 4) AS pmi
+        |FROM bigc
+        |JOIN (SELECT w AS w1, cw AS cx FROM uni) USING (w1)
+        |JOIN (SELECT w AS w2, cw AS cy FROM uni) USING (w2)
+        |, tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

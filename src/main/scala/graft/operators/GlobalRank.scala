@@ -32,7 +32,19 @@ object GlobalRank {
     * `orderCol`-ascending order. `orderCol` must be unique per row (use a
     * distinct-value table; ties would make "before" ambiguous). */
   def exclusivePrefixSum(df: DataFrame, orderCol: String, weightCol: String,
-                         nBuckets: Int = 64): DataFrame = {
+                         nBuckets: Int = 64): DataFrame =
+    exclusivePrefixSums(df, orderCol, Seq(weightCol), nBuckets)
+      .withColumnRenamed(s"cum_before_$weightCol", "cum_before")
+
+  /** Multi-weight form: one bucketing + one per-bucket window + ONE
+    * nBuckets-row offset window carry ALL the weights at once (each extra
+    * weight is one more aggregate in the same shuffles, not a second
+    * pass). Adds `cum_before_<w>` per weight column — the shape ECDF-style
+    * consumers need (e.g. the two-sample KS statistic: both samples'
+    * cumulative counts over one shared value order). */
+  def exclusivePrefixSums(df: DataFrame, orderCol: String,
+                          weightCols: Seq[String],
+                          nBuckets: Int = 64): DataFrame = {
     val b = df.agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
     val bucketed = df.crossJoin(broadcast(b))
       .withColumn("__bkt",
@@ -43,16 +55,24 @@ object GlobalRank {
       .drop("__mn", "__mx")
     val wLocal = Window.partitionBy("__bkt").orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val local = bucketed.withColumn("__cum_local",
-      coalesce(sum(col(weightCol)).over(wLocal), lit(0L)))
+    val local = weightCols.foldLeft(bucketed) { (acc, w) =>
+      acc.withColumn(s"__cum_local_$w",
+        coalesce(sum(col(w)).over(wLocal), lit(0L)))
+    }
     val wOff = Window.orderBy(col("__bkt").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("__bkt")
-      .agg(sum(col(weightCol)).as("__tot"))
-      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
-      .select("__bkt", "__off")
-    local.join(broadcast(offsets), Seq("__bkt"))
-      .withColumn("cum_before", col("__off") + col("__cum_local"))
-      .drop("__bkt", "__cum_local", "__off")
+    val totAggs = weightCols.map(w => sum(col(w)).as(s"__tot_$w"))
+    val offsets = weightCols.foldLeft(
+      bucketed.groupBy("__bkt").agg(totAggs.head, totAggs.tail: _*)) {
+      (acc, w) =>
+        acc.withColumn(s"__off_$w",
+          coalesce(sum(col(s"__tot_$w")).over(wOff), lit(0L)))
+    }.select(col("__bkt") +: weightCols.map(w => col(s"__off_$w")): _*)
+    val joined = local.join(broadcast(offsets), Seq("__bkt"))
+    weightCols.foldLeft(joined) { (acc, w) =>
+      acc.withColumn(s"cum_before_$w",
+        col(s"__off_$w") + col(s"__cum_local_$w"))
+        .drop(s"__cum_local_$w", s"__off_$w")
+    }.drop("__bkt")
   }
 }

@@ -221,4 +221,34 @@ class CurationOpsSpec extends AnyFunSuite {
       .select("grp", "is_outlier").as[(String, Long)].collect()
     assert(out.forall(_._2 == 0L))
   }
+
+  test("bigram PMI matches a driver-side recount with the same formula") {
+    val out = Queries.queries("q150_bigram_pmi")(spark, TestSpark.sf0001)
+      .select("w1", "w2", "cxy", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(out.nonEmpty && out.forall(_._3 >= 5))
+    // independent recount: driver-side token stream over the same corpus
+    val texts = Tables.documents(spark, TestSpark.sf0001)
+      .select("text").as[String].collect()
+    val tokens = texts.map(_.split(" ", -1).toSeq)
+    val uni = tokens.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val big = tokens.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = uni.values.sum.toDouble
+    val nb = big.values.sum.toDouble
+    out.foreach { case (w1, w2, cxy, pmi) =>
+      assert(big((w1, w2)) == cxy, s"count mismatch for ($w1,$w2)")
+      val want = math.log(cxy.toDouble) + 2.0 * math.log(nt) -
+        math.log(nb) - math.log(uni(w1).toDouble) - math.log(uni(w2).toDouble)
+      assert(math.abs(pmi - want) < 1e-3, s"pmi($w1,$w2) $pmi != $want")
+    }
+    // the result is exactly the top-100 of the recount's eligible pairs
+    val eligible = big.collect { case ((a, b), c) if c >= 5 =>
+      val p = math.log(c.toDouble) + 2.0 * math.log(nt) - math.log(nb) -
+        math.log(uni(a).toDouble) - math.log(uni(b).toDouble)
+      (BigDecimal(p).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, a, b)
+    }.toSeq.sortBy { case (p, a, b) => (-p, a, b) }.take(100)
+    val gotOrdered = out.map(r => (r._4, r._1, r._2)).toSeq
+    assert(gotOrdered.sortBy { case (p, a, b) => (-p, a, b) } == eligible)
+  }
 }

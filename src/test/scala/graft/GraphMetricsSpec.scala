@@ -80,4 +80,44 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(out.forall(r => r._1 >= 0 && r._1 <= 9))
     assert(out.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
   }
+
+  test("triangles: K4 + pendant counts 4; matches brute force on a random graph") {
+    import graft.graph.Triangles
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles; pendant edge 4-5 adds none
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("u", "v")
+    val r = Triangles.count(k4).first()
+    assert(r.getAs[Long]("n_nodes") == 5 && r.getAs[Long]("n_edges") == 7)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    // deterministic pseudo-random graph on 30 nodes vs brute force
+    val es = (for { a <- 1L to 30L; b <- (a + 1) to 30L
+      if (a * 7919 + b * 104729) % 5 == 0 } yield (a, b))
+    val got = Triangles.count(es.toDF("u", "v")).first().getAs[Long]("n_triangles")
+    val set = es.toSet
+    val brute = (for { a <- 1L to 30L; b <- (a + 1) to 30L; c <- (b + 1) to 30L
+      if set((a, b)) && set((b, c)) && set((a, c)) } yield 1).sum
+    assert(got == brute, s"triangles $got != brute $brute")
+  }
+
+  test("KS: disjoint supports give D=1, identical samples give D=0") {
+    import graft.operators.GlobalRank
+    // replicate q148's core on fixtures through the same prefix-sum path
+    def ks(rows: Seq[(Double, Long, Long)]): Double = {
+      val g = rows.toDF("value", "n1v", "n2v")
+      val cum = GlobalRank.exclusivePrefixSums(g, "value", Seq("n1v", "n2v"))
+      val (n1, n2) = (rows.map(_._2).sum.toDouble, rows.map(_._3).sum.toDouble)
+      cum.select(abs((col("cum_before_n1v") + col("n1v")) / n1
+        - (col("cum_before_n2v") + col("n2v")) / n2).as("d"))
+        .agg(max(col("d"))).as[Double].first()
+    }
+    // sample1 on {1,2,3}, sample2 on {10,11}: full separation
+    assert(ks(Seq((1.0, 5L, 0L), (2.0, 3L, 0L), (3.0, 2L, 0L),
+      (10.0, 0L, 4L), (11.0, 0L, 6L))) == 1.0)
+    // identical per-value counts: ECDFs coincide everywhere
+    assert(ks(Seq((1.0, 2L, 2L), (2.0, 3L, 3L), (5.0, 5L, 5L))) == 0.0)
+    // the query's D is a valid statistic on real data
+    val q = Queries.queries("q148_ks_test")(spark, TestSpark.sf0001).first()
+    val d = q.getAs[Double]("d_stat")
+    assert(d > 0.0 && d <= 1.0)
+  }
 }
