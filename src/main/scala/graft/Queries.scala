@@ -2068,6 +2068,80 @@ object Queries {
         .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(100)
     }),
 
+    // Last-observation-carried-forward gap fill — the time-series repair
+    // step (sensor dropouts, sparse telemetry). Gaps are introduced
+    // DETERMINISTICALLY (the q55/q103 md5-hex device — engine-exact, no
+    // rand()), then filled per user with an ignoreNulls last() over the
+    // unbounded-preceding frame. Carried values are original doubles —
+    // no arithmetic, no rounding seam. Per-user partitions ⇒ scale-safe.
+    "q151_locf" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sparse = ev(s, d).withColumn("v",
+        when(substring(md5(col("event_id").cast("string")), 1, 1)
+          .isin("0", "1", "2", "3"), lit(null).cast("double"))
+          .otherwise(col("value")))
+      sparse.select(col("event_id"), col("user_id"),
+        col("v").isNull.cast("long").as("was_gap"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
+    }),
+
+    // Trailing-window z-score anomaly flags: each event scored against
+    // the PRIOR 16 events' mean/std (frame excludes current — no
+    // self-masking). Sufficient statistics in the window (sum, sum²) so
+    // both engines run identical arithmetic; z rounded 4 dp (windowed
+    // double sums are order-dependent at 1e-15). Null score below 8
+    // observations or at zero variance. Bounded frame, per-user
+    // partitions ⇒ scale-safe.
+    "q152_rolling_zscore" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-16, -1)
+      val n = count(col("value")).over(w)
+      val s1 = sum(col("value")).over(w)
+      val s2 = sum(col("value") * col("value")).over(w)
+      ev(s, d)
+        .withColumn("n_win", n)
+        // ANSI mode errors on 0/0 for the first events in a partition, so
+        // the guard lives on the intermediates, not just the final CASE
+        .withColumn("__m", when(col("n_win") >= 8, s1 / col("n_win")))
+        .withColumn("__v", when(col("n_win") >= 8,
+          (s2 - col("n_win") * col("__m") * col("__m")) / (col("n_win") - lit(1))))
+        .select(col("event_id"), col("user_id"), col("n_win"),
+          when(col("n_win") >= 8 && col("__v") > 0,
+            round((col("value") - col("__m")) / sqrt(col("__v")), 4))
+            .as("zscore"))
+    }),
+
+    // Entity resolution end-to-end: q142's length-band candidate pairs →
+    // exact levenshtein ≤ 2 edges → connected components (the shared
+    // min-label fixpoint, graph/ConnectedComponents — fails loudly if the
+    // round cap truncates) → lexicographically-least canonical per
+    // cluster. String labels propagate fine: min-label only needs an
+    // orderable id. The blocking bound (lev ≥ len-diff) makes candidate
+    // generation lossless, so these are the TRUE components of the
+    // "distance ≤ 2" graph — hence SQL-oracle-able via recursive CTE.
+    "q153_entity_resolution" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"),
+        length(col("p_name")).as("la"))
+      val b = names.select(col("p_name").as("name_b"),
+        length(col("p_name")).as("lb"))
+      val pairs = a.join(b, col("name_a") < col("name_b") &&
+          abs(col("la") - col("lb")) <= 2)
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
+      val (labels, converged) = graft.graph.ConnectedComponents.minLabel(
+        pairs, names.select(col("p_name").as("node")), maxRounds = 16)
+      if (!converged)
+        throw new IllegalStateException(
+          "q153: min-label propagation did not reach a fixpoint in 16 rounds")
+      labels.select(col("node").as("name"), col("label").as("canonical"),
+        count(lit(1)).over(Window.partitionBy(col("label")))
+          .as("cluster_size"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4510,6 +4584,63 @@ object Queries {
         |JOIN (SELECT w AS w2, cw AS cy FROM uni) USING (w2)
         |, tot
         |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // Same md5-hex gap device, same ignoreNulls carry; carried values are
+    // untouched doubles so the compare is exact.
+    "q151_locf" ->
+      """WITH s AS (
+        | SELECT event_id, user_id, ts,
+        |  CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+        |        IN ('0','1','2','3') THEN NULL ELSE value END AS v
+        | FROM events)
+        |SELECT event_id, user_id,
+        | CAST(v IS NULL AS BIGINT) AS was_gap,
+        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |   ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+        |FROM s""".stripMargin,
+
+    // Same windowed sufficient statistics; z rounded 4 dp.
+    "q152_rolling_zscore" ->
+      """WITH w AS (
+        | SELECT event_id, user_id, value,
+        |  count(value) OVER win AS n_win,
+        |  sum(value) OVER win AS s1,
+        |  sum(value * value) OVER win AS s2
+        | FROM events
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        | SELECT event_id, user_id, value, n_win,
+        |  s1 / n_win AS mu,
+        |  (s2 - n_win * (s1 / n_win) * (s1 / n_win)) / (n_win - 1) AS v
+        | FROM w)
+        |SELECT event_id, user_id, n_win,
+        | CASE WHEN n_win >= 8 AND v > 0
+        |  THEN round((value - mu) / sqrt(v), 4) END AS zscore
+        |FROM m""".stripMargin,
+
+    // True components of the lev<=2 graph via recursive CTE (the q124
+    // min-label shape on string ids).
+    "q153_entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |pairs AS (
+        | SELECT a.p_name AS ia, b.p_name AS ib
+        | FROM n a JOIN n b ON a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        | WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION ALL SELECT ib, ia FROM pairs),
+        |cc(node, label) AS (
+        | SELECT p_name, p_name FROM n
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a),
+        |lab AS (SELECT node, min(label) AS canonical FROM cc GROUP BY node)
+        |SELECT node AS name, canonical,
+        | CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+        |   AS cluster_size
+        |FROM lab""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

@@ -214,48 +214,13 @@ object Dedup {
     labels.select(col("node").as(idCol), col("label").as("canonical_id"))
   }
 
-  /** Shared connected-components core: iterative min-label propagation over
-    * an undirected edge list, run to a FIXPOINT with an early exit (a round
-    * that changes no label ends the loop) and a `maxRounds` backstop.
-    *
-    * Each round is one join + one min-aggregation (two shuffles) over the
-    * edge list and label table, independent of corpus size; every round's
-    * output is checkpointed — without lineage truncation the plan doubles
-    * per iteration. Checkpoints go through [[graft.io.Checkpoints.truncate]]:
-    * executor-local by default, reliable (executor-loss-safe) when
-    * `spark.graft.checkpointDir` is set — the cluster deployment knob. The
-    * per-round convergence probe is one tiny count job on
-    * already-checkpointed data.
-    *
-    * Returns (labels, converged): labels = (node, label) with label the
-    * component minimum reached; converged = false iff maxRounds ran out
-    * with changes still flowing. */
+  /** Shared connected-components core — now hosted at
+    * [[graft.graph.ConnectedComponents.minLabel]] (the same fixpoint also
+    * serves entity resolution, q153); kept as a private alias so the
+    * canonicalization call sites read locally. */
   private def minLabelPropagate(pairs: DataFrame, nodes: DataFrame,
-                                maxRounds: Int): (DataFrame, Boolean) = {
-    val edges = graft.io.Checkpoints.truncate(
-      pairs.select(col("id_a"), col("id_b"))
-        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
-      eager = true)
-    var labels = graft.io.Checkpoints.truncate(
-      nodes.select(col("node"), col("node").as("label")), eager = true)
-    var converged = false
-    var round = 0
-    while (!converged && round < maxRounds) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("node", "id_b"), "id_b")
-        .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
-      val next = graft.io.Checkpoints.truncate(
-        labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-            (col("nlabel") < col("label")).as("changed")),
-        eager = true)
-      converged = next.filter(col("changed")).limit(1).count() == 0
-      labels = next.drop("changed")
-      round += 1
-    }
-    (labels, converged)
-  }
+                                maxRounds: Int): (DataFrame, Boolean) =
+    graft.graph.ConnectedComponents.minLabel(pairs, nodes, maxRounds)
 
   /** Exact near-dup canonicalization: like [[canonicalize]], but candidate
     * generation is the EXACT inverted-postings n-gram Jaccard join

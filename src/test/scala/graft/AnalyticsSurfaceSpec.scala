@@ -62,6 +62,94 @@ class AnalyticsSurfaceSpec extends AnyFunSuite {
     assert(e.forall(v => math.abs(v - 7.0) < 1e-12))
   }
 
+  test("LOCF: gaps carry the previous observation, non-gaps keep their value") {
+    val out = Queries.queries("q151_locf")(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "was_gap", "value_filled")
+      .as[(Long, Long, Long, Option[Double])].collect()
+    // driver-side replay: same md5 gap rule, same per-user order
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    def gap(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "0123".contains(f"${h(0) & 0xff}%02x".charAt(0))
+    }
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var carry: Option[Double] = None
+      rows.sortBy(r => (r._3.getTime, r._1)).toSeq.map { r =>
+        if (!gap(r._1)) carry = Some(r._4)
+        r._1 -> ((gap(r._1), carry))
+      }
+    }
+    val got = out.map(r => r._1 -> (r._3 == 1L, r._4)).toMap
+    want.foreach { case (id, (g, v)) =>
+      assert(got(id) == ((g, v)), s"event $id: got ${got(id)}, want ($g, $v)") }
+  }
+
+  test("rolling z-score: null under 8 prior points, matches driver replay") {
+    val out = Queries.queries("q152_rolling_zscore")(spark, TestSpark.sf0001)
+      .select("event_id", "n_win", "zscore")
+      .as[(Long, Long, Option[Double])].collect()
+    out.foreach { case (id, n, z) =>
+      if (n < 8) assert(z.isEmpty, s"event $id scored with only $n prior points") }
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "user_id", "ts", "value")
+      .as[(Long, Long, java.sql.Timestamp, Double)].collect()
+    val want = ev.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._1)).toSeq
+      ordered.zipWithIndex.map { case (r, i) =>
+        val win = ordered.slice(math.max(0, i - 16), i).map(_._4)
+        val n = win.length
+        val z = if (n >= 8) {
+          val m = win.sum / n
+          val v = (win.map(x => x * x).sum - n * m * m) / (n - 1)
+          if (v > 0) Some((r._4 - m) / math.sqrt(v)) else None
+        } else None
+        r._1 -> z
+      }
+    }
+    val got = out.map(r => r._1 -> r._3).toMap
+    want.foreach { case (id, z) =>
+      (z, got(id)) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 5e-4, s"event $id: $b != $a")
+        case (a, b) => assert(a.isEmpty == b.isEmpty, s"event $id: $b vs $a")
+      }
+    }
+  }
+
+  test("entity resolution equals a driver-side union-find over the pair set") {
+    val out = Queries.queries("q153_entity_resolution")(spark, TestSpark.sf0001)
+      .select("name", "canonical", "cluster_size")
+      .as[(String, String, Long)].collect()
+    val names = Tables.part(spark, TestSpark.sf0001)
+      .select("p_name").distinct().as[String].collect()
+    // brute-force pairs + union-find
+    def lev(a: String, b: String): Int = {
+      val m = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+          m(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      m(a.length)(b.length)
+    }
+    val parent = scala.collection.mutable.Map(names.map(n => n -> n): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (a <- names; b <- names if a < b && lev(a, b) <= 2) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val comp = names.groupBy(find)
+    val canonOf = comp.toSeq.flatMap { case (_, members) =>
+      val c = members.min
+      members.toSeq.map(m => m -> ((c, members.length.toLong)))
+    }.toMap
+    assert(out.length == names.length)
+    out.foreach { case (n, c, sz) =>
+      assert(canonOf(n) == ((c, sz)), s"$n: got ($c,$sz), want ${canonOf(n)}") }
+  }
+
   test("fuzzy match resolves each misspelling to the intended nation") {
     val got = Queries.queries("q129_fuzzy_match")(spark, TestSpark.sf0001)
       .select("probe", "best_name").as[(String, String)].collect().toMap
