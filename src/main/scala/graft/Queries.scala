@@ -1973,14 +1973,20 @@ object Queries {
     // Triangle counting over the co-purchase part graph (parts sharing an
     // order), by degree orientation — O(m^1.5) work whatever the skew
     // (graph/Triangles.scala). Edge building self-joins lineitem per
-    // order (bounded basket size), then all-integer joins/aggs.
+    // order (bounded basket size); a SUPPORT threshold (co-occur in ≥ 2
+    // orders) keeps the signal edges and drops the single-co-occurrence
+    // noise that would otherwise make a near-complete graph — the same
+    // min-support device every frequent-itemset pipeline applies before
+    // graph analytics.
     "q147_triangles" -> ((s, d) => {
       val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
       val edges = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
         .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
           Seq("l_orderkey"))
         .filter(col("u") < col("v"))
-        .select("u", "v").distinct()
+        .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= 2)
+        .select("u", "v")
       graft.graph.Triangles.count(edges)
     }),
 
@@ -4497,9 +4503,10 @@ object Queries {
     "q147_triangles" ->
       """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |e AS (
-        | SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
         | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
         |deg AS (
         | SELECT node, count(*) AS deg FROM (
         |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)

@@ -59,13 +59,18 @@ object Triangles {
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("w1") < col("w2")))
       .select(col("w1"), col("w2"))
-    val triangles = wedges.join(
-      oriented.select(col("src").as("w1"), col("dst").as("w2")),
-      Seq("w1", "w2"), "leftsemi")
+    // ONE pass over the wedge stream counts wedges AND closed wedges: a
+    // left join against the oriented edges (flag non-null = closed)
+    // instead of a separate count + semi-join, so the (potentially
+    // O(m^1.5)-sized) wedge relation is never computed twice
+    val closed = wedges.join(
+      oriented.select(col("src").as("w1"), col("dst").as("w2"),
+        lit(1L).as("__hit")),
+      Seq("w1", "w2"), "left")
+      .agg(F.count(lit(1)).as("n_wedges"),
+        F.sum(coalesce(col("__hit"), lit(0L))).as("n_triangles"))
     val nNodes = deg.agg(F.count(lit(1)).as("n_nodes"))
     val nEdges = e.agg(F.count(lit(1)).as("n_edges"))
-    val nWedges = wedges.agg(F.count(lit(1)).as("n_wedges"))
-    val nTri = triangles.agg(F.count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nWedges).crossJoin(nTri)
+    nNodes.crossJoin(nEdges).crossJoin(closed)
   }
 }
