@@ -2030,14 +2030,26 @@ object Queries {
       import graft.functions.BloomFilterAgg
       val dim = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
         .select(col("s_suppkey"))
-      val bloom = dim.agg(
+      // The bitset is built by a tiny first job and INLINED as a literal
+      // into the fact-side filter — the q73/q105 device (collect is of an
+      // AGGREGATED 1 KB result, bounded by sketch geometry, never by data
+      // size). A 1-row cross join would carry the probe as a
+      // BroadcastNestedLoopJoin condition, which Catalyst floats ABOVE
+      // the exact semi-join — shuffling the full fact side, exactly the
+      // pathology the bloom exists to prevent. As a literal, the probe is
+      // an ordinary Filter fused into the scan stage, below the exchange
+      // (PLANS.md shows the filtered-then-shuffled shape).
+      val words = dim.agg(
         BloomFilterAgg(col("s_suppkey"), numWords = 128, numHashes = 3)
           .as("bloom"))
+        .first().getAs[scala.collection.Seq[Long]](0).toArray
       val pre = li(s, d).select(col("l_suppkey"), col("l_extendedprice"))
-        .crossJoin(broadcast(bloom))
-        .filter(BloomFilterAgg.mightContain(col("l_suppkey"), col("bloom"),
+        .filter(BloomFilterAgg.mightContain(col("l_suppkey"), lit(words),
           numWords = 128, numHashes = 3))
-      pre.join(dim, col("l_suppkey") === col("s_suppkey"), "leftsemi")
+      // the exact join pinned to its 100 TB shape (shuffled — a real dim
+      // side outgrows the broadcast threshold)
+      pre.join(dim.hint("shuffle_hash"),
+          col("l_suppkey") === col("s_suppkey"), "leftsemi")
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("cnt"),
           round(sum(col("l_extendedprice")), 4).as("revenue"))
