@@ -2160,6 +2160,60 @@ object Queries {
           .as("cluster_size"))
     }),
 
+    // Weighted median (and p25/p75): smallest value whose cumulative
+    // weight reaches the target fraction — revenue-weighted quantity
+    // quantiles, the "what quantity does half the MONEY sit below" shape.
+    // Weights aggregate per distinct value (one hash agg), then ONE
+    // two-phase prefix sum orders them (GlobalRank — no corpus-wide
+    // window); the threshold probes are three 1-row min-aggs on the same
+    // cumulated table. Weights are cent-exact integers (×100) so the
+    // comparison has no float seam.
+    "q154_weighted_median" -> ((s, d) => {
+      val g = li(s, d)
+        .select(col("l_quantity"),
+          round(col("l_extendedprice") * 100).cast("long").as("w"))
+        .groupBy("l_quantity").agg(sum(col("w")).as("wv"))
+      val cum = graft.operators.GlobalRank.exclusivePrefixSum(g, "l_quantity", "wv")
+        .withColumn("cum_w", col("cum_before") + col("wv"))
+      val tot = g.agg(sum(col("wv")).as("__tw"))
+      val c = cum.crossJoin(broadcast(tot))
+      // integer cross-multiplication (cum·den ≥ tot·num) — exact; factors
+      // ≤ 4 keep headroom to ~Long.Max/4 total cents
+      def probe(num: Long, den: Long, name: String) =
+        c.filter(col("cum_w") * lit(den) >= col("__tw") * lit(num))
+          .agg(min(col("l_quantity")).as(name))
+      probe(1L, 4L, "w_p25").crossJoin(probe(1L, 2L, "w_median"))
+        .crossJoin(probe(3L, 4L, "w_p75"))
+    }),
+
+    // Snapshot diff — the data-versioning primitive (what changed between
+    // yesterday's and today's corpus): full outer join on the key,
+    // row-hash comparison, one status column. Snapshots are simulated
+    // from the one events table by deterministic key arithmetic (old =
+    // 4∤id, new = id%5≠0 with values bumped on id%7=0 — giving all four
+    // statuses). xxhash64 is unavailable in DuckDB, so row identity uses
+    // md5 of a canonical string — the engine-exact q55 device.
+    "q155_snapshot_diff" -> ((s, d) => {
+      val base = ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+      val old = base.filter(col("event_id") % 4 =!= 0)
+      val neu = base.filter(col("event_id") % 5 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 7 === 0, col("value") + 1.0)
+            .otherwise(col("value")))
+      def hashed(df: DataFrame, pfx: String) = df.select(
+        col("event_id").as(s"${pfx}_id"),
+        md5(concat_ws("|", col("event_type"), col("value").cast("string")))
+          .as(s"${pfx}_h"))
+      hashed(old, "o").join(hashed(neu, "n"),
+          col("o_id") === col("n_id"), "full_outer")
+        .select(coalesce(col("o_id"), col("n_id")).as("event_id"),
+          when(col("o_id").isNull, "added")
+            .when(col("n_id").isNull, "removed")
+            .when(col("o_h") =!= col("n_h"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("cnt"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4660,6 +4714,47 @@ object Queries {
         | CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
         |   AS cluster_size
         |FROM lab""".stripMargin,
+
+    // Naive-window replay of the prefix sums; cent-integer weights so the
+    // threshold comparisons are exact on both engines.
+    "q154_weighted_median" ->
+      """WITH g AS (
+        | SELECT l_quantity,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS wv
+        | FROM lineitem GROUP BY l_quantity),
+        |c AS (
+        | SELECT l_quantity,
+        |  CAST(sum(wv) OVER (ORDER BY l_quantity ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_w
+        | FROM g),
+        |tot AS (SELECT CAST(sum(wv) AS BIGINT) AS tw FROM g)
+        |SELECT
+        | (SELECT min(l_quantity) FROM c, tot WHERE cum_w * 4 >= tw) AS w_p25,
+        | (SELECT min(l_quantity) FROM c, tot WHERE cum_w * 2 >= tw) AS w_median,
+        | (SELECT min(l_quantity) FROM c, tot WHERE cum_w * 4 >= tw * 3) AS w_p75""".stripMargin,
+
+    // Same simulated snapshots; hash EQUALITY is engine-internal (double
+    // formatting differs across engines but stays injective within each),
+    // so only the status counts surface — and those are exact.
+    "q155_snapshot_diff" ->
+      """WITH o AS (
+        | SELECT event_id AS o_id,
+        |  md5(concat_ws('|', event_type, CAST(value AS VARCHAR))) AS o_h
+        | FROM events WHERE event_id % 4 <> 0),
+        |n AS (
+        | SELECT event_id AS n_id,
+        |  md5(concat_ws('|', event_type, CAST(
+        |    CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END
+        |    AS VARCHAR))) AS n_h
+        | FROM events WHERE event_id % 5 <> 0)
+        |SELECT status, count(*) AS cnt FROM (
+        | SELECT CASE WHEN o_id IS NULL THEN 'added'
+        |             WHEN n_id IS NULL THEN 'removed'
+        |             WHEN o_h <> n_h THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        | FROM o FULL JOIN n ON o_id = n_id)
+        |GROUP BY status""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

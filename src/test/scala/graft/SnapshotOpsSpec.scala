@@ -56,4 +56,23 @@ class SnapshotOpsSpec extends AnyFunSuite {
     // seq 1 is superseded by seq 2 at the same instant; seq 2 is current
     assert(out.toSeq == Seq((1L, Some(100L), false), (2L, None, true)))
   }
+
+  test("snapshot diff statuses match a driver-side replay of the key sets") {
+    val got = Queries.queries("q155_snapshot_diff")(spark, TestSpark.sf0001)
+      .select("status", "cnt").as[(String, Long)].collect().toMap
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "value").as[(Long, Double)].collect()
+    val oldKeys = ev.filter(_._1 % 4 != 0).map(_._1).toSet
+    val newKeys = ev.filter(_._1 % 5 != 0).map(_._1).toSet
+    val added = (newKeys -- oldKeys).size.toLong
+    val removed = (oldKeys -- newKeys).size.toLong
+    // changed = shared keys whose value was bumped (id % 7 == 0)
+    val shared = oldKeys & newKeys
+    val changed = shared.count(_ % 7 == 0).toLong
+    val unchanged = shared.size - changed
+    assert(got.getOrElse("added", 0L) == added)
+    assert(got.getOrElse("removed", 0L) == removed)
+    assert(got.getOrElse("changed", 0L) == changed)
+    assert(got.getOrElse("unchanged", 0L) == unchanged)
+  }
 }

@@ -122,6 +122,26 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(dfRef - 5.882352941176471) < 1e-12)
   }
 
+  test("q154 weighted quantiles match a driver-side cumulative-weight scan") {
+    val r = Queries.queries("q154_weighted_median")(spark, TestSpark.sf0001).first()
+    val rows = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      .as[(Double, Long)].collect()
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val tot = byV.map(_._2).sum
+    def brute(num: Long, den: Long): Double = {
+      var cum = 0L
+      byV.find { case (_, w) => cum += w; cum * den >= tot * num }.get._1
+    }
+    assert(r.getAs[Double]("w_p25") == brute(1, 4))
+    assert(r.getAs[Double]("w_median") == brute(1, 2))
+    assert(r.getAs[Double]("w_p75") == brute(3, 4))
+    // ordering sanity
+    assert(r.getAs[Double]("w_p25") <= r.getAs[Double]("w_median"))
+    assert(r.getAs[Double]("w_median") <= r.getAs[Double]("w_p75"))
+  }
+
   test("q146 PSI terms are non-negative and bins partition both corpora") {
     val out = Queries.queries("q146_psi")(spark, TestSpark.sf0001)
       .select("bin", "cnt_ref", "cnt_cur", "psi_term")
