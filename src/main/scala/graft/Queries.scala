@@ -2214,6 +2214,29 @@ object Queries {
         .groupBy("status").agg(count(lit(1)).as("cnt"))
     }),
 
+    // Jaro–Winkler similarity scoring over the blocked name dictionary —
+    // the transposition-aware fuzzy scorer (levenshtein's complement for
+    // name matching), as a custom codegen'd Catalyst expression
+    // (functions/JaroWinkler.scala, bit-verified against DuckDB's native
+    // implementation incl. the 0.7 boost threshold and integer t/2).
+    // The length band here is the BLOCKING stage, part of the declared
+    // semantics (JW has no levenshtein-style length bound); threshold on
+    // the ROUNDED score so the cross-engine float seam can't flip the
+    // cut.
+    "q156_jaro_winkler" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val a = names.select(col("p_name").as("name_a"),
+        length(col("p_name")).as("la"))
+      val b = names.select(col("p_name").as("name_b"),
+        length(col("p_name")).as("lb"))
+      a.join(b, col("name_a") < col("name_b") &&
+          abs(col("la") - col("lb")) <= 3)
+        .withColumn("jw", round(
+          graft.functions.JaroWinkler(col("name_a"), col("name_b")), 4))
+        .filter(col("jw") >= 0.9)
+        .select("name_a", "name_b", "jw")
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4755,6 +4778,18 @@ object Queries {
         |             ELSE 'unchanged' END AS status
         | FROM o FULL JOIN n ON o_id = n_id)
         |GROUP BY status""".stripMargin,
+
+    // DuckDB's native jaro_winkler_similarity replays the custom
+    // expression (same windowing, integer t/2, 0.7-thresholded boost);
+    // both sides cut on the 4-dp-rounded score.
+    "q156_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM n a JOIN n b
+        | ON a.p_name < b.p_name
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

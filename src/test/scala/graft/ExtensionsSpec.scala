@@ -115,4 +115,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql.schema.fieldNames.toSeq == viaDf.schema.fieldNames.toSeq)
     assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
   }
+
+  test("jaro_winkler matches the textbook vectors and DuckDB semantics") {
+    import graft.functions.JaroWinklerUtil.{jaroWinkler => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(close(jw(u("MARTHA"), u("MARHTA")), 0.9611111111111111))
+    assert(close(jw(u("DIXON"), u("DICKSONX")), 0.8133333333333332))
+    assert(close(jw(u("JELLYFISH"), u("SMELLYFISH")), 0.8962962962962964))
+    assert(close(jw(u("CRATE"), u("TRACE")), 0.7333333333333334))
+    assert(close(jw(u("ab"), u("a")), 0.8500000000000001))
+    // boost suppressed at jaro <= 0.7 (DuckDB behavior)
+    assert(close(jw(u("AB"), u("AC")), 0.6666666666666666))
+    assert(close(jw(u("ABCDEF"), u("ABXXXX")), 0.5555555555555555))
+    // odd transposition count uses integer t/2 (DuckDB behavior)
+    assert(close(jw(u("ABCDEF"), u("BCADEF")),
+      0.9444444444444445 + 0.0))
+    assert(jw(u(""), u("ABC")) == 0.0 && jw(u("A"), u("B")) == 0.0)
+    assert(jw(u("same"), u("same")) == 1.0)
+    // symmetry
+    assert(jw(u("DWAYNE"), u("DUANE")) == jw(u("DUANE"), u("DWAYNE")))
+  }
+
+  test("jaro_winkler available in SQL and stays inside codegen") {
+    import spark.implicits._
+    val r = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS s")
+      .as[Double].first()
+    assert(math.abs(r - 0.9611111111111111) < 1e-12)
+    // non-literal input (parquet scan) so the expression isn't constant-folded
+    val df = Tables.nation(spark, TestSpark.sf0001)
+      .select(graft.functions.JaroWinkler($"n_name", $"n_name").as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [jaro_winkler"), plan)
+    assert(df.as[Double].collect().forall(_ == 1.0))
+  }
 }
