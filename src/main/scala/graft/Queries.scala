@@ -2237,6 +2237,16 @@ object Queries {
         .select("name_a", "name_b", "jw")
     }),
 
+    // Streaming rolling z-score — q152's stateful stream twin: per-user
+    // ring-buffer state in flatMapGroupsWithState, scores each event
+    // against its prior ≤16 values with bit-identical arithmetic (fold
+    // order, variance shape, HALF_UP round), so the oracle is literally
+    // the batch window SQL. State ~128 B/user — bounded by user
+    // cardinality, not history.
+    "q157_stream_zscore" -> ((s, d) =>
+      EventsStream.rollingZScore(s, d)
+        .select("event_id", "user_id", "n_win", "zscore")),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4790,6 +4800,27 @@ object Queries {
         | ON a.p_name < b.p_name
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9""".stripMargin,
+
+    // The stream's state machine must reproduce the batch window exactly
+    // — same oracle as q152.
+    "q157_stream_zscore" ->
+      """WITH w AS (
+        | SELECT event_id, user_id, value,
+        |  count(value) OVER win AS n_win,
+        |  sum(value) OVER win AS s1,
+        |  sum(value * value) OVER win AS s2
+        | FROM events
+        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)),
+        |m AS (
+        | SELECT event_id, user_id, value, n_win,
+        |  s1 / n_win AS mu,
+        |  (s2 - n_win * (s1 / n_win) * (s1 / n_win)) / (n_win - 1) AS v
+        | FROM w)
+        |SELECT event_id, user_id, n_win,
+        | CASE WHEN n_win >= 8 AND v > 0
+        |  THEN round((value - mu) / sqrt(v), 4) END AS zscore
+        |FROM m""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

@@ -527,4 +527,78 @@ object EventsStream {
         .select("win_start", "user_id", "cnt")
     }
   }
+
+  case class ZEvent(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
+  case class ZState(ring: List[Double])
+  case class ZOut(event_id: Long, user_id: Long, n_win: Long,
+                  zscore: Option[Double])
+
+  /** Streaming rolling z-score — the stateful stream twin of the batch
+    * q152 window: each event scored against its user's PRIOR ≤16 values,
+    * held as a ring buffer in `flatMapGroupsWithState` state (~128 bytes
+    * per user ever seen — bounded by user cardinality, like the
+    * sessionize seq marker; an event-time timeout could reclaim idle
+    * users if that bound mattered).
+    *
+    * Bit parity with the batch form is deliberate: the buffer sums fold
+    * oldest→newest (the frame order Spark's window aggregate uses), the
+    * variance uses the identical expression shape, and the round is the
+    * same HALF_UP 4 dp — so the q157 oracle is LITERALLY q152's SQL. */
+  def rollingZScore(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      import s.implicits._
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsMicros"), col("value"))
+        .as[ZEvent]
+
+      val stream = rollingZScoreOn(src)
+
+      val qname = "graft_rolling_zscore"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = stream.writeStream.outputMode("append").format("memory")
+          .queryName(qname).trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+    }
+  }
+
+  /** The stateful core of [[rollingZScore]], on any [[ZEvent]] stream —
+    * separated so tests can drive it across MULTIPLE microbatches
+    * (MemoryStream), proving the ring buffer carries across batches. */
+  def rollingZScoreOn(src: Dataset[ZEvent]): Dataset[ZOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import src.sparkSession.implicits._
+
+    def fn(userId: Long, events: Iterator[ZEvent],
+           state: GroupState[ZState]): Iterator[ZOut] = {
+      var ring = state.getOption.map(_.ring).getOrElse(Nil)
+      val out = events.toSeq.sortBy(e => (e.tsMicros, e.event_id)).map { e =>
+        val n = ring.length
+        val z = if (n >= 8) {
+          // fold oldest→newest — the frame order the batch window uses,
+          // so the double sums associate identically
+          var s1 = 0.0; var s2 = 0.0
+          ring.foreach { x => s1 += x; s2 += x * x }
+          val m = s1 / n
+          val v = (s2 - n * m * m) / (n - 1)
+          if (v > 0)
+            Some(java.math.BigDecimal.valueOf((e.value - m) / math.sqrt(v))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+          else None
+        } else None
+        ring = (ring :+ e.value).takeRight(16)
+        ZOut(e.event_id, userId, n.toLong, z)
+      }
+      state.update(ZState(ring))
+      out.iterator
+    }
+
+    src.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 }

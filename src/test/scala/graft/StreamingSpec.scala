@@ -326,4 +326,32 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("mn") =!= 1 || col("mx") =!= col("n"))
     assert(perUser.count() == 0)
   }
+
+  test("rolling z-score ring buffer carries across microbatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventsStream.{ZEvent, ZOut}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[ZEvent]
+    val out = EventsStream.rollingZScoreOn(input.toDS())
+    val qname = "graft_multibatch_zscore"
+    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(qname).start()
+    try {
+      // batch A: 8 events (ids 1-8) — none scored (fewer than 8 priors
+      // until id 9), building state
+      input.addData((1 to 8).map(i => ZEvent(1L, i.toLong, i.toLong, i.toDouble)): _*)
+      q.processAllAvailable()
+      // batch B: one event — MUST see the 8 prior values from batch A
+      input.addData(ZEvent(1L, 9L, 9L, 100.0))
+      q.processAllAvailable()
+      val got = spark.table(qname).as[ZOut].collect().map(r => r.event_id -> r).toMap
+      assert((1 to 8).forall(i => got(i.toLong).zscore.isEmpty))
+      assert(got(9L).n_win == 8L, s"state lost across batches: ${got(9L)}")
+      // prior ring = 1..8: m = 4.5, v = 6.0, z = (100-4.5)/sqrt(6)
+      val want = BigDecimal((100.0 - 4.5) / math.sqrt(6.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(9L).zscore.contains(want), s"got ${got(9L).zscore}, want $want")
+    } finally q.stop()
+  }
 }
