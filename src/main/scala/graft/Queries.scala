@@ -2247,6 +2247,121 @@ object Queries {
       EventsStream.rollingZScore(s, d)
         .select("event_id", "user_id", "n_win", "zscore")),
 
+    // Multinomial naive Bayes, end-to-end in relational algebra: train on
+    // the 80% key split, Laplace-smoothed per-class log-likelihoods over
+    // two discrete features (hour of day; value decile from TRAIN-extent
+    // bins), argmax per test row, confusion-matrix output. Every
+    // probability is an exact integer ratio into ln (libm → score rounded
+    // 4 dp; argmax on the ROUNDED score, ties to the lexicographic-min
+    // class). The model IS three tiny count tables (broadcast joins) —
+    // no iteration, one pass over train + one over test; per-row argmax
+    // is a K-row window per event (K = |classes|).
+    "q158_naive_bayes" -> ((s, d) => {
+      val e = ev(s, d).select(col("event_id"), col("event_type"), col("ts"),
+        col("value"))
+      val train = e.filter(col("event_id") % 10 < 8)
+      val test = e.filter(col("event_id") % 10 >= 8)
+      val bounds = train.agg(min(col("value")).as("__lo"),
+        max(col("value")).as("__hi"))
+      def feat(df: DataFrame): DataFrame = df.crossJoin(broadcast(bounds))
+        .withColumn("h", hour(col("ts")).cast("long"))
+        .withColumn("b", least(lit(9L), greatest(lit(0L),
+          floor((col("value") - col("__lo")) * 10 / (col("__hi") - col("__lo")))
+            .cast("long"))))
+        .drop("__lo", "__hi")
+      val tr = feat(train)
+      val classes = tr.groupBy(col("event_type").as("cls"))
+        .agg(count(lit(1)).as("n_c"))
+      val scal = tr.agg(count(lit(1)).as("__n"),
+        countDistinct(col("h")).as("__v1"),
+        countDistinct(col("b")).as("__v2"))
+        .crossJoin(classes.agg(count(lit(1)).as("__k")))
+      val c1 = tr.groupBy(col("event_type").as("cls"), col("h"))
+        .agg(count(lit(1)).as("c1"))
+      val c2 = tr.groupBy(col("event_type").as("cls"), col("b"))
+        .agg(count(lit(1)).as("c2"))
+      val scored = feat(test)
+        .crossJoin(broadcast(classes))
+        .join(broadcast(c1), Seq("cls", "h"), "left")
+        .join(broadcast(c2), Seq("cls", "b"), "left")
+        .crossJoin(broadcast(scal))
+        .withColumn("score", round(
+          log((col("n_c") + lit(1)).cast("double") /
+            (col("__n") + col("__k")).cast("double")) +
+          log((coalesce(col("c1"), lit(0L)) + lit(1)).cast("double") /
+            (col("n_c") + col("__v1")).cast("double")) +
+          log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+            (col("n_c") + col("__v2")).cast("double")), 4))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("score").desc, col("cls").asc)
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .groupBy(col("event_type").as("actual"), col("cls").as("predicted"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Label-propagation community detection (synchronous, 2 fixed rounds,
+    // deterministic): each node adopts its neighbors' most frequent label,
+    // ties to the smallest — all-integer counts, so a SQL oracle unrolls
+    // the rounds exactly (the PageRank replay rule without needing any
+    // rounding). Same support-2 co-purchase graph as q147; per round one
+    // join + one count agg + one per-node argmax window over the
+    // neighbor-label groups.
+    "q159_label_prop" -> ((s, d) => {
+      val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val p = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= 2)
+        .select("u", "v")
+      val edges = graft.io.Checkpoints.truncate(
+        p.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
+        eager = true)
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var labels = nodes.select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 2) {
+        val counts = edges
+          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("src")
+          .orderBy(col("c").desc, col("label").asc)
+        labels = counts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("src").as("node"), col("label"))
+      }
+      labels.select(col("node"), col("label"),
+        count(lit(1)).over(Window.partitionBy(col("label")))
+          .as("community_size"))
+    }),
+
+    // Poisson bootstrap — THE distributed resampling scheme (per-row
+    // Poisson(1) weights approximate multinomial resampling without any
+    // global coordination): 32 deterministic pseudo-resamples from the
+    // q103 md5-uniform device through the Poisson(1) inverse CDF
+    // (identical literal thresholds both engines), one explode + one hash
+    // agg. Resample means are order-dependent double sums → rounded 4 dp.
+    // Output: the 32 resample means of `value` — the CI is percentiles of
+    // this tiny relation.
+    "q160_poisson_bootstrap" -> ((s, d) => {
+      val u = conv(substring(md5(concat(col("event_id").cast("string"),
+        lit("_"), col("b").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L)
+        .otherwise(5L)
+      ev(s, d).select(col("event_id"), col("value"),
+          explode(sequence(lit(0L), lit(31L))).as("b"))
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(round(sum(col("w") * col("value")) / sum(col("w")), 4)
+          .as("boot_mean"))
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -4821,6 +4936,100 @@ object Queries {
         | CASE WHEN n_win >= 8 AND v > 0
         |  THEN round((value - mu) / sqrt(v), 4) END AS zscore
         |FROM m""".stripMargin,
+
+    // Full CTE replay: integer-ratio lns summed in the same order, argmax
+    // on the rounded score with the same tie rule.
+    "q158_naive_bayes" ->
+      """WITH tr0 AS (SELECT * FROM events WHERE event_id % 10 < 8),
+        |te0 AS (SELECT * FROM events WHERE event_id % 10 >= 8),
+        |bnd AS (SELECT min(value) AS lo, max(value) AS hi FROM tr0),
+        |tr AS (
+        | SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(least(9, greatest(0,
+        |    floor((value - lo) * 10 / (hi - lo)))) AS BIGINT) AS b
+        | FROM tr0, bnd),
+        |te AS (
+        | SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS h,
+        |  CAST(least(9, greatest(0,
+        |    floor((value - lo) * 10 / (hi - lo)))) AS BIGINT) AS b
+        | FROM te0, bnd),
+        |cls AS (SELECT event_type AS cls, count(*) AS n_c FROM tr GROUP BY 1),
+        |scal AS (SELECT (SELECT count(*) FROM tr) AS n,
+        |  (SELECT count(DISTINCT h) FROM tr) AS v1,
+        |  (SELECT count(DISTINCT b) FROM tr) AS v2,
+        |  (SELECT count(*) FROM cls) AS k),
+        |f1 AS (SELECT event_type AS cls, h, count(*) AS c1 FROM tr GROUP BY 1, 2),
+        |f2 AS (SELECT event_type AS cls, b, count(*) AS c2 FROM tr GROUP BY 1, 2),
+        |sc AS (
+        | SELECT te.event_id, te.event_type, cls.cls,
+        |  round(ln(CAST(n_c + 1 AS DOUBLE) / CAST(n + k AS DOUBLE))
+        |   + ln(CAST(coalesce(c1, 0) + 1 AS DOUBLE) / CAST(n_c + v1 AS DOUBLE))
+        |   + ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE) / CAST(n_c + v2 AS DOUBLE)),
+        |   4) AS score
+        | FROM te CROSS JOIN cls
+        | LEFT JOIN f1 ON f1.cls = cls.cls AND f1.h = te.h
+        | LEFT JOIN f2 ON f2.cls = cls.cls AND f2.b = te.b
+        | CROSS JOIN scal),
+        |pick AS (
+        | SELECT event_id, event_type, cls, row_number() OVER (
+        |   PARTITION BY event_id ORDER BY score DESC, cls) AS rn
+        | FROM sc)
+        |SELECT event_type AS actual, cls AS predicted, count(*) AS cnt
+        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    // Two unrolled synchronous rounds — all-integer, no rounding needed.
+    "q159_label_prop" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS src, v AS dst FROM p
+        |      UNION ALL SELECT v AS src, u AS dst FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |r1 AS (
+        | SELECT e.src, l0.label, count(*) AS c
+        | FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2),
+        |l1 AS (
+        | SELECT src AS node, label FROM (
+        |  SELECT src, label, row_number() OVER (
+        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r1)
+        | WHERE rn = 1),
+        |r2 AS (
+        | SELECT e.src, l1.label, count(*) AS c
+        | FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2),
+        |l2 AS (
+        | SELECT src AS node, label FROM (
+        |  SELECT src, label, row_number() OVER (
+        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r2)
+        | WHERE rn = 1)
+        |SELECT node, label,
+        | CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
+        |   AS community_size
+        |FROM l2""".stripMargin,
+
+    // Same md5-uniform → identical Poisson(1) inverse-CDF thresholds;
+    // the resample means rounded 4 dp.
+    "q160_poisson_bootstrap" ->
+      """WITH x AS (
+        | SELECT value, b,
+        |  CAST(CAST(concat('0x', substr(md5(concat(
+        |    CAST(event_id AS VARCHAR), '_', CAST(b AS VARCHAR))), 1, 8))
+        |    AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+        | FROM events, generate_series(0, 31) g(b)),
+        |wts AS (
+        | SELECT value, b,
+        |  CASE WHEN u < 0.36787944117144233 THEN 0
+        |       WHEN u < 0.7357588823428847 THEN 1
+        |       WHEN u < 0.9196986029286058 THEN 2
+        |       WHEN u < 0.9810118431238462 THEN 3
+        |       WHEN u < 0.9963401531726563 THEN 4
+        |       ELSE 5 END AS w
+        | FROM x)
+        |SELECT b, round(sum(w * value) / CAST(sum(w) AS BIGINT), 4)
+        |  AS boot_mean
+        |FROM wts GROUP BY b""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

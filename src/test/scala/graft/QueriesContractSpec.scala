@@ -45,8 +45,12 @@ class QueriesContractSpec extends AnyFunSuite {
         val lines = sql.linesIterator.toVector
         // Columns defined as DOUBLE earlier in the SQL (CAST(... AS DOUBLE)
         // AS x, or avg/var/round outputs) are float; summing them is safe.
+        // So are the base tables' DOUBLE columns (TESTDATA.md schemas):
+        // summing a double never promotes to HUGEINT.
+        val baseDoubles = Set("value", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
         val floatAliases = """(?i)(?:AS\s+DOUBLE\s*\)|\bavg\s*\(|\bvar_samp\s*\(|\bround\s*\()[^,\n]*?\bAS\s+(\w+)""".r
-          .findAllMatchIn(sql).map(_.group(1)).toSet
+          .findAllMatchIn(sql).map(_.group(1)).toSet ++ baseDoubles
         winSum.findAllMatchIn(sql).flatMap { m =>
           val arg = m.group(1)
           val argIdents = """[A-Za-z_]\w*""".r.findAllIn(arg).toSet
