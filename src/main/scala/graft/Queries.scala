@@ -35,6 +35,22 @@ object Queries {
   private def ev(s: SparkSession, d: String)  = Tables.events(s, d)
   private def doc(s: SparkSession, d: String) = Tables.documents(s, d)
 
+  /** The support-2 co-purchase part graph shared by q147/q159/q161/q162/
+    * q168: undirected pairs (u < v) of parts sharing ≥ 2 orders. The
+    * per-order self-join is bounded by basket size; the min-support
+    * filter keeps the graph sparse (same device as every frequent-itemset
+    * pipeline). */
+  private def copurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
+    lp.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
+        Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") >= 2)
+      .select("u", "v")
+  }
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map[String, Q](
@@ -2360,6 +2376,186 @@ object Queries {
         .groupBy("b")
         .agg(round(sum(col("w") * col("value")) / sum(col("w")), 4)
           .as("boot_mean"))
+    }),
+
+    // k-core decomposition, two synchronous peel rounds (k=3) on the
+    // support-2 co-purchase graph: each round drops nodes of degree < k
+    // and removes their incident edges — all-integer, so the oracle
+    // unrolls both rounds exactly. Per round: one count agg + two
+    // semi-joins; the edge list is checkpointed once and reused, so the
+    // expensive basket self-join runs a single time regardless of rounds.
+    "q161_kcore" -> ((s, d) => {
+      val p = copurchasePairs(s, d)
+      val edges = graft.io.Checkpoints.truncate(
+        p.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
+        eager = true)
+      graft.graph.KCore.peel(edges, k = 3, rounds = 2)
+    }),
+
+    // Multi-source BFS, three synchronous frontier rounds: hop distance to
+    // the nearest seed (node ≡ 0 mod 100) — the standard "distance to a
+    // landmark set" primitive. Per round one join + one min agg; min-hop
+    // labels are integers, so the oracle unrolls the rounds exactly.
+    // Monotone-min propagation means re-relaxing already-settled nodes is
+    // harmless (no frontier-only optimization needed for 3 rounds).
+    "q162_bfs_hops" -> ((s, d) => {
+      val p = copurchasePairs(s, d)
+      val edges = graft.io.Checkpoints.truncate(
+        p.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
+        eager = true)
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .filter(col("node") % 100 === 0)
+      graft.graph.Bfs.hops(edges, seeds, rounds = 3)
+    }),
+
+    // First-order Markov transition matrix over each user's event-type
+    // sequence (ordered by ts, event_id): transition counts + row-
+    // normalized probabilities. One lag window partitioned by user (the
+    // sequence shuffle) + one hash agg; the row normalizer is a window
+    // sum over the tiny (from_type) groups. Counts are exact integers;
+    // the probability is one integer ratio → rounded 4 dp.
+    "q163_markov_transitions" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val t = ev(s, d)
+        .select(col("user_id"), col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+      t.withColumn("prob", round(
+        col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 4))
+    }),
+
+    // Benford first-digit audit of `value`: observed leading-digit
+    // distribution vs the log-law expectation, with per-digit χ²
+    // contributions — the classic fraud/data-quality screen. The leading
+    // digit comes from the INTEGER round(|value|·10⁶) (identical HALF_UP
+    // rounding both engines; string front-char avoids any log10-boundary
+    // ambiguity). One hash agg + a broadcast 1-row total; expectation and
+    // χ² terms are libm ln → rounded 4 dp.
+    "q164_benford" -> ((s, d) => {
+      val m = round(abs(col("value")) * lit(1e6), 0).cast("long")
+      val digits = ev(s, d).select(m.as("m")).filter(col("m") > 0)
+        .select(substring(col("m").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("obs"))
+      val tot = digits.agg(sum(col("obs")).as("__n"))
+      digits.crossJoin(broadcast(tot))
+        .withColumn("expected", round(
+          col("__n") * log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 4))
+        .withColumn("chi2_term", round(
+          pow(col("obs").cast("double")
+            - col("__n") * log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 2)
+            / (col("__n") * log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))), 4))
+        .select("digit", "obs", "expected", "chi2_term")
+    }),
+
+    // Gini concentration of order revenue per market segment (the
+    // inequality/skew audit): G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
+    // ascending-rank positions i. One join + one rank window partitioned
+    // by segment + one hash agg; ties rank by (x, orderkey) so positions
+    // are a total order. The rank-weighted sum is an order-dependent
+    // double sum → rounded 4 dp.
+    "q165_gini" -> ((s, d) => {
+      val o = ord(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("segment"),
+          col("o_totalprice").as("x"), col("o_orderkey"))
+      val w = Window.partitionBy("segment")
+        .orderBy(col("x").asc, col("o_orderkey").asc)
+      o.withColumn("i", row_number().over(w))
+        .groupBy("segment").agg(
+          count(lit(1)).as("n"),
+          round((lit(2) * sum(col("i") * col("x"))
+              - (count(lit(1)) + lit(1)) * sum(col("x")))
+            / (count(lit(1)) * sum(col("x"))), 4).as("gini"))
+    }),
+
+    // Kaplan–Meier survival over per-user activity spans (days between
+    // first and last event; every span "observed"): S(t) = Π(1 − dᵢ/nᵢ)
+    // over event-times ≤ t. The product is exp(Σ ln) over the cumulative
+    // window; a zero factor (last duration, nᵢ = dᵢ) is handled by flag,
+    // not ln(0) — Spark's log() returns null on 0 where DuckDB gives
+    // -inf, so the zero case must never reach ln. The windowed relation
+    // is bounded by DISTINCT durations (≤ the span of days in the data,
+    // the W3 tiny-result shape), so the global window is not a scale
+    // risk; the per-user span agg is the one real shuffle.
+    "q166_kaplan_meier" -> ((s, d) => {
+      val spans = ev(s, d).groupBy(col("user_id"))
+        .agg(datediff(max(col("ts")), min(col("ts"))).cast("long").as("t"))
+      val dt = spans.groupBy("t").agg(count(lit(1)).as("d"))
+      val tot = dt.agg(sum(col("d")).as("__n"))
+      val w = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = dt.crossJoin(broadcast(tot))
+        .withColumn("n_risk", col("__n") - coalesce(sum(col("d")).over(wp), lit(0L)))
+      base
+        .withColumn("__dead", max(when(col("d") === col("n_risk"), 1L)
+          .otherwise(0L)).over(w))
+        .withColumn("surv", when(col("__dead") === 1, lit(0.0)).otherwise(
+          round(exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .over(w)), 4)))
+        .select("t", "d", "n_risk", "surv")
+    }),
+
+    // Autocorrelation of the daily event count at lags 1–7 — the
+    // seasonality screen. Days become epoch-day integers so the lag join
+    // is a pure integer equi-join; every Pearson input is an exact
+    // integer sum (CAST to BIGINT in the oracle per the HUGEINT rule),
+    // so numerator/denominator are bit-deterministic doubles — NO
+    // rounding seam, like q148. One date agg, one 7-way explode of a
+    // 365-row relation, one equi-join, one hash agg per lag.
+    "q167_acf" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val lags = daily.select(col("day"), col("c"),
+        explode(sequence(lit(1L), lit(7L))).as("lag"))
+      lags.alias("a")
+        .join(daily.alias("b"), col("b.day") === col("a.day") + col("a.lag"))
+        .select(col("a.lag").as("lag"), col("a.c").as("x"), col("b.c").as("y"))
+        .groupBy("lag").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("lag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+              * (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")))
+            .as("acf"))
+    }),
+
+    // Frequent 3-itemsets with the apriori prune: candidate triples are
+    // generated ONLY from frequent pairs (every 2-subset must be
+    // frequent before the triple is ever counted) — the device that
+    // keeps candidate volume polynomial in the frequent-pair count
+    // instead of exploding with basket size. Baskets are DISTINCT
+    // (order, part) so support counts orders. Three joins + two
+    // semi-joins + one hash agg; all-integer.
+    "q168_freq_triples" -> ((s, d) => {
+      val bk = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val po = bk.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(bk.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+      val p2 = po.groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+        .filter(col("__sup") >= 2).select("u", "v")
+      val t0 = po.join(p2, Seq("u", "v"), "semi")
+      val cand = t0
+        .join(bk.select(col("l_orderkey"), col("l_partkey").as("w")),
+          Seq("l_orderkey"))
+        .filter(col("w") > col("v"))
+        .join(p2.select(col("u"), col("v").as("w")), Seq("u", "w"), "semi")
+        .join(p2.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "semi")
+      cand.groupBy("u", "v", "w").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
     }),
 
     // Unigram log-probability scoring (the CCNet-style LM-quality
@@ -5030,6 +5226,185 @@ object Queries {
         |SELECT b, round(sum(w * value) / CAST(sum(w) AS BIGINT), 4)
         |  AS boot_mean
         |FROM wts GROUP BY b""".stripMargin,
+
+    // Two unrolled peel rounds, all-integer.
+    "q161_kcore" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT u AS src, v AS dst FROM p
+        |       UNION ALL SELECT v AS src, u AS dst FROM p),
+        |k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
+        |e1 AS (
+        | SELECT e0.src, e0.dst FROM e0
+        | WHERE e0.src IN (SELECT src FROM k1)
+        |   AND e0.dst IN (SELECT src FROM k1)),
+        |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
+        |e2 AS (
+        | SELECT e1.src, e1.dst FROM e1
+        | WHERE e1.src IN (SELECT src FROM k2)
+        |   AND e1.dst IN (SELECT src FROM k2))
+        |SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1""".stripMargin,
+
+    // Three unrolled min-relax rounds, all-integer.
+    "q162_bfs_hops" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS src, v AS dst FROM p
+        |      UNION ALL SELECT v AS src, u AS dst FROM p),
+        |l0 AS (
+        | SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hop FROM e
+        | WHERE src % 100 = 0),
+        |l1 AS (
+        | SELECT node, min(hop) AS hop FROM (
+        |  SELECT node, hop FROM l0
+        |  UNION ALL
+        |  SELECT e.src AS node, l0.hop + 1 AS hop
+        |  FROM e JOIN l0 ON l0.node = e.dst) GROUP BY 1),
+        |l2 AS (
+        | SELECT node, min(hop) AS hop FROM (
+        |  SELECT node, hop FROM l1
+        |  UNION ALL
+        |  SELECT e.src AS node, l1.hop + 1 AS hop
+        |  FROM e JOIN l1 ON l1.node = e.dst) GROUP BY 1),
+        |l3 AS (
+        | SELECT node, min(hop) AS hop FROM (
+        |  SELECT node, hop FROM l2
+        |  UNION ALL
+        |  SELECT e.src AS node, l2.hop + 1 AS hop
+        |  FROM e JOIN l2 ON l2.node = e.dst) GROUP BY 1)
+        |SELECT node, hop FROM l3""".stripMargin,
+
+    // lead() over the same (ts, event_id) total order; the row
+    // normalizer is CAST at the window per the HUGEINT parity rule.
+    "q163_markov_transitions" ->
+      """WITH t AS (
+        | SELECT event_type AS from_type,
+        |  lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        | FROM events),
+        |c AS (
+        | SELECT from_type, to_type, count(*) AS cnt FROM t
+        | WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        | round(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT), 4) AS prob
+        |FROM c""".stripMargin,
+
+    // Same integer leading-digit device; ln-based expectation rounded
+    // 4 dp on both sides.
+    "q164_benford" ->
+      """WITH m AS (
+        | SELECT CAST(round(abs(value) * 1e6) AS BIGINT) AS m FROM events),
+        |d AS (
+        | SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  count(*) AS obs
+        | FROM m WHERE m > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
+        |SELECT digit, obs,
+        | round(n * ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS expected,
+        | round(pow(CAST(obs AS DOUBLE)
+        |     - n * ln(1.0 + 1.0 / digit) / ln(10.0), 2)
+        |   / (n * ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS chi2_term
+        |FROM d, tot""".stripMargin,
+
+    // Same (x, orderkey) rank order; the rank-weighted double sum is
+    // rounded 4 dp on both sides.
+    "q165_gini" ->
+      """WITH o AS (
+        | SELECT c_mktsegment AS segment, o_totalprice AS x, o_orderkey
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        | SELECT segment, x, row_number() OVER (
+        |   PARTITION BY segment ORDER BY x, o_orderkey) AS i
+        | FROM o)
+        |SELECT segment, count(*) AS n,
+        | round((2 * sum(i * x) - (count(*) + 1) * sum(x))
+        |   / (count(*) * sum(x)), 4) AS gini
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Same zero-factor flag (DuckDB would tolerate ln(0) = -inf but the
+    // CASE keeps both engines off the ln(0) path); cumulative ln sums run
+    // in the same ascending-t order.
+    "q166_kaplan_meier" ->
+      """WITH spans AS (
+        | SELECT user_id, date_diff('day', CAST(min(ts) AS DATE),
+        |   CAST(max(ts) AS DATE)) AS t
+        | FROM events GROUP BY 1),
+        |dt AS (SELECT t, count(*) AS d FROM spans GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM dt),
+        |base AS (
+        | SELECT t, d,
+        |  n - coalesce(CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        | FROM dt, tot),
+        |f AS (
+        | SELECT t, d, n_risk,
+        |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS dead,
+        |  sum(CASE WHEN d = n_risk THEN NULL
+        |      ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END) OVER (
+        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS lnsum
+        | FROM base)
+        |SELECT t, d, n_risk,
+        | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 4) END AS surv
+        |FROM f""".stripMargin,
+
+    // Integer epoch-day lag join; Pearson inputs are exact integer sums
+    // (CAST to BIGINT before the double math) — bit-deterministic, no
+    // rounding seam.
+    "q167_acf" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS c
+        | FROM events GROUP BY 1),
+        |pairs AS (
+        | SELECT g.lag AS lag, a.c AS x, b.c AS y
+        | FROM daily a CROSS JOIN generate_series(1, 7) g(lag)
+        | JOIN daily b ON b.day = a.day + g.lag),
+        |agg AS (
+        | SELECT lag, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sx2,
+        |  CAST(sum(y * y) AS BIGINT) AS sy2
+        | FROM pairs GROUP BY 1)
+        |SELECT lag, n,
+        | CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+        |     * CAST(n * sy2 - sy * sy AS DOUBLE)) AS acf
+        |FROM agg""".stripMargin,
+
+    // Same apriori prune (every 2-subset frequent) over distinct-order
+    // baskets; all-integer.
+    "q168_freq_triples" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |po AS (
+        | SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
+        | FROM bk a JOIN bk b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |p2 AS (
+        | SELECT u, v FROM po GROUP BY u, v HAVING count(*) >= 2),
+        |t0 AS (
+        | SELECT po.l_orderkey, po.u, po.v FROM po
+        | JOIN p2 ON p2.u = po.u AND p2.v = po.v),
+        |cand AS (
+        | SELECT t0.u, t0.v, c.l_partkey AS w
+        | FROM t0 JOIN bk c ON c.l_orderkey = t0.l_orderkey
+        |  AND c.l_partkey > t0.v
+        | WHERE EXISTS (SELECT 1 FROM p2 WHERE p2.u = t0.u
+        |    AND p2.v = c.l_partkey)
+        |  AND EXISTS (SELECT 1 FROM p2 WHERE p2.u = t0.v
+        |    AND p2.v = c.l_partkey))
+        |SELECT u, v, w, count(*) AS support
+        |FROM cand GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->

@@ -1,0 +1,35 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by synchronous peeling: each round drops every
+  * node whose current degree is below `k`, then removes the dropped
+  * nodes' incident edges. After enough rounds the survivors are exactly
+  * the k-core (the maximal subgraph of min-degree ≥ k); a FIXED round
+  * count gives the deterministic partial peel that a SQL oracle can
+  * unroll round-by-round (the q159/q133 replay rule — everything here is
+  * integer, so no rounding seam at all).
+  *
+  * Scale shape: per round one count aggregation (shuffle on node) and two
+  * semi-joins (shuffle on src/dst) — no all-pairs anywhere; the caller
+  * checkpoints the edge list once so the (possibly expensive) edge-build
+  * subtree is not recomputed per round. Peeling strictly shrinks the edge
+  * set, so later rounds cost monotonically less. */
+object KCore {
+
+  /** `edges` must be DIRECTED-symmetrized (both (u,v) and (v,u) present)
+    * so a node's out-edge count IS its undirected degree. Returns the
+    * surviving nodes with their degree in the `rounds`-times-peeled
+    * graph. */
+  def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var g = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      val keep = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+      g = g.join(keep.withColumnRenamed("node", "src"), Seq("src"), "semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+    }
+    g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+}

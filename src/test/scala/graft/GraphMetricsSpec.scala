@@ -28,6 +28,49 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert((1L to 6L).forall(l => pr(0L) > pr(l)), pr.toString)
   }
 
+  test("kcore: peeling K4 + pendant chain leaves exactly the K4") {
+    // K4 on 0-3 (every node degree 3) with a chain 3-4-5 hanging off it:
+    // node 5 (deg 1) peels in round 1, node 4 (deg 2, then 1) in rounds
+    // 1-2 → two rounds leave the K4 with all degrees 3.
+    val k4 = for { u <- 0L to 3L; v <- 0L to 3L if u < v } yield (u, v)
+    val tail = Seq((3L, 4L), (4L, 5L))
+    val und = k4 ++ tail
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.KCore.peel(edges, k = 3, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), got.toString)
+  }
+
+  test("kcore: a cycle survives k=2 peeling untouched") {
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val got = graft.graph.KCore.peel(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 2L), got.toString)
+  }
+
+  test("bfs: hop distances on a path graph, radius bound respected") {
+    // path 0-1-2-3-4-5, seed {0}: 3 rounds label nodes 0..3 with hops
+    // 0..3 and leave 4, 5 unreached.
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val got = graft.graph.Bfs.hops(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L), got.toString)
+  }
+
+  test("bfs: multi-source takes the nearest seed; ties resolve to the same min") {
+    // path 0-1-2-3-4, seeds {0, 4}: node 2 is 2 hops from both.
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (path ++ path.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(0L, 4L).toDF("node")
+    val got = graft.graph.Bfs.hops(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 0L),
+      got.toString)
+  }
+
   test("exclusivePrefixSum equals the naive global window on random data") {
     val rng = new scala.util.Random(61)
     val rows = (1 to 2000).map(_ => rng.nextDouble() * 100)
