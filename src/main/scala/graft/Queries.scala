@@ -2558,6 +2558,110 @@ object Queries {
         .filter(col("support") >= 2)
     }),
 
+    // Association rules from the frequent pairs: confidence and lift for
+    // both rule directions (u→v, v→u) — the q168 family's scoring step.
+    // Item and pair supports are one hash agg each over distinct-order
+    // baskets; the basket total rides a broadcast 1-row scalar. All
+    // inputs are exact integers; conf/lift are integer-ratio doubles
+    // rounded 4 dp.
+    "q169_lift_rules" -> ((s, d) => {
+      val bk = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val nOrders = bk.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("__n"))
+      val isup = bk.groupBy(col("l_partkey").as("item"))
+        .agg(count(lit(1)).as("s"))
+      val p2 = bk.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(bk.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("pair_sup"))
+        .filter(col("pair_sup") >= 2)
+      val rules = p2.select(col("u").as("antecedent"),
+          col("v").as("consequent"), col("pair_sup"))
+        .unionAll(p2.select(col("v").as("antecedent"),
+          col("u").as("consequent"), col("pair_sup")))
+      rules
+        .join(isup.select(col("item").as("antecedent"), col("s").as("s_a")),
+          Seq("antecedent"))
+        .join(isup.select(col("item").as("consequent"), col("s").as("s_c")),
+          Seq("consequent"))
+        .crossJoin(broadcast(nOrders))
+        .select(col("antecedent"), col("consequent"), col("pair_sup"),
+          round(col("pair_sup").cast("double") / col("s_a"), 4).as("conf"),
+          round(col("pair_sup").cast("double") * col("__n")
+            / (col("s_a") * col("s_c")), 4).as("lift"))
+    }),
+
+    // Revenue cohort matrix — the LTV view every growth team builds:
+    // customers cohorted by first-order month, revenue and distinct
+    // buyers by month age. Month arithmetic stays in integer
+    // (year·12+month) space so no date-format parity seam exists; one
+    // min-agg + one join + one hash agg (count-distinct adds its
+    // expand). Revenue is an order-dependent double sum → rounded 4 dp.
+    "q170_cohort_revenue" -> ((s, d) => {
+      val o = ord(s, d)
+      val f = o.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("__f"))
+      o.join(f, Seq("o_custkey"))
+        .select(
+          (year(col("__f")) * 100 + month(col("__f"))).cast("long").as("cohort"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            - (year(col("__f")) * 12 + month(col("__f")))).cast("long").as("age"),
+          col("o_custkey"), col("o_totalprice"))
+        .groupBy("cohort", "age")
+        .agg(countDistinct(col("o_custkey")).as("customers"),
+          round(sum(col("o_totalprice")), 4).as("revenue"))
+    }),
+
+    // Herfindahl–Hirschman supplier-concentration index per part: the
+    // market-structure audit (HHI = Σ share², share = supplier's slice of
+    // the part's shipped quantity). Rather than summing per-supplier
+    // share² doubles (order-dependent accumulation → cross-engine 4 dp
+    // straddles), use the algebraic identity HHI = Σqᵢ² / (Σqᵢ)² on
+    // 4-dp-scaled BIGINT quantities: both sums are exact integers, so
+    // the single final division is bit-identical on any engine and any
+    // partitioning. Two hash aggs total, no window. Precondition: scaled
+    // per-supplier quantity < ~3e9 (qs² fits in a long through the sum),
+    // comfortably true for quantity-like measures.
+    "q171_hhi" -> ((s, d) => {
+      val qs = li(s, d).groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 4).as("q"))
+        .select(col("l_partkey"),
+          round(col("q") * 10000).cast("long").as("qs"))
+      qs.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("qs")).as("__t"),
+          sum(col("qs") * col("qs")).as("__s2"))
+        .select(col("l_partkey"), col("n_suppliers"),
+          round(col("__s2").cast("double")
+            / (col("__t").cast("double") * col("__t").cast("double")), 4)
+            .as("hhi"))
+    }),
+
+    // CUSUM changepoint scan over the daily event count: the day whose
+    // cumulative deviation from the global mean is largest in absolute
+    // value — the standard level-shift detector. The windowed relation
+    // is the tiny daily table (W3 shape); the mean is an exact integer
+    // ratio; the argmax orders by the ROUNDED statistic with a day
+    // tie-break so both engines pick the same row.
+    "q172_cusum" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+          .cast("long").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val st = daily.agg(sum(col("c")).as("__s"), count(lit(1)).as("__d"))
+      val w = Window.orderBy(col("day").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(st))
+        .withColumn("dev",
+          col("c").cast("double") - col("__s").cast("double") / col("__d"))
+        .withColumn("cusum", sum(col("dev")).over(w))
+        .select(col("day"), round(col("cusum"), 4).as("cusum"),
+          round(abs(col("cusum")), 4).as("__a"))
+        .orderBy(col("__a").desc, col("day").asc).limit(1)
+        .select("day", "cusum")
+    }),
+
     // Unigram log-probability scoring (the CCNet-style LM-quality
     // signal): mean ln p(token) under the corpus unigram distribution.
     // Token freqs are one hash agg; the per-doc mean is a second agg over
@@ -5405,6 +5509,74 @@ object Queries {
         |    AND p2.v = c.l_partkey))
         |SELECT u, v, w, count(*) AS support
         |FROM cand GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    // Same integer supports; conf/lift division shapes mirror the Spark
+    // column expressions exactly.
+    "q169_lift_rules" ->
+      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nn FROM bk),
+        |isup AS (SELECT l_partkey AS item, count(*) AS s FROM bk GROUP BY 1),
+        |p2 AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS pair_sup
+        | FROM bk a JOIN bk b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |rules AS (
+        | SELECT u AS antecedent, v AS consequent, pair_sup FROM p2
+        | UNION ALL
+        | SELECT v AS antecedent, u AS consequent, pair_sup FROM p2)
+        |SELECT antecedent, consequent, pair_sup,
+        | round(CAST(pair_sup AS DOUBLE) / sa.s, 4) AS conf,
+        | round(CAST(pair_sup AS DOUBLE) * nn / (sa.s * sc.s), 4) AS lift
+        |FROM rules
+        |JOIN isup sa ON sa.item = antecedent
+        |JOIN isup sc ON sc.item = consequent
+        |CROSS JOIN n""".stripMargin,
+
+    // Same integer month index; revenue rounded 4 dp.
+    "q170_cohort_revenue" ->
+      """WITH f AS (
+        | SELECT o_custkey, min(o_orderdate) AS f FROM orders GROUP BY 1)
+        |SELECT
+        | CAST(year(f.f) * 100 + month(f.f) AS BIGINT) AS cohort,
+        | CAST((year(o_orderdate) * 12 + month(o_orderdate))
+        |   - (year(f.f) * 12 + month(f.f)) AS BIGINT) AS age,
+        | count(DISTINCT o_custkey) AS customers,
+        | round(sum(o_totalprice), 4) AS revenue
+        |FROM orders JOIN f USING (o_custkey)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Same Σq²/T² integer identity: exact BIGINT sums, one final double
+    // division — no order-dependent double accumulation on either side.
+    "q171_hhi" ->
+      """WITH qs AS (
+        | SELECT l_partkey,
+        |  CAST(round(round(sum(l_quantity), 4) * 10000) AS BIGINT) AS qs
+        | FROM lineitem GROUP BY l_partkey, l_suppkey)
+        |SELECT l_partkey, count(*) AS n_suppliers,
+        | round(CAST(sum(qs * qs) AS BIGINT)
+        |   / (CAST(sum(qs) AS BIGINT) * 1.0 * CAST(sum(qs) AS BIGINT)), 4)
+        |   AS hhi
+        |FROM qs GROUP BY 1""".stripMargin,
+
+    // Same ascending-day cumulative order; argmax on the rounded
+    // statistic with the day tie-break.
+    "q172_cusum" ->
+      """WITH daily AS (
+        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |  count(*) AS c
+        | FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(c) AS BIGINT) AS s, count(*) AS dd FROM daily),
+        |dev AS (
+        | SELECT day, CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / dd AS dev
+        | FROM daily, st),
+        |cs AS (
+        | SELECT day, sum(CAST(dev AS DOUBLE)) OVER (
+        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cusum
+        | FROM dev)
+        |SELECT day, round(cusum, 4) AS cusum FROM cs
+        |ORDER BY round(abs(cusum), 4) DESC, day LIMIT 1""".stripMargin,
 
     // Same ln-rounding rule as q122; freq/total is double on both sides.
     "q125_unigram_logprob" ->
