@@ -87,14 +87,40 @@ object Bench {
     val onlyJson = only.map(s => jstr(s.mkString(","))).getOrElse("null")
     val line =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}"""
+    // The driver captures only the last ~2000 bytes of stdout; at 172
+    // queries the single full line is ~5 KB, so a lone println loses its
+    // head (r6) or truncates unparseably (r8). Emit three layers:
+    //   1. per-query map split into <1500-byte JSON lines (self-describing
+    //      chunks — any that land in the tail are individually parseable);
+    //   2. the full one-line record (spec'd contract, and what
+    //      bench_gate/BENCH_LOCAL.json consume);
+    //   3. LAST, a compact summary line with the headline total + failed
+    //      list, small enough that the tail always captures it whole.
+    val chunks = {
+      val parts = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer[String]())
+      results.foreach { case (k, v) =>
+        val ent = "\"" + k + "\":" + sec(v)
+        if (parts.last.map(_.length + 1).sum + ent.length > 1400)
+          parts += scala.collection.mutable.ArrayBuffer[String]()
+        parts.last += ent
+      }
+      parts.toSeq.map(_.mkString("{", ",", "}"))
+    }
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"""{"queries_part":${i + 1},"of":${chunks.size},"queries":$c}""")
+    }
     println(line)
-    // The driver captures a bounded stdout tail; a long line can lose its
-    // head (round 6 lost q01-q13 that way). The file artifact is the
-    // truncation-proof copy — bench_gate reads either. A SPARK_GRAFT_ONLY
-    // run writes to a separate file so a local focused iteration can never
-    // clobber the committed full-run artifact with a partial one.
+    val summary =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"nqueries":${results.size},"failed":$failed,"sf":${jstr(sfDir)}}"""
+    println(summary)
+    // The file artifact is the truncation-proof full copy — bench_gate
+    // reads either. A SPARK_GRAFT_ONLY run writes to a separate file so a
+    // local focused iteration can never clobber the committed full-run
+    // artifact with a partial one.
     val artifact = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_PARTIAL.json"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), line + "\n")
     spark.stop()
+    // A run with crashed queries must not read as a green driver run.
+    if (results.exists(_._2 < 0)) sys.exit(3)
   }
 }

@@ -1152,11 +1152,14 @@ object Queries {
         .withColumn("n_tokens", Text.tokenCount(col("text")))
         .filter(col("n_tokens") >= 5 &&
           Text.dupNgramFraction(col("text"), 3) <= 0.5)
-      val keepers = qual
-        .groupBy(md5(col("text")).as("__h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val ded = qual.join(broadcast(keepers), Seq("doc_id"), "left_semi")
+      // Keep-first dedup as a window over the text hash — one shuffle on
+      // md5(text), no keepers table. (The previous broadcast(keepers)
+      // semi-join was a corpus-cardinality broadcast: fine at sf0.1, an
+      // executor OOM at 100 TB.)
+      val ded = qual
+        .withColumn("__dk", row_number().over(
+          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .filter(col("__dk") === 1).drop("__dk")
       val quota = ded
         .withColumn("__rk", row_number().over(
           Window.partitionBy(col("source"))
@@ -1268,8 +1271,12 @@ object Queries {
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
           col("col").cast("double").as("x"))
+      // mu/sigma are rounded to 7dp BEFORE the division on both sides:
+      // avg/stddev are order-dependent float sums that differ ~1e-15
+      // between engines, which can flip the 4th decimal of z on boundary
+      // values (the PageRank/k-means intermediate-state rule).
       val stats = e.groupBy("dim")
-        .agg(avg("x").as("mu"), stddev_samp("x").as("sigma"))
+        .agg(round(avg("x"), 7).as("mu"), round(stddev_samp("x"), 7).as("sigma"))
       e.join(broadcast(stats), "dim")
         .select(col("vec_id"), col("dim"),
           round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
@@ -1776,8 +1783,12 @@ object Queries {
     "q137_retention" -> ((s, d) => {
       val wk = ev(s, d).select(col("user_id"),
         expr("unix_timestamp(ts) div 604800").as("wk")).distinct()
-      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
-      wk.join(broadcast(cohort), Seq("user_id"))
+      // First-week via a window on the same user_id partitioning — one
+      // shuffle, no per-user broadcast table (which is corpus-cardinality
+      // and would OOM at 100 TB).
+      val cohort = wk.withColumn("cohort_wk",
+        min(col("wk")).over(Window.partitionBy(col("user_id"))))
+      cohort
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count_distinct(col("user_id")).as("n_users"))
     }),
@@ -4210,7 +4221,7 @@ object Queries {
         |  CAST(embedding[d.i] AS DOUBLE) AS x
         | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
         |s AS (
-        | SELECT dim, avg(x) AS mu, stddev_samp(x) AS sigma
+        | SELECT dim, round(avg(x), 7) AS mu, round(stddev_samp(x), 7) AS sigma
         | FROM e GROUP BY dim)
         |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
         |FROM e JOIN s USING (dim)""".stripMargin,

@@ -20,14 +20,37 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's µs timestamps
-    * reject outright; read it as long nanos and floor-convert to a µs
-    * timestamp (the data itself is µs-precision, so this is lossless and
-    * matches engines that read the nanos natively). */
+  /** Normalize `ts` to the engine's canonical `TimestampType`, whatever the
+    * parquet footer stored. The driver has regenerated `events.parquet` with
+    * different footer types across rounds, so this must branch on the schema
+    * actually read rather than assume one encoding:
+    *   - `LongType`: footer was TIMESTAMP(NANOS) read under
+    *     `spark.sql.legacy.parquet.nanosAsLong` — floor-convert to µs
+    *     (the data is µs-precision, so lossless).
+    *   - `TimestampNTZType`: footer is timestamp[us] without UTC adjustment —
+    *     the session time zone is pinned to UTC everywhere (Verify/Bench/
+    *     tests), so the cast is value-preserving and matches DuckDB's
+    *     epoch-based reads of the same file.
+    *   - `TimestampType`: already canonical.
+    * Any other type fails loudly: a one-assertion failure beats 57 crashed
+    * queries the next time the driver changes the footer. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet-decoded type $other (expected LongType nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // Harmless when the footer is µs; required to read TIMESTAMP(NANOS) footers.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(apply(spark, dir, "events"))
   }
 
   /** Raw events schema (ts as long nanos) for streaming sources. */

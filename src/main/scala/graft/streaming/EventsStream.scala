@@ -48,7 +48,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -85,7 +85,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -134,7 +134,7 @@ object EventsStream {
         val schema = graft.Tables.eventsRawSchema(s, dir)
         val src = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .transform(graft.Tables.normalizeTs)
         val agg = src
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -182,7 +182,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(keys)
       val qname = "graft_dedup_stream"
@@ -217,7 +217,7 @@ object EventsStream {
     val schema = graft.Tables.eventsRawSchema(spark, dir)
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val joined = src.join(profile, Seq("user_id"))
       .select(col("event_id"), col("user_id"), col("user_cnt"),
         round(col("user_total"), 4).as("user_total"))
@@ -245,7 +245,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -316,7 +316,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       def src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -343,7 +343,7 @@ object EventsStream {
     val schema = graft.Tables.eventsRawSchema(spark, dir)
     val src = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.Tables.normalizeTs)
     val cleaned = graft.operators.Cleaning.winsorize(
       graft.operators.Cleaning.normalizeBlanks(src.toDF(), Seq("props", "event_type")),
       "value", 400.0, 300.0)
@@ -403,7 +403,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
         .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tsSec"),
           col("value"), col("ts"))
         .withWatermark("ts", s"$gapMinutes minutes")
@@ -492,7 +492,7 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .transform(graft.Tables.normalizeTs)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
@@ -550,8 +550,12 @@ object EventsStream {
       val schema = graft.Tables.eventsRawSchema(s, dir)
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // normalizeTs absorbs whichever footer encoding the driver wrote
+        // (long nanos / NTZ / timestamp); unix_micros then gives the same
+        // µs value the old `ts div 1000` computed from raw nanos.
+        .transform(graft.Tables.normalizeTs)
         .select(col("user_id"), col("event_id"),
-          expr("ts div 1000").as("tsMicros"), col("value"))
+          unix_micros(col("ts")).as("tsMicros"), col("value"))
         .as[ZEvent]
 
       val stream = rollingZScoreOn(src)

@@ -37,8 +37,10 @@ def load_bench(path):
         return d["parsed"]["queries"]
     # driver json with truncated tail: regex-scan
     tail = d.get("tail", text)
+    # sign-aware: Bench records crashed queries as a -1.0 sentinel, which
+    # must surface as CRASHED below, not silently drop to MISSING
     return {m.group(1): float(m.group(2))
-            for m in re.finditer(r'"(q\d+_\w+)":([0-9.]+)', tail)}
+            for m in re.finditer(r'"(q\d+_\w+)":(-?[0-9.]+)', tail)}
 
 
 def load_baseline():
@@ -58,8 +60,15 @@ def main():
     best = load_baseline()
     if not cur:
         sys.exit(f"no per-query times found in {path}")
-    fails, investigates, improved, missing = [], [], [], []
+    fails, investigates, improved, missing, crashed = [], [], [], [], []
     for q in sorted(set(best) | set(cur)):
+        # Bench's failure sentinel (value < 0) is a hard gate failure, never
+        # 'improved' — and must never reach --update, which would rewrite
+        # BASELINE.md best-known times to -1.000.
+        if q in cur and cur[q] < 0:
+            print(f"CRASHED      {q:28s} failure sentinel {cur[q]:.1f} (query errored in Bench)")
+            crashed.append(q)
+            continue
         if q not in best:
             print(f"NEW          {q:28s} {cur[q]:7.3f}s (no baseline yet)")
             improved.append(q)
@@ -88,8 +97,12 @@ def main():
     if missing and not allow_missing:
         print("missing queries fail the gate (pass --allow-missing to waive)")
         fails.extend(missing)
+    if crashed:
+        print("crashed queries fail the gate unconditionally")
+        fails.extend(crashed)
     print(f"\n{len(fails)} fail, {len(investigates)} investigate, "
-          f"{len(improved)} improved/new, {len(missing)} missing, {len(cur)} queries")
+          f"{len(improved)} improved/new, {len(missing)} missing, "
+          f"{len(crashed)} crashed, {len(cur)} queries")
     if update and improved:
         text = open(BASELINE).read()
         for q in improved:
