@@ -2688,6 +2688,114 @@ object Queries {
         .agg(round(
           sum(log(col("freq").cast("double") / col("total"))) / count(lit(1)),
           4).as("avg_logprob"))
+    }),
+
+    // Gopher-style composite quality rules (Rae et al. 2021, App. A1.1,
+    // reduced to this corpus's signal set): hard per-doc bounds on token
+    // count, mean word length, type-token ratio, and duplicate-3-gram
+    // fraction. Pure codegen'd per-row arithmetic — zero shuffle at any
+    // scale. The per-rule booleans come back as columns so a pipeline can
+    // both filter on `keep` and audit WHY a doc dropped (the operational
+    // shape of the C4/Dolma/FineWeb rule filters). All four rules BIND on
+    // the corpus (each excludes some docs at sf0.01). Comparisons stay
+    // engine-exact: the ratios are divisions of exact integers (identical
+    // doubles on both engines), and dup3 is pre-rounded at 6 dp.
+    "q173_gopher_rules" -> ((s, d) => {
+      // All four integer inputs from ONE pass over the document
+      // (functions/TextProfile) instead of four expression-tree passes —
+      // TextProfileSpec pins bit-equivalence to the HOF formulation.
+      val nt   = col("__p.n_tokens")
+      val awl  = (length(col("text")).cast("long") - (nt - 1)).cast("double") /
+        nt.cast("double")
+      val ttr  = round(col("__p.n_distinct_tokens").cast("double") / nt.cast("double"), 6)
+      val dup3 = when(col("__p.n_grams") > 0,
+        round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast("double") /
+          col("__p.n_grams").cast("double"), 6)).otherwise(lit(0.0))
+      doc(s, d)
+        .withColumn("__p", graft.functions.TextProfile(col("text"), 3))
+        .select(
+          col("doc_id"),
+          nt.as("n_tokens"),
+          (nt >= 25 && nt <= 75).as("r_len"),
+          (awl >= 3.9 && awl <= 5.1).as("r_wordlen"),
+          (ttr >= 0.4).as("r_ttr"),
+          (dup3 <= 0.02).as("r_dup3"))
+        .withColumn("keep",
+          col("r_len") && col("r_wordlen") && col("r_ttr") && col("r_dup3"))
+    }),
+
+    // Zipf rank-frequency slope per source (log-log regression; ~-1 for
+    // natural language) — the corpus-health diagnostic behind "is this
+    // source machine-generated?" triage. Word counts and ranks are exact
+    // integers; ln is libm → each point rounded 6 dp, and the regression
+    // runs closed-form over sums that are themselves rounded 6 dp first,
+    // so both engines compute the slope from identical bits (the
+    // PageRank/k-means intermediate-rounding rule). One hash agg + one
+    // |vocab|-per-source window — scales as a word-count job.
+    "q174_zipf_slope" -> ((s, d) => {
+      val words = doc(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val freq = words.groupBy("source", "word").agg(count(lit(1)).as("freq"))
+      val lg = freq
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("source").orderBy(col("freq").desc, col("word").asc)))
+        .select(col("source"),
+          round(log(col("rnk").cast("double")), 6).as("lx"),
+          round(log(col("freq").cast("double")), 6).as("ly"))
+      lg.groupBy("source")
+        .agg(count(lit(1)).cast("double").as("__n"),
+          round(sum(col("lx")), 6).as("__sx"),
+          round(sum(col("ly")), 6).as("__sy"),
+          round(sum(col("lx") * col("lx")), 6).as("__sxx"),
+          round(sum(col("lx") * col("ly")), 6).as("__sxy"))
+        .select(col("source"),
+          round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+            (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
+            .as("zipf_slope"))
+    }),
+
+    // Cross-source contamination matrix: pairwise Jaccard overlap of the
+    // sources' distinct 3-gram sets — the decontamination diagnostic run
+    // before mixing corpora (which source pairs share boilerplate?). The
+    // gram-level self-join is postings-shaped (equi-join on gram; per-gram
+    // fanout bounded by |sources|², not corpus size) and the size table is
+    // a |sources|-row broadcast — both bounded at 100 TB. A df cap like
+    // winnowing's maxDocFreq slots in unchanged if |sources| grows.
+    "q175_source_overlap" -> ((s, d) => {
+      val grams = doc(s, d)
+        .select(col("source"), explode(Text.ngramStrings(col("text"), 3)).as("gram"))
+        .distinct()
+      val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+      grams.withColumnRenamed("source", "src_a")
+        .join(grams.withColumnRenamed("source", "src_b"), Seq("gram"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("na"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("nb"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          round(col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
+    }),
+
+    // Median/IQR robust scaling of the embedding corpus — q93's outlier-
+    // insensitive twin (the sklearn RobustScaler shape). Same plan as q93:
+    // the only shuffle is the |dims|-group stats agg; the fact side joins
+    // the |dims|-row broadcast without moving. Exact `percentile` for
+    // oracle parity; `graft.quantiles.exact=false` flips to the bounded-
+    // memory percentile_approx sketch at 100 TB (the q12/q40 switch).
+    // med/iqr pre-rounded 7 dp on both engines before the division.
+    "q176_robust_scale" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").cast("double").as("x"))
+      val stats = e.groupBy("dim").agg(
+        round(Stats.quantileExpr(s, "x", 0.5), 7).as("med"),
+        round(Stats.quantileExpr(s, "x", 0.75) - Stats.quantileExpr(s, "x", 0.25), 7)
+          .as("iqr"))
+      e.join(broadcast(stats), "dim")
+        .select(col("vec_id"), col("dim"),
+          round((col("x") - col("med")) / col("iqr"), 4).as("rz"))
     })
   )
 
@@ -5597,6 +5705,96 @@ object Queries {
         |t AS (SELECT count(*) AS total FROM p)
         |SELECT doc_id,
         | round(sum(ln(CAST(freq AS DOUBLE) / total)) / count(*), 4) AS avg_logprob
-        |FROM p JOIN f ON p.token = f.token, t GROUP BY doc_id""".stripMargin
+        |FROM p JOIN f ON p.token = f.token, t GROUP BY doc_id""".stripMargin,
+
+    // Integer-ratio comparisons replay exactly (same doubles both
+    // engines); dup3 is pre-rounded 6 dp like the Spark side.
+    "q173_gopher_rules" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, nt, nc, toks,
+        |  CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [] END AS grams
+        | FROM t),
+        |r AS (
+        | SELECT doc_id, nt AS n_tokens,
+        |  nt >= 25 AND nt <= 75 AS r_len,
+        |  CAST(nc - (nt - 1) AS DOUBLE) / nt >= 3.9
+        |   AND CAST(nc - (nt - 1) AS DOUBLE) / nt <= 5.1 AS r_wordlen,
+        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 6) >= 0.4 AS r_ttr,
+        |  (CASE WHEN len(grams) > 0
+        |    THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+        |           / len(grams), 6)
+        |    ELSE 0.0 END) <= 0.02 AS r_dup3
+        | FROM g)
+        |SELECT doc_id, n_tokens, r_len, r_wordlen, r_ttr, r_dup3,
+        | r_len AND r_wordlen AND r_ttr AND r_dup3 AS keep
+        |FROM r""".stripMargin,
+
+    // Same 6-dp ln points and 6-dp pre-rounded sums; the slope is then a
+    // closed form over identical bits on both engines.
+    "q174_zipf_slope" ->
+      """WITH w AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |f AS (SELECT source, word, count(*) AS freq FROM w GROUP BY 1, 2),
+        |r AS (
+        | SELECT source, freq, row_number() OVER (
+        |   PARTITION BY source ORDER BY freq DESC, word) AS rnk
+        | FROM f),
+        |l AS (
+        | SELECT source, round(ln(CAST(rnk AS DOUBLE)), 6) AS lx,
+        |  round(ln(CAST(freq AS DOUBLE)), 6) AS ly
+        | FROM r),
+        |a AS (
+        | SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |  round(sum(lx), 6) AS sx, round(sum(ly), 6) AS sy,
+        |  round(sum(lx * lx), 6) AS sxx, round(sum(lx * ly), 6) AS sxy
+        | FROM l GROUP BY 1)
+        |SELECT source,
+        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+        |FROM a""".stripMargin,
+
+    // Distinct gram sets per source; intersection via the gram equi-join,
+    // union by inclusion-exclusion. Counts CAST to BIGINT per house rule.
+    "q175_source_overlap" ->
+      """WITH t AS (
+        | SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [] END) AS gram
+        | FROM t),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |iv AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter,
+        | round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+        |FROM iv
+        |JOIN sz na ON iv.src_a = na.source
+        |JOIN sz nb ON iv.src_b = nb.source""".stripMargin,
+
+    // quantile_cont matches Spark's exact `percentile` interpolation (the
+    // q12 parity precedent); med/iqr pre-rounded 7 dp before the division.
+    "q176_robust_scale" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(d.i AS BIGINT) AS dim,
+        |  CAST(embedding[d.i] AS DOUBLE) AS x
+        | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
+        |s AS (
+        | SELECT dim, round(quantile_cont(x, 0.5), 7) AS med,
+        |  round(quantile_cont(x, 0.75) - quantile_cont(x, 0.25), 7) AS iqr
+        | FROM e GROUP BY dim)
+        |SELECT vec_id, dim, round((x - med) / iqr, 4) AS rz
+        |FROM e JOIN s USING (dim)""".stripMargin
   )
 }
