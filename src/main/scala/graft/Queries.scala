@@ -1148,10 +1148,17 @@ object Queries {
     "q100_pipeline_e2e" -> ((s, d) => {
       val normed = doc(s, d)
         .withColumn("text", graft.functions.NfcNormalize(col("text")))
+      // Quality inputs from the one-pass TextProfile (bit-equivalent to
+      // tokenCount/dupNgramFraction per TextProfileSpec; this map stage
+      // dominated the pipeline's per-row cost).
       val qual = normed
-        .withColumn("n_tokens", Text.tokenCount(col("text")))
+        .withColumn("__p", graft.functions.TextProfile(col("text"), 3))
+        .withColumn("n_tokens", col("__p.n_tokens"))
         .filter(col("n_tokens") >= 5 &&
-          Text.dupNgramFraction(col("text"), 3) <= 0.5)
+          (col("__p.n_grams") === 0 ||
+            round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast("double") /
+              col("__p.n_grams").cast("double"), 6) <= 0.5))
+        .drop("__p")
       // Keep-first dedup as a window over the text hash — one shuffle on
       // md5(text), no keepers table. (The previous broadcast(keepers)
       // semi-join was a corpus-cardinality broadcast: fine at sf0.1, an
@@ -1321,11 +1328,18 @@ object Queries {
           .as("norm_text"))),
 
     // Gopher-style repetition signal: duplicate 3-gram fraction per doc —
-    // pure per-row column arithmetic, no explode/shuffle.
+    // no explode/shuffle; counts from the one-pass TextProfile expression
+    // (bit-equivalent to the HOF form per TextProfileSpec; 2.5 s → ~0.3 s
+    // at sf0.1, and the per-row cost IS the scale cost for a map-only op).
     "q89_repetition" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"),
-        size(Text.ngramStrings(col("text"), 3)).cast("long").as("total_ngrams"),
-        Text.dupNgramFraction(col("text"), 3).as("dup_fraction"))),
+      doc(s, d)
+        .withColumn("__p", graft.functions.TextProfile(col("text"), 3))
+        .select(col("doc_id"),
+          col("__p.n_grams").as("total_ngrams"),
+          when(col("__p.n_grams") > 0,
+            round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast("double") /
+              col("__p.n_grams").cast("double"), 6)).otherwise(lit(0.0))
+            .as("dup_fraction"))),
 
     // Per-source quota sampling — training-data curation: keep at most K
     // docs per source, selected by deterministic hash order (md5 of the
