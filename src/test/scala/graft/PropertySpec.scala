@@ -314,4 +314,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TextProfile equals a scala.String reference model on random space-heavy strings") {
+    // Small alphabet + explicit space/empty weighting so empty tokens,
+    // runs of spaces, and duplicate tokens/grams all occur. Reference
+    // model: String.split with -1 limit (keeps trailing empties),
+    // sliding(3) gram sets.
+    val word = Gen.oneOf("a", "b", "ab", "ba", "", " ", "  ")
+    val gen = Gen.listOfN(12, word).map(_.mkString(" "))
+    samples(gen, 30).foreach { text =>
+      val toks = text.split(" ", -1).toSeq
+      val grams = if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toVector
+                  else Vector.empty[String]
+      val r = Seq(text).toDF("text")
+        .select(graft.functions.TextProfile(col("text"), 3).as("p"))
+        .select("p.*").head()
+      assert(r.getLong(0) == toks.length, s"n_tokens for [$text]")
+      assert(r.getLong(1) == toks.distinct.length, s"n_distinct_tokens for [$text]")
+      assert(r.getLong(2) == grams.length, s"n_grams for [$text]")
+      assert(r.getLong(3) == grams.distinct.length, s"n_distinct_grams for [$text]")
+    }
+  }
 }
