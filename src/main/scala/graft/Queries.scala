@@ -2810,6 +2810,31 @@ object Queries {
       e.join(broadcast(stats), "dim")
         .select(col("vec_id"), col("dim"),
           round((col("x") - col("med")) / col("iqr"), 4).as("rz"))
+    }),
+
+    // Weighted sampling WITHOUT replacement, exactly k per source — the
+    // Efraimidis–Spirakis (A-ES) reservoir: key = −ln(u)/w, keep the k
+    // smallest keys (equivalent to u^(1/w) max-keep). q103's Bernoulli
+    // twin keeps each doc independently; this one hits the quota exactly —
+    // the "sample 1M docs proportional to quality" shape of training-mix
+    // construction. u is the deterministic md5-uniform (q103 device)
+    // shifted to (0,1] so ln never sees 0; w = n_chars (exact column).
+    // Selection cuts on the ROUNDED key with a doc_id tie-break (the q156
+    // device), so a 1-ulp libm ln divergence can never flip the kept set.
+    // One shuffle on source; Spark plans the rank filter as a
+    // WindowGroupLimit (per-partition top-k heaps, no full sort at scale).
+    "q177_weighted_reservoir" -> ((s, d) => {
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").cast("double") + lit(1.0)) / lit(4294967297.0)
+      val key = round(-log(u) / col("n_chars").cast("double"), 8)
+      doc(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"), key.as("sel_key"))
+        .withColumn("sel_rank", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("sel_key").asc, col("doc_id").asc)))
+        .filter(col("sel_rank") <= 5)
+        // BIGINT rank like DuckDB's row_number (int32 vs int64 dtype parity)
+        .withColumn("sel_rank", col("sel_rank").cast("long"))
     })
   )
 
@@ -5809,6 +5834,24 @@ object Queries {
         |  round(quantile_cont(x, 0.75) - quantile_cont(x, 0.25), 7) AS iqr
         | FROM e GROUP BY dim)
         |SELECT vec_id, dim, round((x - med) / iqr, 4) AS rz
-        |FROM e JOIN s USING (dim)""".stripMargin
+        |FROM e JOIN s USING (dim)""".stripMargin,
+
+    // Same md5-uniform shifted to (0,1]; the kept set cuts on the ROUNDED
+    // key with the doc_id tie-break, so libm ln parity is not load-bearing.
+    "q177_weighted_reservoir" ->
+      """WITH k AS (
+        | SELECT source, doc_id, n_chars,
+        |  round(-ln((CAST(CAST(concat('0x',
+        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS DOUBLE) + 1.0) / 4294967297.0)
+        |    / CAST(n_chars AS DOUBLE), 8) AS sel_key
+        | FROM documents),
+        |r AS (
+        | SELECT source, doc_id, n_chars, sel_key,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY sel_key, doc_id) AS sel_rank
+        | FROM k)
+        |SELECT source, doc_id, n_chars, sel_key, sel_rank
+        |FROM r WHERE sel_rank <= 5""".stripMargin
   )
 }
