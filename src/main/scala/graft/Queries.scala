@@ -2835,7 +2835,17 @@ object Queries {
         .filter(col("sel_rank") <= 5)
         // BIGINT rank like DuckDB's row_number (int32 vs int64 dtype parity)
         .withColumn("sel_rank", col("sel_rank").cast("long"))
-    })
+    }),
+
+    // BPE vocabulary induction, 3 merge rounds (text/Bpe.scala): the
+    // tokenizer-training first stage. Corpus-scale work is ONE word-freq
+    // hash agg; every round then runs on the |vocab|-row table with a
+    // 1-row broadcast best pair — the production BPE-trainer shape. The
+    // oracle unrolls all three rounds with the same double-replace merge
+    // (replace is left-to-right non-overlapping in BOTH engines; BpeSpec
+    // pins the parity vector).
+    "q178_bpe_merges" -> ((s, d) =>
+      graft.text.Bpe.merges(doc(s, d), "text", rounds = 3))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -5852,6 +5862,61 @@ object Queries {
         |    ORDER BY sel_key, doc_id) AS sel_rank
         | FROM k)
         |SELECT source, doc_id, n_chars, sel_key, sel_rank
-        |FROM r WHERE sel_rank <= 5""".stripMargin
+        |FROM r WHERE sel_rank <= 5""".stripMargin,
+
+    // Three unrolled merge rounds; chars via 1-based indexing (engines
+    // disagree on empty-pattern splits), double-replace merge per round.
+    "q178_bpe_merges" ->
+      """WITH wf AS (
+        | SELECT w, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        | WHERE length(w) > 0 GROUP BY w),
+        |s1 AS (
+        | SELECT ' ' || array_to_string(
+        |    list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+        |   || ' ' AS seq, freq
+        | FROM wf),
+        |p1 AS (
+        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
+        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s1))
+        | GROUP BY pair),
+        |b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (
+        | SELECT replace(replace(seq,
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
+        |  freq
+        | FROM s1, b1 b),
+        |p2 AS (
+        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
+        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s2))
+        | GROUP BY pair),
+        |b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (
+        | SELECT replace(replace(seq,
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
+        |  freq
+        | FROM s2, b2 b),
+        |p3 AS (
+        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
+        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s3))
+        | GROUP BY pair),
+        |b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, pair,
+        |  replace(pair, ' ', '') AS merged, cnt FROM b1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b3""".stripMargin
   )
 }
