@@ -2845,7 +2845,22 @@ object Queries {
     // (replace is left-to-right non-overlapping in BOTH engines; BpeSpec
     // pins the parity vector).
     "q178_bpe_merges" -> ((s, d) =>
-      graft.text.Bpe.merges(doc(s, d), "text", rounds = 3))
+      graft.text.Bpe.merges(doc(s, d), "text", rounds = 3)),
+
+    // The encode side of q178: corpus word/BPE-token totals per source
+    // under the trained (3-merge) tokenizer — the "how many tokens is my
+    // corpus" accounting every training run starts with. The trained
+    // tokenizer is a |vocab|-row word→length broadcast; the corpus side
+    // explodes words and never shuffles before the per-source agg.
+    "q179_bpe_encode" -> ((s, d) => {
+      val lens = graft.text.Bpe.encodedLengths(doc(s, d), "text", rounds = 3)
+      doc(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(lens), Seq("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_words"), sum(col("bpe_tokens")).as("n_bpe_tokens"))
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -5917,6 +5932,71 @@ object Queries {
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b2
         |UNION ALL
-        |SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b3""".stripMargin
+        |SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b3""".stripMargin,
+
+    // q178's chain carried through the final merge (s4), then the corpus
+    // word stream joins the |vocab|-row length table.
+    "q179_bpe_encode" ->
+      """WITH wf AS (
+        | SELECT w, count(*) AS freq FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        | WHERE length(w) > 0 GROUP BY w),
+        |s1 AS (
+        | SELECT w, ' ' || array_to_string(
+        |    list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
+        |   || ' ' AS seq, freq
+        | FROM wf),
+        |p1 AS (
+        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
+        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s1))
+        | GROUP BY pair),
+        |b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (
+        | SELECT w, replace(replace(seq,
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
+        |  freq
+        | FROM s1, b1 b),
+        |p2 AS (
+        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
+        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s2))
+        | GROUP BY pair),
+        |b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (
+        | SELECT w, replace(replace(seq,
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
+        |  freq
+        | FROM s2, b2 b),
+        |p3 AS (
+        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
+        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
+        |    ELSE [] END) AS pair
+        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s3))
+        | GROUP BY pair),
+        |b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |s4 AS (
+        | SELECT w, replace(replace(seq,
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
+        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
+        |  freq
+        | FROM s3, b3 b),
+        |lens AS (
+        | SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS bpe_tokens
+        | FROM s4),
+        |corpus AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(bpe_tokens) AS BIGINT) AS n_bpe_tokens
+        |FROM corpus JOIN lens USING (w)
+        |WHERE length(w) > 0
+        |GROUP BY source""".stripMargin
   )
 }

@@ -1,12 +1,13 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE vocabulary induction — the tokenizer-training first
   * stage of an LLM data pipeline: iterative "merge the most frequent
   * adjacent symbol pair" rounds (Sennrich et al. 2016) over the corpus
-  * word-frequency table.
+  * word-frequency table — and the matching encode step (apply the learned
+  * merges, count BPE tokens).
   *
   * Scale shape: the ONLY corpus-scale operation is the word-frequency
   * hash aggregation (map-side combinable, one shuffle). Every merge round
@@ -14,6 +15,8 @@ import org.apache.spark.sql.functions._
   * not corpus, which is exactly how production BPE trainers work. The
   * per-round best pair is a 1-row broadcast (no driver collect; the
   * argmax rides `row_number + limit 1` and a crossJoin(broadcast)).
+  * Encoding rejoins the |vocab|-row word→length table to the corpus as a
+  * broadcast — the corpus side never shuffles.
   *
   * Engine parity: symbol sequences are single-space-delimited strings and
   * a merge is `replace(seq, ' a b ', ' ab ')` applied TWICE — `replace`
@@ -32,24 +35,22 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
-  /** `rounds` BPE merges; returns one row per round:
-    * (round, pair, merged, cnt). */
-  def merges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  /** The shared training loop: returns (final per-word symbol sequences
+    * `(w, seq, freq)`, merge table `(round, pair, merged, cnt)`). */
+  private def train(df: DataFrame, textCol: String, rounds: Int)
+      : (DataFrame, DataFrame) = {
     require(rounds >= 1)
-    val spark = df.sparkSession
-    import spark.implicits._
-
     // ' s p a r k ' — leading/trailing spaces so every adjacent pair,
-    // including at word edges, is the uniform ' a b ' form. The corpus-
-    // scale word-freq agg is checkpointed ONCE (|vocab| rows): each round
-    // consumes `seqs` twice (best + merged) and the unrolled lazy DAG
-    // would otherwise recompute the corpus aggregation 2^rounds times.
-    // chars via explicit substring indexing — `split(w, "")` keeps a
-    // trailing empty match under Spark's limit=-1 regex split, and engines
-    // disagree on empty-pattern splits; 1-based substring is identical
-    // everywhere.
+    // including at word edges, is the uniform ' a b ' form. Chars via
+    // explicit substring indexing — `split(w, "")` keeps a trailing empty
+    // match under Spark's limit=-1 regex split, and engines disagree on
+    // empty-pattern splits; 1-based substring is identical everywhere.
+    // The corpus-scale word-freq agg is checkpointed ONCE (|vocab| rows):
+    // each round consumes `seqs` twice (best + merged) and the unrolled
+    // lazy DAG would otherwise recompute the corpus agg 2^rounds times.
     var seqs = graft.io.Checkpoints.truncate(
       wordFreqs(df, textCol).select(
+        col("w"),
         concat(lit(" "), array_join(
           transform(sequence(lit(1), length(col("w"))),
             i => col("w").substr(i, lit(1))), " "), lit(" ")).as("seq"),
@@ -79,7 +80,7 @@ object Bpe {
         .withColumn("__from", concat(lit(" "), col("pair"), lit(" ")))
         .withColumn("__to",
           concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" ")))
-        .select(
+        .select(col("w"),
           expr("replace(replace(seq, __from, __to), __from, __to)").as("seq"),
           col("freq"))
       val row = best.select(lit(r).cast("long").as("round"), col("pair"),
@@ -89,6 +90,16 @@ object Bpe {
       seqs = if (r < rounds) graft.io.Checkpoints.truncate(merged, eager = true)
              else merged
     }
-    out
+    (seqs, out)
   }
+
+  /** `rounds` BPE merges; one row per round: (round, pair, merged, cnt). */
+  def merges(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    train(df, textCol, rounds)._2
+
+  /** Post-merge BPE token count per word: (w, bpe_tokens) — the trained
+    * tokenizer as a |vocab|-row broadcastable lookup. */
+  def encodedLengths(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    train(df, textCol, rounds)._1.select(col("w"),
+      size(split(trim(col("seq")), " ")).cast("long").as("bpe_tokens"))
 }
