@@ -2860,6 +2860,53 @@ object Queries {
         .join(broadcast(lens), Seq("w"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_words"), sum(col("bpe_tokens")).as("n_bpe_tokens"))
+    }),
+
+    // Per-source unigram KL divergence from the corpus-wide distribution —
+    // the source-drift screen run before mixing (q146's PSI for word
+    // distributions; KL(P_src ‖ P_corpus)). Probabilities are exact
+    // integer ratios; every source word exists corpus-wide so q > 0 by
+    // construction; ln is libm → the per-source sum rounds 4 dp. Two hash
+    // aggs + a postings-shaped word join + a |sources|-row and a 1-row
+    // broadcast.
+    "q180_source_kl" -> ((s, d) => {
+      val words = doc(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val sc = words.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val st = words.groupBy("source").agg(count(lit(1)).as("nt"))
+      val gc = words.groupBy("word").agg(count(lit(1)).as("g"))
+      val gt = words.agg(count(lit(1)).as("gtot"))
+      sc.join(gc, Seq("word"))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(gt))
+        .select(col("source"),
+          (col("c").cast("double") / col("nt").cast("double")).as("p"),
+          (col("g").cast("double") / col("gtot").cast("double")).as("q"))
+        .groupBy("source")
+        .agg(round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl"))
+    }),
+
+    // Pairwise cosine similarity of per-source embedding centroids — the
+    // "are these sources semantically redundant?" mixing diagnostic.
+    // vec_id ≡ doc_id (driver alignment, the q108 linkage); centroids are
+    // per-dim means ROUNDED 6 dp on both engines (the q73 IVF centroid
+    // rule) so the exact-fold cosine (DotProductD/NormD ≡ the q27 oracle
+    // folds) runs on identical bits. |sources|² pair space — bounded.
+    "q181_source_centroid_sim" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .join(doc(s, d).select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
+        .select(col("source"), posexplode(col("embedding")))
+        .select(col("source"), col("pos"), col("col").cast("double").as("x"))
+      val cent = e.groupBy("source", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("source").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("v"))
+      val a = cent.select(col("source").as("src_a"), col("v").as("va"))
+      val b = cent.select(col("source").as("src_b"), col("v").as("vb"))
+      a.crossJoin(b).filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(graft.functions.DotProductD(col("va"), col("vb")) /
+            (graft.functions.NormD(col("va")) * graft.functions.NormD(col("vb"))), 6)
+            .as("cos_sim"))
     })
   )
 
@@ -5997,6 +6044,39 @@ object Queries {
         | CAST(sum(bpe_tokens) AS BIGINT) AS n_bpe_tokens
         |FROM corpus JOIN lens USING (w)
         |WHERE length(w) > 0
-        |GROUP BY source""".stripMargin
+        |GROUP BY source""".stripMargin,
+
+    // Exact integer-ratio probabilities into ln (the q125/q146 rule),
+    // per-source sum rounded 4 dp.
+    "q180_source_kl" ->
+      """WITH w AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
+        |sc AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS nt FROM w GROUP BY 1),
+        |gc AS (SELECT word, count(*) AS g FROM w GROUP BY 1),
+        |gt AS (SELECT count(*) AS gtot FROM w)
+        |SELECT source,
+        | round(sum((CAST(c AS DOUBLE) / nt)
+        |   * ln((CAST(c AS DOUBLE) / nt) / (CAST(g AS DOUBLE) / gtot))), 4) AS kl
+        |FROM sc JOIN gc USING (word) JOIN st USING (source), gt
+        |GROUP BY source""".stripMargin,
+
+    // Centroid means rounded 6 dp (q73 rule); the cosine folds are the
+    // q27 parity shapes. vec_id ≡ doc_id is the q108 linkage.
+    "q181_source_centroid_sim" ->
+      """WITH e AS (
+        | SELECT d.source, i.i AS pos, CAST(em.embedding[i.i] AS DOUBLE) AS x
+        | FROM embeddings em
+        | JOIN documents d ON em.vec_id = d.doc_id,
+        |  (SELECT unnest(range(1, 65)) AS i) i),
+        |c AS (SELECT source, pos, round(avg(x), 6) AS m FROM e GROUP BY 1, 2),
+        |v AS (SELECT source, list(m ORDER BY pos) AS v FROM c GROUP BY 1)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |    (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
+        |  6) AS cos_sim
+        |FROM v a JOIN v b ON a.source < b.source""".stripMargin
   )
 }
