@@ -28,7 +28,14 @@ object ConnectedComponents {
     * fine. `nodes`: (node) — every node that needs a label, including
     * isolated ones. Returns (labels, converged): labels = (node, label)
     * with label the component minimum reached; converged = false iff
-    * maxRounds ran out with changes still flowing. */
+    * maxRounds ran out with changes still flowing.
+    *
+    * Only EDGE-TOUCHED nodes iterate: an isolated node's label is itself
+    * by definition and can never change, so carrying the full node set
+    * through every round's join+agg shuffle is pure waste — in a near-dup
+    * corpus the edge-node set is a small fraction of the corpus, so the
+    * per-round working set is O(edges), not O(nodes). Singletons get
+    * label = node via one final left join. */
   def minLabel(pairs: DataFrame, nodes: DataFrame,
                maxRounds: Int): (DataFrame, Boolean) = {
     val edges = graft.io.Checkpoints.truncate(
@@ -36,23 +43,32 @@ object ConnectedComponents {
         .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
       eager = true)
     var labels = graft.io.Checkpoints.truncate(
-      nodes.select(col("node"), col("node").as("label")), eager = true)
+      edges.select(col("id_a").as("node")).distinct()
+        .select(col("node"), col("node").as("label")), eager = true)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "id_b"), "id_b")
         .groupBy(col("id_a").as("node")).agg(min(col("label")).as("nlabel"))
+      // lazy checkpoint + limit-1 probe: the probe is the materializing
+      // action, so convergence costs no extra job — when a change exists
+      // the probe early-exits (remaining partitions materialize under the
+      // next round's join); when none does, the full scan it needs anyway
+      // completes the checkpoint.
       val next = graft.io.Checkpoints.truncate(
         labels.join(neighborMin, Seq("node"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
             (col("nlabel") < col("label")).as("changed")),
-        eager = true)
+        eager = false)
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.drop("changed")
       round += 1
     }
-    (labels, converged)
+    val all = nodes.select(col("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    (all, converged)
   }
 }
