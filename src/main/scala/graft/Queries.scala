@@ -2777,7 +2777,9 @@ object Queries {
     // winnowing's maxDocFreq slots in unchanged if |sources| grows.
     "q175_source_overlap" -> ((s, d) => {
       val grams = doc(s, d)
-        .select(col("source"), explode(Text.ngramStrings(col("text"), 3)).as("gram"))
+        .select(col("source"), Text.tokens(col("text")).as("__toks"))
+        .select(col("source"),
+          explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
         .distinct()
       val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
       grams.withColumnRenamed("source", "src_a")
@@ -2907,6 +2909,58 @@ object Queries {
           round(graft.functions.DotProductD(col("va"), col("vb")) /
             (graft.functions.NormD(col("va")) * graft.functions.NormD(col("vb"))), 6)
             .as("cos_sim"))
+    }),
+
+    // Cross-document repeated spans (ExactSubstr-lite, Lee et al. 2022):
+    // positional 5-gram postings → globally-duplicated grams → per-doc
+    // gaps-and-islands span merge. Linear in corpus size — no doc pairs
+    // ever materialize (see dedup/RepeatedSpans).
+    "q182_repeated_spans" -> ((s, d) =>
+      graft.dedup.RepeatedSpans.perDoc(doc(s, d), "text", "doc_id",
+        k = 5, minDocs = 2)),
+
+    // DSIR importance weights (Xie et al. 2023): score every doc by the
+    // add-1-smoothed unigram log importance ratio of the src0 slice vs
+    // the whole corpus; top-100 by (weight desc, doc_id) selected via a
+    // TakeOrdered boundary key — no global sort (see text/Dsir).
+    "q183_dsir_weights" -> ((s, d) =>
+      graft.text.Dsir.importanceWeights(doc(s, d), "text", "doc_id",
+        col("source") === "src0", topK = 100)),
+
+    // CCNet head/middle/tail LM-quality terciles (Wenzek et al. 2020)
+    // over the in-corpus unigram LM score; keep = not tail (see
+    // text/LmQuality for the sample-the-thresholds scale path).
+    "q184_ccnet_buckets" -> ((s, d) =>
+      graft.text.LmQuality.ccnetBuckets(doc(s, d), "text", "doc_id")),
+
+    // PII redaction sweep (emails → IPv4 → phone-shaped, in that fixed
+    // order): the corpus carries no PII, so a deterministic per-doc
+    // augmentation plants one known item per doc_id%5 class first — the
+    // redactor then has real positives to find, and the per-class match
+    // counts are exact integers. Pure per-row regex: zero shuffle.
+    "q185_pii_redact" -> ((s, d) => {
+      val planted = doc(s, d).select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit(" call 555-"),
+              lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+              lit(" today")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+              lit("."), (col("doc_id") * 3 % 256).cast("string"),
+              lit("."), (col("doc_id") * 7 % 256).cast("string"), lit(" logged")))
+          .otherwise(lit(""))).as("text2"))
+      planted.select(col("doc_id"),
+        graft.text.Pii.matches(col("text2"), graft.text.Pii.EmailRe).cast("long")
+          .as("n_emails"),
+        graft.text.Pii.matches(col("text2"), graft.text.Pii.Ipv4Re).cast("long")
+          .as("n_ips"),
+        graft.text.Pii.matches(
+          regexp_replace(regexp_replace(col("text2"),
+            graft.text.Pii.EmailRe, "[EMAIL]"), graft.text.Pii.Ipv4Re, "[IP]"),
+          graft.text.Pii.PhoneRe).cast("long").as("n_phones"),
+        graft.text.Pii.redact(col("text2")).as("redacted"))
     })
   )
 
@@ -6077,6 +6131,124 @@ object Queries {
         |  / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
         |   * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
         |  6) AS cos_sim
-        |FROM v a JOIN v b ON a.source < b.source""".stripMargin
+        |FROM v a JOIN v b ON a.source < b.source""".stripMargin,
+
+    // Positional 5-grams via index-into-list (DuckDB's posexplode);
+    // islands by the same pos − row_number device; counts CAST BIGINT.
+    "q182_repeated_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ng AS (
+        | SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 5
+        |   THEN list_transform(range(1, len(toks) - 3),
+        |          i -> array_to_string(toks[i:i+4], ' '))
+        |   ELSE [] END AS grams
+        | FROM t),
+        |g AS (
+        | SELECT doc_id, i AS pos, grams[i] AS gram
+        | FROM ng, unnest(range(1, len(grams) + 1)) AS r(i)),
+        |dup AS (
+        | SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (
+        | SELECT g.doc_id, g.pos,
+        |  g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
+        |    AS island
+        | FROM g JOIN dup USING (gram)),
+        |isl AS (
+        | SELECT doc_id, island, count(*) AS ilen
+        | FROM dp GROUP BY doc_id, island),
+        |agg AS (
+        | SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS n_dup_grams,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(max(ilen) + 4 AS BIGINT) AS max_span_tokens
+        | FROM isl GROUP BY doc_id)
+        |SELECT ng.doc_id,
+        | coalesce(n_dup_grams, 0) AS n_dup_grams,
+        | coalesce(n_spans, 0) AS n_spans,
+        | coalesce(max_span_tokens, 0) AS max_span_tokens,
+        | round(CAST(coalesce(n_dup_grams, 0) AS DOUBLE) /
+        |   greatest(nt - 4, 1), 6) AS dup_frac
+        |FROM ng LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // Per-word log-ratio = single ln of one exact integer ratio, kept in
+    // integer micro-units so doc sums are exact long arithmetic (order-
+    // independent); selection replayed as a plain rank (the engine's
+    // TakeOrdered boundary is the same total order).
+    "q183_dsir_weights" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        | FROM documents),
+        |vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |tot AS (
+        | SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tt,
+        |  CAST(count(*) AS BIGINT) AS tr FROM tok),
+        |wc AS (
+        | SELECT w,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS ct,
+        |  CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY w),
+        |lr AS (
+        | SELECT w, CAST(round(ln(CAST((ct + 1) * (tr + v) AS DOUBLE) /
+        |                  ((cr + 1) * (tt + v))) * 1000000) AS BIGINT) AS lrw6
+        | FROM wc, vocab, tot),
+        |dw AS (
+        | SELECT t.doc_id,
+        |  round(CAST(sum(lr.lrw6) AS DOUBLE) / 1000000, 4) AS weight
+        | FROM tok t JOIN lr ON t.w = lr.w GROUP BY t.doc_id),
+        |rk AS (
+        | SELECT doc_id, weight,
+        |  row_number() OVER (ORDER BY weight DESC, doc_id) AS rnk FROM dw)
+        |SELECT doc_id, weight, rnk <= 100 AS selected FROM rk""".stripMargin,
+
+    // The q125 score feeding tercile cuts; quantile_cont matches Spark's
+    // exact `percentile` interpolation (the q104 precedent).
+    "q184_ccnet_buckets" ->
+      """WITH tok AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
+        |sc AS (
+        | SELECT doc_id, round(sum(ln(CAST(f AS DOUBLE) / t)) / count(*), 4)
+        |   AS score
+        | FROM tok JOIN freq USING (w), tot GROUP BY doc_id),
+        |cut AS (
+        | SELECT quantile_cont(score, 0.33333333) AS t1,
+        |  quantile_cont(score, 0.66666667) AS t2 FROM sc)
+        |SELECT doc_id, score,
+        | CASE WHEN score >= t2 THEN 'head' WHEN score >= t1 THEN 'middle'
+        |  ELSE 'tail' END AS bucket,
+        | score >= t1 AS keep
+        |FROM sc, cut""".stripMargin,
+
+    // Same planted augmentation, same fixed redaction order (emails →
+    // IPv4 → phone-shaped); RE2 'g' flag ≡ Spark's global replace.
+    "q185_pii_redact" ->
+      """WITH aug AS (
+        | SELECT doc_id, text ||
+        |  CASE CAST(doc_id % 5 AS INTEGER)
+        |   WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+        |   WHEN 1 THEN ' call 555-' ||
+        |     lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
+        |   WHEN 2 THEN ' from 10.' || doc_id % 256 || '.' ||
+        |     (doc_id * 3) % 256 || '.' || (doc_id * 7) % 256 || ' logged'
+        |   ELSE '' END AS text2
+        | FROM documents),
+        |r1 AS (
+        | SELECT doc_id, text2,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(text2,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t1
+        | FROM aug)
+        |SELECT doc_id, n_emails, n_ips,
+        | CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{4}\b')) AS BIGINT)
+        |   AS n_phones,
+        | regexp_replace(t1, '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
+        |FROM r1""".stripMargin
   )
 }

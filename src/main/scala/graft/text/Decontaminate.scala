@@ -31,12 +31,18 @@ object Decontaminate {
   def flagContaminated(corpus: DataFrame, evalSet: DataFrame,
                        idCol: String, textCol: String, k: Int,
                        broadcastEval: Boolean = true): DataFrame = {
+    // tokenize in a separate projection — the n-gram HOF over an attribute
+    // avoids per-position re-splitting (see Text.ngramsFromTokens)
     val evalGrams = evalSet
-      .select(explode(Text.ngramStrings(col(textCol), k)).as("__gram"))
+      .select(Text.tokens(col(textCol)).as("__toks"))
+      .select(explode(Text.ngramsFromTokens(col("__toks"), k)).as("__gram"))
       .distinct()
     val probe = if (broadcastEval) F.broadcast(evalGrams) else evalGrams
-    val corpusGrams = corpus.select(col(idCol),
-      explode(array_distinct(Text.ngramStrings(col(textCol), k))).as("__gram"))
+    val corpusGrams = corpus
+      .select(col(idCol), Text.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(Text.ngramsFromTokens(col("__toks"), k)))
+          .as("__gram"))
     val shared = corpusGrams.join(probe, "__gram")
       .groupBy(idCol).agg(count(lit(1)).as("__shared"))
     corpus.join(shared, Seq(idCol), "left")

@@ -32,13 +32,25 @@ object Text {
 
   /** Token n-grams as strings (empty array when the doc has fewer than n
     * tokens — `sequence` would otherwise count DOWN and fabricate grams). */
-  def ngramStrings(c: Column, n: Int): Column = {
-    val t = tokens(c)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
+  def ngramStrings(c: Column, n: Int): Column =
+    ngramsFromTokens(tokens(c), n)
+
+  /** Token n-grams from an ALREADY-TOKENIZED array column.
+    *
+    * Callers that explode the grams should tokenize in their OWN
+    * projection and pass the attribute here: higher-order functions are
+    * not whole-stage-codegen'd, so a `split(...)` expression passed as
+    * `toks` is re-evaluated per gram position inside the lambda —
+    * O(tokens²) re-splitting per document (measured 15× on q182's
+    * postings build). An attribute reference is read once per row.
+    * (CollapseProject keeps the two projections separate precisely
+    * because the alias is referenced more than once and split isn't
+    * cheap.) */
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Duplicate n-gram fraction — the Gopher-style repetition signal used
     * to drop boilerplate/spam from pretraining corpora: the share of a
