@@ -2961,6 +2961,46 @@ object Queries {
             graft.text.Pii.EmailRe, "[EMAIL]"), graft.text.Pii.Ipv4Re, "[IP]"),
           graft.text.Pii.PhoneRe).cast("long").as("n_phones"),
         graft.text.Pii.redact(col("text2")).as("redacted"))
+    }),
+
+    // Product-quantization ANN (Jégou et al. 2011): 4 independent
+    // 16-codeword codebooks over 16-dim blocks (the q105 replayable
+    // Lloyd's per block), corpus encoded + ADC-scored against probe
+    // vec_id 0 in ONE shuffle-free projection (codebooks and the
+    // per-probe code→distance LUT are literals); top-10 by (adc, id)
+    // via TakeOrdered. The 64-float → 4-code compression is the
+    // memory-bound similarity path at 100 TB (see ml/ProductQuantizer).
+    "q186_pq_topk" -> ((s, d) =>
+      graft.ml.ProductQuantizer.adcTopK(Tables.embeddings(s, d),
+        "vec_id", "embedding", blocks = 4, codebookSize = 16, iters = 2,
+        probeId = 0L, topK = 10)),
+
+    // Mergeable-sketch rollup — THE 100 TB distinct-count architecture:
+    // per-source Datasketches HLL over the word stream (one partial-agg
+    // shuffle), then the GLOBAL vocabulary estimated by UNIONING the
+    // per-source sketches (hll_union_agg over |sources| rows) instead of
+    // re-scanning the corpus. Estimates are engine-internal, so the
+    // oracle-checked surface is exact counts + the error-bound booleans
+    // (lgK=14 ⇒ ~0.8 % rse against a 5 % gate; the q40 device). The
+    // 'ALL' row's exact count needs its own corpus-wide distinct — the
+    // very scan the sketch union avoids; it is the verification cost,
+    // not the operator cost.
+    "q187_hll_rollup" -> ((s, d) => {
+      val toks = doc(s, d).select(col("source"),
+        explode(Text.tokens(col("text"))).as("w"))
+      val per = toks.groupBy("source").agg(
+        hll_sketch_agg(col("w"), lit(14)).as("__sk"),
+        countDistinct(col("w")).as("exact_words"))
+      val perOut = per.select(col("source"), col("exact_words"),
+        (abs(hll_sketch_estimate(col("__sk")) - col("exact_words")) <=
+          col("exact_words").cast("double") * 0.05).as("est_ok"))
+      val globExact = toks.agg(countDistinct(col("w")).as("exact_words"))
+      val globOut = per.agg(hll_union_agg(col("__sk"), lit(false)).as("__g"))
+        .crossJoin(broadcast(globExact))
+        .select(lit("ALL").as("source"), col("exact_words"),
+          (abs(hll_sketch_estimate(col("__g")) - col("exact_words")) <=
+            col("exact_words").cast("double") * 0.05).as("est_ok"))
+      perOut.unionByName(globOut)
     })
   )
 
@@ -6249,6 +6289,76 @@ object Queries {
         | CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{4}\b')) AS BIGINT)
         |   AS n_phones,
         | regexp_replace(t1, '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
-        |FROM r1""".stripMargin
+        |FROM r1""".stripMargin,
+
+    // The q105 CTE chain per 16-dim block: lowest-id init, one 6-dp
+    // rounded-mean update, (dist, cid) nearest replayed as row_number.
+    // The ADC sum replays Spark's ascending-block left fold via
+    // list(dpb ORDER BY b) + list_reduce — bit-identical 4-term sums.
+    "q186_pq_topk" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |blk AS (SELECT unnest(range(0, 4)) AS b),
+        |sv AS (
+        | SELECT e.vec_id, blk.b, e.v[blk.b*16+1 : blk.b*16+16] AS sv
+        | FROM e, blk),
+        |c0 AS (
+        | SELECT b, vec_id AS cid, sv AS cv FROM (
+        |  SELECT b, vec_id, sv,
+        |   row_number() OVER (PARTITION BY b ORDER BY vec_id) AS rn FROM sv) t
+        | WHERE rn <= 16),
+        |a1 AS (
+        | SELECT vec_id, b, cell, sv FROM (
+        |  SELECT sv.vec_id, sv.b, c.cid AS cell, sv.sv,
+        |   row_number() OVER (PARTITION BY sv.vec_id, sv.b ORDER BY
+        |     list_reduce(list_transform(list_zip(sv.sv, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, x) -> a + x) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM sv JOIN c0 c USING (b)) t WHERE rn = 1),
+        |c1 AS (
+        | SELECT b, cell AS cid, list(m ORDER BY i) AS cv FROM (
+        |  SELECT b, cell, d.i AS i, round(avg(sv[d.i]), 6) AS m
+        |  FROM a1, (SELECT unnest(range(1, 17)) AS i) d
+        |  GROUP BY b, cell, d.i) s
+        | GROUP BY b, cell),
+        |codes AS (
+        | SELECT vec_id, b, cell FROM (
+        |  SELECT sv.vec_id, sv.b, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY sv.vec_id, sv.b ORDER BY
+        |     list_reduce(list_transform(list_zip(sv.sv, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, x) -> a + x) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM sv JOIN c1 c USING (b)) t WHERE rn = 1),
+        |probe AS (SELECT b, sv AS pv FROM sv WHERE vec_id = 0),
+        |lut AS (
+        | SELECT c1.b, c1.cid,
+        |  list_reduce(list_transform(list_zip(p.pv, c1.cv),
+        |    z -> (z[1] - z[2]) * (z[1] - z[2])), (a, x) -> a + x) AS dpb
+        | FROM c1 JOIN probe p USING (b)),
+        |adcs AS (
+        | SELECT codes.vec_id,
+        |  round(list_reduce(list(lut.dpb ORDER BY codes.b), (a, x) -> a + x),
+        |    6) AS adc
+        | FROM codes JOIN lut ON codes.b = lut.b AND codes.cell = lut.cid
+        | GROUP BY codes.vec_id),
+        |rk AS (
+        | SELECT vec_id, adc, row_number() OVER (ORDER BY adc, vec_id) AS rnk
+        | FROM adcs)
+        |SELECT CAST(rnk AS BIGINT) AS rank, vec_id, adc
+        |FROM rk WHERE rnk <= 10""".stripMargin,
+
+    // Exact distinct counts replayed; the HLL estimates are engine-
+    // internal, so the bound booleans assert TRUE (the q40 device —
+    // lgK=14 rse ~0.8 % against the 5 % gate).
+    "q187_hll_rollup" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_words,
+        | TRUE AS est_ok
+        |FROM tok GROUP BY source
+        |UNION ALL
+        |SELECT 'ALL' AS source, CAST(count(DISTINCT w) AS BIGINT), TRUE
+        |FROM tok""".stripMargin
   )
 }
