@@ -3001,6 +3001,54 @@ object Queries {
           (abs(hll_sketch_estimate(col("__g")) - col("exact_words")) <=
             col("exact_words").cast("double") * 0.05).as("est_ok"))
       perOut.unionByName(globOut)
+    }),
+
+    // Directed n-gram containment pairs (Broder's asymmetric companion
+    // to resemblance): |A∩B|/|A| ≥ 0.8 catches a short doc quoted inside
+    // a long one, which Jaccard structurally misses. Prefix-filtered
+    // overlap join with recall 1.0 — see Dedup.containmentPairs.
+    "q188_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(doc(s, d), "text", "doc_id",
+        k = 3, threshold = 0.8)),
+
+    // Marginal n-gram novelty per source in fixed ingest order — the
+    // diminishing-returns curve behind data-mixing decisions ("what does
+    // adding source N contribute that sources 0..N−1 didn't?"). One
+    // postings agg for each gram's FIRST source rank + one per-source
+    // distinct count; no pairwise source comparison (q175's matrix is
+    // the pairwise view; this is the cumulative one).
+    "q189_source_novelty" -> ((s, d) => {
+      val g = doc(s, d)
+        .select(substring(col("source"), 4, 10).cast("long").as("srank"),
+          Text.tokens(col("text")).as("__toks"))
+        .select(col("srank"),
+          explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
+      val first = g.groupBy("gram").agg(min(col("srank")).as("first_rank"))
+        .groupBy("first_rank").agg(count(lit(1)).as("novel"))
+      val tot = g.select(col("srank"), col("gram")).distinct()
+        .groupBy("srank").agg(count(lit(1)).as("distinct_grams"))
+      tot.join(first, col("srank") === col("first_rank"), "left")
+        .select(col("srank").as("source_rank"),
+          concat(lit("src"), col("srank")).as("source"),
+          col("distinct_grams"),
+          coalesce(col("novel"), lit(0L)).as("novel_grams"),
+          round(coalesce(col("novel"), lit(0L)).cast("double") /
+            col("distinct_grams"), 6).as("novelty"))
+    }),
+
+    // Leakage-safe k-fold assignment: the split unit is the NEAR-DUP
+    // CLUSTER (q70's exact connected components), not the document — a
+    // near-duplicate pair split across train/eval folds is exactly the
+    // contamination ExactSubstr-style dedup exists to prevent. Fold =
+    // deterministic md5-uniform of the canonical id (the q103 device),
+    // so every member of a cluster lands in the same fold by
+    // construction.
+    "q190_leakage_folds" -> ((s, d) => {
+      val canon = Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
+        k = 2, jaccardThreshold = 0.5)
+      canon.select(col("doc_id"), col("canonical_id"),
+        (conv(substring(md5(col("canonical_id").cast("string")), 1, 8),
+          16, 10).cast("long") % 5).as("fold"))
     })
   )
 
@@ -6359,6 +6407,82 @@ object Queries {
         |FROM tok GROUP BY source
         |UNION ALL
         |SELECT 'ALL' AS source, CAST(count(DISTINCT w) AS BIGINT), TRUE
-        |FROM tok""".stripMargin
+        |FROM tok""".stripMargin,
+
+    // Exact containment replay: the engine's prefix filter has recall
+    // 1.0, so the naive all-pairs postings join gives identical rows.
+    // Gram STRINGS here ≡ the engine's 64-bit shingle hashes (the q70
+    // hash-identity convention).
+    "q188_containment_pairs" ->
+      """WITH t AS (
+        | SELECT doc_id, list_distinct(
+        |   CASE WHEN len(string_split(text, ' ')) >= 3
+        |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
+        |    ELSE [] END) AS grams
+        | FROM documents),
+        |s AS (SELECT doc_id, len(grams) AS sz FROM t),
+        |p AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+        |pairs AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared
+        | FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        | round(CAST(shared AS DOUBLE) / sa.sz, 6) AS containment
+        |FROM pairs JOIN s sa ON pairs.id_a = sa.doc_id
+        |WHERE CAST(shared AS DOUBLE) / sa.sz >= 0.8""".stripMargin,
+
+    // First-seen source rank per gram + per-source distinct counts; the
+    // novelty ratio is a division of exact integers.
+    "q189_source_novelty" ->
+      """WITH t AS (
+        | SELECT CAST(substr(source, 4) AS BIGINT) AS srank,
+        |  string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT srank, unnest(CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [] END) AS gram
+        | FROM t),
+        |fst AS (SELECT gram, min(srank) AS first_rank FROM g GROUP BY gram),
+        |nov AS (SELECT first_rank, CAST(count(*) AS BIGINT) AS novel
+        |        FROM fst GROUP BY 1),
+        |tot AS (SELECT srank, CAST(count(DISTINCT gram) AS BIGINT)
+        |          AS distinct_grams FROM g GROUP BY srank)
+        |SELECT tot.srank AS source_rank, 'src' || tot.srank AS source,
+        | distinct_grams,
+        | coalesce(nov.novel, 0) AS novel_grams,
+        | round(CAST(coalesce(nov.novel, 0) AS DOUBLE) / distinct_grams, 6)
+        |   AS novelty
+        |FROM tot LEFT JOIN nov ON nov.first_rank = tot.srank""".stripMargin,
+
+    // q70's recursive-CTE components + the q103 md5-uniform device on the
+    // canonical id — cluster-consistent folds by construction.
+    "q190_leakage_folds" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION ALL SELECT ib, ia FROM pairs),
+        |cc(node, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a)
+        |SELECT node AS doc_id, min(label) AS canonical_id,
+        | CAST(CAST(concat('0x',
+        |   substr(md5(CAST(min(label) AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+        |  AS BIGINT) AS fold
+        |FROM cc GROUP BY node""".stripMargin
   )
 }

@@ -360,6 +360,64 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Exact n-gram CONTAINMENT self-join — Broder's asymmetric companion to
+    * resemblance/Jaccard: containment(A in B) = |A∩B| / |A|, the signal
+    * Jaccard misses when a short document is quoted inside a much longer
+    * one (|A∩B|/|A∪B| collapses as |B| grows; |A∩B|/|A| does not).
+    * Returns one DIRECTED row per qualifying (contained id_a, container
+    * id_b) pair with the exact shared-gram count.
+    *
+    * Scale shape = the prefix-filtered overlap join: shingles get the
+    * global (doc_freq asc, hash asc) rarity order; the CONTAINED side
+    * probes with only its first |A| − ⌈t·|A|⌉ + 1 shingles (recall 1.0:
+    * if none of those hit B, shared ≤ ⌈t|A|⌉ − 1 < t·|A|), while the
+    * container side stays fully indexed — containment puts no lower bound
+    * on |B|, so only the probe side can be pruned. Hot boilerplate
+    * shingles sort LAST and fall out of probe prefixes, which is what
+    * bounds the join fan-out (the PPJoin skew argument). Candidates are
+    * verified exactly with the [[graft.functions.SortedIntersectSize]]
+    * merge scan, then deduped — the same verify-then-distinct ordering as
+    * [[ngramJaccardSelfPairs]]. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       k: Int = 3, threshold: Double = 0.8,
+                       materializeShared: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    val t = threshold
+    val eps = lit(1e-9)
+    def shared(d: DataFrame): DataFrame =
+      if (materializeShared) graft.io.Checkpoints.truncate(d, eager = false) else d
+    val sets = shared(df
+      .select(col(idCol).as("__id"), Text.tokens(col(textCol)).as("__toks"))
+      .select(col("__id"),
+        array_sort(array_distinct(Text.shingleHashes(col("__toks"), k)))
+          .as("__set"))
+      .filter(size(col("__set")) > 0)
+      .withColumn("__sz", size(col("__set"))))
+    val postings = sets.select(col("__id"), col("__sz"), explode(col("__set")).as("sh"))
+    val docFreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
+    val probeLen = col("__sz") - ceil(col("__sz") * t - eps).cast("int") + 1
+    val probe = postings.join(docFreq, "sh")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__id").orderBy(col("__df"), col("sh"))))
+      .filter(col("__rn") <= probeLen)
+      .select(col("__id").as("ia"), col("__sz").as("sa"), col("sh"))
+    val candidates = probe
+      .join(postings.select(col("__id").as("ib"), col("sh")), Seq("sh"))
+      .filter(col("ia") =!= col("ib"))
+      .select("ia", "ib", "sa")
+    candidates
+      .join(sets.select(col("__id").as("ia"), col("__set").as("__set_a")), "ia")
+      .join(sets.select(col("__id").as("ib"), col("__set").as("__set_b")), "ib")
+      .withColumn("__inter",
+        graft.functions.SortedIntersectSize(col("__set_a"), col("__set_b")))
+      .withColumn("containment",
+        round(col("__inter").cast("double") / col("sa"), 6))
+      .filter(col("__inter").cast("double") / col("sa") >= t)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        col("__inter").as("shared"), col("containment"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Winnowing (MOSS) near-dup pairs: each document keeps the distinct
     * window minima of its md5p61 shingle hashes (the
     * [[graft.functions.WinnowFingerprintP61]] one-pass expression —

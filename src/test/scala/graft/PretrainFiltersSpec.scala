@@ -95,6 +95,71 @@ class PretrainFiltersSpec extends AnyFunSuite {
     assert(headMin >= tailMax)
   }
 
+  // ----------------------------------------------------- containment
+
+  test("containment: short doc inside long doc found; Jaccard would miss it") {
+    val quote = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, quote),                                            // the quoted doc
+      (2L, s"w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 $quote x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.containmentPairs(docs, "text", "doc_id",
+      k = 3, threshold = 0.8).collect()
+    // doc 1's three 3-grams are all inside doc 2 → containment(1 in 2) = 1
+    val row = r.find(x => x.getLong(0) == 1L && x.getLong(1) == 2L)
+    assert(row.isDefined, s"missing (1,2) in ${r.mkString(",")}")
+    assert(row.get.getDouble(3) == 1.0)
+    // the reverse direction does NOT qualify (doc 2 is much larger)
+    assert(!r.exists(x => x.getLong(0) == 2L && x.getLong(1) == 1L))
+    // and the symmetric Jaccard at the same threshold finds nothing
+    val jac = graft.dedup.Dedup.ngramJaccardSelfPairs(docs, "text", "doc_id",
+      k = 3, threshold = 0.8)
+    assert(jac.isEmpty)
+  }
+
+  test("containment: prefix-filtered join matches the naive postings join") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fast = graft.dedup.Dedup.containmentPairs(docs, "text", "doc_id",
+      k = 3, threshold = 0.8).select("id_a", "id_b", "shared")
+    val naive = {
+      val t = docs.select(col("doc_id"),
+          graft.text.Text.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), array_distinct(
+          graft.text.Text.shingleHashes(col("__toks"), 3)).as("g"))
+        .filter(size(col("g")) > 0)
+      val sz = t.select(col("doc_id").as("id_a"), size(col("g")).as("sa"))
+      val p = t.select(col("doc_id"), explode(col("g")).as("sh"))
+      p.select(col("doc_id").as("id_a"), col("sh"))
+        .join(p.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") =!= col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .join(sz, "id_a")
+        .filter(col("shared").cast("double") / col("sa") >= 0.8)
+        .select("id_a", "id_b", "shared")
+    }
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
+
+  // -------------------------------------------- novelty / leakage folds
+
+  test("source novelty: src0 is all-novel and ratios decay to a positive floor") {
+    val r = Queries.queries("q189_source_novelty")(spark, TestSpark.sf0001)
+      .orderBy("source_rank").collect()
+    assert(r.length == 20)
+    assert(r.head.getDouble(4) == 1.0)                 // src0: everything novel
+    assert(r.last.getDouble(4) < r.head.getDouble(4))  // later sources add less
+    assert(r.forall(_.getDouble(4) >= 0.0))
+    // novel ≤ distinct for every source
+    assert(r.forall(x => x.getLong(3) <= x.getLong(2)))
+  }
+
+  test("leakage folds: every near-dup cluster lands in exactly one fold") {
+    val r = Queries.queries("q190_leakage_folds")(spark, TestSpark.sf0001)
+    assert(r.groupBy("canonical_id")
+      .agg(countDistinct("fold").as("nf")).filter($"nf" > 1).count() == 0)
+    assert(r.select("fold").distinct().count() > 1)  // folds actually spread
+  }
+
   // ------------------------------------------------------------- PII
 
   test("PII sweep redacts emails, IPv4s, and phone groups in fixed order") {
