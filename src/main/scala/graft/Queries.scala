@@ -3049,7 +3049,153 @@ object Queries {
       canon.select(col("doc_id"), col("canonical_id"),
         (conv(substring(md5(col("canonical_id").cast("string")), 1, 8),
           16, 10).cast("long") % 5).as("fold"))
-    })
+    }),
+
+    // Mann-Whitney U rank-sum test: is src1's length distribution shifted
+    // vs src0's, assuming nothing about its shape? The nonparametric
+    // third leg of the two-sample family (q145 Welch t = means under
+    // normality, q148 KS = any distributional difference, q191 = location
+    // shift, distribution-free). See stats/Stats.mannWhitneyU for the
+    // distinct-value ranking scale shape.
+    "q191_mann_whitney" -> ((s, d) =>
+      graft.stats.Stats.mannWhitneyU(doc(s, d), "n_chars", "source",
+        "src0", "src1")),
+
+    // Per-doc cross-entropy under the in-corpus add-1 BIGRAM LM — the
+    // KenLM-shaped perplexity filter (CCNet/RefinedWeb), one Markov order
+    // above q125/q184's unigram score. Postings-shape joins throughout;
+    // see text/BigramLm.
+    "q192_bigram_ppl" -> ((s, d) =>
+      graft.text.BigramLm.perDocCrossEntropy(doc(s, d), "text", "doc_id")),
+
+    // Token-balanced output sharding: snake-pack every doc into 8 shards
+    // by token count so per-shard TOKEN totals are equal-cost training
+    // files. Global rank via the two-phase bucket device (never a corpus
+    // window) — see operators/Sharding. Output is the per-shard manifest
+    // the writer would fan out on.
+    "q193_balanced_shards" -> ((s, d) =>
+      graft.operators.Sharding.snakeShards(doc(s, d), "doc_id",
+        graft.text.Text.tokenCount(col("text")), nShards = 8)
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("weight")).as("total_tokens"))),
+
+    // WIMBD-style corpus audit (Elazar et al. 2024): top-10 3-grams per
+    // source by (count desc, gram asc). Map-side-combined gram counts,
+    // then the q30 rank-prune — window input is the |source × gram|
+    // COUNT table, never the token stream.
+    "q194_wimbd_topk" -> ((s, d) => {
+      val toks = doc(s, d).select(col("source"),
+        Text.tokens(col("text")).as("__toks"))
+      val counts = toks.select(col("source"),
+        explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+      graft.operators.Rankings.topKPerGroup(counts, Seq(col("source")),
+        Seq(col("cnt").desc, col("gram").asc), 10)
+    }),
+
+    // Per-doc character-level Shannon entropy — the cheapest gibberish /
+    // binary-spill / mojibake detector (low-entropy = repeated filler,
+    // high-entropy = base64-ish noise). Postings shape: explode chars →
+    // per-(doc, char) counts → per-doc fold; H = ln n − Σ c·ln c / n with
+    // each c·ln c term in integer micro-nats (the q183 device) so the
+    // per-doc sum is exact long arithmetic.
+    "q195_char_entropy" -> ((s, d) => {
+      val ch = doc(s, d).select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+          .as("c"))
+      val hist = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("nc"))
+      hist.select(col("doc_id"), col("nc"),
+          round(col("nc").cast("double") * log(col("nc").cast("double")) *
+            lit(1000000)).cast("long").as("t6"))
+        .groupBy("doc_id").agg(sum(col("nc")).as("n_chars"), sum(col("t6")).as("s6"))
+        .select(col("doc_id"), col("n_chars"),
+          round(log(col("n_chars").cast("double")) -
+            col("s6").cast("double") / lit(1000000) / col("n_chars"), 4).as("h"))
+    }),
+
+    // HITS hubs & authorities over the DIRECTED customer→supplier
+    // purchase graph — the directed companion to q133's PageRank:
+    // broad-basket buyers (hubs) vs widely-bought-from suppliers
+    // (authorities), two scores PageRank's single stationary mass
+    // conflates. Max-normalized power iteration — see graph/Hits for the
+    // order-independent normalization rule.
+    "q196_hits" -> ((s, d) => {
+      val edges = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.graph.Hits.iterate(edges, iters = 2)
+    }),
+
+    // Gini-Simpson vocabulary diversity per source: 1 − Σ c(c−1)/(n(n−1))
+    // — the probability two tokens drawn without replacement differ. The
+    // fully-EXACT diversity companion to q174's Zipf slope: every term is
+    // integer arithmetic until one final mirrored division, so parity
+    // needs no ln/rounding seam at all. One token-count agg + one
+    // per-source fold.
+    "q197_simpson_diversity" -> ((s, d) => {
+      val wc = doc(s, d)
+        .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      wc.groupBy("source").agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(col("c") * (col("c") - 1)).as("ss"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round(lit(1.0) - col("ss").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)
+            .as("simpson"))
+    }),
+
+    // Pairwise Jensen-Shannon divergence between source unigram
+    // distributions — the SYMMETRIC, bounded ([0, ln 2]) companion to
+    // q180's KL drift, the standard "how far apart are these two
+    // corpora" mixing diagnostic. Only the SHARED-vocab inner join is
+    // computed; exclusive-word mass contributes exactly ln 2 · (1−Σp) and
+    // rides the same aggregate (m = (p+q)/2 with q = 0 ⇒ term = p·ln 2),
+    // so no per-pair full-outer join ever materializes. Postings shape:
+    // per word, |sources(word)|² pair rows — bounded by |sources|².
+    "q198_source_jsd" -> ((s, d) => {
+      val words = doc(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      val sc = words.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      val st = words.groupBy("source").agg(count(lit(1)).as("nt"))
+      val p = sc.join(broadcast(st), Seq("source"))
+        .select(col("source"), col("word"),
+          (col("c").cast("double") / col("nt").cast("double")).as("p"))
+      val a = p.select(col("source").as("src_a"), col("word"), col("p").as("pa"))
+      val b = p.select(col("source").as("src_b"), col("word"), col("p").as("pb"))
+      a.join(b, Seq("word")).filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(
+          sum(col("pa") * log(col("pa") * 2 / (col("pa") + col("pb"))) +
+            col("pb") * log(col("pb") * 2 / (col("pa") + col("pb")))).as("sh"),
+          sum(col("pa")).as("spa"), sum(col("pb")).as("spb"))
+        .select(col("src_a"), col("src_b"),
+          round((col("sh") + log(lit(2.0)) * (lit(2.0) - col("spa") - col("spb")))
+            * lit(0.5), 4).as("jsd"))
+    }),
+
+    // Per-doc cross-entropy under interpolated KNESER-NEY (d = 0.75) —
+    // the smoothing KenLM actually ships; q192 is the add-1 strawman,
+    // this is the production filter. Continuation counts N₁₊ derive from
+    // the gram-type TABLE, never the token stream — see
+    // text/BigramLm.knPerDocCrossEntropy.
+    "q199_kneser_ney_ppl" -> ((s, d) =>
+      graft.text.BigramLm.knPerDocCrossEntropy(doc(s, d), "text", "doc_id")),
+
+    // Common-neighbor link prediction on the co-purchase part graph:
+    // neighborhood Jaccard for every pair sharing ≥ 2 neighbors
+    // (Liben-Nowell & Kleinberg 2003) — "parts bought alongside the same
+    // things should be substitutes/complements". Wedge self-join with the
+    // hub-degree apex cap (the Σ deg² guard); exact integer counts, one
+    // mirrored division. See graph/LinkPrediction.
+    "q200_link_prediction" -> ((s, d) =>
+      graft.graph.LinkPrediction.jaccardPairs(
+        copurchasePairs(s, d).select(col("u"), col("v")),
+        minCommon = 2, maxDegree = 1000))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -6483,6 +6629,254 @@ object Queries {
         | CAST(CAST(concat('0x',
         |   substr(md5(CAST(min(label) AS VARCHAR)), 1, 8)) AS BIGINT) % 5
         |  AS BIGINT) AS fold
-        |FROM cc GROUP BY node""".stripMargin
+        |FROM cc GROUP BY node""".stripMargin,
+
+    // Exact-integer rank algebra (2·avg_rank = 2·cum − t + 1) so U and the
+    // tie term are BIGINTs; z is the one float expression, mirrored
+    // op-for-op against Stats.mannWhitneyU.
+    "q191_mann_whitney" ->
+      """WITH sub AS (
+        | SELECT source AS g, n_chars AS v FROM documents
+        | WHERE source IN ('src0', 'src1')),
+        |byv AS (
+        | SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        | FROM sub GROUP BY v),
+        |rk AS (
+        | SELECT t, ta, sum(t) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM byv),
+        |ag AS (
+        | SELECT CAST(sum(ta * (cum * 2 - t + 1)) AS BIGINT) AS r2a,
+        |  CAST(sum(ta) AS BIGINT) AS na,
+        |  CAST(sum(t - ta) AS BIGINT) AS nb,
+        |  CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM rk),
+        |z0 AS (
+        | SELECT na AS n_a, nb AS n_b,
+        |  CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a,
+        |  CAST(na AS DOUBLE) * nb
+        |    - CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_b,
+        |  round(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) /
+        |    (2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
+        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
+        |        (CAST(na + nb AS DOUBLE) * (na + nb - 1))))), 6) AS z
+        | FROM ag)
+        |SELECT n_a, n_b, u_a, u_b, z, abs(z) > 1.959964 AS significant
+        |FROM z0""".stripMargin,
+
+    // Context count c(w1,·) derived from the c2 table (sum of bigram
+    // counts by first word — identical to counting the bigram stream);
+    // per-gram log-prob as one ln of an exact integer ratio in micro-nats
+    // (the q183 device), per-doc sums exact longs.
+    "q192_bigram_ppl" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        | SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        | FROM t, unnest(range(1, len(toks))) AS r(i)),
+        |c2 AS (
+        | SELECT gram, split_part(gram, ' ', 1) AS w1,
+        |  CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY gram),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |lp AS (
+        | SELECT c2.gram, CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
+        |    CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp6
+        | FROM c2 JOIN c1 USING (w1), v),
+        |pd AS (
+        | SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp.lp6) AS BIGINT) AS s6
+        | FROM bg JOIN lp USING (gram) GROUP BY bg.doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        | coalesce(round(CAST(-s6 AS DOUBLE) / 1000000 / n_bigrams, 4), 0.0)
+        |   AS h
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // The engine's two-phase bucketed rank ≡ one global row_number here;
+    // snake CASE replayed verbatim.
+    "q193_balanced_shards" ->
+      """WITH d AS (
+        | SELECT doc_id,
+        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS w
+        | FROM documents),
+        |rk AS (
+        | SELECT doc_id, w,
+        |  row_number() OVER (ORDER BY w DESC, doc_id) AS r FROM d),
+        |sh AS (
+        | SELECT w, CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+        |   ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
+        | FROM rk)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS total_tokens
+        |FROM sh GROUP BY shard""".stripMargin,
+
+    // Count table then rank — same two-phase shape as the engine; binary
+    // string order on ascii grams is collation-safe in both engines.
+    "q194_wimbd_topk" ->
+      """WITH t AS (
+        | SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT source, array_to_string(toks[i : i + 2], ' ') AS gram
+        | FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+        | WHERE len(toks) >= 3),
+        |c AS (
+        | SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
+        | FROM g GROUP BY source, gram),
+        |r AS (
+        | SELECT source, gram, cnt, row_number() OVER (
+        |   PARTITION BY source ORDER BY cnt DESC, gram) AS rn FROM c)
+        |SELECT source, gram, cnt FROM r WHERE rn <= 10""".stripMargin,
+
+    // Chars via substr-by-position (unambiguous in both engines, unlike
+    // empty-separator splits); per-(doc,char) c·ln c in micro-nats → exact
+    // long sums; H mirrors the engine's op order.
+    "q195_char_entropy" ->
+      """WITH ch AS (
+        | SELECT doc_id, substr(text, i, 1) AS c
+        | FROM documents, unnest(range(1, len(text) + 1)) AS r(i)),
+        |hist AS (
+        | SELECT doc_id, c, CAST(count(*) AS BIGINT) AS nc
+        | FROM ch GROUP BY doc_id, c),
+        |term AS (
+        | SELECT doc_id, nc,
+        |  CAST(round(CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE)) * 1000000)
+        |    AS BIGINT) AS t6
+        | FROM hist),
+        |pd AS (
+        | SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(t6) AS BIGINT) AS s6
+        | FROM term GROUP BY doc_id)
+        |SELECT doc_id, n_chars,
+        | round(ln(CAST(n_chars AS DOUBLE))
+        |   - CAST(s6 AS DOUBLE) / 1000000 / n_chars, 4) AS h
+        |FROM pd""".stripMargin,
+
+    // Two unrolled hub/authority rounds; round(sum, 8) per half-step and
+    // MAX (order-independent) normalization replay graph/Hits verbatim.
+    "q196_hits" ->
+      """WITH eo AS (
+        | SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS score FROM eo),
+        |a1r AS (SELECT dst AS node, round(sum(score), 8) AS raw
+        |        FROM eo JOIN h0 ON h0.node = eo.src GROUP BY dst),
+        |a1m AS (SELECT max(raw) AS mx FROM a1r),
+        |a1 AS (SELECT node, round(raw / mx, 8) AS score FROM a1r, a1m),
+        |h1r AS (SELECT src AS node, round(sum(score), 8) AS raw
+        |        FROM eo JOIN a1 ON a1.node = eo.dst GROUP BY src),
+        |h1m AS (SELECT max(raw) AS mx FROM h1r),
+        |h1 AS (SELECT node, round(raw / mx, 8) AS score FROM h1r, h1m),
+        |a2r AS (SELECT dst AS node, round(sum(score), 8) AS raw
+        |        FROM eo JOIN h1 ON h1.node = eo.src GROUP BY dst),
+        |a2m AS (SELECT max(raw) AS mx FROM a2r),
+        |a2 AS (SELECT node, round(raw / mx, 8) AS score FROM a2r, a2m),
+        |h2r AS (SELECT src AS node, round(sum(score), 8) AS raw
+        |        FROM eo JOIN a2 ON a2.node = eo.dst GROUP BY src),
+        |h2m AS (SELECT max(raw) AS mx FROM h2r),
+        |h2 AS (SELECT node, round(raw / mx, 8) AS score FROM h2r, h2m)
+        |SELECT 'hub' AS kind, node, round(score, 6) AS score FROM h2
+        |UNION ALL
+        |SELECT 'auth' AS kind, node, round(score, 6) AS score FROM a2""".stripMargin,
+
+    // Exact integer arithmetic end-to-end; the single division is
+    // mirrored op-for-op.
+    "q197_simpson_diversity" ->
+      """WITH tok AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (
+        | SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        | FROM tok GROUP BY source, w),
+        |ag AS (
+        | SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(c * (c - 1)) AS BIGINT) AS ss
+        | FROM wc GROUP BY source)
+        |SELECT source, n_tokens, vocab,
+        | round(1.0 - CAST(ss AS DOUBLE) /
+        |   (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson
+        |FROM ag""".stripMargin,
+
+    // Shared-vocab inner join + the exclusive-mass ln 2 identity; the
+    // order-dependent vocab sum rides the q180 round(4) seam.
+    "q198_source_jsd" ->
+      """WITH w AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS word
+        | FROM documents),
+        |sc AS (
+        | SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        | FROM w GROUP BY source, word),
+        |st AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS nt
+        | FROM w GROUP BY source),
+        |p AS (
+        | SELECT source, word, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS p
+        | FROM sc JOIN st USING (source)),
+        |sh AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  sum(a.p * ln(a.p * 2 / (a.p + b.p))
+        |    + b.p * ln(b.p * 2 / (a.p + b.p))) AS sh,
+        |  sum(a.p) AS spa, sum(b.p) AS spb
+        | FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        | round((sh + ln(2.0) * (2.0 - spa - spb)) * 0.5, 4) AS jsd
+        |FROM sh""".stripMargin,
+
+    // Continuation counts from the gram-type table; P's two-term float
+    // expression replayed in the engine's exact op order, ln in
+    // micro-nats (the q183/q192 device).
+    "q199_kneser_ney_ppl" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |bg AS (
+        | SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+        | FROM t, unnest(range(1, len(toks))) AS r(i)),
+        |c2 AS (
+        | SELECT gram, split_part(gram, ' ', 1) AS w1,
+        |  split_part(gram, ' ', 2) AS w2,
+        |  CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY gram),
+        |c1 AS (
+        | SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+        |  CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY w1),
+        |n1b AS (
+        | SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
+        |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
+        |lp AS (
+        | SELECT c2.gram, CAST(round(ln(
+        |   (CAST(c2.c2 AS DOUBLE) - 0.75) / c1.c1
+        |     + 0.75 * c1.n1f / c1.c1 * (CAST(n1b.n1b AS DOUBLE) / btot.b))
+        |   * 1000000) AS BIGINT) AS lp6
+        | FROM c2 JOIN c1 USING (w1) JOIN n1b USING (w2), btot),
+        |pd AS (
+        | SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(lp.lp6) AS BIGINT) AS s6
+        | FROM bg JOIN lp USING (gram) GROUP BY bg.doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        | coalesce(round(CAST(-s6 AS DOUBLE) / 1000000 / n_bigrams, 4), 0.0)
+        |   AS h_kn
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+
+    // q147's copurchase CTE, full wedge enumeration (apex cap is a no-op
+    // here and mirrored anyway), exact counts, one mirrored division.
+    "q200_link_prediction" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS n, v AS x FROM pr UNION ALL SELECT v, u FROM pr),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+        |adjk AS (
+        | SELECT adj.n, adj.x FROM adj JOIN deg USING (n) WHERE deg <= 1000),
+        |cp AS (
+        | SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS common
+        | FROM adjk a JOIN adjk b ON a.n = b.n AND a.x < b.x
+        | GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cp.u, cp.v, common,
+        | round(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 6)
+        |   AS jaccard
+        |FROM cp JOIN deg du ON du.n = cp.u JOIN deg dv ON dv.n = cp.v""".stripMargin
   )
 }

@@ -143,4 +143,48 @@ object Stats {
         (col("__adev") > lit(cutoff) * col("mad")).cast("long"))
       .drop("__adev")
   }
+
+  /** Mann-Whitney U rank-sum test (two-sided, normal approximation with
+    * tie correction, no continuity correction — documented choice so the
+    * oracle replays the identical formula) comparing `valueCol` between
+    * groups `a` and `b` of `groupCol`. The nonparametric companion to
+    * Welch's t (q145) and KS (q148): distribution-free shift detection.
+    *
+    * Scale shape: one hash agg collapses the corpus to DISTINCT VALUES of
+    * the metric (bounded cardinality — doc lengths, scores), the running
+    * rank is a window over that distinct-value table (the modePerGroup
+    * device: window input is |distinct values|, not |rows|), and the test
+    * statistic is one more scalar agg. Average ranks are kept as exact
+    * integers via the 2·avg_rank = 2·cum − t + 1 identity, so U, the tie
+    * term Σ(t³−t) and the z numerator are exact long arithmetic — z is
+    * the only float op, mirrored op-for-op in the oracle SQL. */
+  def mannWhitneyU(df: DataFrame, valueCol: String, groupCol: String,
+                   a: String, b: String): DataFrame = {
+    val sub = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+    val byV = sub.groupBy("__v").agg(
+      count(lit(1)).as("t"),
+      sum(when(col("__g") === a, 1L).otherwise(0L)).as("ta"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byV.withColumn("cum", sum(col("t")).over(w))
+    val agg = ranked.agg(
+      sum(col("ta") * (col("cum") * 2 - col("t") + 1)).as("r2a"),
+      sum(col("ta")).as("na"),
+      sum(col("t") - col("ta")).as("nb"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val z0 = agg.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      ((col("r2a") - col("na") * (col("na") + 1)).cast("double") / 2).as("u_a"),
+      (col("na").cast("double") * col("nb") -
+        (col("r2a") - col("na") * (col("na") + 1)).cast("double") / 2).as("u_b"),
+      round(
+        (col("r2a") - col("na") * (col("na") + 1) - col("na") * col("nb")).cast("double") /
+          (lit(2) * sqrt(col("na").cast("double") * col("nb") / lit(12.0) *
+            ((col("na") + col("nb") + 1).cast("double") -
+              col("ties").cast("double") /
+                ((col("na") + col("nb")).cast("double") * (col("na") + col("nb") - 1))))),
+        6).as("z"))
+    z0.withColumn("significant", abs(col("z")) > lit(1.959964))
+  }
 }

@@ -1,0 +1,221 @@
+package graft
+
+import graft.operators.Sharding
+import graft.stats.Stats
+import graft.text.BigramLm
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: Mann-Whitney U, bigram-LM cross-entropy, snake-packed
+  * balanced shards, per-source WIMBD top-k grams (q191-q194). */
+class CorpusShardStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------- Mann-Whitney U
+
+  test("mann-whitney: disjoint samples give U=0 and a significant z") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "v", "g", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Double]("u_a") == 0.0)
+    assert(r.getAs[Double]("u_b") == 9.0)
+    // z = (0 − 4.5) / sqrt(9·7/12) = −1.963961 → just past 1.959964
+    assert(math.abs(r.getAs[Double]("z") - (-1.963961)) < 1e-6)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("mann-whitney: ties use average ranks and the tie-corrected sigma") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L),
+      ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "v", "g", "a", "b").collect()(0)
+    // avg ranks: 1→1, 2→3, 3→5, 4→6; R_a = 1+3+3 = 7; U_a = 7−6 = 1
+    assert(r.getAs[Double]("u_a") == 1.0)
+    assert(r.getAs[Double]("u_b") == 8.0)
+    // sigma² = (9/12)·(7 − 24/30) = 4.65
+    assert(math.abs(r.getAs[Double]("z") - (-3.5 / math.sqrt(4.65))) < 1e-6)
+    assert(!r.getAs[Boolean]("significant"))
+  }
+
+  // ------------------------------------------------ bigram cross-entropy
+
+  test("bigram LM: add-1 smoothed per-doc H matches hand computation") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = BigramLm.perDocCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // c2: (a b)=3, (b a)=1, (b c)=1; c1: a=3, b=2; V=3
+    // lp6(a b)=round(ln(4/6)·1e6)=−405465; lp6(b a)=lp6(b c)=−916291
+    assert(r(0).getAs[Long]("n_bigrams") == 3L)
+    assert(r(0).getAs[Double]("h") == 0.5757) // 1727221/1e6/3
+    assert(r(1).getAs[Long]("n_bigrams") == 2L)
+    assert(r(1).getAs[Double]("h") == 0.6609) // 1321756/1e6/2
+  }
+
+  test("bigram LM: a sub-2-token doc yields (0, 0.0), not a dropped row") {
+    val docs = Seq((1L, "solo"), (2L, "x y z")).toDF("doc_id", "text")
+    val r = BigramLm.perDocCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(r.length == 2)
+    assert(r(0).getAs[Long]("n_bigrams") == 0L)
+    assert(r(0).getAs[Double]("h") == 0.0)
+  }
+
+  // ------------------------------------------------------- snake shards
+
+  test("snake shards: 16 rows over 4 shards balance exactly") {
+    val df = (1L to 16L).map(i => (i, 17L - i)).toDF("id", "w")
+    val r = Sharding.snakeShards(df, "id", col("w"), nShards = 4)
+    // heaviest row gets rank 1
+    assert(r.filter($"id" === 1L).select("rank").as[Long].head() == 1L)
+    val sums = r.groupBy("shard").agg(sum("weight").as("tw"))
+      .orderBy("shard").select("tw").as[Long].collect()
+    assert(sums.toSeq == Seq(34L, 34L, 34L, 34L))
+  }
+
+  test("snake shards: uneven count, few buckets — offsets still rank globally") {
+    val df = (1L to 10L).map(i => (i, 11L - i)).toDF("id", "w")
+    val r = Sharding.snakeShards(df, "id", col("w"), nShards = 4, nBuckets = 3)
+    val ranks = r.orderBy("id").select("rank").as[Long].collect()
+    assert(ranks.toSeq == (1L to 10L)) // weight desc == id asc here
+    val sums = r.groupBy("shard").agg(sum("weight").as("tw"))
+      .orderBy("shard").select("tw").as[Long].collect()
+    assert(sums.toSeq == Seq(15L, 14L, 13L, 13L))
+  }
+
+  test("snake shards: duplicate weights break ties by id, ranks stay dense") {
+    val df = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 1L)).toDF("id", "w")
+    val r = Sharding.snakeShards(df, "id", col("w"), nShards = 2, nBuckets = 2)
+    val byId = r.orderBy("id").select("rank").as[Long].collect()
+    assert(byId.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  // ------------------------------------------------------- WIMBD top-k
+
+  test("wimbd query: per-source trigram counts rank with lexicographic ties") {
+    val docs = Seq(
+      (1L, "x y z x y z x y", "s1"),   // 'x y z'×2, 'y z x'×2, 'z x y'×2
+      (2L, "a b c", "s2"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("__wimbd_docs")
+    val toks = docs.select(col("source"),
+      graft.text.Text.tokens(col("text")).as("__toks"))
+    val counts = toks.select(col("source"),
+      explode(graft.text.Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
+      .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
+    val top = graft.operators.Rankings.topKPerGroup(counts,
+      Seq(col("source")), Seq(col("cnt").desc, col("gram").asc), 2)
+      .orderBy("source", "gram").collect()
+    val s1 = top.filter(_.getString(0) == "s1").map(r => (r.getString(1), r.getLong(2)))
+    assert(s1.toSeq == Seq(("x y z", 2L), ("y z x", 2L))) // ties → lexicographic
+    val s2 = top.filter(_.getString(0) == "s2").map(_.getString(1))
+    assert(s2.toSeq == Seq("a b c"))
+  }
+
+  // -------------------------------------------------------------- HITS
+
+  test("hits: bipartite toy graph matches hand-run max-normalized iteration") {
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("src", "dst")
+    val r = graft.graph.Hits.iterate(edges, iters = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // a1: 10→1.0, 11→0.5; h1: 1→1.0, 2→0.66666667
+    // a2: 10→1.0, 11→0.6;  h2: 1→1.0, 2→0.625
+    assert(r(("hub", 1L)) == 1.0)
+    assert(r(("hub", 2L)) == 0.625)
+    assert(r(("auth", 10L)) == 1.0)
+    assert(r(("auth", 11L)) == 0.6)
+  }
+
+  // ------------------------------------------------------ char entropy
+
+  test("char entropy: skewed and uniform docs match hand computation") {
+    val docs = Seq((1L, "aab"), (2L, "abc")).toDF("doc_id", "text")
+    val q = Queries.queries("q195_char_entropy")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ce").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = q(spark, tmp).orderBy("doc_id").collect()
+    // doc1: n=3, s6 = round(2·ln2·1e6) = 1386294 → H = ln3 − 1.386294/3
+    assert(r(0).getAs[Long]("n_chars") == 3L)
+    assert(r(0).getAs[Double]("h") == 0.6365)
+    // doc2: all-distinct → H = ln 3
+    assert(r(1).getAs[Double]("h") == 1.0986)
+  }
+
+  // ------------------------------------------------- Simpson diversity
+
+  test("simpson diversity: exact integer ratio on a tiny corpus") {
+    val docs = Seq((1L, "a a b", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val wc = docs.select(col("source"),
+        explode(graft.text.Text.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val r = wc.groupBy("source").agg(
+        sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(col("c") * (col("c") - 1)).as("ss"))
+      .select(col("source"),
+        round(lit(1.0) - col("ss").cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)
+          .as("simpson"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("s1") == 0.666667) // 1 − 2/(3·2)
+    assert(r("s2") == 1.0)      // all-distinct
+  }
+
+  // --------------------------------------------------------- source JSD
+
+  test("source JSD: hand-computed pair; identical distributions give 0") {
+    val docs = Seq(
+      (1L, "a a b", "s1"), (2L, "a c c c", "s2"),
+      (3L, "x y", "s3"), (4L, "x y", "s4"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsd").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Queries.queries("q198_source_jsd")(spark, tmp)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    // s1 vs s2 share only 'a': sh = 2/3·ln(16/11) + 1/4·ln(6/11);
+    // exclusive mass (1/3 + 3/4)·ln2 → jsd ≈ 0.4246
+    assert(math.abs(r(("s1", "s2")) - 0.4246) < 2e-4)
+    assert(r(("s3", "s4")) == 0.0)
+    // bounded by ln 2
+    assert(r.values.forall(v => v >= 0.0 && v <= 0.6932))
+  }
+
+  // ---------------------------------------------------------- KN bigram
+
+  test("kneser-ney: hand-computed continuation smoothing on a toy corpus") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val r = graft.text.BigramLm.knPerDocCrossEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // P(a b) = (3−.75)/3 + .75·(1/3)·(1/3) = 0.8333333 → lp6 = −182322
+    // P(b a) = P(b c) = (1−.75)/2 + .75·(2/2)·(1/3) = 0.375 → −980829
+    assert(r(0).getAs[Long]("n_bigrams") == 3L)
+    assert(r(0).getAs[Double]("h_kn") == 0.4485) // 1345473/1e6/3
+    assert(r(1).getAs[Double]("h_kn") == 0.5816) // 1163151/1e6/2
+  }
+
+  // ----------------------------------------------------- link prediction
+
+  test("link prediction: jaccard over common neighbors, minCommon prunes") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = graft.graph.LinkPrediction.jaccardPairs(edges, minCommon = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r.size == 2)
+    assert(r((1L, 4L)) == (2L, 1.0)) // Γ(1)=Γ(4)={2,3}
+    assert(r((2L, 3L)) == (2L, 0.5)) // {1,4} / ({1,3,4}∪{1,2,4})
+  }
+
+  test("link prediction: the hub-degree apex cap drops capped wedges only") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = graft.graph.LinkPrediction
+      .jaccardPairs(edges, minCommon = 2, maxDegree = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    // only apexes 1 and 4 (deg 2) survive; both wedge to the pair (2,3);
+    // the denominator still uses FULL degrees
+    assert(r.keySet == Set((2L, 3L)))
+    assert(r((2L, 3L)) == (2L, 0.5))
+  }
+}
