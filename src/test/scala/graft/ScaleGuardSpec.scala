@@ -53,4 +53,25 @@ class ScaleGuardSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"),
       "broadcast side should be the aggregated stats, not the fact stream")
   }
+
+  test("q193_balanced_shards: global rank is bucketed, not a corpus-wide window") {
+    // the scale cliff being guarded: row_number() over (ORDER BY w) with no
+    // partition — every row through ONE partition. The two-phase form keeps
+    // a __bucket partition key on the corpus-side window; the only
+    // unpartitioned window runs over the O(buckets) offset table, whose
+    // broadcast back is the plan's BroadcastExchange.
+    val plan = executedPlan("q193_balanced_shards")
+    assert(plan.contains("__bucket"),
+      s"expected the value-range __bucket partition key in the rank window:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "expected the O(buckets) offset table broadcast back")
+  }
+
+  test("q200_link_prediction: hub-degree cap prunes apexes before the wedge self-join") {
+    // the Σ deg² wedge join must consume the semi-join-filtered adjacency;
+    // if the cap moves after the join it no longer bounds the blowup.
+    val plan = executedPlan("q200_link_prediction")
+    assert(plan.contains("LeftSemi"),
+      s"expected the deg<=cap apex semi-join feeding the wedge join:\n$plan")
+  }
 }
