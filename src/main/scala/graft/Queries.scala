@@ -2356,22 +2356,10 @@ object Queries {
         .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
         .filter(col("__sup") >= 2)
         .select("u", "v")
-      val edges = graft.io.Checkpoints.truncate(
+      val labels = graft.graph.LabelProp.run(
         p.select(col("u").as("src"), col("v").as("dst"))
           .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
-        eager = true)
-      val nodes = edges.select(col("src").as("node")).distinct()
-      var labels = nodes.select(col("node"), col("node").as("label"))
-      for (_ <- 1 to 2) {
-        val counts = edges
-          .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("label")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("src")
-          .orderBy(col("c").desc, col("label").asc)
-        labels = counts.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("src").as("node"), col("label"))
-      }
+        iters = 2)
       labels.select(col("node"), col("label"),
         count(lit(1)).over(Window.partitionBy(col("label")))
           .as("community_size"))
@@ -3195,7 +3183,90 @@ object Queries {
     "q200_link_prediction" -> ((s, d) =>
       graft.graph.LinkPrediction.jaccardPairs(
         copurchasePairs(s, d).select(col("u"), col("v")),
-        minCommon = 2, maxDegree = 1000))
+        minCommon = 2, maxDegree = 1000)),
+
+    // Deterministic random walks (DeepWalk/node2vec sampling, Perozzi
+    // 2014): one 3-step walk from every node of the co-purchase graph,
+    // next hop = neighbor ranked by the q103 md5-uniform of
+    // (walk_id, step, node) mod degree — pseudo-random yet exactly
+    // replayable in SQL, the property every "random" op in this engine
+    // holds. Per step: one join to the degree table (pure projection
+    // after it) + one equi-join on (node, rank) into the rank-indexed
+    // adjacency — no RNG state, no driver loop.
+    "q201_random_walks" -> ((s, d) => {
+      val p = copurchasePairs(s, d)
+      val adj = p.select(col("u").as("n"), col("v").as("x"))
+        .unionAll(p.select(col("v").as("n"), col("u").as("x")))
+      val adjC = graft.io.Checkpoints.truncate(adj, eager = true)
+      val adjR = adjC.withColumn("r",
+        row_number().over(Window.partitionBy("n").orderBy("x")))
+      val deg = adjC.groupBy("n").agg(count(lit(1)).as("deg"))
+      var walk = deg.select(col("n").as("walk_id"), col("n").as("cur"))
+      val steps = (1 to 3).map { i =>
+        val pick = walk
+          .join(deg.withColumnRenamed("n", "cur"), Seq("cur"))
+          .withColumn("pick",
+            conv(substring(md5(concat_ws("_",
+              col("walk_id"), lit(i), col("cur"))), 1, 8), 16, 10)
+              .cast("long") % col("deg") + 1)
+        walk = pick.join(
+            adjR.select(col("n").as("cur"), col("r").as("pick"), col("x")),
+            Seq("cur", "pick"))
+          .select(col("walk_id"), col("x").as("cur"))
+        walk.select(col("walk_id"), col("cur").as(s"s$i"))
+      }
+      steps.reduce((a, b) => a.join(b, Seq("walk_id")))
+    }),
+
+    // Adamic-Adar link prediction — q200's Jaccard weighted by apex
+    // informativeness: a shared neighbor of degree 1000 says ~nothing, a
+    // shared niche neighbor says a lot (weight 1/ln deg). Same capped
+    // wedge join; the AA sum is the one order-dependent float → round 4.
+    "q202_adamic_adar" -> ((s, d) =>
+      graft.graph.LinkPrediction.adamicAdar(
+        copurchasePairs(s, d).select(col("u"), col("v")),
+        minCommon = 2, maxDegree = 1000)),
+
+    // Newman modularity of the q159 label-prop communities — the quality
+    // score for ANY community assignment: Q_c = e_c/m − (d_c/2m)². All
+    // ingredients exact integers (intra-edge counts, degree sums, m);
+    // per-community terms are fixed-order float expressions, and the ALL
+    // row's sum rides integer nano-units so the global Q is
+    // order-independent.
+    "q203_modularity" -> ((s, d) => {
+      // the support-2 self-join feeds m, intra AND the label-prop edges —
+      // truncate once so it is computed once (the PageRank seam)
+      val p = graft.io.Checkpoints.truncate(copurchasePairs(s, d), eager = true)
+      val edges = p.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+      val lab = graft.graph.LabelProp.run(edges, iters = 2)
+      val m = p.agg(count(lit(1)).as("m"))
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val dc = lab.join(deg, Seq("node")).groupBy("label")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+      val intra = p
+        .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+        .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
+      val per = dc.join(intra, Seq("label"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"), col("m"))
+        .withColumn("__t",
+          col("e_c").cast("double") / col("m") -
+            (col("d_c").cast("double") / (col("m") * 2)) *
+              (col("d_c").cast("double") / (col("m") * 2)))
+        .withColumn("__t9", round(col("__t") * 1000000000L).cast("long"))
+      val perOut = per.select(col("label"), col("n_nodes"), col("e_c"),
+        col("d_c"), round(col("__t"), 6).as("q_term"))
+      val allOut = per.agg(
+          sum(col("n_nodes")).as("n_nodes"), sum(col("e_c")).as("e_c"),
+          sum(col("d_c")).as("d_c"), sum(col("__t9")).as("__s9"))
+        .select(lit(-1L).as("label"), col("n_nodes"), col("e_c"), col("d_c"),
+          round(col("__s9").cast("double") / 1000000000L, 6).as("q_term"))
+      perOut.unionByName(allOut)
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -6877,6 +6948,119 @@ object Queries {
         |SELECT cp.u, cp.v, common,
         | round(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 6)
         |   AS jaccard
-        |FROM cp JOIN deg du ON du.n = cp.u JOIN deg dv ON dv.n = cp.v""".stripMargin
+        |FROM cp JOIN deg du ON du.n = cp.u JOIN deg dv ON dv.n = cp.v""".stripMargin,
+
+    // Three unrolled steps of the md5-uniform next-hop pick over the
+    // rank-indexed adjacency — the q190/q160 hash device, so the walk is
+    // exactly replayable.
+    "q201_random_walks" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS n, v AS x FROM pr UNION ALL SELECT v, u FROM pr),
+        |adjr AS (
+        | SELECT n, x, row_number() OVER (PARTITION BY n ORDER BY x) AS r
+        | FROM adj),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+        |w0 AS (SELECT n AS walk_id, n AS cur FROM deg),
+        |p1 AS (
+        | SELECT walk_id, cur,
+        |  CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) || '_1_'
+        |    || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT) % deg + 1 AS pick
+        | FROM w0 JOIN deg ON deg.n = w0.cur),
+        |w1 AS (SELECT walk_id, x AS cur FROM p1
+        |       JOIN adjr ON adjr.n = p1.cur AND adjr.r = p1.pick),
+        |p2 AS (
+        | SELECT walk_id, cur,
+        |  CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) || '_2_'
+        |    || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT) % deg + 1 AS pick
+        | FROM w1 JOIN deg ON deg.n = w1.cur),
+        |w2 AS (SELECT walk_id, x AS cur FROM p2
+        |       JOIN adjr ON adjr.n = p2.cur AND adjr.r = p2.pick),
+        |p3 AS (
+        | SELECT walk_id, cur,
+        |  CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) || '_3_'
+        |    || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT) % deg + 1 AS pick
+        | FROM w2 JOIN deg ON deg.n = w2.cur),
+        |w3 AS (SELECT walk_id, x AS cur FROM p3
+        |       JOIN adjr ON adjr.n = p3.cur AND adjr.r = p3.pick)
+        |SELECT w1.walk_id, w1.cur AS s1, w2.cur AS s2, w3.cur AS s3
+        |FROM w1 JOIN w2 USING (walk_id) JOIN w3 USING (walk_id)""".stripMargin,
+
+    // Same capped wedge join as q200 with the apex 1/ln(deg) weight; the
+    // AA sum rides the round(4) seam.
+    "q202_adamic_adar" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS n, v AS x FROM pr UNION ALL SELECT v, u FROM pr),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
+        |adjk AS (
+        | SELECT adj.n, deg.deg, adj.x FROM adj JOIN deg USING (n)
+        | WHERE deg <= 1000)
+        |SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS common,
+        | round(sum(1.0 / ln(CAST(a.deg AS DOUBLE))), 4) AS aa
+        |FROM adjk a JOIN adjk b ON a.n = b.n AND a.x < b.x
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q159's unrolled label-prop replay + exact modularity ingredients;
+    // the ALL row's Q sums per-community nano-units (exact longs).
+    "q203_modularity" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS src, v AS dst FROM p
+        |      UNION ALL SELECT v AS src, u AS dst FROM p),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+        |r1 AS (
+        | SELECT e.src, l0.label, count(*) AS c
+        | FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2),
+        |l1 AS (
+        | SELECT src AS node, label FROM (
+        |  SELECT src, label, row_number() OVER (
+        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r1)
+        | WHERE rn = 1),
+        |r2 AS (
+        | SELECT e.src, l1.label, count(*) AS c
+        | FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2),
+        |l2 AS (
+        | SELECT src AS node, label FROM (
+        |  SELECT src, label, row_number() OVER (
+        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r2)
+        | WHERE rn = 1),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY src),
+        |dc AS (
+        | SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(deg) AS BIGINT) AS d_c
+        | FROM l2 JOIN deg USING (node) GROUP BY label),
+        |intra AS (
+        | SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
+        | FROM p JOIN l2 lu ON lu.node = p.u JOIN l2 lv ON lv.node = p.v
+        | WHERE lu.label = lv.label GROUP BY lu.label),
+        |per AS (
+        | SELECT dc.label, dc.n_nodes, coalesce(intra.e_c, 0) AS e_c,
+        |  dc.d_c, m.m,
+        |  CAST(coalesce(intra.e_c, 0) AS DOUBLE) / m.m
+        |    - (CAST(dc.d_c AS DOUBLE) / (m.m * 2))
+        |      * (CAST(dc.d_c AS DOUBLE) / (m.m * 2)) AS t
+        | FROM dc LEFT JOIN intra USING (label), m)
+        |SELECT label, n_nodes, e_c, d_c, round(t, 6) AS q_term FROM per
+        |UNION ALL
+        |SELECT -1 AS label, CAST(sum(n_nodes) AS BIGINT),
+        | CAST(sum(e_c) AS BIGINT), CAST(sum(d_c) AS BIGINT),
+        | round(CAST(sum(CAST(round(t * 1000000000) AS BIGINT)) AS DOUBLE)
+        |   / 1000000000, 6)
+        |FROM per""".stripMargin
   )
 }

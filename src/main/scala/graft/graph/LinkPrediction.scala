@@ -51,4 +51,27 @@ object LinkPrediction {
         round(col("common").cast("double") /
           (col("du") + col("dv") - col("common")), 6).as("jaccard"))
   }
+
+  /** Adamic-Adar score: Σ_{n ∈ Γ(u)∩Γ(v)} 1/ln(deg(n)) — common
+    * neighbors weighted by informativeness (a shared niche neighbor
+    * carries more signal than a shared hub). Same capped wedge join as
+    * [[jaccardPairs]]; every apex in a wedge has deg ≥ 2, so ln(deg) > 0
+    * always. The AA sum is the one order-dependent float aggregate —
+    * rounded 4 dp for cross-engine parity. */
+  def adamicAdar(edges: DataFrame, minCommon: Int = 2,
+                 maxDegree: Int = 1000): DataFrame = {
+    val e = graft.io.Checkpoints.truncate(
+      edges.select(col("u"), col("v")), eager = true)
+    val adj = e.select(col("u").as("n"), col("v").as("x"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("x")))
+    val deg = adj.groupBy("n").agg(F.count(lit(1)).as("deg"))
+    val adjK = adj.join(deg.filter(col("deg") <= maxDegree), Seq("n"))
+    val a = adjK.select(col("n"), col("deg"), col("x").as("u"))
+    val b = adjK.select(col("n"), col("x").as("v"))
+    a.join(b, Seq("n")).filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(
+        F.count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("deg").cast("double"))), 4).as("aa"))
+      .filter(col("common") >= minCommon)
+  }
 }

@@ -163,4 +163,62 @@ class GraphMetricsSpec extends AnyFunSuite {
     val d = q.getAs[Double]("d_stat")
     assert(d > 0.0 && d <= 1.0)
   }
+
+  /** Writes a minimal lineitem parquet whose support-2 co-purchase graph
+    * is exactly `orders` (each order = one basket, repeated twice so
+    * every in-basket pair clears the min-support filter). */
+  private def copurchaseFixture(orders: Seq[Seq[Long]]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    val rows = orders.zipWithIndex.flatMap { case (parts, i) =>
+      parts.flatMap(p => Seq((2L * i, p), (2L * i + 1, p)))
+    }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    tmp
+  }
+
+  test("random walks: every step follows an edge and the walk is deterministic") {
+    // path graph 1-2-3: deg(1)=deg(3)=1, deg(2)=2
+    val dir = copurchaseFixture(Seq(Seq(1L, 2L), Seq(2L, 3L)))
+    val q = Queries.queries("q201_random_walks")
+    val r1 = q(spark, dir).orderBy("walk_id").collect()
+    val r2 = q(spark, dir).orderBy("walk_id").collect()
+    assert(r1.toSeq == r2.toSeq, "walks must be replayable")
+    assert(r1.length == 3)
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L))
+    r1.foreach { row =>
+      val path = Seq(row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(adj(a).contains(b), s"non-edge hop $a->$b in $path")
+      }
+    }
+    // degree-1 endpoints have a forced first hop
+    val byId = r1.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 2L && byId(3L) == 2L)
+  }
+
+  test("adamic-adar: niche common neighbors outweigh the same count of hubs") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val r = graft.graph.LinkPrediction.adamicAdar(edges, minCommon = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r.size == 2)
+    // (1,4): common {2,3}, both deg 3 → 2/ln3; (2,3): common {1,4}, deg 2 → 2/ln2
+    assert(r((1L, 4L)) == (2L, 1.8205))
+    assert(r((2L, 3L)) == (2L, 2.8854))
+    // the deg-2 pair scores higher despite equal common counts
+    assert(r((2L, 3L))._2 > r((1L, 4L))._2)
+  }
+
+  test("modularity: two disjoint triangles give Q = 0.5") {
+    val dir = copurchaseFixture(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
+    val r = Queries.queries("q203_modularity")(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    // label prop converges each triangle to its min node id
+    assert(r(1L) == (3L, 3L, 6L, 0.25))
+    assert(r(4L) == (3L, 3L, 6L, 0.25))
+    assert(r(-1L) == (6L, 6L, 12L, 0.5)) // ALL row: Q = 0.25 + 0.25
+  }
 }
