@@ -3266,6 +3266,73 @@ object Queries {
         .select(lit(-1L).as("label"), col("n_nodes"), col("e_c"), col("d_c"),
           round(col("__s9").cast("double") / 1000000000L, 6).as("q_term"))
       perOut.unionByName(allOut)
+    }),
+
+    // q175's pairwise source overlap on the MERGEABLE-SKETCH path — the
+    // 100 TB architecture: per-source HLL sketches of the 3-gram sets
+    // (one partial-agg shuffle over the corpus), then every pairwise
+    // UNION size estimated by merging two |sketch|-byte sketches —
+    // |sources|² sketch ops instead of |sources|² corpus joins. The
+    // oracle-checked surface is exact counts + the union-estimate bound
+    // boolean (lgK=14 ⇒ ~0.8 % rse vs a 5 % gate — the q40/q187 device);
+    // the exact intersection here is the verification cost the sketch
+    // path exists to avoid.
+    "q204_sketch_overlap" -> ((s, d) => {
+      val gdist = doc(s, d)
+        .select(col("source"), Text.tokens(col("text")).as("__toks"))
+        .select(col("source"),
+          explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
+        .distinct()
+      val per = gdist.groupBy("source").agg(
+        hll_sketch_agg(col("gram"), lit(14)).as("__sk"),
+        count(lit(1)).as("sz"))
+      val inter = gdist.withColumnRenamed("source", "src_a")
+        .join(gdist.withColumnRenamed("source", "src_b"), Seq("gram"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+      val a = per.select(col("source").as("src_a"), col("__sk").as("__ska"),
+        col("sz").as("na"))
+      val b = per.select(col("source").as("src_b"), col("__sk").as("__skb"),
+        col("sz").as("nb"))
+      a.crossJoin(b).filter(col("src_a") < col("src_b"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"),
+          (abs(hll_sketch_estimate(hll_union(col("__ska"), col("__skb"))) -
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
+              .cast("double")) <=
+            (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
+              .cast("double") * 0.05).as("est_union_ok"))
+    }),
+
+    // The dedup-tuning eval harness: precision/recall/F1 of q32's
+    // MinHash-LSH candidate pairs against the exact 3-gram Jaccard ≥ 0.5
+    // ground truth (q70's recall-1.0 prefix-filter join). Both sides are
+    // the engine's own deterministic operators, so the whole confusion
+    // matrix is exact integers; the band-probability tradeoff (8 bands ×
+    // 2 rows ⇒ s-curve at s ≈ 0.35) becomes a measured number instead of
+    // a formula.
+    "q205_minhash_eval" -> ((s, d) => {
+      val pred = Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3,
+          bands = 8, rowsPerBand = 2, threshold = 0.5, family = "md5p61")
+        .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
+      val truth = Dedup.ngramJaccardSelfPairs(doc(s, d), "text", "doc_id",
+          k = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+      pred.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("prec"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("rec"),
+          round((col("tp") * 2).cast("double") /
+            (col("tp") * 2 + col("fp") + col("fn")), 6).as("f1"))
     })
   )
 
@@ -7061,6 +7128,85 @@ object Queries {
         | CAST(sum(e_c) AS BIGINT), CAST(sum(d_c) AS BIGINT),
         | round(CAST(sum(CAST(round(t * 1000000000) AS BIGINT)) AS DOUBLE)
         |   / 1000000000, 6)
-        |FROM per""".stripMargin
+        |FROM per""".stripMargin,
+
+    // q175's exact CTEs extended to ALL pairs (left join, zero-intersect
+    // kept); the sketch estimate is engine-internal, so the oracle pins
+    // the exact counts and expects the 5 % union bound to hold (the
+    // q40/q187 TRUE-literal device — ~6× margin over lgK=14's rse).
+    "q204_sketch_overlap" ->
+      """WITH t AS (
+        | SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        | SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3
+        |   THEN list_transform(range(1, len(toks) - 1),
+        |          i -> array_to_string(toks[i:i+2], ' '))
+        |   ELSE [] END) AS gram
+        | FROM t),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+        |iv AS (
+        | SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS inter
+        | FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS na, sb.n AS nb,
+        | coalesce(iv.inter, 0) AS inter,
+        | sa.n + sb.n - coalesce(iv.inter, 0) AS uni,
+        | TRUE AS est_union_ok
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN iv ON iv.src_a = sa.source AND iv.src_b = sb.source""".stripMargin,
+
+    // Prediction side = q32's full MinHash replay; truth side =
+    // brute-force exact 3-gram Jaccard (DuckDB-side only — the engine's
+    // truth is the prefix-filtered join, identical rows by recall 1.0);
+    // confusion counts and ratios are exact integers.
+    "q205_minhash_eval" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
+        | FROM toks),
+        |base AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
+        | FROM sh),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(16), j ->
+        |   list_min(list_transform(bs, x ->
+        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
+        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
+        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
+        | FROM base),
+        |banded AS (
+        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
+        | FROM sig, range(8) r(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_sum(list_transform(range(16), i ->
+        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
+        | FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pred AS (SELECT id_a, id_b FROM cand WHERE est >= 0.5),
+        |shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+        |truth AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |j AS (
+        | SELECT p.id_a IS NOT NULL AS isp, t.id_a IS NOT NULL AS ist
+        | FROM pred p FULL OUTER JOIN truth t
+        |   ON p.id_a = t.id_a AND p.id_b = t.id_b),
+        |ag AS (
+        | SELECT CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN isp AND NOT ist THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        | FROM j)
+        |SELECT tp, fp, fn,
+        | round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
+        | round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
+        | round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) AS f1
+        |FROM ag""".stripMargin
   )
 }

@@ -112,6 +112,36 @@ class CorpusShardStatsSpec extends AnyFunSuite {
     assert(s2.toSeq == Seq("a b c"))
   }
 
+  // ---------------------------------------------- sketch overlap / eval
+
+  test("sketch overlap: exact counts correct and the union bound holds") {
+    val docs = Seq(
+      (1L, "a b c d e f", "s1"),   // grams: abc bcd cde def
+      (2L, "c d e f g h", "s2"))   // grams: cde def efg fgh — shares 2
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sko").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = Queries.queries("q204_sketch_overlap")(spark, tmp).collect()(0)
+    assert(r.getAs[Long]("na") == 4L && r.getAs[Long]("nb") == 4L)
+    assert(r.getAs[Long]("inter") == 2L && r.getAs[Long]("uni") == 6L)
+    assert(r.getAs[Boolean]("est_union_ok")) // HLL exact at this cardinality
+  }
+
+  test("minhash eval: confusion matrix is consistent on the sf0.001 corpus") {
+    val r = Queries.queries("q205_minhash_eval")(spark, TestSpark.sf0001)
+      .collect()(0)
+    val (tp, fp, fn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+    assert(tp + fn > 0, "ground truth must be non-empty at sf0.001")
+    val prec = r.getAs[Double]("prec")
+    val rec = r.getAs[Double]("rec")
+    assert(prec >= 0.0 && prec <= 1.0 && rec >= 0.0 && rec <= 1.0)
+    // P/R must equal their integer definitions
+    assert(prec == BigDecimal(tp.toDouble / (tp + fp))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rec == BigDecimal(tp.toDouble / (tp + fn))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   // -------------------------------------------------------------- HITS
 
   test("hits: bipartite toy graph matches hand-run max-normalized iteration") {
