@@ -3333,7 +3333,51 @@ object Queries {
           round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("rec"),
           round((col("tp") * 2).cast("double") /
             (col("tp") * 2 + col("fp") + col("fn")), 6).as("f1"))
-    })
+    }),
+
+    // Personalized weighted PageRank (random walk with restart) from the
+    // graph's minimum node over support-WEIGHTED co-purchase edges — the
+    // recommendation primitive q133's global stationary mass cannot
+    // express. See graph/PageRank.personalizedWeighted.
+    "q206_personalized_pagerank" -> ((s, d) => {
+      val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pw = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val edges = pw.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(pw.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      graft.graph.PageRank.personalizedWeighted(edges, iters = 2)
+        .select(col("node"), round(col("pr"), 6).as("ppr"))
+    }),
+
+    // Laplace-mechanism noisy release of per-source doc counts (ε = 1,
+    // sensitivity 1) — the data-governance primitive for publishing
+    // corpus statistics. Noise via the inverse CDF over the q103
+    // md5-uniform, shifted (x + 0.5)/2³² so u ∈ (0,1) strictly (ln never
+    // sees 0) — deterministic, hence exactly oracle-replayable; a
+    // deployment would swap the seeded uniform for a secret one, the
+    // plumbing is identical. True counts emitted alongside: this query
+    // verifies the MECHANISM, it is not a privacy boundary.
+    "q207_dp_counts" -> ((s, d) => {
+      val u = (conv(substring(md5(concat(lit("dp_"), col("source"))), 1, 8),
+        16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
+      val noise = when(u < 0.5, log(u * 2))
+        .otherwise(-log((lit(1.0) - u) * 2))
+      doc(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .select(col("source"), col("n_docs"),
+          round(col("n_docs") + noise, 4).as("noisy_docs"))
+    }),
+
+    // Streaming approx-distinct users per hourly window: HLL sketch state
+    // (mergeable, O(2^lgK) bytes per key) where COUNT(DISTINCT) is
+    // structurally unsupported; oracle pins batch-exact counts + the 5 %
+    // estimate bound (q187's device, streamed). See
+    // streaming/EventsStream.windowedApproxDistinct.
+    "q208_stream_approx_distinct" -> ((s, d) =>
+      EventsStream.windowedApproxDistinct(s, d))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -6781,8 +6825,8 @@ object Queries {
         |  CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ta
         | FROM sub GROUP BY v),
         |rk AS (
-        | SELECT t, ta, sum(t) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | SELECT t, ta, CAST(sum(t) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         | FROM byv),
         |ag AS (
         | SELECT CAST(sum(ta * (cum * 2 - t + 1)) AS BIGINT) AS r2a,
@@ -7207,6 +7251,74 @@ object Queries {
         | round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
         | round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
         | round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) AS f1
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+
+    // Two unrolled restart iterations; (1.0 - 0.85::DOUBLE) replays
+    // Scala's 1.0 - damping (the q133 literal rule), per-iteration
+    // round(8), weighted transition p.pr * w / wout in the engine's op
+    // order.
+    "q206_personalized_pagerank" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |pw AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |  CAST(count(*) AS BIGINT) AS w
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e0 AS (SELECT u AS src, v AS dst, w FROM pw
+        |       UNION ALL SELECT v, u, w FROM pw),
+        |e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
+        |      FROM e0 GROUP BY 1, 2),
+        |ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wout
+        |       FROM e GROUP BY 1),
+        |sd AS (SELECT min(node) AS seed FROM ow),
+        |p0 AS (
+        | SELECT node, CASE WHEN node = seed THEN 1.0::DOUBLE
+        |   ELSE 0.0::DOUBLE END AS pr FROM ow, sd),
+        |c1 AS (
+        | SELECT e.dst AS node, sum(p.pr * e.w / w2.wout) AS s
+        | FROM e JOIN p0 p ON p.node = e.src JOIN ow w2 ON w2.node = e.src
+        | GROUP BY e.dst),
+        |p1 AS (
+        | SELECT ow.node,
+        |  round(CASE WHEN ow.node = seed THEN (1.0 - 0.85::DOUBLE)
+        |    ELSE 0.0::DOUBLE END + 0.85::DOUBLE * coalesce(c1.s, 0.0), 8) AS pr
+        | FROM ow LEFT JOIN c1 ON c1.node = ow.node, sd),
+        |c2 AS (
+        | SELECT e.dst AS node, sum(p.pr * e.w / w2.wout) AS s
+        | FROM e JOIN p1 p ON p.node = e.src JOIN ow w2 ON w2.node = e.src
+        | GROUP BY e.dst),
+        |p2 AS (
+        | SELECT ow.node,
+        |  round(CASE WHEN ow.node = seed THEN (1.0 - 0.85::DOUBLE)
+        |    ELSE 0.0::DOUBLE END + 0.85::DOUBLE * coalesce(c2.s, 0.0), 8) AS pr
+        | FROM ow LEFT JOIN c2 ON c2.node = ow.node, sd)
+        |SELECT node, round(pr, 6) AS ppr FROM p2""".stripMargin,
+
+    // Same shifted md5-uniform through the same casewise Laplace inverse
+    // CDF — deterministic noise, replayed op-for-op.
+    "q207_dp_counts" ->
+      """WITH c AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        | FROM documents GROUP BY source),
+        |u AS (
+        | SELECT source, n_docs,
+        |  (CAST(concat('0x', substr(md5('dp_' || source), 1, 8)) AS BIGINT)
+        |    + 0.5) / 4294967296.0 AS u
+        | FROM c)
+        |SELECT source, n_docs,
+        | round(n_docs + CASE WHEN u < 0.5 THEN ln(u * 2)
+        |   ELSE -ln((1.0 - u) * 2) END, 4) AS noisy_docs
+        |FROM u""".stripMargin,
+
+    // Batch-exact distincts per hourly window (the q29 epoch convention);
+    // the streaming sketch estimate is engine-internal → TRUE bound
+    // booleans (the q187 device).
+    "q208_stream_approx_distinct" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |   AS win_start,
+        | event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS est_ok
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

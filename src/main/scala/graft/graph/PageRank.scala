@@ -57,4 +57,41 @@ object PageRank {
     }
     pr
   }
+
+  /** Personalized weighted PageRank — random walk with restart: teleport
+    * mass goes ONLY to the seed (the graph's ≺-minimum node, resolved from
+    * the data so no literal id leaks into the operator), and transition
+    * probability follows EDGE WEIGHTS (pr·w/Σ_out w) instead of uniform
+    * out-degree. The recommendation primitive ("what is close to THIS
+    * node?") that global PageRank's stationary mass cannot express.
+    *
+    * Same per-iteration shuffle shape as [[iterate]] plus one broadcast of
+    * the 1-row seed; nodes with no incoming mass this round are restored
+    * by a right join against the node set, so the seed's restart mass
+    * never silently vanishes. Same round-per-iteration parity rule. */
+  def personalizedWeighted(edges: DataFrame, iters: Int = 2,
+                           damping: Double = 0.85, roundDp: Int = 8): DataFrame = {
+    val e = graft.io.Checkpoints.truncate(
+      edges.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")),
+      eager = true)
+    val outw = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout"))
+    val seed = outw.agg(min(col("node")).as("__seed"))
+    var pr = outw.crossJoin(broadcast(seed))
+      .select(col("node"), col("__seed"),
+        when(col("node") === col("__seed"), lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .join(outw.select(col("node").as("src"), col("wout")), Seq("src"))
+        .select(col("dst").as("node"), (col("pr") * col("w") / col("wout")).as("c"))
+      pr = contrib.groupBy("node").agg(sum(col("c")).as("__in"))
+        .join(outw.select("node"), Seq("node"), "right")
+        .crossJoin(broadcast(seed))
+        .select(col("node"), col("__seed"),
+          round(when(col("node") === col("__seed"), lit(1.0 - damping))
+            .otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("__in"), lit(0.0)), roundDp).as("pr"))
+    }
+    pr.select(col("node"), col("pr"))
+  }
 }

@@ -110,6 +110,55 @@ object EventsStream {
     }
   }
 
+  /** Streaming approximate distinct users per (1-hour window, event_type)
+    * via an HLL sketch aggregate — COUNT(DISTINCT) is unsupported in
+    * streaming aggregations for a reason (its state is the value set,
+    * unbounded per key); the sketch is the production answer: O(2^lgK)
+    * bytes of MERGEABLE state per key regardless of cardinality, the same
+    * across-micro-batch merge the q187 rollup does across sources.
+    *
+    * Oracle surface (the q40/q187 device): the estimate is engine-internal,
+    * so the emitted row is the BATCH-exact distinct count per window plus
+    * the boolean that the streaming sketch's estimate lands within 5 %
+    * (lgK=12 ⇒ ~1.6 % rse, 3× margin). The exact side is computed in batch
+    * — it is the verification cost, not the operator cost. */
+  def windowedApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"))
+      val qname = "graft_windowed_approx_distinct"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val est = s.table(qname)
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"),
+          hll_sketch_estimate(col("__sk")).as("__est"))
+      val exact = graft.Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("exact_users"))
+      exact.join(est, Seq("win_start", "event_type"))
+        .select(col("win_start"), col("event_type"), col("exact_users"),
+          (abs(col("__est") - col("exact_users").cast("double")) <=
+            col("exact_users").cast("double") * 0.05).as("est_ok"))
+    }
+  }
+
   /** Exactly-once file sink via `foreachBatch` + idempotent per-batch
     * overwrite — the production answer to "a micro-batch can be retried":
     * each batch writes to a DETERMINISTIC path keyed by its batch id with

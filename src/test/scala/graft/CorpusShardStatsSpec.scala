@@ -142,6 +142,21 @@ class CorpusShardStatsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ----------------------------------------------------------- DP noise
+
+  test("dp counts: Laplace noise is deterministic, nonzero, and bounded") {
+    val q = Queries.queries("q207_dp_counts")
+    val r1 = q(spark, TestSpark.sf0001).orderBy("source").collect()
+    val r2 = q(spark, TestSpark.sf0001).orderBy("source").collect()
+    assert(r1.toSeq == r2.toSeq, "noise must be seed-deterministic")
+    r1.foreach { row =>
+      val noise = row.getAs[Double]("noisy_docs") - row.getAs[Long]("n_docs")
+      assert(noise != 0.0, s"${row.getString(0)}: zero noise is astronomically unlikely")
+      assert(math.abs(noise) < 25.0, // P(|Laplace(1)| > 25) = e^-25
+        s"${row.getString(0)}: |noise| = ${math.abs(noise)}")
+    }
+  }
+
   // -------------------------------------------------------------- HITS
 
   test("hits: bipartite toy graph matches hand-run max-normalized iteration") {

@@ -211,6 +211,20 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(r((2L, 3L))._2 > r((1L, 4L))._2)
   }
 
+  test("personalized pagerank: restart mass follows edge weights") {
+    // path 1-2-3, weight(1-2)=1, weight(2-3)=3, seed = min node = 1
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 3L), (3L, 2L, 3L))
+      .toDF("src", "dst", "w")
+    val r = PageRank.personalizedWeighted(edges, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    // hand-rolled: p1 = (0.15, 0.85, 0); p2 = (0.15+0.85·0.2125,
+    // 0.85·0.15, 0.85·0.6375)
+    assert(r(1L) == 0.330625)
+    assert(r(2L) == 0.1275)
+    assert(r(3L) == 0.541875)
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, "restart mass conserved")
+  }
+
   test("modularity: two disjoint triangles give Q = 0.5") {
     val dir = copurchaseFixture(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
     val r = Queries.queries("q203_modularity")(spark, dir)

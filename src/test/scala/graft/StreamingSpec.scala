@@ -354,4 +354,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(9L).zscore.contains(want), s"got ${got(9L).zscore}, want $want")
     } finally q.stop()
   }
+
+  test("streaming HLL distinct: every window's estimate is inside the 5% bound " +
+      "and exact counts equal the batch distinct (q208 shape)") {
+    val r = graft.streaming.EventsStream
+      .windowedApproxDistinct(spark, TestSpark.sf0001).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Boolean]("est_ok")),
+      "HLL lgK=12 must land within 5% on sf0.001 cardinalities")
+    val batch = graft.Tables.events(spark, TestSpark.sf0001)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("x"))
+      .select(unix_timestamp(col("window.start")).as("w"), col("event_type"), col("x"))
+      .collect().map(x => (x.getLong(0), x.getString(1)) -> x.getLong(2)).toMap
+    r.foreach { row =>
+      assert(row.getAs[Long]("exact_users") ==
+        batch((row.getLong(0), row.getString(1))))
+    }
+  }
 }
