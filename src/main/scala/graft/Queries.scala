@@ -3377,7 +3377,105 @@ object Queries {
     // estimate bound (q187's device, streamed). See
     // streaming/EventsStream.windowedApproxDistinct.
     "q208_stream_approx_distinct" -> ((s, d) =>
-      EventsStream.windowedApproxDistinct(s, d))
+      EventsStream.windowedApproxDistinct(s, d)),
+
+    // Distributed PCA top component by power iteration: the 64×64
+    // covariance is ONE distributed pass (per-dim means rounded 6, the
+    // q181 rule, then a vec_id self-join bounded at n·dims² rows —
+    // LINEAR in corpus size since dims is model-fixed); the power
+    // iterates run on the 4096-row cov TABLE, max-abs-normalized (the
+    // q196 order-independent rule), round(8) per step. No driver-side
+    // matrix, no collect.
+    //
+    // v0 = 1.0 exactly, NOT a fraction like 1/8: an 8-dp cov entry times
+    // 0.125 is an exact multiple of 0.125e-8, so the Σ over 64 such
+    // products lands EXACTLY ON the round-8 decimal midpoint — and then
+    // the ±1e-15 float-order noise decides the rounding side per engine
+    // (measured: 21/64 loadings flipped). With v0 = 1 the first sums sit
+    // on the 1e-8 grid, 0.5e-8 away from any midpoint, and later
+    // iterates are generic 16-decimal products — midpoint hits become
+    // ~1e-7 probability instead of ~25 %.
+    "q209_pca_power" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val e = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").cast("long").as("i"),
+          col("col").cast("double").as("x"))
+      val mu = e.groupBy("i").agg(round(avg(col("x")), 6).as("m"))
+      val c = e.join(broadcast(mu), Seq("i"))
+        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"))
+      val n = emb.agg(count(lit(1)).as("n"))
+      val cov = c
+        .join(c.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
+          Seq("vec_id"))
+        .groupBy("i", "j").agg(sum(col("xc") * col("yc")).as("s"))
+        .crossJoin(broadcast(n))
+        .select(col("i"), col("j"), round(col("s") / (col("n") - 1), 8).as("a"))
+      var v = mu.select(col("i"), lit(1.0).as("v"))
+      for (_ <- 1 to 3) {
+        val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+          .groupBy("i").agg(round(sum(col("a") * col("v")), 8).as("w"))
+        val m = w.agg(max(abs(col("w"))).as("m"))
+        v = w.crossJoin(broadcast(m))
+          .select(col("i"), round(col("w") / col("m"), 8).as("v"))
+      }
+      v.select(col("i").as("dim"), round(col("v"), 6).as("loading"))
+    }),
+
+    // 5-fold cross-validated simple regression (price ~ quantity): folds
+    // by the q103 md5-uniform of the row key; per-fold training sums are
+    // EXACT LONGS in cent-scaled space, so complement (train) sums are
+    // exact subtraction — no float re-aggregation; slope/intercept are
+    // mirrored double expressions over exact ingredients, residuals
+    // integer-ized to dollars (exact square sums), RMSE one mirrored
+    // sqrt. The model-selection harness companion to q205's dedup eval.
+    "q210_cross_validation" -> ((s, d) => {
+      val rows = li(s, d).select(
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y100"),
+        (conv(substring(md5(concat_ws("_", col("l_orderkey"),
+          col("l_linenumber"))), 1, 8), 16, 10).cast("long") % 5).as("fold"))
+      val fs = rows.groupBy("fold").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y100")).as("sy"), sum(col("x") * col("y100")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val tot = fs.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+        sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
+        sum(col("sxx")).as("tsxx"))
+      val coef = fs.crossJoin(broadcast(tot))
+        .select(col("fold"), (col("tn") - col("n")).as("ntr"),
+          (col("tsx") - col("sx")).as("tx"), (col("tsy") - col("sy")).as("ty"),
+          (col("tsxy") - col("sxy")).as("txy"),
+          (col("tsxx") - col("sxx")).as("txx"))
+        .withColumn("slope_c", round(
+          (col("ntr").cast("double") * col("txy") -
+            col("tx").cast("double") * col("ty")) /
+            (col("ntr").cast("double") * col("txx") -
+              col("tx").cast("double") * col("tx")), 8))
+        .withColumn("icept_c", round(
+          (col("ty").cast("double") - col("slope_c") * col("tx")) /
+            col("ntr"), 8))
+      rows.join(broadcast(coef), Seq("fold"))
+        .select(col("fold"), col("ntr"), col("slope_c"), col("icept_c"),
+          round((col("y100") - (col("icept_c") + col("slope_c") * col("x")))
+            / 100).cast("long").as("rd"))
+        .groupBy("fold", "ntr", "slope_c", "icept_c").agg(
+          count(lit(1)).as("n_test"), sum(col("rd") * col("rd")).as("sr2"))
+        .select(col("fold"), col("ntr").as("n_train"), col("n_test"),
+          round(col("slope_c") / 100, 6).as("slope"),
+          round(col("icept_c") / 100, 4).as("intercept"),
+          round(sqrt(col("sr2").cast("double") / col("n_test")), 6).as("rmse"))
+    }),
+
+    // The hashing-trick vectorizer (Weinberger et al. 2009): tokens →
+    // 256 buckets by md5, per-doc sparse count vectors — the fixed-width
+    // featurization that needs NO vocabulary pass (unlike q116), which
+    // is the point at 100 TB: one map-side projection + one hash agg.
+    "q211_feature_hashing" -> ((s, d) =>
+      doc(s, d).select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
+            .as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt")))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -7319,6 +7417,94 @@ object Queries {
         |   AS win_start,
         | event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
         | TRUE AS est_ok
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Per-dim means rounded 6, cov entries rounded 8 after the one float
+    // sum, then three unrolled max-abs-normalized power steps — every
+    // stage re-enters on identical bits (the q133/q196 iteration rule).
+    "q209_pca_power" ->
+      """WITH e AS (
+        | SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+        |  CAST(embedding[i] AS DOUBLE) AS x
+        | FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
+        |mu AS (SELECT i, round(avg(x), 6) AS m FROM e GROUP BY i),
+        |c AS (SELECT e.vec_id, e.i, e.x - mu.m AS xc FROM e JOIN mu USING (i)),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+        |cov AS (
+        | SELECT a.i, b.i AS j, round(sum(a.xc * b.xc) / (n.n - 1), 8) AS av
+        | FROM c a JOIN c b ON a.vec_id = b.vec_id, n
+        | GROUP BY a.i, b.i, n.n),
+        |v0 AS (SELECT i, 1.0::DOUBLE AS v FROM mu),
+        |w1 AS (SELECT cov.i, round(sum(cov.av * v0.v), 8) AS w
+        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY cov.i),
+        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
+        |v1 AS (SELECT i, round(w / m, 8) AS v FROM w1, m1),
+        |w2 AS (SELECT cov.i, round(sum(cov.av * v1.v), 8) AS w
+        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i),
+        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
+        |v2 AS (SELECT i, round(w / m, 8) AS v FROM w2, m2),
+        |w3 AS (SELECT cov.i, round(sum(cov.av * v2.v), 8) AS w
+        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i),
+        |m3 AS (SELECT max(abs(w)) AS m FROM w3),
+        |v3 AS (SELECT i, round(w / m, 8) AS v FROM w3, m3)
+        |SELECT i AS dim, round(v, 6) AS loading FROM v3""".stripMargin,
+
+    // Exact cent-scaled long sums per fold, exact complement subtraction,
+    // mirrored double slope/intercept, integer-dollar residuals → exact
+    // square sums, one mirrored sqrt.
+    "q210_cross_validation" ->
+      """WITH rows0 AS (
+        | SELECT CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y100,
+        |  CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+        |    CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+        | FROM lineitem),
+        |fs AS (
+        | SELECT fold, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y100) AS BIGINT) AS sy,
+        |  CAST(sum(x * y100) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM rows0 GROUP BY fold),
+        |tot AS (
+        | SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+        |  CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxy) AS BIGINT) AS tsxy,
+        |  CAST(sum(sxx) AS BIGINT) AS tsxx FROM fs),
+        |co AS (
+        | SELECT fold, tn - n AS ntr, tsx - sx AS tx, tsy - sy AS ty,
+        |  tsxy - sxy AS txy, tsxx - sxx AS txx FROM fs, tot),
+        |co2 AS (
+        | SELECT fold, ntr, tx, ty,
+        |  round((CAST(ntr AS DOUBLE) * txy - CAST(tx AS DOUBLE) * ty)
+        |    / (CAST(ntr AS DOUBLE) * txx - CAST(tx AS DOUBLE) * tx), 8)
+        |    AS slope_c
+        | FROM co),
+        |co3 AS (
+        | SELECT fold, ntr, slope_c,
+        |  round((CAST(ty AS DOUBLE) - slope_c * tx) / ntr, 8) AS icept_c
+        | FROM co2),
+        |r AS (
+        | SELECT r0.fold, c.ntr, c.slope_c, c.icept_c,
+        |  CAST(round((y100 - (c.icept_c + c.slope_c * x)) / 100) AS BIGINT)
+        |    AS rd
+        | FROM rows0 r0 JOIN co3 c USING (fold)),
+        |ag AS (
+        | SELECT fold, ntr, slope_c, icept_c,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(rd * rd) AS BIGINT) AS sr2
+        | FROM r GROUP BY 1, 2, 3, 4)
+        |SELECT fold, ntr AS n_train, n_test,
+        | round(slope_c / 100, 6) AS slope,
+        | round(icept_c / 100, 4) AS intercept,
+        | round(sqrt(CAST(sr2 AS DOUBLE) / n_test), 6) AS rmse
+        |FROM ag""".stripMargin,
+
+    // Same md5 bucket hash; exact counts.
+    "q211_feature_hashing" ->
+      """WITH w AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT doc_id,
+        | CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM w GROUP BY 1, 2""".stripMargin
   )
 }

@@ -142,6 +142,52 @@ class CorpusShardStatsSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  // ---------------------------------------------------- PCA / CV / hashing
+
+  test("pca power iteration: recovers the dominant direction of collinear data") {
+    // points on the line x = 4y → rank-1 covariance, eigenvector ∝ (4, 1)
+    val emb = Seq(
+      (1L, Seq(4f, 1f)), (2L, Seq(-4f, -1f)),
+      (3L, Seq(2f, 0.5f)), (4L, Seq(-2f, -0.5f)))
+      .toDF("vec_id", "embedding")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    emb.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = Queries.queries("q209_pca_power")(spark, tmp)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) == 1.0)  // max-abs normalized dominant component
+    assert(r(1L) == 0.25) // exactly 1/4 of it
+  }
+
+  test("cross validation: five folds partition the data; fits are sane") {
+    val r = Queries.queries("q210_cross_validation")(spark, TestSpark.sf0001)
+      .collect()
+    assert(r.length == 5)
+    val total = r.map(_.getAs[Long]("n_test")).sum
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_train") + row.getAs[Long]("n_test") == total)
+      assert(row.getAs[Double]("rmse") > 0.0)
+    }
+    // the synthetic lineitem has ~zero quantity→price correlation (global
+    // slope ≈ −20 $/unit, corr ≈ −0.01) — so the CV check is fold
+    // STABILITY: five models fit on 80% overlaps must agree closely
+    val slopes = r.map(_.getAs[Double]("slope"))
+    assert(slopes.max - slopes.min < 500.0,
+      s"fold slopes unstable: ${slopes.toSeq}")
+  }
+
+  test("feature hashing: counts are preserved and bucketing is deterministic") {
+    val docs = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val q = Queries.queries("q211_feature_hashing")
+    val r1 = q(spark, tmp).orderBy("bucket").collect()
+    val r2 = q(spark, tmp).orderBy("bucket").collect()
+    assert(r1.toSeq == r2.toSeq)
+    assert(r1.map(_.getAs[Long]("cnt")).sum == 3L)
+    assert(r1.forall(x => x.getAs[Long]("bucket") >= 0 && x.getAs[Long]("bucket") < 256))
+    assert(r1.length == 2, "a and b land in distinct buckets")
+  }
+
   // ----------------------------------------------------------- DP noise
 
   test("dp counts: Laplace noise is deterministic, nonzero, and bounded") {
