@@ -3475,7 +3475,98 @@ object Queries {
         .select(col("doc_id"),
           (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
             .as("bucket"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt")))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))),
+
+    // Rocchio/nearest-centroid text classifier over the q211 hashed
+    // features — train AND score in one declarative plan, no ML library:
+    // per-source centroids (6-dp means), per-(doc, source) dot products
+    // as a postings join on bucket, argmax by (score desc, source asc).
+    // Self-classification confusion matrix — how separable the sources'
+    // vocabularies actually are.
+    "q212_hash_centroid_classifier" -> ((s, d) => {
+      val feat = doc(s, d)
+        .select(col("doc_id"), col("source"), explode(Text.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
+            .as("bucket"))
+        .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+      val nsrc = doc(s, d).groupBy("source").agg(count(lit(1)).as("nd"))
+      val cent = feat.groupBy(col("source").as("csrc"), col("bucket"))
+        .agg(sum(col("cnt")).as("sc"))
+        .join(broadcast(nsrc.select(col("source").as("csrc"), col("nd"))), Seq("csrc"))
+        .select(col("csrc"), col("bucket"),
+          round(col("sc").cast("double") / col("nd"), 6).as("cv"))
+      val cnorm = cent.groupBy("csrc")
+        .agg(round(sqrt(sum(col("cv") * col("cv"))), 6).as("cn"))
+      val dots = feat.join(cent, Seq("bucket"))
+        .groupBy("doc_id", "source", "csrc")
+        .agg(round(sum(col("cnt") * col("cv")), 6).as("dot"))
+      val scored = dots.join(broadcast(cnorm), Seq("csrc"))
+        .select(col("doc_id"), col("source"), col("csrc"),
+          round(col("dot") / col("cn"), 6).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("csrc").asc)
+      val pred = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+      val cm = pred.groupBy("source", "csrc").agg(count(lit(1)).as("cnt"))
+      val tot = cm.groupBy("source").agg(sum(col("cnt")).as("n"))
+      cm.join(broadcast(tot), Seq("source"))
+        .select(col("source"), col("csrc").as("pred_source"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 6).as("frac"))
+    }),
+
+    // Evaluation of the q26 n-gram language identifier against the TRUE
+    // lang labels: full confusion matrix + per-language recall fractions
+    // — the third eval harness beside q205 (dedup) and q210 (model CV).
+    // Exact integers throughout but the one recall division.
+    "q213_lang_id_eval" -> ((s, d) => {
+      val p = doc(s, d).select(col("lang"), Text.langId(col("text")).as("lang_pred"))
+      val cm = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
+      val tot = cm.groupBy("lang").agg(sum(col("cnt")).as("n"))
+      cm.join(broadcast(tot), Seq("lang"))
+        .select(col("lang"), col("lang_pred"), col("cnt"),
+          round(col("cnt").cast("double") / col("n"), 6).as("frac"))
+    }),
+
+    // File-statistics skipping simulator — the min/max-zonemap layer
+    // every lake format (parquet row groups, Iceberg/Delta manifests)
+    // adds under partition pruning (q80's directory layer). TWO layouts
+    // of the same rows into ~15 "files", same mid-range 20 % shipdate
+    // predicate: 'natural' (orderkey ranges — shipdate uncorrelated, so
+    // every file straddles the window and zonemaps prune NOTHING) vs
+    // 'clustered' (shipdate value-range files — the sort-by-filter-key
+    // layout, zonemaps skip ~4/5 of files). The measured case FOR
+    // clustering/z-ordering written as one query; all exact integer
+    // micros.
+    "q214_file_skipping" -> ((s, d) => {
+      val base = li(s, d).select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
+      val ext = base.agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
+      val li0 = base.crossJoin(broadcast(ext)).select(col("sd"),
+        expr("l_orderkey DIV 1000").as("fid_nat"),
+        expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)").as("fid_clu"),
+        expr("mn + (mx - mn) * 2 DIV 5").as("lo"),
+        expr("mn + (mx - mn) * 3 DIV 5").as("hi"))
+      val matched = li0.filter(col("sd") >= col("lo") && col("sd") <= col("hi"))
+        .agg(count(lit(1)).as("rows_matched"))
+      def layout(fid: String, name: String) = li0
+        .groupBy(col(fid).as("file_id"))
+        .agg(min(col("sd")).as("fmin"), max(col("sd")).as("fmax"),
+          count(lit(1)).as("nrows"), min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+        .withColumn("__scan", col("fmax") >= col("lo") && col("fmin") <= col("hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("__scan"), 1L).otherwise(0L)).as("files_scanned"),
+          sum(col("nrows")).as("rows_total"),
+          sum(when(col("__scan"), col("nrows")).otherwise(0L)).as("rows_scanned"))
+        .crossJoin(broadcast(matched))
+        .select(lit(name).as("layout"), col("n_files"), col("files_scanned"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          round(lit(1.0) - col("files_scanned").cast("double") / col("n_files"), 6)
+            .as("prune_frac"),
+          round(col("rows_matched").cast("double") / col("rows_scanned"), 6)
+            .as("scan_efficiency"))
+      layout("fid_nat", "natural").unionByName(layout("fid_clu", "clustered"))
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -7505,6 +7596,132 @@ object Queries {
         |SELECT doc_id,
         | CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
         | CAST(count(*) AS BIGINT) AS cnt
-        |FROM w GROUP BY 1, 2""".stripMargin
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // Same bucketed features, 6-dp centroids/norms/dots, argmax replayed
+    // as row_number over (score desc, source asc).
+    "q212_hash_centroid_classifier" ->
+      """WITH tok AS (
+        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        | FROM documents),
+        |feat AS (
+        | SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM tok GROUP BY 1, 2, 3),
+        |nsrc AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS nd
+        | FROM documents GROUP BY source),
+        |cent AS (
+        | SELECT f.source AS csrc, f.bucket,
+        |  round(CAST(sum(f.cnt) AS DOUBLE) / any_value(n.nd), 6) AS cv
+        | FROM feat f JOIN nsrc n USING (source) GROUP BY 1, 2),
+        |cnorm AS (
+        | SELECT csrc, round(sqrt(sum(cv * cv)), 6) AS cn
+        | FROM cent GROUP BY csrc),
+        |dots AS (
+        | SELECT f.doc_id, f.source, c.csrc,
+        |  round(sum(f.cnt * c.cv), 6) AS dot
+        | FROM feat f JOIN cent c USING (bucket) GROUP BY 1, 2, 3),
+        |scored AS (
+        | SELECT d.doc_id, d.source, d.csrc, round(d.dot / n.cn, 6) AS score
+        | FROM dots d JOIN cnorm n USING (csrc)),
+        |pred AS (
+        | SELECT source, csrc AS pred_source FROM (
+        |  SELECT source, csrc, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, csrc) AS rn
+        |  FROM scored)
+        | WHERE rn = 1),
+        |cm AS (
+        | SELECT source, pred_source, CAST(count(*) AS BIGINT) AS cnt
+        | FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+        |        FROM cm GROUP BY source)
+        |SELECT cm.source, cm.pred_source, cm.cnt,
+        | round(CAST(cm.cnt AS DOUBLE) / tot.n, 6) AS frac
+        |FROM cm JOIN tot USING (source)""".stripMargin,
+
+    // q26's marker-score CASE chain + the confusion aggregation.
+    "q213_lang_id_eval" ->
+      """WITH s AS (
+        | SELECT doc_id, lang,
+        |  ((length(text) - length(replace(text, ' the ', ''))) / 5
+        |   + (length(text) - length(replace(text, ' and ', ''))) / 5)
+        |   + (length(text) - length(replace(text, ' of ', ''))) / 4 AS s_en,
+        |  ((length(text) - length(replace(text, ' le ', ''))) / 4
+        |   + (length(text) - length(replace(text, ' la ', ''))) / 4)
+        |   + (length(text) - length(replace(text, ' et ', ''))) / 4 AS s_fr,
+        |  ((length(text) - length(replace(text, ' der ', ''))) / 5
+        |   + (length(text) - length(replace(text, ' und ', ''))) / 5)
+        |   + (length(text) - length(replace(text, ' die ', ''))) / 5 AS s_de,
+        |  ((length(text) - length(replace(text, ' el ', ''))) / 4
+        |   + (length(text) - length(replace(text, ' los ', ''))) / 5)
+        |   + (length(text) - length(replace(text, ' y ', ''))) / 3 AS s_es
+        | FROM documents),
+        |b AS (SELECT *, greatest(s_en, s_fr, s_de, s_es) AS best FROM s),
+        |p AS (
+        | SELECT lang,
+        |  CASE WHEN s_en = best AND best > 0 THEN 'en'
+        |       WHEN s_fr = best AND best > 0 THEN 'fr'
+        |       WHEN s_de = best AND best > 0 THEN 'de'
+        |       WHEN s_es = best AND best > 0 THEN 'es'
+        |       ELSE 'unknown' END AS lang_pred
+        | FROM b),
+        |cm AS (
+        | SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS cnt
+        | FROM p GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM cm GROUP BY lang)
+        |SELECT cm.lang, cm.lang_pred, cm.cnt,
+        | round(CAST(cm.cnt AS DOUBLE) / tot.n, 6) AS frac
+        |FROM cm JOIN tot USING (lang)""".stripMargin,
+
+    // epoch_us ≡ unix_micros under the UTC session; integer-DIV file ids
+    // and cutoffs; all counts exact; both layouts replayed.
+    "q214_file_skipping" ->
+      """WITH ext AS (
+        | SELECT CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS mn,
+        |  CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS mx FROM lineitem),
+        |li0 AS (
+        | SELECT epoch_us(l_shipdate) AS sd,
+        |  l_orderkey // 1000 AS fid_nat,
+        |  (epoch_us(l_shipdate) - mn) // (((mx - mn) // 15) + 1) AS fid_clu,
+        |  mn + (mx - mn) * 2 // 5 AS lo, mn + (mx - mn) * 3 // 5 AS hi
+        | FROM lineitem, ext),
+        |matched AS (
+        | SELECT CAST(count(*) AS BIGINT) AS rows_matched
+        | FROM li0 WHERE sd >= lo AND sd <= hi),
+        |fn AS (
+        | SELECT fid_nat AS file_id, CAST(min(sd) AS BIGINT) AS fmin,
+        |  CAST(max(sd) AS BIGINT) AS fmax, CAST(count(*) AS BIGINT) AS nrows,
+        |  CAST(min(lo) AS BIGINT) AS lo, CAST(min(hi) AS BIGINT) AS hi
+        | FROM li0 GROUP BY 1),
+        |fc AS (
+        | SELECT fid_clu AS file_id, CAST(min(sd) AS BIGINT) AS fmin,
+        |  CAST(max(sd) AS BIGINT) AS fmax, CAST(count(*) AS BIGINT) AS nrows,
+        |  CAST(min(lo) AS BIGINT) AS lo, CAST(min(hi) AS BIGINT) AS hi
+        | FROM li0 GROUP BY 1),
+        |an AS (
+        | SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_scanned,
+        |  CAST(sum(nrows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN nrows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned
+        | FROM fn),
+        |ac AS (
+        | SELECT 'clustered' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS files_scanned,
+        |  CAST(sum(nrows) AS BIGINT) AS rows_total,
+        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN nrows ELSE 0 END)
+        |    AS BIGINT) AS rows_scanned
+        | FROM fc),
+        |u AS (SELECT * FROM an UNION ALL SELECT * FROM ac)
+        |SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
+        | rows_matched,
+        | round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 6) AS prune_frac,
+        | round(CAST(rows_matched AS DOUBLE) / rows_scanned, 6)
+        |   AS scan_efficiency
+        |FROM u, matched""".stripMargin
   )
 }

@@ -188,6 +188,40 @@ class CorpusShardStatsSpec extends AnyFunSuite {
     assert(r1.length == 2, "a and b land in distinct buckets")
   }
 
+  // ------------------------------------------- classifier / eval / skipping
+
+  test("hash-centroid classifier: confusion rows partition each source") {
+    val r = Queries.queries("q212_hash_centroid_classifier")(spark, TestSpark.sf0001)
+      .collect()
+    val bySrc = r.groupBy(_.getString(0))
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(r.map(_.getAs[Long]("cnt")).sum == nDocs, "every doc classified once")
+    bySrc.values.foreach { rows =>
+      val fr = rows.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fr - 1.0) < 1e-4, s"fracs must sum to 1, got $fr")
+    }
+  }
+
+  test("lang-id eval: confusion matrix covers the corpus, fracs sum to 1") {
+    val r = Queries.queries("q213_lang_id_eval")(spark, TestSpark.sf0001).collect()
+    val nDocs = graft.Tables.documents(spark, TestSpark.sf0001).count()
+    assert(r.map(_.getAs[Long]("cnt")).sum == nDocs)
+    r.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getAs[Double]("frac")).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("file skipping: the date-clustered layout prunes, the natural one can't") {
+    val r = Queries.queries("q214_file_skipping")(spark, TestSpark.sf0001)
+      .collect().map(x => x.getString(0) -> x).toMap
+    val (nat, clu) = (r("natural"), r("clustered"))
+    assert(nat.getAs[Long]("rows_matched") == clu.getAs[Long]("rows_matched"))
+    assert(clu.getAs[Double]("prune_frac") > nat.getAs[Double]("prune_frac"))
+    // value-range files make zonemap ranges disjoint → zero false positives
+    assert(clu.getAs[Double]("scan_efficiency") == 1.0)
+    assert(clu.getAs[Long]("rows_scanned") == clu.getAs[Long]("rows_matched"))
+  }
+
   // ----------------------------------------------------------- DP noise
 
   test("dp counts: Laplace noise is deterministic, nonzero, and bounded") {
