@@ -3566,6 +3566,77 @@ object Queries {
           round(col("rows_matched").cast("double") / col("rows_scanned"), 6)
             .as("scan_efficiency"))
       layout("fid_nat", "natural").unionByName(layout("fid_clu", "clustered"))
+    }),
+
+    // Hybrid retrieval fusion (RRF, Cormack et al. 2009): BM25's lexical
+    // top-50 and the exact-cosine dense top-50 for probe doc 0, fused by
+    // reciprocal rank — rrf = Σ 1/(60 + rank) — which needs NO score
+    // calibration between the two systems (the reason RRF is the default
+    // hybrid fuser): ranks are exact integers, each reciprocal is one
+    // exact-ingredient division, the sum is two fixed-order terms. Final
+    // top-10 via TakeOrdered.
+    "q215_hybrid_rrf" -> ((s, d) => {
+      val sparse = graft.text.Bm25.topK(doc(s, d), "doc_id", "text",
+          Seq("vector", "join", "scan"), 50)
+        .filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"), col("rnk").as("r_bm25"))
+      val emb = Tables.embeddings(s, d)
+      val dense = graft.similarity.Similarity.cosineTopK(
+          emb.filter(col("vec_id") === 0L), emb.filter(col("vec_id") =!= 0L),
+          "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("r_cos"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_bm25"), col("r_cos"),
+          round(coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+    }),
+
+    // Watermark lateness audit: the generated stream is PERFECTLY
+    // event-time ordered (zero disorder measured), so a deterministic
+    // md5-uniform arrival jitter of ±30 min simulates the out-of-order
+    // delivery every real transport has — the standard watermark-testing
+    // device — and the audit then measures, per event_type, how many
+    // events a 10-min watermark would drop and by how much. The running
+    // max-timestamp over ARRIVAL order is the two-phase prefix-MAX (the
+    // SequencePack device with an associative max instead of sum:
+    // arrival-value-range buckets, per-bucket parallel windows, one
+    // O(buckets) offset window) — never a stream-wide ordered window.
+    // All exact integer micros.
+    "q216_lateness_audit" -> ((s, d) => {
+      val horizonUs = 600000000L
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsu"))
+        .withColumn("arr", col("tsu") +
+          (conv(substring(md5(concat(lit("arr_"), col("event_id"))), 1, 8),
+            16, 10).cast("long") % 3600000000L) - 1800000000L)
+      val ext = ev.agg(min(col("arr")).as("__mn"), max(col("arr")).as("__mx"))
+      val b = ev.crossJoin(broadcast(ext))
+        .withColumn("__bucket",
+          expr("(arr - __mn) DIV (((__mx - __mn) DIV 32) + 1)"))
+      val wLocal = Window.partitionBy("__bucket")
+        .orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = b.withColumn("__lmax", max(col("tsu")).over(wLocal))
+      val wB = Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = local.groupBy("__bucket").agg(max(col("tsu")).as("__bmax"))
+        .withColumn("__pmax", max(col("__bmax")).over(wB))
+        .select(col("__bucket"), col("__pmax"))
+      val run = local.join(broadcast(offs), Seq("__bucket"))
+        .withColumn("__runmax",
+          greatest(coalesce(col("__lmax"), lit(Long.MinValue)),
+            coalesce(col("__pmax"), lit(Long.MinValue))))
+        .withColumn("__late",
+          col("__runmax") =!= lit(Long.MinValue) &&
+            col("tsu") < col("__runmax") - lit(horizonUs))
+      run.groupBy("event_type").agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("__late"),
+            col("__runmax") - lit(horizonUs) - col("tsu"))).as("__ml"))
+        .select(col("event_type"), col("n_events"), col("n_late"),
+          expr("coalesce(__ml DIV 1000000, 0)").as("max_late_s"))
     })
   )
 
@@ -7722,6 +7793,78 @@ object Queries {
         | round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 6) AS prune_frac,
         | round(CAST(rows_matched AS DOUBLE) / rows_scanned, 6)
         |   AS scan_efficiency
-        |FROM u, matched""".stripMargin
+        |FROM u, matched""".stripMargin,
+
+    // q122's BM25 chain at k=50 (probe doc excluded) + q27's exact
+    // cosine for probe 0 vs the rest + the two-term reciprocal fusion.
+    "q215_hybrid_rrf" ->
+      """WITH p AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
+        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
+        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
+        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4) AS score
+        | FROM tf JOIN df ON tf.token = df.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id, s
+        | GROUP BY tf.doc_id),
+        |sp AS (
+        | SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |   AS BIGINT) AS r_bm25
+        | FROM sc QUALIFY r_bm25 <= 50),
+        |spx AS (SELECT doc_id, r_bm25 FROM sp WHERE doc_id <> 0),
+        |e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |cp AS (
+        | SELECT c.vec_id AS doc_id,
+        |  list_reduce(list_transform(list_zip(qv, c.v), z -> z[1] * z[2]), (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))) AS cos_sim
+        | FROM q CROSS JOIN e c WHERE c.vec_id <> 0),
+        |de AS (
+        | SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
+        |   AS BIGINT) AS r_cos
+        | FROM cp QUALIFY r_cos <= 50),
+        |f AS (
+        | SELECT coalesce(spx.doc_id, de.doc_id) AS doc_id, spx.r_bm25, de.r_cos,
+        |  round(coalesce(1.0 / (60 + spx.r_bm25), 0.0)
+        |    + coalesce(1.0 / (60 + de.r_cos), 0.0), 6) AS rrf
+        | FROM spx FULL OUTER JOIN de ON spx.doc_id = de.doc_id)
+        |SELECT doc_id, r_bm25, r_cos, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Same md5 arrival jitter; the naive stream-wide ordered window IS
+    // fine oracle-side — the engine computes the identical running max
+    // with the two-phase device.
+    "q216_lateness_audit" ->
+      """WITH ev AS (
+        | SELECT event_id, event_type, epoch_us(ts) AS tsu,
+        |  epoch_us(ts) + CAST(concat('0x', substr(md5('arr_' || event_id),
+        |    1, 8)) AS BIGINT) % 3600000000 - 1800000000 AS arr
+        | FROM events),
+        |r AS (
+        | SELECT event_type, tsu,
+        |  CAST(max(tsu) OVER (ORDER BY arr, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+        |    AS runmax
+        | FROM ev),
+        |l AS (
+        | SELECT event_type, tsu, runmax,
+        |  runmax IS NOT NULL AND tsu < runmax - 600000000 AS late
+        | FROM r)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        | CAST(coalesce(max(CASE WHEN late THEN runmax - 600000000 - tsu END)
+        |   // 1000000, 0) AS BIGINT) AS max_late_s
+        |FROM l GROUP BY event_type""".stripMargin
   )
 }

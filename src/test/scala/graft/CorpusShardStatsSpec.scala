@@ -222,6 +222,40 @@ class CorpusShardStatsSpec extends AnyFunSuite {
     assert(clu.getAs[Long]("rows_scanned") == clu.getAs[Long]("rows_matched"))
   }
 
+  // -------------------------------------------------- RRF / lateness
+
+  test("hybrid RRF: 10 fused results, probe excluded, scores valid and sorted") {
+    val r = Queries.queries("q215_hybrid_rrf")(spark, TestSpark.sf0001).collect()
+    assert(r.length == 10)
+    assert(r.forall(_.getLong(0) != 0L), "probe doc must not retrieve itself")
+    val scores = r.map(_.getAs[Double]("rrf"))
+    assert(scores.sameElements(scores.sortBy(-_)), "output sorted by rrf desc")
+    // bounded by both-lists-rank-1: 2/61
+    assert(scores.forall(s => s > 0.0 && s <= 2.0 / 61 + 1e-9))
+  }
+
+  test("lateness audit: two-phase running max equals the naive global window") {
+    val ev = graft.Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("arr", col("tsu") +
+        (conv(substring(md5(concat(lit("arr_"), col("event_id"))), 1, 8),
+          16, 10).cast("long") % 3600000000L) - 1800000000L)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("arr", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val naive = ev.withColumn("rm", max(col("tsu")).over(w))
+      .withColumn("late", col("rm").isNotNull && col("tsu") < col("rm") - 600000000L)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        expr("coalesce(max(CASE WHEN late THEN rm - 600000000 - tsu END) DIV 1000000, 0)")
+          .as("max_late_s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = Queries.queries("q216_lateness_audit")(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == naive)
+    assert(got.values.map(_._2).sum > 0L, "some events should be watermark-late")
+  }
+
   // ----------------------------------------------------------- DP noise
 
   test("dp counts: Laplace noise is deterministic, nonzero, and bounded") {
