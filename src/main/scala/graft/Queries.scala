@@ -3637,6 +3637,137 @@ object Queries {
             col("__runmax") - lit(horizonUs) - col("tsu"))).as("__ml"))
         .select(col("event_type"), col("n_events"), col("n_late"),
           expr("coalesce(__ml DIV 1000000, 0)").as("max_late_s"))
+    }),
+
+    // Count-Min sketch (Cormode & Muthukrishnan '05) — frequency
+    // estimation in O(d·w) space regardless of key cardinality. The
+    // counter build is ONE partial+final hash agg over (row, bucket);
+    // the sketch is d·w = 1024 cells at ANY corpus size, so the probe
+    // side broadcasts a bounded table. Hashes are the md5 engine-exact
+    // device (q60/q216); estimates are deterministic upper bounds
+    // (est >= exact), so the oracle replays the construction exactly —
+    // no tolerance band. The ~800-key probe set is itself bounded
+    // (event_type × user bucket), so the global top-20 window is over
+    // a key-cardinality table, not the corpus.
+    "q217_cms_freq" -> ((s, d) => {
+      val w = 256
+      def bucket(i: Column, key: Column): Column =
+        conv(substring(md5(concat(lit("cms_"), i.cast("string"), lit("_"),
+          key)), 1, 8), 16, 10).cast("long") % w
+      val rows = array((0 until 4).map(lit): _*)
+      val keyed = ev(s, d).select(concat(col("event_type"), lit("_"),
+        (col("user_id") % 100).cast("string")).as("key"))
+      val counters = keyed.withColumn("i", explode(rows))
+        .withColumn("bucket", bucket(col("i"), col("key")))
+        .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+      val exact = keyed.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+      exact.withColumn("i", explode(rows))
+        .withColumn("bucket", bucket(col("i"), col("key")))
+        .join(broadcast(counters), Seq("i", "bucket"))
+        .groupBy("key", "exact_cnt").agg(min(col("cnt")).as("cms_est"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("exact_cnt").desc, col("key").asc)))
+        .filter(col("__rn") <= 20).drop("__rn")
+    }),
+
+    // Sorted-neighborhood blocking (Hernández & Stolfo '95) — the
+    // classic entity-resolution alternative to LSH: one global sort on
+    // a normalized key, then compare only rows within a fixed window
+    // w=10. The global rank is computed WITHOUT a corpus-wide window:
+    // per-bucket row_number (bucket = first key char, order-aligned
+    // with the sort key by construction) + a broadcast prefix-sum of
+    // bucket counts — the q216 two-phase device. The candidate join is
+    // banded on rank DIV w (a pair within w spans at most two adjacent
+    // bands), so it is an equi-join, never a range cross-product.
+    // Verifier = the codegen'd JaroWinkler expression (DuckDB parity
+    // proven by q156).
+    "q218_sorted_neighborhood" -> ((s, d) => {
+      val w = 10
+      val k = doc(s, d).select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 40)
+          .as("nk"))
+      val b = k.withColumn("bk", coalesce(substring(col("nk"), 1, 1), lit("")))
+      val local = b.withColumn("lrn", row_number().over(
+        Window.partitionBy("bk").orderBy(col("nk"), col("doc_id"))))
+      val offs = local.groupBy("bk").agg(count(lit(1)).as("__c"))
+        .withColumn("__off", coalesce(sum(col("__c")).over(
+          Window.orderBy("bk")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bk"), col("__off"))
+      val r = local.join(broadcast(offs), Seq("bk"))
+        .select(col("doc_id"), col("nk"),
+          (col("__off") + col("lrn")).as("rn"))
+      val left = r.select(col("doc_id").as("doc_a"), col("nk").as("ka"),
+          col("rn").as("ra"))
+        .withColumn("band",
+          explode(array(expr(s"ra DIV $w"), expr(s"ra DIV $w + 1"))))
+      val right = r.select(col("doc_id").as("doc_b"), col("nk").as("kb"),
+          expr(s"rn DIV $w").as("band"), col("rn").as("rb"))
+      left.join(right, Seq("band"))
+        .filter(col("rb") > col("ra") && col("rb") <= col("ra") + w)
+        .withColumn("sim",
+          round(graft.functions.JaroWinkler(col("ka"), col("kb")), 4))
+        .filter(col("sim") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("sim"))
+    }),
+
+    // Skip-gram PPMI co-occurrence (word2vec's implicit matrix,
+    // Levy & Goldberg '14) — pairs at offsets 1..3 are generated
+    // per-row with zip_with over slices (zero shuffle before the
+    // count aggs; q150's bigram device generalized to a window), so
+    // the corpus never self-joins. Positive-PMI scoring keeps the
+    // ln() arithmetic shape identical on both engines (the q150
+    // parity precedent); the top-50 window runs over the >=5-support
+    // pair table, which min-support keeps sparse.
+    "q219_skipgram_ppmi" -> ((s, d) => {
+      val toks = doc(s, d).select(split(col("text"), " ").as("t"))
+      val pairs = toks.select(explode(expr(
+        """flatten(transform(array(1, 2, 3), k ->
+          |  zip_with(slice(t, 1, greatest(size(t) - k, 0)),
+          |           slice(t, 1 + k, greatest(size(t) - k, 0)),
+          |    (a, b) -> struct(a AS w1, b AS w2))))""".stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+      val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("cx"))
+      val c2 = pairs.groupBy("w2").agg(count(lit(1)).as("cy"))
+      val tot = pairs.agg(count(lit(1)).as("__nt"))
+      cp.join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("__raw", log(col("cxy")) + log(col("__nt"))
+          - log(col("cx")) - log(col("cy")))
+        .filter(col("__raw") > 0)
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(col("__raw"), 4).as("ppmi"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("ppmi").desc, col("w1").asc, col("w2").asc)))
+        .filter(col("__rn") <= 50).drop("__rn")
+    }),
+
+    // Paragraph-style chunk-level exact dedup (RefinedWeb/C4 line
+    // dedup, scaled to fixed 16-token chunks since the corpus has no
+    // newlines): chunks are cut per-row with transform+slice (no
+    // explode-join), the keep-first winner per distinct chunk is ONE
+    // hash agg on min(doc_id·1024 + idx) — an exact total order, no
+    // corpus window — and the survivor ratio is a second bounded agg.
+    // Text shuffles once (the chunk groupBy); fingerprint-only
+    // variants would shuffle a hash instead (the q114 device).
+    "q220_chunk_dedup" -> ((s, d) => {
+      val c = 16
+      val toks = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+      val chunks = toks.select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(t) - 1) DIV $c), i ->
+           |  array_join(slice(t, i * $c + 1, $c), ' '))""".stripMargin))
+        .as(Seq("idx", "chunk")))
+      val kept = chunks.groupBy("chunk")
+        .agg(min(col("doc_id") * 1024 + col("idx")).as("keeper"))
+      chunks.join(kept, Seq("chunk"))
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("doc_id") * 1024 + col("idx") === col("keeper"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .withColumn("kept_ratio",
+          round(col("n_kept").cast("double") / col("n_chunks"), 4))
     })
   )
 
@@ -7865,6 +7996,82 @@ object Queries {
         | CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         | CAST(coalesce(max(CASE WHEN late THEN runmax - 600000000 - tsu END)
         |   // 1000000, 0) AS BIGINT) AS max_late_s
-        |FROM l GROUP BY event_type""".stripMargin
+        |FROM l GROUP BY event_type""".stripMargin,
+
+    "q217_cms_freq" ->
+      """WITH keyed AS (
+        | SELECT event_type || '_' || CAST(user_id % 100 AS VARCHAR) AS key
+        | FROM events),
+        |h AS (
+        | SELECT key, r.i AS i,
+        |  CAST(concat('0x', substr(md5('cms_' || r.i || '_' || key), 1, 8))
+        |    AS BIGINT) % 256 AS bucket
+        | FROM keyed, (SELECT unnest(range(0, 4)) AS i) r),
+        |counters AS (SELECT i, bucket, count(*) AS cnt FROM h GROUP BY i, bucket),
+        |exact AS (SELECT key, count(*) AS exact_cnt FROM keyed GROUP BY key),
+        |probe AS (
+        | SELECT e.key, e.exact_cnt, min(c.cnt) AS cms_est
+        | FROM exact e, (SELECT unnest(range(0, 4)) AS i) r
+        | JOIN counters c ON c.i = r.i
+        |  AND c.bucket = CAST(concat('0x',
+        |    substr(md5('cms_' || r.i || '_' || e.key), 1, 8)) AS BIGINT) % 256
+        | GROUP BY e.key, e.exact_cnt)
+        |SELECT key, exact_cnt, cms_est FROM (
+        | SELECT key, exact_cnt, cms_est,
+        |  row_number() OVER (ORDER BY exact_cnt DESC, key) AS rn FROM probe) t
+        |WHERE rn <= 20""".stripMargin,
+
+    "q218_sorted_neighborhood" ->
+      """WITH k AS (
+        | SELECT doc_id,
+        |  substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 40) AS nk
+        | FROM documents),
+        |r AS (
+        | SELECT doc_id, nk, row_number() OVER (ORDER BY nk, doc_id) AS rn
+        | FROM k)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | round(jaro_winkler_similarity(a.nk, b.nk), 4) AS sim
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10
+        |WHERE round(jaro_winkler_similarity(a.nk, b.nk), 4) >= 0.9""".stripMargin,
+
+    "q219_skipgram_ppmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p0 AS (
+        | SELECT unnest(flatten(list_transform([1, 2, 3], k ->
+        |   list_transform(generate_series(1, len(t) - k),
+        |     i -> struct_pack(w1 := t[i], w2 := t[i + k]))))) AS p
+        | FROM tk),
+        |pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p0),
+        |cp AS (SELECT w1, w2, count(*) AS cxy FROM pairs
+        |       GROUP BY w1, w2 HAVING count(*) >= 5),
+        |c1 AS (SELECT w1 AS w, count(*) AS cx FROM pairs GROUP BY w1),
+        |c2 AS (SELECT w2 AS w, count(*) AS cy FROM pairs GROUP BY w2),
+        |tot AS (SELECT count(*) AS nt FROM pairs)
+        |SELECT w1, w2, cxy, ppmi FROM (
+        | SELECT w1, w2, cxy,
+        |  round(ln(cxy) + ln(nt) - ln(cx) - ln(cy), 4) AS ppmi,
+        |  row_number() OVER (ORDER BY
+        |    round(ln(cxy) + ln(nt) - ln(cx) - ln(cy), 4) DESC, w1, w2) AS rn
+        | FROM cp JOIN c1 ON cp.w1 = c1.w JOIN c2 ON cp.w2 = c2.w, tot
+        | WHERE ln(cxy) + ln(nt) - ln(cx) - ln(cy) > 0) t
+        |WHERE rn <= 50""".stripMargin,
+
+    "q220_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        | SELECT doc_id, i.i AS idx,
+        |  array_to_string(t[16 * i.i + 1 : 16 * i.i + 16], ' ') AS chunk
+        | FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
+        | WHERE 16 * i.i < len(t)),
+        |kept AS (
+        | SELECT chunk, min(doc_id * 1024 + idx) AS keeper
+        | FROM chunks GROUP BY chunk)
+        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        | CAST(sum(CASE WHEN c.doc_id * 1024 + c.idx = k.keeper
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | round(CAST(sum(CASE WHEN c.doc_id * 1024 + c.idx = k.keeper
+        |          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_ratio
+        |FROM chunks c JOIN kept k USING (chunk)
+        |GROUP BY c.doc_id""".stripMargin
   )
 }
