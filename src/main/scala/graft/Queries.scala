@@ -1717,7 +1717,10 @@ object Queries {
         .distinct()
       val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
-      graft.graph.PageRank.iterate(edges, iters = 2)
+      // eo is distinct and the +1e6 offset makes cust/supp id ranges
+      // disjoint, so the symmetrized union is distinct by construction —
+      // skip iterate()'s defensive dedup shuffle
+      graft.graph.PageRank.iterate(edges, iters = 2, dedup = false)
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
 

@@ -30,19 +30,28 @@ object Hits {
     * max-normalized, rounded to 6 dp. */
   def iterate(edges: DataFrame, iters: Int = 2, roundDp: Int = 8): DataFrame = {
     require(iters >= 1)
-    val e = graft.io.Checkpoints.truncate(
-      edges.select(col("src"), col("dst")).distinct(), eager = true)
-    var hub = e.select(col("src").as("node")).distinct()
+    // Two checkpointed copies of the edge list, pre-hashed on the key each
+    // half-step joins on (src for the hub→auth push, dst for auth→hub):
+    // LogicalRDD preserves the partitioning, so no iteration ever
+    // re-shuffles the edge table — only the node-cardinality score tables
+    // move. 2× edge storage buys shuffle-free edge joins at every round
+    // (the PageRank.iterate seam, doubled because HITS alternates keys).
+    val eSrc = graft.io.Checkpoints.truncate(
+      edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("src")), eager = true)
+    val eDst = graft.io.Checkpoints.truncate(
+      eSrc.repartition(col("dst")), eager = true)
+    var hub = eSrc.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("score"))
     var auth: DataFrame = hub // replaced in the first half-iteration
     for (_ <- 1 to iters) {
-      val a0 = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+      val a0 = eSrc.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(round(sum(col("score")), roundDp).as("__raw"))
       val amax = a0.agg(max(col("__raw")).as("__mx"))
       auth = a0.crossJoin(broadcast(amax))
         .select(col("node"), round(col("__raw") / col("__mx"), roundDp).as("score"))
-      val h0 = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+      val h0 = eDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(round(sum(col("score")), roundDp).as("__raw"))
       val hmax = h0.agg(max(col("__raw")).as("__mx"))

@@ -30,32 +30,41 @@ import org.apache.spark.sql.functions._
 object PageRank {
 
   def iterate(edges: DataFrame, iters: Int = 2, damping: Double = 0.85,
-              roundDp: Int = 8): DataFrame = {
-    // the edge list is reused by outdeg, N, and EVERY iteration's join —
-    // truncate lineage once so the (possibly expensive) edge-building
-    // subtree is computed once, not once per consumer (the CC-fixpoint
-    // checkpoint seam; reliable checkpoint on a cluster via conf)
+              roundDp: Int = 8, dedup: Boolean = true): DataFrame = {
+    // The edge list is reused by outdeg, N, and EVERY iteration's join.
+    // Checkpoint it ONCE, PRE-PARTITIONED ON src: LogicalRDD preserves the
+    // hash partitioning, so outdeg's groupBy(src) and every iteration's
+    // src-join reuse it shuffle-free — only the (node-cardinality) rank
+    // table moves per round, never the edge table. Callers whose edge
+    // construction already guarantees distinctness pass dedup=false and
+    // skip that shuffle too.
+    val base = edges.select(col("src"), col("dst"))
     val e = graft.io.Checkpoints.truncate(
-      edges.select(col("src"), col("dst")).distinct(), eager = true)
+      (if (dedup) base.distinct() else base).repartition(col("src")),
+      eager = true)
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val n = outdeg.agg(count(lit(1)).as("n"))
-    // all nodes have out-edges by contract, so outdeg's keys ARE the nodes
-    var pr = outdeg.crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
-    for (_ <- 1 to iters) {
+    // all nodes have out-edges by contract, so outdeg's keys ARE the
+    // nodes; carrying outdeg inside the rank table collapses the old
+    // per-iteration (e ⋈ pr ⋈ outdeg) double join into one.
+    var prd = outdeg.crossJoin(broadcast(n))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"), col("outdeg"))
+    for (i <- 1 to iters) {
       val contrib = e
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), (col("pr") / col("outdeg")).as("c"))
-      pr = contrib.groupBy("node")
+        .join(prd.select(col("node").as("src"),
+          (col("pr") / col("outdeg")).as("c")), Seq("src"))
+        .select(col("dst").as("node"), col("c"))
+      val next = contrib.groupBy("node")
         .agg(sum(col("c")).as("__in"))
         .crossJoin(broadcast(n))
         .select(col("node"),
           round(lit(1.0 - damping) / col("n") + lit(damping) * col("__in"),
             roundDp).as("pr"))
+      // re-attach outdeg only while another round still needs it
+      prd = if (i < iters) next.join(outdeg, Seq("node")) else next
     }
-    pr
+    prd.select(col("node"), col("pr"))
   }
 
   /** Personalized weighted PageRank — random walk with restart: teleport
