@@ -38,9 +38,14 @@ object ConnectedComponents {
     * label = node via one final left join. */
   def minLabel(pairs: DataFrame, nodes: DataFrame,
                maxRounds: Int): (DataFrame, Boolean) = {
+    // Pre-hash the symmetrized edge list on id_b (the key every round's
+    // label join probes): LogicalRDD preserves the partitioning, so no
+    // round re-shuffles the edges — only the label table and the
+    // edge-sized min-agg move per round (the PageRank.iterate seam).
     val edges = graft.io.Checkpoints.truncate(
       pairs.select(col("id_a"), col("id_b"))
-        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"))),
+        .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .repartition(col("id_b")),
       eager = true)
     var labels = graft.io.Checkpoints.truncate(
       edges.select(col("id_a").as("node")).distinct()
