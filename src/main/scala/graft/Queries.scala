@@ -3771,7 +3771,63 @@ object Queries {
             .otherwise(0L)).as("n_kept"))
         .withColumn("kept_ratio",
           round(col("n_kept").cast("double") / col("n_chunks"), 4))
-    })
+    }),
+
+    // Cross-source quantile normalization — map each source's score
+    // distribution onto the GLOBAL distribution before thresholding, so
+    // one cutoff means the same thing for every source (the score-
+    // calibration step ahead of q123-style pruning). No corpus-wide
+    // window anywhere: the within-source rank decomposes into a
+    // per-(source, value) row_number plus a per-source prefix-sum over
+    // the DISTINCT-VALUE histogram (two-phase device, value-keyed), and
+    // the global quantile lookup is a range join against the bounded
+    // global cumulative histogram. Rank arithmetic is exact integers;
+    // the one float expression ((rank−0.5)/n·N, then ceil) has identical
+    // shape on both engines.
+    "q221_quantile_normalize" -> ((s, d) => {
+      val docs = doc(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("__c"))
+      val offs = hist.withColumn("__lo", coalesce(
+        sum(col("__c")).over(Window.partitionBy("source").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("n_chars"), col("__lo"))
+      val rs = docs.withColumn("__r", row_number().over(
+          Window.partitionBy("source", "n_chars").orderBy("doc_id")))
+        .join(offs, Seq("source", "n_chars"))
+        .withColumn("rs", col("__lo") + col("__r"))
+      val ns = docs.groupBy("source").agg(count(lit(1)).as("__ns"))
+      val tot = docs.agg(count(lit(1)).as("__n"))
+      val tgt = rs.join(broadcast(ns), Seq("source")).crossJoin(broadcast(tot))
+        .withColumn("tr",
+          ceil((col("rs") - lit(0.5)) / col("__ns") * col("__n")).cast("long"))
+      val gcum = docs.groupBy("n_chars").agg(count(lit(1)).as("__c"))
+        .withColumn("__hi", sum(col("__c")).over(Window.orderBy("n_chars")))
+        .withColumn("__glo", col("__hi") - col("__c"))
+        .select(col("n_chars").as("__v"), col("__glo"), col("__hi"))
+      tgt.join(broadcast(gcum),
+          col("tr") > col("__glo") && col("tr") <= col("__hi"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("__v").as("norm_chars"))
+    }),
+
+    // Near-dup cluster size profile — the curation report read before
+    // choosing a dedup threshold: how much of the corpus sits in
+    // clusters of each size, from q70's exact (recall-1.0) components.
+    // Two bounded hash aggs on top of the canonicalization; no new
+    // scale surface.
+    "q222_cluster_size_profile" -> ((s, d) =>
+      Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
+          k = 2, jaccardThreshold = 0.5)
+        .groupBy("canonical_id").agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("__sz")).as("n_docs"))),
+
+    // Streaming windowed p95 (bounded-histogram state) — see
+    // EventsStream.windowedQuantile. The readout is integer-exact, so
+    // the oracle replays bin → cumulative → ceil(0.95·n) verbatim.
+    "q223_stream_quantile" -> ((s, d) =>
+      EventsStream.windowedQuantile(s, d))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -8075,6 +8131,73 @@ object Queries {
         | round(CAST(sum(CASE WHEN c.doc_id * 1024 + c.idx = k.keeper
         |          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_ratio
         |FROM chunks c JOIN kept k USING (chunk)
-        |GROUP BY c.doc_id""".stripMargin
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q221_quantile_normalize" ->
+      """WITH src AS (
+        | SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |    AS rs,
+        |  count(*) OVER (PARTITION BY source) AS ns
+        | FROM documents),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |tgt AS (
+        | SELECT doc_id, source, n_chars,
+        |  CAST(ceil((rs - 0.5::DOUBLE) / ns * n) AS BIGINT) AS tr
+        | FROM src, tot),
+        |hist AS (SELECT n_chars AS v, count(*) AS c FROM documents
+        |         GROUP BY n_chars),
+        |cum AS (
+        | SELECT v, sum(c) OVER (ORDER BY v) AS hi,
+        |        sum(c) OVER (ORDER BY v) - c AS lo
+        | FROM hist)
+        |SELECT t.doc_id, t.source, t.n_chars, c.v AS norm_chars
+        |FROM tgt t JOIN cum c ON t.tr > c.lo AND t.tr <= c.hi""".stripMargin,
+
+    "q222_cluster_size_profile" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |pairs AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS a, ib AS b FROM pairs
+        |      UNION ALL SELECT ib, ia FROM pairs),
+        |cc(node, label) AS (
+        | SELECT doc_id, doc_id FROM documents
+        | UNION
+        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+        | WHERE cc.label < e.a),
+        |comp AS (SELECT node, min(label) AS cid FROM cc GROUP BY node),
+        |sz AS (SELECT cid, count(*) AS csize FROM comp GROUP BY cid)
+        |SELECT csize AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(sum(csize) AS BIGINT) AS n_docs
+        |FROM sz GROUP BY csize""".stripMargin,
+
+    "q223_stream_quantile" ->
+      """WITH h AS (
+        | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    AS win_start,
+        |  event_type, CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+        | FROM events GROUP BY 1, 2, 3),
+        |t AS (
+        | SELECT win_start, event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |  CAST(ceil(sum(c) * 0.95::DOUBLE) AS BIGINT) AS target
+        | FROM h GROUP BY 1, 2),
+        |cum AS (
+        | SELECT win_start, event_type, bin,
+        |  CAST(sum(c) OVER (PARTITION BY win_start, event_type
+        |    ORDER BY bin) AS BIGINT) AS cum
+        | FROM h)
+        |SELECT c.win_start, c.event_type, t.n_events, min(c.bin) AS p95_bin
+        |FROM cum c JOIN t USING (win_start, event_type)
+        |WHERE c.cum >= t.target
+        |GROUP BY c.win_start, c.event_type, t.n_events""".stripMargin
   )
 }

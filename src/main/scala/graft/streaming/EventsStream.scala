@@ -577,6 +577,58 @@ object EventsStream {
     }
   }
 
+  /** Streaming windowed p95 by BOUNDED-HISTOGRAM state. An exact
+    * streaming quantile needs the window's full value set (unbounded
+    * state, structurally unsupported); the stream instead keeps one
+    * integer-bin histogram per (window, event_type) — state O(bins),
+    * counts merge across micro-batches — and the p95-of-bins readout
+    * (smallest bin whose cumulative count reaches ceil(0.95·n)) is all
+    * integer arithmetic, so the batch oracle replays it EXACTLY: no
+    * sketch-estimate tolerance seam (contrast q208's HLL bound check).
+    * Bin = floor(value): ≲600 live bins per key at this data's range;
+    * a deployment would scale/clamp the bin transform to its domain. */
+  def windowedQuantile(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+          floor(col("value")).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val qname = "graft_windowed_quantile"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val hist = s.table(qname)
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("bin"), col("c"))
+      // Finalize over the (windows × types × bins)-bounded histogram
+      // table — windows are partitioned per key, never corpus-wide.
+      // Single lineage (cum + total via two frames of one partition
+      // spec), no self-join of the memory-sink relation.
+      val per = org.apache.spark.sql.expressions.Window
+        .partitionBy("win_start", "event_type")
+      hist
+        .withColumn("cum", sum(col("c")).over(per.orderBy("bin")))
+        .withColumn("n_events", sum(col("c")).over(per))
+        .filter(col("cum") >= ceil(col("n_events") * lit(0.95)).cast("long"))
+        .groupBy("win_start", "event_type", "n_events")
+        .agg(min(col("bin")).as("p95_bin"))
+        .select(col("win_start"), col("event_type"), col("n_events"),
+          col("p95_bin"))
+    }
+  }
+
   case class ZEvent(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class ZState(ring: List[Double])
   case class ZOut(event_id: Long, user_id: Long, n_win: Long,
