@@ -3827,7 +3827,119 @@ object Queries {
     // EventsStream.windowedQuantile. The readout is integer-exact, so
     // the oracle replays bin → cumulative → ceil(0.95·n) verbatim.
     "q223_stream_quantile" -> ((s, d) =>
-      EventsStream.windowedQuantile(s, d))
+      EventsStream.windowedQuantile(s, d)),
+
+    // Leave-one-out 10-NN majority-vote label eval over the embedding
+    // table — the labeled-eval harness beside q205 (dedup P/R) and q213
+    // (lang-ID): how well do raw embeddings separate the label classes?
+    // Exact brute-force cosine IS the point here (the truth an ANN
+    // recall eval needs; q35/q73/q81/q186 are the scale paths) — at
+    // 100 TB this runs on a bounded SAMPLED eval set, so the all-pairs
+    // join is eval-set², not corpus². Dot products are the q27
+    // sequential-fold device (bit parity proven); all ranks and votes
+    // are exact integers with total-order tie-breaks.
+    "q224_knn_eval" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val pairs = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("v").as("qv"))
+        .crossJoin(e.select(col("vec_id").as("nid"),
+          col("label").as("nlabel"), col("v").as("nv")))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("cos", Similarity.dot(col("qv"), col("nv")) /
+          (Similarity.norm(col("qv")) * Similarity.norm(col("nv"))))
+      val top = pairs.withColumn("rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
+        .filter(col("rnk") <= 10)
+      val votes = top.groupBy("qid", "qlabel", "nlabel")
+        .agg(count(lit(1)).as("c"))
+      votes.withColumn("vr", row_number().over(
+          Window.partitionBy("qid").orderBy(col("c").desc, col("nlabel").asc)))
+        .filter(col("vr") === 1)
+        .groupBy(col("qlabel").as("true_label"),
+          col("nlabel").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Spearman rank correlation per return flag — the nonparametric
+    // companion to q19's Pearson (monotone association, outlier-immune).
+    // Mid-ranks via the q191 exact-integer device (2·avg_rank =
+    // 2·cum − t + 1 over the DISTINCT-VALUE table, so the corpus never
+    // sees a row-level rank window); every sum is an exact long, the
+    // closing products ride decimal(38,0), and the single float
+    // expression (one division, one sqrt) is mirrored op-for-op.
+    "q225_spearman" -> ((s, d) => {
+      val base = li(s, d).select(col("l_returnflag").as("g"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      def ranks2(vc: String, out: String) =
+        base.groupBy(col("g"), col(vc).as("v")).agg(count(lit(1)).as("t"))
+          .withColumn("cum",
+            sum(col("t")).over(Window.partitionBy("g").orderBy("v")))
+          .select(col("g"), col("v").as(vc),
+            (lit(2L) * col("cum") - col("t") + lit(1L)).as(out))
+      val j = base
+        .join(ranks2("x", "rx"), Seq("g", "x"))
+        .join(ranks2("y", "ry"), Seq("g", "y"))
+      val sums = j.groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      sums.select(col("g").as("l_returnflag"), col("n"),
+        round((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+            .cast("double") /
+          sqrt((dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+              .cast("double") *
+            (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
+              .cast("double")), 6).as("spearman"))
+    }),
+
+    // Mutual information between hashed-feature presence (the q211
+    // buckets) and the source label — filter-method feature selection
+    // (which features carry source signal). The full bucket × source
+    // grid is BOUNDED (256 × |sources|), so zero-presence cells are
+    // materialized and no MI mass is silently dropped; each cell's two
+    // p·ln terms are rounded to integer micro-nats before the per-bucket
+    // sum (the q192/q195 device — float association never crosses the
+    // engines), and the top-20 window runs over 256 rows.
+    "q226_mi_features" -> ((s, d) => {
+      val w = doc(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
+            .as("b"))
+        .distinct()
+      val nd = doc(s, d).agg(count(lit(1)).as("__n"))
+      val ns = doc(s, d).groupBy("source").agg(count(lit(1)).as("__nsrc"))
+      val pres = w.groupBy("b", "source").agg(count(lit(1)).as("__cp"))
+      val cb = pres.groupBy("b").agg(sum(col("__cp")).as("__cb"))
+      val grid = cb.crossJoin(broadcast(ns))
+        .join(pres, Seq("b", "source"), "left")
+        .withColumn("__c", coalesce(col("__cp"), lit(0L)))
+        .crossJoin(broadcast(nd))
+      val terms = grid.withColumn("__t1",
+          when(col("__c") > 0,
+            col("__c").cast("double") / col("__n") *
+              log(col("__c").cast("double") * col("__n") /
+                (col("__cb").cast("double") * col("__nsrc"))))
+            .otherwise(lit(0.0)))
+        .withColumn("__t0",
+          when(col("__nsrc") - col("__c") > 0,
+            (col("__nsrc") - col("__c")).cast("double") / col("__n") *
+              log((col("__nsrc") - col("__c")).cast("double") * col("__n") /
+                ((col("__n") - col("__cb")).cast("double") * col("__nsrc"))))
+            .otherwise(lit(0.0)))
+        .withColumn("__micro",
+          round(col("__t1") * lit(1e6)).cast("long") +
+            round(col("__t0") * lit(1e6)).cast("long"))
+      terms.groupBy(col("b").as("bucket"))
+        .agg(round(sum(col("__micro")).cast("double") / lit(1e6), 6).as("mi"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("mi").desc, col("bucket").asc)))
+        .filter(col("__rn") <= 20).drop("__rn")
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -8198,6 +8310,102 @@ object Queries {
         |SELECT c.win_start, c.event_type, t.n_events, min(c.bin) AS p95_bin
         |FROM cum c JOIN t USING (win_start, event_type)
         |WHERE c.cum >= t.target
-        |GROUP BY c.win_start, c.event_type, t.n_events""".stripMargin
+        |GROUP BY c.win_start, c.event_type, t.n_events""".stripMargin,
+
+    "q224_knn_eval" ->
+      """WITH e AS (
+        | SELECT vec_id, label,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |p AS (
+        | SELECT a.vec_id AS qid, a.label AS qlabel,
+        |  b.vec_id AS nid, b.label AS nlabel,
+        |  list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |    (x, y) -> x + y)
+        |   / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |   AS cos
+        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        | SELECT qid, qlabel, nlabel,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
+        | FROM p),
+        |votes AS (
+        | SELECT qid, qlabel, nlabel, count(*) AS c
+        | FROM r WHERE rnk <= 10 GROUP BY qid, qlabel, nlabel),
+        |pred AS (
+        | SELECT qid, qlabel, nlabel AS plabel FROM (
+        |  SELECT qid, qlabel, nlabel,
+        |   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS vr
+        |  FROM votes) t WHERE vr = 1)
+        |SELECT qlabel AS true_label, plabel AS pred_label,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2""".stripMargin,
+
+    "q225_spearman" ->
+      """WITH base AS (
+        | SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
+        | FROM lineitem),
+        |xr AS (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS t
+        |       FROM base GROUP BY g, x),
+        |xc AS (SELECT g, v, t,
+        |  CAST(sum(t) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+        | FROM xr),
+        |xm AS (SELECT g, v, 2 * cum - t + 1 AS r2 FROM xc),
+        |yr AS (SELECT g, y AS v, CAST(count(*) AS BIGINT) AS t
+        |       FROM base GROUP BY g, y),
+        |yc AS (SELECT g, v, t,
+        |  CAST(sum(t) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+        | FROM yr),
+        |ym AS (SELECT g, v, 2 * cum - t + 1 AS r2 FROM yc),
+        |j AS (
+        | SELECT b.g, xm.r2 AS rx, ym.r2 AS ry
+        | FROM base b JOIN xm ON b.g = xm.g AND b.x = xm.v
+        |             JOIN ym ON b.g = ym.g AND b.y = ym.v),
+        |s AS (
+        | SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
+        |  CAST(sum(rx * ry) AS HUGEINT) AS sxy,
+        |  CAST(sum(rx * rx) AS HUGEINT) AS sxx,
+        |  CAST(sum(ry * ry) AS HUGEINT) AS syy
+        | FROM j GROUP BY g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
+        |FROM s""".stripMargin,
+
+    "q226_mi_features" ->
+      """WITH w AS (
+        | SELECT DISTINCT doc_id, source,
+        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b
+        | FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |       FROM documents) t),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
+        |       FROM documents GROUP BY source),
+        |pres AS (SELECT b, source, CAST(count(*) AS BIGINT) AS cp
+        |         FROM w GROUP BY b, source),
+        |cb AS (SELECT b, CAST(sum(cp) AS BIGINT) AS cb FROM pres GROUP BY b),
+        |grid AS (
+        | SELECT cb.b, ns.source, ns.nsrc, cb.cb, coalesce(p.cp, 0) AS c, nd.n
+        | FROM cb CROSS JOIN ns
+        | LEFT JOIN pres p ON p.b = cb.b AND p.source = ns.source, nd),
+        |terms AS (
+        | SELECT b,
+        |  CAST(round(CASE WHEN c > 0 THEN
+        |    CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) * n
+        |      / (CAST(cb AS DOUBLE) * nsrc)) ELSE 0.0 END * 1000000)
+        |   AS BIGINT)
+        |  + CAST(round(CASE WHEN nsrc - c > 0 THEN
+        |     CAST(nsrc - c AS DOUBLE) / n * ln(CAST(nsrc - c AS DOUBLE) * n
+        |       / (CAST(n - cb AS DOUBLE) * nsrc)) ELSE 0.0 END * 1000000)
+        |    AS BIGINT) AS micro
+        | FROM grid)
+        |SELECT bucket, mi FROM (
+        | SELECT b AS bucket,
+        |  round(CAST(sum(micro) AS DOUBLE) / 1000000, 6) AS mi
+        | FROM terms GROUP BY b) m
+        |QUALIFY row_number() OVER (ORDER BY mi DESC, bucket) <= 20""".stripMargin
   )
 }

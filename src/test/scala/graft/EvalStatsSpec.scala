@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: k-NN LOO eval, Spearman, MI feature selection
+  * (q224-q226). */
+class EvalStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("kNN eval confusion matrix covers every vector once") {
+    val out = Queries.queries("q224_knn_eval")(spark, TestSpark.sf0001)
+      .as[(Int, Int, Long)].collect()
+    assert(out.map(_._3).sum ==
+      Tables.embeddings(spark, TestSpark.sf0001).count())
+    assert(out.forall { case (t, p, n) =>
+      t >= 0 && t <= 9 && p >= 0 && p <= 9 && n > 0 })
+  }
+
+  test("distinct-value Spearman equals the row-level avg-rank computation") {
+    val got = Queries.queries("q225_spearman")(spark, TestSpark.sf0001)
+      .as[(String, Long, Double)].collect()
+      .map { case (g, _, r) => g -> r }.toMap
+    // Naive: row-level mid-ranks via avg(rank) over value groups.
+    val base = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y"))
+    def midRank(c: String) = {
+      val w = Window.partitionBy("g").orderBy(col(c))
+      // mid-rank = (first row_number in tie group + last) / 2 = avg over tie
+      avg(row_number().over(w.orderBy(col(c), monotonically_increasing_id())))
+        .over(Window.partitionBy("g", c))
+    }
+    val ranked = base
+      .withColumn("rx", midRank("x"))
+      .withColumn("ry", midRank("y"))
+    val naive = ranked.groupBy("g").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("g"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("sp"))
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (g, r) =>
+      assert(math.abs(r - naive(g)) < 1e-5, s"group $g: $r vs ${naive(g)}")
+      assert(r >= -1.0 && r <= 1.0)
+    }
+  }
+
+  test("MI feature scores are top-20, near-nonnegative, deterministic") {
+    val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
+      .as[(Long, Double)].collect()
+    assert(out.length == 20)
+    assert(out.forall { case (b, mi) => b >= 0 && b < 256 && mi > -0.001 })
+    val again = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
+      .as[(Long, Double)].collect()
+    assert(out.toSeq == again.toSeq)
+  }
+}
