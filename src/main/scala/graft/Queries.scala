@@ -3839,15 +3839,19 @@ object Queries {
     // sequential-fold device (bit parity proven); all ranks and votes
     // are exact integers with total-order tie-breaks.
     "q224_knn_eval" -> ((s, d) => {
+      // Tight-loop dot/norm kernels (functions.VectorOps — bit-identical
+      // to the HOF fold, ~50× less per-pair overhead) + norms computed
+      // ONCE per vector, not per pair: same IEEE values, 4M fewer folds.
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", graft.functions.NormD(col("v")))
       val pairs = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("v").as("qv"))
+          col("v").as("qv"), col("nrm").as("qn"))
         .crossJoin(e.select(col("vec_id").as("nid"),
-          col("label").as("nlabel"), col("v").as("nv")))
+          col("label").as("nlabel"), col("v").as("nv"), col("nrm").as("nn")))
         .filter(col("qid") =!= col("nid"))
-        .withColumn("cos", Similarity.dot(col("qv"), col("nv")) /
-          (Similarity.norm(col("qv")) * Similarity.norm(col("nv"))))
+        .withColumn("cos", graft.functions.DotProductD(col("qv"), col("nv")) /
+          (col("qn") * col("nn")))
       val top = pairs.withColumn("rnk", row_number().over(
           Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
         .filter(col("rnk") <= 10)
