@@ -3943,7 +3943,34 @@ object Queries {
         .withColumn("__rn", row_number().over(
           Window.orderBy(col("mi").desc, col("bucket").asc)))
         .filter(col("__rn") <= 20).drop("__rn")
-    })
+    }),
+
+    // Windowed signal-energy segmentation over binary media — the
+    // VAD/scene-cut shape (active-region detection per fixed frame) on
+    // the q74 frame sampler: frames cut by codegen'd substr (no shuffle
+    // until the caller aggregates), energy = Σ sample² as an EXACT long
+    // (samples are byte codes in the harness codec — a real deployment
+    // swaps the sample transform, plumbing identical), active = mean
+    // square above threshold. Integer-exact end to end.
+    "q227_media_energy" -> ((s, d) => {
+      val frames = Multimodal.frameSample(
+          Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
+          frameBytes = 32, stride = 1)
+        .withColumn("ft", decode(col("frame"), "UTF-8"))
+      frames.withColumn("e2", expr(
+          """aggregate(transform(sequence(1, 32),
+            |  i -> CAST(ascii(substring(ft, i, 1))
+            |          * ascii(substring(ft, i, 1)) AS BIGINT)),
+            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+        .select(col("media_id"), col("n_frames"), col("frame_idx"),
+          col("e2"), (col("e2") > lit(320000L)).as("active"))
+    }),
+
+    // Streaming latest-per-key upsert view (CDC materialization) — see
+    // EventsStream.latestPerKey: one max(struct) agg, state = one row
+    // per key, order-insensitive by total-order struct comparison.
+    "q228_stream_upsert" -> ((s, d) =>
+      EventsStream.latestPerKey(s, d))
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -8410,6 +8437,40 @@ object Queries {
         | SELECT b AS bucket,
         |  round(CAST(sum(micro) AS DOUBLE) / 1000000, 6) AS mi
         | FROM terms GROUP BY b) m
-        |QUALIFY row_number() OVER (ORDER BY mi DESC, bucket) <= 20""".stripMargin
+        |QUALIFY row_number() OVER (ORDER BY mi DESC, bucket) <= 20""".stripMargin,
+
+    "q227_media_energy" ->
+      """WITH f AS (
+        | SELECT doc_id AS media_id,
+        |  CAST(floor(len(text) / 32) AS INT) AS n_frames,
+        |  unnest(range(0, CAST(floor(len(text) / 32) AS BIGINT))) AS frame_idx,
+        |  text
+        | FROM documents WHERE len(text) >= 32),
+        |fr AS (
+        | SELECT media_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
+        |  substr(text, CAST(frame_idx * 32 + 1 AS INT), 32) AS ft
+        | FROM f),
+        |e AS (
+        | SELECT media_id, n_frames, frame_idx,
+        |  CAST(list_reduce(list_transform(range(1, 33),
+        |    i -> unicode(substr(ft, CAST(i AS INT), 1))
+        |       * unicode(substr(ft, CAST(i AS INT), 1))), (a, x) -> a + x)
+        |   AS BIGINT) AS e2
+        | FROM fr)
+        |SELECT media_id, n_frames, frame_idx, e2, e2 > 320000 AS active
+        |FROM e""".stripMargin,
+
+    "q228_stream_upsert" ->
+      """SELECT user_id, last_tsu, last_event_id, last_event_type, last_value
+        |FROM (
+        | SELECT user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) AS last_tsu,
+        |  event_id AS last_event_id,
+        |  event_type AS last_event_type,
+        |  value AS last_value,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1""".stripMargin
   )
 }

@@ -629,6 +629,43 @@ object EventsStream {
     }
   }
 
+  /** Streaming latest-per-key upsert view (CDC materialization): the
+    * stream folds into "current row per user" with one streaming
+    * max(struct) agg — state is ONE struct per key (bounded by key
+    * cardinality, the sessionize bound), merges across micro-batches,
+    * and needs no ordering guarantee from the source because the struct
+    * comparison (ts, then event_id) is a total order. The batch oracle
+    * is the same argmax replayed with a per-user window. */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+      val agg = src
+        .select(col("user_id"),
+          struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
+            col("event_type"), col("value")).as("rec"))
+        .groupBy("user_id").agg(max(col("rec")).as("last"))
+      val qname = "graft_latest_per_key"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname).select(col("user_id"),
+        col("last.tsu").as("last_tsu"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_event_type"),
+        col("last.value").as("last_value"))
+    }
+  }
+
   case class ZEvent(user_id: Long, event_id: Long, tsMicros: Long, value: Double)
   case class ZState(ring: List[Double])
   case class ZOut(event_id: Long, user_id: Long, n_win: Long,
