@@ -3970,7 +3970,72 @@ object Queries {
     // EventsStream.latestPerKey: one max(struct) agg, state = one row
     // per key, order-insensitive by total-order struct comparison.
     "q228_stream_upsert" -> ((s, d) =>
-      EventsStream.latestPerKey(s, d))
+      EventsStream.latestPerKey(s, d)),
+
+    // NDCG@{1,5,10} of the q122 BM25 ranking against a deterministic
+    // graded relevance (distinct query terms present, 0-3) — retrieval
+    // eval harness #5 (dedup q205, CV q210, lang-ID q213, kNN q224).
+    // Gains (2^rel−1)/log2(pos+1) ride integer micro-units per position
+    // before the cutoff sums (q192 device; log2 spelled ln(x)/ln(2) on
+    // BOTH engines so the op sequence is identical); NDCG is one
+    // long/long division. Ideal ranking comes from TakeOrdered over the
+    // rel>0 docs — no corpus window.
+    "q229_ndcg" -> ((s, d) => {
+      val terms = Seq("vector", "join", "scan")
+      val cuts = array(Seq(1, 5, 10).map(lit): _*)
+      def gainMicro(relc: Column, pos: Column): Column =
+        round((pow(lit(2.0), relc.cast("double")) - lit(1.0)) /
+          (log(pos.cast("double") + lit(1.0)) / log(lit(2.0))) * lit(1e6))
+          .cast("long")
+      val rel = doc(s, d).select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("rel"))
+      val sys = graft.text.Bm25.topK(doc(s, d), "doc_id", "text", terms, 10)
+        .join(rel, Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0L)))
+        .withColumn("g", gainMicro(col("rel"), col("rnk")))
+      val sysD = sys.withColumn("k", explode(cuts))
+        .filter(col("rnk") <= col("k"))
+        .groupBy("k").agg(sum(col("g")).as("dcg_micro"))
+      val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("rel").desc, col("doc_id").asc)))
+        .withColumn("g", gainMicro(col("rel"), col("rnk")))
+      val idealD = ideal.withColumn("k", explode(cuts))
+        .filter(col("rnk") <= col("k"))
+        .groupBy("k").agg(sum(col("g")).as("idcg_micro"))
+      sysD.join(idealD, Seq("k"))
+        .select(col("k"), col("dcg_micro"), col("idcg_micro"),
+          round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
+            .as("ndcg"))
+    }),
+
+    // ANN recall@10 — the metric that justifies (or indicts) every
+    // approximate index: IVF(16 cells, 4 probes) top-10 vs the exact
+    // brute-force top-10 over a 50-query probe set. Hits are exact
+    // integer set intersections; zero-overlap queries are restored by a
+    // left join so the eval can't silently drop its failures. Eval
+    // harness #6 — quantifies the q73 index the way q205 quantifies the
+    // q32 LSH bands.
+    "q230_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 50)
+      val cs = e.filter(col("vec_id") >= 50)
+      val ivf = Similarity.ivfCosineTopK(qs, cs, "vec_id", "embedding",
+          10, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = Similarity.cosineTopK(qs, cs, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("__h"))
+      qs.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("__h"), lit(0L)).as("n_hits"),
+          round(coalesce(col("__h"), lit(0L)).cast("double") / 10.0, 4)
+            .as("recall"))
+    })
   )
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
@@ -8471,6 +8536,112 @@ object Queries {
         |  row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn
         | FROM events) t
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+
+    "q229_ndcg" ->
+      """WITH p AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
+        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
+        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
+        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4) AS score
+        | FROM tf JOIN df ON tf.token = df.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id, s
+        | GROUP BY tf.doc_id),
+        |r AS (SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        | FROM sc),
+        |rel AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS rel FROM (
+        |  SELECT DISTINCT doc_id, token FROM p
+        |  WHERE token IN ('vector', 'join', 'scan')) t
+        | GROUP BY doc_id),
+        |cuts AS (SELECT unnest([1, 5, 10]) AS k),
+        |sysg AS (
+        | SELECT r.rnk, coalesce(rel.rel, 0) AS rel,
+        |  CAST(round((power(2.0, CAST(coalesce(rel.rel, 0) AS DOUBLE)) - 1.0)
+        |    / (ln(CAST(r.rnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000)
+        |   AS BIGINT) AS g
+        | FROM r LEFT JOIN rel ON r.doc_id = rel.doc_id WHERE r.rnk <= 10),
+        |sysd AS (
+        | SELECT k, CAST(sum(g) AS BIGINT) AS dcg_micro
+        | FROM sysg JOIN cuts ON sysg.rnk <= cuts.k GROUP BY k),
+        |ideal AS (
+        | SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+        |   AS BIGINT) AS rnk
+        | FROM rel QUALIFY rnk <= 10),
+        |idealg AS (
+        | SELECT rnk,
+        |  CAST(round((power(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |    / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000)
+        |   AS BIGINT) AS g
+        | FROM ideal),
+        |ideald AS (
+        | SELECT k, CAST(sum(g) AS BIGINT) AS idcg_micro
+        | FROM idealg JOIN cuts ON idealg.rnk <= cuts.k GROUP BY k)
+        |SELECT sysd.k, dcg_micro, idcg_micro,
+        | round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg
+        |FROM sysd JOIN ideald ON sysd.k = ideald.k""".stripMargin,
+
+    "q230_ann_recall" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |n AS (
+        | SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+        | FROM e),
+        |c AS (SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn FROM n
+        |      WHERE vec_id >= 50),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id < 50),
+        |cent AS (SELECT neighbor_id AS cent_id, nv AS cv, nn AS cn FROM c
+        |         ORDER BY neighbor_id LIMIT 16),
+        |asg AS (
+        | SELECT neighbor_id, nv, nn, cent_id AS cell FROM (
+        |  SELECT c.neighbor_id, c.nv, c.nn, cent.cent_id,
+        |   row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+        |     (list_reduce(list_transform(list_zip(c.nv, cent.cv), z -> z[1] * z[2]),
+        |        (x, y) -> x + y) / (c.nn * cent.cn)) DESC,
+        |     cent.cent_id ASC) AS rn
+        |  FROM c CROSS JOIN cent) WHERE rn = 1),
+        |pr AS (
+        | SELECT query_id, qv, qn, cent_id AS cell FROM (
+        |  SELECT q.query_id, q.qv, q.qn, cent.cent_id,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |     (list_reduce(list_transform(list_zip(q.qv, cent.cv), z -> z[1] * z[2]),
+        |        (x, y) -> x + y) / (q.qn * cent.cn)) DESC,
+        |     cent.cent_id ASC) AS rn
+        |  FROM q CROSS JOIN cent) WHERE rn <= 4),
+        |ivf AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |   row_number() OVER (PARTITION BY query_id ORDER BY
+        |    (list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]),
+        |       (x, y) -> x + y) / (qn * nn)) DESC, neighbor_id) AS rnk
+        |  FROM pr JOIN asg USING (cell)) t WHERE rnk <= 10),
+        |exact AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    (list_reduce(list_transform(list_zip(q.qv, c.nv), z -> z[1] * z[2]),
+        |       (x, y) -> x + y) / (q.qn * c.nn)) DESC, c.neighbor_id) AS rnk
+        |  FROM q CROSS JOIN c) t WHERE rnk <= 10),
+        |hits AS (
+        | SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
+        | FROM exact e JOIN ivf i
+        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        | GROUP BY e.query_id)
+        |SELECT q.query_id, coalesce(h, 0) AS n_hits,
+        | round(CAST(coalesce(h, 0) AS DOUBLE) / 10.0, 4) AS recall
+        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin
   )
 }

@@ -53,6 +53,25 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("NDCG cutoffs are bounded and ideal dominates the system ranking") {
+    val out = Queries.queries("q229_ndcg")(spark, TestSpark.sf0001)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == Set(1, 5, 10))
+    out.foreach { case (k, dcg, idcg, ndcg) =>
+      assert(dcg <= idcg, s"k=$k: DCG must not exceed ideal")
+      assert(ndcg > 0.0 && ndcg <= 1.0, s"k=$k: ndcg=$ndcg")
+    }
+  }
+
+  test("ANN recall covers all probes with sane hit counts") {
+    val out = Queries.queries("q230_ann_recall")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 50)
+    assert(out.forall { case (_, h, r) =>
+      h >= 0 && h <= 10 && math.abs(r - h / 10.0) < 1e-9 })
+    assert(out.map(_._2).max >= 5, "the 4/16-probe IVF should find most of some query's true top-10")
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
