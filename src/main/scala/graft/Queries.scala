@@ -8356,8 +8356,8 @@ object Queries {
         |hist AS (SELECT n_chars AS v, count(*) AS c FROM documents
         |         GROUP BY n_chars),
         |cum AS (
-        | SELECT v, sum(c) OVER (ORDER BY v) AS hi,
-        |        sum(c) OVER (ORDER BY v) - c AS lo
+        | SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS hi,
+        |        CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS lo
         | FROM hist)
         |SELECT t.doc_id, t.source, t.n_chars, c.v AS norm_chars
         |FROM tgt t JOIN cum c ON t.tr > c.lo AND t.tr <= c.hi""".stripMargin,
