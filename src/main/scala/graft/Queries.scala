@@ -4035,8 +4035,83 @@ object Queries {
           coalesce(col("__h"), lit(0L)).as("n_hits"),
           round(coalesce(col("__h"), lit(0L)).cast("double") / 10.0, 4)
             .as("recall"))
+    }),
+
+    // First-/last-touch attribution — every purchase credited to the
+    // first and last click by the same user in the preceding hour (the
+    // product-analytics leg beside q136 funnel / q137 retention). The
+    // lookback theta-join is BANDED on the hour bucket (purchase probes
+    // its own and the previous bucket — an equi-join, never a time-range
+    // cross-product); first/last ride min/max(struct(ts, id)) exact
+    // total orders, and clickless purchases stay visible via left join.
+    "q231_attribution" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val ev = ev_(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("tsu").as("ptsu"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          col("tsu").as("ctsu"))
+        .withColumn("band", expr(s"ctsu DIV $hourUs"))
+      val probes = purchases.withColumn("band",
+        explode(array(expr(s"ptsu DIV $hourUs"), expr(s"ptsu DIV $hourUs - 1"))))
+      val j = probes.join(clicks, Seq("band", "user_id"))
+        .filter(col("ctsu") <= col("ptsu") &&
+          col("ctsu") >= col("ptsu") - hourUs)
+      val agg = j.groupBy("pid").agg(
+        count(lit(1)).as("n_clicks"),
+        min(struct(col("ctsu"), col("cid"))).getField("cid")
+          .as("first_click_id"),
+        max(struct(col("ctsu"), col("cid"))).getField("cid")
+          .as("last_click_id"))
+      purchases.select(col("pid"))
+        .join(agg, Seq("pid"), "left")
+        .select(col("pid"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("first_click_id"), col("last_click_id"))
+    }),
+
+    // Near-dup threshold sweep — the tuning curve behind every
+    // canonicalization deployment: cluster count, duplicated-doc count,
+    // and dup rate at Jaccard 0.3 / 0.5 / 0.7, each from the exact
+    // recall-1.0 components. Three bounded summaries of three CC runs;
+    // the oracle folds all three thresholds into ONE recursive CTE
+    // keyed by (threshold, node).
+    "q232_dedup_threshold_sweep" -> ((s, d) => {
+      // ONE PPJoin at the lowest threshold carries every higher one: the
+      // pair table keeps its exact jaccard, so the 0.5/0.7 edge sets are
+      // pure filters of the checkpointed 0.3 pairs (recall 1.0 transfers)
+      // — three CC runs share one similarity join instead of paying it
+      // three times.
+      val pairs = graft.io.Checkpoints.truncate(
+        Dedup.ngramJaccardSelfPairs(doc(s, d), "text", "doc_id",
+          k = 2, threshold = 0.3)
+          .select(col("id_a"), col("id_b"), col("jaccard")), eager = true)
+      val nodes = doc(s, d).select(col("doc_id").as("node"))
+      val sweeps = Seq(0.3, 0.5, 0.7).map { thr =>
+        val (labels, converged) = graft.graph.ConnectedComponents.minLabel(
+          pairs.filter(col("jaccard") >= thr).select("id_a", "id_b"),
+          nodes, maxRounds = 16)
+        require(converged, s"CC fixpoint not reached at threshold $thr")
+        val sizes = labels.groupBy("label").agg(count(lit(1)).as("__sz"))
+        sizes.agg(
+            count(lit(1)).as("n_clusters"),
+            sum(when(col("__sz") > 1, col("__sz")).otherwise(0L))
+              .as("n_dup_docs"),
+            sum(col("__sz")).as("__total"))
+          .select(lit(thr).as("threshold"), col("n_clusters"),
+            col("n_dup_docs"),
+            round(col("n_dup_docs").cast("double") / col("__total"), 4)
+              .as("dup_rate"))
+      }
+      sweeps.reduce(_.unionByName(_))
     })
   )
+
+  /** events with exact epoch-micro timestamps — shared by q231. */
+  private def ev_(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tsu"))
 
   /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
     * names, blank cells). Resolved relative to the repo root whether the
@@ -8642,6 +8717,66 @@ object Queries {
         | GROUP BY e.query_id)
         |SELECT q.query_id, coalesce(h, 0) AS n_hits,
         | round(CAST(coalesce(h, 0) AS DOUBLE) / 10.0, 4) AS recall
-        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin
+        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin,
+
+    "q231_attribution" ->
+      """WITH ev AS (
+        | SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tsu
+        | FROM events),
+        |p AS (SELECT event_id AS pid, user_id, tsu AS ptsu FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS cid, user_id, tsu AS ctsu FROM ev
+        |      WHERE event_type = 'click'),
+        |j AS (
+        | SELECT p.pid, c.cid, c.ctsu FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        |   AND c.ctsu <= p.ptsu AND c.ctsu >= p.ptsu - 3600000000),
+        |f AS (SELECT pid, cid AS first_click_id FROM (
+        |  SELECT pid, cid,
+        |   row_number() OVER (PARTITION BY pid ORDER BY ctsu, cid) AS rn
+        |  FROM j) t WHERE rn = 1),
+        |l AS (SELECT pid, cid AS last_click_id FROM (
+        |  SELECT pid, cid,
+        |   row_number() OVER (PARTITION BY pid ORDER BY ctsu DESC, cid DESC)
+        |    AS rn
+        |  FROM j) t WHERE rn = 1),
+        |n AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks
+        |      FROM j GROUP BY pid)
+        |SELECT p.pid, coalesce(n.n_clicks, 0) AS n_clicks,
+        | f.first_click_id, l.last_click_id
+        |FROM p LEFT JOIN n USING (pid) LEFT JOIN f USING (pid)
+        | LEFT JOIN l USING (pid)""".stripMargin,
+
+    "q232_dedup_threshold_sweep" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_distinct(
+        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
+        | FROM toks),
+        |jp AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+        |th AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE]) AS thr),
+        |e AS (SELECT thr, ia AS a, ib AS b FROM jp JOIN th ON jac >= thr
+        |      UNION ALL SELECT thr, ib, ia FROM jp JOIN th ON jac >= thr),
+        |cc(thr, node, label) AS (
+        | SELECT th.thr, doc_id, doc_id FROM documents, th
+        | UNION
+        | SELECT e.thr, e.a, cc.label FROM e
+        |  JOIN cc ON cc.thr = e.thr AND cc.node = e.b
+        | WHERE cc.label < e.a),
+        |comp AS (SELECT thr, node, min(label) AS cid FROM cc GROUP BY thr, node),
+        |sz AS (SELECT thr, cid, count(*) AS csize FROM comp GROUP BY thr, cid)
+        |SELECT thr AS threshold, CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS BIGINT)
+        |   AS n_dup_docs,
+        | round(CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS DOUBLE)
+        |   / sum(csize), 4) AS dup_rate
+        |FROM sz GROUP BY thr""".stripMargin
   )
 }

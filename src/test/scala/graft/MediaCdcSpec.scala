@@ -29,6 +29,47 @@ class MediaCdcSpec extends AnyFunSuite {
     assert(frac > 0.05 && frac < 0.95, s"segmentation non-vacuous: $frac")
   }
 
+  test("banded attribution equals the direct time-range join") {
+    val got = Queries.queries("q231_attribution")(spark, TestSpark.sf0001)
+      .select("pid", "n_clicks", "first_click_id", "last_click_id")
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tsu"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("tsu").as("ptsu"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("tsu").as("ctsu"))
+    val j = p.join(c, Seq("user_id"))
+      .filter(col("ctsu") <= col("ptsu") &&
+        col("ctsu") >= col("ptsu") - 3600000000L)
+    val agg = j.groupBy("pid").agg(count(lit(1)).as("n_clicks"),
+      min(struct(col("ctsu"), col("cid"))).getField("cid").as("first_click_id"),
+      max(struct(col("ctsu"), col("cid"))).getField("cid").as("last_click_id"))
+    val naive = p.select("pid").join(agg, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        col("first_click_id"), col("last_click_id"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == naive)
+    assert(got.exists(_._2 > 0), "some purchase has a prior click")
+    // Whenever more than one click is attributed, first and last differ.
+    got.filter(_._2 > 1).foreach { r =>
+      assert(r._3.isDefined && r._4.isDefined && r._3 != r._4, r.toString)
+    }
+  }
+
+  test("dedup threshold sweep is monotone in the threshold") {
+    val rows = Queries.queries("q232_dedup_threshold_sweep")(spark, TestSpark.sf0001)
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7))
+    // Raising the threshold removes edges: clusters split (count grows),
+    // duplicated-doc mass shrinks.
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "n_clusters non-decreasing")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.reverse.toSeq,
+      "dup docs non-increasing")
+  }
+
   test("streaming latest-per-key equals the batch argmax") {
     val got = Queries.queries("q228_stream_upsert")(spark, TestSpark.sf0001)
       .as[(Long, Long, Long, String, Double)].collect().toSet
