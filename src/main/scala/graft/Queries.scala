@@ -4105,6 +4105,23 @@ object Queries {
               .as("dup_rate"))
       }
       sweeps.reduce(_.unionByName(_))
+    }),
+
+    // IVF nProbe recall curve — the index-tuning companion to q230's
+    // single point and q232's threshold sweep: recall@10 at 1/2/4/8
+    // probes of 16 cells, every setting a FILTER of one shared candidate
+    // join (see Similarity.ivfRecallCurve). Macro-averaged per setting;
+    // per-query grids keep zero-hit probes visible.
+    "q233_ivf_recall_curve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfRecallCurve(
+          e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50),
+          "vec_id", "embedding", k = 10, nCells = 16,
+          nProbes = Seq(1, 2, 4, 8))
+        .groupBy("n_probe").agg(
+          sum(col("n_hits")).as("total_hits"),
+          round(sum(col("n_hits")).cast("double") /
+            (count(lit(1)) * 10), 4).as("mean_recall"))
     })
   )
 
@@ -8777,6 +8794,66 @@ object Queries {
         |   AS n_dup_docs,
         | round(CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS DOUBLE)
         |   / sum(csize), 4) AS dup_rate
-        |FROM sz GROUP BY thr""".stripMargin
+        |FROM sz GROUP BY thr""".stripMargin,
+
+    "q233_ivf_recall_curve" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |n AS (
+        | SELECT vec_id, v,
+        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
+        | FROM e),
+        |c AS (SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn FROM n
+        |      WHERE vec_id >= 50),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+        |      WHERE vec_id < 50),
+        |cent AS (SELECT neighbor_id AS cent_id, nv AS cv, nn AS cn FROM c
+        |         ORDER BY neighbor_id LIMIT 16),
+        |asg AS (
+        | SELECT neighbor_id, nv, nn, cent_id AS cell FROM (
+        |  SELECT c.neighbor_id, c.nv, c.nn, cent.cent_id,
+        |   row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
+        |     (list_reduce(list_transform(list_zip(c.nv, cent.cv), z -> z[1] * z[2]),
+        |        (x, y) -> x + y) / (c.nn * cent.cn)) DESC,
+        |     cent.cent_id ASC) AS rn
+        |  FROM c CROSS JOIN cent) WHERE rn = 1),
+        |pr AS (
+        | SELECT query_id, qv, qn, cent_id AS cell, rn FROM (
+        |  SELECT q.query_id, q.qv, q.qn, cent.cent_id,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |     (list_reduce(list_transform(list_zip(q.qv, cent.cv), z -> z[1] * z[2]),
+        |        (x, y) -> x + y) / (q.qn * cent.cn)) DESC,
+        |     cent.cent_id ASC) AS rn
+        |  FROM q CROSS JOIN cent) WHERE rn <= 8),
+        |np AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+        |ivf AS (
+        | SELECT n_probe, query_id, neighbor_id FROM (
+        |  SELECT np.n_probe, pr.query_id, asg.neighbor_id,
+        |   row_number() OVER (PARTITION BY np.n_probe, pr.query_id ORDER BY
+        |    (list_reduce(list_transform(list_zip(pr.qv, asg.nv), z -> z[1] * z[2]),
+        |       (x, y) -> x + y) / (pr.qn * asg.nn)) DESC, asg.neighbor_id) AS rnk
+        |  FROM pr JOIN asg USING (cell) JOIN np ON pr.rn <= np.n_probe) t
+        | WHERE rnk <= 10),
+        |exact AS (
+        | SELECT query_id, neighbor_id FROM (
+        |  SELECT q.query_id, c.neighbor_id,
+        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |    (list_reduce(list_transform(list_zip(q.qv, c.nv), z -> z[1] * z[2]),
+        |       (x, y) -> x + y) / (q.qn * c.nn)) DESC, c.neighbor_id) AS rnk
+        |  FROM q CROSS JOIN c) t WHERE rnk <= 10),
+        |hits AS (
+        | SELECT i.n_probe, e.query_id, CAST(count(*) AS BIGINT) AS h
+        | FROM exact e JOIN ivf i
+        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+        | GROUP BY 1, 2),
+        |grid AS (SELECT np.n_probe, q.query_id FROM np, q),
+        |per AS (
+        | SELECT g.n_probe, g.query_id, coalesce(h, 0) AS h
+        | FROM grid g LEFT JOIN hits
+        |  ON g.n_probe = hits.n_probe AND g.query_id = hits.query_id)
+        |SELECT n_probe, CAST(sum(h) AS BIGINT) AS total_hits,
+        | round(CAST(sum(h) AS DOUBLE) / (count(*) * 10), 4) AS mean_recall
+        |FROM per GROUP BY n_probe""".stripMargin
   )
 }

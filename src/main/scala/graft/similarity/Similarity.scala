@@ -230,6 +230,72 @@ object Similarity {
     * probed cells is cosine, same folds as [[cosineTopK]]. Assignment is
     * a pure per-row expression over k literal centroid structs — no
     * shuffle; the probe join shuffles on cell id only. */
+  /** IVF nProbe tuning curve — recall@k for several probe widths in ONE
+    * pass: the corpus is assigned to cells once, each query's probe cells
+    * are ranked once to max(nProbes), and every sweep setting is a pure
+    * FILTER of that shared candidate join (probe rank < nProbe) — the
+    * sweep costs one index build + one candidate join at the widest
+    * setting, not |settings| of either. The exact top-k truth is also
+    * computed once. Static first-nCells codebook (the q73 convention);
+    * zero-hit probes stay visible via the (setting × query) grid.
+    * Output: (n_probe, query_id, n_hits, recall). */
+  def ivfRecallCurve(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nCells: Int, nProbes: Seq[Int]): DataFrame = {
+    require(nProbes.nonEmpty && nProbes.forall(_ >= 1))
+    val maxP = nProbes.max
+    val c0 = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+      .withColumn("nn", graft.functions.NormD(col("nv")))
+      .filter(col("nn") > 0)
+    val centroids: Array[(Long, Array[Double], Double)] = c0
+      .orderBy("neighbor_id").limit(nCells)
+      .select(col("neighbor_id"), col("nv"))
+      .collect()
+      .map { r =>
+        val id = r.get(0) match { case l: Long => l; case i: Int => i.toLong }
+        val v = r.getSeq[Double](1).toArray
+        (id, v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+      }
+      .sortBy(_._1)
+    def centCos(vCol: String, nCol: String)(c: (Long, Array[Double], Double)): Column =
+      graft.functions.DotProductD(col(vCol), array(c._2.map(lit).toIndexedSeq: _*)) /
+        (col(nCol) * lit(c._3))
+    val assigned = c0.withColumn("cell",
+      -greatest(centroids.toIndexedSeq.map(c =>
+        struct(centCos("nv", "nn")(c).as("c"), lit(-c._1).as("nid"))): _*)
+        .getField("nid"))
+    val q0 = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", graft.functions.NormD(col("qv")))
+      .filter(col("qn") > 0)
+    val rankedCells = slice(array_sort(array(centroids.toIndexedSeq.map(c =>
+      struct((-centCos("qv", "qn")(c)).as("negc"), lit(c._1).as("cid"))): _*)),
+      1, maxP)
+    val probes = q0.select(col("query_id"), col("qv"), col("qn"),
+      posexplode(transform(rankedCells, p => p.getField("cid")))
+        .as(Seq("prank0", "cell")))
+    val cand = probes.join(assigned, Seq("cell"))
+      .withColumn("cos_sim",
+        graft.functions.DotProductD(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("prank0"))
+    val settings = array(nProbes.map(lit): _*)
+    val ivfTop = cand.withColumn("n_probe", explode(settings))
+      .filter(col("prank0") < col("n_probe"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("n_probe", "query_id")
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("n_probe"), col("query_id"), col("neighbor_id"))
+    val exact = cosineTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(ivfTop, Seq("query_id", "neighbor_id"))
+      .groupBy("n_probe", "query_id").agg(count(lit(1)).as("__h"))
+    q0.select(col("query_id")).withColumn("n_probe", explode(settings))
+      .join(hits, Seq("n_probe", "query_id"), "left")
+      .select(col("n_probe"), col("query_id"),
+        coalesce(col("__h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("__h"), lit(0L)).cast("double") / k, 4).as("recall"))
+  }
+
   def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      nCells: Int = 8, nProbe: Int = 3,

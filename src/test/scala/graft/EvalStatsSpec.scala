@@ -72,6 +72,18 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(out.map(_._2).max >= 5, "the 4/16-probe IVF should find most of some query's true top-10")
   }
 
+  test("IVF recall curve is monotone in nProbe and widest setting matches q230") {
+    val curve = Queries.queries("q233_ivf_recall_curve")(spark, TestSpark.sf0001)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // More probes can only add candidates: recall is non-decreasing.
+    assert(curve.map(_._2).toSeq == curve.map(_._2).sorted.toSeq)
+    // The nProbe=4 point must equal q230's total (same index, same probes).
+    val q230 = Queries.queries("q230_ann_recall")(spark, TestSpark.sf0001)
+      .agg(sum("n_hits")).as[Long].head()
+    assert(curve.find(_._1 == 4).get._2 == q230)
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
