@@ -4122,8 +4122,52 @@ object Queries {
           sum(col("n_hits")).as("total_hits"),
           round(sum(col("n_hits")).cast("double") /
             (count(lit(1)) * 10), 4).as("mean_recall"))
+    }),
+
+    // MinHash-LSH band-shape sweep — the s-curve measured across
+    // 16 hashes split as 16×1 / 8×2 / 4×4 bands (more bands = higher
+    // recall, wider bands = higher precision): P/R/F1 per shape against
+    // the shared exact-Jaccard truth (the q205 single point becomes the
+    // tuning curve, completing the sweep family q232/q233). Truth is
+    // computed ONCE; the banding is the only thing that varies.
+    "q234_lsh_band_curve" -> ((s, d) => {
+      val truth = graft.io.Checkpoints.truncate(
+        Dedup.ngramJaccardSelfPairs(doc(s, d), "text", "doc_id",
+          k = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b")), eager = true)
+      val configs = Seq((16, 1), (8, 2), (4, 4))
+      val preds = configs.map { case (b, r) =>
+        Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3,
+            bands = b, rowsPerBand = r, threshold = 0.5, family = "md5p61")
+          .select(lit(b).as("bands"), lit(r).as("rpb"),
+            col("id_a"), col("id_b"))
+      }.reduce(_.unionByName(_))
+      val truthX = truth.crossJoin(
+        litConfigs(s)(configs, "bands", "rpb"))
+      preds.withColumn("__p", lit(1L))
+        .join(truthX.withColumn("__t", lit(1L)),
+          Seq("bands", "rpb", "id_a", "id_b"), "full_outer")
+        .groupBy("bands", "rpb").agg(
+          sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("bands"), col("rpb"), col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("prec"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+            .as("rec"))
     })
   )
+
+  /** Tiny literal DataFrame helper for sweep-config tables. */
+  private def litConfigs(s: SparkSession)(rows: Seq[(Int, Int)],
+                                          c1: String, c2: String): DataFrame = {
+    import s.implicits._
+    rows.toDF(c1, c2)
+  }
 
   /** events with exact epoch-micro timestamps — shared by q231. */
   private def ev_(s: SparkSession, d: String): DataFrame =
@@ -8854,6 +8898,65 @@ object Queries {
         |  ON g.n_probe = hits.n_probe AND g.query_id = hits.query_id)
         |SELECT n_probe, CAST(sum(h) AS BIGINT) AS total_hits,
         | round(CAST(sum(h) AS DOUBLE) / (count(*) * 10), 4) AS mean_recall
-        |FROM per GROUP BY n_probe""".stripMargin
+        |FROM per GROUP BY n_probe""".stripMargin,
+
+    "q234_lsh_band_curve" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
+        | FROM toks),
+        |base AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
+        | FROM sh),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(16), j ->
+        |   list_min(list_transform(bs, x ->
+        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
+        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
+        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
+        | FROM base),
+        |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4)) c(bands, rpb)),
+        |banded AS (
+        | SELECT cfg.bands, cfg.rpb, doc_id, r.b AS band,
+        |  sig[cfg.rpb * r.b + 1 : cfg.rpb * r.b + cfg.rpb] AS band_key, sig
+        | FROM sig, cfg, range(16) r(b)
+        | WHERE r.b < cfg.bands),
+        |cand AS (
+        | SELECT DISTINCT a.bands, a.rpb, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  list_sum(list_transform(range(16), i ->
+        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
+        | FROM banded a JOIN banded b
+        |   ON a.bands = b.bands AND a.rpb = b.rpb AND a.band = b.band
+        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |pred AS (SELECT bands, rpb, id_a, id_b FROM cand WHERE est >= 0.5),
+        |shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
+        |truth AS (
+        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |truthx AS (SELECT cfg.bands, cfg.rpb, truth.id_a, truth.id_b
+        |           FROM truth, cfg),
+        |j AS (
+        | SELECT coalesce(p.bands, t.bands) AS bands,
+        |  coalesce(p.rpb, t.rpb) AS rpb,
+        |  p.id_a IS NOT NULL AS isp, t.id_a IS NOT NULL AS ist
+        | FROM pred p FULL OUTER JOIN truthx t
+        |   ON p.bands = t.bands AND p.rpb = t.rpb
+        |    AND p.id_a = t.id_a AND p.id_b = t.id_b)
+        |SELECT bands, rpb,
+        | CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        | CAST(sum(CASE WHEN isp AND NOT ist THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        | CAST(sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        | round(CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / (sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN isp AND NOT ist THEN 1 ELSE 0 END)), 6) AS prec,
+        | round(CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / (sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END)), 6) AS rec
+        |FROM j GROUP BY bands, rpb""".stripMargin
   )
 }

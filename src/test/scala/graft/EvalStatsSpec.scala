@@ -84,6 +84,23 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(curve.find(_._1 == 4).get._2 == q230)
   }
 
+  test("LSH band curve: recall falls and precision rises as bands widen") {
+    val rows = Queries.queries("q234_lsh_band_curve")(spark, TestSpark.sf0001)
+      .as[(Int, Int, Long, Long, Long, Double, Double)].collect()
+      .sortBy(-_._1) // 16x1, 8x2, 4x4
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq((16, 1), (8, 2), (4, 4)))
+    // Narrower bands (more of them) can only ADD candidate pairs: with a
+    // fixed est-threshold, predictions shrink as bands widen, so fn is
+    // non-decreasing (recall non-increasing) down the sweep.
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq,
+      s"fn should be non-decreasing 16x1 -> 4x4: ${rows.mkString(", ")}")
+    // The 8x2 row must equal q205 (same configuration).
+    val q205 = Queries.queries("q205_minhash_eval")(spark, TestSpark.sf0001)
+      .select("tp", "fp", "fn").as[(Long, Long, Long)].head()
+    val mid = rows.find(r => r._1 == 8 && r._2 == 2).get
+    assert((mid._3, mid._4, mid._5) == q205)
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
