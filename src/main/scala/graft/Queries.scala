@@ -4159,7 +4159,23 @@ object Queries {
             .as("prec"),
           round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
             .as("rec"))
-    })
+    }),
+
+    // Ridge regression coefficient path — the regularization leg of the
+    // model family (q36 OLS, q37 logistic, q42 tree): β(λ) at λ =
+    // 0/1/10/100 from ONE distributed moment pass, each solve a k×k
+    // driver-side elimination (bounded by model width, the olsExact
+    // precedent). λ=0 reproduces OLS exactly; the shrinkage toward zero
+    // across the path is the operator's observable.
+    "q235_ridge_path" -> ((s, d) =>
+      Models.ridgePath(
+          li(s, d).select(col("l_quantity"),
+            (col("l_discount") * 100).as("disc_pct"),
+            (col("l_tax") * 100).as("tax_pct"),
+            (col("l_extendedprice") / 1000).as("price_k")),
+          "price_k", Seq("l_quantity", "disc_pct", "tax_pct"),
+          lambdas = Seq(0.0, 1.0, 10.0, 100.0))
+        .select(col("lambda"), col("term"), round(col("est"), 6).as("est")))
   )
 
   /** Tiny literal DataFrame helper for sweep-config tables. */
@@ -8957,6 +8973,17 @@ object Queries {
         | round(CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS DOUBLE)
         |  / (sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END)
         |   + sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END)), 6) AS rec
-        |FROM j GROUP BY bands, rpb""".stripMargin
+        |FROM j GROUP BY bands, rpb""".stripMargin,
+
+    "q235_ridge_path" -> Models.ridgeOracleSql(
+      """SELECT CAST(l_quantity AS DOUBLE) AS f0,
+        | CAST(l_discount * 100 AS DOUBLE) AS f1,
+        | CAST(l_tax * 100 AS DOUBLE) AS f2,
+        | CAST(l_extendedprice / 1000 AS DOUBLE) AS y
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        | AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin,
+      Seq("l_quantity", "disc_pct", "tax_pct"),
+      Seq(0.0, 1.0, 10.0, 100.0), 6)
   )
 }

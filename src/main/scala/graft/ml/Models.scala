@@ -176,6 +176,99 @@ object Models {
     *                Spark-side projection exactly)
     * @param terms   output term names, intercept excluded (feature order)
     */
+  /** Ridge regression coefficient path — [[olsExact]]'s normal equations
+    * with λ added to the covariance diagonal (the intercept stays
+    * unpenalized, the textbook centered-ridge form), solved once per λ
+    * over ONE distributed moment pass. The k×k elimination is driver-side
+    * like olsExact — bounded by the model width, never the corpus — and
+    * replays [[ridgeOracleSql]] op for op so the per-λ betas round alike
+    * on both engines. Output: (lambda, term, est) with '__intercept'. */
+  def ridgePath(df: DataFrame, labelCol: String, numericCols: Seq[String],
+                lambdas: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = numericCols.size
+    val base = df.na.drop((numericCols :+ labelCol).distinct)
+      .select(numericCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"f$i") }
+        :+ col(labelCol).cast("double").as("y"): _*)
+    val aggs =
+      (0 until k).map(i => avg(col(s"f$i")).as(s"m$i")) ++
+      Seq(avg(col("y")).as("my")) ++
+      (for { i <- 0 until k; j <- i until k }
+        yield covar_pop(col(s"f$i"), col(s"f$j")).as(s"c_${i}_$j")) ++
+      (0 until k).map(i => covar_pop(col(s"f$i"), col("y")).as(s"cy$i"))
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    val means = Array.tabulate(k)(i => row.getAs[Double](s"m$i"))
+    val my = row.getAs[Double]("my")
+    val cy = Array.tabulate(k)(i => row.getAs[Double](s"cy$i"))
+    def cov(i: Int, j: Int): Double =
+      row.getAs[Double](s"c_${math.min(i, j)}_${math.max(i, j)}")
+    val out = lambdas.flatMap { lam =>
+      val a = Array.tabulate(k)(r => Array.tabulate(k + 1) { c =>
+        if (c < k) cov(r, c) + (if (c == r) lam else 0.0)
+        else cy(r)
+      })
+      for (p <- 0 until k) {
+        val piv = a(p)(p)
+        for (r <- 0 until k if r != p) {
+          val f = a(r)(p)
+          for (c <- 0 to k) a(r)(c) = a(r)(c) - f * a(p)(c) / piv
+        }
+        for (c <- 0 to k) a(p)(c) = a(p)(c) / piv
+      }
+      val beta = Array.tabulate(k)(r => a(r)(k))
+      val intercept = my - (0 until k).map(i => beta(i) * means(i)).sum
+      (numericCols.zip(beta.toSeq) :+ ("__intercept" -> intercept)).map {
+        case (t, e) => (lam, t, e)
+      }
+    }
+    out.toDF("lambda", "term", "est")
+  }
+
+  /** SQL twin of [[ridgePath]] — one shared moment CTE, a per-λ
+    * Gauss-Jordan chain with the λ literal on the diagonal, and beta /
+    * intercept rows UNION ALL'd. Same elimination op order as
+    * [[olsOracleSql]]. */
+  def ridgeOracleSql(baseSql: String, terms: Seq[String],
+                     lambdas: Seq[Double], dp: Int): String = {
+    val k = terms.size
+    def cname(i: Int, j: Int) = s"c_${math.min(i, j)}_${math.max(i, j)}"
+    val momentCols =
+      (0 until k).map(i => s"avg(f$i) AS m$i") ++
+      Seq("avg(y) AS my") ++
+      (for { i <- 0 until k; j <- i until k } yield s"covar_pop(f$i, f$j) AS ${cname(i, j)}") ++
+      (0 until k).map(i => s"covar_pop(f$i, y) AS cy$i")
+    val chains = lambdas.zipWithIndex.map { case (lam, li) =>
+      val initCols = (for { r <- 0 until k; c <- 0 to k } yield {
+        val v =
+          if (c < k && c == r) s"${cname(r, c)} + CAST($lam AS DOUBLE)"
+          else if (c < k) cname(r, c)
+          else s"cy$r"
+        s"$v AS a_${r}_$c"
+      }).mkString(", ")
+      val stages = (0 until k).map { p =>
+        val repl = (for { r <- 0 until k; c <- 0 to k } yield {
+          if (r == p) s"a_${p}_$c / a_${p}_$p AS a_${r}_$c"
+          else s"a_${r}_$c - a_${r}_$p * a_${p}_$c / a_${p}_$p AS a_${r}_$c"
+        }).mkString(", ")
+        s"g${p + 1}_$li AS (SELECT * REPLACE ($repl) FROM g${p}_$li)"
+      }
+      val chain = s"g0_$li AS (SELECT *, $initCols FROM m),\n${stages.mkString(",\n")}"
+      val betaDotM = (0 until k).map(i => s"a_${i}_$k * m$i").mkString(" + ")
+      val rows = terms.zipWithIndex.map { case (t, i) =>
+        s"SELECT CAST($lam AS DOUBLE) AS lambda, '$t' AS term, a_${i}_$k AS est FROM gk_alias_$li"
+          .replace(s"gk_alias_$li", s"g${k}_$li")
+      } :+ s"SELECT CAST($lam AS DOUBLE) AS lambda, '__intercept' AS term, my - ($betaDotM) AS est FROM g${k}_$li"
+      (chain, rows)
+    }
+    s"""WITH base AS ($baseSql),
+       |m AS (SELECT ${momentCols.mkString(", ")} FROM base),
+       |${chains.map(_._1).mkString(",\n")}
+       |SELECT lambda, term, round(est, $dp) AS est
+       |FROM (${chains.flatMap(_._2).mkString("\nUNION ALL\n")}) t""".stripMargin
+  }
+
   def olsOracleSql(baseSql: String, terms: Seq[String], dp: Int): String = {
     val k = terms.size
     val w = 2 * k + 1

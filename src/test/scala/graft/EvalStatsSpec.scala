@@ -101,6 +101,30 @@ class EvalStatsSpec extends AnyFunSuite {
     assert((mid._3, mid._4, mid._5) == q205)
   }
 
+  test("ridge path: lambda=0 equals OLS; coefficient norm shrinks with lambda") {
+    val rows = Queries.queries("q235_ridge_path")(spark, TestSpark.sf0001)
+      .as[(Double, String, Double)].collect()
+    assert(rows.length == 16) // 4 lambdas x (3 betas + intercept)
+    val byLam = rows.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.filter(_._2 != "__intercept").map(_._3) }
+    // Shrinkage: ||beta(lambda)||^2 is non-increasing in lambda.
+    val norms = byLam.toSeq.sortBy(_._1).map { case (_, b) => b.map(x => x * x).sum }
+    assert(norms.zip(norms.tail).forall { case (a, b) => b <= a + 1e-12 }, norms.toString)
+    // lambda=0 is plain OLS on the same features.
+    val ols = graft.ml.Models.olsExact(
+      Tables.lineitem(spark, TestSpark.sf0001).select(col("l_quantity"),
+        (col("l_discount") * 100).as("disc_pct"),
+        (col("l_tax") * 100).as("tax_pct"),
+        (col("l_extendedprice") / 1000).as("price_k")),
+      "price_k", Seq("l_quantity", "disc_pct", "tax_pct"))
+      .filter(!col("term").startsWith("__"))
+      .select("term", "estimate").as[(String, Double)].collect().toMap
+    rows.filter(r => r._1 == 0.0 && r._2 != "__intercept").foreach { case (_, t, e) =>
+      // query output is rounded to 6 dp -> tolerance 5e-7 + float slack
+      assert(math.abs(e - ols(t)) < 1e-6, s"$t: ridge(0)=$e vs ols=${ols(t)}")
+    }
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
