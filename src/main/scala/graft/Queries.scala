@@ -4175,7 +4175,49 @@ object Queries {
             (col("l_extendedprice") / 1000).as("price_k")),
           "price_k", Seq("l_quantity", "disc_pct", "tax_pct"),
           lambdas = Seq(0.0, 1.0, 10.0, 100.0))
-        .select(col("lambda"), col("term"), round(col("est"), 6).as("est")))
+        .select(col("lambda"), col("term"), round(col("est"), 6).as("est"))),
+
+    // Leave-one-out mean target encoding — the feature-engineering step
+    // that turns a high-cardinality category into a numeric feature
+    // WITHOUT leaking the row's own label: enc_i = (S_c − y_i)/(n_c − 1).
+    // One hash agg + a broadcast join back (category-cardinality table);
+    // the per-category sum is rounded 4 dp before the subtraction so
+    // both engines enter the per-row arithmetic on identical bits
+    // (the mu/sigma q93 rule); singleton categories stay null.
+    "q236_target_encoding" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("cat"),
+        col("o_totalprice").as("y"))
+      val stats = o.groupBy("cat").agg(
+        round(sum(col("y")), 4).as("__s"), count(lit(1)).as("__n"))
+      o.join(broadcast(stats), Seq("cat"))
+        .select(col("o_orderkey"), col("cat"),
+          when(col("__n") > 1,
+            round((col("__s") - col("y")) / (col("__n") - 1), 4))
+            .as("loo_enc"))
+    }),
+
+    // Weight-of-evidence encoding — the binary-target companion to q236
+    // (credit-scoring's categorical encoder): WOE_c = ln(bad share) −
+    // ln(good share), add-half smoothed so empty cells stay finite.
+    // Pure integer counts into ONE mirrored ln expression per category
+    // (no float sums — the q150 parity shape), category-cardinality
+    // output.
+    "q237_woe_encoding" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_orderpriority").as("cat"),
+        (col("o_orderstatus") === "F").as("bad"))
+      val per = o.groupBy("cat").agg(
+        sum(when(col("bad"), 1L).otherwise(0L)).as("bad_c"),
+        sum(when(!col("bad"), 1L).otherwise(0L)).as("good_c"))
+      val tot = per.agg(sum(col("bad_c")).as("__bt"),
+        sum(col("good_c")).as("__gt"))
+      per.crossJoin(broadcast(tot))
+        .select(col("cat"), col("bad_c"), col("good_c"),
+          round(log((col("bad_c").cast("double") + 0.5) /
+              (col("__bt").cast("double") + 0.5)) -
+            log((col("good_c").cast("double") + 0.5) /
+              (col("__gt").cast("double") + 0.5)), 6).as("woe"))
+    })
   )
 
   /** Tiny literal DataFrame helper for sweep-config tables. */
@@ -8984,6 +9026,36 @@ object Queries {
         |WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
         | AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin,
       Seq("l_quantity", "disc_pct", "tax_pct"),
-      Seq(0.0, 1.0, 10.0, 100.0), 6)
+      Seq(0.0, 1.0, 10.0, 100.0), 6),
+
+    "q236_target_encoding" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderpriority AS cat, o_totalprice AS y
+        | FROM orders),
+        |s AS (
+        | SELECT cat, round(sum(y), 4) AS sc, CAST(count(*) AS BIGINT) AS nc
+        | FROM o GROUP BY cat)
+        |SELECT o.o_orderkey, o.cat,
+        | CASE WHEN s.nc > 1 THEN round((s.sc - o.y) / (s.nc - 1), 4) END
+        |  AS loo_enc
+        |FROM o JOIN s USING (cat)""".stripMargin,
+
+    "q237_woe_encoding" ->
+      """WITH o AS (
+        | SELECT o_orderpriority AS cat, o_orderstatus = 'F' AS bad
+        | FROM orders),
+        |per AS (
+        | SELECT cat,
+        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS bad_c,
+        |  CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS good_c
+        | FROM o GROUP BY cat),
+        |tot AS (
+        | SELECT CAST(sum(bad_c) AS BIGINT) AS bt,
+        |  CAST(sum(good_c) AS BIGINT) AS gt FROM per)
+        |SELECT cat, bad_c, good_c,
+        | round(ln((CAST(bad_c AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))
+        |  - ln((CAST(good_c AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)), 6)
+        |  AS woe
+        |FROM per, tot""".stripMargin
   )
 }

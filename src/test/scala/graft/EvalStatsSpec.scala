@@ -125,6 +125,42 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("LOO target encoding excludes the row's own label") {
+    val out = Queries.queries("q236_target_encoding")(spark, TestSpark.sf0001)
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    assert(out.count() == o.count())
+    // Hand-check one category: enc of a row differs from the plain mean
+    // exactly by the leave-one-out correction.
+    val rows = out.join(o.select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey"))
+      .select("cat", "o_totalprice", "loo_enc")
+      .as[(String, Double, Option[Double])].collect()
+    val byCat = rows.groupBy(_._1)
+    byCat.foreach { case (_, rs) =>
+      val s = rs.map(_._2).sum
+      val n = rs.length
+      if (n > 1) rs.take(5).foreach { case (_, y, Some(enc)) =>
+        val expect = (BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble - y) / (n - 1)
+        assert(math.abs(enc - expect) < 1e-3, s"enc $enc vs $expect")
+      case other => fail(s"unexpected null enc in multi-row cat: $other")
+      }
+    }
+  }
+
+  test("WOE encoding: signs track bad-rate vs global, smoothing keeps finite") {
+    val out = Queries.queries("q237_woe_encoding")(spark, TestSpark.sf0001)
+      .as[(String, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    val bt = out.map(_._2).sum.toDouble
+    val gt = out.map(_._3).sum.toDouble
+    out.foreach { case (cat, b, g, woe) =>
+      assert(!woe.isNaN && !woe.isInfinite, s"$cat")
+      val expect = math.log((b + 0.5) / (bt + 0.5)) - math.log((g + 0.5) / (gt + 0.5))
+      assert(math.abs(woe - expect) < 1e-5, s"$cat: $woe vs $expect")
+    }
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
