@@ -4217,6 +4217,36 @@ object Queries {
               (col("__bt").cast("double") + 0.5)) -
             log((col("good_c").cast("double") + 0.5) /
               (col("__gt").cast("double") + 0.5)), 6).as("woe"))
+    }),
+
+    // Built-in session_window streaming sessionization — the declarative
+    // twin of q67's hand-rolled state machine (Spark merges the windows,
+    // owns the state). Boundary rule is >= (a gap of exactly 30 min
+    // starts a session), unlike q31's strict >; the oracle mirrors it in
+    // epoch micros. See EventsStream.sessionWindowCounts.
+    "q238_session_window" -> ((s, d) =>
+      EventsStream.sessionWindowCounts(s, d)),
+
+    // Merkle-style table digest — the data-integrity audit for a 100 TB
+    // export: per-row md5 over the key/payload columns, 256 bucket
+    // digests (bucket = first hash byte; a larger deployment widens the
+    // prefix or adds a tree level so per-bucket lists stay bounded),
+    // root over the sorted bucket digests. Two engines computing the
+    // same root proves the copy byte-identical without moving rows;
+    // sorting inside each digest makes the result partition-order-free.
+    "q239_merkle_audit" -> ((s, d) => {
+      val h = ord(s, d).select(md5(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"))).as("h"))
+      val buckets = h.withColumn("bucket", substring(col("h"), 1, 2))
+        .groupBy("bucket")
+        .agg(md5(array_join(array_sort(collect_list(col("h"))), ""))
+          .as("digest"))
+      val root = buckets
+        .agg(md5(array_join(array_sort(collect_list(col("digest"))), ""))
+          .as("digest"))
+        .select(lit("__root").as("bucket"), col("digest"))
+      buckets.unionByName(root)
     })
   )
 
@@ -9056,6 +9086,41 @@ object Queries {
         | round(ln((CAST(bad_c AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))
         |  - ln((CAST(good_c AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)), 6)
         |  AS woe
-        |FROM per, tot""".stripMargin
+        |FROM per, tot""".stripMargin,
+
+    "q238_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev_tsu
+        | FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN prev_tsu IS NULL
+        |   OR tsu - prev_tsu >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        | FROM e),
+        |x AS (
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |   ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS session_seq
+        | FROM s)
+        |SELECT user_id, CAST(min(tsu) // 1000000 AS BIGINT) AS session_start,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS session_value
+        |FROM x GROUP BY user_id, session_seq""".stripMargin,
+
+    "q239_merkle_audit" ->
+      """WITH h AS (
+        | SELECT md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+        |   o_orderpriority)) AS h
+        | FROM orders),
+        |b AS (
+        | SELECT substr(h, 1, 2) AS bucket,
+        |  md5(string_agg(h, '' ORDER BY h)) AS digest
+        | FROM h GROUP BY 1)
+        |SELECT bucket, digest FROM b
+        |UNION ALL
+        |SELECT '__root' AS bucket,
+        | md5(string_agg(digest, '' ORDER BY digest)) AS digest
+        |FROM b""".stripMargin
   )
 }

@@ -425,6 +425,45 @@ object EventsStream {
         round(sum(col("value")), 4).as("session_value"))
   }
 
+  /** Streaming sessionization via the BUILT-IN `session_window` — the
+    * declarative twin of [[sessionizeStateful]]'s hand-rolled
+    * flatMapGroupsWithState: Spark merges overlapping [ts, ts+gap)
+    * windows itself, state is managed by the engine, and complete-mode
+    * output emits every session of the AvailableNow batch. Boundary
+    * semantics differ from [[sessionize]]'s strict-> rule: windows merge
+    * only while the next event lands BEFORE session end, so a gap of
+    * exactly `gapMinutes` STARTS a session (>= rule) — the oracle
+    * mirrors that with an epoch-micro >= comparison. */
+  def sessionWindowCounts(spark: SparkSession, dir: String,
+                          gapMinutes: Int = 30): DataFrame = {
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+      val qname = "graft_session_window"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname).select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+    }
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, tsSec: Long, value: Double,
                           ts: java.sql.Timestamp)
   case class SessionState(seq: Long, lastTsSec: Long,

@@ -70,6 +70,49 @@ class MediaCdcSpec extends AnyFunSuite {
       "dup docs non-increasing")
   }
 
+  test("session_window stream equals the >=-gap batch replay; events conserved") {
+    val got = Queries.queries("q238_session_window")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._3).sum == Tables.events(spark, TestSpark.sf0001).count())
+    // Batch replay with the same >= boundary rule.
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("tsu"))
+      .withColumn("prev", lag(col("tsu"), 1).over(w))
+      .withColumn("ns", when(col("prev").isNull ||
+        col("tsu") - col("prev") >= 1800000000L, 1L).otherwise(0L))
+      .withColumn("seq", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "seq")
+      .agg((min(col("tsu")) / 1000000L).cast("long").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("session_value"))
+      .select("user_id", "session_start", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSet == batch.toSet)
+  }
+
+  test("merkle audit root detects a single-row tamper") {
+    val out = Queries.queries("q239_merkle_audit")(spark, TestSpark.sf0001)
+      .as[(String, String)].collect().toMap
+    assert(out.size == out.keySet.size && out.contains("__root"))
+    // Tampered replay: flip one order's priority and recompute.
+    val tampered = Tables.orders(spark, TestSpark.sf0001)
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") === 1L, lit("TAMPERED"))
+          .otherwise(col("o_orderpriority")))
+    val h = tampered.select(md5(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderpriority"))).as("h"))
+    val b = h.withColumn("bucket", substring(col("h"), 1, 2))
+      .groupBy("bucket")
+      .agg(md5(array_join(array_sort(collect_list(col("h"))), "")).as("digest"))
+    val root2 = b.agg(md5(array_join(array_sort(collect_list(col("digest"))), "")))
+      .as[String].head()
+    assert(root2 != out("__root"))
+  }
+
   test("streaming latest-per-key equals the batch argmax") {
     val got = Queries.queries("q228_stream_upsert")(spark, TestSpark.sf0001)
       .as[(Long, Long, Long, String, Double)].collect().toSet
