@@ -4247,6 +4247,68 @@ object Queries {
           .as("digest"))
         .select(lit("__root").as("bucket"), col("digest"))
       buckets.unionByName(root)
+    }),
+
+    // Per-group OLS ("many models" at scale): slope/intercept/R² of
+    // price~quantity per return flag as pure aggregate algebra
+    // (covar_pop/var_pop/corr — one hash agg, no per-group fitting
+    // loop). The q20 closed form lifted from global to grouped; floats
+    // rounded 6 dp on both engines (q19 rule).
+    "q240_groupwise_ols" -> ((s, d) =>
+      li(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")) /
+          var_pop(col("l_quantity")), 6).as("slope"),
+        round(avg(col("l_extendedprice")) -
+          covar_pop(col("l_quantity"), col("l_extendedprice")) /
+            var_pop(col("l_quantity")) * avg(col("l_quantity")), 6)
+          .as("intercept"),
+        round(corr(col("l_quantity"), col("l_extendedprice")) *
+          corr(col("l_quantity"), col("l_extendedprice")), 6).as("r2"))),
+
+    // TPC-H Q3 (shipping priority) — the canonical 3-table
+    // filter→join→agg→top-k plan: segment filter reaches the customer
+    // scan, date predicates reach orders/lineitem, dims broadcast, and
+    // the top-10 rides TakeOrderedAndProject on (rounded revenue desc,
+    // orderkey) — no corpus sort, no corpus window.
+    "q241_tpch_q3" -> ((s, d) => {
+      val cut = "1997-07-01"
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("o_custkey"))
+      val o = ord(s, d).filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = li(s, d).filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), Seq("o_custkey"))
+        .groupBy(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate_s"))
+        .agg(round(sum(col("rev")), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    // Seasonal-naive forecast eval — the time-series baseline every
+    // fancier model must beat: forecast(hour) = count(hour − 24h) per
+    // event type, scored by MAPE over hours where both sides exist.
+    // Counts are exact ints; each hour's |a−f|/a rides integer
+    // micro-units before the per-type sum (q192 device), so the one
+    // float division closes the metric deterministically.
+    "q242_seasonal_mape" -> ((s, d) => {
+      val hourly = ev(s, d).groupBy(col("event_type"),
+          (unix_timestamp(date_trunc("hour", col("ts")))).as("h"))
+        .agg(count(lit(1)).as("a"))
+      val fc = hourly.select(col("event_type"),
+        (col("h") + 86400L).as("h"), col("a").as("f"))
+      hourly.join(fc, Seq("event_type", "h"))
+        .withColumn("__m", round(abs(col("a") - col("f")).cast("double") /
+          col("a") * lit(1e6)).cast("long"))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_hours"),
+          round(sum(col("__m")).cast("double") / (count(lit(1)) * lit(1e6)), 6)
+            .as("mape"))
     })
   )
 
@@ -9121,6 +9183,53 @@ object Queries {
         |UNION ALL
         |SELECT '__root' AS bucket,
         | md5(string_agg(digest, '' ORDER BY digest)) AS digest
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+
+    "q240_groupwise_ols" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        | round(covar_pop(l_quantity, l_extendedprice)
+        |   / var_pop(l_quantity), 6) AS slope,
+        | round(avg(l_extendedprice) - covar_pop(l_quantity, l_extendedprice)
+        |   / var_pop(l_quantity) * avg(l_quantity), 6) AS intercept,
+        | round(corr(l_quantity, l_extendedprice)
+        |   * corr(l_quantity, l_extendedprice), 6) AS r2
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q241_tpch_q3" ->
+      """WITH c AS (
+        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |o AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s
+        | FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+        |l AS (
+        | SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS rev
+        | FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-07-01'),
+        |agg AS (
+        | SELECT l_orderkey, o_orderdate_s, round(sum(rev), 4) AS revenue
+        | FROM l JOIN o ON l_orderkey = o_orderkey
+        |  JOIN c ON o.o_custkey = c.c_custkey
+        | GROUP BY l_orderkey, o_orderdate_s)
+        |SELECT l_orderkey, o_orderdate_s, revenue FROM (
+        | SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rn
+        | FROM agg) t
+        |WHERE rn <= 10""".stripMargin,
+
+    "q242_seasonal_mape" ->
+      """WITH hourly AS (
+        | SELECT event_type,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS a
+        | FROM events GROUP BY 1, 2),
+        |fc AS (SELECT event_type, h + 86400 AS h, a AS f FROM hourly),
+        |j AS (
+        | SELECT hourly.event_type,
+        |  CAST(round(CAST(abs(hourly.a - fc.f) AS DOUBLE) / hourly.a * 1000000)
+        |   AS BIGINT) AS m
+        | FROM hourly JOIN fc
+        |  ON hourly.event_type = fc.event_type AND hourly.h = fc.h)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        | round(CAST(sum(m) AS DOUBLE) / (count(*) * 1000000), 6) AS mape
+        |FROM j GROUP BY event_type""".stripMargin
   )
 }

@@ -32,7 +32,12 @@ object DumpPlans {
     "q149_bloom_join" -> "runtime bloom pre-filter: bloom_build partials merge map-side (ObjectHashAggregate), the 1 KB bitset is inlined as a literal (the q73 centroid device), and the fact scan's Filter applies the probe BEFORE the exchange — the shuffle carries only probable matches",
     "q193_balanced_shards" -> "token-balanced sharding: global rank by weight via VALUE-range buckets — per-bucket parallel windows, the only SinglePartition window is the O(buckets) offset table, broadcast back; snake shard is pure projection",
     "q196_hits" -> "HITS power iteration: per half-step one shuffle join (scores to edges) + one hash agg; max-normalizers are 1-row broadcast cross joins; edge list checkpointed once, reused by all four half-steps",
-    "q200_link_prediction" -> "common-neighbor wedges: apex-cap left-semi prunes hub apexes BEFORE the self-join; exact-count hash agg; degree joins after the minCommon filter shrink the pair stream first")
+    "q200_link_prediction" -> "common-neighbor wedges: apex-cap left-semi prunes hub apexes BEFORE the self-join; exact-count hash agg; degree joins after the minCommon filter shrink the pair stream first",
+    "q218_sorted_neighborhood" -> "sorted-neighborhood ER: global rank = per-first-char-bucket windows + broadcast prefix-sum (no corpus-wide window); candidate pairs via rank-DIV-w band equi-join (no range cross-product); codegen'd JaroWinkler verify",
+    "q221_quantile_normalize" -> "cross-source quantile normalization: within-source rank = per-(source, value) window + distinct-value prefix sums; the global lookup is a broadcast range join against the bounded cumulative histogram",
+    "q224_knn_eval" -> "LOO kNN eval: norms computed once per vector (projection), tight-loop dot kernels in the 4M-pair cross join, per-query rank window on the bounded eval set",
+    "q231_attribution" -> "first/last-touch attribution: hour-band + user equi-join (purchase probes two bands), min/max(struct) argmin/argmax in one hash agg, left join restores clickless purchases",
+    "q239_merkle_audit" -> "Merkle digest: one hash agg per level (256 buckets, then root), sort inside the digest — partition-order-free, no corpus sort")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

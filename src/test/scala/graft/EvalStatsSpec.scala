@@ -161,6 +161,41 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupwise OLS matches the global closed form on a single-group slice") {
+    val out = Queries.queries("q240_groupwise_ols")(spark, TestSpark.sf0001)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.length == 3)
+    out.foreach { case (g, n, slope, intercept, r2) =>
+      assert(n > 0 && r2 >= 0.0 && r2 <= 1.0, s"$g")
+      // slope/intercept satisfy the normal equation at the group means
+      val m = Tables.lineitem(spark, TestSpark.sf0001)
+        .filter(col("l_returnflag") === g)
+        .agg(avg("l_quantity"), avg("l_extendedprice"))
+        .as[(Double, Double)].head()
+      assert(math.abs(intercept + slope * m._1 - m._2) < 1e-2,
+        s"$g: line must pass through the mean point")
+    }
+  }
+
+  test("TPC-H Q3: 10 rows, descending rounded revenue, dates before the cut") {
+    val rows = Queries.queries("q241_tpch_q3")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_._3)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val cut = java.time.Instant.parse("1997-07-01T00:00:00Z").getEpochSecond
+    assert(rows.forall(_._2 < cut))
+  }
+
+  test("seasonal-naive MAPE is finite and covers overlapping hours only") {
+    val out = Queries.queries("q242_seasonal_mape")(spark, TestSpark.sf0001)
+      .as[(String, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t, n, mape) =>
+      assert(n > 0 && mape >= 0.0 && !mape.isNaN && !mape.isInfinite, s"$t")
+    }
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
