@@ -4309,6 +4309,36 @@ object Queries {
           count(lit(1)).as("n_hours"),
           round(sum(col("__m")).cast("double") / (count(lit(1)) * lit(1e6)), 6)
             .as("mape"))
+    }),
+
+    // PSI drift time series — q146's two-window PSI unrolled into the
+    // monitoring feed a deployment actually charts: weekly value
+    // distribution vs the FIRST week, fixed 10-bin histogram (no
+    // percentile seam), add-half smoothing so empty cells stay finite,
+    // per-bin p·ln terms in integer micro-nats (q192 device) before the
+    // per-week sum. Everything is bounded: weeks × 10 bins.
+    "q243_psi_drift_series" -> ((s, d) => {
+      val binned = ev(s, d).select(
+        unix_timestamp(date_trunc("week", col("ts"))).as("wk"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"))
+      val counts = binned.groupBy("wk", "bin").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("wk").agg(sum(col("c")).as("n"))
+      val w0 = totals.agg(min(col("wk")).as("wk0"))
+      val bins = (0L to 9L).toList
+      val grid = totals.crossJoin(broadcast(w0))
+        .withColumn("bin", explode(array(bins.map(lit): _*)))
+        .join(counts, Seq("wk", "bin"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+        .withColumn("p", (col("c").cast("double") + 0.5) /
+          (col("n").cast("double") + 5.0))
+      val base = grid.filter(col("wk") === col("wk0"))
+        .select(col("bin"), col("p").as("pb"))
+      grid.filter(col("wk") =!= col("wk0"))
+        .join(broadcast(base), Seq("bin"))
+        .withColumn("__t", round((col("p") - col("pb")) *
+          log(col("p") / col("pb")) * lit(1e6)).cast("long"))
+        .groupBy("wk").agg(
+          round(sum(col("__t")).cast("double") / lit(1e6), 6).as("psi"))
     })
   )
 
@@ -9230,6 +9260,33 @@ object Queries {
         |  ON hourly.event_type = fc.event_type AND hourly.h = fc.h)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
         | round(CAST(sum(m) AS DOUBLE) / (count(*) * 1000000), 6) AS mape
-        |FROM j GROUP BY event_type""".stripMargin
+        |FROM j GROUP BY event_type""".stripMargin,
+
+    "q243_psi_drift_series" ->
+      """WITH binned AS (
+        | SELECT CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk,
+        |  least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+        | FROM events),
+        |counts AS (SELECT wk, bin, CAST(count(*) AS BIGINT) AS c
+        |           FROM binned GROUP BY wk, bin),
+        |totals AS (SELECT wk, CAST(sum(c) AS BIGINT) AS n
+        |           FROM counts GROUP BY wk),
+        |w0 AS (SELECT min(wk) AS wk0 FROM totals),
+        |grid AS (
+        | SELECT t.wk, b.bin, t.n, coalesce(c.c, 0) AS c,
+        |  (CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5)
+        |    / (CAST(t.n AS DOUBLE) + 5.0) AS p
+        | FROM totals t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
+        | LEFT JOIN counts c ON c.wk = t.wk AND c.bin = b.bin),
+        |base AS (
+        | SELECT bin, p AS pb FROM grid, w0 WHERE grid.wk = w0.wk0),
+        |terms AS (
+        | SELECT g.wk,
+        |  CAST(round((g.p - base.pb) * ln(g.p / base.pb) * 1000000) AS BIGINT)
+        |   AS t
+        | FROM grid g JOIN base USING (bin), w0
+        | WHERE g.wk <> w0.wk0)
+        |SELECT wk, round(CAST(sum(t) AS DOUBLE) / 1000000, 6) AS psi
+        |FROM terms GROUP BY wk""".stripMargin
   )
 }

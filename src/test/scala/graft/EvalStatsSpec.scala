@@ -196,6 +196,21 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("PSI drift series: excludes the baseline week, finite and ~0 for iid data") {
+    val out = Queries.queries("q243_psi_drift_series")(spark, TestSpark.sf0001)
+      .as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    val wk0 = Tables.events(spark, TestSpark.sf0001)
+      .agg(min(unix_timestamp(date_trunc("week", col("ts"))))).as[Long].head()
+    assert(!out.exists(_._1 == wk0), "baseline week must not score itself")
+    out.foreach { case (wk, psi) =>
+      assert(!psi.isNaN && !psi.isInfinite, s"week $wk")
+      // the generator draws every week from one distribution: PSI stays
+      // in the conventional no-drift band
+      assert(psi < 0.25, s"week $wk psi=$psi")
+    }
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
