@@ -4339,6 +4339,58 @@ object Queries {
           log(col("p") / col("pb")) * lit(1e6)).cast("long"))
         .groupBy("wk").agg(
           round(sum(col("__t")).cast("double") / lit(1e6), 6).as("psi"))
+    }),
+
+    // Time-series lag features — the feature-engineering step ahead of
+    // any sequential model: per-user lag-1/lag-2 values and a 3-event
+    // rolling mean. The rolling sum rides EXACT cent-scaled longs (the
+    // corpus is 2-dp by construction, verified at load), so the sliding
+    // frame has no float-accumulation seam — both engines divide the
+    // same integer. Windows are user-partitioned; nothing corpus-wide.
+    "q244_lag_features" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val f = w.rowsBetween(-2, 0)
+      ev(s, d).filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsu"), col("value"))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .select(col("event_id"), col("user_id"), col("tsu"),
+          lag(col("cents"), 1).over(w).as("__l1"),
+          lag(col("cents"), 2).over(w).as("__l2"),
+          sum(col("cents")).over(f).as("__s3"),
+          count(lit(1)).over(f).as("__n3"))
+        .select(col("event_id"), col("user_id"),
+          round(col("__l1").cast("double") / 100, 2).as("lag1_value"),
+          round(col("__l2").cast("double") / 100, 2).as("lag2_value"),
+          round(col("__s3").cast("double") / col("__n3") / 100, 4)
+            .as("r3_mean"))
+    }),
+
+    // Week-over-week revenue growth per nation — the period-over-period
+    // BI primitive: weekly sums as EXACT cent longs (no float sum at
+    // any width), growth = (cur − prev)/prev in integer micro-units.
+    // The lag window runs over the bounded (nation × week) table.
+    "q245_wow_growth" -> ((s, d) => {
+      val weekly = li(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+          unix_timestamp(date_trunc("week", col("o_orderdate"))).as("wk")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+          Seq("o_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          Seq("c_nationkey"))
+        .groupBy("n_name", "wk").agg(sum(col("cents")).as("rev_cents"))
+      val w = Window.partitionBy("n_name").orderBy("wk")
+      weekly.withColumn("__prev", lag(col("rev_cents"), 1).over(w))
+        .select(col("n_name"), col("wk"),
+          round(col("rev_cents").cast("double") / 100, 2).as("revenue"),
+          when(col("__prev").isNotNull && col("__prev") =!= 0,
+            round((col("rev_cents") - col("__prev")).cast("double") /
+              col("__prev"), 6)).as("wow_growth"))
     })
   )
 
@@ -9287,6 +9339,52 @@ object Queries {
         | FROM grid g JOIN base USING (bin), w0
         | WHERE g.wk <> w0.wk0)
         |SELECT wk, round(CAST(sum(t) AS DOUBLE) / 1000000, 6) AS psi
-        |FROM terms GROUP BY wk""".stripMargin
+        |FROM terms GROUP BY wk""".stripMargin,
+
+    "q244_lag_features" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events WHERE event_type = 'view'),
+        |w AS (
+        | SELECT event_id, user_id,
+        |  lag(cents, 1) OVER win AS l1,
+        |  lag(cents, 2) OVER win AS l2,
+        |  CAST(sum(cents) OVER (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS s3,
+        |  CAST(count(*) OVER (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n3
+        | FROM e
+        | WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id))
+        |SELECT event_id, user_id,
+        | round(CAST(l1 AS DOUBLE) / 100, 2) AS lag1_value,
+        | round(CAST(l2 AS DOUBLE) / 100, 2) AS lag2_value,
+        | round(CAST(s3 AS DOUBLE) / n3 / 100, 4) AS r3_mean
+        |FROM w""".stripMargin,
+
+    "q245_wow_growth" ->
+      """WITH li AS (
+        | SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT)
+        |   AS cents
+        | FROM lineitem),
+        |o AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CAST(floor(epoch(date_trunc('week', o_orderdate))) AS BIGINT) AS wk
+        | FROM orders),
+        |weekly AS (
+        | SELECT n.n_name, o.wk, CAST(sum(li.cents) AS BIGINT) AS rev_cents
+        | FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY n.n_name, o.wk),
+        |lagd AS (
+        | SELECT n_name, wk, rev_cents,
+        |  lag(rev_cents, 1) OVER (PARTITION BY n_name ORDER BY wk) AS prev
+        | FROM weekly)
+        |SELECT n_name, wk,
+        | round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
+        | CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
+        |  round(CAST(rev_cents - prev AS DOUBLE) / prev, 6) END AS wow_growth
+        |FROM lagd""".stripMargin
   )
 }

@@ -211,6 +211,41 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("lag features: firsts are null, rolling mean equals the hand window") {
+    val out = Queries.queries("q244_lag_features")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Option[Double], Option[Double], Double)].collect()
+    assert(out.nonEmpty)
+    // Hand-check one user's sequence.
+    val uid = out.head._2
+    val seq = Tables.events(spark, TestSpark.sf0001)
+      .filter(col("event_type") === "view" && col("user_id") === uid)
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .select("event_id", "value").as[(Long, Double)].collect()
+    val byId = out.filter(_._2 == uid).map(r => r._1 -> r).toMap
+    seq.zipWithIndex.foreach { case ((eid, _), i) =>
+      val r = byId(eid)
+      assert(r._3.isDefined == (i >= 1) && r._4.isDefined == (i >= 2))
+      val cents = seq.slice(math.max(0, i - 2), i + 1)
+        .map(v => math.round(v._2 * 100)).sum
+      val n = math.min(i + 1, 3)
+      val expect = BigDecimal(cents.toDouble / n / 100)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r._5 - expect) < 1e-9, s"event $eid r3 ${r._5} vs $expect")
+    }
+  }
+
+  test("WoW growth: nulls only on each nation's first week, exact cents revenue") {
+    val out = Queries.queries("q245_wow_growth")(spark, TestSpark.sf0001)
+      .as[(String, Long, Double, Option[Double])].collect()
+    assert(out.nonEmpty)
+    val byNation = out.groupBy(_._1)
+    byNation.foreach { case (n, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4.isEmpty, s"$n first week has no growth")
+      assert(sorted.tail.forall(_._4.isDefined), s"$n later weeks scored")
+    }
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
