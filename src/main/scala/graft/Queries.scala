@@ -4391,6 +4391,54 @@ object Queries {
           when(col("__prev").isNotNull && col("__prev") =!= 0,
             round((col("rev_cents") - col("__prev")).cast("double") /
               col("__prev"), 6)).as("wow_growth"))
+    }),
+
+    // Hourly count-spike detection — the ops-monitoring anomaly feed:
+    // each (type, hour) count z-scored against the type's own hourly
+    // distribution. Counts and their square sums are exact longs (one
+    // bounded agg per type), the z is a single mirrored float expression
+    // (q191 shape), spike = z > 3. Nothing corpus-wide: the stats table
+    // is |types| rows.
+    "q246_count_spikes" -> ((s, d) => {
+      val hourly = ev(s, d).groupBy(col("event_type"),
+          unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+        .agg(count(lit(1)).as("a"))
+      val stats = hourly.groupBy("event_type").agg(
+        count(lit(1)).as("__n"), sum(col("a")).as("__s1"),
+        sum(col("a") * col("a")).as("__s2"))
+      hourly.join(broadcast(stats), Seq("event_type"))
+        .withColumn("__mean", col("__s1").cast("double") / col("__n"))
+        .withColumn("__sd", sqrt((col("__s2").cast("double") -
+          col("__s1").cast("double") * col("__s1") / col("__n")) /
+          (col("__n") - 1)))
+        .select(col("event_type"), col("h"), col("a"),
+          round((col("a") - col("__mean")) / col("__sd"), 4).as("z"),
+          ((col("a") - col("__mean")) / col("__sd") > 3.0).as("spike"))
+    }),
+
+    // Token-budget data selection — "give me the best B tokens": greedy
+    // by (token count desc, doc_id) until the budget fills. The greedy
+    // prefix decomposes into exact VALUE-level cumulative sums (tokens
+    // is a bounded integer) + a per-value running sum — the two-phase
+    // device keyed by score value, so no corpus-wide window exists and
+    // the cut is reproducible at any scale. Reported per source.
+    "q247_token_budget" -> ((s, d) => {
+      val budget = 25000L
+      val docs = doc(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val perVal = docs.groupBy("toks").agg(sum(col("toks")).as("__vt"))
+      val offs = perVal.withColumn("__before", coalesce(
+          sum(col("__vt")).over(Window.orderBy(col("toks").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("toks"), col("__before"))
+      val ranked = docs.withColumn("__run", sum(col("toks")).over(
+          Window.partitionBy("toks").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offs), Seq("toks"))
+        .filter(col("__before") + col("__run") <= budget)
+      ranked.groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("toks")).as("tokens_kept"))
     })
   )
 
@@ -9385,6 +9433,48 @@ object Queries {
         | round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
         | CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
         |  round(CAST(rev_cents - prev AS DOUBLE) / prev, 6) END AS wow_growth
-        |FROM lagd""".stripMargin
+        |FROM lagd""".stripMargin,
+
+    "q246_count_spikes" ->
+      """WITH hourly AS (
+        | SELECT event_type,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS a
+        | FROM events GROUP BY 1, 2),
+        |st AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS s1, CAST(sum(a * a) AS BIGINT) AS s2
+        | FROM hourly GROUP BY event_type)
+        |SELECT h.event_type, h.h, h.a,
+        | round((h.a - CAST(s1 AS DOUBLE) / n)
+        |  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)),
+        |  4) AS z,
+        | (h.a - CAST(s1 AS DOUBLE) / n)
+        |  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+        |  > 3.0 AS spike
+        |FROM hourly h JOIN st USING (event_type)""".stripMargin,
+
+    "q247_token_budget" ->
+      """WITH docs AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        | FROM documents),
+        |pv AS (SELECT toks, CAST(sum(toks) AS BIGINT) AS vt
+        |       FROM docs GROUP BY toks),
+        |offs AS (
+        | SELECT toks, CAST(coalesce(sum(vt) OVER (ORDER BY toks DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS bef
+        | FROM pv),
+        |ranked AS (
+        | SELECT d.doc_id, d.source, d.toks,
+        |  CAST(sum(d.toks) OVER (PARTITION BY d.toks ORDER BY d.doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
+        |  o.bef
+        | FROM docs d JOIN offs o USING (toks))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        | CAST(sum(toks) AS BIGINT) AS tokens_kept
+        |FROM ranked WHERE bef + run <= 25000
+        |GROUP BY source""".stripMargin
   )
 }

@@ -246,6 +246,36 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("count spikes: z standardization is centered per type") {
+    val out = Queries.queries("q246_count_spikes")(spark, TestSpark.sf0001)
+      .as[(String, Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => !r._4.isNaN && !r._4.isInfinite))
+    out.groupBy(_._1).foreach { case (t, rs) =>
+      val meanZ = rs.map(_._4).sum / rs.length
+      assert(math.abs(meanZ) < 1e-3, s"$t mean z $meanZ")
+      rs.foreach(r => assert(r._5 == (r._4 > 3.0) || math.abs(r._4 - 3.0) < 1e-3))
+    }
+  }
+
+  test("token budget selection equals the driver-side greedy prefix") {
+    val out = Queries.queries("q247_token_budget")(spark, TestSpark.sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .as[(Long, String, Long)].collect()
+      .sortBy { case (id, _, t) => (-t, id) }
+    var total = 0L
+    val kept = docs.takeWhile { case (_, _, t) =>
+      val ok = total + t <= 25000L; if (ok) total += t; ok
+    }
+    val expect = kept.groupBy(_._2).map { case (s, rs) =>
+      (s, rs.length.toLong, rs.map(_._3).sum) }.toSet
+    assert(out == expect)
+    assert(total <= 25000L && total > 20000L, s"budget filled: $total")
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
