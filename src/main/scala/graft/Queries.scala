@@ -4439,6 +4439,32 @@ object Queries {
       ranked.groupBy("source").agg(
         count(lit(1)).as("n_kept"),
         sum(col("toks")).as("tokens_kept"))
+    }),
+
+    // Deterministic negative sampling — contrastive-training pair
+    // generation: per anchor, the first 4 of 8 md5-uniform candidate
+    // draws whose label differs (the q103/q201 seeded-hash device, so
+    // an external engine replays the exact pair set). One candidate
+    // equi-join on id; per-anchor windows over ≤8 rows. A deployment
+    // swaps the hash for a secret seed; the plumbing — draw, reject,
+    // rank — is identical.
+    "q248_negative_sampling" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val n = e.agg(count(lit(1)).as("__n"))
+      val trials = e.crossJoin(broadcast(n))
+        .withColumn("t", explode(array((0 until 8).map(lit): _*)))
+        .withColumn("cand", conv(substring(md5(concat(lit("neg_"),
+          col("vec_id"), lit("_"), col("t"))), 1, 8), 16, 10).cast("long")
+          % col("__n"))
+      trials.join(e.select(col("vec_id").as("cand"),
+          col("label").as("cand_label")), Seq("cand"))
+        .filter(col("cand_label") =!= col("label") &&
+          col("cand") =!= col("vec_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy("t")))
+        .filter(col("rk") <= 4)
+        .select(col("vec_id").as("anchor_id"), col("cand").as("neg_id"),
+          col("rk"))
     })
   )
 
@@ -9475,6 +9501,25 @@ object Queries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
         | CAST(sum(toks) AS BIGINT) AS tokens_kept
         |FROM ranked WHERE bef + run <= 25000
-        |GROUP BY source""".stripMargin
+        |GROUP BY source""".stripMargin,
+
+    "q248_negative_sampling" ->
+      """WITH e AS (SELECT vec_id, label FROM embeddings),
+        |n AS (SELECT count(*) AS n FROM e),
+        |trials AS (
+        | SELECT e.vec_id, e.label, r.t,
+        |  CAST(concat('0x', substr(md5('neg_' || e.vec_id || '_' || r.t),
+        |    1, 8)) AS BIGINT) % n.n AS cand
+        | FROM e, (SELECT unnest(range(0, 8)) AS t) r, n),
+        |ok AS (
+        | SELECT tr.vec_id, tr.t, tr.cand
+        | FROM trials tr JOIN e c ON tr.cand = c.vec_id
+        | WHERE c.label <> tr.label AND tr.cand <> tr.vec_id)
+        |SELECT vec_id AS anchor_id, cand AS neg_id, rk FROM (
+        | SELECT vec_id, cand,
+        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY t) AS INT)
+        |   AS rk
+        | FROM ok) x
+        |WHERE rk <= 4""".stripMargin
   )
 }

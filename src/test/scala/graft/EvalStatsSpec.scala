@@ -276,6 +276,25 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(total <= 25000L && total > 20000L, s"budget filled: $total")
   }
 
+  test("negative sampling: labels differ, no self-pairs, deterministic") {
+    val out = Queries.queries("q248_negative_sampling")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    out.foreach { case (a, neg, rk) =>
+      assert(a != neg, s"self-pair $a")
+      assert(labels(a) != labels(neg), s"same-label pair $a/$neg")
+      assert(rk >= 1 && rk <= 4)
+    }
+    val again = Queries.queries("q248_negative_sampling")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSet == again.toSet)
+    // Most anchors get a full quota (8 draws vs ~10 balanced labels).
+    val full = out.groupBy(_._1).count(_._2.length == 4)
+    assert(full * 2 > labels.size, s"only $full anchors filled the quota")
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
