@@ -4465,7 +4465,16 @@ object Queries {
         .filter(col("rk") <= 4)
         .select(col("vec_id").as("anchor_id"), col("cand").as("neg_id"),
           col("rk"))
-    })
+    }),
+
+    // Append-mode watermarked windows — q29's complete-mode aggregation
+    // under the OTHER output contract: a window row is emitted exactly
+    // once, when the watermark (terminal max event time − 1 h) passes
+    // its end — the semantics a downstream incremental consumer relies
+    // on. The oracle recomputes the batch windows and keeps only the
+    // watermark-sealed ones, pinning the emission boundary in SQL.
+    "q249_stream_append_windows" -> ((s, d) =>
+      EventsStream.windowedCountsAppend(s, d))
   )
 
   /** Tiny literal DataFrame helper for sweep-config tables. */
@@ -9520,6 +9529,20 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY t) AS INT)
         |   AS rk
         | FROM ok) x
-        |WHERE rk <= 4""".stripMargin
+        |WHERE rk <= 4""".stripMargin,
+
+    "q249_stream_append_windows" ->
+      """WITH wm AS (
+        | SELECT CAST(max(epoch_us(ts)) AS BIGINT) - 3600000000 AS w
+        | FROM events),
+        |agg AS (
+        | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |   AS win_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  round(sum(value), 4) AS sum_value
+        | FROM events GROUP BY 1, 2)
+        |SELECT win_start, event_type, cnt, sum_value
+        |FROM agg, wm
+        |WHERE (win_start + 3600) * 1000000 <= wm.w""".stripMargin
   )
 }
