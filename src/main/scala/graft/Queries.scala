@@ -4474,7 +4474,29 @@ object Queries {
     // on. The oracle recomputes the batch windows and keeps only the
     // watermark-sealed ones, pinning the emission boundary in SQL.
     "q249_stream_append_windows" -> ((s, d) =>
-      EventsStream.windowedCountsAppend(s, d))
+      EventsStream.windowedCountsAppend(s, d)),
+
+    // Corpus health scorecard — the one-row "dataset card" summary every
+    // release ships: doc/token totals, exact-dup rate (md5 distinct),
+    // source/language coverage, mean length. One multi-distinct hash
+    // agg over one scan; every number exact until two mirrored
+    // divisions.
+    "q250_corpus_scorecard" -> ((s, d) =>
+      doc(s, d)
+        .select(col("text"), col("source"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"),
+          countDistinct(md5(col("text"))).as("n_distinct_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(col("n_docs"), col("n_tokens"), col("n_distinct_docs"),
+          col("n_sources"), col("n_langs"),
+          round(lit(1.0) - col("n_distinct_docs").cast("double") /
+            col("n_docs"), 6).as("dup_rate"),
+          round(col("n_tokens").cast("double") / col("n_docs"), 4)
+            .as("mean_doc_tokens")))
   )
 
   /** Tiny literal DataFrame helper for sweep-config tables. */
@@ -9543,6 +9565,23 @@ object Queries {
         | FROM events GROUP BY 1, 2)
         |SELECT win_start, event_type, cnt, sum_value
         |FROM agg, wm
-        |WHERE (win_start + 3600) * 1000000 <= wm.w""".stripMargin
+        |WHERE (win_start + 3600) * 1000000 <= wm.w""".stripMargin,
+
+    "q250_corpus_scorecard" ->
+      """WITH d AS (
+        | SELECT text, source, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        | FROM documents),
+        |a AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        | FROM d)
+        |SELECT n_docs, n_tokens, n_distinct_docs, n_sources, n_langs,
+        | round(1.0 - CAST(n_distinct_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+        | round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_doc_tokens
+        |FROM a""".stripMargin
   )
 }

@@ -295,6 +295,18 @@ class EvalStatsSpec extends AnyFunSuite {
     assert(full * 2 > labels.size, s"only $full anchors filled the quota")
   }
 
+  test("corpus scorecard internal consistency") {
+    val r = Queries.queries("q250_corpus_scorecard")(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    val (nDocs, nToks, nDistinct, nSrc, nLang, dupRate, meanToks) = r
+    assert(nDocs == Tables.documents(spark, TestSpark.sf0001).count())
+    assert(nDistinct <= nDocs && nDistinct > 0)
+    assert(nSrc > 1 && nLang >= 1)
+    assert(math.abs(dupRate - (1.0 - nDistinct.toDouble / nDocs)) < 1e-6)
+    assert(math.abs(meanToks - nToks.toDouble / nDocs) < 1e-3)
+    assert(dupRate >= 0.0 && dupRate < 1.0)
+  }
+
   test("MI feature scores are top-20, near-nonnegative, deterministic") {
     val out = Queries.queries("q226_mi_features")(spark, TestSpark.sf0001)
       .as[(Long, Double)].collect()
