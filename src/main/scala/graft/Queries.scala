@@ -1271,8 +1271,12 @@ object Queries {
     // ML feature-prep twin of q53: dimension stats are a |dims|-row
     // broadcast, the fact side never shuffles for the join (the only
     // shuffle is the |dims|-group stats agg with map-side partials).
-    // Rounded at 4dp AFTER the (x-mu)/sigma division (engine summation
-    // order differs ~1e-15 in mu/sigma; the house float-parity rule).
+    // The hashed z rides integer 1e-4 units: (x-mu)/sigma is an
+    // IEEE-identical double on both engines once mu/sigma are pre-rounded,
+    // and round-to-INTEGER of an identical double agrees everywhere
+    // (HALF_UP and half-away-from-zero only meet at exact .5 ties, where
+    // both go away from zero) — unlike round(z, 4), whose decimal-scale
+    // paths differ between engines and flipped boundary values at 2M rows.
     "q93_standardize" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
@@ -1286,7 +1290,8 @@ object Queries {
         .agg(round(avg("x"), 7).as("mu"), round(stddev_samp("x"), 7).as("sigma"))
       e.join(broadcast(stats), "dim")
         .select(col("vec_id"), col("dim"),
-          round((col("x") - col("mu")) / col("sigma"), 4).as("z"))
+          round((col("x") - col("mu")) / col("sigma") * lit(10000.0d))
+            .cast("long").as("z_e4"))
     }),
 
     // Z-order (Morton) key over (doc_id, n_chars) — the multi-dimensional
@@ -3233,9 +3238,10 @@ object Queries {
     // Newman modularity of the q159 label-prop communities — the quality
     // score for ANY community assignment: Q_c = e_c/m − (d_c/2m)². All
     // ingredients exact integers (intra-edge counts, degree sums, m);
-    // per-community terms are fixed-order float expressions, and the ALL
-    // row's sum rides integer nano-units so the global Q is
-    // order-independent.
+    // per-community terms are fixed-order float expressions converted ONCE
+    // to integer nano-units (round-to-integer of an identical double is
+    // engine-exact — the q93 device), so BOTH the per-community rows and
+    // the ALL row's sum are exact longs with no decimal-round seam.
     "q203_modularity" -> ((s, d) => {
       // the support-2 self-join feeds m, intra AND the label-prop edges —
       // truncate once so it is computed once (the PageRank seam)
@@ -3262,12 +3268,12 @@ object Queries {
               (col("d_c").cast("double") / (col("m") * 2)))
         .withColumn("__t9", round(col("__t") * 1000000000L).cast("long"))
       val perOut = per.select(col("label"), col("n_nodes"), col("e_c"),
-        col("d_c"), round(col("__t"), 6).as("q_term"))
+        col("d_c"), col("__t9").as("q_term_nano"))
       val allOut = per.agg(
           sum(col("n_nodes")).as("n_nodes"), sum(col("e_c")).as("e_c"),
-          sum(col("d_c")).as("d_c"), sum(col("__t9")).as("__s9"))
+          sum(col("d_c")).as("d_c"), sum(col("__t9")).as("q_term_nano"))
         .select(lit(-1L).as("label"), col("n_nodes"), col("e_c"), col("d_c"),
-          round(col("__s9").cast("double") / 1000000000L, 6).as("q_term"))
+          col("q_term_nano"))
       perOut.unionByName(allOut)
     }),
 
@@ -3751,8 +3757,10 @@ object Queries {
     // dedup, scaled to fixed 16-token chunks since the corpus has no
     // newlines): chunks are cut per-row with transform+slice (no
     // explode-join), the keep-first winner per distinct chunk is ONE
-    // hash agg on min(doc_id·1024 + idx) — an exact total order, no
-    // corpus window — and the survivor ratio is a second bounded agg.
+    // hash agg on min(struct(doc_id, idx)) — lexicographic tuple min,
+    // exact at ANY chunk count (a packed doc_id·K + idx key would
+    // silently corrupt the total order past K chunks/doc), no corpus
+    // window — and the survivor ratio is a second bounded agg.
     // Text shuffles once (the chunk groupBy); fingerprint-only
     // variants would shuffle a hash instead (the q114 device).
     "q220_chunk_dedup" -> ((s, d) => {
@@ -3763,11 +3771,11 @@ object Queries {
            |  array_join(slice(t, i * $c + 1, $c), ' '))""".stripMargin))
         .as(Seq("idx", "chunk")))
       val kept = chunks.groupBy("chunk")
-        .agg(min(col("doc_id") * 1024 + col("idx")).as("keeper"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
       chunks.join(kept, Seq("chunk"))
         .groupBy("doc_id").agg(
           count(lit(1)).as("n_chunks"),
-          sum(when(col("doc_id") * 1024 + col("idx") === col("keeper"), 1L)
+          sum(when(struct(col("doc_id"), col("idx")) === col("keeper"), 1L)
             .otherwise(0L)).as("n_kept"))
         .withColumn("kept_ratio",
           round(col("n_kept").cast("double") / col("n_chunks"), 4))
@@ -3835,14 +3843,18 @@ object Queries {
     // Exact brute-force cosine IS the point here (the truth an ANN
     // recall eval needs; q35/q73/q81/q186 are the scale paths) — at
     // 100 TB this runs on a bounded SAMPLED eval set, so the all-pairs
-    // join is eval-set², not corpus². Dot products are the q27
-    // sequential-fold device (bit parity proven); all ranks and votes
-    // are exact integers with total-order tie-breaks.
+    // join is eval-set², not corpus², and that contract is ENFORCED:
+    // Similarity.requireEvalBound fail-louds past 100k vectors (a
+    // limit-count probe, O(bound) rows even on a 100 TB table). Dot
+    // products are the q27 sequential-fold device (bit parity proven);
+    // all ranks and votes are exact integers with total-order tie-breaks.
     "q224_knn_eval" -> ((s, d) => {
       // Tight-loop dot/norm kernels (functions.VectorOps — bit-identical
       // to the HOF fold, ~50× less per-pair overhead) + norms computed
       // ONCE per vector, not per pair: same IEEE values, 4M fewer folds.
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      val e = graft.similarity.Similarity.requireEvalBound(
+          Tables.embeddings(s, d), maxEval = 100000L, what = "q224 embeddings")
+        .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", graft.functions.NormD(col("v")))
       val pairs = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
@@ -4397,8 +4409,11 @@ object Queries {
     // each (type, hour) count z-scored against the type's own hourly
     // distribution. Counts and their square sums are exact longs (one
     // bounded agg per type), the z is a single mirrored float expression
-    // (q191 shape), spike = z > 3. Nothing corpus-wide: the stats table
-    // is |types| rows.
+    // (q191 shape), spike = z > 3. Degenerate groups (one hour, or zero
+    // variance) yield NULL z/spike deterministically on both engines —
+    // unguarded they'd be 0/0, where Spark IEEE NaN and DuckDB
+    // division semantics can diverge. Nothing corpus-wide: the stats
+    // table is |types| rows.
     "q246_count_spikes" -> ((s, d) => {
       val hourly = ev(s, d).groupBy(col("event_type"),
           unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
@@ -4408,9 +4423,11 @@ object Queries {
         sum(col("a") * col("a")).as("__s2"))
       hourly.join(broadcast(stats), Seq("event_type"))
         .withColumn("__mean", col("__s1").cast("double") / col("__n"))
-        .withColumn("__sd", sqrt((col("__s2").cast("double") -
+        .withColumn("__var", (col("__s2").cast("double") -
           col("__s1").cast("double") * col("__s1") / col("__n")) /
-          (col("__n") - 1)))
+          (col("__n") - 1))
+        .withColumn("__sd", when(col("__n") > 1 && col("__var") > 0,
+          sqrt(col("__var"))))
         .select(col("event_type"), col("h"), col("a"),
           round((col("a") - col("__mean")) / col("__sd"), 4).as("z"),
           ((col("a") - col("__mean")) / col("__sd") > 3.0).as("spike"))
@@ -6035,6 +6052,8 @@ object Queries {
         | FROM scored)
         |WHERE rn = 1""".stripMargin,
 
+    // z in integer 1e-4 units: round-to-integer of the identical double
+    // (x-mu)/sigma*1e4 — the only rounding mode both engines share exactly.
     "q93_standardize" ->
       """WITH e AS (
         | SELECT vec_id, CAST(d.i AS BIGINT) AS dim,
@@ -6043,7 +6062,8 @@ object Queries {
         |s AS (
         | SELECT dim, round(avg(x), 7) AS mu, round(stddev_samp(x), 7) AS sigma
         | FROM e GROUP BY dim)
-        |SELECT vec_id, dim, round((x - mu) / sigma, 4) AS z
+        |SELECT vec_id, dim,
+        | CAST(round((x - mu) / sigma * 10000.0) AS BIGINT) AS z_e4
         |FROM e JOIN s USING (dim)""".stripMargin,
 
     // Disjoint bit positions, so list_sum == bitwise OR; CAST guards the
@@ -8252,7 +8272,8 @@ object Queries {
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // q159's unrolled label-prop replay + exact modularity ingredients;
-    // the ALL row's Q sums per-community nano-units (exact longs).
+    // q_term rides integer nano-units everywhere (exact longs — the q93
+    // round-to-integer device), and the ALL row sums them.
     "q203_modularity" ->
       """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
         |p AS (
@@ -8297,12 +8318,12 @@ object Queries {
         |    - (CAST(dc.d_c AS DOUBLE) / (m.m * 2))
         |      * (CAST(dc.d_c AS DOUBLE) / (m.m * 2)) AS t
         | FROM dc LEFT JOIN intra USING (label), m)
-        |SELECT label, n_nodes, e_c, d_c, round(t, 6) AS q_term FROM per
+        |SELECT label, n_nodes, e_c, d_c,
+        | CAST(round(t * 1000000000) AS BIGINT) AS q_term_nano FROM per
         |UNION ALL
         |SELECT -1 AS label, CAST(sum(n_nodes) AS BIGINT),
         | CAST(sum(e_c) AS BIGINT), CAST(sum(d_c) AS BIGINT),
-        | round(CAST(sum(CAST(round(t * 1000000000) AS BIGINT)) AS DOUBLE)
-        |   / 1000000000, 6)
+        | CAST(sum(CAST(round(t * 1000000000) AS BIGINT)) AS BIGINT)
         |FROM per""".stripMargin,
 
     // q175's exact CTEs extended to ALL pairs (left join, zero-intersect
@@ -8796,20 +8817,23 @@ object Queries {
         | WHERE ln(cxy) + ln(nt) - ln(cx) - ln(cy) > 0) t
         |WHERE rn <= 50""".stripMargin,
 
+    // chunk grid derived from the token count (no fixed 16-chunk cap —
+    // long docs would silently diverge); keeper is a lexicographic tuple
+    // min, exact at any chunk count.
     "q220_chunk_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |chunks AS (
-        | SELECT doc_id, i.i AS idx,
+        | SELECT doc_id, CAST(i.i AS BIGINT) AS idx,
         |  array_to_string(t[16 * i.i + 1 : 16 * i.i + 16], ' ') AS chunk
-        | FROM toks CROSS JOIN (SELECT unnest(range(0, 16)) AS i) i
-        | WHERE 16 * i.i < len(t)),
+        | FROM toks CROSS JOIN LATERAL
+        |  (SELECT unnest(range(0, (len(t) + 15) // 16)) AS i) i),
         |kept AS (
-        | SELECT chunk, min(doc_id * 1024 + idx) AS keeper
+        | SELECT chunk, min({'doc_id': doc_id, 'idx': idx}) AS keeper
         | FROM chunks GROUP BY chunk)
         |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        | CAST(sum(CASE WHEN c.doc_id * 1024 + c.idx = k.keeper
+        | CAST(sum(CASE WHEN {'doc_id': c.doc_id, 'idx': c.idx} = k.keeper
         |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        | round(CAST(sum(CASE WHEN c.doc_id * 1024 + c.idx = k.keeper
+        | round(CAST(sum(CASE WHEN {'doc_id': c.doc_id, 'idx': c.idx} = k.keeper
         |          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_ratio
         |FROM chunks c JOIN kept k USING (chunk)
         |GROUP BY c.doc_id""".stripMargin,
@@ -9492,6 +9516,8 @@ object Queries {
         |  round(CAST(rev_cents - prev AS DOUBLE) / prev, 6) END AS wow_growth
         |FROM lagd""".stripMargin,
 
+    // degenerate groups (n=1 or zero variance) → NULL sd → NULL z/spike,
+    // mirroring the Spark-side guard.
     "q246_count_spikes" ->
       """WITH hourly AS (
         | SELECT event_type,
@@ -9501,15 +9527,19 @@ object Queries {
         |st AS (
         | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(a) AS BIGINT) AS s1, CAST(sum(a * a) AS BIGINT) AS s2
-        | FROM hourly GROUP BY event_type)
+        | FROM hourly GROUP BY event_type),
+        |sd AS (
+        | SELECT event_type, n, s1,
+        |  CASE WHEN n > 1 AND
+        |   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) > 0
+        |  THEN sqrt(
+        |   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+        |  END AS sd
+        | FROM st)
         |SELECT h.event_type, h.h, h.a,
-        | round((h.a - CAST(s1 AS DOUBLE) / n)
-        |  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)),
-        |  4) AS z,
-        | (h.a - CAST(s1 AS DOUBLE) / n)
-        |  / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
-        |  > 3.0 AS spike
-        |FROM hourly h JOIN st USING (event_type)""".stripMargin,
+        | round((h.a - CAST(s1 AS DOUBLE) / n) / sd, 4) AS z,
+        | (h.a - CAST(s1 AS DOUBLE) / n) / sd > 3.0 AS spike
+        |FROM hourly h JOIN sd USING (event_type)""".stripMargin,
 
     "q247_token_budget" ->
       """WITH docs AS (

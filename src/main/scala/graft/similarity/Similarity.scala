@@ -33,6 +33,25 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
+  /** Fail-loud eval-set size bound for the brute-force paths (q224 etc.):
+    * an all-pairs join is only legitimate at eval-set scale, so the
+    * contract "eval-set², not corpus²" must be a PROPERTY, not a comment.
+    * The probe is `limit(maxEval+1).count()` — it short-circuits after
+    * maxEval+1 rows, so the check costs O(maxEval) rows of one scan even
+    * on a 100 TB table, never a full count. Throws
+    * IllegalArgumentException when the bound is exceeded (the caller
+    * should sample FIRST, deliberately — silent sampling here would
+    * change results under the user's feet). Returns `df` for chaining. */
+  def requireEvalBound(df: DataFrame, maxEval: Long,
+                       what: String = "eval set"): DataFrame = {
+    val probed = df.limit(math.min(maxEval + 1, Int.MaxValue.toLong).toInt).count()
+    require(probed <= maxEval,
+      s"$what exceeds the brute-force bound of $maxEval rows " +
+        s"(saw > $maxEval); sample it deterministically before the " +
+        "all-pairs join — this path is eval-set² by contract, not corpus²")
+    df
+  }
+
   /** Exact brute-force cosine top-k: every query row against every corpus
     * row, ranked per query with a deterministic (sim desc, id asc) order.
     * The query side is broadcast — the corpus is scanned once, never
@@ -220,16 +239,6 @@ object Similarity {
     * Spark's NaN-is-largest sort order diverges from SQL engines that sort
     * NaN first — so both sides filter `norm > 0` and the contract excludes
     * them outright. */
-  /** IVF-flat with TRAINED centroids — the production IVF shape: the
-    * coarse quantizer comes from k-means over the corpus
-    * ([[graft.ml.KMeans.lloydCentroids]], engine-replayable arithmetic)
-    * instead of [[ivfCosineTopK]]'s lowest-id rule, so cells reflect the
-    * data distribution and probe recall is what the cell count promises.
-    * Cell assignment and probe ranking use squared L2 to the trained
-    * centroids (the metric k-means optimized); the final re-rank inside
-    * probed cells is cosine, same folds as [[cosineTopK]]. Assignment is
-    * a pure per-row expression over k literal centroid structs — no
-    * shuffle; the probe join shuffles on cell id only. */
   /** IVF nProbe tuning curve — recall@k for several probe widths in ONE
     * pass: the corpus is assigned to cells once, each query's probe cells
     * are ranked once to max(nProbes), and every sweep setting is a pure
@@ -296,6 +305,16 @@ object Similarity {
         round(coalesce(col("__h"), lit(0L)).cast("double") / k, 4).as("recall"))
   }
 
+  /** IVF-flat with TRAINED centroids — the production IVF shape: the
+    * coarse quantizer comes from k-means over the corpus
+    * ([[graft.ml.KMeans.lloydCentroids]], engine-replayable arithmetic)
+    * instead of [[ivfCosineTopK]]'s lowest-id rule, so cells reflect the
+    * data distribution and probe recall is what the cell count promises.
+    * Cell assignment and probe ranking use squared L2 to the trained
+    * centroids (the metric k-means optimized); the final re-rank inside
+    * probed cells is cosine, same folds as [[cosineTopK]]. Assignment is
+    * a pure per-row expression over k literal centroid structs — no
+    * shuffle; the probe join shuffles on cell id only. */
   def ivfTrainedTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      nCells: Int = 8, nProbe: Int = 3,

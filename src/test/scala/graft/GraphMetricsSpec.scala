@@ -229,10 +229,11 @@ class GraphMetricsSpec extends AnyFunSuite {
     val dir = copurchaseFixture(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
     val r = Queries.queries("q203_modularity")(spark, dir)
       .collect().map(x => x.getLong(0) ->
-        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
-    // label prop converges each triangle to its min node id
-    assert(r(1L) == (3L, 3L, 6L, 0.25))
-    assert(r(4L) == (3L, 3L, 6L, 0.25))
-    assert(r(-1L) == (6L, 6L, 12L, 0.5)) // ALL row: Q = 0.25 + 0.25
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // label prop converges each triangle to its min node id; q_term rides
+    // integer nano-units (0.25 → 250_000_000)
+    assert(r(1L) == (3L, 3L, 6L, 250000000L))
+    assert(r(4L) == (3L, 3L, 6L, 250000000L))
+    assert(r(-1L) == (6L, 6L, 12L, 500000000L)) // ALL row: Q = 0.5
   }
 }

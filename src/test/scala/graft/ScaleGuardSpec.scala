@@ -67,6 +67,23 @@ class ScaleGuardSpec extends AnyFunSuite {
       "expected the O(buckets) offset table broadcast back")
   }
 
+  test("requireEvalBound: fail-loud past the bound, pass-through inside it") {
+    // q224's "eval-set², not corpus²" contract is enforced by
+    // Similarity.requireEvalBound — prove both arms with a tiny bound so
+    // the 100k production bound never needs a 100k-row fixture.
+    import spark.implicits._
+    val small = (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "x")
+    val big = (1 to 12).map(i => (i.toLong, s"v$i")).toDF("id", "x")
+    // inside the bound: same frame back, usable for chaining
+    assert(graft.similarity.Similarity.requireEvalBound(small, 10L).count() == 5)
+    // past the bound: IllegalArgumentException naming the contract
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.Similarity.requireEvalBound(big, 10L, "test eval")
+    }
+    assert(e.getMessage.contains("test eval"))
+    assert(e.getMessage.contains("eval-set"))
+  }
+
   test("q200_link_prediction: hub-degree cap prunes apexes before the wedge self-join") {
     // the Σ deg² wedge join must consume the semi-join-filtered adjacency;
     // if the cap moves after the join it no longer bounds the blowup.
