@@ -39,8 +39,39 @@ def load_bench(path):
     tail = d.get("tail", text)
     # sign-aware: Bench records crashed queries as a -1.0 sentinel, which
     # must surface as CRASHED below, not silently drop to MISSING
-    return {m.group(1): float(m.group(2))
-            for m in re.finditer(r'"(q\d+_\w+)":(-?[0-9.]+)', tail)}
+    scanned = {m.group(1): float(m.group(2))
+               for m in re.finditer(r'"(q\d+_\w+)":(-?[0-9.]+)', tail)}
+    # The tail-safe summary line records the run's size and headline total;
+    # a 2000-byte tail physically cannot carry 250 per-query entries, so
+    # when the scan is short, stitch the gaps from Bench's own full-line
+    # artifact (BENCH_LOCAL.json) — but ONLY after proving it is the SAME
+    # run: the artifact's total must equal the summary total to the 4-dp
+    # print resolution AND every query the tail did capture must match the
+    # artifact exactly. A stale artifact fails that cross-check and the
+    # gate falls back to the (incomplete) scan, whose MISSING rows fail
+    # loudly rather than grading a different run.
+    msum = re.search(r'\{"metric":"total","value":(-?[0-9.]+)[^\n]*"nqueries":(\d+)', tail)
+    if msum and len(scanned) < int(msum.group(2)):
+        local = __file__.rsplit("/", 2)[0] + "/BENCH_LOCAL.json"
+        try:
+            full = json.loads(open(local).read())
+        except (OSError, ValueError):
+            full = {}
+        fq = full.get("queries")
+        if (isinstance(fq, dict)
+                and full.get("value") == float(msum.group(1))
+                and not full.get("only")
+                and len(fq) == int(msum.group(2))
+                and all(fq.get(q) == v for q, v in scanned.items())):
+            print(f"note: driver tail held {len(scanned)}/{msum.group(2)} "
+                  f"queries; stitched the rest from {local} "
+                  "(same-run cross-check passed: total + all overlapping "
+                  "per-query times identical)")
+            return fq
+        print(f"note: driver tail held {len(scanned)}/{msum.group(2)} queries "
+              f"and {local} failed the same-run cross-check; gating on the "
+              "scan alone (expect MISSING rows)")
+    return scanned
 
 
 def load_baseline():
