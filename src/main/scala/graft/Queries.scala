@@ -4252,27 +4252,17 @@ object Queries {
     "q238_session_window" -> ((s, d) =>
       EventsStream.sessionWindowCounts(s, d)),
 
-    // Merkle-style table digest — the data-integrity audit for a 100 TB
-    // export: per-row md5 over the key/payload columns, 256 bucket
-    // digests (bucket = first hash byte; a larger deployment widens the
-    // prefix or adds a tree level so per-bucket lists stay bounded),
-    // root over the sorted bucket digests. Two engines computing the
-    // same root proves the copy byte-identical without moving rows;
-    // sorting inside each digest makes the result partition-order-free.
-    "q239_merkle_audit" -> ((s, d) => {
-      val h = ord(s, d).select(md5(concat_ws("|",
+    // Merkle-style table digest — io.MerkleAudit.tableDigest with the
+    // fixture-scale 2-char prefix (256 buckets); the operator's
+    // prefixChars parameter is how the fan-out scales (16^w buckets →
+    // per-bucket state |rows|/16^w), so the bounded-group-state claim is
+    // a knob, not a hope. Sorting inside each digest level makes the
+    // result partition-order-free; two engines computing the same root
+    // proves the copy byte-identical without moving rows.
+    "q239_merkle_audit" -> ((s, d) =>
+      graft.io.MerkleAudit.tableDigest(ord(s, d), Seq(
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_orderpriority"))).as("h"))
-      val buckets = h.withColumn("bucket", substring(col("h"), 1, 2))
-        .groupBy("bucket")
-        .agg(md5(array_join(array_sort(collect_list(col("h"))), ""))
-          .as("digest"))
-      val root = buckets
-        .agg(md5(array_join(array_sort(collect_list(col("digest"))), ""))
-          .as("digest"))
-        .select(lit("__root").as("bucket"), col("digest"))
-      buckets.unionByName(root)
-    }),
+        col("o_orderpriority")), prefixChars = 2)),
 
     // Per-group OLS ("many models" at scale): slope/intercept/R² of
     // price~quantity per return flag as pure aggregate algebra
