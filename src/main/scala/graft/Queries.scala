@@ -4516,7 +4516,164 @@ object Queries {
           round(lit(1.0) - col("n_distinct_docs").cast("double") /
             col("n_docs"), 6).as("dup_rate"),
           round(col("n_tokens").cast("double") / col("n_docs"), 4)
-            .as("mean_doc_tokens")))
+            .as("mean_doc_tokens"))),
+
+    // TPC-H Q17 shape — the correlated-average filter ("lines under 20%
+    // of their part's average quantity"), decorrelated the way Catalyst
+    // itself would: the per-part threshold is ONE agg restricted to the
+    // brand's partkeys BEFORE aggregating (no full-corpus threshold
+    // table), then an equi-join back. The threshold compare is
+    // engine-exact: l_quantity is integer-valued, so sum/avg are exact
+    // doubles at any summation order and avg·0.2 is one identical IEEE
+    // product. Revenue rides the cents device (per-row round-to-integer
+    // of an identical double → exact long sums).
+    "q251_small_qty_revenue" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2"))
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      val l = li(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), "l_partkey")
+      val th = l.groupBy("l_partkey")
+        .agg((avg(col("l_quantity")) * 0.2).as("__lim"))
+      l.join(broadcast(th), "l_partkey")
+        .filter(col("l_quantity") < col("__lim"))
+        .groupBy("p_brand").agg(
+          count(lit(1)).as("n_small"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    // TPC-H Q21 shape — "the supplier who alone held up a multi-supplier
+    // order": the EXISTS (another supplier) / NOT EXISTS (another LATE
+    // supplier) pair decorrelated into one per-(order, supplier) agg +
+    // one per-order agg, so the whole multi-exists plan is two keyed
+    // shuffles (orderkey, then suppkey) instead of two correlated
+    // subquery scans. "Late" = shipped >45 days after the order date
+    // (the schema carries no receipt/commit dates); all compares are
+    // exact timestamps/longs.
+    "q252_sole_late_supplier" -> ((s, d) => {
+      val lines = li(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate")), "l_orderkey")
+      val supOrd = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        max((col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 45 DAYS")).cast("long"))
+          .as("late"))
+      val perOrder = supOrd.groupBy("l_orderkey").agg(
+        count(lit(1)).as("__n_supp"), sum(col("late")).as("__n_late"))
+      supOrd.filter(col("late") === 1)
+        .join(perOrder.filter(col("__n_supp") >= 2 && col("__n_late") === 1),
+          "l_orderkey")
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+    }),
+
+    // Referential-integrity audit — the data-contract gate an ingest
+    // pipeline runs before publishing: orphan counts for every FK edge
+    // of the star schema plus duplicate-key counts for every PK. Each FK
+    // check is one left join against the DISTINCT parent keys (small
+    // parents broadcast; the lineitem-side joins shuffle on the key);
+    // each PK check is one groupBy. All outputs exact longs.
+    "q253_referential_audit" -> ((s, d) => {
+      // No broadcast hint on the parent: nation/region are bounded dims
+      // (Catalyst broadcasts them from size stats) but orders/customer
+      // are corpus-cardinality — a hard hint there is the exact
+      // executor-OOM class ScaleGuardSpec polices. AQE picks per parent.
+      def fk(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame =
+        child.select(col(ck).as("__k"))
+          .join(parent.select(col(pk).as("__k")).distinct()
+            .withColumn("__p", lit(1L)), Seq("__k"), "left")
+          .agg(sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_bad"),
+            count(lit(1)).as("n_checked"))
+          .select(lit(name).as("check"), col("n_bad"), col("n_checked"))
+      def pk(name: String, t: DataFrame, k: String): DataFrame =
+        t.groupBy(col(k)).agg(count(lit(1)).as("__c"))
+          .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_bad"),
+            count(lit(1)).as("n_checked"))
+          .select(lit(name).as("check"), col("n_bad"), col("n_checked"))
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      Seq(
+        fk("fk_lineitem_orders", li(s, d), "l_orderkey", ord(s, d), "o_orderkey"),
+        fk("fk_lineitem_part", li(s, d), "l_partkey", Tables.part(s, d), "p_partkey"),
+        fk("fk_lineitem_supplier", li(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
+        fk("fk_orders_customer", ord(s, d), "o_custkey", cust, "c_custkey"),
+        fk("fk_customer_nation", cust, "c_nationkey", nat, "n_nationkey"),
+        fk("fk_supplier_nation", Tables.supplier(s, d), "s_nationkey", nat, "n_nationkey"),
+        fk("fk_nation_region", nat, "n_regionkey", Tables.region(s, d), "r_regionkey"),
+        pk("pk_orders", ord(s, d), "o_orderkey"),
+        pk("pk_customer", cust, "c_custkey"),
+        pk("pk_part", Tables.part(s, d), "p_partkey"),
+        pk("pk_supplier", Tables.supplier(s, d), "s_suppkey"),
+        pk("pk_nation", nat, "n_nationkey"))
+        .reduce(_.unionByName(_))
+    }),
+
+    // Encoding-quality scan — the mojibake/control-char audit every web
+    // corpus needs: the clean synthetic corpus gets deterministic damage
+    // planted per doc_id%7 class (the q185 plant-then-detect device —
+    // UTF-8-as-Latin-1 "Ã©", the "â€™" triple, U+FFFD, a BEL control
+    // char, NBSP), and the detector reports per-source rates. Detection
+    // is instr on the planted markers (engine-identical codepoint
+    // search; a production sweep widens to regex classes) — pure
+    // per-row work, one |sources|-group agg, zero extra shuffle.
+    "q254_mojibake_scan" -> ((s, d) => {
+      val planted = doc(s, d).select(col("source"), concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" cafÃ©"))
+          .when(col("doc_id") % 7 === 1, lit(" itâ€™s"))
+          .when(col("doc_id") % 7 === 2, lit(" bad�byte"))
+          .when(col("doc_id") % 7 === 3, lit(" ringtone"))
+          .when(col("doc_id") % 7 === 4, lit(" non break"))
+          .otherwise(lit(""))).as("text2"))
+      planted.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum((instr(col("text2"), "Ã") > 0 ||
+          instr(col("text2"), "â€") > 0).cast("long"))
+          .as("n_mojibake"),
+        sum((instr(col("text2"), "�") > 0).cast("long")).as("n_replacement"),
+        sum((instr(col("text2"), "") > 0).cast("long")).as("n_control"),
+        sum((instr(col("text2"), " ") > 0).cast("long")).as("n_nbsp"))
+        .withColumn("clean_rate", round(lit(1.0) -
+          (col("n_mojibake") + col("n_replacement") + col("n_control") +
+            col("n_nbsp")).cast("double") / col("n_docs"), 4))
+    }),
+
+    // Padding-efficiency audit — the batching decision every trainer
+    // makes: fixed batches of 16 sequences padded to the batch max, cost
+    // compared between hash-shuffled order and length-sorted order
+    // (sorted batching is the standard padding-waste fix; this measures
+    // what it buys on THIS corpus). Batching runs per source — the
+    // shard-level sort a packing job does anyway; a global variant would
+    // use q193's two-phase rank. All token counts exact longs; the one
+    // ratio divides exact ints.
+    "q255_padding_efficiency" -> ((s, d) => {
+      val docs = doc(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      def batched(rank: Column, strategy: String): DataFrame =
+        docs.withColumn("__b", floor((rank - 1) / 16))
+          .groupBy(col("source"), col("__b")).agg(
+            count(lit(1)).as("__n"), max(col("toks")).as("__mx"),
+            sum(col("toks")).as("__sum"))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_batches"),
+            sum(col("__sum")).as("tokens"),
+            sum(col("__mx") * col("__n")).as("padded"))
+          .select(col("source"), lit(strategy).as("strategy"),
+            col("n_batches"), col("tokens"), col("padded"),
+            round((col("padded") - col("tokens")).cast("double") /
+              col("padded"), 4).as("waste_rate"))
+      val bySorted = batched(row_number().over(Window.partitionBy("source")
+        .orderBy(col("toks").desc, col("doc_id"))), "sorted")
+      val byHash = batched(row_number().over(Window.partitionBy("source")
+        .orderBy(md5(concat(lit("pad_"), col("doc_id"))), col("doc_id"))),
+        "hashed")
+      bySorted.unionByName(byHash)
+    })
   )
 
   /** Tiny literal DataFrame helper for sweep-config tables. */
@@ -9615,6 +9772,173 @@ object Queries {
         |SELECT n_docs, n_tokens, n_distinct_docs, n_sources, n_langs,
         | round(1.0 - CAST(n_distinct_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
         | round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_doc_tokens
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // threshold compare is engine-exact: integer-valued quantities make
+    // avg exact at any summation order, ·0.2 is one identical product;
+    // revenue rides the cents device.
+    "q251_small_qty_revenue" ->
+      """WITH p AS (
+        | SELECT p_partkey AS l_partkey, p_brand FROM part
+        | WHERE p_brand IN ('Brand#1', 'Brand#2')),
+        |l AS (
+        | SELECT li.l_partkey, p_brand, l_quantity, l_extendedprice
+        | FROM lineitem li JOIN p USING (l_partkey)),
+        |th AS (
+        | SELECT l_partkey, avg(l_quantity) * 0.2 AS lim
+        | FROM l GROUP BY l_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS revenue_cents
+        |FROM l JOIN th USING (l_partkey)
+        |WHERE l_quantity < lim
+        |GROUP BY p_brand""".stripMargin,
+
+    "q252_sole_late_supplier" ->
+      """WITH lines AS (
+        | SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+        | FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+        |sup_ord AS (
+        | SELECT l_orderkey, l_suppkey,
+        |  CAST(max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS late
+        | FROM lines GROUP BY 1, 2),
+        |per_order AS (
+        | SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        | FROM sup_ord GROUP BY 1)
+        |SELECT so.l_suppkey AS s_suppkey, s_name,
+        | CAST(count(*) AS BIGINT) AS numwait
+        |FROM sup_ord so
+        |JOIN per_order po ON po.l_orderkey = so.l_orderkey
+        | AND po.n_supp >= 2 AND po.n_late = 1
+        |JOIN supplier ON s_suppkey = so.l_suppkey
+        |WHERE so.late = 1
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q253_referential_audit" ->
+      """SELECT 'fk_lineitem_orders' AS "check",
+        | CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        | CAST(count(*) AS BIGINT) AS n_checked
+        |FROM lineitem LEFT JOIN
+        | (SELECT DISTINCT o_orderkey AS k FROM orders) o ON o.k = l_orderkey
+        |UNION ALL
+        |SELECT 'fk_lineitem_part',
+        | CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM lineitem LEFT JOIN
+        | (SELECT DISTINCT p_partkey AS k FROM part) p ON p.k = l_partkey
+        |UNION ALL
+        |SELECT 'fk_lineitem_supplier',
+        | CAST(sum(CASE WHEN sp.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM lineitem LEFT JOIN
+        | (SELECT DISTINCT s_suppkey AS k FROM supplier) sp ON sp.k = l_suppkey
+        |UNION ALL
+        |SELECT 'fk_orders_customer',
+        | CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM orders LEFT JOIN
+        | (SELECT DISTINCT c_custkey AS k FROM customer) c ON c.k = o_custkey
+        |UNION ALL
+        |SELECT 'fk_customer_nation',
+        | CAST(sum(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM customer LEFT JOIN
+        | (SELECT DISTINCT n_nationkey AS k FROM nation) n ON n.k = c_nationkey
+        |UNION ALL
+        |SELECT 'fk_supplier_nation',
+        | CAST(sum(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM supplier LEFT JOIN
+        | (SELECT DISTINCT n_nationkey AS k FROM nation) n ON n.k = s_nationkey
+        |UNION ALL
+        |SELECT 'fk_nation_region',
+        | CAST(sum(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM nation LEFT JOIN
+        | (SELECT DISTINCT r_regionkey AS k FROM region) r ON r.k = n_regionkey
+        |UNION ALL
+        |SELECT 'pk_orders',
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+        |UNION ALL
+        |SELECT 'pk_customer',
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
+        |UNION ALL
+        |SELECT 'pk_part',
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM part GROUP BY p_partkey)
+        |UNION ALL
+        |SELECT 'pk_supplier',
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM supplier GROUP BY s_suppkey)
+        |UNION ALL
+        |SELECT 'pk_nation',
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        | CAST(count(*) AS BIGINT)
+        |FROM (SELECT count(*) AS c FROM nation GROUP BY n_nationkey)""".stripMargin,
+
+    // plants mirror the Spark side byte for byte; detection is instr on
+    // the planted markers (codepoint search, engine-identical).
+    "q254_mojibake_scan" ->
+      """WITH planted AS (
+        | SELECT source, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' cafÃ©'
+        |       WHEN doc_id % 7 = 1 THEN ' itâ€™s'
+        |       WHEN doc_id % 7 = 2 THEN ' bad�byte'
+        |       WHEN doc_id % 7 = 3 THEN ' ring' || chr(7) || 'tone'
+        |       WHEN doc_id % 7 = 4 THEN ' non' || chr(160) || ' break'
+        |       ELSE '' END AS text2
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN instr(text2, 'Ã') > 0
+        |   OR instr(text2, 'â€') > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_mojibake,
+        | CAST(sum(CASE WHEN instr(text2, '�') > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_replacement,
+        | CAST(sum(CASE WHEN instr(text2, chr(7)) > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_control,
+        | CAST(sum(CASE WHEN instr(text2, chr(160)) > 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_nbsp,
+        | round(1.0 - CAST(
+        |   sum(CASE WHEN instr(text2, 'Ã') > 0
+        |     OR instr(text2, 'â€') > 0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN instr(text2, '�') > 0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN instr(text2, chr(7)) > 0 THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN instr(text2, chr(160)) > 0 THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / count(*), 4) AS clean_rate
+        |FROM planted GROUP BY source""".stripMargin,
+
+    "q255_padding_efficiency" ->
+      """WITH docs AS (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        | FROM documents),
+        |ranked AS (
+        | SELECT source, toks,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY toks DESC, doc_id) AS rs,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5('pad_' || doc_id), doc_id) AS rh
+        | FROM docs),
+        |b AS (
+        | SELECT source, 'sorted' AS strategy, (rs - 1) // 16 AS b,
+        |  count(*) AS n, max(toks) AS mx, sum(toks) AS s
+        | FROM ranked GROUP BY 1, 2, 3
+        | UNION ALL
+        | SELECT source, 'hashed' AS strategy, (rh - 1) // 16 AS b,
+        |  count(*) AS n, max(toks) AS mx, sum(toks) AS s
+        | FROM ranked GROUP BY 1, 2, 3)
+        |SELECT source, strategy, CAST(count(*) AS BIGINT) AS n_batches,
+        | CAST(sum(s) AS BIGINT) AS tokens,
+        | CAST(sum(mx * n) AS BIGINT) AS padded,
+        | round(CAST(sum(mx * n) - sum(s) AS DOUBLE) / sum(mx * n), 4)
+        |   AS waste_rate
+        |FROM b GROUP BY 1, 2""".stripMargin
   )
 }

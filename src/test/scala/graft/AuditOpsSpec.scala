@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q251-q255: the TPC-H Q17/Q21 plan shapes, the referential-integrity
+  * audit, the encoding scan, and the padding-efficiency audit — each on a
+  * hand-computed planted fixture. */
+class AuditOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_audit").toString
+
+  test("q251: only lines under 20% of their part's average quantity count") {
+    val dir = tmpDir()
+    // part 100, Brand#1: quantities 1..10 -> avg 5.5, lim 1.1 -> only the
+    // qty-1 line (price 12.34) qualifies; part 200 is the wrong brand.
+    (1 to 10).map(q => (100L, q.toDouble, 12.34))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+      .union(Seq((200L, 1.0, 99.99)).toDF("l_partkey", "l_quantity", "l_extendedprice"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((100L, "Brand#1"), (200L, "Brand#9"))
+      .toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val r = Queries.queries("q251_small_qty_revenue")(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "Brand#1")
+    assert(r(0).getLong(1) == 1L)       // n_small
+    assert(r(0).getLong(2) == 1234L)    // revenue_cents
+  }
+
+  test("q252: sole late supplier on a multi-supplier order, and only that") {
+    val dir = tmpDir()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def plus(days: Int) = new java.sql.Timestamp(
+      base.getTime + days * 86400000L)
+    // order 1: suppliers 10 (late) + 11 (on time) -> 10 waits alone: counts
+    // order 2: supplier 10 late but single-supplier: excluded
+    // order 3: suppliers 10 + 11 both late: excluded (n_late = 2)
+    Seq(
+      (1L, 10L, plus(50)), (1L, 11L, plus(10)),
+      (2L, 10L, plus(60)),
+      (3L, 10L, plus(50)), (3L, 11L, plus(50)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, base), (2L, base), (3L, base))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, "Sup#10"), (11L, "Sup#11"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val r = Queries.queries("q252_sole_late_supplier")(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("s_suppkey") == 10L)
+    assert(row.getAs[Long]("numwait") == 1L)
+    assert(row.getAs[String]("s_name") == "Sup#10")
+  }
+
+  test("q253: planted orphans and duplicate keys are counted exactly") {
+    val dir = tmpDir()
+    // lineitem: one orphan orderkey (99), one orphan partkey (98), one
+    // orphan suppkey (97); orders has a DUPLICATED pk (1,1).
+    Seq((1L, 100L, 10L), (99L, 100L, 10L), (1L, 98L, 10L), (1L, 100L, 97L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 5L), (1L, 5L), (2L, 6L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((5L, 1), (6L, 1)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((100L, "x")).toDF("p_partkey", "p_brand")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((10L, 1)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq((1, 1)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq(Tuple1(1)).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    val r = Queries.queries("q253_referential_audit")(spark, dir)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("fk_lineitem_orders") == (1L, 4L))   // orderkey 99
+    assert(r("fk_lineitem_part") == (1L, 4L))     // partkey 98
+    assert(r("fk_lineitem_supplier") == (1L, 4L)) // suppkey 97
+    assert(r("fk_orders_customer") == (0L, 3L))
+    assert(r("pk_orders") == (1L, 2L))            // key 1 duplicated
+    assert(r("pk_customer") == (0L, 2L))
+    assert(r("fk_nation_region") == (0L, 1L))
+    assert(r.size == 12)
+  }
+
+  test("q254: planted damage classes are found, clean docs stay clean") {
+    val dir = TestSpark.sf0001
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val expect = docs.groupBy(col("doc_id") % 7).count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val r = Queries.queries("q254_mojibake_scan")(spark, dir)
+    val tot = r.agg(sum("n_docs"), sum("n_mojibake"), sum("n_replacement"),
+      sum("n_control"), sum("n_nbsp")).head()
+    assert(tot.getLong(0) == expect.values.sum)
+    // classes 0 and 1 both plant mojibake; 2/3/4 plant one artifact each
+    assert(tot.getLong(1) == expect(0L) + expect(1L))
+    assert(tot.getLong(2) == expect(2L))
+    assert(tot.getLong(3) == expect(3L))
+    assert(tot.getLong(4) == expect(4L))
+    val rates = r.select("clean_rate").as[Double].collect()
+    assert(rates.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("q255: sorted batching never pads more than hashed on this fixture") {
+    val dir = tmpDir()
+    // 20 docs, lengths 1..20 (doc i has i tokens), one source.
+    (1 to 20).map(i => (i.toLong, "s0", Seq.fill(i)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.queries("q255_padding_efficiency")(spark, dir)
+      .collect().map(x => x.getString(1) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    // sorted desc: batch0 = lengths 20..5 (max 20, n 16), batch1 = 4..1
+    // (max 4, n 4) -> padded = 320 + 16 = 336; tokens = 210
+    assert(r("sorted") == (2L, 210L, 336L))
+    val (hb, ht, hp) = r("hashed")
+    assert(hb == 2L && ht == 210L)
+    assert(hp >= 336L, "sorted is the padding lower bound on this fixture")
+  }
+}
