@@ -4673,6 +4673,89 @@ object Queries {
         .orderBy(md5(concat(lit("pad_"), col("doc_id"))), col("doc_id"))),
         "hashed")
       bySorted.unionByName(byHash)
+    }),
+
+    // Systematic PPS sampling — operators.Sampling.systematicPps over
+    // token-count weights: 100 equally-spaced probe points on the
+    // cumulative-weight line, each doc taken once per probe in its
+    // interval. ALL integer arithmetic (see the operator's scaladoc for
+    // the odd-count identity), so the sample is bit-identical on any
+    // engine/partitioning; Σ copies = 100 exactly (SamplingSpec).
+    "q256_systematic_pps" -> ((s, d) =>
+      graft.operators.Sampling.systematicPps(
+        doc(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks")),
+        "doc_id", "toks", n = 100L)),
+
+    // Quality-threshold sweep — the q232 pattern on a map-only score:
+    // keep-rate and surviving tokens at five alpha-ratio cutoffs from ONE
+    // corpus scan (score computed once, thresholds exploded from a
+    // 5-element literal). The score division is exact-int/exact-int (one
+    // identical double) compared to literal thresholds — engine-exact.
+    "q257_quality_sweep" -> ((s, d) => {
+      val scored = doc(s, d).select(
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text"))).as("__score"))
+      scored.select(col("toks"), col("__score"),
+          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
+            .as("threshold"))
+        .groupBy("threshold").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__score") >= col("threshold"), 1L).otherwise(0L))
+            .as("n_keep"),
+          sum(when(col("__score") >= col("threshold"), col("toks"))
+            .otherwise(0L)).as("tokens_kept"))
+        .withColumn("keep_rate",
+          round(col("n_keep").cast("double") / col("n_docs"), 4))
+    }),
+
+    // Corpus length profile in exact log2 bins — the doc-length histogram
+    // every dataset card plots, with the bucket computed EXACTLY as the
+    // binary-representation length (floor(log2) with zero float seam —
+    // log2() would flip at exact powers of two) per source.
+    "q258_length_log_histogram" -> ((s, d) =>
+      doc(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("bucket", (length(bin(col("toks"))) - 1).cast("long"))
+        .groupBy("source", "bucket").agg(
+          count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+        .withColumn("lo", expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)"))
+        .withColumn("hi", col("lo") * 2 - 1)),
+
+    // Export shard manifest — the planning table a 100 TB export writes
+    // before moving bytes: deterministic md5 sharding (the q103 seeded-
+    // hash device, engine-replayable), per-shard row/byte totals, id
+    // range, and an ORDER-FREE content digest (bit_xor of per-row 60-bit
+    // md5 prefixes — xor commutes, so the digest is partition-order-
+    // independent with no sort and no overflow). One |shards|-group agg.
+    "q259_export_manifest" -> ((s, d) =>
+      doc(s, d).select(col("doc_id"), col("text"))
+        .withColumn("shard", conv(substring(md5(concat(lit("shard_"),
+          col("doc_id"))), 1, 4), 16, 10).cast("long") % 16)
+        .withColumn("__fp", conv(substring(md5(col("text")), 1, 15), 16, 10)
+          .cast("long"))
+        .groupBy("shard").agg(
+          count(lit(1)).as("n_rows"),
+          sum(length(col("text")).cast("long")).as("bytes"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          expr("bit_xor(__fp)").as("digest"))),
+
+    // Out-of-order CDC → latest-wins snapshot: the changelog-compaction
+    // MERGE every lakehouse table needs, with versions arriving in ANY
+    // order (q127's upsert assumes a clean op batch). Latest per key by
+    // the total order (tsu, event_id) via ONE max-struct agg — no window,
+    // one keyed shuffle; 'error' acts as the tombstone op (the harness
+    // changelog has no delete type), so a key whose LAST version is a
+    // tombstone leaves the snapshot entirely.
+    "q260_cdc_snapshot" -> ((s, d) => {
+      ev_(s, d).groupBy("user_id").agg(
+          max(struct(col("tsu"), col("event_id"), col("event_type")))
+            .as("__last"),
+          count(lit(1)).as("n_changes"))
+        .filter(col("__last.event_type") =!= "error")
+        .select(col("user_id"), col("__last.event_id").as("last_event_id"),
+          col("__last.tsu").as("last_tsu"), col("n_changes"))
     })
   )
 
@@ -9939,6 +10022,102 @@ object Queries {
         | CAST(sum(mx * n) AS BIGINT) AS padded,
         | round(CAST(sum(mx * n) - sum(s) AS DOUBLE) / sum(mx * n), 4)
         |   AS waste_rate
-        |FROM b GROUP BY 1, 2""".stripMargin
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // the window prefix sum here is the oracle's shortcut; the Spark side
+    // uses the two-phase decomposition — values identical by design. All
+    // integer arithmetic, mirrored clamp for clamp.
+    "q256_systematic_pps" ->
+      """WITH w AS (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
+        | FROM documents
+        | WHERE len(string_split(text, ' ')) > 0),
+        |c AS (
+        | SELECT doc_id, weight,
+        |  CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS cum_before,
+        |  CAST(sum(weight) OVER () AS BIGINT) AS W
+        | FROM w),
+        |k AS (
+        | SELECT doc_id, weight,
+        |  greatest((200 * cum_before + W - 1) // W, 1) AS mlo,
+        |  least(((200 * (cum_before + weight) + W - 1) // W) - 1, 199)
+        |    AS mhi
+        | FROM c)
+        |SELECT doc_id, weight,
+        | CAST(greatest(((mhi + 1) // 2) - (mlo // 2), 0) AS BIGINT)
+        |   AS copies
+        |FROM k
+        |WHERE ((mhi + 1) // 2) - (mlo // 2) > 0""".stripMargin,
+
+    "q257_quality_sweep" ->
+      """WITH scored AS (
+        | SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |    AS DOUBLE) / length(text) AS score
+        | FROM documents),
+        |x AS (
+        | SELECT toks, score, t.threshold
+        | FROM scored CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9])
+        |   AS threshold) t)
+        |SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_keep,
+        | CAST(sum(CASE WHEN score >= threshold THEN toks ELSE 0 END)
+        |   AS BIGINT) AS tokens_kept,
+        | round(CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
+        |   AS DOUBLE) / count(*), 4) AS keep_rate
+        |FROM x GROUP BY threshold""".stripMargin,
+
+    // floor(log2) as binary-string length — zero float seam (log2()
+    // flips at exact powers of two).
+    "q258_length_log_histogram" ->
+      """WITH d AS (
+        | SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        | FROM documents),
+        |b AS (
+        | SELECT source, toks,
+        |  CAST(length(printf('%b', toks)) - 1 AS BIGINT) AS bucket
+        | FROM d)
+        |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS tokens,
+        | CAST(1::BIGINT << CAST(bucket AS INT) AS BIGINT) AS lo,
+        | CAST((1::BIGINT << CAST(bucket AS INT)) * 2 - 1 AS BIGINT) AS hi
+        |FROM b GROUP BY source, bucket""".stripMargin,
+
+    "q259_export_manifest" ->
+      """WITH d AS (
+        | SELECT doc_id, text,
+        |  CAST(CAST(concat('0x', substr(md5('shard_' || doc_id), 1, 4))
+        |    AS BIGINT) % 16 AS BIGINT) AS shard,
+        |  CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+        |    AS BIGINT) AS fp
+        | FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(length(text)) AS BIGINT) AS bytes,
+        | CAST(min(doc_id) AS BIGINT) AS min_id,
+        | CAST(max(doc_id) AS BIGINT) AS max_id,
+        | CAST(bit_xor(fp) AS BIGINT) AS digest
+        |FROM d GROUP BY shard""".stripMargin,
+
+    // latest-wins by the exact (tsu, event_id) total order; a key whose
+    // final version is the tombstone ('error') drops out.
+    "q260_cdc_snapshot" ->
+      """WITH e AS (
+        | SELECT event_id, user_id, event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tsu
+        | FROM events),
+        |r AS (
+        | SELECT user_id, event_id, event_type, tsu,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tsu DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_changes
+        | FROM e)
+        |SELECT user_id, event_id AS last_event_id, tsu AS last_tsu,
+        | CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 }
