@@ -4756,6 +4756,120 @@ object Queries {
         .filter(col("__last.event_type") =!= "error")
         .select(col("user_id"), col("__last.event_id").as("last_event_id"),
           col("__last.tsu").as("last_tsu"), col("n_changes"))
+    }),
+
+    // ANALYZE TABLE, long form — the per-column statistics a cost-based
+    // planner (and every data catalog) keeps: one row per column with
+    // exact NDV, null count, and min/max/avg-length over a CANONICAL
+    // string encoding (longs print identically on every engine; floats
+    // and timestamps would not, so they ride exact cents/micros — the
+    // encoding is part of the profile's contract). One scan: stack
+    // unpivots the row to (column, value) pairs, one 6-group agg.
+    "q261_analyze_columns" -> ((s, d) =>
+      ord(s, d).selectExpr(
+        """stack(6,
+          | 'o_orderkey', CAST(o_orderkey AS STRING),
+          | 'o_custkey', CAST(o_custkey AS STRING),
+          | 'o_orderstatus', o_orderstatus,
+          | 'o_orderpriority', o_orderpriority,
+          | 'o_totalprice_cents',
+          |   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+          | 'o_orderdate_us',
+          |   CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING)
+          |) AS (column, value)""".stripMargin)
+        .groupBy("column").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("value")).as("ndv"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          round(avg(length(col("value"))), 4).as("avg_len"))),
+
+    // Incremental aggregate maintenance — the partial-state merge every
+    // materialized view / streaming rollup is built on: each "batch"
+    // (orderdate half) computes mergeable per-nation partials (count,
+    // cent sum, min, max), and the published rollup is ONE merge of the
+    // partials — count/sum add, min/max fold — never a rescan of closed
+    // batches. The oracle computes the rollup DIRECTLY, proving
+    // merge(partials) ≡ full recompute, which is the contract that makes
+    // incremental maintenance sound. Exact longs end to end.
+    "q262_partial_agg_merge" -> ((s, d) => {
+      val o = ord(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), "o_custkey")
+        .select(col("c_nationkey"),
+          (year(col("o_orderdate")) < 1997).as("__old"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val partials = o.groupBy("c_nationkey", "__old").agg(
+        count(lit(1)).as("pn"), sum(col("cents")).as("psum"),
+        min(col("cents")).as("pmin"), max(col("cents")).as("pmax"))
+      partials.groupBy("c_nationkey").agg(
+        sum(col("pn")).as("n_orders"), sum(col("psum")).as("sum_cents"),
+        min(col("pmin")).as("min_cents"), max(col("pmax")).as("max_cents"),
+        count(lit(1)).as("n_batches"))
+    }),
+
+    // k-anonymity audit — the privacy gate before a demographic export:
+    // group sizes over the quasi-identifier (nation, segment, account-
+    // balance band), then the at-risk row/group counts at k = 2/5/10 in
+    // one sweep (the q257 pattern over the bounded QI-group table). The
+    // balance band rides exact cents (floor on a float division would
+    // seam at band edges) OFFSET to nonnegative before the integer
+    // division — balances go negative, and SQL DIV truncates toward zero
+    // while DuckDB's // floors, so a negative operand would band
+    // differently per engine. Everything else is exact counting.
+    "q263_k_anonymity" -> ((s, d) => {
+      val qi = Tables.customer(s, d).select(col("c_nationkey"),
+          col("c_mktsegment"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) " +
+            "DIV 100000 - 1000").as("__band"))
+        .groupBy("c_nationkey", "c_mktsegment", "__band")
+        .agg(count(lit(1)).as("__sz"))
+      qi.select(col("__sz"), explode(array(lit(2L), lit(5L), lit(10L)))
+          .as("k"))
+        .groupBy("k").agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("__sz") < col("k"), 1L).otherwise(0L))
+            .as("groups_below_k"),
+          sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(col("__sz")).as("__total"))
+        .select(col("k"), col("n_groups"), col("groups_below_k"),
+          col("rows_at_risk"),
+          round(col("rows_at_risk").cast("double") / col("__total"), 4)
+            .as("risk_rate"))
+    }),
+
+    // Share-of-parent rollup — the ratio-to-parent BI primitive (nation
+    // share within region, region share of total) from ONE exact-cents
+    // aggregation: the share windows run over the BOUNDED nation table
+    // (25 rows), never the fact stream; ratios divide exact longs.
+    "q264_revenue_share" -> ((s, d) => {
+      val rev = li(s, d)
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+            .cast("long").as("cents"))
+        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")), "l_orderkey")
+        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
+          col("c_nationkey")), "o_custkey")
+        .join(broadcast(Tables.nation(s, d).select(
+          col("n_nationkey").as("c_nationkey"), col("n_name"),
+          col("n_regionkey"))), "c_nationkey")
+        .join(broadcast(Tables.region(s, d).select(
+          col("r_regionkey").as("n_regionkey"), col("r_name"))),
+          "n_regionkey")
+        .groupBy("r_name", "n_name").agg(sum(col("cents")).as("cents"))
+      rev
+        .withColumn("region_cents",
+          sum(col("cents")).over(Window.partitionBy("r_name")))
+        .withColumn("total_cents",
+          sum(col("cents")).over(Window.partitionBy(lit(1))))
+        .select(col("r_name"), col("n_name"), col("cents"),
+          round(col("cents").cast("double") / col("region_cents"), 6)
+            .as("share_of_region"),
+          round(col("region_cents").cast("double") / col("total_cents"), 6)
+            .as("region_share_of_total"))
     })
   )
 
@@ -10118,6 +10232,90 @@ object Queries {
         | FROM e)
         |SELECT user_id, event_id AS last_event_id, tsu AS last_tsu,
         | CAST(n_changes AS BIGINT) AS n_changes
-        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // canonical string encoding mirrored column for column; binary
+    // collation on both engines makes min/max comparable.
+    "q261_analyze_columns" ->
+      """WITH u AS (
+        | SELECT 'o_orderkey' AS "column",
+        |  CAST(o_orderkey AS VARCHAR) AS value FROM orders
+        | UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |  FROM orders
+        | UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        | UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        | UNION ALL SELECT 'o_totalprice_cents',
+        |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+        |  FROM orders
+        | UNION ALL SELECT 'o_orderdate_us',
+        |  CAST(CAST(epoch_us(o_orderdate) AS BIGINT) AS VARCHAR)
+        |  FROM orders)
+        |SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_null,
+        | CAST(count(DISTINCT value) AS BIGINT) AS ndv,
+        | min(value) AS min_value, max(value) AS max_value,
+        | round(avg(length(value)), 4) AS avg_len
+        |FROM u GROUP BY "column"""".stripMargin,
+
+    // the oracle recomputes the rollup DIRECTLY — passing proves
+    // merge(partials) ≡ full recompute.
+    "q262_partial_agg_merge" ->
+      """WITH o AS (
+        | SELECT c_nationkey,
+        |  year(o_orderdate) < 1997 AS old,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders JOIN customer ON c_custkey = o_custkey)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | CAST(min(cents) AS BIGINT) AS min_cents,
+        | CAST(max(cents) AS BIGINT) AS max_cents,
+        | CAST(count(DISTINCT old) AS BIGINT) AS n_batches
+        |FROM o GROUP BY c_nationkey""".stripMargin,
+
+    // band offset to nonnegative: DIV truncates, // floors — they only
+    // agree on nonnegative operands.
+    "q263_k_anonymity" ->
+      """WITH qi AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000
+        |    - 1000 AS band,
+        |  CAST(count(*) AS BIGINT) AS sz
+        | FROM customer GROUP BY 1, 2, 3),
+        |x AS (
+        | SELECT sz, k.k FROM qi
+        | CROSS JOIN (SELECT unnest([2::BIGINT, 5::BIGINT, 10::BIGINT])
+        |   AS k) k)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+        | CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS groups_below_k,
+        | CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |   AS rows_at_risk,
+        | round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
+        |   / sum(sz), 4) AS risk_rate
+        |FROM x GROUP BY k""".stripMargin,
+
+    "q264_revenue_share" ->
+      """WITH rev AS (
+        | SELECT r_name, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS cents
+        | FROM lineitem
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation ON n_nationkey = c_nationkey
+        | JOIN region ON r_regionkey = n_regionkey
+        | GROUP BY 1, 2),
+        |w AS (
+        | SELECT r_name, n_name, cents,
+        |  CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |    AS region_cents,
+        |  CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        | FROM rev)
+        |SELECT r_name, n_name, cents,
+        | round(CAST(cents AS DOUBLE) / region_cents, 6) AS share_of_region,
+        | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
+        |   AS region_share_of_total
+        |FROM w""".stripMargin
   )
 }

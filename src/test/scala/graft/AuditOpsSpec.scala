@@ -110,6 +110,25 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(rates.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("q263: groups under k are flagged with their exact row counts") {
+    val dir = tmpDir()
+    // QI = (nation, segment, balance band): band is cents DIV 100000 on a
+    // +1e8 offset. Group A (nation 1, seg "X", band of 500.00) has 3
+    // rows; group B (nation 2, seg "Y", band of -100.00) has 1 row.
+    Seq((1, "X", 500.00), (1, "X", 500.10), (1, "X", 599.99),
+        (2, "Y", -100.00))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val r = Queries.queries("q263_k_anonymity")(spark, dir)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    // k=2: group B (size 1) below -> 1 group, 1 row at risk
+    assert(r(2L) == (2L, 1L, 1L))
+    // k=5: both groups below -> 2 groups, all 4 rows at risk
+    assert(r(5L) == (2L, 2L, 4L))
+    assert(r(10L) == (2L, 2L, 4L))
+  }
+
   test("q255: sorted batching never pads more than hashed on this fixture") {
     val dir = tmpDir()
     // 20 docs, lengths 1..20 (doc i has i tokens), one source.
