@@ -3,10 +3,15 @@ package graft.graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Connected components by iterative min-label propagation — the shared
-  * fixpoint core behind near-dup canonicalization
-  * ([[graft.dedup.Dedup.canonicalize]] / `canonicalizeExact`) and any
-  * other union-find-shaped grouping (entity resolution, q153).
+/** Connected components — the shared fixpoint core behind near-dup
+  * canonicalization ([[graft.dedup.Dedup.canonicalize]] /
+  * `canonicalizeExact`) and any other union-find-shaped grouping
+  * (entity resolution, q153). Two value-identical paths behind a
+  * size-aware dispatch: a driver union-find when the edge list's
+  * plan-estimated size fits the broadcast threshold (one collect — the
+  * same risk bound as any broadcast join — instead of 3-4 distributed
+  * rounds), and the checkpointed min-label fixpoint beyond it (the
+  * 100 TB path).
   *
   * Each round is one join + one min-aggregation (two shuffles) over the
   * edge list and label table, independent of corpus size; every round's
@@ -38,6 +43,85 @@ object ConnectedComponents {
     * label = node via one final left join. */
   def minLabel(pairs: DataFrame, nodes: DataFrame,
                maxRounds: Int): (DataFrame, Boolean) = {
+    // Materialize the (un-symmetrized) edge list ONCE — both paths need
+    // it evaluated anyway (the iterative path would checkpoint it for the
+    // fixpoint; the local path collects it), so the exact-count dispatch
+    // probe is one cheap job over already-cached blocks, not an extra
+    // evaluation of the (often expensive — PPJoin) upstream. A
+    // plan-stats dispatch (the knnImpute device) is useless here: join
+    // size estimates without CBO column stats blow up multiplicatively
+    // (measured 4.2e20 "bytes" for a 256-row PPJoin output).
+    val raw = graft.io.Checkpoints.truncate(
+      pairs.select(col("id_a"), col("id_b")), eager = true)
+    val maxLocal = pairs.sparkSession.conf
+      .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(1000000L)
+    if (maxLocal >= 0 && raw.count() <= maxLocal)
+      (minLabelLocal(raw, nodes), true)
+    else minLabelIterative(raw, nodes, maxRounds)
+  }
+
+  /** Driver union-find (path-halving + union-by-attachment to the
+    * order-smaller root), value-identical to the fixpoint: each
+    * component's label is its minimum node id under the id type's
+    * natural ordering — the same ordering `min(label)` aggregates by on
+    * the distributed path (equivalence case in GraphMetricsSpec).
+    * Always "converged": union-find has no round bound to exhaust.
+    * Bounded by the dispatch above (≤ `spark.graft.cc.localMaxEdges`
+    * edges, default 1M ≈ tens of MB of driver heap — the same order a
+    * broadcast join collects); set the conf to -1 to force the
+    * iterative path. */
+  private[graft] def minLabelLocal(pairs: DataFrame, nodes: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val edgeRows = pairs.select(col("id_a"), col("id_b")).collect()
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x0: Any): Any = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    // attach the order-larger root under the smaller: the root IS the
+    // component minimum at all times, no second pass needed
+    val lt: (Any, Any) => Boolean = idType match {
+      case org.apache.spark.sql.types.LongType =>
+        (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+      case org.apache.spark.sql.types.IntegerType =>
+        (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case t => throw new IllegalArgumentException(
+        s"minLabelLocal: unsupported id type $t (long/int/string)")
+    }
+    edgeRows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb }
+    }
+    val labelRows = parent.keys.toSeq.map { n =>
+      org.apache.spark.sql.Row(n, find(n))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    val labels = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(labelRows).asJava),
+      schema)
+    // the labels side is driver-built and threshold-bounded → broadcast;
+    // the corpus-side nodes never shuffle
+    nodes.select(col("node"))
+      .join(broadcast(labels), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
+  private[graft] def minLabelIterative(pairs: DataFrame, nodes: DataFrame,
+                                       maxRounds: Int): (DataFrame, Boolean) = {
     // Pre-hash the symmetrized edge list on id_b (the key every round's
     // label join probes): LogicalRDD preserves the partitioning, so no
     // round re-shuffles the edges — only the label table and the

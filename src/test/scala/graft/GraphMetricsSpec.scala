@@ -225,6 +225,34 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, "restart mass conserved")
   }
 
+  test("CC: driver union-find fast path ≡ iterative fixpoint on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 60 nodes, 80 edges from a hash
+    val edges = (1 to 80).map { i =>
+      val a = (i * 2654435761L % 60) + 1
+      val b = (i * 40503L % 60) + 1
+      (a, b)
+    }.filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val nodes = (1L to 60L).toDF("node")
+    val local = graft.graph.ConnectedComponents.minLabelLocal(edges, nodes)
+      .orderBy("node").collect().toSeq
+    val (iterDf, conv) = graft.graph.ConnectedComponents
+      .minLabelIterative(edges, nodes, maxRounds = 32)
+    assert(conv)
+    assert(local == iterDf.orderBy("node").collect().toSeq)
+    // the count-based dispatcher takes the local path for a tiny edge
+    // list, and the conf kill-switch forces the iterative one
+    val (viaDispatch, c1) =
+      graft.graph.ConnectedComponents.minLabel(edges, nodes, 32)
+    assert(c1 && viaDispatch.orderBy("node").collect().toSeq == local)
+    spark.conf.set("spark.graft.cc.localMaxEdges", "-1")
+    try {
+      val (forced, c2) =
+        graft.graph.ConnectedComponents.minLabel(edges, nodes, 32)
+      assert(c2 && forced.orderBy("node").collect().toSeq == local)
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
+  }
+
   test("modularity: two disjoint triangles give Q = 0.5") {
     val dir = copurchaseFixture(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
     val r = Queries.queries("q203_modularity")(spark, dir)

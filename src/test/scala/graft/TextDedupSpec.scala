@@ -197,30 +197,36 @@ class TextDedupSpec extends AnyFunSuite {
   test("canonicalize fails loudly when the round budget truncates propagation") {
     // q44 is verified against an exact connected-components oracle, so a
     // silently truncated propagation is a correctness bug, not degraded
-    // recall: a chain of diameter 5 cannot converge in 1 round
-    val words = (0 until 30).map(i => s"w$i")
-    val chain = (0 until 6).map(i => (100L + i, words.slice(i * 3, i * 3 + 12).mkString(" ")))
-    val df = chain.toDF("doc_id", "text")
-    val e = intercept[IllegalStateException] {
-      Dedup.canonicalize(df, "text", "doc_id", k = 2, jaccardThreshold = 0.5,
-        rounds = 1)
-    }
-    assert(e.getMessage.contains("fixpoint"))
-    // same budget with requireFixpoint=false returns (truncated) labels
-    val truncated = Dedup.canonicalize(df, "text", "doc_id", k = 2,
-      jaccardThreshold = 0.5, rounds = 1, requireFixpoint = false)
-      .as[(Long, Long)].collect().toMap
-    assert(truncated.size == 6)
-    // and an adequate budget converges without throwing, to labels that
-    // are a fixpoint (every canonical id is itself canonical; LSH recall
-    // decides which chain edges exist, so the exact component split is the
-    // band scheme's business, not this test's)
-    val full = Dedup.canonicalize(df, "text", "doc_id", k = 2,
-      jaccardThreshold = 0.5, rounds = 16)
-      .as[(Long, Long)].collect().toMap
-    assert(full.size == 6)
-    assert(full.values.forall(c => full(c) == c), "canonical ids are fixpoints")
-    assert(full.values.toSet.size < 6, "adjacent near-dups must merge")
+    // recall: a chain of diameter 5 cannot converge in 1 round.
+    // The round budget only exists on the ITERATIVE CC path — force it
+    // (the count dispatch would route this tiny fixture to the driver
+    // union-find, which has no rounds to exhaust).
+    spark.conf.set("spark.graft.cc.localMaxEdges", "-1")
+    try {
+      val words = (0 until 30).map(i => s"w$i")
+      val chain = (0 until 6).map(i => (100L + i, words.slice(i * 3, i * 3 + 12).mkString(" ")))
+      val df = chain.toDF("doc_id", "text")
+      val e = intercept[IllegalStateException] {
+        Dedup.canonicalize(df, "text", "doc_id", k = 2, jaccardThreshold = 0.5,
+          rounds = 1)
+      }
+      assert(e.getMessage.contains("fixpoint"))
+      // same budget with requireFixpoint=false returns (truncated) labels
+      val truncated = Dedup.canonicalize(df, "text", "doc_id", k = 2,
+        jaccardThreshold = 0.5, rounds = 1, requireFixpoint = false)
+        .as[(Long, Long)].collect().toMap
+      assert(truncated.size == 6)
+      // and an adequate budget converges without throwing, to labels
+      // that are a fixpoint (every canonical id is itself canonical; LSH
+      // recall decides which chain edges exist, so the exact component
+      // split is the band scheme's business, not this test's)
+      val full = Dedup.canonicalize(df, "text", "doc_id", k = 2,
+        jaccardThreshold = 0.5, rounds = 16)
+        .as[(Long, Long)].collect().toMap
+      assert(full.size == 6)
+      assert(full.values.forall(c => full(c) == c), "canonical ids are fixpoints")
+      assert(full.values.toSet.size < 6, "adjacent near-dups must merge")
+    } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
   test("canonicalize: local and reliable checkpoint modes give identical results") {
