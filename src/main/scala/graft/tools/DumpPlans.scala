@@ -37,7 +37,11 @@ object DumpPlans {
     "q221_quantile_normalize" -> "cross-source quantile normalization: within-source rank = per-(source, value) window + distinct-value prefix sums; the global lookup is a broadcast range join against the bounded cumulative histogram",
     "q224_knn_eval" -> "LOO kNN eval: norms computed once per vector (projection), tight-loop dot kernels in the 4M-pair cross join, per-query rank window on the bounded eval set",
     "q231_attribution" -> "first/last-touch attribution: hour-band + user equi-join (purchase probes two bands), min/max(struct) argmin/argmax in one hash agg, left join restores clickless purchases",
-    "q239_merkle_audit" -> "Merkle digest: one hash agg per level (256 buckets, then root), sort inside the digest — partition-order-free, no corpus sort")
+    "q239_merkle_audit" -> "Merkle digest: one hash agg per level (256 buckets, then root), sort inside the digest — partition-order-free, no corpus sort",
+    "q251_small_qty_revenue" -> "TPC-H Q17 shape decorrelated: brand filter pushed to the part scan, the per-part threshold agg runs over the brand-restricted join (not the full fact), both joins broadcast the bounded side",
+    "q253_referential_audit" -> "FK orphan checks: DISTINCT parent keys then left join — bounded dims broadcast by size stats WITHOUT hints; corpus-cardinality parents (orders/customer) shuffle-join, exactly as they must at scale",
+    "q256_systematic_pps" -> "systematic PPS: GlobalRank two-phase prefix sum (per-bucket windows + O(buckets) offset broadcast), 1-row total cross join, then the probe-count formula as pure projection — one keyed shuffle end to end",
+    "q264_revenue_share" -> "share-of-parent: star joins broadcast the dims, ONE exact-cents hash agg on the fact, and the ratio windows run over the bounded 25-row nation table only")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
