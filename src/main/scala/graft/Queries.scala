@@ -4840,6 +4840,112 @@ object Queries {
             .as("risk_rate"))
     }),
 
+    // Debounce / burst-collapse — the event-stream cleanup that precedes
+    // any per-event metric (double-clicks, retry storms): collapse each
+    // user's bursts (inter-event gap ≤ 1 h — the corpus's events are
+    // hours apart, so a seconds-scale window would collapse nothing and
+    // test nothing; ~8.5% of events fold at 1 h) to their FIRST event
+    // via gaps-and-islands — one lag window per user (user-partitioned,
+    // never corpus-wide), island start = gap > threshold. Output is the
+    // kept events; all compares on exact micros.
+    "q265_debounce" -> ((s, d) => {
+      val gapUs = 3600000000L
+      val e = ev_(s, d).select(col("user_id"), col("event_id"), col("tsu"))
+      e.withColumn("__prev", lag(col("tsu"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))))
+        .filter(col("__prev").isNull || col("tsu") - col("__prev") > gapUs)
+        .select("user_id", "event_id", "tsu")
+    }),
+
+    // Inter-arrival latency percentiles — the SLO table every ops feed
+    // publishes: per event type, exact p50/p95/p99 of the gap between
+    // consecutive events (type-partitioned lag over exact micros, then
+    // the A2 exact-percentile agg; linear interpolation of identical
+    // longs is engine-identical arithmetic).
+    "q266_gap_percentiles" -> ((s, d) => {
+      val e = ev_(s, d).select(col("event_type"), col("event_id"), col("tsu"))
+      val gaps = e.withColumn("__prev", lag(col("tsu"), 1).over(
+          Window.partitionBy("event_type")
+            .orderBy(col("tsu"), col("event_id"))))
+        .filter(col("__prev").isNotNull)
+        .select(col("event_type"), (col("tsu") - col("__prev")).as("gap_us"))
+      gaps.groupBy("event_type").agg(
+        count(lit(1)).as("n_gaps"),
+        round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
+        round(expr("percentile(gap_us, 0.95)"), 4).as("p95_us"),
+        round(expr("percentile(gap_us, 0.99)"), 4).as("p99_us"))
+    }),
+
+    // Two-proportion experiment readout — the A/B conversion test: users
+    // deterministically split by user_id parity, conversion = a
+    // high-value cut (≥ 15 purchases — "≥1" is degenerate on this
+    // corpus: every user purchases, and p = 1 zeroes the pooled
+    // variance); uplift and the pooled two-proportion z statistic as ONE
+    // mirrored float expression over exact integer counts (the q191
+    // shape), NULL-guarded for the degenerate p ∈ {0, 1} pools where
+    // the denominator is legitimately zero. One corpus agg + a 2-row
+    // pivot — nothing corpus-wide after the per-user collapse.
+    "q267_ab_proportions" -> ((s, d) => {
+      val users = ev_(s, d).groupBy("user_id").agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("__np"))
+        .select(col("user_id"), when(col("__np") >= 15, 1L).otherwise(0L)
+          .as("conv"))
+      val arms = users.groupBy((col("user_id") % 2).as("arm")).agg(
+        count(lit(1)).as("n"), sum(col("conv")).as("x"))
+      val w = arms.agg(
+        sum(when(col("arm") === 0, col("n"))).as("n0"),
+        sum(when(col("arm") === 0, col("x"))).as("x0"),
+        sum(when(col("arm") === 1, col("n"))).as("n1"),
+        sum(when(col("arm") === 1, col("x"))).as("x1"))
+      val xt = col("x0") + col("x1")
+      val nt = col("n0") + col("n1")
+      w.select(col("n0"), col("x0"), col("n1"), col("x1"),
+        round(col("x1").cast("double") / col("n1") -
+          col("x0").cast("double") / col("n0"), 6).as("uplift"),
+        round(when(xt > 0 && xt < nt,
+          (col("x1").cast("double") / col("n1") -
+            col("x0").cast("double") / col("n0")) /
+            sqrt((xt.cast("double") / nt) *
+              (lit(1.0) - xt.cast("double") / nt) *
+              (lit(1.0) / col("n0") + lit(1.0) / col("n1")))), 4).as("z"))
+    }),
+
+    // Single changepoint detection — binary segmentation's first split
+    // over each type's daily count series: the split maximizing the
+    // between-segment SSE reduction, which for a split (S1,n1 | S,n)
+    // reduces to maximizing (S1·n − n1·S)² / (n1·(n−n1)) — ALL INTEGER
+    // except one final mirrored division (bounds: S ≤ corpus events,
+    // S1·n ≤ 1e5·1e3 at sf0.1; the long headroom is 9.2e18 — document
+    // before 100× scale-up, or lift to decimal). The day table is
+    // bounded (|types|×|days|), so its windows are bounded too; CUSUM
+    // (q172) flags drift, this PINPOINTS the break.
+    "q268_changepoint" -> ((s, d) => {
+      val daily = ev_(s, d)
+        .groupBy(col("event_type"), expr("tsu DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pre = daily
+        .withColumn("__i", row_number().over(w))
+        .withColumn("__s1", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .withColumn("__s", sum(col("c")).over(Window.partitionBy("event_type")))
+        .filter(col("__i") < col("__n"))
+        .withColumn("__num",
+          (col("__s1") * col("__n") - col("__i") * col("__s")) *
+            (col("__s1") * col("__n") - col("__i") * col("__s")))
+        .withColumn("__den", col("__i") * (col("__n") - col("__i")))
+      pre.withColumn("__rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(
+            (col("__num").cast("double") / col("__den")).desc, col("day"))))
+        .filter(col("__rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("__i").as("n_days_before"),
+          round(col("__num").cast("double") / col("__den") /
+            (col("__n") * col("__n")), 4).as("sse_reduction"))
+    }),
+
     // Share-of-parent rollup — the ratio-to-parent BI primitive (nation
     // share within region, region share of total) from ONE exact-cents
     // aggregation: the share windows run over the BOUNDED nation table
@@ -10316,6 +10422,93 @@ object Queries {
         | round(CAST(cents AS DOUBLE) / region_cents, 6) AS share_of_region,
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    "q265_debounce" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+        | FROM events),
+        |l AS (
+        | SELECT user_id, event_id, tsu,
+        |  lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |    AS prev
+        | FROM e)
+        |SELECT user_id, event_id, tsu FROM l
+        |WHERE prev IS NULL OR tsu - prev > 3600000000""".stripMargin,
+
+    "q266_gap_percentiles" ->
+      """WITH e AS (
+        | SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
+        | FROM events),
+        |g AS (
+        | SELECT event_type,
+        |  tsu - lag(tsu) OVER (PARTITION BY event_type
+        |    ORDER BY tsu, event_id) AS gap_us
+        | FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        | round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
+        | round(quantile_cont(gap_us, 0.95), 4) AS p95_us,
+        | round(quantile_cont(gap_us, 0.99), 4) AS p99_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type""".stripMargin,
+
+    // the z statistic is ONE mirrored float expression over exact
+    // counts, NULL for the degenerate p ∈ {0, 1} pools.
+    "q267_ab_proportions" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+        |    ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
+        | FROM events GROUP BY user_id),
+        |a AS (
+        | SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(conv) AS BIGINT) AS x
+        | FROM u GROUP BY 1),
+        |w AS (
+        | SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x0,
+        |  CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x1
+        | FROM a)
+        |SELECT n0, x0, n1, x1,
+        | round(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0, 6)
+        |   AS uplift,
+        | round(CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
+        |  (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+        |  / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |     * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |     * (1.0 / n0 + 1.0 / n1)) END, 4) AS z
+        |FROM w""".stripMargin,
+
+    // integer SSE-reduction algebra; the one division is mirrored and
+    // the argmax ordering compares identical doubles.
+    "q268_changepoint" ->
+      """WITH daily AS (
+        | SELECT event_type,
+        |  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |pre AS (
+        | SELECT event_type, day,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
+        | FROM daily),
+        |sc AS (
+        | SELECT event_type, day, i, n,
+        |  (s1 * n - i * s) * (s1 * n - i * s) AS num,
+        |  i * (n - i) AS den
+        | FROM pre WHERE i < n),
+        |rk AS (
+        | SELECT event_type, day, i, n, num, den,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(num AS DOUBLE) / den DESC, day) AS rk
+        | FROM sc)
+        |SELECT event_type, day AS split_day,
+        | CAST(i AS BIGINT) AS n_days_before,
+        | round(CAST(num AS DOUBLE) / den / (n * n), 4) AS sse_reduction
+        |FROM rk WHERE rk = 1""".stripMargin
   )
 }
