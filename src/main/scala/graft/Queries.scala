@@ -4946,6 +4946,17 @@ object Queries {
             (col("__n") * col("__n")), 4).as("sse_reduction"))
     }),
 
+    // ViT-style patch tokenization over the synthetic byte raster — the
+    // image-to-token pre-step with the plumbing real (sequence+explode+
+    // HOF fold, codegen'd, shuffle-free; see Multimodal.patchGrid): one
+    // row per 4×4 tile of the 16-wide raster with exact intensity sums;
+    // the mean divides by 16 (a power of two) so even the double is
+    // bit-exact with no rounding.
+    "q269_patch_grid" -> ((s, d) =>
+      graft.multimodal.Multimodal.patchGrid(
+        graft.multimodal.Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
+        width = 16, patch = 4)),
+
     // Share-of-parent rollup — the ratio-to-parent BI primitive (nation
     // share within region, region share of total) from ONE exact-cents
     // aggregation: the share windows run over the BOUNDED nation table
@@ -10423,6 +10434,29 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    // raster arithmetic replayed with ord(substr(...)); mean is an exact
+    // power-of-two division — no rounding needed for parity.
+    "q269_patch_grid" ->
+      """WITH m AS (SELECT doc_id AS media_id, text AS txt FROM documents),
+        |g AS (
+        | SELECT media_id, txt, (length(txt) // 16) // 4 AS ph FROM m),
+        |p AS (
+        | SELECT media_id, txt, i.i AS p
+        | FROM g CROSS JOIN LATERAL
+        |  (SELECT unnest(range(0, ph * 4)) AS i) i
+        | WHERE ph > 0),
+        |s AS (
+        | SELECT media_id, p // 4 AS patch_row, p % 4 AS patch_col,
+        |  CAST(list_sum(list_transform(range(0, 16), k ->
+        |    ord(substr(txt,
+        |      CAST(((p // 4) * 4 + k // 4) * 16 + (p % 4) * 4 + k % 4 + 1
+        |        AS INT), 1)))) AS BIGINT) AS sum_intensity
+        | FROM p)
+        |SELECT media_id, CAST(patch_row AS BIGINT) AS patch_row,
+        | CAST(patch_col AS BIGINT) AS patch_col, sum_intensity,
+        | CAST(sum_intensity AS DOUBLE) / 16 AS mean_intensity
+        |FROM s""".stripMargin,
 
     "q265_debounce" ->
       """WITH e AS (

@@ -77,6 +77,43 @@ object Multimodal {
     * binary reads the payload bytes stream through one projection).
     * Payloads shorter than one frame are dropped, trailing partial frames
     * are not emitted — the fixed-frame contract of raw video buffers. */
+  /** ViT-style patch tokenization — the image-to-token pre-step: view the
+    * payload as a `width`-wide byte raster, cut the full-patch region
+    * into `patch`×`patch` tiles, and emit one row per tile with its grid
+    * coordinates and exact intensity sum/mean (mean = sum / patch² — a
+    * power-of-two division when patch is, so the double is EXACT and
+    * needs no rounding for engine parity). Pure column expressions
+    * (sequence + explode + a 16-element HOF fold per tile): codegen'd,
+    * shuffle-free, linear in emitted patches — the same plan shape a real
+    * pixel decode feeds; this container's payloads are the ASCII synth
+    * corpus, so "intensity" is the byte value via ascii(), replayable by
+    * any engine. Trailing partial rows/columns are not emitted (the
+    * crop-to-patch-grid contract of ViT preprocessing). */
+  def patchGrid(media: DataFrame, width: Int = 16, patch: Int = 4): DataFrame = {
+    require(width > 0 && patch > 0 && width % patch == 0,
+      s"width must be a positive multiple of patch: width=$width patch=$patch")
+    val pw = width / patch // patches per raster row
+    media
+      .withColumn("__txt", col("payload").cast("string"))
+      .withColumn("__h", expr(s"CAST(length(__txt) DIV $width AS INT)"))
+      .withColumn("__ph", expr(s"CAST(__h DIV $patch AS INT)"))
+      .filter(col("__ph") > 0)
+      .withColumn("__p", explode(expr(s"sequence(0, __ph * $pw - 1)")))
+      .withColumn("patch_row", expr(s"__p DIV $pw"))
+      .withColumn("patch_col", expr(s"__p % $pw"))
+      .withColumn("sum_intensity", expr(
+        s"""aggregate(transform(sequence(0, ${patch * patch - 1}), k ->
+           |  ascii(substring(__txt,
+           |    (patch_row * $patch + k DIV $patch) * $width
+           |      + patch_col * $patch + k % $patch + 1, 1))),
+           |  0L, (acc, x) -> acc + x)""".stripMargin))
+      .select(col("media_id"), col("patch_row").cast("long").as("patch_row"),
+        col("patch_col").cast("long").as("patch_col"),
+        col("sum_intensity"),
+        (col("sum_intensity").cast("double") / (patch * patch))
+          .as("mean_intensity"))
+  }
+
   def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     require(frameBytes > 0, s"frameBytes must be positive: $frameBytes")
     require(stride > 0, s"stride must be positive: $stride")

@@ -246,6 +246,36 @@ class IoMultimodalSpec extends AnyFunSuite {
       .map { case (i, t) => (i, Option(t)) }.toSet
     assert(back == rows.map { case (i, t) => (i, Option(t)) }.toSet)
   }
+
+  test("patchGrid: hand-computed 4x4 tiles over a known byte raster") {
+    // width 8, patch 4: payload of 70 'a'..'p' repeating — height = 70
+    // DIV 8 = 8 rows, patch grid 2×2; the 6 trailing bytes are cropped.
+    val txt = (0 until 70).map(i => ('a' + i % 16).toChar).mkString
+    val media = Multimodal.mediaFromText(
+      Seq((9L, txt)).toDF("doc_id", "text"), "doc_id", "text")
+    val r = Multimodal.patchGrid(media, width = 8, patch = 4)
+      .collect().map(x => (x.getLong(1), x.getLong(2)) ->
+        (x.getLong(3), x.getDouble(4))).toMap
+    assert(r.size == 4)
+    // replay the raster arithmetic directly on the string
+    def expect(pr: Int, pc: Int): Long =
+      (for (dr <- 0 until 4; dc <- 0 until 4)
+        yield txt.charAt((pr * 4 + dr) * 8 + pc * 4 + dc).toLong).sum
+    for (pr <- 0 to 1; pc <- 0 to 1) {
+      val (s, m) = r((pr.toLong, pc.toLong))
+      assert(s == expect(pr, pc), s"patch ($pr,$pc)")
+      assert(m == s.toDouble / 16, "power-of-two mean is exact")
+    }
+  }
+
+  test("patchGrid: payloads shorter than one patch row vanish; bad dims fail loud") {
+    val media = Multimodal.mediaFromText(
+      Seq((1L, "short")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Multimodal.patchGrid(media, width = 16, patch = 4).count() == 0)
+    intercept[IllegalArgumentException] {
+      Multimodal.patchGrid(media, width = 10, patch = 4) // 10 % 4 != 0
+    }
+  }
 }
 
 object IoMultimodalSpec {
