@@ -4946,6 +4946,101 @@ object Queries {
             (col("__n") * col("__n")), 4).as("sse_reduction"))
     }),
 
+    // Distinctive terms per source — Monroe et al.'s log-odds with an
+    // informative Dirichlet prior (the corpus-analysis "what makes source
+    // X different"): per (source, word), delta = log-odds vs the Rest
+    // with prior a_w = a0·(corpus share), z = delta/sqrt(1/(y+a) +
+    // 1/(y'+a')). All counts exact longs; the float chain is mirrored
+    // op-for-op and the per-source top-5 ranks by the ROUNDED z (q219
+    // rule: never rank on a raw libm value), tie-broken by word. Two hash
+    // aggs + a broadcast of the bounded vocab table.
+    "q270_distinctive_terms" -> ((s, d) => {
+      val words = doc(s, d).select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val sw = words.groupBy("source", "w").agg(count(lit(1)).as("ysw"))
+      val tot = words.groupBy("w").agg(count(lit(1)).as("yw"))
+      val ns = words.groupBy("source").agg(count(lit(1)).as("nsrc"))
+      val n = words.agg(count(lit(1)).as("ntot"))
+      val a0 = 1000.0
+      val scored = sw.join(broadcast(tot), "w").join(broadcast(ns), "source")
+        .crossJoin(broadcast(n))
+        .withColumn("aw", lit(a0) * col("yw") / col("ntot"))
+        .withColumn("yrw", col("yw") - col("ysw"))
+        .withColumn("nrest", col("ntot") - col("nsrc"))
+        .withColumn("delta",
+          log((col("ysw") + col("aw")) /
+            (col("nsrc") + lit(a0) - col("ysw") - col("aw"))) -
+          log((col("yrw") + col("aw")) /
+            (col("nrest") + lit(a0) - col("yrw") - col("aw"))))
+        .withColumn("z", round(col("delta") /
+          sqrt(lit(1.0) / (col("ysw") + col("aw")) +
+            lit(1.0) / (col("yrw") + col("aw"))), 4))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("z").desc, col("w"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("w"), col("ysw"), col("z"),
+          col("rk").cast("long").as("rk"))
+    }),
+
+    // KV-cache prefix-sharing estimate — the inference-cost audit for a
+    // serving fleet: documents sharing their first k tokens re-use one
+    // cached prefix, so tokens_saved = Σ_groups (count−1)·k. Swept at
+    // k = 4/8/16 in one scan (explode the k literals, group by (k,
+    // prefix)); only docs with ≥ k tokens join group k. Exact integers
+    // into one mirrored division per k.
+    "q271_prefix_cache" -> ((s, d) => {
+      val docs = doc(s, d).select(split(col("text"), " ").as("t"))
+      val total = docs.agg(sum(size(col("t")).cast("long")).as("ntok"))
+      val pref = docs.select(size(col("t")).cast("long").as("len"),
+          explode(array(lit(4), lit(8), lit(16))).as("k"), col("t"))
+        .filter(col("len") >= col("k"))
+        .select(col("k").cast("long").as("k"),
+          expr("array_join(slice(t, 1, k), ' ')").as("prefix"))
+      pref.groupBy("k", "prefix").agg(count(lit(1)).as("__c"))
+        .groupBy("k").agg(
+          count(lit(1)).as("n_prefixes"),
+          sum(col("__c")).as("n_docs"),
+          sum((col("__c") - 1) * col("k")).as("tokens_saved"))
+        .crossJoin(broadcast(total))
+        .select(col("k"), col("n_prefixes"), col("n_docs"),
+          col("tokens_saved"),
+          round(col("tokens_saved").cast("double") / col("ntok"), 6)
+            .as("saved_rate"))
+    }),
+
+    // Clustering-quality readout — the simplified (centroid-based)
+    // silhouette over the q105 k-means labels: per point a = distance to
+    // its (nearest) centroid, b = distance to the second-nearest, s =
+    // (b−a)/max(a,b). The per-point (d², cid) ranking is an array_sort of
+    // literal-centroid structs (identical fold + identical lexicographic
+    // order on both engines — the q105 parity devices); per-point s
+    // converts ONCE to integer micro-units (round-to-int of an identical
+    // double, the q93 device) so the per-cluster mean is exact long
+    // arithmetic into one mirrored division. Pure map-side expressions +
+    // one k-group agg; centroids are the k·dims driver table, never the
+    // corpus.
+    "q272_silhouette" -> ((s, d) => {
+      val (cents, v) = graft.ml.KMeans.lloydCentroids(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
+      def dist2(c: Array[Double]): Column =
+        aggregate(zip_with(col("__v"), array(c.map(lit).toIndexedSeq: _*),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b)
+      val sorted = array_sort(array(cents.map { case (cid, cv) =>
+        struct(dist2(cv).as("d2"), lit(cid).as("cid")) }: _*))
+      val a = sqrt(sorted.getItem(0).getField("d2"))
+      val b = sqrt(sorted.getItem(1).getField("d2"))
+      val sPoint = when(greatest(a, b) > 0,
+        (b - a) / greatest(a, b)).otherwise(lit(0.0))
+      v.select(sorted.getItem(0).getField("cid").as("cluster"),
+          round(sPoint * 1000000L).cast("long").as("__mu"))
+        .groupBy("cluster").agg(
+          count(lit(1)).as("n"), sum(col("__mu")).as("__sm"))
+        .select(col("cluster"), col("n"),
+          round(col("__sm").cast("double") / col("n") / 1000000L, 6)
+            .as("mean_silhouette"))
+    }),
+
     // ViT-style patch tokenization over the synthetic byte raster — the
     // image-to-token pre-step with the plumbing real (sequence+explode+
     // HOF fold, codegen'd, shuffle-free; see Multimodal.patchGrid): one
@@ -10434,6 +10529,101 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    // q105's Lloyd replay (c0 → a1 → c1), then per-point nearest/second
+    // distances by the same fold + (d², cid) order; per-point s in
+    // micro-units, per-cluster mean as one mirrored division.
+    "q272_silhouette" ->
+      """WITH e AS (
+        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        | FROM embeddings),
+        |c0 AS (
+        | SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+        |a1 AS (
+        | SELECT vec_id, v, cell FROM (
+        |  SELECT e.vec_id, e.v, c.cid AS cell,
+        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |     list_reduce(list_transform(list_zip(e.v, c.cv),
+        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
+        |     c.cid ASC) AS rn
+        |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
+        |c1 AS (
+        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
+        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
+        |  GROUP BY cell, d.i) s
+        | GROUP BY cell),
+        |dd AS (
+        | SELECT e.vec_id, c.cid,
+        |  list_reduce(list_transform(list_zip(e.v, c.cv),
+        |    z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) AS d2
+        | FROM e CROSS JOIN c1 c),
+        |rk AS (
+        | SELECT vec_id, cid, d2,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        | FROM dd),
+        |ab AS (
+        | SELECT vec_id,
+        |  max(CASE WHEN rn = 1 THEN cid END) AS cluster,
+        |  max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+        |  max(CASE WHEN rn = 2 THEN d2 END) AS b2
+        | FROM rk WHERE rn <= 2 GROUP BY vec_id),
+        |mu AS (
+        | SELECT cluster,
+        |  CAST(round(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0 THEN
+        |    (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+        |    ELSE 0.0 END * 1000000) AS BIGINT) AS m
+        | FROM ab)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(sum(m) AS DOUBLE) / count(*) / 1000000, 6)
+        |   AS mean_silhouette
+        |FROM mu GROUP BY cluster""".stripMargin,
+
+    // counts exact, float chain mirrored op-for-op, rank on the ROUNDED z.
+    "q270_distinctive_terms" ->
+      """WITH w AS (
+        | SELECT source, w FROM (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents) WHERE length(w) > 0),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS ysw
+        |       FROM w GROUP BY 1, 2),
+        |tot AS (SELECT w, CAST(count(*) AS BIGINT) AS yw FROM w GROUP BY 1),
+        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
+        |       FROM w GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM w),
+        |sc AS (
+        | SELECT source, w, ysw, nsrc, ntot,
+        |  1000.0 * yw / ntot AS aw,
+        |  yw - ysw AS yrw, ntot - nsrc AS nrest
+        | FROM sw JOIN tot USING (w) JOIN ns USING (source), n),
+        |z AS (
+        | SELECT source, w, ysw,
+        |  round((ln((ysw + aw) / (nsrc + 1000.0 - ysw - aw))
+        |       - ln((yrw + aw) / (nrest + 1000.0 - yrw - aw)))
+        |   / sqrt(1.0 / (ysw + aw) + 1.0 / (yrw + aw)), 4) AS z
+        | FROM sc)
+        |SELECT source, w, ysw, z, CAST(rk AS BIGINT) AS rk FROM (
+        | SELECT *, row_number() OVER (PARTITION BY source
+        |   ORDER BY z DESC, w) AS rk FROM z)
+        |WHERE rk <= 5""".stripMargin,
+
+    "q271_prefix_cache" ->
+      """WITH docs AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS ntok FROM docs),
+        |pref AS (
+        | SELECT CAST(k.k AS BIGINT) AS k,
+        |  array_to_string(t[1:k.k], ' ') AS prefix
+        | FROM docs CROSS JOIN (SELECT unnest([4, 8, 16]) AS k) k
+        | WHERE len(t) >= k.k),
+        |g AS (
+        | SELECT k, prefix, CAST(count(*) AS BIGINT) AS c
+        | FROM pref GROUP BY 1, 2)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_prefixes,
+        | CAST(sum(c) AS BIGINT) AS n_docs,
+        | CAST(sum((c - 1) * k) AS BIGINT) AS tokens_saved,
+        | round(CAST(sum((c - 1) * k) AS DOUBLE) / ntok, 6) AS saved_rate
+        |FROM g, tot GROUP BY k, ntok""".stripMargin,
 
     // raster arithmetic replayed with ord(substr(...)); mean is an exact
     // power-of-two division — no rounding needed for parity.
