@@ -5009,6 +5009,13 @@ object Queries {
             .as("saved_rate"))
     }),
 
+    // Sliding (overlapping) stream windows — q29's tumbling aggregation
+    // at a 2 h window / 1 h slide, so each event feeds exactly two
+    // windows (the dashboard rate-smoothing shape). Batch-equivalence
+    // oracle: every event assigned to BOTH covering window starts.
+    "q273_stream_sliding_windows" -> ((s, d) =>
+      EventsStream.slidingWindowCounts(s, d)),
+
     // Clustering-quality readout — the simplified (centroid-based)
     // silhouette over the q105 k-means labels: per point a = distance to
     // its (nearest) centroid, b = distance to the second-nearest, s =
@@ -10529,6 +10536,20 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    // each event lands in both covering 2 h windows: starts at
+    // trunc(ts)−1h and trunc(ts) (hour-aligned slide).
+    "q273_stream_sliding_windows" ->
+      """WITH e AS (
+        | SELECT event_type, value,
+        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h
+        | FROM events),
+        |x AS (
+        | SELECT event_type, value, h - o.o AS win_start
+        | FROM e CROSS JOIN (SELECT unnest([0, 3600]) AS o) o)
+        |SELECT win_start, event_type, count(*) AS cnt,
+        | round(sum(value), 4) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // q105's Lloyd replay (c0 → a1 → c1), then per-point nearest/second
     // distances by the same fold + (d², cid) order; per-point s in

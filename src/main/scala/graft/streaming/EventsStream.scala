@@ -73,6 +73,42 @@ object EventsStream {
     }
   }
 
+  /** Sliding (overlapping) windows — [[windowedCounts]] with a 2 h window
+    * every 1 h, so each event lands in exactly TWO windows: the rate
+    * smoothing every dashboard wants from a stream. Same watermark,
+    * complete-mode memory sink, and batch-equivalence contract (the
+    * oracle assigns each event to both its covering windows and must
+    * match window for window). */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      val qname = "graft_sliding_window_counts"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname)
+        .select(
+          unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"),
+          col("cnt"),
+          round(col("sum_value"), 4).as("sum_value"))
+    }
+  }
+
   /** The scale-correct variant of [[windowedCounts]]: APPEND output mode,
     * so state is bounded by the watermark horizon — "complete" mode keeps
     * every window ever seen alive, which is fine for the harness
