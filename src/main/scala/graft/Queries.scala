@@ -5009,6 +5009,56 @@ object Queries {
             .as("saved_rate"))
     }),
 
+    // CUPED variance-reduced experiment readout — the industry-standard
+    // companion to q267: per-user pre-period spend (first 15 days) as the
+    // covariate, θ = cov(pre, post)/var(pre) pooled across arms, adjusted
+    // uplift = raw − θ·(pre-mean gap), variance reduction = ρ². Moments
+    // ride exact cent longs; the covariance algebra uses the q225
+    // decimal(38,0)/HUGEINT device (n·Σxy − Σx·Σy stays exact — each
+    // factor ≤ 2e18, and ρ² multiplies two DOUBLE ratios rather than
+    // squaring a decimal, which would overflow precision 38 differently
+    // per engine). One corpus agg → per-user table → one 1-row agg.
+    "q274_cuped" -> ((s, d) => {
+      val ev0 = Tables.events(s, d).select(col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val mn = ev0.agg(min(col("day")).as("mn"))
+      val users = ev0.crossJoin(broadcast(mn))
+        .groupBy("user_id").agg(
+          sum(when(col("day") < col("mn") + 15, col("cents"))
+            .otherwise(0L)).as("pre"),
+          sum(when(col("day") >= col("mn") + 15, col("cents"))
+            .otherwise(0L)).as("post"))
+        .withColumn("arm", col("user_id") % 2)
+      val m = users.agg(
+        count(lit(1)).as("n"),
+        sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
+        sum(col("pre") * col("pre")).as("sxx"),
+        sum(col("pre") * col("post")).as("sxy"),
+        sum(col("post") * col("post")).as("syy"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("x0"),
+        sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("y0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("x1"),
+        sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("y1"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+      val den = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+      val deny = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+      val theta = num.cast("double") / den.cast("double")
+      val upliftRaw = col("y1").cast("double") / col("n1") -
+        col("y0").cast("double") / col("n0")
+      val preGap = col("x1").cast("double") / col("n1") -
+        col("x0").cast("double") / col("n0")
+      m.select(col("n0"), col("n1"),
+        round(upliftRaw, 4).as("uplift_raw_cents"),
+        round(theta, 6).as("theta"),
+        round(upliftRaw - theta * preGap, 4).as("uplift_cuped_cents"),
+        round((num.cast("double") / den.cast("double")) *
+          (num.cast("double") / deny.cast("double")), 6).as("var_reduction"))
+    }),
+
     // Sliding (overlapping) stream windows — q29's tumbling aggregation
     // at a 2 h window / 1 h slide, so each event feeds exactly two
     // windows (the dashboard rate-smoothing shape). Batch-equivalence
@@ -10536,6 +10586,52 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    // exact cent moments, HUGEINT covariance algebra (the q225 mirror of
+    // Spark's decimal(38,0)), ρ² as a product of two DOUBLE ratios.
+    "q274_cuped" ->
+      """WITH e AS (
+        | SELECT user_id,
+        |  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events),
+        |mn AS (SELECT min(day) AS mn FROM e),
+        |u AS (
+        | SELECT user_id,
+        |  CAST(sum(CASE WHEN day < mn + 15 THEN cents ELSE 0 END)
+        |    AS BIGINT) AS pre,
+        |  CAST(sum(CASE WHEN day >= mn + 15 THEN cents ELSE 0 END)
+        |    AS BIGINT) AS post,
+        |  user_id % 2 AS arm
+        | FROM e, mn GROUP BY user_id),
+        |m AS (
+        | SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(pre) AS HUGEINT) AS sx, CAST(sum(post) AS HUGEINT) AS sy,
+        |  CAST(sum(pre * pre) AS HUGEINT) AS sxx,
+        |  CAST(sum(pre * post) AS HUGEINT) AS sxy,
+        |  CAST(sum(post * post) AS HUGEINT) AS syy,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS x0,
+        |  CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS y0,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS x1,
+        |  CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS y1
+        | FROM u)
+        |SELECT n0, n1,
+        | round(CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0, 4)
+        |   AS uplift_raw_cents,
+        | round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+        | round((CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0)
+        |  - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE))
+        |    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0), 4)
+        |   AS uplift_cuped_cents,
+        | round((CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE))
+        |  * (CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS var_reduction
+        |FROM m""".stripMargin,
 
     // each event lands in both covering 2 h windows: starts at
     // trunc(ts)−1h and trunc(ts) (hour-aligned slide).
