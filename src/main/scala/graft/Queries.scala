@@ -5009,6 +5009,85 @@ object Queries {
             .as("saved_rate"))
     }),
 
+    // Curation mixture plan — fractional-knapsack source selection: rank
+    // sources by mean quality (alpha ratio in exact micro-units — the
+    // per-source mean is Σ per-doc micro-scores / docs, all longs), take
+    // whole sources in quality order until the 500k-token budget, take a
+    // FRACTION of the straddling source, skip the rest. The plan table is
+    // |sources| rows, so its windows are bounded; everything up to the
+    // one take_frac division is exact integer arithmetic.
+    "q275_mixture_plan" -> ((s, d) => {
+      val budget = 500000L
+      val docs = doc(s, d).select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        round((length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text"))) * 1000000L).cast("long")
+          .as("__q_micro"))
+      val src = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+        sum(col("__q_micro")).as("__qsum"))
+      val w = Window.orderBy(
+        (col("__qsum").cast("double") / col("n_docs")).desc, col("source"))
+      src
+        .withColumn("quality_rank", row_number().over(w))
+        .withColumn("__before", coalesce(sum(col("tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("take_tokens",
+          greatest(lit(0L), least(col("tokens"), lit(budget) - col("__before"))))
+        .select(col("source"), col("quality_rank").cast("long").as("quality_rank"),
+          col("n_docs"), col("tokens"),
+          round(col("__qsum").cast("double") / col("n_docs") / 1000000L, 6)
+            .as("mean_quality"),
+          col("take_tokens"),
+          round(col("take_tokens").cast("double") / col("tokens"), 6)
+            .as("take_frac"))
+    }),
+
+    // Dedup-funnel impact report — the one-table answer to "what does
+    // each dedup stage cost me": docs/tokens entering, surviving exact
+    // dedup (md5 keep-first), then surviving chunk-level dedup on top
+    // (q220's keeper rule collapsed to full-doc survival = doc keeps ≥ 1
+    // chunk). One row per stage with exact counts and a mirrored
+    // retention ratio — the composition metric a curation pipeline
+    // publishes per release.
+    "q276_dedup_funnel" -> ((s, d) => {
+      val docs = doc(s, d).select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      val stage0 = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+        .select(lit(1L).as("stage"), lit("ingest").as("name"),
+          col("n_docs"), col("n_tokens"))
+      val keepers = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exact = docs.join(keepers, "doc_id")
+      val stage1 = exact.agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+        .select(lit(2L).as("stage"), lit("exact_dedup").as("name"),
+          col("n_docs"), col("n_tokens"))
+      // chunk survival on the exact-dedup survivors: a doc survives if it
+      // keeps at least one 16-token chunk under the q220 keeper rule
+      val chunks = exact.select(col("doc_id"),
+          posexplode(expr(
+            """transform(sequence(0, (size(split(text, ' ')) - 1) DIV 16),
+              |  i -> array_join(slice(split(text, ' '), i * 16 + 1, 16), ' '))"""
+              .stripMargin)).as(Seq("idx", "chunk")))
+      val kept = chunks.groupBy("chunk")
+        .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
+      val surviving = chunks.join(kept, "chunk")
+        .filter(struct(col("doc_id"), col("idx")) === col("keeper"))
+        .select("doc_id").distinct()
+      val stage2 = exact.join(surviving, "doc_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(lit(3L).as("stage"), lit("chunk_dedup").as("name"),
+          col("n_docs"), col("n_tokens"))
+      val total = docs.agg(sum(col("toks")).as("__t0"))
+      stage0.unionByName(stage1).unionByName(stage2)
+        .crossJoin(broadcast(total))
+        .select(col("stage"), col("name"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("__t0"), 6)
+            .as("token_retention"))
+    }),
+
     // CUPED variance-reduced experiment readout — the industry-standard
     // companion to q267: per-user pre-period spend (first 15 days) as the
     // covariate, θ = cov(pre, post)/var(pre) pooled across arms, adjusted
@@ -10586,6 +10665,75 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    // micro-unit quality means; the rank/window order compares identical
+    // exact-int-ratio doubles.
+    "q275_mixture_plan" ->
+      """WITH docs AS (
+        | SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |  CAST(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |    AS DOUBLE) / length(text) * 1000000) AS BIGINT) AS q
+        | FROM documents),
+        |src AS (
+        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens,
+        |  CAST(sum(q) AS BIGINT) AS qsum
+        | FROM docs GROUP BY source),
+        |r AS (
+        | SELECT source, n_docs, tokens, qsum,
+        |  row_number() OVER (ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC,
+        |    source) AS quality_rank,
+        |  CAST(coalesce(sum(tokens) OVER (
+        |    ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC, source
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) AS bef
+        | FROM src)
+        |SELECT source, CAST(quality_rank AS BIGINT) AS quality_rank,
+        | n_docs, tokens,
+        | round(CAST(qsum AS DOUBLE) / n_docs / 1000000, 6) AS mean_quality,
+        | CAST(greatest(0, least(tokens, 500000 - bef)) AS BIGINT)
+        |   AS take_tokens,
+        | round(CAST(greatest(0, least(tokens, 500000 - bef)) AS DOUBLE)
+        |   / tokens, 6) AS take_frac
+        |FROM r""".stripMargin,
+
+    // md5 keep-first, then the q220 chunk-keeper rule collapsed to
+    // doc-level survival; retention ratios divide exact longs.
+    "q276_dedup_funnel" ->
+      """WITH docs AS (
+        | SELECT doc_id, text,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        | FROM documents),
+        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t0 FROM docs),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
+        |ex AS (SELECT d.* FROM docs d JOIN keep USING (doc_id)),
+        |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
+        |chunks AS (
+        | SELECT doc_id, CAST(i.i AS BIGINT) AS idx,
+        |  array_to_string(t[16 * i.i + 1 : 16 * i.i + 16], ' ') AS chunk
+        | FROM toks2 CROSS JOIN LATERAL
+        |  (SELECT unnest(range(0, (len(t) + 15) // 16)) AS i) i),
+        |kept AS (
+        | SELECT chunk, min({'doc_id': doc_id, 'idx': idx}) AS keeper
+        | FROM chunks GROUP BY chunk),
+        |surv AS (
+        | SELECT DISTINCT c.doc_id
+        | FROM chunks c JOIN kept k USING (chunk)
+        | WHERE {'doc_id': c.doc_id, 'idx': c.idx} = k.keeper),
+        |stages AS (
+        | SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS name,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens FROM docs
+        | UNION ALL
+        | SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks) AS BIGINT) FROM ex
+        | UNION ALL
+        | SELECT 3, 'chunk_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(toks) AS BIGINT) FROM ex JOIN surv USING (doc_id))
+        |SELECT stage, name, n_docs, n_tokens,
+        | round(CAST(n_tokens AS DOUBLE) / t0, 6) AS token_retention
+        |FROM stages, tot""".stripMargin,
 
     // exact cent moments, HUGEINT covariance algebra (the q225 mirror of
     // Spark's decimal(38,0)), ρ² as a product of two DOUBLE ratios.
