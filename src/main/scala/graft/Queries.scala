@@ -10684,10 +10684,7 @@ object Queries {
         | SELECT source, n_docs, tokens, qsum,
         |  row_number() OVER (ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC,
         |    source) AS quality_rank,
-        |  CAST(coalesce(sum(tokens) OVER (
-        |    ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC, source
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS BIGINT) AS bef
+        |  coalesce(CAST(sum(tokens) OVER (ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
         | FROM src)
         |SELECT source, CAST(quality_rank AS BIGINT) AS quality_rank,
         | n_docs, tokens,
