@@ -5009,6 +5009,75 @@ object Queries {
             .as("saved_rate"))
     }),
 
+    // Dynamic-gap session windows — session_window with a PER-EVENT gap
+    // expression (purchase holds 60 min, else 30): the intent-aware
+    // timeout streams grew in Spark 3.2+. The oracle replays the merge
+    // rule exactly: break when ts ≥ running max of previous (ts + gap)
+    // per user — q238's boundary convention generalized to variable gaps.
+    "q277_dynamic_session" -> ((s, d) =>
+      EventsStream.dynamicSessionCounts(s, d)),
+
+    // Equi-height histogram — the ANALYZE-grade decile table for a
+    // numeric column (q261's companion; q104 buckets per ROW, this emits
+    // the catalog HISTOGRAM): exact-percentile boundaries (A2 device),
+    // per-bucket counts via the bounded boundary-compare sum — no range
+    // join, no sort. Boundaries/interpolation are identical doubles on
+    // both engines.
+    "q278_equiheight_hist" -> ((s, d) => {
+      val probs = (1 to 9).map(_ / 10.0)
+      val b = li(s, d).agg(
+        min(col("l_extendedprice")).as("b0"),
+        probs.map(p => expr(s"percentile(l_extendedprice, $p)")
+          .as(s"b${(p * 10).toInt}")) :+
+          max(col("l_extendedprice")).as("b10"): _*)
+      li(s, d).crossJoin(broadcast(b))
+        .withColumn("bucket", (lit(1) + (1 to 9).map(j =>
+          when(col("l_extendedprice") > col(s"b$j"), 1).otherwise(0))
+          .reduce(_ + _)).cast("long"))
+        .groupBy("bucket").agg(
+          count(lit(1)).as("n_rows"),
+          round(min(col("l_extendedprice")), 4).as("lo_seen"),
+          round(max(col("l_extendedprice")), 4).as("hi_seen"))
+    }),
+
+    // Post-stratification — the survey/eval-methodology estimator: a 10%
+    // deterministic hash sample's naive mean vs the post-stratified mean
+    // Σ_h (N_h/N)·mean_h (population strata shares reweight the sample),
+    // against the true population mean. Cents-exact sums; the strata
+    // table is bounded (|priorities|); sampling is the q103 md5-uniform
+    // device so any engine replays the exact sample.
+    "q279_post_stratification" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val u = conv(substring(md5(concat(lit("ps_"),
+        col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+        .cast("long").cast("double") / lit(4294967296.0)
+      val sampled = o.withColumn("__in", (u < 0.1).cast("long"))
+      val strata = sampled.groupBy("o_orderpriority").agg(
+        count(lit(1)).as("nh"), sum(col("__in")).as("nh_s"),
+        sum(when(col("__in") === 1, col("cents")).otherwise(0L)).as("sh_s"),
+        sum(col("cents")).as("sh"))
+      // per-stratum contribution in integer MILLI-cents (round-to-int of
+      // the identical double (nh·sh_s)/nh_s·1000 — the q93 device), so
+      // the cross-strata sum is exact longs, not an order-dependent
+      // float fold; an unsampled stratum contributes 0 (guarded — ANSI
+      // division would throw).
+      val term = when(col("nh_s") > 0,
+        round((col("nh") * col("sh_s")).cast("double") / col("nh_s") *
+          lit(1000.0)).cast("long")).otherwise(0L)
+      strata.agg(
+          sum(col("nh")).as("n_pop"), sum(col("nh_s")).as("n_sample"),
+          sum(col("sh")).as("s_pop"), sum(col("sh_s")).as("s_sample"),
+          sum(term).as("__pst_milli"))
+        .select(col("n_pop"), col("n_sample"),
+          round(col("s_sample").cast("double") / col("n_sample") / 100, 4)
+            .as("naive_mean"),
+          round(col("__pst_milli").cast("double") / 1000 / col("n_pop") / 100,
+            4).as("post_strat_mean"),
+          round(col("s_pop").cast("double") / col("n_pop") / 100, 4)
+            .as("population_mean"))
+    }),
+
     // Curation mixture plan — fractional-knapsack source selection: rank
     // sources by mean quality (alpha ratio in exact micro-units — the
     // per-source mean is Σ per-doc micro-scores / docs, all longs), take
@@ -10665,6 +10734,98 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    // per-user replay of the dynamic merge rule: break when ts ≥ running
+    // max of previous (ts + gap); q238's convention with variable gaps.
+    "q277_dynamic_session" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, value,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tsu,
+        |  CAST(epoch_us(ts) AS BIGINT) +
+        |   CASE WHEN event_type = 'purchase' THEN 3600000000
+        |        ELSE 1800000000 END AS endu
+        | FROM events),
+        |r AS (
+        | SELECT *, max(endu) OVER (PARTITION BY user_id
+        |   ORDER BY tsu, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+        | FROM e),
+        |s AS (
+        | SELECT *, CASE WHEN run_end IS NULL OR tsu >= run_end
+        |   THEN 1 ELSE 0 END AS new_session
+        | FROM r),
+        |x AS (
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        | FROM s)
+        |SELECT user_id,
+        | CAST(min(tsu) // 1000000 AS BIGINT) AS session_start,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 4) AS session_value
+        |FROM x GROUP BY user_id, session_seq""".stripMargin,
+
+    // exact-percentile boundaries, bucket = bounded boundary-compare sum
+    // (the q104 device at 9 boundaries); identical interpolated doubles.
+    "q278_equiheight_hist" ->
+      """WITH b AS (
+        | SELECT min(l_extendedprice) AS b0,
+        |  quantile_cont(l_extendedprice, 0.1) AS b1,
+        |  quantile_cont(l_extendedprice, 0.2) AS b2,
+        |  quantile_cont(l_extendedprice, 0.3) AS b3,
+        |  quantile_cont(l_extendedprice, 0.4) AS b4,
+        |  quantile_cont(l_extendedprice, 0.5) AS b5,
+        |  quantile_cont(l_extendedprice, 0.6) AS b6,
+        |  quantile_cont(l_extendedprice, 0.7) AS b7,
+        |  quantile_cont(l_extendedprice, 0.8) AS b8,
+        |  quantile_cont(l_extendedprice, 0.9) AS b9,
+        |  max(l_extendedprice) AS b10
+        | FROM lineitem)
+        |SELECT CAST(1 + (CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b8 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN l_extendedprice > b9 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS bucket,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | round(min(l_extendedprice), 4) AS lo_seen,
+        | round(max(l_extendedprice), 4) AS hi_seen
+        |FROM lineitem, b GROUP BY 1""".stripMargin,
+
+    // strata contributions in integer milli-cents (q93 round-to-int
+    // device) so the cross-strata fold is exact.
+    "q279_post_stratification" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  CASE WHEN CAST(CAST(concat('0x',
+        |    substr(md5('ps_' || o_orderkey), 1, 8)) AS BIGINT) AS DOUBLE)
+        |    / 4294967296.0 < 0.1 THEN 1 ELSE 0 END AS inn
+        | FROM orders),
+        |st AS (
+        | SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nh,
+        |  CAST(sum(inn) AS BIGINT) AS nh_s,
+        |  CAST(sum(CASE WHEN inn = 1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS sh_s,
+        |  CAST(sum(cents) AS BIGINT) AS sh
+        | FROM o GROUP BY 1),
+        |t AS (
+        | SELECT nh, nh_s, sh_s, sh,
+        |  CASE WHEN nh_s > 0 THEN CAST(round(
+        |    CAST(nh * sh_s AS DOUBLE) / nh_s * 1000.0) AS BIGINT)
+        |   ELSE 0 END AS term
+        | FROM st)
+        |SELECT CAST(sum(nh) AS BIGINT) AS n_pop,
+        | CAST(sum(nh_s) AS BIGINT) AS n_sample,
+        | round(CAST(sum(sh_s) AS DOUBLE) / sum(nh_s) / 100, 4)
+        |   AS naive_mean,
+        | round(CAST(sum(term) AS DOUBLE) / 1000 / sum(nh) / 100, 4)
+        |   AS post_strat_mean,
+        | round(CAST(sum(sh) AS DOUBLE) / sum(nh) / 100, 4)
+        |   AS population_mean
+        |FROM t""".stripMargin,
 
     // micro-unit quality means; the rank/window order compares identical
     // exact-int-ratio doubles.

@@ -500,6 +500,47 @@ object EventsStream {
     }
   }
 
+  /** DYNAMIC-gap session windows — [[sessionWindowCounts]] with the gap
+    * as a per-event expression (purchases hold a session open for 60 min,
+    * everything else 30 min): the "intent-aware timeout" shape
+    * session_window grew in Spark 3.2+. Merge semantics match the fixed
+    * case: each event claims [ts, ts+gap) and overlapping claims fuse, so
+    * the batch oracle's break rule is ts ≥ running-max of previous
+    * (ts + gap) — the q238 boundary convention generalized. */
+  def dynamicSessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    withStateSession(spark) { s =>
+      val schema = graft.Tables.eventsRawSchema(s, dir)
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .transform(graft.Tables.normalizeTs)
+      // session_window's dynamic gap wants CalendarIntervalType — string
+      // literals cast there; ANSI INTERVAL syntax yields DayTimeInterval,
+      // which it rejects
+      val gap = when(col("event_type") === "purchase",
+        lit("60 minutes")).otherwise(lit("30 minutes"))
+        .cast("interval")
+      val agg = src
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+      val qname = "graft_dynamic_session"
+      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+      locally {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qname)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.table(qname).select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("session_value"))
+    }
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, tsSec: Long, value: Double,
                           ts: java.sql.Timestamp)
   case class SessionState(seq: Long, lastTsSec: Long,
