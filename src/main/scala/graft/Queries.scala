@@ -4693,10 +4693,13 @@ object Queries {
     // 5-element literal). The score division is exact-int/exact-int (one
     // identical double) compared to literal thresholds — engine-exact.
     "q257_quality_sweep" -> ((s, d) => {
+      // empty-text guard: length 0 would be an ANSI divide-by-zero (no
+      // such doc in this corpus — latent-only, the q246 rule)
       val scored = doc(s, d).select(
         size(split(col("text"), " ")).cast("long").as("toks"),
-        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-          length(col("text"))).as("__score"))
+        when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+            length(col("text"))).otherwise(lit(0.0)).as("__score"))
       scored.select(col("toks"), col("__score"),
           explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
             .as("threshold"))
@@ -5089,9 +5092,10 @@ object Queries {
       val budget = 500000L
       val docs = doc(s, d).select(col("source"),
         size(split(col("text"), " ")).cast("long").as("toks"),
-        round((length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-          .cast("double") / length(col("text"))) * 1000000L).cast("long")
-          .as("__q_micro"))
+        round(when(length(col("text")) > 0,
+          length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+            .cast("double") / length(col("text"))).otherwise(lit(0.0))
+          * 1000000L).cast("long").as("__q_micro"))
       val src = docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
         sum(col("__q_micro")).as("__qsum"))
@@ -5199,12 +5203,17 @@ object Queries {
         col("y0").cast("double") / col("n0")
       val preGap = col("x1").cast("double") / col("n1") -
         col("x0").cast("double") / col("n0")
+      // zero pre-variance (all users identical pre spend) or zero post-
+      // variance would 0/0 — NULL deterministically on both engines
       m.select(col("n0"), col("n1"),
         round(upliftRaw, 4).as("uplift_raw_cents"),
-        round(theta, 6).as("theta"),
-        round(upliftRaw - theta * preGap, 4).as("uplift_cuped_cents"),
-        round((num.cast("double") / den.cast("double")) *
-          (num.cast("double") / deny.cast("double")), 6).as("var_reduction"))
+        round(when(den > 0, theta), 6).as("theta"),
+        round(when(den > 0, upliftRaw - theta * preGap), 4)
+          .as("uplift_cuped_cents"),
+        round(when(den > 0 && deny > 0,
+          (num.cast("double") / den.cast("double")) *
+            (num.cast("double") / deny.cast("double"))), 6)
+          .as("var_reduction"))
     }),
 
     // Sliding (overlapping) stream windows — q29's tumbling aggregation
@@ -10586,8 +10595,9 @@ object Queries {
     "q257_quality_sweep" ->
       """WITH scored AS (
         | SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |    AS DOUBLE) / length(text) AS score
+        |  CASE WHEN length(text) > 0 THEN
+        |   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |     AS DOUBLE) / length(text) ELSE 0.0 END AS score
         | FROM documents),
         |x AS (
         | SELECT toks, score, t.threshold
@@ -10833,8 +10843,10 @@ object Queries {
       """WITH docs AS (
         | SELECT source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |  CAST(round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |    AS DOUBLE) / length(text) * 1000000) AS BIGINT) AS q
+        |  CAST(round(CASE WHEN length(text) > 0 THEN
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / length(text) ELSE 0.0 END * 1000000)
+        |   AS BIGINT) AS q
         | FROM documents),
         |src AS (
         | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -10926,17 +10938,20 @@ object Queries {
         |SELECT n0, n1,
         | round(CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0, 4)
         |   AS uplift_raw_cents,
-        | round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
-        | round((CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0)
+        | round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |   CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS theta,
+        | round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |  (CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0)
         |  - (CAST(n * sxy - sx * sy AS DOUBLE)
         |     / CAST(n * sxx - sx * sx AS DOUBLE))
-        |    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0), 4)
+        |    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) END, 4)
         |   AS uplift_cuped_cents,
-        | round((CAST(n * sxy - sx * sy AS DOUBLE)
+        | round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |  THEN (CAST(n * sxy - sx * sy AS DOUBLE)
         |    / CAST(n * sxx - sx * sx AS DOUBLE))
         |  * (CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS var_reduction
+        |    / CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS var_reduction
         |FROM m""".stripMargin,
 
     // each event lands in both covering 2 h windows: starts at
