@@ -5027,12 +5027,16 @@ object Queries {
     // join, no sort. Boundaries/interpolation are identical doubles on
     // both engines.
     "q278_equiheight_hist" -> ((s, d) => {
-      val probs = (1 to 9).map(_ / 10.0)
+      // ONE percentile aggregate with an array of probabilities — nine
+      // separate percentile() calls each buffer the whole column (9×
+      // sort, measured 15 s at sf0.1); the array form sorts once (2 s)
       val b = li(s, d).agg(
-        min(col("l_extendedprice")).as("b0"),
-        probs.map(p => expr(s"percentile(l_extendedprice, $p)")
-          .as(s"b${(p * 10).toInt}")) :+
-          max(col("l_extendedprice")).as("b10"): _*)
+          min(col("l_extendedprice")).as("b0"),
+          expr("percentile(l_extendedprice, " +
+            "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))").as("__bs"),
+          max(col("l_extendedprice")).as("b10"))
+        .select(col("b0") +: (1 to 9).map(j =>
+          col("__bs").getItem(j - 1).as(s"b$j")) :+ col("b10"): _*)
       li(s, d).crossJoin(broadcast(b))
         .withColumn("bucket", (lit(1) + (1 to 9).map(j =>
           when(col("l_extendedprice") > col(s"b$j"), 1).otherwise(0))
