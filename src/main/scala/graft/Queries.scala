@@ -5012,6 +5012,62 @@ object Queries {
             .as("saved_rate"))
     }),
 
+    // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
+    // grouped count: orders (in a date band) with at least one slow
+    // lineitem (shipped >30 days after the order date), counted per
+    // priority. The semi join shuffles on orderkey once; the date filter
+    // reaches the orders scan.
+    "q280_tpch_q4" -> ((s, d) => {
+      val o = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val late = li(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_shipdate"))
+        .join(o.select("o_orderkey", "o_orderdate"), "o_orderkey")
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select("o_orderkey").distinct()
+      o.join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Pareto frontier (2-D skyline) — the multi-objective shortlist every
+    // catalog/benchmark comparison wants: parts not STRICTLY dominated on
+    // (price low, size high). survive ⟺ size > max size among strictly
+    // cheaper parts AND size = max size at its own price (an equal-size
+    // cheaper part dominates; equal on both axes → both survive). The
+    // "max among strictly cheaper" is the q216 two-phase prefix-MAX —
+    // per-price maxima → 32 value-range buckets → per-bucket running max
+    // + an O(buckets) offset pass — never a corpus-wide ordered window.
+    // All compares exact (size int; prices identical doubles).
+    "q281_pareto_frontier" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("p_size").cast("long").as("p_size"))
+      val perPrice = p.groupBy("p_retailprice")
+        .agg(max(col("p_size")).as("__mx"))
+      val ext = perPrice.agg(min(col("p_retailprice")).as("__mn"),
+        max(col("p_retailprice")).as("__mxp"))
+      val bucketed = perPrice.crossJoin(broadcast(ext))
+        .withColumn("__bkt", when(col("__mxp") === col("__mn"), lit(0L))
+          .otherwise(least(lit(31L), floor((col("p_retailprice") - col("__mn")) /
+            ((col("__mxp") - col("__mn")) / 32)).cast("long"))))
+      val wLoc = Window.partitionBy("__bkt").orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = bucketed.withColumn("__loc", max(col("__mx")).over(wLoc))
+      val offs = bucketed.groupBy("__bkt").agg(max(col("__mx")).as("__bm"))
+        .withColumn("__off", max(col("__bm")).over(
+          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("__bkt"), col("__off"))
+      val cheaperMax = local.join(broadcast(offs), "__bkt")
+        .select(col("p_retailprice"), col("__mx"),
+          greatest(coalesce(col("__loc"), lit(Long.MinValue)),
+            coalesce(col("__off"), lit(Long.MinValue))).as("__cm"))
+      p.join(cheaperMax, "p_retailprice")
+        .filter(col("p_size") > col("__cm") && col("p_size") === col("__mx"))
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+          col("p_size"))
+    }),
+
     // Dynamic-gap session windows — session_window with a PER-EVENT gap
     // expression (purchase holds 60 min, else 30): the intent-aware
     // timeout streams grew in Spark 3.2+. The oracle replays the merge
@@ -10748,6 +10804,35 @@ object Queries {
         | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
         |   AS region_share_of_total
         |FROM w""".stripMargin,
+
+    "q280_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        | AND EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1""".stripMargin,
+
+    // the oracle's single ordered window IS the semantics; the Spark side
+    // computes the same running max with the two-phase bucket device.
+    "q281_pareto_frontier" ->
+      """WITH p AS (
+        | SELECT p_partkey, p_name, p_retailprice,
+        |  CAST(p_size AS BIGINT) AS p_size
+        | FROM part),
+        |pp AS (
+        | SELECT p_retailprice, CAST(max(p_size) AS BIGINT) AS mx
+        | FROM p GROUP BY 1),
+        |cm AS (
+        | SELECT p_retailprice, mx,
+        |  max(mx) OVER (ORDER BY p_retailprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax
+        | FROM pp)
+        |SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM p JOIN cm USING (p_retailprice)
+        |WHERE (cmax IS NULL OR p_size > cmax) AND p_size = mx""".stripMargin,
 
     // per-user replay of the dynamic merge rule: break when ts ≥ running
     // max of previous (ts + gap); q238's convention with variable gaps.
