@@ -67,6 +67,26 @@ class ScaleGuardSpec extends AnyFunSuite {
       "expected the O(buckets) offset table broadcast back")
   }
 
+  test("q256_systematic_pps: prefix sum is bucketed, not a corpus-wide window") {
+    // the PPS cumulative-weight line must come from GlobalRank's
+    // two-phase decomposition: per-bucket windows keyed by __bkt, with
+    // the offset table broadcast back — a corpus-wide ordered window
+    // here would single-partition the whole doc table at 100 TB
+    val plan = executedPlan("q256_systematic_pps")
+    assert(plan.contains("__bkt"),
+      s"expected the bucketed prefix-sum partition key:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "expected the O(buckets) offset broadcast")
+  }
+
+  test("q281_pareto_frontier: running max is bucketed, not a corpus-wide window") {
+    val plan = executedPlan("q281_pareto_frontier")
+    assert(plan.contains("__bkt"),
+      s"expected the two-phase prefix-MAX bucket key:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      "expected the O(buckets) offset broadcast")
+  }
+
   test("requireEvalBound: fail-loud past the bound, pass-through inside it") {
     // q224's "eval-set², not corpus²" contract is enforced by
     // Similarity.requireEvalBound — prove both arms with a tiny bound so
