@@ -51,6 +51,25 @@ object Queries {
       .select("u", "v")
   }
 
+  /** q220/q276 shared 16-token chunk cut — (doc_id, idx, chunk) rows,
+    * chunks cut per-row with transform+slice (no explode-join); the
+    * keeper rule over these is min(struct(doc_id, idx)). One definition
+    * so the chunk-grid arithmetic can never diverge between its users. */
+  private def chunks16(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("__t"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, (size(__t) - 1) DIV 16),
+          |  i -> array_join(slice(__t, i * 16 + 1, 16), ' '))""".stripMargin))
+        .as(Seq("idx", "chunk")))
+
+  /** q257/q275 shared alpha-ratio quality score over `text` (0.0 for an
+    * empty string — the divide guard), exact-int/exact-int so the double
+    * is engine-identical. */
+  private def alphaRatio: Column =
+    when(length(col("text")) > 0,
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        length(col("text"))).otherwise(lit(0.0))
+
   // ---------------------------------------------------------------- queries
 
   val queries: Map[String, Q] = Map[String, Q](
@@ -3764,12 +3783,7 @@ object Queries {
     // Text shuffles once (the chunk groupBy); fingerprint-only
     // variants would shuffle a hash instead (the q114 device).
     "q220_chunk_dedup" -> ((s, d) => {
-      val c = 16
-      val toks = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
-      val chunks = toks.select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, (size(t) - 1) DIV $c), i ->
-           |  array_join(slice(t, i * $c + 1, $c), ' '))""".stripMargin))
-        .as(Seq("idx", "chunk")))
+      val chunks = chunks16(doc(s, d))
       val kept = chunks.groupBy("chunk")
         .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
       chunks.join(kept, Seq("chunk"))
@@ -4570,6 +4584,7 @@ object Queries {
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(Tables.supplier(s, d)
           .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+        .select("s_suppkey", "s_name", "numwait")
     }),
 
     // Referential-integrity audit — the data-contract gate an ingest
@@ -4693,13 +4708,9 @@ object Queries {
     // 5-element literal). The score division is exact-int/exact-int (one
     // identical double) compared to literal thresholds — engine-exact.
     "q257_quality_sweep" -> ((s, d) => {
-      // empty-text guard: length 0 would be an ANSI divide-by-zero (no
-      // such doc in this corpus — latent-only, the q246 rule)
       val scored = doc(s, d).select(
         size(split(col("text"), " ")).cast("long").as("toks"),
-        when(length(col("text")) > 0,
-          length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-            length(col("text"))).otherwise(lit(0.0)).as("__score"))
+        alphaRatio.as("__score"))
       scored.select(col("toks"), col("__score"),
           explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
             .as("threshold"))
@@ -5027,12 +5038,14 @@ object Queries {
       val j = edges
         .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
         .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      // degree-product sums in decimal(38,0) — hub degrees square into
+      // LONG-overflow range at scale (same reasoning as q274)
+      def dec(c: Column) = c.cast("decimal(38,0)")
       val m = j.agg(count(lit(1)).as("n"),
         sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(col("dx") * col("dy")).as("sxy"),
-        sum(col("dx") * col("dx")).as("sxx"),
-        sum(col("dy") * col("dy")).as("syy"))
-      def dec(c: Column) = c.cast("decimal(38,0)")
+        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
+        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
+        sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
       val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
       val denx = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
       val deny = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
@@ -5051,7 +5064,7 @@ object Queries {
     // would be 10 corpus passes; this is one.
     "q283_heaps_law" -> ((s, d) => {
       val n = doc(s, d).agg(max(col("doc_id")).as("__mx"),
-        min(col("doc_id")).as("__mn"), count(lit(1)).as("__n"))
+        min(col("doc_id")).as("__mn"))
       val words = doc(s, d).select(col("doc_id"),
           explode(split(col("text"), " ")).as("w"))
         .filter(length(col("w")) > 0)
@@ -5124,32 +5137,19 @@ object Queries {
     // (price low, size high). survive ⟺ size > max size among strictly
     // cheaper parts AND size = max size at its own price (an equal-size
     // cheaper part dominates; equal on both axes → both survive). The
-    // "max among strictly cheaper" is the q216 two-phase prefix-MAX —
-    // per-price maxima → 32 value-range buckets → per-bucket running max
-    // + an O(buckets) offset pass — never a corpus-wide ordered window.
-    // All compares exact (size int; prices identical doubles).
+    // "max among strictly cheaper" is GlobalRank.exclusivePrefixMax —
+    // the shared two-phase device (per-bucket windows + an O(buckets)
+    // offset pass), never a corpus-wide ordered window. All compares
+    // exact (size int; prices identical doubles).
     "q281_pareto_frontier" -> ((s, d) => {
       val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
         col("p_retailprice"), col("p_size").cast("long").as("p_size"))
       val perPrice = p.groupBy("p_retailprice")
         .agg(max(col("p_size")).as("__mx"))
-      val ext = perPrice.agg(min(col("p_retailprice")).as("__mn"),
-        max(col("p_retailprice")).as("__mxp"))
-      val bucketed = perPrice.crossJoin(broadcast(ext))
-        .withColumn("__bkt", when(col("__mxp") === col("__mn"), lit(0L))
-          .otherwise(least(lit(31L), floor((col("p_retailprice") - col("__mn")) /
-            ((col("__mxp") - col("__mn")) / 32)).cast("long"))))
-      val wLoc = Window.partitionBy("__bkt").orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val local = bucketed.withColumn("__loc", max(col("__mx")).over(wLoc))
-      val offs = bucketed.groupBy("__bkt").agg(max(col("__mx")).as("__bm"))
-        .withColumn("__off", max(col("__bm")).over(
-          Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)))
-        .select(col("__bkt"), col("__off"))
-      val cheaperMax = local.join(broadcast(offs), "__bkt")
+      val cheaperMax = graft.operators.GlobalRank.exclusivePrefixMax(
+          perPrice, "p_retailprice", "__mx", nBuckets = 32)
         .select(col("p_retailprice"), col("__mx"),
-          greatest(coalesce(col("__loc"), lit(Long.MinValue)),
-            coalesce(col("__off"), lit(Long.MinValue))).as("__cm"))
+          coalesce(col("max_before"), lit(Long.MinValue)).as("__cm"))
       p.join(cheaperMax, "p_retailprice")
         .filter(col("p_size") > col("__cm") && col("p_size") === col("__mx"))
         .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
@@ -5240,10 +5240,7 @@ object Queries {
       val budget = 500000L
       val docs = doc(s, d).select(col("source"),
         size(split(col("text"), " ")).cast("long").as("toks"),
-        round(when(length(col("text")) > 0,
-          length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-            .cast("double") / length(col("text"))).otherwise(lit(0.0))
-          * 1000000L).cast("long").as("__q_micro"))
+        round(alphaRatio * 1000000L).cast("long").as("__q_micro"))
       val src = docs.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
         sum(col("__q_micro")).as("__qsum"))
@@ -5287,11 +5284,8 @@ object Queries {
           col("n_docs"), col("n_tokens"))
       // chunk survival on the exact-dedup survivors: a doc survives if it
       // keeps at least one 16-token chunk under the q220 keeper rule
-      val chunks = exact.select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, (size(split(text, ' ')) - 1) DIV 16),
-              |  i -> array_join(slice(split(text, ' '), i * 16 + 1, 16), ' '))"""
-              .stripMargin)).as(Seq("idx", "chunk")))
+      // (the shared chunks16 cut — one definition for both queries)
+      val chunks = chunks16(exact)
       val kept = chunks.groupBy("chunk")
         .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
       val surviving = chunks.join(kept, "chunk")
@@ -5330,12 +5324,16 @@ object Queries {
           sum(when(col("day") >= col("mn") + 15, col("cents"))
             .otherwise(0L)).as("post"))
         .withColumn("arm", col("user_id") % 2)
+      // second-moment SUMS ride decimal(38,0) — a LONG Σ(pre·post) wraps
+      // silently around 1e19 (per-user cents ~1e7 squared × 1e5 users),
+      // well before the n·Σxy products the decimal device already covers
+      def dec0(c: Column) = c.cast("decimal(38,0)")
       val m = users.agg(
         count(lit(1)).as("n"),
         sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
-        sum(col("pre") * col("pre")).as("sxx"),
-        sum(col("pre") * col("post")).as("sxy"),
-        sum(col("post") * col("post")).as("syy"),
+        sum(dec0(col("pre")) * dec0(col("pre"))).as("sxx"),
+        sum(dec0(col("pre")) * dec0(col("post"))).as("sxy"),
+        sum(dec0(col("post")) * dec0(col("post"))).as("syy"),
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("x0"),
         sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("y0"),
@@ -10749,8 +10747,8 @@ object Queries {
         | FROM documents),
         |x AS (
         | SELECT toks, score, t.threshold
-        | FROM scored CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9])
-        |   AS threshold) t)
+        | FROM scored CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.6::DOUBLE,
+        |   0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold) t)
         |SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
         | CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
         |   AS BIGINT) AS n_keep,
@@ -10912,9 +10910,9 @@ object Queries {
         |m AS (
         | SELECT CAST(count(*) AS HUGEINT) AS n,
         |  CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
-        |  CAST(sum(dx * dy) AS HUGEINT) AS sxy,
-        |  CAST(sum(dx * dx) AS HUGEINT) AS sxx,
-        |  CAST(sum(dy * dy) AS HUGEINT) AS syy
+        |  CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
+        |  CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
         | FROM j)
         |SELECT CAST(n AS BIGINT) AS n_edge_ends,
         | round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
@@ -11176,9 +11174,9 @@ object Queries {
         |m AS (
         | SELECT CAST(count(*) AS HUGEINT) AS n,
         |  CAST(sum(pre) AS HUGEINT) AS sx, CAST(sum(post) AS HUGEINT) AS sy,
-        |  CAST(sum(pre * pre) AS HUGEINT) AS sxx,
-        |  CAST(sum(pre * post) AS HUGEINT) AS sxy,
-        |  CAST(sum(post * post) AS HUGEINT) AS syy,
+        |  CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx,
+        |  CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy,
+        |  CAST(sum(CAST(post AS HUGEINT) * post) AS HUGEINT) AS syy,
         |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
         |  CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS x0,
         |  CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS y0,

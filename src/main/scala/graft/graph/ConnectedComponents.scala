@@ -68,9 +68,11 @@ object ConnectedComponents {
     * the distributed path (equivalence case in GraphMetricsSpec).
     * Always "converged": union-find has no round bound to exhaust.
     * Bounded by the dispatch above (≤ `spark.graft.cc.localMaxEdges`
-    * edges, default 1M ≈ tens of MB of driver heap — the same order a
-    * broadcast join collects); set the conf to -1 to force the
-    * iterative path. */
+    * edges; at the 1M default budget ~200-300 MB of driver heap — 1M
+    * Row objects plus up to 2M boxed HashMap entries, an order more
+    * than a broadcast join's packed bytes — so size the conf to the
+    * driver, not the executor: a 1 GB driver wants ~100k). Set the
+    * conf to -1 to force the iterative path. */
   private[graft] def minLabelLocal(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
@@ -86,14 +88,32 @@ object ConnectedComponents {
       x
     }
     // attach the order-larger root under the smaller: the root IS the
-    // component minimum at all times, no second pass needed
+    // component minimum at all times, no second pass needed. Strings
+    // compare by UNSIGNED UTF-8 BYTES — Spark's min(label) on the
+    // iterative path orders UTF8String binary, and Java's String '<'
+    // (UTF-16 code units) disagrees with it for non-BMP code points
+    // (surrogate pairs sort below U+E000..U+FFFF in UTF-16 but above in
+    // UTF-8), which would make the two dispatch paths pick different
+    // component labels.
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
     val lt: (Any, Any) => Boolean = idType match {
       case org.apache.spark.sql.types.LongType =>
         (a, b) => a.asInstanceOf[Long] < b.asInstanceOf[Long]
       case org.apache.spark.sql.types.IntegerType =>
         (a, b) => a.asInstanceOf[Int] < b.asInstanceOf[Int]
       case org.apache.spark.sql.types.StringType =>
-        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+        (a, b) => utf8Lt(a.asInstanceOf[String], b.asInstanceOf[String])
       case t => throw new IllegalArgumentException(
         s"minLabelLocal: unsupported id type $t (long/int/string)")
     }

@@ -36,6 +36,41 @@ object GlobalRank {
     exclusivePrefixSums(df, orderCol, Seq(weightCol), nBuckets)
       .withColumnRenamed(s"cum_before_$weightCol", "cum_before")
 
+  /** Exclusive running MAX over the global `orderCol` order — the same
+    * two-phase decomposition with max in place of sum (any associative,
+    * commutative aggregate fits the shape). Adds `max_before` = max of
+    * `valueCol` over rows STRICTLY before this row; NULL for the global
+    * first row. `orderCol` must be unique per row (pre-group ties away,
+    * as [[exclusivePrefixSum]] requires). Powers the q281 Pareto
+    * frontier; q216's inline copy predates this helper. */
+  def exclusivePrefixMax(df: DataFrame, orderCol: String, valueCol: String,
+                         nBuckets: Int = 64): DataFrame = {
+    // internal temp names carry a __gpm_ prefix so caller columns (which
+    // often use the house __mn/__mx convention themselves) can't collide
+    val b = df.agg(min(col(orderCol)).as("__gpm_mn"),
+      max(col(orderCol)).as("__gpm_mx"))
+    val bucketed = df.crossJoin(broadcast(b))
+      .withColumn("__bkt",
+        when(col("__gpm_mx") === col("__gpm_mn"), lit(0L)).otherwise(
+          least(lit(nBuckets - 1L), floor(
+            (col(orderCol) - col("__gpm_mn")) /
+              ((col("__gpm_mx") - col("__gpm_mn")) / nBuckets)).cast("long"))))
+      .drop("__gpm_mn", "__gpm_mx")
+    val wLocal = Window.partitionBy("__bkt").orderBy(col(orderCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__loc", max(col(valueCol)).over(wLocal))
+    val offs = bucketed.groupBy("__bkt").agg(max(col(valueCol)).as("__bm"))
+      .withColumn("__off", max(col("__bm")).over(
+        Window.orderBy(col("__bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__bkt"), col("__off"))
+    // greatest() returns the largest NON-NULL operand (null only when
+    // both are), which is exactly the empty-prefix semantics wanted
+    local.join(broadcast(offs), Seq("__bkt"))
+      .withColumn("max_before", greatest(col("__loc"), col("__off")))
+      .drop("__bkt", "__loc", "__off")
+  }
+
   /** Multi-weight form: one bucketing + one per-bucket window + ONE
     * nBuckets-row offset window carry ALL the weights at once (each extra
     * weight is one more aggregate in the same shuffles, not a second
