@@ -67,6 +67,17 @@ class ScaleGuardSpec extends AnyFunSuite {
       "expected the O(buckets) offset table broadcast back")
   }
 
+  test("q261_analyze_columns: the stack unpivot profiles all columns in ONE scan") {
+    // the whole point of the stack form is one pass over the table; a
+    // refactor to per-column aggregates would read the parquet 6 times.
+    // Count scans in the FINAL plan only — AQE's toString appends an
+    // "== Initial Plan ==" echo that would double-count.
+    val plan = executedPlan("q261_analyze_columns")
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly one parquet scan, saw $scans:\n$plan")
+  }
+
   test("q256_systematic_pps: prefix sum is bucketed, not a corpus-wide window") {
     // the PPS cumulative-weight line must come from GlobalRank's
     // two-phase decomposition: per-bucket windows keyed by __bkt, with
