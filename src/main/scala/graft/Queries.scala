@@ -5113,6 +5113,63 @@ object Queries {
             .as("fano"))
     }),
 
+    // TPC-H Q20 shape — nested IN with a correlated aggregate ("suppliers
+    // who dominated shipment of some SMALL part in 1996"): the classic
+    //   s_suppkey IN (SELECT ... WHERE qty > 0.5 * (correlated SUM))
+    // decorrelated by hand into aggregate algebra — ONE date+type-filtered
+    // scan aggregated per (part, supplier), the correlated per-part total
+    // as a sum-window over that bounded aggregate (a join back to a
+    // re-grouped copy would re-scan the fact: the plan showed two full
+    // lineitem subtrees), then a left-semi into supplier. Shuffles:
+    // lineitem once on (partkey, suppkey), the aggregate once on partkey
+    // — the window partitions are per-part supplier lists, bounded.
+    // Quantities are integral doubles, so the sums and the 0.5×
+    // threshold compare are exact on both engines.
+    "q285_tpch_q20" -> ((s, d) => {
+      val pk = Tables.part(s, d).filter(col("p_type") === "SMALL")
+        .select(col("p_partkey").as("l_partkey"))
+      val l96 = li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        .join(broadcast(pk), "l_partkey")
+      val perPS = l96.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("__q"))
+      val dominant = perPS
+        .withColumn("__tot",
+          sum(col("__q")).over(Window.partitionBy("l_partkey")))
+        .filter(col("__q") > col("__tot") * 0.5)
+        .select(col("l_suppkey").as("s_suppkey")).distinct()
+      Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+        .join(dominant, Seq("s_suppkey"), "left_semi")
+    }),
+
+    // TPC-H Q22 shape — scalar subquery + NOT EXISTS anti-join ("rich
+    // customers gone quiet"): balance above the global positive-balance
+    // average AND no order since 1999, counted per nation. The scalar
+    // subquery is a 1-row aggregate broadcast-crossed into the customer
+    // scan; NOT EXISTS decorrelates to a left-anti join against the
+    // DISTINCT recent-order custkeys (the date filter reaches the orders
+    // scan). The average is rounded 4 dp before the compare so the
+    // threshold is the same bits on both engines (the q93 mu/sigma
+    // rule); balance sums ride exact cent longs.
+    "q286_tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(round(avg(col("c_acctbal")), 4).as("__avg"))
+      val recent = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(
+          count(lit(1)).as("numcust"),
+          round(sum(round(col("c_acctbal") * 100).cast("long"))
+            .cast("double") / 100, 2).as("totacctbal"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -10310,10 +10367,17 @@ object Queries {
         | round(sum(value), 4) AS session_value
         |FROM x GROUP BY user_id, session_seq""".stripMargin,
 
+    // row encoding mirrors MerkleAudit.tableDigest: per-column md5
+    // tokens (null -> '-') concatenated, NOT a '|'-join — delimiter
+    // injection and null/empty-string collisions are contract bugs in a
+    // byte-identity audit
     "q239_merkle_audit" ->
       """WITH h AS (
-        | SELECT md5(concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
-        |   o_orderpriority)) AS h
+        | SELECT md5(
+        |   coalesce(md5(CAST(o_orderkey AS VARCHAR)), '-') ||
+        |   coalesce(md5(CAST(o_custkey AS VARCHAR)), '-') ||
+        |   coalesce(md5(CAST(o_orderstatus AS VARCHAR)), '-') ||
+        |   coalesce(md5(CAST(o_orderpriority AS VARCHAR)), '-')) AS h
         | FROM orders),
         |b AS (
         | SELECT substr(h, 1, 2) AS bucket,
@@ -10661,7 +10725,7 @@ object Queries {
         |       WHEN doc_id % 7 = 1 THEN ' itâ€™s'
         |       WHEN doc_id % 7 = 2 THEN ' bad�byte'
         |       WHEN doc_id % 7 = 3 THEN ' ring' || chr(7) || 'tone'
-        |       WHEN doc_id % 7 = 4 THEN ' non' || chr(160) || ' break'
+        |       WHEN doc_id % 7 = 4 THEN ' non' || chr(160) || 'break'
         |       ELSE '' END AS text2
         | FROM documents)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -10964,6 +11028,39 @@ object Queries {
         |   - CAST(n_events AS DOUBLE) * n_events / n_hours)
         |  / n_hours / (CAST(n_events AS DOUBLE) / n_hours), 6) AS fano
         |FROM m""".stripMargin,
+
+    // the oracle keeps the textbook correlated form (nested IN + scalar
+    // correlated SUM) — DuckDB decorrelates it itself; the Spark side is
+    // the hand-decorrelated aggregate algebra. Same relation.
+    "q285_tpch_q20" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        | SELECT l_suppkey FROM (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_type = 'SMALL'
+        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2) ps
+        | WHERE q > 0.5 * (
+        |  SELECT sum(l_quantity) FROM lineitem l2
+        |  WHERE l2.l_partkey = ps.l_partkey
+        |   AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |   AND l2.l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin,
+
+    "q286_tpch_q22" ->
+      """WITH a AS (
+        | SELECT round(avg(c_acctbal), 4) AS ab
+        | FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        | round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100, 2) AS totacctbal
+        |FROM customer c, a
+        |WHERE c_acctbal > a.ab
+        | AND NOT EXISTS (SELECT 1 FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q280_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -27,13 +27,24 @@ object MerkleAudit {
 
   /** Bucket digests + one `__root` row for `df` audited over `cols`.
     * Output: (bucket: string, digest: string); the root row's bucket is
-    * the literal `__root`. Null-safe: concat_ws drops nulls, so callers
-    * auditing nullable columns should pre-coalesce if null vs
-    * empty-string must be distinguished. */
+    * the literal `__root`.
+    *
+    * Row encoding (part of the digest contract): each column hashes
+    * SEPARATELY — md5 of its string form, null → the literal `-` — and
+    * the row hash is md5 over the concatenation of those fixed-width
+    * tokens. A delimiter-join encoding (`md5(concat_ws("|", cols))`)
+    * would collide ("a|b","c") with ("a","b|c") and null with
+    * empty-string — silent false negatives for an operator whose job is
+    * proving a copy byte-identical. The token stream here is
+    * unambiguous: every non-null column contributes exactly 32 hex
+    * chars, nulls contribute the single non-hex char `-`, so no two
+    * distinct column tuples share an encoding. */
   def tableDigest(df: DataFrame, cols: Seq[Column], prefixChars: Int = 2): DataFrame = {
     require(prefixChars >= 1 && prefixChars <= 8,
       s"prefixChars in [1, 8] (16^$prefixChars buckets): $prefixChars")
-    val h = df.select(md5(concat_ws("|", cols: _*)).as("h"))
+    val h = df.select(
+      md5(concat(cols.map(c =>
+        coalesce(md5(c.cast("string")), lit("-"))): _*)).as("h"))
     val buckets = h.withColumn("bucket", substring(col("h"), 1, prefixChars))
       .groupBy("bucket")
       .agg(md5(array_join(array_sort(collect_list(col("h"))), ""))

@@ -44,7 +44,10 @@ object Similarity {
     * change results under the user's feet). Returns `df` for chaining. */
   def requireEvalBound(df: DataFrame, maxEval: Long,
                        what: String = "eval set"): DataFrame = {
-    val probed = df.limit(math.min(maxEval + 1, Int.MaxValue.toLong).toInt).count()
+    // clamp BEFORE the +1: maxEval = Long.MaxValue must read as "probe up
+    // to Int.MaxValue rows", not overflow to a negative limit()
+    val probed =
+      df.limit((math.min(maxEval, Int.MaxValue.toLong - 1) + 1).toInt).count()
     require(probed <= maxEval,
       s"$what exceeds the brute-force bound of $maxEval rows " +
         s"(saw > $maxEval); sample it deterministically before the " +
@@ -193,52 +196,6 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "cos_sim")
   }
 
-  /** IVF-flat ANN — the inverted-file complement to [[lshCosineTopK]]'s
-    * hyperplane buckets (the two standard coarse quantizers).
-    *
-    * The corpus is partitioned into `nCells` Voronoi cells around a small
-    * centroid table; each query probes only its `nProbe` nearest cells and
-    * exact-ranks the candidates. Recall comes from nProbe (probing every
-    * cell degenerates to the exact scan); cost per query is ~nProbe/nCells
-    * of the corpus.
-    *
-    * Centroid selection is DETERMINISTIC by contract — the `nCells`
-    * lowest-id corpus vectors. That is deliberately not k-means: a fixed,
-    * engine-independent rule means the whole operator (centroids →
-    * assignment → probe → re-rank) is exactly reproducible by an external
-    * SQL oracle, the same design rule as OracleHashes.scala. (On a real
-    * corpus the ids are arbitrary, so low-ids are an arbitrary sample —
-    * the IVF shape is unchanged, and a k-means-refined centroid table can
-    * be swapped in without touching the operator.)
-    *
-    * Scale shape: the centroid table (nCells rows) broadcasts to both
-    * sides — corpus assignment is ONE broadcast pass over the corpus (no
-    * shuffle of the corpus itself beyond the cell equi-join), queries
-    * probe nProbe cells each, and the only shuffle keys are cell ids,
-    * uniformly loaded when nCells ≫ skew. Ties in the nearest-centroid
-    * argmin break deterministically by centroid id.
-    *
-    * Two assignment forms, result-identical (IvfSpec proves it):
-    *  - nCells <= `inlineMaxCells`: centroids inlined as literal struct
-    *    expressions — the plan IS the centroid table, trivially auditable.
-    *  - nCells > `inlineMaxCells` (the 100 TB path — real corpora want
-    *    nCells ≈ 10³–10⁴): [[graft.functions.NearestCentroidCell]] /
-    *    [[graft.functions.TopProbeCells]] carry the centroid matrix as ONE
-    *    reference object, so plan size and codegen stay O(1) in nCells
-    *    (the literal form is an O(nCells·dim) expression tree that pushes
-    *    Janino past its method limit around nCells ≈ 10³) and the probe
-    *    side replaces the O(nCells log nCells) in-row sort with an
-    *    O(nCells·nProbe) selection. Assignment stays a pure map-side
-    *    expression in both forms — deliberately NOT a broadcast-join +
-    *    arg-min aggregation, which would explode the corpus ×nCells and
-    *    re-aggregate it (a full corpus shuffle the map-only form never
-    *    pays).
-    *
-    * Precondition: embeddings are non-null, uniform-dimension, and
-    * nonzero-norm. Zero-norm vectors have undefined cosine (NaN), and
-    * Spark's NaN-is-largest sort order diverges from SQL engines that sort
-    * NaN first — so both sides filter `norm > 0` and the contract excludes
-    * them outright. */
   /** IVF nProbe tuning curve — recall@k for several probe widths in ONE
     * pass: the corpus is assigned to cells once, each query's probe cells
     * are ranked once to max(nProbes), and every sweep setting is a pure
@@ -457,6 +414,52 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "hamming", "cos_sim")
   }
 
+  /** IVF-flat ANN — the inverted-file complement to [[lshCosineTopK]]'s
+    * hyperplane buckets (the two standard coarse quantizers).
+    *
+    * The corpus is partitioned into `nCells` Voronoi cells around a small
+    * centroid table; each query probes only its `nProbe` nearest cells and
+    * exact-ranks the candidates. Recall comes from nProbe (probing every
+    * cell degenerates to the exact scan); cost per query is ~nProbe/nCells
+    * of the corpus.
+    *
+    * Centroid selection is DETERMINISTIC by contract — the `nCells`
+    * lowest-id corpus vectors. That is deliberately not k-means: a fixed,
+    * engine-independent rule means the whole operator (centroids →
+    * assignment → probe → re-rank) is exactly reproducible by an external
+    * SQL oracle, the same design rule as OracleHashes.scala. (On a real
+    * corpus the ids are arbitrary, so low-ids are an arbitrary sample —
+    * the IVF shape is unchanged, and a k-means-refined centroid table can
+    * be swapped in without touching the operator.)
+    *
+    * Scale shape: the centroid table (nCells rows) broadcasts to both
+    * sides — corpus assignment is ONE broadcast pass over the corpus (no
+    * shuffle of the corpus itself beyond the cell equi-join), queries
+    * probe nProbe cells each, and the only shuffle keys are cell ids,
+    * uniformly loaded when nCells ≫ skew. Ties in the nearest-centroid
+    * argmin break deterministically by centroid id.
+    *
+    * Two assignment forms, result-identical (IvfSpec proves it):
+    *  - nCells <= `inlineMaxCells`: centroids inlined as literal struct
+    *    expressions — the plan IS the centroid table, trivially auditable.
+    *  - nCells > `inlineMaxCells` (the 100 TB path — real corpora want
+    *    nCells ≈ 10³–10⁴): [[graft.functions.NearestCentroidCell]] /
+    *    [[graft.functions.TopProbeCells]] carry the centroid matrix as ONE
+    *    reference object, so plan size and codegen stay O(1) in nCells
+    *    (the literal form is an O(nCells·dim) expression tree that pushes
+    *    Janino past its method limit around nCells ≈ 10³) and the probe
+    *    side replaces the O(nCells log nCells) in-row sort with an
+    *    O(nCells·nProbe) selection. Assignment stays a pure map-side
+    *    expression in both forms — deliberately NOT a broadcast-join +
+    *    arg-min aggregation, which would explode the corpus ×nCells and
+    *    re-aggregate it (a full corpus shuffle the map-only form never
+    *    pays).
+    *
+    * Precondition: embeddings are non-null, uniform-dimension, and
+    * nonzero-norm. Zero-norm vectors have undefined cosine (NaN), and
+    * Spark's NaN-is-largest sort order diverges from SQL engines that sort
+    * NaN first — so both sides filter `norm > 0` and the contract excludes
+    * them outright. */
   def ivfCosineTopK(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, k: Int,
                     nCells: Int = 16, nProbe: Int = 4,

@@ -3,15 +3,62 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q251-q255: the TPC-H Q17/Q21 plan shapes, the referential-integrity
-  * audit, the encoding scan, and the padding-efficiency audit — each on a
-  * hand-computed planted fixture. */
+/** q251-q255 and q285-q286: the TPC-H Q17/Q21/Q20/Q22 plan shapes, the
+  * referential-integrity audit, the encoding scan, and the
+  * padding-efficiency audit — each on a hand-computed planted fixture. */
 class AuditOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private def tmpDir(): String =
     java.nio.file.Files.createTempDirectory("graft_audit").toString
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s + " 00:00:00")
+
+  test("q285: dominance is strict, windowed, and type-scoped") {
+    val dir = tmpDir()
+    Seq((1L, "SMALL"), (2L, "LARGE"), (3L, "SMALL"))
+      .toDF("p_partkey", "p_type")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(
+      // part 1: supp 10 ships 60 of 100 in-window -> dominant
+      (1L, 10L, 60.0, ts("1996-06-01")),
+      (1L, 20L, 40.0, ts("1996-07-01")),
+      // out-of-window monster line must not count toward the total
+      (1L, 20L, 1000.0, ts("1995-06-01")),
+      // part 2 is LARGE: its sole supplier must not qualify
+      (2L, 30L, 100.0, ts("1996-06-01")),
+      // part 3: exactly half each -> strict > keeps both out
+      (3L, 40L, 50.0, ts("1996-06-01")),
+      (3L, 50L, 50.0, ts("1996-06-01")))
+      .toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((10L, "S10"), (20L, "S20"), (30L, "S30"), (40L, "S40"), (50L, "S50"))
+      .toDF("s_suppkey", "s_name")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val r = Queries.queries("q285_tpch_q20")(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(r == Set((10L, "S10")))
+  }
+
+  test("q286: scalar threshold is strict, anti-join excludes recent orderers") {
+    val dir = tmpDir()
+    // positive balances 100, 200, 300 -> avg 200 (c3's -50 excluded)
+    Seq((1L, 1, 100.0), (2L, 1, 200.0), (3L, 2, -50.0), (4L, 2, 300.0),
+        (5L, 3, 250.0))
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(
+      (100L, 4L, ts("1998-06-01")),  // old order: c4 still qualifies
+      (101L, 5L, ts("1999-06-01"))) // recent order: c5 anti-joined away
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Queries.queries("q286_tpch_q22")(spark, dir)
+      .as[(Int, Long, Double)].collect().toSet
+    // c2 sits exactly AT the average -> strict > keeps it out
+    assert(r == Set((2, 1L, 300.0)))
+  }
 
   test("q251: only lines under 20% of their part's average quantity count") {
     val dir = tmpDir()

@@ -42,6 +42,21 @@ class MerkleAuditSpec extends AnyFunSuite {
     assert(root(base, 1) != root(base, 2))
   }
 
+  test("row encoding is injection-proof: column boundaries can't move") {
+    // a '|'-join encoding would collide these two tables
+    val ab_c = Seq(("a|b", "c")).toDF("x", "y")
+    val a_bc = Seq(("a", "b|c")).toDF("x", "y")
+    assert(root2(ab_c) != root2(a_bc))
+    // and would collide null with empty-string (concat_ws drops nulls)
+    val withNull = Seq((Option.empty[String], "v")).toDF("x", "y")
+    val withEmpty = Seq((Option(""), "v")).toDF("x", "y")
+    assert(root2(withNull) != root2(withEmpty))
+  }
+
+  private def root2(df: org.apache.spark.sql.DataFrame): String =
+    MerkleAudit.tableDigest(df, Seq(col("x"), col("y")), 2)
+      .filter(col("bucket") === "__root").head().getString(1)
+
   test("width outside [1, 8] fails loud") {
     intercept[IllegalArgumentException] {
       MerkleAudit.tableDigest(base, Seq(col("id")), 0)
