@@ -4440,11 +4440,14 @@ object Queries {
         sum(col("a") * col("a")).as("__s2"))
       hourly.join(broadcast(stats), Seq("event_type"))
         .withColumn("__mean", col("__s1").cast("double") / col("__n"))
-        .withColumn("__var", (col("__s2").cast("double") -
-          col("__s1").cast("double") * col("__s1") / col("__n")) /
-          (col("__n") - 1))
-        .withColumn("__sd", when(col("__n") > 1 && col("__var") > 0,
-          sqrt(col("__var"))))
+        // the n>1 guard must wrap the /(n-1) itself: under ANSI mode a
+        // one-hour type throws DIVIDE_BY_ZERO before any later when()
+        // could mask it (caught by the EvalStatsSpec degenerate fixture)
+        .withColumn("__var", when(col("__n") > 1,
+          (col("__s2").cast("double") -
+            col("__s1").cast("double") * col("__s1") / col("__n")) /
+            (col("__n") - 1)))
+        .withColumn("__sd", when(col("__var") > 0, sqrt(col("__var"))))
         .select(col("event_type"), col("h"), col("a"),
           round((col("a") - col("__mean")) / col("__sd"), 4).as("z"),
           ((col("a") - col("__mean")) / col("__sd") > 3.0).as("spike"))

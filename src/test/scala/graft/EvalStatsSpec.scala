@@ -258,6 +258,32 @@ class EvalStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("count spikes: one-hour and zero-variance types give NULL z, never NaN") {
+    // the r10 verdict's degenerate-denominator ask: 0/0 is where Spark
+    // IEEE NaN and DuckDB division semantics diverge — the guard must
+    // yield deterministic NULL on both engines.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spikes").toString
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows =
+      Seq(("solo", t(10, 0)), ("solo", t(10, 30))) ++          // one hour: n=1
+      (10 to 12).flatMap(h => Seq(("flat", t(h, 0)), ("flat", t(h, 30)))) ++ // sd=0
+      Seq(("vary", t(10, 0)), ("vary", t(11, 0)), ("vary", t(11, 30)))
+    rows.toDF("event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Queries.queries("q246_count_spikes")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (tpe, z) = (r.getString(0), r.get(3))
+      if (tpe == "vary") {
+        assert(z != null && !r.getDouble(3).isNaN, s"vary z: $z")
+        assert(r.get(4) != null)
+      } else {
+        assert(z == null, s"$tpe must have NULL z, got $z")
+        assert(r.get(4) == null, s"$tpe must have NULL spike")
+      }
+    }
+  }
+
   test("token budget selection equals the driver-side greedy prefix") {
     val out = Queries.queries("q247_token_budget")(spark, TestSpark.sf0001)
       .as[(String, Long, Long)].collect().toSet

@@ -98,6 +98,21 @@ class ScaleGuardSpec extends AnyFunSuite {
       "expected the O(buckets) offset broadcast")
   }
 
+  test("q239_merkle_audit: two keyed digest aggs, no broadcast, no corpus sort") {
+    // the Merkle shape that scales: row hashes shuffle ONCE on the
+    // bucket key, bucket digests re-aggregate to one row — per-group
+    // state is |rows|/16^prefixChars by construction. A global Sort or
+    // any BroadcastExchange here means the digest replanned through a
+    // corpus-wide path.
+    val plan = executedPlan("q239_merkle_audit")
+    assert(!plan.contains("BroadcastExchange"),
+      s"q239 must not broadcast anything:\n$plan")
+    assert(plan.contains("collect_list"),
+      "expected per-bucket sorted row-hash digests via collect_list")
+    assert(!plan.contains("Sort ["),
+      s"digest ordering is array_sort inside the agg, not a plan Sort:\n$plan")
+  }
+
   test("requireEvalBound: fail-loud past the bound, pass-through inside it") {
     // q224's "eval-set², not corpus²" contract is enforced by
     // Similarity.requireEvalBound — prove both arms with a tiny bound so

@@ -95,4 +95,22 @@ class SketchBlockingSpec extends AnyFunSuite {
       .select("chunk").distinct().count()
     assert(totalKept == nDistinct)
   }
+
+  test("chunk dedup: keep-first is exact far past 16 and 1024 chunks/doc") {
+    // the two latent seams the r10 verdict flagged: a 16-chunk oracle
+    // grid would never see chunk #1030, and a packed doc_id*1024+idx
+    // keeper key would corrupt the keep-first order past 1024 chunks.
+    // min(struct(doc_id, idx)) is exact at any count — pin it.
+    val dir = java.nio.file.Files.createTempDirectory("graft_chunks").toString
+    val base = (0 until 1040).flatMap(c => (0 until 16).map(t => s"c${c}t$t"))
+    val dup = base.slice(1030 * 16, 1031 * 16) // doc 1's chunk idx 1030
+    Seq((1L, base.mkString(" ")), (2L, dup.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.queries("q220_chunk_dedup")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1040L, 1040L, 1.0)), s"long doc keeps all: ${out(1L)}")
+    assert(out(2L) == ((1L, 0L, 0.0)), s"high-idx dup must lose: ${out(2L)}")
+  }
 }
