@@ -5173,6 +5173,134 @@ object Queries {
             .cast("double") / 100, 2).as("totacctbal"))
     }),
 
+    // TPC-H Q2 shape — correlated scalar-min subquery ("the cheapest
+    // supplier of each part"): WHERE unit = (SELECT min(unit) ... same
+    // part) decorrelated into ONE argmin aggregate — min(struct(price,
+    // suppkey)) per part — instead of a min-subquery + equality join
+    // back (which would scan the pair aggregate twice and return
+    // duplicate rows on price ties; the struct min is deterministic by
+    // the suppkey tie-break, documented divergence from the tie-keeping
+    // textbook form). Unit prices are rounded to cent longs BEFORE the
+    // min so the compare is integer-exact on both engines.
+    "q287_tpch_q2" -> ((s, d) => {
+      val pk = Tables.part(s, d)
+        .filter(col("p_type") === "PROMO" && col("p_size") > 25)
+        .select(col("p_partkey").as("l_partkey"))
+      val unit = li(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") / col("l_quantity") * 100)
+            .cast("long").as("__u"))
+        .join(broadcast(pk), "l_partkey")
+        .groupBy("l_partkey", "l_suppkey").agg(min(col("__u")).as("__mu"))
+      unit.groupBy(col("l_partkey").as("p_partkey"))
+        .agg(min(struct(col("__mu"), col("l_suppkey"))).as("__best"))
+        .select(col("p_partkey"),
+          col("__best.l_suppkey").as("s_suppkey"),
+          round(col("__best.__mu").cast("double") / 100, 2).as("unit_price"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+        .select("p_partkey", "s_suppkey", "s_name", "unit_price")
+    }),
+
+    // TPC-H Q11 shape — grouped agg with HAVING against a global scalar
+    // ("parts worth a material share of total revenue"): the scalar total
+    // is re-aggregated from the per-part partials (one fact scan), the
+    // HAVING compare is INTEGER algebra (rev·2000 > total) rather than a
+    // float share — exact at any scale, no epsilon. The 1-row total
+    // broadcasts; nothing but the fact agg shuffles.
+    "q288_tpch_q11" -> ((s, d) => {
+      val perPart = li(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("__rev"))
+      val tot = perPart.agg(sum(col("__rev")).as("__tot"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("__rev") * 2000 > col("__tot"))
+        .select(col("l_partkey").as("p_partkey"),
+          round(col("__rev").cast("double") / 100, 2).as("value"))
+    }),
+
+    // TPC-H Q13 shape — count distribution over a filtered LEFT join
+    // ("how many customers placed 0, 1, 2, ... non-urgent orders"): the
+    // zero bucket only exists because the join is left-outer and the
+    // filter sits in the JOIN CONDITION, not a WHERE (the classic Q13
+    // trap — a WHERE would silently drop order-less customers). Orders
+    // shuffle once on custkey; both aggs are keyed.
+    "q289_tpch_q13" -> ((s, d) => {
+      val o = ord(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
+      Tables.customer(s, d).select("c_custkey")
+        .join(o, Seq("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q15 shape — "the view with the scalar max" (top supplier(s)
+    // by windowed revenue, ties kept): the revenue view aggregates once,
+    // the max is a 1-row re-aggregate broadcast back, and the filter is
+    // an exact cent-long equality — the decorrelated form of
+    //   WHERE total_revenue = (SELECT max(total_revenue) FROM view).
+    "q290_tpch_q15" -> ((s, d) => {
+      val rev = li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey").as("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 100).cast("long")).as("__rc"))
+      val mx = rev.agg(max(col("__rc")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("__rc") === col("__mx"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("__rc").cast("double") / 100, 2).as("total_revenue"))
+    }),
+
+    // TPC-H Q16 shape — NOT IN + COUNT DISTINCT ("supplier diversity per
+    // brand/size, excluding blacklisted suppliers"): the NOT IN
+    // decorrelates to a left-anti join against the bounded blacklist
+    // (negative-balance suppliers), supplier-part pairs come from the
+    // fact (distinct'd in the same agg), and the distinct count is a
+    // keyed two-level agg — no OrderBy, no global exchange.
+    "q291_tpch_q16" -> ((s, d) => {
+      val sizes = Seq(1, 4, 9, 16, 25, 36, 49)
+      val p = Tables.part(s, d)
+        .filter(col("p_type") =!= "PROMO" && col("p_size").isin(sizes: _*))
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
+          col("p_size"))
+      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("l_suppkey"))
+      val pairs = li(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(p), "l_partkey")
+        .join(broadcast(bad), Seq("l_suppkey"), "left_anti")
+      pairs.groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q18 shape — IN over a grouped HAVING ("large-volume
+    // orders"): the IN-subquery is the same grouped aggregate the outer
+    // query needs, so it collapses to one lineitem agg + HAVING filter
+    // joined back to orders/customer — the fact shuffles once on
+    // orderkey and the qualifying-order table (HAVING-bounded) drives
+    // the joins. Quantities are integral doubles: sums exact.
+    "q292_tpch_q18" -> ((s, d) => {
+      val big = li(s, d).groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey"), col("o_totalprice"),
+          unix_timestamp(col("o_orderdate")).as("o_orderdate_s")),
+          "l_orderkey")
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_name")),
+          Seq("o_custkey"))
+        .select(col("c_name"), col("o_custkey").as("c_custkey"),
+          col("l_orderkey").as("o_orderkey"), col("o_orderdate_s"),
+          col("o_totalprice"), col("total_qty"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -11064,6 +11192,82 @@ object Queries {
         |   WHERE o.o_custkey = c.c_custkey
         |    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey""".stripMargin,
+
+    // textbook correlated scalar-min; the suppkey tie-break mirrors the
+    // engine's struct-min argmin
+    "q287_tpch_q2" ->
+      """WITH u AS (
+        | SELECT l_partkey, l_suppkey,
+        |  min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+        |    AS mu
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | WHERE p_type = 'PROMO' AND p_size > 25
+        | GROUP BY 1, 2),
+        |best AS (
+        | SELECT u.l_partkey, min(u.l_suppkey) AS l_suppkey, u.mu
+        | FROM u
+        | WHERE u.mu = (SELECT min(u2.mu) FROM u u2
+        |               WHERE u2.l_partkey = u.l_partkey)
+        | GROUP BY u.l_partkey, u.mu)
+        |SELECT b.l_partkey AS p_partkey, b.l_suppkey AS s_suppkey, s_name,
+        | round(CAST(mu AS DOUBLE) / 100, 2) AS unit_price
+        |FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey""".stripMargin,
+
+    "q288_tpch_q11" ->
+      """WITH pp AS (
+        | SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_partkey AS p_partkey,
+        | round(CAST(rev AS DOUBLE) / 100, 2) AS value
+        |FROM pp
+        |WHERE rev * 2000 > (SELECT sum(rev) FROM pp)""".stripMargin,
+
+    "q289_tpch_q13" ->
+      """WITH cc AS (
+        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        | FROM customer LEFT JOIN orders
+        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        | GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY c_count""".stripMargin,
+
+    "q290_tpch_q15" ->
+      """WITH rev AS (
+        | SELECT l_suppkey AS s_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS rc
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'
+        | GROUP BY 1)
+        |SELECT r.s_suppkey, s_name,
+        | round(CAST(rc AS DOUBLE) / 100, 2) AS total_revenue
+        |FROM rev r JOIN supplier s USING (s_suppkey)
+        |WHERE rc = (SELECT max(rc) FROM rev)""".stripMargin,
+
+    "q291_tpch_q16" ->
+      """SELECT p_brand, p_size,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO'
+        | AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        | AND l_suppkey NOT IN (
+        |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q292_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+        | o_totalprice, sum(l_quantity) AS total_qty
+        |FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
     "q280_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
