@@ -5186,7 +5186,12 @@ object Queries {
       val pk = Tables.part(s, d)
         .filter(col("p_type") === "PROMO" && col("p_size") > 25)
         .select(col("p_partkey").as("l_partkey"))
+      // qty > 0 guard: the fixtures guarantee it, but on a zero-quantity
+      // line Spark ANSI overflows on round(Inf) where DuckDB nulls —
+      // excluding degenerate lines is the documented contract (mirrored
+      // in the oracle)
       val unit = li(s, d)
+        .filter(col("l_quantity") > 0)
         .select(col("l_partkey"), col("l_suppkey"),
           round(col("l_extendedprice") / col("l_quantity") * 100)
             .cast("long").as("__u"))
@@ -5206,8 +5211,10 @@ object Queries {
     // ("parts worth a material share of total revenue"): the scalar total
     // is re-aggregated from the per-part partials (one fact scan), the
     // HAVING compare is INTEGER algebra (rev·2000 > total) rather than a
-    // float share — exact at any scale, no epsilon. The 1-row total
-    // broadcasts; nothing but the fact agg shuffles.
+    // float share — exact at any scale, no epsilon. rev·2000 needs a
+    // per-part revenue past ~4.6e15 cents to overflow Long (and ANSI
+    // would fail loud, not wrap). The 1-row total broadcasts; nothing
+    // but the fact agg shuffles.
     "q288_tpch_q11" -> ((s, d) => {
       val perPart = li(s, d)
         .groupBy("l_partkey")
@@ -5299,6 +5306,69 @@ object Queries {
         .select(col("c_name"), col("o_custkey").as("c_custkey"),
           col("l_orderkey").as("o_orderkey"), col("o_orderdate_s"),
           col("o_totalprice"), col("total_qty"))
+    }),
+
+    // Clustering-depth audit — the layout advisor's objective function
+    // (Delta/Iceberg "liquid clustering" literature): for each candidate
+    // file layout, how many files' [min, max] shipdate ranges overlap
+    // each file (1.0 = perfectly clustered, n_files = useless stats).
+    // q214 measures ONE probe; this scores the whole layout. The
+    // per-file extent table is MANIFEST-cardinality (bounded metadata,
+    // ~1e5 rows even at 100 TB), so the interval self-join per layout is
+    // manifest², never fact² — the fact scans once per layout into a
+    // keyed agg. Extents are exact micros; the one division is mirrored.
+    "q293_clustering_depth" -> ((s, d) => {
+      val base = li(s, d).select(col("l_orderkey"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
+      val ext = base.agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
+      val li0 = base.crossJoin(broadcast(ext))
+      def layout(fid: Column, name: String) = {
+        val f = li0.groupBy(fid.as("fid"))
+          .agg(min(col("sd")).as("fmin"), max(col("sd")).as("fmax"))
+        val a = f.select(col("fid"), col("fmin"), col("fmax"))
+        val b = f.select(col("fmin").as("gmin"), col("fmax").as("gmax"))
+        a.join(b, col("fmin") <= col("gmax") && col("fmax") >= col("gmin"))
+          .groupBy("fid").agg(count(lit(1)).as("__ov"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("__ov")).as("__s"), max(col("__ov")).as("max_overlap"))
+          .select(lit(name).as("layout"), col("n_files"),
+            round(col("__s").cast("double") / col("n_files"), 6)
+              .as("avg_overlap"),
+            col("max_overlap"))
+      }
+      layout(expr("l_orderkey DIV 1000"), "natural")
+        .unionByName(layout(
+          expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)"), "clustered"))
+        .unionByName(layout(expr("l_orderkey % 16"), "roundrobin"))
+    }),
+
+    // Join-cardinality estimation audit — the optimizer-statistics
+    // primitive behind every join reorder: |A ⋈ B| on a key predicted
+    // from (a) the System-R global uniform formula n²/ndv and (b) a
+    // 16-bucket histogram refinement Σ n_b²/ndv_b, scored against the
+    // exact Σ c_k² (the self-join size that dedup/co-purchase planning
+    // needs). Everything rides ONE per-key count agg (key-cardinality,
+    // the only fact shuffle); estimates are integer DIV algebra — no
+    // float until the final mirrored error ratio. Arithmetic bound: the
+    // n·n products are exact to ~3·10⁹ rows per arm (ANSI fails loud,
+    // never wraps); past that, lift the products through the q225
+    // decimal(38,0) device — deliberately NOT done here because Spark's
+    // decimal division rounds HALF_UP at scale 6 where DuckDB truncates,
+    // a 5e-7-wide parity seam the long DIV form cannot have.
+    "q294_join_card_estimate" -> ((s, d) => {
+      val ck = li(s, d).groupBy("l_partkey").agg(count(lit(1)).as("c"))
+      val exact = ck.agg(sum(col("c") * col("c")).as("exact"))
+      val global = ck.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
+        .select(lit("global").as("method"),
+          expr("__n * __n DIV __v").as("est"))
+      val hist = ck.groupBy(expr("l_partkey % 16").as("__b"))
+        .agg(sum(col("c")).as("__nb"), count(lit(1)).as("__vb"))
+        .agg(sum(expr("__nb * __nb DIV __vb")).as("est"))
+        .select(lit("hist16").as("method"), col("est"))
+      global.unionByName(hist).crossJoin(broadcast(exact))
+        .select(col("method"), col("est"), col("exact"),
+          round((col("est") - col("exact")).cast("double") / col("exact"), 6)
+            .as("rel_err"))
     }),
 
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
@@ -11201,7 +11271,7 @@ object Queries {
         |  min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
         |    AS mu
         | FROM lineitem JOIN part ON p_partkey = l_partkey
-        | WHERE p_type = 'PROMO' AND p_size > 25
+        | WHERE p_type = 'PROMO' AND p_size > 25 AND l_quantity > 0
         | GROUP BY 1, 2),
         |best AS (
         | SELECT u.l_partkey, min(u.l_suppkey) AS l_suppkey, u.mu
@@ -11268,6 +11338,57 @@ object Queries {
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q293_clustering_depth" ->
+      """WITH base AS (
+        | SELECT l_orderkey, CAST(epoch_us(l_shipdate) AS BIGINT) AS sd
+        | FROM lineitem),
+        |ext AS (SELECT min(sd) AS mn, max(sd) AS mx FROM base),
+        |fids AS (
+        | SELECT sd, l_orderkey // 1000 AS fid_nat,
+        |  (sd - mn) // (((mx - mn) // 15) + 1) AS fid_clu,
+        |  l_orderkey % 16 AS fid_rr
+        | FROM base, ext),
+        |ov AS (
+        | SELECT lay, fid, CAST(count(*) AS BIGINT) AS ovc FROM (
+        |  SELECT a.lay, a.fid
+        |  FROM (SELECT lay, fid, min(sd) AS fmin, max(sd) AS fmax FROM (
+        |         SELECT 'natural' AS lay, fid_nat AS fid, sd FROM fids
+        |         UNION ALL
+        |         SELECT 'clustered', fid_clu, sd FROM fids
+        |         UNION ALL
+        |         SELECT 'roundrobin', fid_rr, sd FROM fids)
+        |        GROUP BY 1, 2) a
+        |  JOIN (SELECT lay, fid, min(sd) AS fmin, max(sd) AS fmax FROM (
+        |         SELECT 'natural' AS lay, fid_nat AS fid, sd FROM fids
+        |         UNION ALL
+        |         SELECT 'clustered', fid_clu, sd FROM fids
+        |         UNION ALL
+        |         SELECT 'roundrobin', fid_rr, sd FROM fids)
+        |        GROUP BY 1, 2) b
+        |   ON a.lay = b.lay AND a.fmin <= b.fmax AND a.fmax >= b.fmin)
+        | GROUP BY 1, 2)
+        |SELECT lay AS layout, CAST(count(*) AS BIGINT) AS n_files,
+        | round(CAST(sum(ovc) AS DOUBLE) / count(*), 6) AS avg_overlap,
+        | CAST(max(ovc) AS BIGINT) AS max_overlap
+        |FROM ov GROUP BY 1""".stripMargin,
+
+    "q294_join_card_estimate" ->
+      """WITH ck AS (
+        | SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        | FROM lineitem GROUP BY 1),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact FROM ck),
+        |g AS (
+        | SELECT 'global' AS method,
+        |  CAST(sum(c) * sum(c) // count(*) AS BIGINT) AS est
+        | FROM ck),
+        |h AS (
+        | SELECT 'hist16' AS method, CAST(sum(e) AS BIGINT) AS est FROM (
+        |  SELECT sum(c) * sum(c) // count(*) AS e
+        |  FROM ck GROUP BY l_partkey % 16))
+        |SELECT method, est, exact,
+        | round(CAST(est - exact AS DOUBLE) / exact, 6) AS rel_err
+        |FROM (SELECT * FROM g UNION ALL SELECT * FROM h), ex""".stripMargin,
 
     "q280_tpch_q4" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

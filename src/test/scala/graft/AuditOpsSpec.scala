@@ -42,6 +42,35 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r == Set((10L, "S10")))
   }
 
+  test("q293: disjoint range layout scores 1.0, interleaved layout saturates") {
+    val dir = tmpDir()
+    // orderkeys 0..31, shipdates strictly increasing with orderkey:
+    // 'clustered' ranges are disjoint by construction (avg overlap 1.0),
+    // 'roundrobin' (orderkey % 16) gives every file the full date span
+    (0 until 32).map(i =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(1996, 1, 1, 0, 0).plusDays(i))))
+      .toDF("l_orderkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Queries.queries("q293_clustering_depth")(spark, dir)
+      .as[(String, Long, Double, Long)].collect()
+      .map(x => x._1 -> x).toMap
+    assert(r("clustered")._3 == 1.0, s"clustered: ${r("clustered")}")
+    assert(r("natural") == (("natural", 1L, 1.0, 1L)))   // all keys DIV 1000 = 0
+    assert(r("roundrobin") == (("roundrobin", 16L, 16.0, 16L)))
+  }
+
+  test("q294: histogram estimate is exact when buckets isolate keys") {
+    val dir = tmpDir()
+    // key 0 x3, key 1 x1 -> exact 3^2+1^2 = 10; global 4^2/2 = 8;
+    // hist16 puts each key alone in its bucket -> 9 + 1 = 10 exactly
+    Seq(0L, 0L, 0L, 1L).toDF("l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Queries.queries("q294_join_card_estimate")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(r == Set(("global", 8L, 10L, -0.2), ("hist16", 10L, 10L, 0.0)))
+  }
+
   test("q286: scalar threshold is strict, anti-join excludes recent orderers") {
     val dir = tmpDir()
     // positive balances 100, 200, 300 -> avg 200 (c3's -50 excluded)
