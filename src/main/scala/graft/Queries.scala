@@ -5371,6 +5371,115 @@ object Queries {
             .as("rel_err"))
     }),
 
+    // Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    // '01) — the LM complement to q122's BM25: score(d) = Σ_t log((tf +
+    // μ·cf_t/|C|)/(|d| + μ)), μ = 2000. Per-doc tf via HOF filter over
+    // the token array (zero shuffle before the 1-row collection-stats
+    // agg, which broadcasts back); absent terms still get the smoothed
+    // collection mass — the reason QLD needs no per-term join. The
+    // 3-term log sum is written in FIXED order on both engines (never a
+    // float agg), ranking is by the rounded score (q219 rule), and the
+    // top-10 is TakeOrdered — no corpus-wide window. Contract: probe
+    // terms occur in the corpus (cf > 0), else log(0).
+    "q295_qld_retrieval" -> ((s, d) => {
+      val mu = 2000.0
+      def tf(t: String) = size(filter(col("__t"), x => x === lit(t)))
+      val base = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("__t"))
+        .select(col("doc_id"), size(col("__t")).as("dl"),
+          tf("vector").as("tf1"), tf("join").as("tf2"), tf("scan").as("tf3"))
+      val cstats = base.agg(sum(col("dl")).as("ct"), sum(col("tf1")).as("cf1"),
+        sum(col("tf2")).as("cf2"), sum(col("tf3")).as("cf3"))
+      def term(tfc: String, cfc: String) =
+        log((col(tfc) + lit(mu) * col(cfc) / col("ct")) / (col("dl") + lit(mu)))
+      base.crossJoin(broadcast(cstats))
+        .select(col("doc_id"),
+          round(term("tf1", "cf1") + term("tf2", "cf2") + term("tf3", "cf3"), 6)
+            .as("qld"))
+        .orderBy(col("qld").desc, col("doc_id").asc).limit(10)
+    }),
+
+    // Brier-score decomposition (Murphy '73) — the forecast-eval
+    // primitive behind every calibration dashboard: BS, reliability,
+    // resolution, uncertainty over 10 probability bins. The forecast is
+    // a deterministic pseudo-probability (orderkey·7919 mod 100, cents)
+    // so every ingredient is an EXACT integer: the Brier numerator is
+    // Σ(p_cents − 100y)² as longs, and the per-bin REL/RES terms are
+    // doubles built from exact ints and folded in EXPLICIT bin order
+    // via aggregate() over the sorted 10-element array — never a
+    // float-sum agg (the q215 fixed-order device, generalized). One
+    // fact agg to 10 rows; everything after is bounded.
+    "q296_brier_decomposition" -> ((s, d) => {
+      val p = ord(s, d).select(
+        expr("o_orderkey * 7919 % 100").as("pc"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val bins = p.groupBy(expr("pc DIV 10").as("bin")).agg(
+        count(lit(1)).as("n"), sum(col("pc")).as("sp"), sum(col("y")).as("sy"),
+        sum((col("pc") - lit(100L) * col("y")) *
+            (col("pc") - lit(100L) * col("y"))).as("sq"))
+      bins.agg(
+          sum(col("n")).as("N"), sum(col("sy")).as("SY"), sum(col("sq")).as("SQ"),
+          collect_list(struct(col("bin"), col("n"), col("sp"), col("sy")))
+            .as("__b"))
+        .select(col("N"), col("SY"), col("SQ"),
+          expr("""aggregate(array_sort(__b), 0.0D, (acc, x) ->
+                 |  acc + (CAST(x.sp AS DOUBLE) / 100 - x.sy) *
+                 |        (CAST(x.sp AS DOUBLE) / 100 - x.sy) / x.n)"""
+            .stripMargin).as("__rel"),
+          expr("""aggregate(array_sort(__b), 0.0D, (acc, x) ->
+                 |  acc + (CAST(x.sy AS DOUBLE) / x.n - CAST(SY AS DOUBLE) / N) *
+                 |        (CAST(x.sy AS DOUBLE) / x.n - CAST(SY AS DOUBLE) / N) *
+                 |        x.n)""".stripMargin).as("__res"))
+        .select(
+          round(col("SQ").cast("double") / col("N") / 10000, 6).as("brier"),
+          round(col("__rel") / col("N"), 6).as("reliability"),
+          round(col("__res") / col("N"), 6).as("resolution"),
+          round((col("SY").cast("double") / col("N")) *
+            (lit(1.0) - col("SY").cast("double") / col("N")), 6)
+            .as("uncertainty"))
+    }),
+
+    // l-diversity audit — k-anonymity's (q263) necessary complement:
+    // a group can be k-large yet leak its sensitive attribute if every
+    // member shares one value. Per quasi-identifier group (priority ×
+    // order year), count rows and DISTINCT sensitive values; groups
+    // with l < 2 are homogeneous leaks. Bounded output (|QI| groups),
+    // one keyed two-level agg, exact longs.
+    "q297_l_diversity" -> ((s, d) =>
+      ord(s, d).groupBy(col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderstatus")).as("l_distinct"))
+        .withColumn("diverse", col("l_distinct") >= 2)),
+
+    // Top session paths — the product-analytics "what do sessions look
+    // like" feed: per (user, 30-min session), the first three event
+    // types in time order joined as a path string, then the global
+    // top-10 path counts. Sessionization is q31's strict-> gap rule;
+    // both windows ride ONE user_id exchange (same partitioning), the
+    // rank filter caps rows BEFORE the per-session array agg (bounded
+    // state by construction), and the top-10 is TakeOrdered on
+    // (count desc, path asc) — no corpus-wide window anywhere.
+    "q298_top_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = ev(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), col("event_type"))
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > 1800L,
+          1L).otherwise(0L))
+        .withColumn("__sess", sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("user_id", "__sess").orderBy("ts", "event_id")))
+        .filter(col("__rn") <= 3)
+      sess.groupBy("user_id", "__sess")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path").asc).limit(10)
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -11338,6 +11447,89 @@ object Queries {
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q295_qld_retrieval" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (
+        | SELECT doc_id, len(w) AS dl,
+        |  len(list_filter(w, x -> x = 'vector')) AS tf1,
+        |  len(list_filter(w, x -> x = 'join')) AS tf2,
+        |  len(list_filter(w, x -> x = 'scan')) AS tf3
+        | FROM t),
+        |c AS (SELECT sum(dl) AS ct, sum(tf1) AS cf1, sum(tf2) AS cf2,
+        |       sum(tf3) AS cf3 FROM d)
+        |SELECT doc_id, round(
+        |  ln((tf1 + 2000.0 * cf1 / ct) / (dl + 2000.0)) +
+        |  ln((tf2 + 2000.0 * cf2 / ct) / (dl + 2000.0)) +
+        |  ln((tf3 + 2000.0 * cf3 / ct) / (dl + 2000.0)), 6) AS qld
+        |FROM d, c
+        |ORDER BY qld DESC, doc_id LIMIT 10""".stripMargin,
+
+    // fold order: list_reduce over ORDER BY bin == Spark's aggregate()
+    // over array_sort — 0.0 + t1 is IEEE-exact, so the missing explicit
+    // init cannot diverge
+    "q296_brier_decomposition" ->
+      """WITH p AS (
+        | SELECT o_orderkey * 7919 % 100 AS pc,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        | FROM orders),
+        |b AS (
+        | SELECT pc // 10 AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy
+        | FROM p GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |         CAST(sum(y) AS BIGINT) AS syy,
+        |         CAST(sum((pc - 100 * y) * (pc - 100 * y)) AS BIGINT) AS sq
+        |        FROM p),
+        |terms AS (
+        | SELECT b.bin,
+        |  (CAST(b.sp AS DOUBLE) / 100 - b.sy) *
+        |  (CAST(b.sp AS DOUBLE) / 100 - b.sy) / b.n AS relt,
+        |  (CAST(b.sy AS DOUBLE) / b.n - CAST(t.syy AS DOUBLE) / t.nn) *
+        |  (CAST(b.sy AS DOUBLE) / b.n - CAST(t.syy AS DOUBLE) / t.nn) *
+        |  b.n AS rest
+        | FROM b, tot t),
+        |f AS (
+        | SELECT list_reduce(list(relt ORDER BY bin), (a, x) -> a + x) AS rel,
+        |  list_reduce(list(rest ORDER BY bin), (a, x) -> a + x) AS res
+        | FROM terms)
+        |SELECT round(CAST(sq AS DOUBLE) / nn / 10000, 6) AS brier,
+        | round(rel / nn, 6) AS reliability,
+        | round(res / nn, 6) AS resolution,
+        | round((CAST(syy AS DOUBLE) / nn) * (1.0 - CAST(syy AS DOUBLE) / nn), 6)
+        |   AS uncertainty
+        |FROM f, tot""".stripMargin,
+
+    "q297_l_diversity" ->
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+        | count(DISTINCT o_orderstatus) >= 2 AS diverse
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q298_top_paths" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS tss
+        | FROM events),
+        |s AS (
+        | SELECT *, CASE WHEN lag(tss) OVER w IS NULL
+        |   OR tss - lag(tss) OVER w > 1800 THEN 1 ELSE 0 END AS nw
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+        |x AS (
+        | SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+        |   ORDER BY tss, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        | FROM s),
+        |r AS (
+        | SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |   ORDER BY tss, event_id) AS rn
+        | FROM x),
+        |pth AS (
+        | SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+        | FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM pth GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     "q293_clustering_depth" ->
       """WITH base AS (

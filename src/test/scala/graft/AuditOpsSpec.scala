@@ -42,6 +42,55 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r == Set((10L, "S10")))
   }
 
+  test("q296: Brier decomposition is hand-exact and the Murphy identity holds") {
+    val dir = tmpDir()
+    // keys 0,1,2,100 -> pc = 0,19,38,0; y = 1,0,1,0
+    Seq((0L, "F"), (1L, "O"), (2L, "F"), (100L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Queries.queries("q296_brier_decomposition")(spark, dir)
+      .as[(Double, Double, Double, Double)].head()
+    // bins: {0: n2 sp0 sy1 sq10000} {1: n1 sp19 sy0 sq361} {3: n1 sp38 sy1 sq3844}
+    assert(r == ((0.355125, 0.230125, 0.125, 0.25)))
+    // forecasts are constant within each bin here, so BS = REL - RES + UNC exactly
+    assert(math.abs(r._1 - (r._2 - r._3 + r._4)) < 1e-12)
+  }
+
+  test("q297: a homogeneous quasi-identifier group is flagged, a diverse one is not") {
+    val dir = tmpDir()
+    Seq(
+      (1L, "1-URGENT", ts("1996-03-01"), "F"),
+      (2L, "1-URGENT", ts("1996-07-01"), "F"),
+      (3L, "5-LOW", ts("1996-03-01"), "F"),
+      (4L, "5-LOW", ts("1996-07-01"), "O"))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Queries.queries("q297_l_diversity")(spark, dir)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSet
+    assert(r == Set(("1-URGENT", 1996L, 2L, 1L, false),
+                    ("5-LOW", 1996L, 2L, 2L, true)))
+  }
+
+  test("q298: paths cut at 3 events, split on strict >30min gaps only") {
+    val dir = tmpDir()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq(
+      // user 1: 4-event session (path capped at A>B>C), then a 45-min gap
+      (1L, 10L, "A", t("2024-01-01 10:00:00")),
+      (1L, 11L, "B", t("2024-01-01 10:05:00")),
+      (1L, 12L, "C", t("2024-01-01 10:10:00")),
+      (1L, 13L, "D", t("2024-01-01 10:15:00")),
+      (1L, 14L, "A", t("2024-01-01 11:00:00")),
+      // user 2: exactly 1800 s gap -> SAME session (strict >)
+      (2L, 20L, "X", t("2024-01-01 12:00:00")),
+      (2L, 21L, "Y", t("2024-01-01 12:30:00")))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q298_top_paths")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("A>B>C" -> 1L, "A" -> 1L, "X>Y" -> 1L))
+  }
+
   test("q293: disjoint range layout scores 1.0, interleaved layout saturates") {
     val dir = tmpDir()
     // orderkeys 0..31, shipdates strictly increasing with orderkey:

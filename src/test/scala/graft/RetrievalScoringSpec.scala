@@ -48,6 +48,26 @@ class RetrievalScoringSpec extends AnyFunSuite {
 
   // ------------------------------------------- per-source quality prune
 
+  test("q295 QLD: hand-computed Dirichlet-smoothed scores, absent terms smoothed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qld").toString
+    Seq((1L, "vector join scan"), (2L, "vector vector other other"),
+        (3L, "noise noise noise"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Queries.queries("q295_qld_retrieval")(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    // ct=10, cf(vector)=3, cf(join)=1, cf(scan)=1, mu=2000
+    def term(tf: Long, cf: Long, dl: Long) =
+      math.log((tf + 2000.0 * cf / 10) / (dl + 2000.0))
+    def exp(tfs: Seq[Long], dl: Long) =
+      BigDecimal(term(tfs(0), 3, dl) + term(tfs(1), 1, dl) + term(tfs(2), 1, dl))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == exp(Seq(1, 1, 1), 3))
+    assert(out(2L) == exp(Seq(2, 0, 0), 4))
+    assert(out(3L) == exp(Seq(0, 0, 0), 3)) // pure smoothing, still scored
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+  }
+
   test("q123 quality prune drops exactly the bottom quartile per source") {
     // source u: dl 1..8 → quantile_cont(0.25) = 2.75 → keep n_tokens ≥ 3
     val docs = (1 to 8).map(i => (i.toLong, "u", Seq.fill(i)("w").mkString(" ")))
