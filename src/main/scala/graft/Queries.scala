@@ -5312,34 +5312,63 @@ object Queries {
     // (Delta/Iceberg "liquid clustering" literature): for each candidate
     // file layout, how many files' [min, max] shipdate ranges overlap
     // each file (1.0 = perfectly clustered, n_files = useless stats).
-    // q214 measures ONE probe; this scores the whole layout. The
-    // per-file extent table is MANIFEST-cardinality (bounded metadata,
-    // ~1e5 rows even at 100 TB), so the interval self-join per layout is
-    // manifest², never fact² — the fact scans once per layout into a
-    // keyed agg. Extents are exact micros; the one division is mirrored.
+    // q214 measures ONE probe; this scores the whole layout.
+    //
+    // Shape: ONE tagged-explode fact pass builds all three layouts'
+    // extent tables (a per-layout subtree re-scans the fact each time),
+    // then overlap counts come from a SWEEP-LINE over the extent
+    // endpoints — overlap_i = #{fmin_j ≤ fmax_i} − #{fmax_j < fmin_i},
+    // two running counters in one window — instead of the naive
+    // interval self-join, which is manifest² (a 1e5-file manifest would
+    // mean 1e10 comparisons; the sweep is linear and references the
+    // extent subtree ONCE, so nothing recomputes). The per-layout
+    // window runs over manifest-cardinality metadata (4 rows per file);
+    // past ~1e6 files per layout, lift it through the GlobalRank
+    // bucketed prefix-sum device. Extents are exact micros; the one
+    // division is mirrored.
     "q293_clustering_depth" -> ((s, d) => {
       val base = li(s, d).select(col("l_orderkey"),
         unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
       val ext = base.agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
-      val li0 = base.crossJoin(broadcast(ext))
-      def layout(fid: Column, name: String) = {
-        val f = li0.groupBy(fid.as("fid"))
-          .agg(min(col("sd")).as("fmin"), max(col("sd")).as("fmax"))
-        val a = f.select(col("fid"), col("fmin"), col("fmax"))
-        val b = f.select(col("fmin").as("gmin"), col("fmax").as("gmax"))
-        a.join(b, col("fmin") <= col("gmax") && col("fmax") >= col("gmin"))
-          .groupBy("fid").agg(count(lit(1)).as("__ov"))
-          .agg(count(lit(1)).as("n_files"),
-            sum(col("__ov")).as("__s"), max(col("__ov")).as("max_overlap"))
-          .select(lit(name).as("layout"), col("n_files"),
-            round(col("__s").cast("double") / col("n_files"), 6)
-              .as("avg_overlap"),
-            col("max_overlap"))
-      }
-      layout(expr("l_orderkey DIV 1000"), "natural")
-        .unionByName(layout(
-          expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)"), "clustered"))
-        .unionByName(layout(expr("l_orderkey % 16"), "roundrobin"))
+      // ONE tagged-explode fact pass for all three layouts (a per-layout
+      // subtree would re-scan the fact once per layout — 4 full reads at
+      // 100 TB); map-side partial agg collapses the 3x exploded rows to
+      // manifest cardinality per partition before the one shuffle
+      val f = base.crossJoin(broadcast(ext))
+        .select(col("sd"), explode(array(
+          struct(lit("natural").as("lay"),
+            expr("l_orderkey DIV 1000").as("fid")),
+          struct(lit("clustered").as("lay"),
+            expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)").as("fid")),
+          struct(lit("roundrobin").as("lay"),
+            expr("l_orderkey % 16").as("fid")))).as("lf"))
+        .groupBy(col("lf.lay").as("lay"), col("lf.fid").as("fid"))
+        .agg(min(col("sd")).as("fmin"), max(col("sd")).as("fmax"))
+      // sweep events per extent: start(t0) and probeA(t2) at/for fmax's
+      // ≤-count, probeB(t1) and end(t3) for the strict < count — the t
+      // order makes "start at pos == probe pos" count (≤) and "end at
+      // pos == probe pos" not count (<); rows tied on (pos, t) are
+      // mutually order-free because a row type never reads its own
+      // counter
+      val evs = f.select(col("lay"), col("fid"), explode(array(
+          struct(col("fmin").as("pos"), lit(0).as("t")),
+          struct(col("fmin").as("pos"), lit(1).as("t")),
+          struct(col("fmax").as("pos"), lit(2).as("t")),
+          struct(col("fmax").as("pos"), lit(3).as("t")))).as("e"))
+        .select(col("lay"), col("fid"),
+          col("e.pos").as("pos"), col("e.t").as("t"))
+      val w = Window.partitionBy("lay").orderBy("pos", "t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      evs
+        .withColumn("cs", sum(when(col("t") === 0, 1L).otherwise(0L)).over(w))
+        .withColumn("ce", sum(when(col("t") === 3, 1L).otherwise(0L)).over(w))
+        .groupBy("lay", "fid").agg(
+          (max(when(col("t") === 2, col("cs"))) -
+            max(when(col("t") === 1, col("ce")))).as("__ov"))
+        .groupBy(col("lay").as("layout")).agg(count(lit(1)).as("n_files"),
+          round(sum(col("__ov")).cast("double") / count(lit(1)), 6)
+            .as("avg_overlap"),
+          max(col("__ov")).as("max_overlap"))
     }),
 
     // Join-cardinality estimation audit — the optimizer-statistics

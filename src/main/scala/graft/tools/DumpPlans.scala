@@ -43,7 +43,10 @@ object DumpPlans {
     "q256_systematic_pps" -> "systematic PPS: GlobalRank two-phase prefix sum (per-bucket windows + O(buckets) offset broadcast), 1-row total cross join, then the probe-count formula as pure projection — one keyed shuffle end to end",
     "q264_revenue_share" -> "share-of-parent: star joins broadcast the dims, ONE exact-cents hash agg on the fact, and the ratio windows run over the bounded 25-row nation table only",
     "q285_tpch_q20" -> "TPC-H Q20 shape decorrelated: one date+type-filtered fact scan (filters pushed), per-(part,supp) agg, correlated per-part total re-aggregated from the partials, broadcast joins between the bounded aggregates, left-semi into supplier",
-    "q286_tpch_q22" -> "TPC-H Q22 shape: scalar-subquery average as a 1-row broadcast cross join, NOT EXISTS as a left-anti join on DISTINCT recent-order custkeys (date filter at the orders scan), bounded per-nation agg")
+    "q286_tpch_q22" -> "TPC-H Q22 shape: scalar-subquery average as a 1-row broadcast cross join, NOT EXISTS as a left-anti join on DISTINCT recent-order custkeys (date filter at the orders scan), bounded per-nation agg",
+    "q293_clustering_depth" -> "clustering-depth audit: ONE tagged-explode fact scan builds all three layouts' extents; overlap counts via a linear endpoint sweep (two running counters in one window) — no interval self-join, no manifest^2",
+    "q295_qld_retrieval" -> "Dirichlet QLD retrieval: per-doc tf as codegen'd HOF filters (zero shuffle before the 1-row collection-stats agg), stats broadcast back, top-10 via TakeOrderedAndProject",
+    "q298_top_paths" -> "session paths: sessionize + in-session rank windows share ONE user_id exchange; rank filter bounds the per-session collect; global top-10 via TakeOrderedAndProject")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
