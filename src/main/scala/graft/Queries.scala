@@ -5509,6 +5509,69 @@ object Queries {
         .orderBy(col("n_sessions").desc, col("path").asc).limit(10)
     }),
 
+    // RFM segmentation — the classic BI customer grid (recency /
+    // frequency / monetary quintiles): per-customer stats in ONE keyed
+    // agg (cents-exact monetary), quintile boundaries from ONE
+    // array-probability percentile pass per metric (the q278 device —
+    // never five sorts), scores as exact boundary-compare sums, recency
+    // inverted so 5 = most recent. Boundary doubles are
+    // interpolation-identical on both engines (q278 precedent); every
+    // compare after that is long vs double with the same bits. Output
+    // is the bounded segment grid (≤125 rows).
+    "q299_rfm_segments" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ref = o.agg(max(col("o_orderdate")).as("__ref"))
+      val per = o.groupBy("o_custkey").agg(
+          max(col("o_orderdate")).as("__last"),
+          count(lit(1)).as("freq"), sum(col("cents")).as("mon"))
+        .crossJoin(broadcast(ref))
+        .withColumn("rec", datediff(col("__ref"), col("__last")).cast("long"))
+      val bounds = per.agg(
+        expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").as("br"),
+        expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("bf"),
+        expr("percentile(mon, array(0.2, 0.4, 0.6, 0.8))").as("bm"))
+      def score(m: String, b: String) = (lit(1) + (0 to 3).map(i =>
+        when(col(m) > col(b).getItem(i), 1).otherwise(0)).reduce(_ + _))
+        .cast("long")
+      per.crossJoin(broadcast(bounds))
+        .withColumn("r", lit(6L) - score("rec", "br"))
+        .withColumn("f", score("freq", "bf"))
+        .withColumn("m", score("mon", "bm"))
+        .groupBy(format_string("%d-%d-%d", col("r"), col("f"), col("m"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("mon")).cast("double") / 100, 2).as("monetary"))
+    }),
+
+    // N-gram novelty by corpus slice — the "is the tail of the corpus
+    // still teaching anything" curve (q283's Heaps law at bigram-
+    // OCCURRENCE level): per decile, the fraction of bigram occurrences
+    // whose bigram first appeared in THAT decile. Bigrams are cut
+    // per-row with zip_with (no self-join), first-seen is one min-agg,
+    // and everything is exact longs into one mirrored ratio.
+    "q300_ngram_novelty" -> ((s, d) => {
+      val n = doc(s, d).agg(max(col("doc_id")).as("__mx"),
+        min(col("doc_id")).as("__mn"))
+      val bi = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+        .crossJoin(broadcast(n))
+        .withColumn("decile", least(lit(10L),
+          expr("((doc_id - __mn) * 10) DIV (__mx - __mn + 1)") + 1))
+        .select(col("decile"), explode(expr(
+          """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+            |         slice(t, 2, greatest(size(t) - 1, 0)),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("g"))
+      val occ = bi.groupBy("decile", "g").agg(count(lit(1)).as("__c"))
+      val first = occ.groupBy("g").agg(min(col("decile")).as("__fd"))
+      occ.join(first, "g")
+        .groupBy("decile").agg(
+          sum(col("__c")).as("total_occ"),
+          sum(when(col("decile") === col("__fd"), col("__c")).otherwise(0L))
+            .as("novel_occ"))
+        .withColumn("novelty_rate",
+          round(col("novel_occ").cast("double") / col("total_occ"), 6))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -11476,6 +11539,60 @@ object Queries {
         |  SELECT l_orderkey FROM lineitem
         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "q299_rfm_segments" ->
+      """WITH o AS (
+        | SELECT o_custkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        | FROM orders),
+        |ref AS (SELECT max(o_orderdate) AS refd FROM o),
+        |per AS (
+        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,
+        |  CAST(sum(cents) AS BIGINT) AS mon,
+        |  CAST(date_diff('day', max(o_orderdate), refd) AS BIGINT) AS rec
+        | FROM o, ref GROUP BY o_custkey, refd),
+        |b AS (
+        | SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
+        |  quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,
+        |  quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS bm
+        | FROM per),
+        |sc AS (
+        | SELECT 6 - (1 + (rec > br[1])::INT + (rec > br[2])::INT
+        |   + (rec > br[3])::INT + (rec > br[4])::INT) AS r,
+        |  1 + (freq > bf[1])::INT + (freq > bf[2])::INT
+        |   + (freq > bf[3])::INT + (freq > bf[4])::INT AS f,
+        |  1 + (mon > bm[1])::INT + (mon > bm[2])::INT
+        |   + (mon > bm[3])::INT + (mon > bm[4])::INT AS m,
+        |  mon
+        | FROM per, b)
+        |SELECT format('{:d}-{:d}-{:d}', r, f, m) AS segment,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | round(CAST(sum(mon) AS DOUBLE) / 100, 2) AS monetary
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    "q300_ngram_novelty" ->
+      """WITH n AS (SELECT max(doc_id) AS mx, min(doc_id) AS mn
+        |           FROM documents),
+        |bi AS (
+        | SELECT least(10, ((doc_id - mn) * 10) // (mx - mn + 1) + 1)
+        |   AS decile,
+        |  unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+        |    i -> (string_split(text, ' '))[i] || ' '
+        |       || (string_split(text, ' '))[i + 1])) AS g
+        | FROM documents, n),
+        |occ AS (
+        | SELECT decile, g, CAST(count(*) AS BIGINT) AS c
+        | FROM bi GROUP BY 1, 2),
+        |fs AS (SELECT g, min(decile) AS fd FROM occ GROUP BY g)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        | CAST(sum(c) AS BIGINT) AS total_occ,
+        | CAST(sum(CASE WHEN decile = fd THEN c ELSE 0 END) AS BIGINT)
+        |   AS novel_occ,
+        | round(CAST(sum(CASE WHEN decile = fd THEN c ELSE 0 END) AS DOUBLE)
+        |   / sum(c), 6) AS novelty_rate
+        |FROM occ JOIN fs USING (g)
+        |GROUP BY decile""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -91,6 +91,38 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(r == Map("A>B>C" -> 1L, "A" -> 1L, "X>Y" -> 1L))
   }
 
+  test("q299: hand-computed quintile boundaries, recency inverted") {
+    val dir = tmpDir()
+    // customer k: k orders of $10 on one date; rec = [40,30,20,10,0] days
+    // from the corpus max date -> freq/mon/rec quintiles all align to k
+    val dates = Seq("2024-01-01", "2024-01-11", "2024-01-21",
+      "2024-01-31", "2024-02-10")
+    val rows = for {
+      k <- 1 to 5
+      j <- 1 to k
+    } yield (k * 100L + j, k.toLong, ts(dates(k - 1)), 10.0)
+    rows.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Queries.queries("q299_rfm_segments")(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    assert(r == (1 to 5).map(k => (s"$k-$k-$k", 1L, k * 10.0)).toSet)
+  }
+
+  test("q300: first-decile occurrences are novel, repeats later are stale") {
+    val dir = tmpDir()
+    val docs = Seq(
+      (0L, "a b a b"),  // "a b" x2 + "b a": all first here -> 3/3
+      (1L, "a b c")     // "a b" stale, "b c" novel -> 1/2
+    ) ++ (2L to 9L).map(k => (k, s"w$k w$k")) // one novel bigram each
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.queries("q300_ngram_novelty")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val expect = Set((1L, 3L, 3L, 1.0), (2L, 2L, 1L, 0.5)) ++
+      (3L to 10L).map(dc => (dc, 1L, 1L, 1.0))
+    assert(r == expect)
+  }
+
   test("q293: disjoint range layout scores 1.0, interleaved layout saturates") {
     val dir = tmpDir()
     // orderkeys 0..31, shipdates strictly increasing with orderkey:
