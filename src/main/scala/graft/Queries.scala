@@ -5572,6 +5572,271 @@ object Queries {
           round(col("novel_occ").cast("double") / col("total_occ"), 6))
     }),
 
+    // TPC-H Q5 shape — the snowflake "local supplier volume" join: fact ⋈
+    // orders ⋈ customer ⋈ supplier with the *non-key* equality
+    // c_nationkey = s_nationkey (the classic join-graph cycle), nation ⋈
+    // region folded to a broadcast dimension. The fact shuffles once per
+    // big key (orderkey, custkey, suppkey); the region filter prunes the
+    // nation broadcast to 5 rows BEFORE it touches the fact, and the date
+    // band reaches the orders scan. Revenue rides exact cent longs.
+    "q301_tpch_q5" -> ((s, d) => {
+      val asia = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
+        .select(col("n_nationkey"), col("n_name"))
+      val o96 = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"),
+          col("s_nationkey").as("n_nationkey"))
+      li(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("__c"))
+        .join(o96, "l_orderkey")
+        .join(cust, "o_custkey")
+        .join(sup, "l_suppkey")
+        .filter(col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), "n_nationkey")
+        .groupBy("n_name")
+        .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"))
+    }),
+
+    // TPC-H Q6 shape — the pure predicate-pushdown showcase: a
+    // filter-everything scalar aggregate whose date band + discount band +
+    // quantity cap must ALL reach the parquet scan (PushedFilters shows
+    // the full conjunction; the scan reads 4 of 11 columns). No shuffle
+    // beyond the 1-row partial-agg merge. Forecast-revenue cents exact.
+    "q302_tpch_q6" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(
+          round(sum(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).cast("double") / 100, 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q7 shape — "volume shipping" between two nations in both
+    // directions: the supplier and customer legs each pre-join their
+    // 2-row nation slice (broadcast) BEFORE touching the fact, so only
+    // lines with a qualifying supplier survive the first join — the
+    // disjunctive (N1→N2 OR N2→N1) pair filter then needs no fact
+    // re-scan. Ship-year grouping keeps the output 2 nations × 2 years.
+    "q303_tpch_q7" -> ((s, d) => {
+      val pair = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .join(broadcast(pair.select(col("n_nationkey").as("s_nationkey"),
+          col("n_name").as("supp_nation"))), "s_nationkey")
+        .select("l_suppkey", "supp_nation")
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        .join(broadcast(pair.select(col("n_nationkey").as("c_nationkey"),
+          col("n_name").as("cust_nation"))), "c_nationkey")
+        .select("o_custkey", "cust_nation")
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("__c"))
+        .join(sup, "l_suppkey")
+        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_custkey")), "l_orderkey")
+        .join(cust, "o_custkey")
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"))
+    }),
+
+    // TPC-H Q8 shape — "national market share": of all ECONOMY-part
+    // revenue sold into the AMERICA region per order year, what fraction
+    // came from NATION_3 suppliers. The CASE-sum / sum ratio rides two
+    // exact cent-long sums in ONE aggregate (no second pass, no join of
+    // two aggregates); part and both nation slices broadcast; the fact
+    // shuffles on its join keys only. Ratio mirrored at 6 dp.
+    "q304_tpch_q8" -> ((s, d) => {
+      val eco = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey").as("l_partkey"))
+      val amer = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "AMERICA")
+          .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
+        .select(col("n_nationkey").as("c_nationkey"))
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        .join(broadcast(amer), Seq("c_nationkey"), "left_semi")
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nationkey"),
+            col("n_name").as("supp_nation"))), "s_nationkey")
+        .select("l_suppkey", "supp_nation")
+      li(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("__c"))
+        .join(broadcast(eco), "l_partkey")
+        .join(ord(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+          "l_orderkey")
+        .join(cust, "o_custkey")
+        .join(sup, "l_suppkey")
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("__c"))
+            .otherwise(0L)).cast("double") /
+            sum(col("__c")), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q9 shape — "product-type profit" by supplier nation and order
+    // year, parts selected by a LIKE on p_name. The schema has no
+    // partsupp, so supply cost is proxied at 2% of retail price per unit
+    // (documented adaptation — the plan shape, a 5-way join with a
+    // substring part filter feeding a two-key rollup, is the point).
+    // Profit = revenue cents − cost cents, each rounded per-row so the
+    // subtraction is integer-exact on both engines.
+    "q305_tpch_q9" -> ((s, d) => {
+      val pk = Tables.part(s, d).filter(col("p_name").contains("widget"))
+        .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("s_nationkey"),
+            col("n_name").as("nation"))), "s_nationkey")
+        .select("l_suppkey", "nation")
+      li(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(pk), "l_partkey")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long") -
+           round(col("p_retailprice") * col("l_quantity") * 2).cast("long"))
+            .as("__p"))
+        .join(sup, "l_suppkey")
+        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          year(col("o_orderdate")).cast("long").as("o_year")), "l_orderkey")
+        .groupBy("nation", "o_year")
+        .agg(round(sum(col("__p")).cast("double") / 100, 2).as("sum_profit"))
+    }),
+
+    // TPC-H Q10 shape — "returned-item reporting": revenue lost to
+    // returns in one quarter, attributed to customers. The heavy
+    // reduction happens FIRST (one custkey-grouped agg over the filtered
+    // fact ⋈ orders), and only the surviving ~|customers-with-returns|
+    // rows join the customer attributes and the nation broadcast — the
+    // textbook group-by-every-attribute form would drag c_name/c_acctbal
+    // through the big shuffle for nothing.
+    "q306_tpch_q10" -> ((s, d) => {
+      val oq = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      li(s, d).filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("__c"))
+        .join(oq, "l_orderkey")
+        .groupBy("o_custkey").agg(sum(col("__c")).as("__rev"))
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_name"),
+            col("c_acctbal"), col("c_nationkey")), "o_custkey")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+          "c_nationkey")
+        .select(col("o_custkey").as("c_custkey"), col("c_name"),
+          round(col("__rev").cast("double") / 100, 2).as("revenue"),
+          col("c_acctbal"), col("n_name"))
+    }),
+
+    // TPC-H Q12 shape — conditional priority counts over a lateness join
+    // (adapted: the schema has no shipmode/commitdate, so "late" is
+    // shipped >60 days after the order date and the 2-row group key is
+    // l_linestatus). The CASE-sums split one count by a predicate on the
+    // JOINED side — the shape that turns two fact passes into one.
+    "q307_tpch_q12" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
+        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")), "l_orderkey")
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q14 shape — "promotion effect": a CASE-sum / sum percentage
+    // over one month of the fact ⋈ a broadcast part dimension. Both sums
+    // are exact cent longs out of ONE aggregate; the division is the only
+    // float op and is mirrored at 6 dp.
+    "q308_tpch_q14" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("__c"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+          "l_partkey")
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("__c")).otherwise(0L))
+            .cast("double") / sum(col("__c")), 6).as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 shape — the disjunctive OR-of-ANDs join predicate
+    // ("discounted revenue for three brand/size/quantity envelopes").
+    // The common support of the three branches is extracted BY HAND onto
+    // each side — part keeps only the three brand+size envelopes (a
+    // 3-branch OR a row store can evaluate per file via min/max stats),
+    // lineitem keeps qty ∈ [1, 30] — so the join input is already narrow
+    // and only the residual brand×quantity disjunction runs post-join;
+    // leaving the whole OR as a join condition would force the optimizer
+    // to choose between no pushdown and a nested-loop join.
+    "q309_tpch_q19" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      li(s, d)
+        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+        .select(col("l_partkey"), col("l_quantity"),
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("__c"))
+        .join(broadcast(p), "l_partkey")
+        .filter((col("p_brand") === "Brand#12" &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#15" &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -11593,6 +11858,125 @@ object Queries {
         |   / sum(c), 6) AS novelty_rate
         |FROM occ JOIN fs USING (g)
         |GROUP BY decile""".stripMargin,
+
+    "q301_tpch_q5" ->
+      """SELECT n_name,
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        | AND r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q302_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount >= 0.05 AND l_discount <= 0.07
+        | AND l_quantity < 24""".stripMargin,
+
+    "q303_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
+        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        | AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        | AND c_nationkey = n2.n_nationkey
+        | AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | AND l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q304_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |       AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |  / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |     AS BIGINT)), 6) AS mkt_share
+        |FROM part, lineitem, supplier, orders, customer,
+        | nation n1, nation n2, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        | AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        | AND s_nationkey = n1.n_nationkey
+        | AND c_nationkey = n2.n_nationkey
+        | AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        | AND p_type = 'ECONOMY'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+
+    "q305_tpch_q9" ->
+      """SELECT n_name AS nation,
+        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        | round(CAST(sum(
+        |   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |   - CAST(round(p_retailprice * l_quantity * 2) AS BIGINT))
+        |  AS DOUBLE) / 100, 2) AS sum_profit
+        |FROM part, lineitem, supplier, orders, nation
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        | AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        | AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q306_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+        | c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND c_nationkey = n_nationkey
+        | AND l_returnflag = 'R'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY 1, 2, 4, 5""".stripMargin,
+
+    "q307_tpch_q12" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        | AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "q308_tpch_q14" ->
+      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |     AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |  / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |     AS BIGINT)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        | AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // textbook single OR-of-ANDs WHERE — DuckDB extracts the common
+    // support itself; the Spark side does it by hand (see the query doc)
+    "q309_tpch_q19" ->
+      """SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |   * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |   AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |   AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+        |   AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
