@@ -46,7 +46,10 @@ object DumpPlans {
     "q286_tpch_q22" -> "TPC-H Q22 shape: scalar-subquery average as a 1-row broadcast cross join, NOT EXISTS as a left-anti join on DISTINCT recent-order custkeys (date filter at the orders scan), bounded per-nation agg",
     "q293_clustering_depth" -> "clustering-depth audit: ONE tagged-explode fact scan builds all three layouts' extents; overlap counts via a linear endpoint sweep (two running counters in one window) — no interval self-join, no manifest^2",
     "q295_qld_retrieval" -> "Dirichlet QLD retrieval: per-doc tf as codegen'd HOF filters (zero shuffle before the 1-row collection-stats agg), stats broadcast back, top-10 via TakeOrderedAndProject",
-    "q298_top_paths" -> "session paths: sessionize + in-session rank windows share ONE user_id exchange; rank filter bounds the per-session collect; global top-10 via TakeOrderedAndProject")
+    "q298_top_paths" -> "session paths: sessionize + in-session rank windows share ONE user_id exchange; rank filter bounds the per-session collect; global top-10 via TakeOrderedAndProject",
+    "q301_tpch_q5" -> "TPC-H Q5 shape: region filter prunes the nation broadcast to 5 rows before the fact; date band pushed to the orders scan; the c_nationkey=s_nationkey cycle closes as a post-join filter, never a second fact pass",
+    "q302_tpch_q6" -> "TPC-H Q6 shape: the full date+discount+quantity conjunction lands in PushedFilters, the scan reads 4 of 11 columns, and the only exchange is the 1-row partial-agg merge",
+    "q309_tpch_q19" -> "TPC-H Q19 shape: the OR-of-ANDs' common support extracted onto each side — brand+size envelopes pushed to the part scan, qty in [1,30] pushed to the fact scan — broadcast join, residual disjunction as a codegen'd post-join filter")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
