@@ -5837,6 +5837,142 @@ object Queries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Mean reciprocal rank — the retrieval-eval companion to NDCG (q229)
+    // and recall curves (q230/q233): for a BATCH of queries, 1/rank of
+    // the first relevant hit in the top-10. The batch form scores ALL
+    // queries in one pass (tf of query terms + per-doc lengths + one
+    // rank window partitioned by query) instead of one BM25 run per
+    // query — at 100 TB with a token-bucketed postings layout (q118)
+    // this touches only the query terms' postings. Each query here is a
+    // single term, so the BM25 score needs no cross-term sum; relevance
+    // = tf ≥ 2 (so top-ranked single-occurrence docs are irrelevant and
+    // the metric is non-trivial). Scores round 4 dp before ranking
+    // (ln() is libm-dependent — the Bm25 house rule); rank ties break
+    // by doc_id.
+    "q310_mrr" -> ((s, d) => {
+      val terms = Seq("vector", "join", "scan")
+      val p = doc(s, d).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = p.filter(col("token").isin(terms: _*))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = p.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val scalars = doc(s, d).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(p.agg(count(lit(1)).as("total_toks")))
+        .select(col("n_docs"),
+          (col("total_toks").cast("double") / col("n_docs")).as("avgdl"))
+      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df") +
+        lit(0.5)) / (col("df") + lit(0.5)))
+      val tfNorm = col("tf").cast("double") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val scored = tf.join(broadcast(df_), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(scalars))
+        .select(col("token"), col("doc_id"), col("tf"),
+          round(idf * tfNorm, 4).as("score"))
+      val ranked = scored.withColumn("rnk", row_number().over(
+          Window.partitionBy("token")
+            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+        .filter(col("rnk") <= 10)
+      ranked.groupBy(col("token").as("query"))
+        .agg(coalesce(min(when(col("tf") >= 2, col("rnk"))), lit(0L))
+          .as("first_rel_rank"))
+        .withColumn("rr", when(col("first_rel_rank") > 0,
+          round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(lit(0.0)))
+    }),
+
+    // t-closeness — the third leg of the privacy-audit family
+    // (k-anonymity q263, l-diversity q297): per quasi-identifier group,
+    // the total-variation distance between the group's
+    // sensitive-attribute distribution and the global one. The full
+    // (group × bucket) grid is materialized by crossing the bounded
+    // per-group agg with the 4-row global bucket table (a missing
+    // bucket contributes its full global mass — skipping absent cells
+    // understates TVD), counts stay exact longs, and the single float
+    // division |c·N − C·n| / (2·n·N) is mirrored at 6 dp. Day-of-week
+    // is epoch-day mod 7 (both engines' dayofweek origins differ).
+    "q311_t_closeness" -> ((s, d) => {
+      val b = ev(s, d).select(col("event_type"),
+        (datediff(col("ts"), lit("1970-01-01").cast("timestamp")) % 7)
+          .cast("long").as("dow"),
+        least(lit(3L), floor(col("value") / 125).cast("long")).as("sb"))
+      val cgs = b.groupBy("event_type", "dow", "sb")
+        .agg(count(lit(1)).as("__c"))
+      val ng = b.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+      val cs = b.groupBy("sb").agg(count(lit(1)).as("__cs"))
+      val tot = b.agg(count(lit(1)).as("__n"))
+      ng.crossJoin(broadcast(cs)).crossJoin(broadcast(tot))
+        .join(cgs, Seq("event_type", "dow", "sb"), "left")
+        .withColumn("__c", coalesce(col("__c"), lit(0L)))
+        .groupBy("event_type", "dow", "n", "__n")
+        .agg(sum(abs(col("__c") * col("__n") - col("__cs") * col("n")))
+          .as("__num"))
+        .select(col("event_type"), col("dow"), col("n"),
+          round(col("__num").cast("double") /
+            (lit(2.0) * col("n") * col("__n")), 6).as("tvd"))
+    }),
+
+    // Local clustering coefficient — per-node closure over the
+    // co-purchase graph (global triangle census: q147): LCC(v) =
+    // 2·tri(v) / (deg(v)·(deg(v)−1)). Triangles come from the same
+    // degree-oriented O(m^1.5) wedge scheme (Triangles.perNode — each
+    // closed wedge credits its three corners), so hub nodes can't blow
+    // up the self-join; the coefficient is exact-integer algebra with
+    // one mirrored division. Isolated-from-triangles and degree-1
+    // nodes report 0.0.
+    "q312_local_clustering" -> ((s, d) => {
+      graft.graph.Triangles.perNode(copurchasePairs(s, d))
+        .select(col("node"), col("deg"), col("tri"),
+          when(col("deg") >= 2,
+            round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6))
+            .otherwise(lit(0.0)).as("lcc"))
+    }),
+
+    // Cohen's kappa — inter-annotator agreement between two deterministic
+    // document raters (the curation-ops question "do my two quality
+    // heuristics agree beyond chance?"): rater A flags length
+    // (n_chars > 300), rater B flags alphabetic density (alpha ratio
+    // > 0.85). One pass: four exact counts from one aggregate, then
+    // p_o, p_e, and κ = (p_o − p_e)/(1 − p_e) as mirrored float algebra
+    // (guarded: perfect chance agreement p_e = 1 yields NULL, not a
+    // divide-by-zero).
+    "q313_cohens_kappa" -> ((s, d) => {
+      val r = doc(s, d).select(
+        (col("n_chars") > 300).cast("long").as("a"),
+        (alphaRatio > 0.85).cast("long").as("b"))
+      r.agg(count(lit(1)).as("n"), sum(col("a")).as("na"),
+          sum(col("b")).as("nb"),
+          sum(col("a") * col("b")).as("nab"))
+        .select(col("n"),
+          round((col("nab") + (col("n") - col("na") - col("nb") +
+            col("nab"))).cast("double") / col("n"), 6).as("p_o"),
+          round((col("na").cast("double") * col("nb") +
+            (col("n") - col("na")).cast("double") * (col("n") - col("nb")))
+            / (col("n").cast("double") * col("n")), 6).as("p_e"))
+        .withColumn("kappa", when(col("p_e") < 1.0,
+          round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 6)))
+    }),
+
+    // Trailing time-RANGE window — the frame type nothing else in the
+    // suite exercises: per customer, 90-day trailing spend at every
+    // order, as RANGE BETWEEN 89 PRECEDING AND CURRENT ROW over integer
+    // order-day (a VALUE-range frame — same-day peer rows aggregate
+    // together regardless of intra-day order, which a ROWS frame gets
+    // wrong). One keyed exchange on custkey, per-customer partitions
+    // bounded; cents exact.
+    "q314_trailing_spend" -> ((s, d) => {
+      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+          .cast("long").as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("__c"))
+      val w = Window.partitionBy("o_custkey").orderBy("d")
+        .rangeBetween(-89, 0)
+      o.select(col("o_orderkey"), col("o_custkey"), col("d"),
+        round(sum(col("__c")).over(w).cast("double") / 100, 2)
+          .as("trail_spend"),
+        count(lit(1)).over(w).as("trail_n"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -11977,6 +12113,124 @@ object Queries {
         |   AND l_quantity BETWEEN 10 AND 20)
         | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
         |   AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q310_mrr" ->
+      """WITH q(term) AS (VALUES ('vector'), ('join'), ('scan')),
+        |p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM p GROUP BY 1),
+        |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |        CAST(count(*) AS DOUBLE)
+        |          / (SELECT count(*) FROM documents) AS avgdl FROM p),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM p JOIN q ON token = term GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |       FROM tf GROUP BY 1),
+        |s AS (
+        | SELECT token, tf.doc_id, tf,
+        |  round(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+        |   * (CAST(tf AS DOUBLE) * 2.2
+        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
+        | FROM tf JOIN df USING (token) JOIN dl USING (doc_id), sc),
+        |r AS (
+        | SELECT token, tf, row_number() OVER (PARTITION BY token
+        |   ORDER BY score DESC, doc_id ASC) AS rnk FROM s),
+        |f AS (
+        | SELECT token AS query,
+        |  coalesce(min(CASE WHEN tf >= 2 THEN rnk END), 0) AS fr
+        | FROM r WHERE rnk <= 10 GROUP BY 1)
+        |SELECT query, CAST(fr AS BIGINT) AS first_rel_rank,
+        | CASE WHEN fr > 0 THEN round(1.0 / fr, 6) ELSE 0.0 END AS rr
+        |FROM f""".stripMargin,
+
+    "q311_t_closeness" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  CAST(date_diff('day', TIMESTAMP '1970-01-01', ts) % 7 AS BIGINT)
+        |    AS dow,
+        |  least(3, CAST(floor(value / 125) AS BIGINT)) AS sb
+        | FROM events),
+        |cgs AS (SELECT event_type, dow, sb, CAST(count(*) AS BIGINT) AS c
+        |        FROM b GROUP BY 1, 2, 3),
+        |ng AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+        |       FROM b GROUP BY 1, 2),
+        |cs AS (SELECT sb, CAST(count(*) AS BIGINT) AS cst
+        |       FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b),
+        |grid AS (SELECT * FROM ng, cs, tot)
+        |SELECT event_type, dow, n,
+        | round(CAST(sum(abs(coalesce(c, 0) * nt - cst * n)) AS DOUBLE)
+        |   / (2.0 * n * nt), 6) AS tvd
+        |FROM grid LEFT JOIN cgs USING (event_type, dow, sb)
+        |GROUP BY 1, 2, 3, nt""".stripMargin,
+
+    // replays the triangle census with a direct a<b<c enumeration (the
+    // orientation scheme finds the same set); LCC algebra mirrored
+    "q312_local_clustering" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (
+        | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        | GROUP BY node),
+        |tri AS (
+        | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        | FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corner AS (
+        | SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL
+        |  SELECT b AS node FROM tri UNION ALL
+        |  SELECT c AS node FROM tri)
+        | GROUP BY node)
+        |SELECT deg.node, deg.deg, coalesce(corner.tri, 0) AS tri,
+        | CASE WHEN deg.deg >= 2 THEN
+        |  round(2.0 * coalesce(corner.tri, 0)
+        |    / (deg.deg * (deg.deg - 1)), 6)
+        |  ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN corner USING (node)""".stripMargin,
+
+    "q313_cohens_kappa" ->
+      """WITH r AS (
+        | SELECT CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN length(text) > 0 AND
+        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+        |      AS DOUBLE) / length(text) > 0.85 THEN 1 ELSE 0 END AS b
+        | FROM documents),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+        |  CAST(sum(a * b) AS BIGINT) AS nab FROM r),
+        |pp AS (
+        | SELECT n,
+        |  round(CAST(nab + (n - na - nb + nab) AS DOUBLE) / n, 6) AS p_o,
+        |  round((CAST(na AS DOUBLE) * nb
+        |    + CAST(n - na AS DOUBLE) * (n - nb))
+        |   / (CAST(n AS DOUBLE) * n), 6) AS p_e
+        | FROM m)
+        |SELECT n, p_o, p_e,
+        | CASE WHEN p_e < 1.0
+        |  THEN round((p_o - p_e) / (1.0 - p_e), 6) END AS kappa
+        |FROM pp""".stripMargin,
+
+    "q314_trailing_spend" ->
+      """WITH o AS (
+        | SELECT o_orderkey, o_custkey,
+        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
+        |    AS BIGINT) AS d,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        | FROM orders)
+        |SELECT o_orderkey, o_custkey, d,
+        | round(CAST(sum(c) OVER w AS DOUBLE) / 100, 2) AS trail_spend,
+        | CAST(count(*) OVER w AS BIGINT) AS trail_n
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+        | RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -24,10 +24,11 @@ import org.apache.spark.sql.{functions => F}
   * engine, so a SQL oracle replays it directly. */
 object Triangles {
 
-  /** `edges`: undirected simple edges as (u, v) with u < v, one row per
-    * edge (dedup upstream). Returns one row:
-    * (n_nodes, n_edges, n_wedges, n_triangles). */
-  def count(edges: DataFrame): DataFrame = {
+  /** Shared construction: checkpointed edges, undirected degrees, the
+    * ≺-oriented edge list, and the oriented wedge stream (apex kept as
+    * `src`, leaves ≺-ordered as w1 ≺ w2). */
+  private def orientedWedges(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     // the (possibly expensive) edge-building subtree feeds the degree agg,
     // the orientation join, and both count scalars — truncate lineage once
     // so it computes once (the PageRank/CC checkpoint seam)
@@ -58,7 +59,15 @@ object Triangles {
     val wedges = a.join(b, Seq("src"))
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("w1") < col("w2")))
-      .select(col("w1"), col("w2"))
+      .select(col("src"), col("w1"), col("w2"))
+    (deg, oriented, wedges)
+  }
+
+  /** `edges`: undirected simple edges as (u, v) with u < v, one row per
+    * edge (dedup upstream). Returns one row:
+    * (n_nodes, n_edges, n_wedges, n_triangles). */
+  def count(edges: DataFrame): DataFrame = {
+    val (deg, oriented, wedges) = orientedWedges(edges)
     // ONE pass over the wedge stream counts wedges AND closed wedges: a
     // left join against the oriented edges (flag non-null = closed)
     // instead of a separate count + semi-join, so the (potentially
@@ -70,7 +79,26 @@ object Triangles {
       .agg(F.count(lit(1)).as("n_wedges"),
         F.sum(coalesce(col("__hit"), lit(0L))).as("n_triangles"))
     val nNodes = deg.agg(F.count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(F.count(lit(1)).as("n_edges"))
+    val nEdges = deg.agg((F.sum(col("deg")) / 2).cast("long").as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(closed)
+  }
+
+  /** Per-node triangle participation under the same orientation: each
+    * closed wedge (one row per triangle) credits all three corners.
+    * Returns (node, deg, tri) with tri = 0 for triangle-free nodes —
+    * the input every local-clustering-coefficient computation needs.
+    * Same O(m^1.5) wedge bound; the corner explode is 3× the triangle
+    * count, then one keyed agg. */
+  def perNode(edges: DataFrame): DataFrame = {
+    val (deg, oriented, wedges) = orientedWedges(edges)
+    val tris = wedges.join(
+      oriented.select(col("src").as("w1"), col("dst").as("w2")),
+      Seq("w1", "w2"), "left_semi")
+    val corners = tris
+      .select(explode(array(col("src"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(F.count(lit(1)).as("tri"))
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
   }
 }

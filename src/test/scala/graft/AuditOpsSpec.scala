@@ -302,4 +302,58 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(hb == 2L && ht == 210L)
     assert(hp >= 336L, "sorted is the padding lower bound on this fixture")
   }
+
+  test("q311: a group's missing bucket contributes its full global mass") {
+    val dir = tmpDir()
+    // one day (epoch day 4 -> dow 4); buckets: <125 -> 0, 125-250 -> 1.
+    // A: {b0:1, b1:1} n=2; B: {b0:3} n=3; global: {b0:4, b1:1} N=5.
+    // TVD(A) = (|1*5-4*2| + |1*5-1*2|) / (2*2*5) = (3+3)/20 = 0.3
+    // TVD(B) = (|3*5-4*3| + |0*5-1*3|) / (2*3*5) = (3+3)/30 = 0.2
+    //   -- B never sees bucket 1: the grid row supplies the |0 - p1| term.
+    val day = ts("1970-01-05")
+    Seq(("A", day, 10.0), ("A", day, 130.0),
+        ("B", day, 10.0), ("B", day, 10.0), ("B", day, 10.0))
+      .toDF("event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q311_t_closeness")(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(r == Set(("A", 4L, 2L, 0.3), ("B", 4L, 3L, 0.2)))
+  }
+
+  test("q313: independent raters give kappa 0; unanimous raters give NULL") {
+    val dir = tmpDir()
+    // a = n_chars > 300, b = alpha ratio > 0.85:
+    // n=4, na=2, nb=2, nab=1 -> p_o = 0.5, p_e = 0.5, kappa = 0
+    Seq((1L, "AAAA", 400L), (2L, "1234", 400L),
+        (3L, "AAAA", 100L), (4L, "1111", 100L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.queries("q313_cohens_kappa")(spark, dir)
+      .as[(Long, Double, Double, Option[Double])].collect()
+    assert(r.toSeq == Seq((4L, 0.5, 0.5, Some(0.0))))
+    // unanimous: p_e = 1 -> the kappa guard yields NULL, not a crash
+    val dir2 = tmpDir()
+    Seq((1L, "AAAA", 400L), (2L, "BBBB", 400L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r2 = Queries.queries("q313_cohens_kappa")(spark, dir2)
+      .as[(Long, Double, Double, Option[Double])].collect()
+    assert(r2.toSeq == Seq((2L, 1.0, 1.0, None)))
+  }
+
+  test("q314: RANGE frame pools same-day peers and honors the 90-day edge") {
+    val dir = tmpDir()
+    Seq(
+      (1L, 7L, ts("1995-01-01"), 10.0), // day 0
+      (2L, 7L, ts("1995-03-31"), 20.0), // day 89: day 0 still in frame
+      (3L, 7L, ts("1995-04-01"), 5.0),  // day 90: day 0 ages out...
+      (4L, 7L, ts("1995-04-01"), 7.0))  // ...and BOTH day-90 rows pool
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Queries.queries("q314_trailing_spend")(spark, dir)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(r == Set(
+      (1L, 7L, 0L, 10.0, 1L), (2L, 7L, 89L, 30.0, 2L),
+      (3L, 7L, 90L, 32.0, 3L), (4L, 7L, 90L, 32.0, 3L)))
+  }
 }

@@ -264,4 +264,19 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(r(4L) == (3L, 3L, 6L, 250000000L))
     assert(r(-1L) == (6L, 6L, 12L, 500000000L)) // ALL row: Q = 0.5
   }
+
+  test("perNode triangles + q312 LCC: triangle corners credit, pendant is 0") {
+    // triangle 1-2-3 with a pendant edge 3-4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val pn = graft.graph.Triangles.perNode(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pn == Set((1L, 2L, 1L), (2L, 2L, 1L), (3L, 3L, 1L), (4L, 1L, 0L)))
+    // same graph through the co-purchase query surface: orders {1,2,3}x2
+    // build the triangle edges, {3,4}x2 the pendant
+    val dir = copurchaseFixture(Seq(Seq(1L, 2L, 3L), Seq(3L, 4L)))
+    val r = Queries.queries("q312_local_clustering")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(r == Set((1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.333333), (4L, 1L, 0L, 0.0)))
+  }
 }

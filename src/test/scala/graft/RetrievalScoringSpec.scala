@@ -115,4 +115,20 @@ class RetrievalScoringSpec extends AnyFunSuite {
     // the rare-token doc is less probable
     assert(got(2L) < got(1L))
   }
+
+  test("q310 MRR: a top-ranked single-occurrence doc is not relevant") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mrr").toString
+    val filler = Seq.fill(20)("x").mkString(" ")
+    Seq(
+      (1L, "vector"),                      // tf=1, short -> ranks 1st, irrelevant
+      (2L, s"vector vector $filler"),      // tf=2, long -> ranks 2nd, relevant
+      (3L, "join"),                        // tf=1 only -> no relevant doc
+      (4L, "scan scan"))                   // tf=2 -> rank 1 relevant
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.queries("q310_mrr")(spark, dir)
+      .as[(String, Long, Double)].collect().toSet
+    assert(r == Set(("vector", 2L, 0.5), ("join", 0L, 0.0),
+      ("scan", 1L, 1.0)))
+  }
 }
