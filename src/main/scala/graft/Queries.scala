@@ -5973,6 +5973,92 @@ object Queries {
         count(lit(1)).over(w).as("trail_n"))
     }),
 
+    // Dynamic partition overwrite — the backfill primitive every
+    // partitioned 100 TB table lives by: rewrite ONE day's partition
+    // (here: a value correction on 2024-01-10) without touching the
+    // other 29 directories. partitionOverwriteMode=dynamic scopes the
+    // overwrite to partitions present in the written data — STATIC mode
+    // would silently truncate the whole table, the classic backfill
+    // footgun. The audit re-read aggregates per day; the oracle computes
+    // the expected post-backfill state from the source directly.
+    "q315_dynamic_overwrite" -> ((s, d) => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q315_dynover_${s.sparkContext.applicationId}").getAbsolutePath
+      val base = ev(s, d).withColumn("dt", to_date(col("ts")))
+      base.write.partitionBy("dt").mode("overwrite").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        base.filter(col("dt") === lit("2024-01-10"))
+          .withColumn("value", col("value") * 2)
+          .write.partitionBy("dt").mode("overwrite").parquet(out)
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(out)
+        .groupBy(col("dt").cast("string").as("dt"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // Theil–Sen robust trend — the outlier-immune slope the monitoring
+    // family (q172 CUSUM, q268 changepoint) wants: median of pairwise
+    // slopes. The full estimator is n² pairs — a scale cliff — so this
+    // is the SYSTEMATIC variant: rank each series once (keyed window),
+    // pair row i with row i + n/2 (n/2 disjoint-span pairs, one
+    // self-join on the rank — linear work, statistically the classic
+    // split-pairing form). Same-hour pairs (Δx = 0) are excluded;
+    // the median is an exact interpolated percentile over slopes both
+    // engines compute bit-identically.
+    "q316_theil_sen" -> ((s, d) => {
+      val b = Tables.events(s, d).select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("x"),
+        col("value").as("v"), col("event_id"))
+      val idx = b.select(col("event_type"), col("x"), col("v"),
+        row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("x"), col("event_id"))).cast("long").as("i"),
+        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
+      val lo = idx.filter(col("i") <= expr("n DIV 2"))
+        .select(col("event_type"), col("i"),
+          col("x").as("x1"), col("v").as("v1"))
+      val hi = idx.select(col("event_type"),
+          (col("i") - expr("n DIV 2")).as("i"),
+          col("x").as("x2"), col("v").as("v2"))
+      lo.join(hi, Seq("event_type", "i"))
+        .filter(col("x2") =!= col("x1"))
+        .withColumn("slope",
+          (col("v2") - col("v1")) / (col("x2") - col("x1")).cast("double"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"))
+    }),
+
+    // Classical additive seasonal decomposition — the hour-of-day
+    // profile after detrending with a centered 25-hour moving average
+    // (the STL-shaped question "what does traffic look like net of
+    // trend?"). Everything before the final division is exact integer
+    // algebra: hourly sums ride cents, the detrended residual is kept
+    // as 25·y − Σ₂₅y (no float MA), and edge hours without a full
+    // 25-observation window are excluded rather than half-averaged.
+    // Per-series windows are keyed; the series is hours (bounded).
+    "q317_seasonal_decompose" -> ((s, d) => {
+      val hourly = Tables.events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"),
+          round(col("value") * 100).cast("long").as("__c"))
+        .groupBy("event_type", "h").agg(sum(col("__c")).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-12, 12)
+      hourly.select(col("event_type"), col("h"), col("y"),
+          sum(col("y")).over(w).as("__s25"),
+          count(lit(1)).over(w).as("__k"))
+        .filter(col("__k") === 25)
+        .groupBy(col("event_type"), (col("h") % 24).as("hod"))
+        .agg(count(lit(1)).as("n_obs"),
+          round(sum(col("y") * 25 - col("__s25")).cast("double") /
+            (lit(25.0) * count(lit(1)) * 100), 4).as("seasonal"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -12231,6 +12317,51 @@ object Queries {
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
         | RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // the oracle computes the expected post-backfill table state straight
+    // from the source: day 2024-01-10 doubled, every other day untouched
+    "q315_dynamic_overwrite" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
+        |   THEN value * 2 ELSE value END), 4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q316_theil_sen" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS x, value AS v,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY CAST(epoch_us(ts) // 3600000000 AS BIGINT), event_id)
+        |    AS i,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events),
+        |p AS (
+        | SELECT a.event_type,
+        |  (b2.v - a.v) / CAST(b2.x - a.x AS DOUBLE) AS slope
+        | FROM b a JOIN b b2
+        |  ON a.event_type = b2.event_type AND b2.i = a.i + a.n // 2
+        | WHERE a.i <= a.n // 2 AND b2.x <> a.x)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q317_seasonal_decompose" ->
+      """WITH hourly AS (
+        | SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |t AS (
+        | SELECT event_type, h, y,
+        |  sum(y) OVER w AS s25, count(*) OVER w AS k
+        | FROM hourly
+        | WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
+        |SELECT event_type, CAST(h % 24 AS BIGINT) AS hod,
+        | CAST(count(*) AS BIGINT) AS n_obs,
+        | round(CAST(sum(y * 25 - s25) AS DOUBLE)
+        |   / (25.0 * count(*) * 100), 4) AS seasonal
+        |FROM t WHERE k = 25 GROUP BY 1, 2""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -270,4 +270,38 @@ class AnalyticsSurfaceSpec extends AnyFunSuite {
       .filter(col("user_id") < 30).count()
     assert(out.map(_._3).sum == observed, "zero-fill must not invent events")
   }
+
+  test("q316: the slope median shrugs off an outlier that wrecks the mean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts").toString
+    def t(h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-01T00:00:00Z").plusSeconds(3600L * h))
+    // perfect slope 2/hour over 8 hours, except one wild outlier at h=6.
+    // systematic pairs (i, i+4): slopes (2,2,152/4? ...) — three of the
+    // four pairs hit slope 2, one crosses the outlier -> median 2.0
+    val rows = (0 until 8).map { h =>
+      val v = if (h == 6) 600.0 else 2.0 * h
+      (h.toLong, t(h), "A", v)
+    }
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q316_theil_sen")(spark, dir)
+      .as[(String, Long, Double)].collect()
+    assert(r.toSeq == Seq(("A", 4L, 2.0)))
+  }
+
+  test("q317: a pure linear trend decomposes to an all-zero seasonal profile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
+    def t(h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(3600L * h))
+    // y = h cents: the centered 25-hour MA reproduces y exactly, so every
+    // hour-of-day seasonal is 0; hours 0-11 and 38-49 lack a full window
+    val rows = (0 until 50).map(h => (h.toLong, t(h), "A", h / 100.0))
+    rows.toDF("event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q317_seasonal_decompose")(spark, dir)
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.length == 24 && r.forall(_._4 == 0.0))
+    // full-window hours are 12..37 -> hods 12..23 and 0..11, one or two obs
+    assert(r.map(_._3).sum == 26L)
+  }
 }

@@ -75,4 +75,20 @@ class SnapshotOpsSpec extends AnyFunSuite {
     assert(got.getOrElse("changed", 0L) == changed)
     assert(got.getOrElse("unchanged", 0L) == unchanged)
   }
+
+  test("q315: dynamic overwrite rewrites one day and leaves the rest intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-10 06:00:00"), 10.0),
+        (2L, ts("2024-01-10 18:00:00"), 5.0),
+        (3L, ts("2024-01-11 06:00:00"), 7.0))
+      .toDF("event_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q315_dynamic_overwrite")(spark, dir)
+      .as[(String, Long, Double)].collect()
+      .map { case (dt, c, sv) => dt -> ((c, sv)) }.toMap
+    // day 10 doubled (30.0), day 11 untouched — proving the overwrite was
+    // scoped to the written partition, not a table truncate
+    assert(r == Map("2024-01-10" -> (2L, 30.0), "2024-01-11" -> (1L, 7.0)))
+  }
 }
