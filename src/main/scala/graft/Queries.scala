@@ -6059,6 +6059,167 @@ object Queries {
             (lit(25.0) * count(lit(1)) * 100), 4).as("seasonal"))
     }),
 
+    // Flesch reading ease — the classic readability feature curation
+    // stacks score documents with (alongside q25's length/punct ratios
+    // and q173's Gopher rules). All three inputs are exact integer
+    // counts, one regex pass each: words = [^ ]+ runs, sentences =
+    // [.!?]+ runs floored at 1, syllables = vowel-group runs (the
+    // standard dictionary-free proxy). 206.835 − 1.015·(w/s) −
+    // 84.6·(syl/w) is then fixed-order double algebra over exact ints,
+    // rounded 4dp both engines. Pure projection — the scan streams,
+    // no shuffle at any scale.
+    "q318_flesch_readability" -> ((s, d) => {
+      val counted = doc(s, d).select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
+          .cast("long").as("n_words"),
+        greatest(lit(1L), size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+          .cast("long")).as("n_sentences"),
+        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+          .cast("long").as("n_syllables"))
+      counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0, round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
+          .as("flesch"))
+    }),
+
+    // 1-D energy distance between the click and view value samples —
+    // the two-sample drift test that sees location AND shape (unlike
+    // q148's KS sup-statistic, which a pure tail change can hide from).
+    // The textbook estimator is three n² pairwise kernels — a scale
+    // cliff — but in 1-D every Σ|aᵢ−bⱼ| collapses to prefix algebra
+    // over the shared value order: with exclusive counts/sums of each
+    // sample strictly below v, pairs where v is the LARGER side
+    // contribute mult·(v·cnt_lt − sum_lt), and summing that over
+    // distinct values counts every pair exactly once (ties contribute
+    // 0). GlobalRank's two-phase prefix sums keep the order distributed
+    // (q148's device), so the whole test is one hash agg + bucketed
+    // windows + a 1-row agg — O(n log n). Values ride cents so every
+    // pairwise term is exact integer; sums accumulate in decimal(38,0)
+    // (BIGINT saturates near 10⁹ rows × 10⁵ cents); the final division
+    // is the only float op, rounded 6dp.
+    "q319_energy_distance" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val sc = ev(s, d).filter(col("event_type").isin("click", "view"))
+        .select(round(col("value") * 100).cast("long").as("v"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
+          when(col("event_type") === "view", 1L).otherwise(0L).as("c2"))
+      val g = sc.groupBy("v")
+        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        .withColumn("s1", col("v") * col("n1"))
+        .withColumn("s2", col("v") * col("n2"))
+      val p = graft.operators.GlobalRank.exclusivePrefixSums(
+        g, "v", Seq("n1", "n2", "s1", "s2"))
+      val t = p.agg(
+        sum(col("n1").cast(dec)
+            * (col("v") * col("cum_before_n2") - col("cum_before_s2"))
+          + col("n2").cast(dec)
+            * (col("v") * col("cum_before_n1") - col("cum_before_s1")))
+          .as("sxy"),
+        sum(col("n1").cast(dec)
+          * (col("v") * col("cum_before_n1") - col("cum_before_s1"))).as("sxx2"),
+        sum(col("n2").cast(dec)
+          * (col("v") * col("cum_before_n2") - col("cum_before_s2"))).as("syy2"),
+        sum(col("n1")).as("n"), sum(col("n2")).as("m"))
+      // Σ ordered within-sample pairs = 2·(larger-side sum), so the
+      // n⁻²-weighted within terms carry the same 2.0 as the cross term
+      t.select(col("n").as("n_click"), col("m").as("n_view"),
+        round(lit(2.0) * col("sxy").cast("double")
+            / (col("n").cast("double") * col("m"))
+          - lit(2.0) * col("sxx2").cast("double")
+            / (col("n").cast("double") * col("n"))
+          - lit(2.0) * col("syy2").cast("double")
+            / (col("m").cast("double") * col("m")), 6)
+          .as("energy_dist_cents"))
+    }),
+
+    // Log-rank test — the standard A/B comparison for time-to-event
+    // outcomes (the two-cohort complement of q166's single-sample
+    // Kaplan–Meier curve): cohorts = user_id parity, event time = the
+    // q166 activity span in days, no censoring (every span ends
+    // observed). At each distinct time the observed cohort-A deaths
+    // face the hypergeometric expectation d·n1/n with variance
+    // d·n1/n·n2/n·(n−d)/(n−1); at-risk counts fall out of exclusive
+    // prefix sums over the distinct-day table (bounded by the fixture's
+    // day span, so the unpartitioned window is O(days), q166's shape).
+    // χ² = (Σ(o−e))²/Σv. Integer counts throughout; the per-time
+    // divisions are the only float ops, rounded 4dp after the final
+    // 1-row sums.
+    "q320_logrank_test" -> ((s, d) => {
+      val spans = ev(s, d).groupBy(col("user_id"))
+        .agg(datediff(max(col("ts")), min(col("ts"))).cast("long").as("t"))
+        .select(col("t"), (col("user_id") % 2).as("g"))
+      val dt = spans.groupBy("t").agg(
+        sum(when(col("g") === 0, 1L).otherwise(0L)).as("d1"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("d2"))
+      val tot = dt.agg(sum(col("d1")).as("__N1"), sum(col("d2")).as("__N2"))
+      val wp = Window.orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = dt.crossJoin(broadcast(tot))
+        .withColumn("n1", col("__N1") - coalesce(sum(col("d1")).over(wp), lit(0L)))
+        .withColumn("n2", col("__N2") - coalesce(sum(col("d2")).over(wp), lit(0L)))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("dd", col("d1") + col("d2"))
+        .filter(col("n") > 1) // n=1 terms contribute 0 to o−e, v undefined
+      val r = base.agg(
+        max(col("__N1")).as("n_a"), max(col("__N2")).as("n_b"),
+        sum(col("d1")).as("o1"),
+        sum(col("dd").cast("double") * col("n1") / col("n")).as("e1"),
+        sum(col("dd").cast("double") * col("n1") / col("n") * col("n2")
+          / col("n") * (col("n") - col("dd")) / (col("n") - 1)).as("v1"))
+      r.select(col("n_a"), col("n_b"), col("o1"),
+        round(col("e1"), 4).as("e1"),
+        round(when(col("v1") > 0,
+          (col("o1") - col("e1")) * (col("o1") - col("e1")) / col("v1")), 4)
+          .as("chi2"))
+    }),
+
+    // Difference-in-differences — the workhorse quasi-experimental
+    // estimator: cohort = user_id parity (odd = treated), period = the
+    // fixture midpoint (post = day ≥ 2024-01-16), outcome = value. The
+    // 2×2 cell-mean double difference nets out both the cohort baseline
+    // and the common time shock; SE is the pooled variance of a
+    // difference of four independent means (√Σ sᵢ²/nᵢ). Cents-exact
+    // moments (Σc, Σc² in decimal(38,0) — c² sums pass BIGINT around
+    // 10¹⁰ rows) make every cell statistic exact integer algebra until
+    // the divisions, guarded against empty/singleton/zero-variance
+    // cells to deterministic NULL (the q246 ANSI lesson). One
+    // conditional aggregate — nothing shuffles wider than 4 rows.
+    "q321_diff_in_diff" -> ((s, d) => {
+      val g = ev(s, d).select(
+          (col("user_id") % 2).as("tr"),
+          when(to_date(col("ts")) >= lit("2024-01-16"), 1L)
+            .otherwise(0L).as("po"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("tr", "po").agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
+      def pick(t: Int, p: Int, c: String) =
+        max(when(col("tr") === t && col("po") === p, col(c)))
+      val r = g.agg(
+        pick(0, 0, "n").as("n00"), pick(0, 1, "n").as("n01"),
+        pick(1, 0, "n").as("n10"), pick(1, 1, "n").as("n11"),
+        pick(0, 0, "s").as("s00"), pick(0, 1, "s").as("s01"),
+        pick(1, 0, "s").as("s10"), pick(1, 1, "s").as("s11"),
+        pick(0, 0, "q").as("q00"), pick(0, 1, "q").as("q01"),
+        pick(1, 0, "q").as("q10"), pick(1, 1, "q").as("q11"))
+      def m(sc: String, n: String) = col(sc).cast("double") / col(n)
+      def v(q: String, sc: String, n: String) = when(col(n) > 1,
+        (col(q).cast("double") - col(sc).cast("double") * col(sc) / col(n))
+          / (col(n) - 1))
+      val didC = when(col("n00") > 0 && col("n01") > 0
+          && col("n10") > 0 && col("n11") > 0,
+        (m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")))
+      val seVar = v("q00", "s00", "n00") / col("n00") +
+        v("q01", "s01", "n01") / col("n01") +
+        v("q10", "s10", "n10") / col("n10") +
+        v("q11", "s11", "n11") / col("n11")
+      r.select(col("n00"), col("n01"), col("n10"), col("n11"),
+        round(didC / 100, 4).as("did"),
+        round(when(seVar > 0, sqrt(seVar) / 100), 4).as("se"),
+        round(when(seVar > 0, didC / sqrt(seVar)), 4).as("t_stat"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -12362,6 +12523,134 @@ object Queries {
         | round(CAST(sum(y * 25 - s25) AS DOUBLE)
         |   / (25.0 * count(*) * 100), 4) AS seasonal
         |FROM t WHERE k = 25 GROUP BY 1, 2""".stripMargin,
+
+    "q318_flesch_readability" ->
+      """WITH c AS (
+        | SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT)
+        |    AS n_words,
+        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+', 0)))
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))
+        |    AS BIGINT) AS n_syllables
+        | FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CASE WHEN n_words > 0 THEN
+        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END AS flesch
+        |FROM c""".stripMargin,
+
+    // the same larger-side prefix algebra; DuckDB's integer sums widen
+    // to HUGEINT, mirroring the Spark side's decimal(38,0) accumulators
+    "q319_energy_distance" ->
+      """WITH sc AS (
+        | SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
+        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c2
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |g AS (SELECT v, CAST(sum(c1) AS BIGINT) AS n1,
+        |  CAST(sum(c2) AS BIGINT) AS n2 FROM sc GROUP BY 1),
+        |p AS (
+        | SELECT v, n1, n2,
+        |  coalesce(CAST(sum(n1) OVER w AS BIGINT), 0) AS c1lt,
+        |  coalesce(CAST(sum(n2) OVER w AS BIGINT), 0) AS c2lt,
+        |  coalesce(CAST(sum(v * n1) OVER w AS BIGINT), 0) AS s1lt,
+        |  coalesce(CAST(sum(v * n2) OVER w AS BIGINT), 0) AS s2lt
+        | FROM g WINDOW w AS (ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |t AS (
+        | SELECT sum(n1 * (v * c2lt - s2lt) + n2 * (v * c1lt - s1lt)) AS sxy,
+        |  sum(n1 * (v * c1lt - s1lt)) AS sxx2,
+        |  sum(n2 * (v * c2lt - s2lt)) AS syy2,
+        |  CAST(sum(n1) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS m
+        | FROM p)
+        |SELECT n AS n_click, m AS n_view,
+        | round(2.0 * CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m)
+        |  - 2.0 * CAST(sxx2 AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+        |  - 2.0 * CAST(syy2 AS DOUBLE) / (CAST(m AS DOUBLE) * m), 6)
+        |  AS energy_dist_cents
+        |FROM t""".stripMargin,
+
+    "q320_logrank_test" ->
+      """WITH spans AS (
+        | SELECT user_id, date_diff('day', CAST(min(ts) AS DATE),
+        |   CAST(max(ts) AS DATE)) AS t
+        | FROM events GROUP BY 1),
+        |g AS (SELECT CAST(t AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d1,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS d2
+        | FROM spans GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d1) AS BIGINT) AS na,
+        |               CAST(sum(d2) AS BIGINT) AS nb FROM g),
+        |base AS (
+        | SELECT t, d1, d2, na, nb,
+        |  na - coalesce(CAST(sum(d1) OVER w AS BIGINT), 0) AS n1,
+        |  nb - coalesce(CAST(sum(d2) OVER w AS BIGINT), 0) AS n2
+        | FROM g, tot
+        | WINDOW w AS (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |f AS (
+        | SELECT na, nb, d1, d1 + d2 AS dd, n1, n2, n1 + n2 AS n
+        | FROM base WHERE n1 + n2 > 1),
+        |r AS (
+        | SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  CAST(sum(d1) AS BIGINT) AS o1,
+        |  sum(CAST(dd AS DOUBLE) * n1 / n) AS e1,
+        |  sum(CAST(dd AS DOUBLE) * n1 / n * n2 / n * (n - dd) / (n - 1))
+        |    AS v1
+        | FROM f)
+        |SELECT n_a, n_b, o1, round(e1, 4) AS e1,
+        | round(CASE WHEN v1 > 0
+        |   THEN (o1 - e1) * (o1 - e1) / v1 END, 4) AS chi2
+        |FROM r""".stripMargin,
+
+    "q321_diff_in_diff" ->
+      """WITH g AS (
+        | SELECT user_id % 2 AS tr,
+        |  CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END
+        |    AS po,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |a AS (SELECT tr, po, CAST(count(*) AS BIGINT) AS n,
+        |  sum(c) AS s, sum(c * c) AS q FROM g GROUP BY 1, 2),
+        |p AS (SELECT
+        |  max(CASE WHEN tr = 0 AND po = 0 THEN n END) AS n00,
+        |  max(CASE WHEN tr = 0 AND po = 1 THEN n END) AS n01,
+        |  max(CASE WHEN tr = 1 AND po = 0 THEN n END) AS n10,
+        |  max(CASE WHEN tr = 1 AND po = 1 THEN n END) AS n11,
+        |  max(CASE WHEN tr = 0 AND po = 0 THEN s END) AS s00,
+        |  max(CASE WHEN tr = 0 AND po = 1 THEN s END) AS s01,
+        |  max(CASE WHEN tr = 1 AND po = 0 THEN s END) AS s10,
+        |  max(CASE WHEN tr = 1 AND po = 1 THEN s END) AS s11,
+        |  max(CASE WHEN tr = 0 AND po = 0 THEN q END) AS q00,
+        |  max(CASE WHEN tr = 0 AND po = 1 THEN q END) AS q01,
+        |  max(CASE WHEN tr = 1 AND po = 0 THEN q END) AS q10,
+        |  max(CASE WHEN tr = 1 AND po = 1 THEN q END) AS q11
+        | FROM a),
+        |m AS (
+        | SELECT n00, n01, n10, n11,
+        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
+        |   (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
+        |    - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
+        |  END AS did_c,
+        |  CASE WHEN n00 > 1 THEN (CAST(q00 AS DOUBLE)
+        |    - CAST(s00 AS DOUBLE) * s00 / n00) / (n00 - 1) END / n00
+        |  + CASE WHEN n01 > 1 THEN (CAST(q01 AS DOUBLE)
+        |    - CAST(s01 AS DOUBLE) * s01 / n01) / (n01 - 1) END / n01
+        |  + CASE WHEN n10 > 1 THEN (CAST(q10 AS DOUBLE)
+        |    - CAST(s10 AS DOUBLE) * s10 / n10) / (n10 - 1) END / n10
+        |  + CASE WHEN n11 > 1 THEN (CAST(q11 AS DOUBLE)
+        |    - CAST(s11 AS DOUBLE) * s11 / n11) / (n11 - 1) END / n11
+        |    AS sevar
+        | FROM p)
+        |SELECT n00, n01, n10, n11,
+        | round(did_c / 100, 4) AS did,
+        | round(CASE WHEN sevar > 0 THEN sqrt(sevar) / 100 END, 4) AS se,
+        | round(CASE WHEN sevar > 0 THEN did_c / sqrt(sevar) END, 4)
+        |   AS t_stat
+        |FROM m""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -154,4 +154,71 @@ class StatsSpec extends AnyFunSuite {
     assert(out.map(_._2).sum == docs.filter(col("doc_id") % 2 === 0).count())
     assert(out.map(_._3).sum == docs.filter(col("doc_id") % 2 === 1).count())
   }
+
+  test("q319 energy distance matches the hand-computed 2x2 interleave") {
+    // clicks at cents {0, 2}, views at {1, 3}:
+    // Sxy = 1+3+1+1 = 6, Sxx = 2*|0-2| = 4, Syy = 2*|1-3| = 4
+    // E = 2*6/4 - 4/4 - 4/4 = 1.0 (cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ed").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t0, 1L, "click", 0.00), (2L, t0, 1L, "click", 0.02),
+        (3L, t0, 2L, "view", 0.01), (4L, t0, 2L, "view", 0.03),
+        (5L, t0, 3L, "error", 9.99)) // non-member type must be ignored
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q319_energy_distance")(spark, dir)
+      .as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((2L, 2L, 1.0)))
+  }
+
+  test("q320 log-rank on a two-user fixture hits the closed-form chi2") {
+    // user 0 (cohort A) span 1 day, user 1 (cohort B) span 2 days.
+    // t=1: n1=1, n2=1, d=1 -> e1 = 0.5, v = 0.25; t=2 has n=1, dropped.
+    // chi2 = (1 - 0.5)^2 / 0.25 = 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft_lr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    Seq((1L, ts("2024-01-01 08:00:00"), 0L, "view", 1.0),
+        (2L, ts("2024-01-02 08:00:00"), 0L, "view", 1.0),
+        (3L, ts("2024-01-01 08:00:00"), 1L, "view", 1.0),
+        (4L, ts("2024-01-03 08:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q320_logrank_test")(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r.toSeq == Seq((1L, 1L, 1L, 0.5, 1.0)))
+  }
+
+  test("q321 diff-in-diff matches the hand-computed 2x2 cells") {
+    // ctrl pre {10,12} post {11,13}; treat pre {20,22} post {30,36}
+    // means 11, 12, 21, 33 -> did = (33-21) - (12-11) = 11.0
+    // cell variances (cents^2): 20000 x3, 180000; sevar = 120000
+    // se = sqrt(120000)/100 = 3.4641; t = 1100/sqrt(120000) = 3.1754
+    val dir = java.nio.file.Files.createTempDirectory("graft_did").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre = ts("2024-01-10 12:00:00"); val post = ts("2024-01-20 12:00:00")
+    Seq((1L, pre, 0L, 10.0), (2L, pre, 0L, 12.0),
+        (3L, post, 0L, 11.0), (4L, post, 0L, 13.0),
+        (5L, pre, 1L, 20.0), (6L, pre, 1L, 22.0),
+        (7L, post, 1L, 30.0), (8L, post, 1L, 36.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q321_diff_in_diff")(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(r.toSeq == Seq((2L, 2L, 2L, 2L, 11.0, 3.4641, 3.1754)))
+  }
+
+  test("q321 zero-variance cells yield NULL se/t, never NaN or a crash") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_did0").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre = ts("2024-01-10 12:00:00"); val post = ts("2024-01-20 12:00:00")
+    Seq((1L, pre, 0L, 5.0), (2L, pre, 0L, 5.0),
+        (3L, post, 0L, 5.0), (4L, post, 0L, 5.0),
+        (5L, pre, 1L, 5.0), (6L, pre, 1L, 5.0),
+        (7L, post, 1L, 9.0), (8L, post, 1L, 9.0))
+      .toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q321_diff_in_diff")(spark, dir).collect()(0)
+    assert(r.getAs[Double]("did") == 4.0)
+    assert(r.isNullAt(r.fieldIndex("se")) && r.isNullAt(r.fieldIndex("t_stat")))
+  }
 }

@@ -64,4 +64,19 @@ class TextProfileSpec extends AnyFunSuite {
         Text.tokenCount(col("text")).as("b"))
     assert(df.filter(col("a") =!= col("b")).isEmpty)
   }
+
+  test("q318 Flesch on a planted sentence matches the hand computation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fl").toString
+    // "Hello world. This is fun!": 5 words, 2 sentences, vowel-group
+    // syllables 2+1+1+1+1 = 6 -> 206.835 - 1.015*2.5 - 84.6*1.2 = 102.7775
+    Seq((1L, "Hello world. This is fun!"), (2L, ""))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Queries.queries("q318_flesch_readability")(spark, dir)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 5L, 2L, 6L, Some(102.7775))))
+    // empty text: zero words floors sentences at 1 and nulls the score
+    assert(r(1) == ((2L, 0L, 1L, 0L, None)))
+  }
 }
