@@ -6220,6 +6220,206 @@ object Queries {
         round(when(seVar > 0, didC / sqrt(seVar)), 4).as("t_stat"))
     }),
 
+    // U-shaped (position-based) multi-touch attribution — the
+    // fractional-credit refinement of q231's first/last-touch: each
+    // purchase's hour-window click path pays 40% to the first touch,
+    // 40% to the last, and splits 20% across the middle (1.0 / 0.5–0.5
+    // for paths of one/two). Same banded equi-join as q231 (a click's
+    // hour band meets the purchase's two probe bands — never a raw
+    // theta join), then per-purchase rank windows (bounded by path
+    // length) and one hour-of-day roll-up. Credits are exact binary
+    // fractions except the middle split; the aggregate is rounded 4dp.
+    "q322_position_attribution" -> ((s, d) => {
+      val hourUs = 3600000000L
+      val evd = ev_(s, d)
+      val purchases = evd.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("tsu").as("ptsu"))
+      val clicks = evd.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id"),
+          col("tsu").as("ctsu"))
+        .withColumn("band", expr(s"ctsu DIV $hourUs"))
+      val probes = purchases.withColumn("band",
+        explode(array(expr(s"ptsu DIV $hourUs"),
+          expr(s"ptsu DIV $hourUs - 1"))))
+      val j = probes.join(clicks, Seq("band", "user_id"))
+        .filter(col("ctsu") <= col("ptsu") &&
+          col("ctsu") >= col("ptsu") - hourUs)
+        .select(col("pid"), col("cid"), col("ctsu"))
+      val ranked = j
+        .withColumn("i", row_number().over(
+          Window.partitionBy("pid").orderBy(col("ctsu").asc, col("cid").asc)))
+        .withColumn("nc", count(lit(1)).over(Window.partitionBy("pid")))
+      ranked.withColumn("credit",
+          when(col("nc") === 1, lit(1.0))
+            .when(col("nc") === 2, lit(0.5))
+            .when(col("i") === 1 || col("i") === col("nc"), lit(0.4))
+            .otherwise(lit(0.2) / (col("nc") - 2)))
+        .groupBy(expr(s"ctsu DIV $hourUs % 24").as("hod"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum(col("credit")), 4).as("credit"))
+    }),
+
+    // Lead–lag cross-correlation between hourly click and purchase
+    // counts at lags −3…+3 — "how many hours does conversion trail
+    // traffic?", the two-series companion of q167's ACF and its exact
+    // shape: one hourly hash agg, a 7-way explode of the bounded hour
+    // relation, one integer equi-join per lag, and Pearson from exact
+    // integer sums (bit-deterministic doubles — no rounding seam).
+    // Degenerate variance guards to NULL (the q246 ANSI lesson).
+    "q323_cross_correlation" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val lags = hourly.select(col("h"), col("x"),
+        explode(sequence(lit(-3L), lit(3L))).as("lag"))
+      lags.alias("a")
+        .join(hourly.alias("b"), col("b.h") === col("a.h") + col("a.lag"))
+        .select(col("a.lag").as("lag"), col("a.x").as("x"), col("b.y").as("y"))
+        .groupBy("lag").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"))
+        .select(col("lag"), col("n"),
+          when(col("n") * col("sx2") - col("sx") * col("sx") > 0 &&
+               col("n") * col("sy2") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
+                * (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")))
+            .as("ccf"))
+    }),
+
+    // Hurst exponent via rescaled-range (R/S) analysis — the
+    // long-range-dependence screen for the event stream (H≈0.5 is
+    // memoryless; H→1 is trending/bursty, q284's burstiness seen at
+    // range scale). The series is the bounded hourly-count relation;
+    // for block sizes 8/16/32/64 every full block computes R from the
+    // SCALED cumulative deviation bn·Σ≤j(c) − j·Σ(c) — exact integers,
+    // no float mean subtraction — and S from exact moments, so the only
+    // floats are the final per-block division, the per-size mean
+    // (rounded 6dp BEFORE the log so both engines regress identical
+    // inputs), and the 4-point log-log slope. Windows are keyed by
+    // (size, block); the one unpartitioned window ranks the bounded
+    // hour relation (q166's shape).
+    "q324_hurst_exponent" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val idx = hourly.withColumn("i",
+        row_number().over(Window.orderBy("h")).cast("long") - 1)
+      val sized = idx.select(col("i"), col("c"),
+          explode(expr("array(bigint(8), bigint(16), bigint(32), bigint(64))"))
+            .as("bn"))
+        .withColumn("blk", expr("i DIV bn"))
+        .withColumn("j", expr("i % bn") + 1)
+      val wb = Window.partitionBy("bn", "blk").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.partitionBy("bn", "blk")
+      val dev = sized
+        .withColumn("pc", sum(col("c")).over(wb))
+        .withColumn("s", sum(col("c")).over(wall))
+        .withColumn("q", sum(col("c") * col("c")).over(wall))
+        .withColumn("k", count(lit(1)).over(wall))
+        .filter(col("k") === col("bn"))
+        .withColumn("z", col("bn") * col("pc") - col("j") * col("s"))
+      val blocks = dev.groupBy("bn", "blk").agg(
+        (max(col("z")) - min(col("z"))).as("rs_scaled"),
+        max(col("s")).as("s"), max(col("q")).as("q"))
+      val rs = blocks
+        .withColumn("varS",
+          (col("q").cast("double") - col("s").cast("double") * col("s")
+            / col("bn")) / (col("bn") - 1))
+        .filter(col("varS") > 0)
+        .withColumn("rs",
+          col("rs_scaled").cast("double") / col("bn") / sqrt(col("varS")))
+      val pts = rs.groupBy("bn").agg(count(lit(1)).as("nblk"),
+        round(avg(col("rs")), 6).as("mean_rs"))
+      val pt = pts.select(col("bn"), col("nblk"), col("mean_rs"),
+        log(col("bn").cast("double")).as("lx"), log(col("mean_rs")).as("ly"))
+      val o = pt.agg(count(lit(1)).as("k"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sx2"))
+      pt.crossJoin(broadcast(o))
+        .select(col("bn"), col("nblk"), col("mean_rs"),
+          round((col("k") * col("sxy") - col("sx") * col("sy"))
+            / (col("k") * col("sx2") - col("sx") * col("sx")), 4).as("hurst"))
+    }),
+
+    // Effect-size panel — the "is it LARGE, not just significant?"
+    // companions to the q145/q21/q191 test family, on their own
+    // comparisons: Cohen's d (click vs view values, pooled-variance
+    // standardized difference), Cramér's V (event_type × epoch-day%7
+    // contingency — %7, not dayofweek(), whose week-start convention
+    // differs between engines), and rank-biserial r = 1 − 2U/(n₁n₂)
+    // from the q191 doubled-midrank device (exact integers until one
+    // division). Cents-exact moments in decimal(38,0); three 1-row
+    // aggregates meet on broadcast cross joins.
+    "q325_effect_sizes" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val base = ev(s, d).filter(col("event_type").isin("click", "view"))
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast("long").as("c"))
+      val mom = base.agg(
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("g") === "click", col("c")).otherwise(0L)).as("s1"),
+        sum(when(col("g") === "click", (col("c") * col("c")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("q1"),
+        sum(when(col("g") === "view", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g") === "view", col("c")).otherwise(0L)).as("s2"),
+        sum(when(col("g") === "view", (col("c") * col("c")).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("q2"))
+      val dCol = mom.select(col("n1"), col("n2"),
+        ((col("s1").cast("double") / col("n1")
+            - col("s2").cast("double") / col("n2"))
+          / sqrt(((col("q1").cast("double")
+              - col("s1").cast("double") * col("s1") / col("n1"))
+            + (col("q2").cast("double")
+              - col("s2").cast("double") * col("s2") / col("n2")))
+            / (col("n1") + col("n2") - 2))).as("__d"))
+      val ct = ev(s, d).select(col("event_type").as("et"),
+          (datediff(to_date(col("ts")), lit("1970-01-01")).cast("long") % 7)
+            .as("dow"))
+        .groupBy("et", "dow").agg(count(lit(1)).as("o"))
+      val rm = ct.groupBy("et").agg(sum(col("o")).as("rm"))
+      val cm = ct.groupBy("dow").agg(sum(col("o")).as("cm"))
+      val nn = ct.agg(sum(col("o")).as("nn"),
+        countDistinct(col("et")).as("r"), countDistinct(col("dow")).as("cc"))
+      // the FULL margin grid, not just observed cells — an empty et×dow
+      // cell still contributes (0−e)²/e (the q311 missing-bucket lesson)
+      val chi = rm.crossJoin(cm).join(ct, Seq("et", "dow"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(nn))
+        .select(
+          (col("o").cast("double")
+            - col("rm").cast("double") * col("cm") / col("nn")).as("__dv"),
+          col("rm"), col("cm"), col("nn"), col("r"), col("cc"))
+        .select((col("__dv") * col("__dv")
+            / (col("rm").cast("double") * col("cm") / col("nn"))).as("term"),
+          col("nn"), col("r"), col("cc"))
+        .agg(sum(col("term")).as("chi2"), max(col("nn")).as("nn"),
+          max(col("r")).as("r"), max(col("cc")).as("cc"))
+        .select(sqrt(col("chi2") / (col("nn").cast("double")
+          * least(col("r") - 1, col("cc") - 1))).as("__v"))
+      val byV = base.groupBy("c").agg(count(lit(1)).as("t"),
+        sum(when(col("g") === "click", 1L).otherwise(0L)).as("ta"))
+      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byV, "c", "t")
+      val rb = pp.agg(
+        sum(col("ta").cast(dec)
+          * (lit(2) * col("cum_before") + col("t") + 1)).as("r2a"),
+        sum(col("ta")).as("na"), sum(col("t") - col("ta")).as("nb"))
+        .select((lit(1.0)
+          - (col("r2a") - col("na").cast(dec) * (col("na") + 1)).cast("double")
+            / (col("na").cast("double") * col("nb"))).as("__rb"))
+      dCol.crossJoin(broadcast(chi)).crossJoin(broadcast(rb))
+        .select(col("n1").as("n_click"), col("n2").as("n_view"),
+          round(col("__d"), 4).as("cohens_d"),
+          round(col("__v"), 4).as("cramers_v"),
+          round(col("__rb"), 4).as("rank_biserial"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -12651,6 +12851,171 @@ object Queries {
         | round(CASE WHEN sevar > 0 THEN did_c / sqrt(sevar) END, 4)
         |   AS t_stat
         |FROM m""".stripMargin,
+
+    // the banded join is semantically the plain interval join (bands
+    // only bound the probe space), so the oracle states it directly
+    "q322_position_attribution" ->
+      """WITH p AS (
+        | SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
+        | FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        | SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu
+        | FROM events WHERE event_type = 'click'),
+        |j AS (
+        | SELECT p.pid, c.cid, c.ctsu FROM p JOIN c
+        |  ON p.user_id = c.user_id
+        |  AND c.ctsu <= p.ptsu AND c.ctsu >= p.ptsu - 3600000000),
+        |r AS (
+        | SELECT ctsu,
+        |  row_number() OVER (PARTITION BY pid ORDER BY ctsu, cid) AS i,
+        |  count(*) OVER (PARTITION BY pid) AS nc
+        | FROM j),
+        |cr AS (
+        | SELECT ctsu,
+        |  CASE WHEN nc = 1 THEN CAST(1.0 AS DOUBLE)
+        |   WHEN nc = 2 THEN CAST(0.5 AS DOUBLE)
+        |   WHEN i = 1 OR i = nc THEN CAST(0.4 AS DOUBLE)
+        |   ELSE CAST(0.2 AS DOUBLE) / (nc - 2) END AS credit
+        | FROM r)
+        |SELECT CAST(ctsu // 3600000000 % 24 AS BIGINT) AS hod,
+        | CAST(count(*) AS BIGINT) AS n_touches,
+        | round(sum(credit), 4) AS credit
+        |FROM cr GROUP BY 1""".stripMargin,
+
+    "q323_cross_correlation" ->
+      """WITH hourly AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |lg AS (
+        | SELECT a.lag, a.x, b.y
+        | FROM (SELECT h, x, CAST(unnest([-3, -2, -1, 0, 1, 2, 3])
+        |         AS BIGINT) AS lag FROM hourly) a
+        | JOIN hourly b ON b.h = a.h + a.lag),
+        |ag AS (
+        | SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sx2,
+        |  CAST(sum(y * y) AS BIGINT) AS sy2
+        | FROM lg GROUP BY 1)
+        |SELECT lag, n,
+        | CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0 THEN
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |   / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
+        |     * CAST(n * sy2 - sy * sy AS DOUBLE)) END AS ccf
+        |FROM ag""".stripMargin,
+
+    "q324_hurst_exponent" ->
+      """WITH hourly AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |idx AS (SELECT c,
+        |  CAST(row_number() OVER (ORDER BY h) AS BIGINT) - 1 AS i
+        | FROM hourly),
+        |sized AS (
+        | SELECT i, c, bn, i // bn AS blk, i % bn + 1 AS j
+        | FROM idx, (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS bn) b),
+        |dev AS (
+        | SELECT bn, blk, j, i, c,
+        |  sum(c) OVER (PARTITION BY bn, blk ORDER BY i
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+        |  sum(c) OVER (PARTITION BY bn, blk) AS s,
+        |  sum(c * c) OVER (PARTITION BY bn, blk) AS q,
+        |  count(*) OVER (PARTITION BY bn, blk) AS k
+        | FROM sized),
+        |f AS (SELECT bn, blk, bn * pc - j * s AS z, s, q
+        | FROM dev WHERE k = bn),
+        |blocks AS (
+        | SELECT bn, blk, max(z) - min(z) AS rs_scaled,
+        |  max(s) AS s, max(q) AS q
+        | FROM f GROUP BY 1, 2),
+        |rs AS (
+        | SELECT bn, CAST(rs_scaled AS DOUBLE) / bn
+        |   / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / bn)
+        |     / (bn - 1)) AS rs
+        | FROM blocks
+        | WHERE (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / bn)
+        |   / (bn - 1) > 0),
+        |pts AS (SELECT CAST(bn AS BIGINT) AS bn,
+        |  CAST(count(*) AS BIGINT) AS nblk,
+        |  round(avg(rs), 6) AS mean_rs FROM rs GROUP BY 1),
+        |pt AS (SELECT bn, nblk, mean_rs,
+        |  ln(CAST(bn AS DOUBLE)) AS lx, ln(mean_rs) AS ly FROM pts),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  sum(lx) AS sx, sum(ly) AS sy,
+        |  sum(lx * ly) AS sxy, sum(lx * lx) AS sx2 FROM pt)
+        |SELECT bn, nblk, mean_rs,
+        | round((k * sxy - sx * sy) / (k * sx2 - sx * sx), 4) AS hurst
+        |FROM pt, o""".stripMargin,
+
+    "q325_effect_sizes" ->
+      """WITH base AS (
+        | SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |mom AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  sum(CASE WHEN g = 'click' THEN c ELSE 0 END) AS s1,
+        |  sum(CASE WHEN g = 'click' THEN c * c ELSE 0 END) AS q1,
+        |  CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  sum(CASE WHEN g = 'view' THEN c ELSE 0 END) AS s2,
+        |  sum(CASE WHEN g = 'view' THEN c * c ELSE 0 END) AS q2
+        | FROM base),
+        |dd AS (
+        | SELECT n1, n2,
+        |  (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |   / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+        |     / (n1 + n2 - 2)) AS d
+        | FROM mom),
+        |ct AS (
+        | SELECT event_type AS et,
+        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+        |  CAST(count(*) AS BIGINT) AS o
+        | FROM events GROUP BY 1, 2),
+        |rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS rm FROM ct GROUP BY 1),
+        |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cm FROM ct GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |  CAST(count(DISTINCT et) AS BIGINT) AS r,
+        |  CAST(count(DISTINCT dow) AS BIGINT) AS cc FROM ct),
+        |grid AS (
+        | SELECT coalesce(ct.o, 0) AS o, rm.rm, cm.cm
+        | FROM rm CROSS JOIN cm
+        | LEFT JOIN ct ON ct.et = rm.et AND ct.dow = cm.dow),
+        |chi AS (
+        | SELECT sqrt(sum(
+        |   (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * cm / nn)
+        |   * (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * cm / nn)
+        |   / (CAST(rm AS DOUBLE) * cm / nn))
+        |  / (CAST(max(nn) AS DOUBLE) * least(max(r) - 1, max(cc) - 1)))
+        |  AS v
+        | FROM grid CROSS JOIN nn),
+        |byv AS (
+        | SELECT c, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+        | FROM base GROUP BY 1),
+        |pp AS (
+        | SELECT t, ta, coalesce(CAST(sum(t) OVER (ORDER BY c
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS cum_before
+        | FROM byv),
+        |tots AS (SELECT CAST(sum(ta) AS BIGINT) AS na,
+        |  CAST(sum(t - ta) AS BIGINT) AS nb FROM pp),
+        |rb AS (
+        | SELECT 1.0 - CAST(sum(ta * (2 * cum_before + t + 1))
+        |    - na * (na + 1) AS DOUBLE)
+        |   / (CAST(na AS DOUBLE) * nb) AS rb
+        | FROM pp, tots GROUP BY na, nb)
+        |SELECT n1 AS n_click, n2 AS n_view,
+        | round(d, 4) AS cohens_d,
+        | round(v, 4) AS cramers_v,
+        | round(rb, 4) AS rank_biserial
+        |FROM dd, chi, rb""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

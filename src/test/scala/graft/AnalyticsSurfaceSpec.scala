@@ -289,6 +289,76 @@ class AnalyticsSurfaceSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(("A", 4L, 2.0)))
   }
 
+  test("q322: U-shaped credit splits 40/20/40 and solo clicks take 1.0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ush").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: purchase 10:30 with clicks 09:35 / 10:00 / 10:15 (path of 3,
+    // first crosses the hour-band boundary); user 2: one click -> 1.0
+    Seq((1L, ts("2024-01-05 10:30:00"), 1L, "purchase", 9.0),
+        (2L, ts("2024-01-05 09:35:00"), 1L, "click", 1.0),
+        (3L, ts("2024-01-05 10:00:00"), 1L, "click", 1.0),
+        (4L, ts("2024-01-05 10:15:00"), 1L, "click", 1.0),
+        (5L, ts("2024-01-05 12:00:00"), 2L, "purchase", 9.0),
+        (6L, ts("2024-01-05 11:30:00"), 2L, "click", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q322_position_attribution")(spark, dir)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((9L, 1L, 0.4), (10L, 2L, 0.6), (11L, 1L, 1.0)))
+  }
+
+  test("q323: a one-hour click->purchase echo correlates exactly at lag +1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccf").toString
+    def t(h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(3600L * h))
+    val clicksPerHour = Seq(1, 2, 3, 1, 2, 3)
+    val rows = clicksPerHour.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(k => (h * 100L + k, t(h), 1L, "click", 1.0)) ++
+        (0 until c).map(k => (h * 100L + 50 + k, t(h + 1), 1L, "purchase", 1.0))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q323_cross_correlation")(spark, dir)
+      .as[(Long, Long, Option[Double])].collect().map(x => x._1 -> x).toMap
+    // purchases are exactly last hour's clicks: perfect correlation, and
+    // the ratio of equal exact-integer factors is bit-exact 1.0
+    assert(r(1L) == ((1L, 6L, Some(1.0))))
+  }
+
+  test("q324: alternating series is anti-persistent with closed-form R/S") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hurst").toString
+    def t(h: Int) = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(3600L * h))
+    val alt = (0 until 128).flatMap { h =>
+      (0 until (if (h % 2 == 0) 1 else 2)).map(k =>
+        (h * 10L + k, t(h), 1L, "view", 1.0))
+    }
+    alt.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q324_hurst_exponent")(spark, dir)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    // per-block R/S is identical across blocks: R = 0.5 always (the
+    // cumulative deviation sawtooths between -bn/2-scaled and 0), and
+    // S^2 = (q - s^2/bn)/(bn-1) with exact integer moments
+    val expected = Seq(8L -> 0.935414, 16L -> 0.968246,
+      32L -> 0.984251, 64L -> 0.992157)
+    assert(r.map(x => x._1 -> x._3).toSeq == expected)
+    assert(r.map(_._2).toSeq == Seq(16L, 8L, 4L, 2L))
+    val h = r.head._4
+    assert(r.forall(_._4 == h) && h < 0.1, s"alternating series hurst $h")
+
+    // monotonic trend: cumulative deviations grow with the block, H -> 1
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_hurst2").toString
+    val trend = (0 until 128).flatMap { h =>
+      (0 to h).map(k => (h * 1000L + k, t(h), 1L, "view", 1.0))
+    }
+    trend.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val h2 = Queries.queries("q324_hurst_exponent")(spark, dir2)
+      .select("hurst").as[Double].head()
+    assert(h2 > 0.85, s"trending series hurst $h2")
+  }
+
   test("q317: a pure linear trend decomposes to an all-zero seasonal profile") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sd").toString
     def t(h: Int) = java.sql.Timestamp.from(

@@ -207,6 +207,23 @@ class StatsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((2L, 2L, 2L, 2L, 11.0, 3.4641, 3.1754)))
   }
 
+  test("q325 effect sizes hit exact values on a separable 2x3 fixture") {
+    // clicks {1,2,3} vs views {4,5,6} dollars, clicks on day 1 / views on
+    // day 2: d = (200-500)/100 = -3 (pooled sd exactly 100 cents),
+    // V = sqrt(chi2/n) = 1 for the diagonal 2x2, rb = 1 (U_click = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_eff").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val d1 = ts("2024-01-01 10:00:00"); val d2 = ts("2024-01-02 10:00:00")
+    Seq((1L, d1, 1L, "click", 1.0), (2L, d1, 1L, "click", 2.0),
+        (3L, d1, 1L, "click", 3.0), (4L, d2, 1L, "view", 4.0),
+        (5L, d2, 1L, "view", 5.0), (6L, d2, 1L, "view", 6.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Queries.queries("q325_effect_sizes")(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(r.toSeq == Seq((3L, 3L, -3.0, 1.0, 1.0)))
+  }
+
   test("q321 zero-variance cells yield NULL se/t, never NaN or a crash") {
     val dir = java.nio.file.Files.createTempDirectory("graft_did0").toString
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
