@@ -6420,6 +6420,124 @@ object Queries {
           round(col("__rb"), 4).as("rank_biserial"))
     }),
 
+    // Hill tail-index MLE over the co-purchase degree distribution — the
+    // "is this graph scale-free?" screen next to q282 (assortativity) and
+    // q174 (Zipf): α̂ = 1 + n_tail / Σ ln(dᵢ/x_min) over the tail
+    // deg ≥ x_min = 5. Degrees reuse the q282 edge device; the log-sum
+    // collapses to the BOUNDED distinct-degree relation (cnt·ln(d) — one
+    // term per degree VALUE, not per node), with the q174 float ladder
+    // (ln points 6 dp → sum 6 dp → α 4 dp) so both engines regress
+    // identical bits. Plan: the copurchase self-join + two hash aggs;
+    // nothing grows past |distinct degrees| after the degree agg.
+    "q326_hill_tail" -> ((s, d) => {
+      val p = copurchasePairs(s, d)
+      val deg = p.select(col("u").as("node"))
+        .unionAll(p.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val byDeg = deg.filter(col("deg") >= 5)
+        .groupBy("deg").agg(count(lit(1)).as("cnt"))
+        .select(col("cnt"),
+          round(log(col("deg").cast("double") / lit(5.0)), 6).as("lt"))
+      byDeg.agg(sum(col("cnt")).as("n_tail"),
+          round(sum(col("cnt") * col("lt")), 6).as("__ls"))
+        .select(lit(5L).as("x_min"), col("n_tail"),
+          when(col("__ls") > 0,
+            round(lit(1.0) + col("n_tail").cast("double") / col("__ls"), 4))
+            .as("alpha"))
+    }),
+
+    // MATTR (moving-average type-token ratio, window 10) per document —
+    // the lexical-diversity score that, unlike raw TTR, doesn't shrink
+    // with document length (Covington & McFall 2010). The naive form
+    // re-scans every 10-token window; this computes Σ-distinct-per-window
+    // in ONE pass via the previous-occurrence trick: token i is distinct
+    // in window j iff its previous occurrence p(i) < j, so it contributes
+    // to exactly the windows j ∈ [max(p+1, i−9, 0), min(i, nw−1)] — an
+    // interval-length sum, exact integers until the final division. All
+    // windows are per-doc (bounded by doc length); no corpus-wide state.
+    "q327_mattr" -> ((s, d) => {
+      val W = 10
+      val toks = doc(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .withColumn("i", row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")).cast("long") - 1)
+      val prev = toks.withColumn("p", coalesce(
+        lag(col("i"), 1).over(
+          Window.partitionBy("doc_id", "w").orderBy("i")), lit(-1L)))
+      val c = prev
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("n") >= W)
+        .withColumn("nw", col("n") - (W - 1))
+        .withColumn("lo", greatest(col("p") + 1, col("i") - (W - 1), lit(0L)))
+        .withColumn("hi", least(col("i"), col("nw") - 1))
+      c.groupBy("doc_id").agg(max(col("n")).as("ntok"),
+        round(sum(greatest(col("hi") - col("lo") + 1, lit(0L))).cast("double")
+          / (max(col("nw")) * W).cast("double"), 6).as("mattr"))
+    }),
+
+    // Markov entropy rate of the per-user event-type chain — the
+    // predictability score over q163's transition matrix: H =
+    // Σᵢⱼ (cᵢⱼ/N)·ln(cᵢ/cᵢⱼ) (positive formulation — ln(cᵢ/cᵢⱼ) ≥ 0, so a
+    // deterministic one-destination state contributes +0.0, never −0.0),
+    // with the normalized rate H/ln(k) against the k-state uniform bound.
+    // Counts are exact integers; terms follow the q174 ladder (6 dp
+    // points over the ≤k² transition relation, 6 dp sums, 4 dp ratio).
+    // One per-user window + one k²-row hash agg.
+    "q328_entropy_rate" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val t = ev(s, d)
+        .select(col("user_id"), col("event_type").as("a"),
+          lead(col("event_type"), 1).over(w).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("cij"))
+      val terms = t
+        .withColumn("ci", sum(col("cij")).over(Window.partitionBy("a")))
+        .select(col("a"), col("cij"), round(col("cij").cast("double")
+          * log(col("ci").cast("double") / col("cij")), 6).as("term"))
+      val agg = terms.agg(sum(col("cij")).as("n_transitions"),
+        countDistinct(col("a")).as("n_states"),
+        round(sum(col("term")), 6).as("__s"))
+      val e = agg.select(col("n_transitions"), col("n_states"),
+        round(col("__s") / col("n_transitions").cast("double"), 6)
+          .as("entropy_rate"),
+        round(log(col("n_states").cast("double")), 6).as("max_entropy"))
+      e.select(col("n_transitions"), col("n_states"), col("entropy_rate"),
+        col("max_entropy"),
+        when(col("max_entropy") > 0,
+          round(col("entropy_rate") / col("max_entropy"), 4)).as("normalized"))
+    }),
+
+    // Sequential co-purchase — "bought A, next order contained B": the
+    // directed next-basket association behind recommendation candidates,
+    // complementing the same-basket q147 family. Consecutive orders pair
+    // up via one per-customer lead window; each (order, next-order) pair
+    // joins its two DISTINCT basket part sets (fanout bounded by
+    // basket², never corpus-wide); top-20 by a total order rides
+    // TakeOrderedAndProject (distributed top-k — no global sort), and the
+    // rank window runs over the 20-row result only.
+    "q329_sequential_copurchase" -> ((s, d) => {
+      val nxt = ord(s, d).select(col("o_orderkey").as("k1"),
+          lead(col("o_orderkey"), 1).over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
+            .as("k2"))
+        .filter(col("k2").isNotNull)
+      val parts = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      val pairs = nxt
+        .join(parts.select(col("l_orderkey").as("k1"),
+          col("l_partkey").as("part_a")), Seq("k1"))
+        .join(parts.select(col("l_orderkey").as("k2"),
+          col("l_partkey").as("part_b")), Seq("k2"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("part_a").asc,
+        col("part_b").asc).limit(20)
+      top.withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc,
+          col("part_a").asc, col("part_b").asc)).cast("long"))
+        .select("rnk", "part_a", "part_b", "cnt")
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -13016,6 +13134,104 @@ object Queries {
         | round(v, 4) AS cramers_v,
         | round(rb, 4) AS rank_biserial
         |FROM dd, chi, rb""".stripMargin,
+
+    // q282's copurchase-degree CTE; the log-sum runs over distinct degree
+    // values with the q174 6dp/6dp/4dp ladder.
+    "q326_hill_tail" ->
+      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
+        |p AS (
+        | SELECT a.l_partkey AS u, b.l_partkey AS v
+        | FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        | GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT u AS node FROM p UNION ALL SELECT v AS node FROM p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM e GROUP BY 1),
+        |byd AS (
+        | SELECT CAST(count(*) AS BIGINT) AS cnt,
+        |  round(ln(CAST(deg AS DOUBLE) / 5.0), 6) AS lt
+        | FROM deg WHERE deg >= 5 GROUP BY deg),
+        |ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
+        |  round(sum(cnt * lt), 6) AS ls FROM byd)
+        |SELECT CAST(5 AS BIGINT) AS x_min, n_tail,
+        | CASE WHEN ls > 0
+        |  THEN round(1.0 + CAST(n_tail AS DOUBLE) / ls, 4) END AS alpha
+        |FROM ag""".stripMargin,
+
+    // parallel unnests zip positionally (the q118 device); the
+    // previous-occurrence interval sum is exact-integer until the final
+    // division.
+    "q327_mattr" ->
+      """WITH raw AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |  unnest(range(0, len(string_split(text, ' ')))) AS pos
+        | FROM documents),
+        |toks AS (
+        | SELECT doc_id, w,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |    AS BIGINT) - 1 AS i
+        | FROM raw WHERE length(w) > 0),
+        |prev AS (
+        | SELECT doc_id, i,
+        |  coalesce(lag(i) OVER (PARTITION BY doc_id, w ORDER BY i), -1) AS p,
+        |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        | FROM toks),
+        |c AS (
+        | SELECT doc_id, n, n - 9 AS nw,
+        |  greatest(p + 1, i - 9, 0) AS lo, least(i, n - 10) AS hi
+        | FROM prev WHERE n >= 10)
+        |SELECT doc_id, max(n) AS ntok,
+        | round(CAST(sum(greatest(hi - lo + 1, 0)) AS DOUBLE)
+        |  / (max(nw) * 10), 6) AS mattr
+        |FROM c GROUP BY 1""".stripMargin,
+
+    // q163's transition counts; positive-term formulation so ln(ci/cij)
+    // can never emit -0.0.
+    "q328_entropy_rate" ->
+      """WITH t AS (
+        | SELECT a, b, CAST(count(*) AS BIGINT) AS cij FROM (
+        |  SELECT event_type AS a,
+        |   lead(event_type) OVER (
+        |     PARTITION BY user_id ORDER BY ts, event_id) AS b
+        |  FROM events) WHERE b IS NOT NULL GROUP BY 1, 2),
+        |wi AS (
+        | SELECT a, cij,
+        |  CAST(sum(cij) OVER (PARTITION BY a) AS BIGINT) AS ci FROM t),
+        |terms AS (
+        | SELECT a, cij, round(CAST(cij AS DOUBLE)
+        |   * ln(CAST(ci AS DOUBLE) / cij), 6) AS term
+        | FROM wi),
+        |ag AS (
+        | SELECT CAST(sum(cij) AS BIGINT) AS n_transitions,
+        |  CAST(count(DISTINCT a) AS BIGINT) AS n_states,
+        |  round(sum(term), 6) AS s FROM terms),
+        |e AS (SELECT n_transitions, n_states,
+        |  round(s / n_transitions, 6) AS entropy_rate,
+        |  round(ln(CAST(n_states AS DOUBLE)), 6) AS max_entropy FROM ag)
+        |SELECT n_transitions, n_states, entropy_rate, max_entropy,
+        | CASE WHEN max_entropy > 0
+        |  THEN round(entropy_rate / max_entropy, 4) END AS normalized
+        |FROM e""".stripMargin,
+
+    "q329_sequential_copurchase" ->
+      """WITH nxt AS (
+        | SELECT k1, k2 FROM (
+        |  SELECT o_orderkey AS k1,
+        |   lead(o_orderkey) OVER (
+        |     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS k2
+        |  FROM orders) WHERE k2 IS NOT NULL),
+        |parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM nxt JOIN parts a ON a.l_orderkey = nxt.k1
+        |  JOIN parts b ON b.l_orderkey = nxt.k2
+        | GROUP BY 1, 2)
+        |SELECT CAST(row_number() OVER (
+        |   ORDER BY cnt DESC, part_a, part_b) AS BIGINT) AS rnk,
+        | part_a, part_b, cnt
+        |FROM pairs
+        |ORDER BY cnt DESC, part_a, part_b LIMIT 20""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
