@@ -6538,6 +6538,298 @@ object Queries {
         .select("rnk", "part_a", "part_b", "cnt")
     }),
 
+    // Kendall τ-b between daily click and purchase volumes — the
+    // rank-correlation twin of q323's Pearson lead–lag, robust to any
+    // monotone transform. The pairwise compare runs over the DAILY
+    // relation, whose size is bounded by calendar span (30 rows here,
+    // ~3.6k for a decade), never by corpus size — the O(span²) loop is
+    // a constant at 100 TB. Concordant/discordant/tie counts are exact
+    // integers; τ-b's one sqrt is the only float.
+    "q330_kendall_tau" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val p = daily.alias("a").join(daily.alias("b"), col("a.day") < col("b.day"))
+        .select((col("b.x") - col("a.x")).as("dx"),
+          (col("b.y") - col("a.y")).as("dy"))
+      p.agg(count(lit(1)).as("n0"),
+          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("conc"),
+          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("disc"),
+          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+        .select(col("n0").as("n_pairs"), col("conc").as("concordant"),
+          col("disc").as("discordant"),
+          when(col("n0") - col("tx") > 0 && col("n0") - col("ty") > 0,
+            round((col("conc") - col("disc")).cast("double") /
+              sqrt((col("n0") - col("tx")).cast("double")
+                * (col("n0") - col("ty")).cast("double")), 6)).as("tau_b"))
+    }),
+
+    // Autocorrelation function (lags 1–24) + Ljung-Box Q over the hourly
+    // event-count series — the white-noise screen before any forecasting.
+    // Exact-integer device: r_k's numerator/denominator are scaled by n²
+    // (Σ(n·cₜ−S)(n·cₜ₊ₖ−S) / Σ(n·cₜ−S)²) in decimal(38,0), so the mean
+    // subtraction never touches floats; each r_k is one deterministic
+    // division rounded 6 dp, and Q accumulates r²/(n−k) over the ORDERED
+    // 24-row lag relation (both engines add identical doubles in lag
+    // order). The lag join is i = i+k over the rank index — 24·n rows,
+    // one shuffle.
+    "q331_acf_ljung_box" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val hourly = ev(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val idx = hourly.withColumn("i",
+        row_number().over(Window.orderBy("h")).cast("long"))
+      val tot = idx.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      val z = idx.crossJoin(broadcast(tot))
+        .select(col("i"), col("n"),
+          (col("n") * col("c") - col("s")).cast(dec).as("z"))
+      val den = z.agg(sum(col("z") * col("z")).as("den"),
+        max(col("n")).as("n"))
+      val num = z.select(col("i"), col("z"),
+          explode(sequence(lit(1L), lit(24L))).as("k")).alias("a")
+        .join(z.select(col("i").as("bi"), col("z").as("bz")).alias("b"),
+          col("b.bi") === col("a.i") + col("a.k"))
+        .groupBy(col("a.k").as("lag")).agg(sum(col("a.z") * col("b.bz")).as("num"))
+      val r = num.crossJoin(broadcast(den))
+        .select(col("lag"), col("n"),
+          when(col("den") > 0, round(
+            col("num").cast("double") / col("den").cast("double"), 6))
+            .as("acf"))
+      r.withColumn("lb_q", round(col("n").cast("double") * (col("n") + 2)
+          * sum(col("acf") * col("acf")
+              / (col("n") - col("lag")).cast("double"))
+            .over(Window.orderBy("lag")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
+        .select("lag", "acf", "lb_q")
+    }),
+
+    // Wald–Wolfowitz runs test on the hourly count series vs its median —
+    // "is the series randomly ordered, or does it cluster above/below?"
+    // Ties AT the median drop (the standard treatment); runs count from
+    // one lag over the bounded hour relation (q166's single-partition
+    // shape, span-bounded); μ and σ² of the run count are rational in
+    // exact integers, so z is one deterministic float expression.
+    "q332_runs_test" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val med = hourly.agg(expr("percentile(c, 0.5)").as("m"))
+      val signed = hourly.crossJoin(broadcast(med))
+        .filter(col("c") =!= col("m"))
+        .select(col("h"), when(col("c") > col("m"), 1L).otherwise(0L).as("sg"))
+      val agg = signed.select(col("sg"),
+          lag(col("sg"), 1).over(Window.orderBy("h")).as("pr"))
+        .agg(sum(when(col("pr").isNull || col("pr") =!= col("sg"), 1L)
+            .otherwise(0L)).as("runs"),
+          sum(col("sg")).as("n1"), sum(lit(1L) - col("sg")).as("n2"))
+      val mu = lit(2.0) * col("n1") * col("n2") /
+        (col("n1") + col("n2")).cast("double") + 1.0
+      val sg2 = (lit(2.0) * col("n1") * col("n2")
+          * (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2"))) /
+        ((col("n1") + col("n2")).cast("double")
+          * (col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
+      agg.select(col("n1").as("n_above"), col("n2").as("n_below"),
+        col("runs"),
+        when(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1,
+          round((col("runs").cast("double") - mu) / sqrt(sg2), 4)).as("z"))
+    }),
+
+    // Mann–Kendall trend test over daily event counts — the
+    // distribution-free companion to q316's Theil–Sen slope (MK says IF
+    // there's a monotone trend; Theil–Sen says how steep). S and the tie
+    // correction are exact integers over the span-bounded daily relation
+    // (the q330 scale argument); Var(S) is an integer/18; z applies the
+    // ±1 continuity correction.
+    "q333_mann_kendall" -> ((s, d) => {
+      val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val sStat = daily.alias("a")
+        .join(daily.alias("b"), col("a.day") < col("b.day"))
+        .agg(coalesce(sum(when(col("b.c") > col("a.c"), 1L)
+          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)), lit(0L))
+          .as("s_stat"))
+      val ties = daily.groupBy("c").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("tt"))
+      val nn = daily.agg(count(lit(1)).as("n"))
+      val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
+        - col("tt")).cast("double") / 18.0
+      sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(nn))
+        .select(col("n").as("n_days"), col("s_stat"),
+          round(varS, 4).as("var_s"),
+          when(varS > 0, round(
+            when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+              .otherwise(lit(0.0)) / sqrt(varS), 4)).as("z"))
+    }),
+
+    // ROC AUC of `value` as a purchase discriminator — the rank-sum
+    // (Mann–Whitney) identity AUC = (2R₊ − n₊(n₊+1)) / (2n₊n₋) with
+    // midrank tie handling, over cents-exact scores. Reuses q325's
+    // doubled-midrank device on the distributed two-phase prefix sum —
+    // NO global sort, no corpus-wide window; everything is exact
+    // integers (decimal accumulators — rank sums square past long at
+    // corpus scale) until one final division.
+    "q334_roc_auc" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val base = ev(s, d).select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lab"),
+        round(col("value") * 100).cast("long").as("c"))
+      val byc = base.groupBy("c").agg(count(lit(1)).as("t"),
+        sum(col("lab")).as("ta"))
+      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byc, "c", "t")
+      pp.agg(sum(col("ta").cast(dec)
+            * (lit(2) * col("cum_before") + col("t") + 1)).as("r2"),
+          sum(col("ta")).as("np"), sum(col("t") - col("ta")).as("nn"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          when(col("np") > 0 && col("nn") > 0, round(
+            (col("r2") - col("np").cast(dec) * (col("np") + 1)).cast("double")
+              / (lit(2.0) * col("np").cast("double") * col("nn")), 6))
+            .as("auc"))
+    }),
+
+    // Add-one-smoothed bigram LM perplexity per document — the language-
+    // model quality screen (the CCNet/Wikipedia-LM device, reduced to a
+    // corpus-trained bigram model): p(w₂|w₁) = (c₁₂+1)/(c₁+V), scored
+    // back over each doc's own bigrams. Training and scoring are the
+    // same postings-shaped joins (bigram → count, context → count) that
+    // scale as word-count jobs; V is a 1-row broadcast. Per-doc log sums
+    // follow q125's proven form (sum raw ln, round 4); ppl exponentiates
+    // the ROUNDED average so both engines exp identical bits.
+    "q335_bigram_perplexity" -> ((s, d) => {
+      val toks = doc(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " "))
+          .as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+      val big = toks.select(col("doc_id"), col("w").as("w1"),
+          lead(col("w"), 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")).as("w2"))
+        .filter(col("w2").isNotNull)
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val cu = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = toks.agg(countDistinct(col("w")).as("vv"))
+      val scored = big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
+          round(sum(log((col("c12") + 1).cast("double")
+            / (col("c1") + col("vv")))) / count(lit(1)), 4).as("avg_lp"))
+      scored.select(col("doc_id"), col("n_bigrams"), col("avg_lp"),
+        round(exp(-col("avg_lp")), 4).as("ppl"))
+    }),
+
+    // Gumbel extreme-value fit over daily block maxima of the hourly
+    // event rate — the capacity-planning question ("what hourly burst do
+    // we see once per 100 days?") answered by the method of moments:
+    // β = s·√6/π, μ = x̄ − γβ, x_T = μ − β·ln(−ln(1−1/T)). Blocks are
+    // epoch-day integers (hour DIV 24 — no calendar parity risk); the
+    // moments over the span-bounded maxima relation are exact integers,
+    // so the only floats are staged, mirrored expressions (6 dp each);
+    // the ln(−ln(0.99)) constant is embedded as one literal on both
+    // engines (libm ln can differ a ulp between JVM and DuckDB).
+    "q336_gumbel_maxima" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val maxima = hourly.groupBy(expr("h DIV 24").as("day"))
+        .agg(max(col("c")).as("m"))
+      val mom = maxima.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        sum((col("m") * col("m")).cast("decimal(38,0)")).as("q"))
+      val varS = (col("n").cast("decimal(38,0)") * col("q")
+        - col("sm").cast("decimal(38,0)") * col("sm")).cast("double") /
+        (col("n").cast("double") * (col("n") - 1))
+      val withB = mom.select(col("n"), col("sm"), varS.as("__var"))
+        .filter(col("n") > 1 && col("__var") > 0)
+        .select(col("n"),
+          (col("sm").cast("double") / col("n")).as("__mean"),
+          round(sqrt(col("__var")) * sqrt(lit(6.0)) / lit(math.Pi), 6)
+            .as("gumbel_beta"))
+      val withMu = withB.select(col("n").as("n_blocks"), col("gumbel_beta"),
+        round(col("__mean") - lit(0.5772156649015329) * col("gumbel_beta"), 6)
+          .as("gumbel_mu"))
+      withMu.select(col("n_blocks"), col("gumbel_mu"), col("gumbel_beta"),
+        round(col("gumbel_mu") + lit(4.600149226776579) * col("gumbel_beta"), 4)
+          .as("rl_100"))
+    }),
+
+    // Reciprocal-rank fusion of BM25 and query-likelihood (Dirichlet)
+    // rankings — the standard hybrid-retrieval merge (Cormack et al.
+    // 2009): RRF(d) = Σ 1/(60+rankᵢ(d)) over each ranking's TOP-20 ONLY,
+    // so the fused relation is bounded at 40 rows regardless of corpus
+    // size (both top-20s ride TakeOrderedAndProject; missing membership
+    // contributes 0, the truncated-list convention). Ranks come from
+    // total orders; 1/(60+r) is exact-int division.
+    "q337_rrf_fusion" -> ((s, d) => {
+      val terms = Seq("vector", "join", "scan")
+      val bm = graft.text.Bm25.topK(doc(s, d), "doc_id", "text", terms, 20)
+        .select(col("doc_id"), col("rnk").as("r_bm25"))
+      val t = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
+      val dstats = t.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        filter(col("w"), x => x === terms(0)).as("__f1"),
+        filter(col("w"), x => x === terms(1)).as("__f2"),
+        filter(col("w"), x => x === terms(2)).as("__f3"))
+        .select(col("doc_id"), col("dl"),
+          size(col("__f1")).cast("long").as("tf1"),
+          size(col("__f2")).cast("long").as("tf2"),
+          size(col("__f3")).cast("long").as("tf3"))
+      val c = dstats.agg(sum(col("dl")).as("ct"), sum(col("tf1")).as("cf1"),
+        sum(col("tf2")).as("cf2"), sum(col("tf3")).as("cf3"))
+      def term(tf: Column, cf: Column, dl: Column, ct: Column): Column =
+        log((tf.cast("double") + lit(2000.0) * cf / ct)
+          / (dl.cast("double") + 2000.0))
+      val qld = dstats.crossJoin(broadcast(c))
+        .select(col("doc_id"), round(
+          term(col("tf1"), col("cf1"), col("dl"), col("ct"))
+            + term(col("tf2"), col("cf2"), col("dl"), col("ct"))
+            + term(col("tf3"), col("cf3"), col("dl"), col("ct")), 6).as("qld"))
+        .orderBy(col("qld").desc, col("doc_id").asc).limit(20)
+        .withColumn("r_qld", row_number().over(
+          Window.orderBy(col("qld").desc, col("doc_id").asc)).cast("long"))
+        .select("doc_id", "r_qld")
+      bm.join(qld, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (col("r_bm25") + 60), lit(0.0))
+            + coalesce(lit(1.0) / (col("r_qld") + 60), lit(0.0))).as("__s"),
+          col("r_bm25"), col("r_qld"))
+        .orderBy(col("__s").desc, col("doc_id").asc).limit(10)
+        .select(col("doc_id"), round(col("__s"), 6).as("rrf_score"),
+          col("r_bm25"), col("r_qld"))
+    }),
+
+    // Population stability index between the first and second half of the
+    // event window — THE production drift metric for "did the value
+    // distribution move between reference and current?" (PSI > 0.2 =
+    // retrain). Fixed-width cent buckets (never reference-quantile edges,
+    // whose float cutpoints drift between engines); Laplace-smoothed
+    // shares so empty cells stay finite; shares are exact-integer ratios,
+    // each bucket's (p−q)·ln(p/q) term rounds 6 dp, and the sum runs over
+    // the ≤|value-range/50| bucket relation. One scan + one bucket agg.
+    "q338_psi_drift" -> ((s, d) => {
+      val dlo = ev(s, d).agg(
+        min(expr("unix_micros(ts) DIV 86400000000")).as("d0"))
+      val bucketed = ev(s, d).crossJoin(broadcast(dlo))
+        .select(expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("bucket"),
+          (expr("unix_micros(ts) DIV 86400000000") < col("d0") + 15)
+            .as("is_ref"))
+      val bk = bucketed.groupBy("bucket").agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+      val tot = bk.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        count(lit(1)).as("k"))
+      val terms = bk.crossJoin(broadcast(tot))
+        .select(col("na"), col("nb"), col("k"),
+          ((col("ca") + 1).cast("double") / (col("na") + col("k"))).as("p"),
+          ((col("cb") + 1).cast("double") / (col("nb") + col("k"))).as("q"))
+        .select(col("na"), col("nb"), col("k"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+            .as("term"))
+      terms.groupBy("na", "nb", "k").agg(round(sum(col("term")), 4).as("psi"))
+        .select(col("na").as("n_ref"), col("nb").as("n_cur"),
+          col("k").as("n_buckets"), col("psi"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -13232,6 +13524,274 @@ object Queries {
         | part_a, part_b, cnt
         |FROM pairs
         |ORDER BY cnt DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // q125's per-doc raw-ln-sum precedent; exp of the ROUNDED average.
+    "q335_bigram_perplexity" ->
+      """WITH raw AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |  unnest(range(0, len(string_split(text, ' ')))) AS pos
+        | FROM documents),
+        |toks AS (SELECT doc_id, w, pos FROM raw WHERE length(w) > 0),
+        |big AS (
+        | SELECT doc_id, w AS w1,
+        |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        | FROM toks),
+        |bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |       FROM bg GROUP BY 1, 2),
+        |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vv FROM toks),
+        |sc AS (
+        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(sum(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vv))) / count(*), 4)
+        |    AS avg_lp
+        | FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v
+        | GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_lp, round(exp(-avg_lp), 4) AS ppl
+        |FROM sc""".stripMargin,
+
+    // exact integer moments; mirrored staged floats; the ln(−ln(0.99))
+    // constant is one shared literal.
+    "q336_gumbel_maxima" ->
+      """WITH hourly AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |mx AS (SELECT h // 24 AS day, max(c) AS m FROM hourly GROUP BY 1),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m) AS BIGINT) AS sm,
+        |  CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q FROM mx),
+        |v AS (SELECT n, sm,
+        |  CAST(CAST(n AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+        |   / (CAST(n AS DOUBLE) * (n - 1)) AS var
+        | FROM mom WHERE n > 1),
+        |b AS (SELECT n, CAST(sm AS DOUBLE) / n AS mean,
+        |  round(sqrt(var) * sqrt(6.0) / pi(), 6) AS gumbel_beta
+        | FROM v WHERE var > 0),
+        |mu AS (SELECT n AS n_blocks, gumbel_beta,
+        |  round(mean - 0.5772156649015329 * gumbel_beta, 6) AS gumbel_mu
+        | FROM b)
+        |SELECT n_blocks, gumbel_mu, gumbel_beta,
+        | round(gumbel_mu + 4.600149226776579 * gumbel_beta, 4) AS rl_100
+        |FROM mu""".stripMargin,
+
+    // q122's BM25 CTE + q295's QLD CTE, fused over the two top-20 lists.
+    "q337_rrf_fusion" ->
+      """WITH p AS (
+        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        | FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM p GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
+        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+        |  CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |    / (SELECT count(*) FROM documents) AS avgdl),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
+        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
+        |sc AS (
+        | SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
+        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4)
+        |    AS score
+        | FROM tf JOIN df ON tf.token = df.token
+        |  JOIN dl ON tf.doc_id = dl.doc_id, s
+        | GROUP BY tf.doc_id),
+        |r_bm AS (SELECT doc_id, rnk FROM (
+        |  SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |     AS rnk
+        |  FROM sc) WHERE rnk <= 20),
+        |t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d2 AS (
+        | SELECT doc_id, len(w) AS dl,
+        |  len(list_filter(w, x -> x = 'vector')) AS tf1,
+        |  len(list_filter(w, x -> x = 'join')) AS tf2,
+        |  len(list_filter(w, x -> x = 'scan')) AS tf3
+        | FROM t2),
+        |c2 AS (SELECT sum(dl) AS ct, sum(tf1) AS cf1, sum(tf2) AS cf2,
+        |       sum(tf3) AS cf3 FROM d2),
+        |qs AS (SELECT doc_id, round(
+        |  ln((tf1 + 2000.0 * cf1 / ct) / (dl + 2000.0)) +
+        |  ln((tf2 + 2000.0 * cf2 / ct) / (dl + 2000.0)) +
+        |  ln((tf3 + 2000.0 * cf3 / ct) / (dl + 2000.0)), 6) AS qld
+        | FROM d2, c2),
+        |r_q AS (SELECT doc_id, r_qld FROM (
+        |  SELECT doc_id,
+        |   CAST(row_number() OVER (ORDER BY qld DESC, doc_id) AS BIGINT)
+        |     AS r_qld
+        |  FROM qs) WHERE r_qld <= 20),
+        |f AS (
+        | SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  coalesce(1.0 / (a.rnk + 60), 0) + coalesce(1.0 / (b.r_qld + 60), 0)
+        |    AS sm, a.rnk AS r_bm25, b.r_qld
+        | FROM r_bm a FULL OUTER JOIN r_q b ON a.doc_id = b.doc_id)
+        |SELECT doc_id, round(sm, 6) AS rrf_score, r_bm25, r_qld
+        |FROM f ORDER BY sm DESC, doc_id LIMIT 10""".stripMargin,
+
+    // fixed-width cent buckets; Laplace-smoothed exact-int shares.
+    "q338_psi_drift" ->
+      """WITH d0 AS (
+        | SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+        |b AS (
+        | SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
+        |  (epoch_us(ts) // 86400000000 < d0 + 15) AS is_ref
+        | FROM events, d0),
+        |bk AS (
+        | SELECT bucket,
+        |  CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb,
+        |  CAST(count(*) AS BIGINT) AS k FROM bk),
+        |terms AS (
+        | SELECT na, nb, k, round(
+        |  (CAST(ca + 1 AS DOUBLE) / (na + k)
+        |    - CAST(cb + 1 AS DOUBLE) / (nb + k))
+        |  * ln((CAST(ca + 1 AS DOUBLE) / (na + k))
+        |    / (CAST(cb + 1 AS DOUBLE) / (nb + k))), 6) AS term
+        | FROM bk, tot)
+        |SELECT na AS n_ref, nb AS n_cur, k AS n_buckets,
+        | round(sum(term), 4) AS psi
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
+
+    // exact-integer concordance counts; one sqrt.
+    "q330_kendall_tau" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |p AS (
+        | SELECT b.x - a.x AS dx, b.y - a.y AS dy
+        | FROM daily a JOIN daily b ON a.day < b.day),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS conc,
+        |  CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS disc,
+        |  CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+        |  CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+        | FROM p)
+        |SELECT n0 AS n_pairs, conc AS concordant, disc AS discordant,
+        | CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN
+        |  round(CAST(conc - disc AS DOUBLE)
+        |   / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
+        | END AS tau_b
+        |FROM m""".stripMargin,
+
+    // n²-scaled exact moments (HUGEINT ↔ decimal(38,0)); ordered cumsum
+    // over the 24-row lag relation.
+    "q331_acf_ljung_box" ->
+      """WITH hourly AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |idx AS (SELECT c,
+        |  CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i FROM hourly),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s FROM idx),
+        |z AS (SELECT i, n, CAST(n * c - s AS HUGEINT) AS z FROM idx, tot),
+        |den AS (SELECT CAST(sum(z * z) AS HUGEINT) AS den,
+        |  max(n) AS n FROM z),
+        |num AS (
+        | SELECT k.k AS lag, CAST(sum(a.z * b.z) AS HUGEINT) AS num
+        | FROM z a
+        | JOIN (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS k) k ON true
+        | JOIN z b ON b.i = a.i + k.k
+        | GROUP BY 1),
+        |r AS (
+        | SELECT lag, n,
+        |  CASE WHEN den > 0 THEN
+        |   round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
+        | FROM num, den)
+        |SELECT lag, acf,
+        | round(CAST(n AS DOUBLE) * (n + 2) * sum(acf * acf
+        |    / CAST(n - lag AS DOUBLE)) OVER (ORDER BY lag
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS lb_q
+        |FROM r""".stripMargin,
+
+    // quantile_cont ↔ percentile (q12's pairing); ties at the median drop.
+    "q332_runs_test" ->
+      """WITH hourly AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |med AS (SELECT quantile_cont(c, 0.5) AS m FROM hourly),
+        |signed AS (
+        | SELECT h, CASE WHEN c > m THEN 1 ELSE 0 END AS sg
+        | FROM hourly, med WHERE c <> m),
+        |lg AS (SELECT sg, lag(sg) OVER (ORDER BY h) AS pr FROM signed),
+        |ag AS (
+        | SELECT CAST(sum(CASE WHEN pr IS NULL OR pr <> sg THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS runs,
+        |  CAST(sum(sg) AS BIGINT) AS n1,
+        |  CAST(sum(1 - sg) AS BIGINT) AS n2
+        | FROM lg)
+        |SELECT n1 AS n_above, n2 AS n_below, runs,
+        | CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+        |  round((CAST(runs AS DOUBLE)
+        |    - (2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0))
+        |   / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
+        |    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 4)
+        | END AS z
+        |FROM ag""".stripMargin,
+
+    // exact-integer S and tie correction; Var(S) = int/18; ±1 continuity.
+    "q333_mann_kendall" ->
+      """WITH daily AS (
+        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |s AS (
+        | SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+        |   WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+        | FROM daily a JOIN daily b ON a.day < b.day),
+        |ties AS (
+        | SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+        |   AS tt
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY c)
+        | WHERE t > 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |v AS (SELECT s_stat, n,
+        |  CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0 AS var_s
+        | FROM s, ties, nn)
+        |SELECT n AS n_days, s_stat, round(var_s, 4) AS var_s,
+        | CASE WHEN var_s > 0 THEN round(
+        |  (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |        ELSE 0.0 END) / sqrt(var_s), 4) END AS z
+        |FROM v""".stripMargin,
+
+    // q325's doubled-midrank prefix device; AUC = (2R+ − n+(n+1))/(2n+n−).
+    "q334_roc_auc" ->
+      """WITH base AS (
+        | SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |byc AS (
+        | SELECT c, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(lab) AS BIGINT) AS ta
+        | FROM base GROUP BY 1),
+        |pp AS (
+        | SELECT t, ta, coalesce(CAST(sum(t) OVER (ORDER BY c
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS cum_before
+        | FROM byc),
+        |ag AS (
+        | SELECT CAST(sum(ta * (2 * cum_before + t + 1)) AS HUGEINT) AS r2,
+        |  CAST(sum(ta) AS BIGINT) AS np,
+        |  CAST(sum(t - ta) AS BIGINT) AS nn
+        | FROM pp)
+        |SELECT np AS n_pos, nn AS n_neg,
+        | CASE WHEN np > 0 AND nn > 0 THEN
+        |  round(CAST(r2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+        |   / (2.0 * np * nn), 6) END AS auc
+        |FROM ag""".stripMargin,
 
     "q295_qld_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
