@@ -6830,6 +6830,134 @@ object Queries {
           col("k").as("n_buckets"), col("psi"))
     }),
 
+    // Seasonal-naive forecast scorecard over the hourly series — MAE,
+    // sMAPE, and MASE of ŷ_t = y_{t−24}, the baseline every real forecast
+    // must beat (MASE < 1 = better than the one-step naive). Absolute
+    // errors are exact integers, so MAE and MASE are deterministic
+    // rationals; sMAPE's per-row ratio is exact-int over exact-int and
+    // its mean follows the q125 sum-then-round precedent. Two lag windows
+    // over the span-bounded hour relation; one agg.
+    "q339_forecast_eval" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("h")
+      val lagd = hourly.select(col("c"),
+        lag(col("c"), 24).over(w).as("sn"), lag(col("c"), 1).over(w).as("nv"))
+      val m = lagd.agg(
+        sum(when(col("sn").isNotNull, abs(col("c") - col("sn")))).as("se"),
+        sum(when(col("sn").isNotNull, 1L)).as("ne"),
+        sum(when(col("sn").isNotNull && col("c") + col("sn") > 0,
+          lit(2.0) * abs(col("c") - col("sn"))
+            / (col("c") + col("sn")))).as("sm"),
+        sum(when(col("sn").isNotNull && col("c") + col("sn") > 0, 1L))
+          .as("nm"),
+        sum(when(col("nv").isNotNull, abs(col("c") - col("nv")))).as("s1"),
+        sum(when(col("nv").isNotNull, 1L)).as("n1"))
+      m.select(col("ne").as("n_eval"),
+        round(col("se").cast("double") / col("ne"), 4).as("mae"),
+        round(col("sm") / col("nm"), 4).as("smape"),
+        when(col("s1") > 0, round((col("se").cast("double") / col("ne"))
+          / (col("s1").cast("double") / col("n1")), 4)).as("mase"))
+    }),
+
+    // Split-conformal prediction interval for a per-type mean model —
+    // the distribution-free "how wide must the interval be for 90%
+    // coverage?" primitive (Vovk; Angelopoulos & Bates 2021). Model =
+    // per-event-type cents mean on the reference half; nonconformity =
+    // |residual| on the calibration half; q̂ = the ⌈0.9(n+1)⌉-th order
+    // statistic — an EXACT integer-rank selection over the two-phase
+    // prefix device (no global sort), k in pure integer arithmetic.
+    // Scores are rounded 6 dp before grouping so both engines select
+    // from identical keys.
+    "q340_conformal_interval" -> ((s, d) => {
+      val d0e = ev(s, d).agg(
+        min(expr("unix_micros(ts) DIV 86400000000")).as("d0"))
+      val base = ev(s, d).crossJoin(broadcast(d0e)).select(
+        col("event_type").as("et"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"),
+        (expr("unix_micros(ts) DIV 86400000000") < col("d0") + 15)
+          .as("is_ref"))
+      val mod = base.filter(col("is_ref")).groupBy("et")
+        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
+      val cal = base.filter(!col("is_ref")).join(mod, Seq("et"))
+        .select(round(abs(col("c").cast("double")
+          - col("s").cast("double") / col("n")), 6).as("sc"))
+      val byS = cal.groupBy("sc").agg(count(lit(1)).as("t"))
+      val nk = byS.agg(sum(col("t")).as("ncal"))
+      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byS, "sc", "t")
+      val qhat = pp.crossJoin(broadcast(nk))
+        .filter(expr("cum_before + t >= (9 * (ncal + 1) + 9) DIV 10"))
+        .agg(min(col("sc")).as("qhat"))
+      val cov = byS.crossJoin(broadcast(qhat))
+        .filter(col("sc") <= col("qhat")).agg(sum(col("t")).as("cnt"))
+      qhat.crossJoin(broadcast(nk)).crossJoin(broadcast(cov))
+        .select(col("ncal").as("n_cal"), round(col("qhat"), 6).as("qhat"),
+          round(col("cnt").cast("double") / col("ncal"), 6).as("coverage"))
+    }),
+
+    // Eigenvector centrality by power iteration on the customer–supplier
+    // graph — the influence measure PageRank's teleport mass distorts
+    // (pure A·x with max-normalization instead). Three unrolled
+    // iterations under the q133/q105 intermediate-rounding rule (each
+    // neighbor-sum and each normalization rounded 8 dp, so both engines
+    // enter every round with identical bits and a SQL oracle replays the
+    // whole computation). Per round: one src-join + one dst-agg; the
+    // checkpointed edge table is pre-partitioned on src so only the
+    // node-cardinality score table moves.
+    "q341_eigenvector_centrality" -> ((s, d) => {
+      val eo = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000L).as("supp"))
+        .distinct()
+      val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
+      val e = graft.io.Checkpoints.truncate(
+        edges.repartition(col("src")), eager = true)
+      var x = e.select(col("src").as("node")).distinct()
+        .withColumn("score", lit(1.0))
+      for (_ <- 1 to 3) {
+        val sums = e.join(x.select(col("node").as("src"), col("score")),
+            Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(round(sum(col("score")), 8).as("raw"))
+        val m = sums.agg(max(col("raw")).as("m"))
+        x = sums.crossJoin(broadcast(m))
+          .select(col("node"), round(col("raw") / col("m"), 8).as("score"))
+      }
+      x.select(col("node"), round(col("score"), 6).as("score"))
+    }),
+
+    // McNemar's paired test (Edwards continuity correction) between two
+    // threshold classifiers on the SAME events — the correct way to ask
+    // "is model B actually better than model A?" on paired predictions
+    // (a two-proportion z on overlapping samples is wrong). b/c discordant
+    // counts and (|b−c|−1)² are exact integers — χ² is one deterministic
+    // division. One scan, one agg; b=c yields the standard 1/(b+c).
+    "q342_mcnemar" -> ((s, d) => {
+      val base = ev(s, d).select(
+        (col("event_type") === "purchase").as("y"),
+        (expr("CAST(round(value * 100) AS BIGINT)") > 10000L).as("pa"),
+        (expr("CAST(round(value * 100) AS BIGINT)") > 15000L).as("pb"))
+      base.agg(count(lit(1)).as("n"),
+          sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("pa") === col("y"), 1L).otherwise(0L)).as("oka"),
+          sum(when(col("pb") === col("y"), 1L).otherwise(0L)).as("okb"))
+        .select(col("n").as("n_paired"), col("b").as("b_only_a"),
+          col("c").as("c_only_b"),
+          round(col("oka").cast("double") / col("n"), 6).as("acc_a"),
+          round(col("okb").cast("double") / col("n"), 6).as("acc_b"),
+          when(col("b") + col("c") > 0, round(
+            ((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1))
+              .cast("double") / (col("b") + col("c")), 4))
+            .as("mcnemar_chi2"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -13524,6 +13652,110 @@ object Queries {
         | part_a, part_b, cnt
         |FROM pairs
         |ORDER BY cnt DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // exact-int absolute errors; sMAPE mean follows the q125 precedent.
+    "q339_forecast_eval" ->
+      """WITH hourly AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1),
+        |lagd AS (
+        | SELECT c, lag(c, 24) OVER (ORDER BY h) AS sn,
+        |  lag(c) OVER (ORDER BY h) AS nv
+        | FROM hourly),
+        |m AS (
+        | SELECT
+        |  CAST(sum(CASE WHEN sn IS NOT NULL THEN abs(c - sn) END)
+        |    AS BIGINT) AS se,
+        |  CAST(sum(CASE WHEN sn IS NOT NULL THEN 1 END) AS BIGINT) AS ne,
+        |  sum(CASE WHEN sn IS NOT NULL AND c + sn > 0
+        |      THEN 2.0 * abs(c - sn) / (c + sn) END) AS sm,
+        |  CAST(sum(CASE WHEN sn IS NOT NULL AND c + sn > 0 THEN 1 END)
+        |    AS BIGINT) AS nm,
+        |  CAST(sum(CASE WHEN nv IS NOT NULL THEN abs(c - nv) END)
+        |    AS BIGINT) AS s1,
+        |  CAST(sum(CASE WHEN nv IS NOT NULL THEN 1 END) AS BIGINT) AS n1
+        | FROM lagd)
+        |SELECT ne AS n_eval, round(CAST(se AS DOUBLE) / ne, 4) AS mae,
+        | round(sm / nm, 4) AS smape,
+        | CASE WHEN s1 > 0 THEN round((CAST(se AS DOUBLE) / ne)
+        |  / (CAST(s1 AS DOUBLE) / n1), 4) END AS mase
+        |FROM m""".stripMargin,
+
+    // ⌈0.9(n+1)⌉-th order statistic via the q325 prefix idiom; integer k.
+    "q340_conformal_interval" ->
+      """WITH d0 AS (
+        | SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+        |base AS (
+        | SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS c,
+        |  (epoch_us(ts) // 86400000000 < d0 + 15) AS is_ref
+        | FROM events, d0),
+        |md AS (SELECT et, CAST(sum(c) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM base WHERE is_ref GROUP BY 1),
+        |cal AS (
+        | SELECT round(abs(CAST(b.c AS DOUBLE)
+        |   - CAST(m.s AS DOUBLE) / m.n), 6) AS sc
+        | FROM base b JOIN md m ON b.et = m.et WHERE NOT b.is_ref),
+        |bys AS (SELECT sc, CAST(count(*) AS BIGINT) AS t FROM cal GROUP BY 1),
+        |nk AS (SELECT CAST(sum(t) AS BIGINT) AS ncal FROM bys),
+        |pp AS (SELECT sc, t, coalesce(CAST(sum(t) OVER (ORDER BY sc
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS cum_before
+        | FROM bys),
+        |q AS (SELECT min(sc) AS qhat FROM pp, nk
+        |      WHERE cum_before + t >= (9 * (ncal + 1) + 9) // 10),
+        |cov AS (SELECT CAST(sum(t) AS BIGINT) AS cnt
+        |        FROM bys, q WHERE sc <= qhat)
+        |SELECT ncal AS n_cal, round(qhat, 6) AS qhat,
+        | round(CAST(cnt AS DOUBLE) / ncal, 6) AS coverage
+        |FROM q, nk, cov""".stripMargin,
+
+    // q133's unrolled-iteration device with max-normalization.
+    "q341_eigenvector_centrality" ->
+      """WITH eo AS (
+        | SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
+        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT cust AS src, supp AS dst FROM eo
+        |      UNION ALL SELECT supp, cust FROM eo),
+        |x0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS score FROM e),
+        |s1 AS (SELECT e.dst AS node, round(sum(x.score), 8) AS raw
+        |       FROM e JOIN x0 x ON x.node = e.src GROUP BY 1),
+        |m1 AS (SELECT max(raw) AS m FROM s1),
+        |x1 AS (SELECT node, round(raw / m, 8) AS score FROM s1, m1),
+        |s2 AS (SELECT e.dst AS node, round(sum(x.score), 8) AS raw
+        |       FROM e JOIN x1 x ON x.node = e.src GROUP BY 1),
+        |m2 AS (SELECT max(raw) AS m FROM s2),
+        |x2 AS (SELECT node, round(raw / m, 8) AS score FROM s2, m2),
+        |s3 AS (SELECT e.dst AS node, round(sum(x.score), 8) AS raw
+        |       FROM e JOIN x2 x ON x.node = e.src GROUP BY 1),
+        |m3 AS (SELECT max(raw) AS m FROM s3),
+        |x3 AS (SELECT node, round(raw / m, 8) AS score FROM s3, m3)
+        |SELECT node, round(score, 6) AS score FROM x3""".stripMargin,
+
+    // exact-int discordant counts; Edwards (|b−c|−1)² correction.
+    "q342_mcnemar" ->
+      """WITH base AS (
+        | SELECT (event_type = 'purchase') AS y,
+        |  (CAST(round(value * 100) AS BIGINT) > 10000) AS pa,
+        |  (CAST(round(value * 100) AS BIGINT) > 15000) AS pb
+        | FROM events),
+        |m AS (
+        | SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS oka,
+        |  CAST(sum(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS okb
+        | FROM base)
+        |SELECT n AS n_paired, b AS b_only_a, c AS c_only_b,
+        | round(CAST(oka AS DOUBLE) / n, 6) AS acc_a,
+        | round(CAST(okb AS DOUBLE) / n, 6) AS acc_b,
+        | CASE WHEN b + c > 0 THEN round(
+        |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / (b + c), 4)
+        | END AS mcnemar_chi2
+        |FROM m""".stripMargin,
 
     // q125's per-doc raw-ln-sum precedent; exp of the ROUNDED average.
     "q335_bigram_perplexity" ->
