@@ -6958,6 +6958,152 @@ object Queries {
             .as("mcnemar_chi2"))
     }),
 
+    // Haversine nearest-site assignment + distance-ring histogram — the
+    // geo primitive beside X1's Lambert-93: event points (coords derived
+    // deterministically from the row, q28's device) against a 5-row
+    // broadcast site table; per-point nearest is a 5-row window, rings
+    // are integer buckets of the 6dp-rounded distance. The point→small-dim
+    // cross join is the canonical geo-join shape (fanout |sites|, never
+    // point²); trig parity rides the same rounding contract Lambert-93
+    // has proven for ten rounds.
+    "q343_haversine_sites" -> ((s, d) => {
+      val pts = ev(s, d).select(col("event_id"),
+        (lit(43.0) + (col("user_id") % 1000) * lit(0.006)).as("lat"),
+        (lit(-1.0) + (expr("CAST(round(value * 100) AS BIGINT)") % 600)
+          * lit(0.01)).as("lon"))
+      val sites = s.range(1).select(explode(array(
+        struct(lit(1L).as("site_id"), lit(48.8566).as("slat"), lit(2.3522).as("slon")),
+        struct(lit(2L).as("site_id"), lit(45.764).as("slat"), lit(4.8357).as("slon")),
+        struct(lit(3L).as("site_id"), lit(43.2965).as("slat"), lit(5.3698).as("slon")),
+        struct(lit(4L).as("site_id"), lit(50.6292).as("slat"), lit(3.0573).as("slon")),
+        struct(lit(5L).as("site_id"), lit(44.8378).as("slat"), lit(-0.5792).as("slon"))))
+        .as("st")).select(col("st.*"))
+      val sh = sin(radians(col("slat") - col("lat")) / 2)
+      val sl = sin(radians(col("slon") - col("lon")) / 2)
+      val dist = round(lit(2.0 * 6371.0088) * asin(least(lit(1.0),
+        sqrt(sh * sh + cos(radians(col("lat"))) * cos(radians(col("slat")))
+          * (sl * sl)))), 6)
+      val assigned = pts.crossJoin(broadcast(sites))
+        .select(col("event_id"), col("site_id"), dist.as("dist_km"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_id")
+          .orderBy(col("dist_km").asc, col("site_id").asc)))
+        .filter(col("rn") === 1)
+      assigned.groupBy(col("site_id"),
+          floor(col("dist_km") / 100).cast("long").as("ring"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Survivorship merge (golden record) — the entity-resolution step
+    // AFTER matching: clusters (here the custkey-bucket entity) collapse
+    // to one canonical row under explicit field rules — best-source name
+    // (max acctbal, custkey tiebreak), min key as canonical id, cents-
+    // exact balance total, mode segment with alphabetical tiebreak. Each
+    // rule is one window or agg partitioned by entity — group-bounded,
+    // no cross-entity state; this is exactly the q3-keep-first contract
+    // generalized to per-field policies.
+    "q344_golden_record" -> ((s, d) => {
+      val c = Tables.customer(s, d).withColumn("entity",
+        expr("c_custkey DIV 10"))
+      val best = c.withColumn("rn", row_number().over(
+          Window.partitionBy("entity")
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+        .filter(col("rn") === 1)
+        .select(col("entity"), col("c_name").as("golden_name"))
+      val segs = c.groupBy("entity", "c_mktsegment")
+        .agg(count(lit(1)).as("sc"))
+        .withColumn("rn", row_number().over(Window.partitionBy("entity")
+          .orderBy(col("sc").desc, col("c_mktsegment").asc)))
+        .filter(col("rn") === 1)
+        .select(col("entity"), col("c_mktsegment").as("seg_mode"))
+      val aggd = c.groupBy("entity").agg(
+        min(col("c_custkey")).as("canonical_key"),
+        count(lit(1)).as("n_records"),
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("__cents"))
+      aggd.join(best, Seq("entity")).join(segs, Seq("entity"))
+        .select(col("entity"), col("canonical_key"), col("n_records"),
+          col("golden_name"), col("seg_mode"),
+          (col("__cents").cast("double") / 100.0).as("total_bal"))
+    }),
+
+    // Multi-class F1 scorecard — per-class precision/recall/F1 from the
+    // confusion counts of a deterministic cents-bucket classifier over
+    // event_type, with micro-F1 (= accuracy in single-label multi-class)
+    // and macro-F1 (mean per-class, absent classes score 0) attached.
+    // Everything through the F1 ratio is exact integers; the macro mean
+    // runs over the ≤|classes| bounded relation. One scan → one k²-max
+    // confusion agg.
+    "q345_multiclass_f1" -> ((s, d) => {
+      val pred = expr("""CASE
+        WHEN CAST(round(value * 100) AS BIGINT) < 5000 THEN 'view'
+        WHEN CAST(round(value * 100) AS BIGINT) < 10000 THEN 'click'
+        WHEN CAST(round(value * 100) AS BIGINT) < 15000 THEN 'signup'
+        WHEN CAST(round(value * 100) AS BIGINT) < 20000 THEN 'error'
+        ELSE 'purchase' END""")
+      val base = ev(s, d).select(col("event_type").as("truth"),
+        pred.as("pred"))
+      val classes = base.select(col("truth").as("cls")).distinct()
+      val byCls = classes
+        .join(base.groupBy(col("truth").as("cls"))
+          .agg(count(lit(1)).as("n_true")), Seq("cls"), "left")
+        .join(base.filter(col("truth") === col("pred"))
+          .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("tp")),
+          Seq("cls"), "left")
+        .join(base.groupBy(col("pred").as("cls"))
+          .agg(count(lit(1)).as("n_pred")), Seq("cls"), "left")
+        .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+            .as("fp"),
+          (col("n_true") - coalesce(col("tp"), lit(0L))).as("fn"))
+      val scored = byCls.select(col("cls"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
+        when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"))
+        // null prec (no predictions) forces tp=0 ⇒ rec=0; the null
+        // condition falls through to the 0.0 branch on BOTH engines
+        .withColumn("f1", when(col("prec") + col("rec") > 0,
+          lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
+          .otherwise(lit(0.0)))
+      val overall = scored.agg(
+        round(sum(col("tp")).cast("double")
+          / (sum(col("tp")) + sum(col("fn"))), 6).as("micro_f1"),
+        round(avg(col("f1")), 6).as("macro_f1"))
+      scored.crossJoin(broadcast(overall))
+        .select(col("cls"), col("tp"), col("fp"), col("fn"),
+          round(col("prec"), 6).as("prec"), round(col("rec"), 6).as("rec"),
+          round(col("f1"), 6).as("f1"), col("micro_f1"), col("macro_f1"))
+    }),
+
+    // Cumulative gains / lift by score decile — the model-targeting chart
+    // ("mailing the top 30% captures what share of buyers?"). Deciles
+    // come from the NINE exact percentile cutpoints broadcast back
+    // (q123's device — no corpus-wide ntile window); a row's decile is
+    // 10 − |{cuts below its score}| via one array filter. Gains/lift
+    // accumulate over the bounded 10-row relation in decile order.
+    "q346_gains_curve" -> ((s, d) => {
+      val base = ev(s, d).select(
+        expr("CAST(round(value * 100) AS BIGINT)").as("score"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val cuts = base.agg(expr(
+        "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+        .as("cuts"))
+      val dec = base.crossJoin(broadcast(cuts))
+        .select((lit(10) - size(filter(col("cuts"),
+          c => col("score") > c))).cast("long").as("decile"), col("pos"))
+        .groupBy("decile").agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      dec.select(col("decile"), col("n"), col("p"),
+          sum(col("p")).over(w).as("__cum"),
+          sum(col("p")).over(tot).as("__tp"), sum(col("n")).over(tot).as("__tn"))
+        .select(col("decile"), col("n"), col("p"),
+          round(col("__cum").cast("double") / col("__tp"), 6).as("gain"),
+          round((col("p").cast("double") / col("n"))
+            / (col("__tp").cast("double") / col("__tn")), 6).as("lift"))
+    }),
+
     // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
     // grouped count: orders (in a date band) with at least one slow
     // lineitem (shipped >30 days after the order date), counted per
@@ -13652,6 +13798,121 @@ object Queries {
         | part_a, part_b, cnt
         |FROM pairs
         |ORDER BY cnt DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // same site literals; trig parity under the Lambert-93 precedent.
+    "q343_haversine_sites" ->
+      """WITH pts AS (
+        | SELECT event_id,
+        |  43.0 + (user_id % 1000) * 0.006 AS lat,
+        |  -1.0 + (CAST(round(value * 100) AS BIGINT) % 600) * 0.01 AS lon
+        | FROM events),
+        |sites(site_id, slat, slon) AS (VALUES
+        | (CAST(1 AS BIGINT), 48.8566, 2.3522),
+        | (CAST(2 AS BIGINT), 45.764, 4.8357),
+        | (CAST(3 AS BIGINT), 43.2965, 5.3698),
+        | (CAST(4 AS BIGINT), 50.6292, 3.0573),
+        | (CAST(5 AS BIGINT), 44.8378, -0.5792)),
+        |dd AS (
+        | SELECT event_id, site_id, round(2.0 * 6371.0088 * asin(least(1.0,
+        |   sqrt(sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
+        |    + cos(radians(lat)) * cos(radians(slat))
+        |      * (sin(radians(slon - lon) / 2)
+        |         * sin(radians(slon - lon) / 2))))), 6) AS dist_km
+        | FROM pts CROSS JOIN sites),
+        |nearest AS (
+        | SELECT event_id, site_id, dist_km FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY dist_km, site_id) AS rn FROM dd) WHERE rn = 1)
+        |SELECT site_id, CAST(floor(dist_km / 100) AS BIGINT) AS ring,
+        | CAST(count(*) AS BIGINT) AS cnt
+        |FROM nearest GROUP BY 1, 2""".stripMargin,
+
+    // per-field survivorship rules as windows over the entity partition.
+    "q344_golden_record" ->
+      """WITH c AS (
+        | SELECT *, c_custkey // 10 AS entity FROM customer),
+        |best AS (
+        | SELECT entity, c_name AS golden_name FROM (
+        |  SELECT entity, c_name, row_number() OVER (PARTITION BY entity
+        |    ORDER BY c_acctbal DESC, c_custkey) AS rn FROM c) WHERE rn = 1),
+        |segs AS (
+        | SELECT entity, c_mktsegment AS seg_mode FROM (
+        |  SELECT entity, c_mktsegment, row_number() OVER (
+        |    PARTITION BY entity
+        |    ORDER BY count(*) DESC, c_mktsegment) AS rn
+        |  FROM c GROUP BY entity, c_mktsegment) WHERE rn = 1),
+        |ag AS (
+        | SELECT entity, CAST(min(c_custkey) AS BIGINT) AS canonical_key,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        | FROM c GROUP BY 1)
+        |SELECT ag.entity, canonical_key, n_records, golden_name, seg_mode,
+        | CAST(cents AS DOUBLE) / 100.0 AS total_bal
+        |FROM ag JOIN best ON best.entity = ag.entity
+        | JOIN segs ON segs.entity = ag.entity""".stripMargin,
+
+    // exact-int confusion; macro over the bounded class relation.
+    "q345_multiclass_f1" ->
+      """WITH base AS (
+        | SELECT event_type AS truth,
+        |  CASE WHEN CAST(round(value * 100) AS BIGINT) < 5000 THEN 'view'
+        |   WHEN CAST(round(value * 100) AS BIGINT) < 10000 THEN 'click'
+        |   WHEN CAST(round(value * 100) AS BIGINT) < 15000 THEN 'signup'
+        |   WHEN CAST(round(value * 100) AS BIGINT) < 20000 THEN 'error'
+        |   ELSE 'purchase' END AS pred
+        | FROM events),
+        |classes AS (SELECT DISTINCT truth AS cls FROM base),
+        |nt AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM base GROUP BY 1),
+        |tp AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS tp
+        |       FROM base WHERE truth = pred GROUP BY 1),
+        |np AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM base GROUP BY 1),
+        |bycls AS (
+        | SELECT c.cls, coalesce(tp.tp, 0) AS tp,
+        |  coalesce(np.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
+        |  nt.n_true - coalesce(tp.tp, 0) AS fn
+        | FROM classes c JOIN nt ON nt.cls = c.cls
+        |  LEFT JOIN tp ON tp.cls = c.cls LEFT JOIN np ON np.cls = c.cls),
+        |scored AS (
+        | SELECT cls, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0
+        |   THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
+        |  CASE WHEN tp + fn > 0
+        |   THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec
+        | FROM bycls),
+        |f AS (
+        | SELECT *, CASE WHEN prec + rec > 0
+        |  THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+        | FROM scored),
+        |o AS (SELECT round(CAST(sum(tp) AS DOUBLE) / (sum(tp) + sum(fn)), 6)
+        |   AS micro_f1, round(avg(f1), 6) AS macro_f1 FROM f)
+        |SELECT cls, tp, fp, fn, round(prec, 6) AS prec, round(rec, 6) AS rec,
+        | round(f1, 6) AS f1, micro_f1, macro_f1
+        |FROM f, o""".stripMargin,
+
+    // q123's percentile-cutpoint device; cumulative over 10 rows.
+    "q346_gains_curve" ->
+      """WITH base AS (
+        | SELECT CAST(round(value * 100) AS BIGINT) AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        | FROM events),
+        |cuts AS (SELECT quantile_cont(score,
+        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM base),
+        |dec AS (
+        | SELECT CAST(10 - len(list_filter(cuts, c -> score > c)) AS BIGINT)
+        |   AS decile,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
+        | FROM base, cuts GROUP BY 1)
+        |SELECT decile, n, p,
+        | round(CAST(sum(p) OVER (ORDER BY decile
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / CAST(sum(p) OVER () AS BIGINT), 6) AS gain,
+        | round((CAST(p AS DOUBLE) / n)
+        |  / (CAST(sum(p) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS BIGINT)),
+        |  6) AS lift
+        |FROM dec""".stripMargin,
 
     // exact-int absolute errors; sMAPE mean follows the q125 precedent.
     "q339_forecast_eval" ->
