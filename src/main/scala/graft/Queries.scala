@@ -5630,8 +5630,11 @@ object Queries {
     // disjunctive (N1→N2 OR N2→N1) pair filter then needs no fact
     // re-scan. Ship-year grouping keeps the output 2 nations × 2 years.
     "q303_tpch_q7" -> ((s, d) => {
+      // NATION_3/NATION_8 (not 1/2): the sf0.001 slice has suppliers in
+      // only 10 nations — this pair is the Q7 shape AND nonempty at the
+      // smallest fixture.
       val pair = Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
       val sup = Tables.supplier(s, d)
         .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
         .join(broadcast(pair.select(col("n_nationkey").as("s_nationkey"),
@@ -5653,10 +5656,10 @@ object Queries {
         .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
           col("o_custkey")), "l_orderkey")
         .join(cust, "o_custkey")
-        .filter((col("supp_nation") === "NATION_1" &&
-            col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" &&
-            col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" &&
+            col("cust_nation") === "NATION_3"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"))
     }),
@@ -7433,6 +7436,182 @@ object Queries {
             .as("share_of_region"),
           round(col("region_cents").cast("double") / col("total_cents"), 6)
             .as("region_share_of_total"))
+    }),
+
+    // Phrase search over the positional postings relation (q118's
+    // substrate): the two token scans filter-push onto the postings
+    // build (at scale: a bucketed-by-token index → both sides are
+    // pruned scans, no full-corpus pass), then one equi-join on
+    // (doc_id, adjacent position). Zero similarity math — exact-match
+    // retrieval is a join shape, not a scan shape.
+    "q347_phrase_search" -> ((s, d) => {
+      val toks = doc(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("w"))
+      val first = toks.filter(col("w") === "table")
+        .select(col("doc_id"), col("pos"))
+      val second = toks.filter(col("w") === "hash")
+        .select(col("doc_id"), (col("pos") - 1).as("pos"))
+      first.join(second, Seq("doc_id", "pos"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    }),
+
+    // k-fold cross-validated simple regression WITHOUT iteration: one
+    // scan builds per-fold sufficient statistics (exact integer sums —
+    // dollars/quantity are whole numbers), the 5-row fold relation
+    // gets the grand totals broadcast back, and each fold's
+    // OUT-OF-FOLD slope/intercept is (total − fold) arithmetic. Fold
+    // RMSE expands Σ(y−a−bx)² from the same six statistics. This is
+    // how CV runs at 100 TB: no per-fold re-scan, no model-fit loop.
+    "q348_cv_ols" -> ((s, d) => {
+      val b = li(s, d).select(
+        ((col("l_orderkey") + col("l_linenumber")) % 5).cast("long")
+          .as("fold"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      val per = b.groupBy("fold").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val tot = per.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
+        sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
+        sum(col("sxy")).as("tsxy"))
+      val oof = per.crossJoin(broadcast(tot)).select(col("fold"),
+        col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"),
+        (col("tn") - col("n")).cast("double").as("rn"),
+        (col("tsx") - col("sx")).cast("double").as("rsx"),
+        (col("tsy") - col("sy")).cast("double").as("rsy"),
+        (col("tsxx") - col("sxx")).cast("double").as("rsxx"),
+        (col("tsxy") - col("sxy")).cast("double").as("rsxy"))
+      val fit = oof.select(col("fold"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"), col("rn"), col("rsx"), col("rsy"),
+        ((col("rn") * col("rsxy") - col("rsx") * col("rsy")) /
+          (col("rn") * col("rsxx") - col("rsx") * col("rsx"))).as("b"))
+        .withColumn("a", (col("rsy") - col("b") * col("rsx")) / col("rn"))
+      fit.select(col("fold"), col("n"),
+          round(col("b"), 6).as("slope"), round(col("a"), 4).as("intercept"),
+          round(sqrt((col("syy").cast("double")
+            - lit(2.0) * col("a") * col("sy")
+            - lit(2.0) * col("b") * col("sxy")
+            + col("n") * col("a") * col("a")
+            + lit(2.0) * col("a") * col("b") * col("sx")
+            + col("b") * col("b") * col("sxx").cast("double"))
+            / col("n")), 4).as("rmse"))
+        .orderBy("fold")
+    }),
+
+    // Isotonic calibration (PAV) — the monotone score→probability map
+    // model-serving calibration wants, computed by the minimax identity
+    // fit_i = max_{j≤i} min_{k≥i} rate(j..k) (Barlow & Brunk '72) over
+    // the BOUNDED score-bin relation: the 100 TB scan collapses to ~20
+    // (bin, n, pos) rows FIRST, then the O(b³) pooling runs on a
+    // broadcast-bounded table — never on raw rows. Every pooled rate is
+    // a quotient of exact integers; the hashed outputs ride integer
+    // 1e-6 units (the q93 device), so min/max selection replays
+    // bit-for-bit.
+    "q349_isotonic_calibration" -> ((s, d) => {
+      val b = ev(s, d).select(
+        expr("CAST(round(value * 100) AS LONG) DIV 1000").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
+      val bins = b.groupBy("bin").agg(count(lit(1)).as("n"),
+        sum(col("pos")).as("p"))
+      // running sums over the bin relation (bounded, ≤ ~21 rows — the
+      // q346 precedent), never the event stream
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = bins.select(col("bin"), col("n"), col("p"),
+        sum(col("n")).over(w).as("cn"), sum(col("p")).over(w).as("cp"))
+      val pj = pre.select(col("bin").as("j"), (col("cp") - col("p")).as("pj0"),
+        (col("cn") - col("n")).as("nj0"))
+      val pk = pre.select(col("bin").as("k"), col("cp").as("cpk"),
+        col("cn").as("cnk"))
+      val pairs = pj.join(pk, col("j") <= col("k"))
+        .select(col("j"), col("k"), ((col("cpk") - col("pj0")).cast("double")
+          / (col("cnk") - col("nj0"))).as("avgr"))
+      val idx = bins.select(col("bin").as("i"))
+      val fit = pairs.join(idx, col("j") <= col("i") && col("k") >= col("i"))
+        .groupBy("j", "i").agg(min(col("avgr")).as("m"))
+        .groupBy("i").agg(max(col("m")).as("fit"))
+      bins.join(fit, col("bin") === col("i"))
+        .select(col("bin"), col("n"), col("p"),
+          round(col("p").cast("double") / col("n") * lit(1000000.0d))
+            .cast("long").as("raw_e6"),
+          round(col("fit") * lit(1000000.0d)).cast("long").as("iso_e6"))
+    }),
+
+    // Hourly OHLC + VWAP bars — the time-bucketed downsampling shape
+    // (market bars, telemetry rollups): one grouped aggregation, with
+    // open/close as min_by/max_by over the exact (epoch-micro,
+    // event_id) total order (the injected RewriteMinByStruct rule keeps
+    // this a hash aggregate). Prices are exact cents; VWAP divides two
+    // exact integer sums.
+    "q352_vwap_bars" -> ((s, d) => {
+      val b = ev(s, d).select(
+        expr("unix_micros(ts) DIV 3600000000").as("hour"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("user_id") % 10 + 1).cast("long").as("qty"))
+      b.groupBy("hour").agg(
+          min_by(col("cents"), struct(col("tsu"), col("event_id")))
+            .as("open_c"),
+          max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
+          max_by(col("cents"), struct(col("tsu"), col("event_id")))
+            .as("close_c"),
+          sum(col("cents") * col("qty")).as("__pv"),
+          sum(col("qty")).as("volume"))
+        .select(col("hour"), col("open_c"), col("high_c"), col("low_c"),
+          col("close_c"), col("volume"),
+          // integer micro-dollar units (the q93 device): pv/vol is an
+          // identical double on both engines and round-to-INTEGER agrees
+          // everywhere, unlike round(x, 6) whose decimal-scale paths can
+          // flip boundary values (vol divides pv in binary fractions, so
+          // .5 landings are common here)
+          round(col("__pv").cast("double") / col("volume") * lit(10000.0d))
+            .cast("long").as("vwap_e6"))
+    }),
+
+    // URL decomposition + per-host rollup — the web-corpus curation
+    // primitive (domain quotas, host dedup keys, eTLD grouping). URLs
+    // are synthesized deterministically from document fields, then
+    // host / registered-domain / query-param fall out of three
+    // codegen'd regexes in ONE projection pass — no UDF, no shuffle
+    // before the final per-host aggregate.
+    "q350_url_parse" -> ((s, d) => {
+      val u = doc(s, d).select(col("doc_id"), col("lang"),
+        concat(lit("https://www."), col("source"), lit(".example.com/"),
+          col("lang"), lit("/doc-"), col("doc_id"),
+          lit("?ref="), (col("doc_id") % 7).cast("string")).as("url"))
+      u.select(
+          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
+          col("lang"), (col("doc_id") % 7).as("ref"))
+        .withColumn("domain",
+          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+        .groupBy("host", "domain").agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          round(avg(col("ref")), 4).as("avg_ref"))
+    }),
+
+    // HTML → text stripping — the first stage of every web-scrape
+    // pipeline: tag removal + entity unescape as two codegen'd
+    // regexp/replace chains in a single projection (at 100 TB this is
+    // embarrassingly parallel scan work; the only aggregate is the
+    // per-source report). Tag count is measured before stripping via
+    // exact character arithmetic.
+    "q351_html_strip" -> ((s, d) => {
+      val h = doc(s, d).select(col("doc_id"), col("source"),
+        concat(lit("<html><body data-src=\""), col("source"),
+          lit("\"><h1>Doc "), col("doc_id"), lit("</h1><p>"),
+          regexp_replace(regexp_replace(col("text"), "table",
+            "<b>table</b>"), "fast", "&amp;fast"),
+          lit("</p></body></html>")).as("html"))
+      val stripped = h.select(col("doc_id"), col("source"), col("html"),
+        regexp_replace(regexp_replace(col("html"), "<[^>]+>", ""),
+          "&amp;", "&").as("clean"))
+      stripped.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(length(col("html")) - length(regexp_replace(col("html"), "<", "")))
+          .as("n_tags"),
+        round(avg(length(col("clean"))), 4).as("avg_clean_len"))
     })
   )
 
@@ -13158,8 +13337,8 @@ object Queries {
         |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         | AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
         | AND c_nationkey = n2.n_nationkey
-        | AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        | AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
         | AND l_shipdate >= TIMESTAMP '1996-01-01'
         | AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3""".stripMargin,
@@ -13357,7 +13536,7 @@ object Queries {
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
         | FROM orders)
         |SELECT o_orderkey, o_custkey, d,
-        | round(CAST(sum(c) OVER w AS DOUBLE) / 100, 2) AS trail_spend,
+        | round(CAST(sum(c) OVER w AS BIGINT) / 100.0, 2) AS trail_spend,
         | CAST(count(*) OVER w AS BIGINT) AS trail_n
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
@@ -13398,7 +13577,7 @@ object Queries {
         | FROM events GROUP BY 1, 2),
         |t AS (
         | SELECT event_type, h, y,
-        |  sum(y) OVER w AS s25, count(*) OVER w AS k
+        |  CAST(sum(y) OVER w AS BIGINT) AS s25, count(*) OVER w AS k
         | FROM hourly
         | WINDOW w AS (PARTITION BY event_type ORDER BY h
         |  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
@@ -13606,10 +13785,9 @@ object Queries {
         | FROM idx, (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS bn) b),
         |dev AS (
         | SELECT bn, blk, j, i, c,
-        |  sum(c) OVER (PARTITION BY bn, blk ORDER BY i
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
-        |  sum(c) OVER (PARTITION BY bn, blk) AS s,
-        |  sum(c * c) OVER (PARTITION BY bn, blk) AS q,
+        |  CAST(sum(c) OVER (PARTITION BY bn, blk ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pc,
+        |  CAST(sum(c) OVER (PARTITION BY bn, blk) AS BIGINT) AS s,
+        |  CAST(sum(c * c) OVER (PARTITION BY bn, blk) AS BIGINT) AS q,
         |  count(*) OVER (PARTITION BY bn, blk) AS k
         | FROM sized),
         |f AS (SELECT bn, blk, bn * pc - j * s AS z, s, q
@@ -13906,8 +14084,7 @@ object Queries {
         |  CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
         | FROM base, cuts GROUP BY 1)
         |SELECT decile, n, p,
-        | round(CAST(sum(p) OVER (ORDER BY decile
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        | round(CAST(sum(p) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |  / CAST(sum(p) OVER () AS BIGINT), 6) AS gain,
         | round((CAST(p AS DOUBLE) / n)
         |  / (CAST(sum(p) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS BIGINT)),
@@ -14875,6 +15052,161 @@ object Queries {
         |SELECT event_type, day AS split_day,
         | CAST(i AS BIGINT) AS n_days_before,
         | round(CAST(num AS DOUBLE) / den / (n * n), 4) AS sse_reduction
-        |FROM rk WHERE rk = 1""".stripMargin
+        |FROM rk WHERE rk = 1""".stripMargin,
+
+    // Parallel unnests zip positionally (the q118 idiom); adjacency is
+    // b.pos = a.pos + 1 on 0-based positions.
+    "q347_phrase_search" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        | SELECT doc_id, unnest(toks) AS w,
+        |  unnest(range(0, len(toks))) AS pos
+        | FROM t)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.w = 'table' AND b.w = 'hash'
+        |GROUP BY 1""".stripMargin,
+
+    // Integer sufficient statistics (whole dollars / whole quantities) so
+    // every sum is exact; the double expansion mirrors the Spark op
+    // order term-for-term.
+    "q348_cv_ols" ->
+      """WITH b AS (
+        | SELECT CAST((l_orderkey + l_linenumber) % 5 AS BIGINT) AS fold,
+        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice) AS BIGINT) AS y
+        | FROM lineitem),
+        |per AS (
+        | SELECT fold, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(y * y) AS BIGINT) AS syy
+        | FROM b GROUP BY 1),
+        |tot AS (
+        | SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+        |  CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
+        |  CAST(sum(sxy) AS BIGINT) AS tsxy
+        | FROM per),
+        |oof AS (
+        | SELECT fold, n, sx, sy, sxx, sxy, syy,
+        |  CAST(tn - n AS DOUBLE) AS rn, CAST(tsx - sx AS DOUBLE) AS rsx,
+        |  CAST(tsy - sy AS DOUBLE) AS rsy,
+        |  CAST(tsxx - sxx AS DOUBLE) AS rsxx,
+        |  CAST(tsxy - sxy AS DOUBLE) AS rsxy
+        | FROM per, tot),
+        |fit AS (
+        | SELECT fold, n, sx, sy, sxx, sxy, syy, rn, rsx, rsy,
+        |  (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS b2
+        | FROM oof),
+        |fit2 AS (SELECT *, (rsy - b2 * rsx) / rn AS a2 FROM fit)
+        |SELECT fold, n, round(b2, 6) AS slope, round(a2, 4) AS intercept,
+        | round(sqrt((CAST(syy AS DOUBLE) - 2.0 * a2 * sy - 2.0 * b2 * sxy
+        |   + n * a2 * a2 + 2.0 * a2 * b2 * sx
+        |   + b2 * b2 * CAST(sxx AS DOUBLE)) / n), 4) AS rmse
+        |FROM fit2""".stripMargin,
+
+    // Same minimax identity over the same bin relation; pooled rates are
+    // integer quotients, outputs integer 1e-6 units (q93 device).
+    "q349_isotonic_calibration" ->
+      """WITH b AS (
+        | SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        | FROM events),
+        |bins AS (
+        | SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS p
+        | FROM b GROUP BY 1),
+        |pre AS (
+        | SELECT bin, n, p,
+        |  CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |  CAST(sum(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+        | FROM bins),
+        |pairs AS (
+        | SELECT a.bin AS j, c.bin AS k,
+        |  CAST(c.cp - (a.cp - a.p) AS DOUBLE) / (c.cn - (a.cn - a.n))
+        |   AS avgr
+        | FROM pre a JOIN pre c ON a.bin <= c.bin),
+        |m AS (
+        | SELECT p2.j, i.bin AS i, min(avgr) AS m
+        | FROM pairs p2 JOIN bins i ON p2.j <= i.bin AND p2.k >= i.bin
+        | GROUP BY 1, 2),
+        |fit AS (SELECT i, max(m) AS fit FROM m GROUP BY 1)
+        |SELECT b2.bin, b2.n, b2.p,
+        | CAST(round(CAST(b2.p AS DOUBLE) / b2.n * 1000000.0) AS BIGINT)
+        |  AS raw_e6,
+        | CAST(round(fit * 1000000.0) AS BIGINT) AS iso_e6
+        |FROM bins b2 JOIN fit ON b2.bin = fit.i""".stripMargin,
+
+    // Same synthesized URL; host/domain/param via the identical regexes
+    // (simple enough to agree between RE2 and Java regex).
+    "q350_url_parse" ->
+      """WITH u AS (
+        | SELECT doc_id, lang,
+        |  'https://www.' || source || '.example.com/' || lang || '/doc-'
+        |   || doc_id || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
+        | FROM documents),
+        |e AS (
+        | SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, lang,
+        |  CAST(doc_id % 7 AS BIGINT) AS ref
+        | FROM u),
+        |e2 AS (
+        | SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+        |  lang, ref
+        | FROM e)
+        |SELECT host, domain, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        | round(avg(ref), 4) AS avg_ref
+        |FROM e2 GROUP BY 1, 2""".stripMargin,
+
+    // replace() for the literal injections (DuckDB replace is global);
+    // the tag-strip regex needs the explicit 'g' flag.
+    "q351_html_strip" ->
+      """WITH h AS (
+        | SELECT doc_id, source,
+        |  '<html><body data-src="' || source || '"><h1>Doc ' || doc_id
+        |   || '</h1><p>'
+        |   || replace(replace(text, 'table', '<b>table</b>'),
+        |        'fast', '&amp;fast')
+        |   || '</p></body></html>' AS html
+        | FROM documents),
+        |st AS (
+        | SELECT doc_id, source, html,
+        |  replace(regexp_replace(html, '<[^>]+>', '', 'g'), '&amp;', '&')
+        |   AS clean
+        | FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(html) - length(replace(html, '<', ''))) AS BIGINT)
+        |  AS n_tags,
+        | round(avg(length(clean)), 4) AS avg_clean_len
+        |FROM st GROUP BY 1""".stripMargin,
+
+    // open/close via first/last row_number over the (tsu, event_id)
+    // total order — this DuckDB build's arg_min has no compound-key
+    // overload; prices exact cents, VWAP a ratio of exact integer sums.
+    "q352_vwap_bars" ->
+      """WITH b AS (
+        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS cents,
+        |  CAST(user_id % 10 + 1 AS BIGINT) AS qty
+        | FROM events),
+        |r AS (
+        | SELECT hour, cents, qty,
+        |  row_number() OVER (PARTITION BY hour ORDER BY tsu, event_id)
+        |   AS ra,
+        |  row_number() OVER (PARTITION BY hour
+        |   ORDER BY tsu DESC, event_id DESC) AS rd
+        | FROM b)
+        |SELECT hour,
+        | CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_c,
+        | CAST(max(cents) AS BIGINT) AS high_c,
+        | CAST(min(cents) AS BIGINT) AS low_c,
+        | CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_c,
+        | CAST(sum(qty) AS BIGINT) AS volume,
+        | CAST(round(CAST(sum(cents * qty) AS DOUBLE)
+        |  / CAST(sum(qty) AS BIGINT) * 10000.0) AS BIGINT) AS vwap_e6
+        |FROM r GROUP BY 1""".stripMargin
   )
 }
