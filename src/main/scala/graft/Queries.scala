@@ -7462,12 +7462,19 @@ object Queries {
     // gets the grand totals broadcast back, and each fold's
     // OUT-OF-FOLD slope/intercept is (total − fold) arithmetic. Fold
     // RMSE expands Σ(y−a−bx)² from the same six statistics. This is
-    // how CV runs at 100 TB: no per-fold re-scan, no model-fit loop.
+    // how CV scales: no per-fold re-scan, no model-fit loop. Int64
+    // headroom note: sum(y*y) at y~1e5 holds ~9e8 rows per fold before
+    // wrapping — fine to TB-scale facts; beyond that, promote the
+    // squared sums to DECIMAL(38,0) (DuckDB already promotes to
+    // HUGEINT).
     "q348_cv_ols" -> ((s, d) => {
       val b = li(s, d).select(
         ((col("l_orderkey") + col("l_linenumber")) % 5).cast("long")
           .as("fold"),
-        col("l_quantity").cast("long").as("x"),
+        // round() before the long cast: Spark's cast truncates while
+        // the oracle's CAST rounds — rounding both sides (the y
+        // treatment) keeps parity independent of quantity integrality
+        round(col("l_quantity")).cast("long").as("x"),
         round(col("l_extendedprice")).cast("long").as("y"))
       val per = b.groupBy("fold").agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"),
@@ -7512,7 +7519,13 @@ object Queries {
     // bit-for-bit.
     "q349_isotonic_calibration" -> ((s, d) => {
       val b = ev(s, d).select(
-        expr("CAST(round(value * 100) AS LONG) DIV 1000").as("bin"),
+        // exact integer FLOOR division (subtract the nonnegative pmod
+        // remainder, then DIV is exact): Spark's bare DIV truncates
+        // toward zero while the DuckDB oracle's // floors — they only
+        // agree on nonnegative scores, and bins must not depend on that
+        expr("(CAST(round(value * 100) AS LONG) - " +
+          "pmod(CAST(round(value * 100) AS LONG), 1000L)) DIV 1000L")
+          .as("bin"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
       val bins = b.groupBy("bin").agg(count(lit(1)).as("n"),
         sum(col("pos")).as("p"))
@@ -7548,7 +7561,11 @@ object Queries {
     // exact integer sums.
     "q352_vwap_bars" -> ((s, d) => {
       val b = ev(s, d).select(
-        expr("unix_micros(ts) DIV 3600000000").as("hour"),
+        // floor division via pmod (not bare DIV, which truncates toward
+        // zero): pre-epoch timestamps must land in the earlier hour
+        // bucket, matching DuckDB's flooring //
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L)) " +
+          "DIV 3600000000L").as("hour"),
         unix_micros(col("ts")).as("tsu"), col("event_id"),
         round(col("value") * 100).cast("long").as("cents"),
         (col("user_id") % 10 + 1).cast("long").as("qty"))
@@ -7612,6 +7629,116 @@ object Queries {
         sum(length(col("html")) - length(regexp_replace(col("html"), "<", "")))
           .as("n_tags"),
         round(avg(length(col("clean"))), 4).as("avg_clean_len"))
+    }),
+
+    // MERGE-style upsert AUDIT — the metrics row every MERGE INTO emits
+    // (Delta/Iceberg `operationMetrics`): rows matched-and-updated, rows
+    // inserted, rows retained untouched, with post-merge checksums per
+    // action. Target = the per-part snapshot as of the cutoff; source =
+    // the post-cutoff delta of the same feed (q315 is the write half of
+    // this; q127 returns the merged TABLE — this returns the AUDIT).
+    // Both relations come out of ONE fact scan as conditional aggregates
+    // (sum(when) is null when no rows — exactly the key-presence test a
+    // full-outer target⋈source would give), so the whole merge
+    // classification costs one shuffle on the merge key instead of two
+    // aggregations plus an outer join. Revenue rides exact cents.
+    "q353_merge_audit" -> ((s, d) => {
+      val cut = lit("1997-06-01").cast("timestamp")
+      // merge key = (part, supplier): fine enough that all three actions
+      // occur at every SF (a coarser key degenerates to all-update once
+      // every key straddles the cutoff)
+      val per = li(s, d).select(col("l_partkey"), col("l_suppkey"),
+          col("l_shipdate").lt(cut).as("__old"),
+          round(col("l_extendedprice") * 100).cast("long").as("__c"))
+        .groupBy("l_partkey", "l_suppkey").agg(
+          sum(when(col("__old"), col("__c"))).as("t_c"),
+          sum(when(col("__old"), 1L)).as("t_n"),
+          sum(when(!col("__old"), col("__c"))).as("s_c"),
+          sum(when(!col("__old"), 1L)).as("s_n"))
+      per.select(
+          when(col("t_n").isNotNull && col("s_n").isNotNull, "update")
+            .when(col("t_n").isNull, "insert").otherwise("retain")
+            .as("action"),
+          col("t_n"), col("s_n"),
+          (coalesce(col("t_c"), lit(0L)) + coalesce(col("s_c"), lit(0L)))
+            .as("__m"))
+        .groupBy("action").agg(count(lit(1)).as("n_keys"),
+          coalesce(sum(col("t_n")), lit(0L)).as("n_target_rows"),
+          coalesce(sum(col("s_n")), lit(0L)).as("n_source_rows"),
+          round(sum(col("__m")).cast("double") / 100, 2)
+            .as("merged_revenue"))
+    }),
+
+    // Pivot-wide with MULTIPLE measures per pivot value — the dashboard
+    // export shape (q45 pivots one measure): event volume AND exact-cent
+    // value per 6-hour time-of-day band, one wide row per event type.
+    // The pivot list is explicit (no distinct-values pre-scan — at scale
+    // that scan is a full pass just to learn the column set) and the
+    // whole thing is ONE partial-aggregating hash aggregate: 4 bands ×
+    // 2 measures = 8 counters per group, map-side combined. Bucketing is
+    // floor-division via pmod (q352's device) so pre-epoch timestamps
+    // would band identically to DuckDB's flooring //.
+    "q354_pivot_multi" -> ((s, d) => {
+      val b = ev(s, d).select(col("event_type"),
+        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))" +
+          " DIV 3600000000L, 24L) DIV 6L").as("band"),
+        round(col("value") * 100).cast("long").as("cents"))
+      b.groupBy("event_type").pivot("band", Seq(0, 1, 2, 3))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("cents")).cast("double") / 100, 2).as("val"))
+    }),
+
+    // End-to-end dedup QUALITY scorecard — closes the loop q205 opened at
+    // the candidate-pair level: run the full production chain
+    // (MinHash → LSH band join → exact-Jaccard verify → connected
+    // components, q44's exact parameters) and grade its final CLUSTERS
+    // against the exact ground truth (PPJoin candidate generation has
+    // recall 1.0 by theorem, so canonicalizeExact's components ARE the
+    // true "jaccard ≥ 0.3" clustering). Grading is standard pair-level
+    // cluster eval: a pair counts iff the two docs share a label, so the
+    // comparison also scores the transitive closure the CC step adds —
+    // the part no pairwise eval sees. Co-membership joins cost Σ|c|²
+    // over CLUSTERS (near-dup clusters are single-digit; the corpus-size
+    // term is linear), and the two scalar cluster counts attach by
+    // 1-row broadcast.
+    "q355_dedup_scorecard" -> ((s, d) => {
+      val docs = doc(s, d)
+      val pred = Dedup.canonicalize(docs, "text", "doc_id",
+        k = 2, jaccardThreshold = 0.3, rounds = 16, family = "md5p61")
+      val truth = Dedup.canonicalizeExact(docs, "text", "doc_id",
+        k = 2, jaccardThreshold = 0.3, maxRounds = 16)
+      def comember(lab: DataFrame): DataFrame =
+        lab.select(col("canonical_id").as("__l"), col("doc_id").as("id_a"))
+          .join(lab.select(col("canonical_id").as("__l"),
+            col("doc_id").as("id_b")), Seq("__l"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      def nClusters(lab: DataFrame, out: String): DataFrame =
+        lab.groupBy("canonical_id").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2).agg(count(lit(1)).as(out))
+      val cm = comember(pred).withColumn("__p", lit(1L))
+        .join(comember(truth).withColumn("__t", lit(1L)),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(
+          // coalesce: a duplicate-free corpus has ZERO pairs on both
+          // sides, and sum over no rows is null — the scorecard reports 0
+          coalesce(sum(when(col("__p").isNotNull && col("__t").isNotNull,
+            1L).otherwise(0L)), lit(0L)).as("tp"),
+          coalesce(sum(when(col("__p").isNotNull && col("__t").isNull,
+            1L).otherwise(0L)), lit(0L)).as("fp"),
+          coalesce(sum(when(col("__p").isNull && col("__t").isNotNull,
+            1L).otherwise(0L)), lit(0L)).as("fn"))
+      cm.crossJoin(broadcast(nClusters(pred, "pred_clusters")))
+        .crossJoin(broadcast(nClusters(truth, "truth_clusters")))
+        .select(col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0, round(col("tp").cast("double")
+            / (col("tp") + col("fp")), 6)).as("prec"),
+          when(col("tp") + col("fn") > 0, round(col("tp").cast("double")
+            / (col("tp") + col("fn")), 6)).as("rec"),
+          when(col("tp") * 2 + col("fp") + col("fn") > 0,
+            round((col("tp") * 2).cast("double")
+              / (col("tp") * 2 + col("fp") + col("fn")), 6)).as("f1"),
+          col("pred_clusters"), col("truth_clusters"))
     })
   )
 
@@ -15074,7 +15201,7 @@ object Queries {
     "q348_cv_ols" ->
       """WITH b AS (
         | SELECT CAST((l_orderkey + l_linenumber) % 5 AS BIGINT) AS fold,
-        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_quantity) AS BIGINT) AS x,
         |  CAST(round(l_extendedprice) AS BIGINT) AS y
         | FROM lineitem),
         |per AS (
@@ -15207,6 +15334,134 @@ object Queries {
         | CAST(sum(qty) AS BIGINT) AS volume,
         | CAST(round(CAST(sum(cents * qty) AS DOUBLE)
         |  / CAST(sum(qty) AS BIGINT) * 10000.0) AS BIGINT) AS vwap_e6
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // sum(CASE ... THEN 1 END) (not count FILTER) so an absent side is
+    // NULL, matching Spark's sum(when(...)) key-presence semantics.
+    "q353_merge_audit" ->
+      """WITH per AS (
+        | SELECT l_partkey, l_suppkey,
+        |  sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS t_c,
+        |  sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01' THEN 1 END) AS t_n,
+        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
+        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS s_c,
+        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01' THEN 1 END) AS s_n
+        | FROM lineitem GROUP BY 1, 2)
+        |SELECT CASE WHEN t_n IS NOT NULL AND s_n IS NOT NULL THEN 'update'
+        |        WHEN t_n IS NULL THEN 'insert' ELSE 'retain' END AS action,
+        | CAST(count(*) AS BIGINT) AS n_keys,
+        | CAST(coalesce(sum(t_n), 0) AS BIGINT) AS n_target_rows,
+        | CAST(coalesce(sum(s_n), 0) AS BIGINT) AS n_source_rows,
+        | round(CAST(sum(coalesce(t_c, 0) + coalesce(s_c, 0)) AS DOUBLE)
+        |  / 100, 2) AS merged_revenue
+        |FROM per GROUP BY 1""".stripMargin,
+
+    // Empty pivot cells are NULL on both sides: Spark's pivot emits NULL
+    // for a missing (group, band) cell even under count, so the oracle
+    // uses sum(CASE WHEN ... THEN 1 END), not count(*) FILTER (= 0).
+    // Band arithmetic replays Spark's pmod floor-division exactly.
+    "q354_pivot_multi" ->
+      """WITH b AS (
+        | SELECT event_type,
+        |  (((epoch_us(ts) // 3600000000) % 24 + 24) % 24) // 6 AS band,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN band = 0 THEN 1 END) AS BIGINT) AS "0_cnt",
+        | round(CAST(sum(CASE WHEN band = 0 THEN cents END) AS DOUBLE) / 100,
+        |  2) AS "0_val",
+        | CAST(sum(CASE WHEN band = 1 THEN 1 END) AS BIGINT) AS "1_cnt",
+        | round(CAST(sum(CASE WHEN band = 1 THEN cents END) AS DOUBLE) / 100,
+        |  2) AS "1_val",
+        | CAST(sum(CASE WHEN band = 2 THEN 1 END) AS BIGINT) AS "2_cnt",
+        | round(CAST(sum(CASE WHEN band = 2 THEN cents END) AS DOUBLE) / 100,
+        |  2) AS "2_val",
+        | CAST(sum(CASE WHEN band = 3 THEN 1 END) AS BIGINT) AS "3_cnt",
+        | round(CAST(sum(CASE WHEN band = 3 THEN cents END) AS DOUBLE) / 100,
+        |  2) AS "3_val"
+        |FROM b GROUP BY 1""".stripMargin,
+
+    // The q44 chain (MinHash sig → bands → est-jaccard prefilter → exact
+    // verify) and the q70 exact chain at the same threshold, labelled
+    // through ONE recursive CTE keyed by side, then graded pair-level on
+    // cluster co-membership.
+    "q355_dedup_scorecard" ->
+      """WITH RECURSIVE toks AS (
+        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |   i -> array_to_string(t[i : i + 1], ' ')) AS s
+        | FROM toks),
+        |base AS (
+        | SELECT doc_id, list_transform(s,
+        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
+        | FROM sh),
+        |sig AS (
+        | SELECT doc_id, list_transform(range(16), j ->
+        |   list_min(list_transform(bs, x ->
+        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
+        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
+        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
+        | FROM base),
+        |banded AS (
+        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
+        | FROM sig, range(8) r(b)),
+        |cand AS (
+        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        | FROM banded a JOIN banded b
+        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        | WHERE list_sum(list_transform(range(16), i ->
+        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 >= 0.15),
+        |shd AS (
+        | SELECT doc_id, list_distinct(s) AS sd FROM sh),
+        |predp AS (
+        | SELECT c.id_a AS ia, c.id_b AS ib
+        | FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
+        | WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+        |   / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.3),
+        |truep AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
+        |   / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.3),
+        |e AS (SELECT 'p' AS side, ia AS a, ib AS b FROM predp
+        |      UNION ALL SELECT 'p', ib, ia FROM predp
+        |      UNION ALL SELECT 't', ia, ib FROM truep
+        |      UNION ALL SELECT 't', ib, ia FROM truep),
+        |cc(side, node, label) AS (
+        | SELECT s.side, d.doc_id, d.doc_id
+        | FROM documents d CROSS JOIN (VALUES ('p'), ('t')) s(side)
+        | UNION
+        | SELECT e.side, e.a, cc.label FROM e
+        | JOIN cc ON cc.side = e.side AND cc.node = e.b
+        | WHERE cc.label < e.a),
+        |lab AS (SELECT side, node, min(label) AS l FROM cc GROUP BY side, node),
+        |cp AS (SELECT a.node AS ia, b.node AS ib FROM lab a JOIN lab b
+        |        ON a.side = 'p' AND b.side = 'p' AND a.l = b.l AND a.node < b.node),
+        |ct AS (SELECT a.node AS ia, b.node AS ib FROM lab a JOIN lab b
+        |        ON a.side = 't' AND b.side = 't' AND a.l = b.l AND a.node < b.node),
+        |m AS (
+        | SELECT
+        |  CAST(coalesce(sum(CASE WHEN cp.ia IS NOT NULL AND ct.ia IS NOT NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+        |  CAST(coalesce(sum(CASE WHEN cp.ia IS NOT NULL AND ct.ia IS NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+        |  CAST(coalesce(sum(CASE WHEN cp.ia IS NULL AND ct.ia IS NOT NULL
+        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
+        | FROM cp FULL OUTER JOIN ct ON cp.ia = ct.ia AND cp.ib = ct.ib),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS pred_clusters FROM
+        |  (SELECT l FROM lab WHERE side = 'p' GROUP BY l HAVING count(*) >= 2)),
+        |tc AS (SELECT CAST(count(*) AS BIGINT) AS truth_clusters FROM
+        |  (SELECT l FROM lab WHERE side = 't' GROUP BY l HAVING count(*) >= 2))
+        |SELECT tp, fp, fn,
+        | CASE WHEN tp + fp > 0
+        |  THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
+        | CASE WHEN tp + fn > 0
+        |  THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
+        | CASE WHEN tp * 2 + fp + fn > 0
+        |  THEN round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) END AS f1,
+        | pred_clusters, truth_clusters
+        |FROM m, pc, tc""".stripMargin
   )
 }

@@ -3,9 +3,9 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** q347–q352: phrase search over positional postings, sufficient-statistic
-  * k-fold CV, count-min sketch point queries, URL decomposition, HTML
+  * k-fold CV, isotonic (PAV) calibration, URL decomposition, HTML
   * stripping, OHLC/VWAP bars — fixtures with hand-checkable outcomes
-  * (planted phrases, perfectly linear folds, collision-free sketch keys,
+  * (planted phrases, perfectly linear folds, a poolable rate violation,
   * a single-URL host, a counted tag soup, a tied-timestamp open).
   */
 class IndexSketchCvSpec extends AnyFunSuite {

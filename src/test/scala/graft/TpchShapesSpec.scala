@@ -172,12 +172,22 @@ class TpchShapesSpec extends AnyFunSuite {
   }
 
   test("q303: both shipping directions group separately; same-nation is out") {
-    val dir = starDir()
+    // Own fixture (not starDir): the committed query filters the
+    // NATION_3/NATION_8 pair, so the nation table must carry those names.
+    val dir = tmpDir()
+    Seq((0, "NATION_3"), (1, "NATION_8"), (2, "NATION_5"))
+      .toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    // cust 1 is NATION_3, cust 2 is NATION_5 (not in the pair).
+    Seq((1L, 0), (2L, 2)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    // supp 10 is NATION_3, supp 20 is NATION_8.
+    Seq((10L, 0), (20L, 1)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     Seq((100L, 1L), (101L, 2L)).toDF("o_orderkey", "o_custkey")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    // cust 1 is NATION_1, cust 2 is NATION_3 (not in the pair).
-    // supp 20 (NATION_2) -> cust 1 (NATION_1): direction N2->N1, in;
-    // supp 10 (NATION_1) -> cust 1 (NATION_1): same nation, out;
+    // supp 20 (NATION_8) -> cust 1 (NATION_3): direction N8->N3, in;
+    // supp 10 (NATION_3) -> cust 1 (NATION_3): same nation, out;
     // supp 10 -> cust 2: customer outside the pair, out.
     Seq((100L, 20L, ts("1996-03-01"), 200.0, 0.0),
         (100L, 10L, ts("1996-03-01"), 999.0, 0.0),
@@ -187,7 +197,7 @@ class TpchShapesSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val r = Queries.queries("q303_tpch_q7")(spark, dir)
       .as[(String, String, Long, Double)].collect().toSet
-    assert(r == Set(("NATION_2", "NATION_1", 1996L, 200.0)))
+    assert(r == Set(("NATION_8", "NATION_3", 1996L, 200.0)))
   }
 
   test("q304: a year with no NATION_3 supplier volume shares 0.0") {
