@@ -7739,6 +7739,417 @@ object Queries {
             round((col("tp") * 2).cast("double")
               / (col("tp") * 2 + col("fp") + col("fn")), 6)).as("f1"),
           col("pred_clusters"), col("truth_clusters"))
+    }),
+
+    // Kruskal–Wallis rank ANOVA (q191's Mann–Whitney generalized to k
+    // groups, tie-corrected): does `value` distribute identically across
+    // event types? Global average ranks ride q334's exact device —
+    // 2·rank(c) = 2·cum_before + t + 1 over the DISTINCT-score relation
+    // (GlobalRank's two-phase prefix sum, never a corpus-wide window) —
+    // so the per-group rank sums are exact integers (DECIMAL: at 1e12
+    // rows 2R ~ N² overflows int64). The only float work is Σ R²/n over
+    // the k-row group relation, folded in sorted group order so both
+    // engines add in the same sequence. Tie term Σ(t³−t) is exact.
+    "q356_kruskal_wallis" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val base = ev(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val byc = base.groupBy("c").agg(count(lit(1)).as("t"))
+      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byc, "c", "t")
+      val per = base.groupBy("event_type", "c").agg(count(lit(1)).as("g"))
+        .join(pp.select(col("c"), col("t"), col("cum_before")), Seq("c"))
+        .groupBy("event_type").agg(sum(col("g")).as("ng"),
+          sum(col("g").cast(dec)
+            * (lit(2) * col("cum_before") + col("t") + 1)).as("r2"))
+      val ties = pp.agg(
+        sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("t3"))
+      val tot = per.agg(sum(col("ng")).as("nn"), count(lit(1)).as("k"))
+      per.agg(sort_array(collect_list(struct(col("event_type"),
+          col("ng"), col("r2").cast("double").as("r2d")))).as("gs"))
+        .select(expr("aggregate(gs, 0D, (acc, x) -> " +
+          "acc + (x.r2d / 2D) * (x.r2d / 2D) / CAST(x.ng AS DOUBLE))")
+          .as("srn"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+        .select(col("nn").as("n"), col("k"),
+          round(((lit(12.0) / (col("nn").cast("double")
+              * (col("nn") + 1).cast("double"))) * col("srn")
+            - lit(3.0) * (col("nn") + 1).cast("double"))
+            / (lit(1.0) - col("t3").cast("double")
+              / (col("nn").cast("double") * col("nn").cast("double")
+                * col("nn").cast("double") - col("nn").cast("double"))), 6)
+            .as("h"))
+    }),
+
+    // Brown–Forsythe Levene test — variance homogeneity via one-way
+    // ANOVA on |x − group median| (the robust form; q22 is the plain
+    // ANOVA). The deviations are EXACT integers on the doubled-cents
+    // scale (group medians are multiples of 0.5 cents, so 2·|c − med|
+    // is integral — W is scale-invariant), which makes every sum exact;
+    // the single ordered fold computes Σ S²/n and the rest is scalar
+    // algebra on a 1-row relation. Group medians broadcast (k rows).
+    "q357_levene_bf" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val base = ev(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val med = base.groupBy("event_type").agg(
+        (Stats.quantileExpr(s, "c", 0.5) * 2).cast("long").as("m2"))
+      val z = base.join(broadcast(med), Seq("event_type"))
+        .select(col("event_type"), abs(col("c") * 2 - col("m2")).as("z"))
+      val per = z.groupBy("event_type").agg(count(lit(1)).as("ng"),
+        sum(col("z")).as("sg"), sum(col("z").cast(dec) * col("z")).as("qg"))
+      val tot = per.agg(sum(col("ng")).as("nn"), count(lit(1)).as("k"),
+        sum(col("sg")).as("st"), sum(col("qg")).as("qt"))
+      per.agg(sort_array(collect_list(struct(col("event_type"),
+          col("ng"), col("sg").cast("double").as("sgd")))).as("gs"))
+        .select(expr("aggregate(gs, 0D, (acc, x) -> " +
+          "acc + x.sgd * x.sgd / CAST(x.ng AS DOUBLE))").as("srn"))
+        .crossJoin(broadcast(tot))
+        .select(col("nn").as("n"), col("k"),
+          round(((col("srn") - col("st").cast("double")
+              * col("st").cast("double") / col("nn").cast("double"))
+            / (col("k") - 1).cast("double"))
+            / ((col("qt").cast("double") - col("srn"))
+              / (col("nn") - col("k")).cast("double")), 6).as("w"))
+    }),
+
+    // Jarque–Bera normality screen per series — skewness, excess
+    // kurtosis and the JB statistic from the first four RAW power sums,
+    // each an exact DECIMAL(38,0) integer (cents⁴ ~1e19 overflows int64
+    // PER ROW, so the cast precedes the multiplies; DuckDB rides
+    // HUGEINT). One map-side-combinable hash aggregate per type; the
+    // central-moment expansion is then fixed-order scalar algebra —
+    // the only libm call is the correctly-rounded sqrt.
+    "q358_jarque_bera" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val per = ev(s, d).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("c")).as("s1"), sum(col("c").cast(dec) * col("c")).as("s2"),
+          sum(col("c").cast(dec) * col("c") * col("c")).as("s3"),
+          sum(col("c").cast(dec) * col("c") * col("c") * col("c")).as("s4"))
+      val nd = col("n").cast("double")
+      val mean = col("s1").cast("double") / nd
+      val m2 = col("s2").cast("double") / nd - mean * mean
+      val m3 = (col("s3").cast("double") / nd
+        - lit(3.0) * mean * (col("s2").cast("double") / nd)) +
+        lit(2.0) * mean * mean * mean
+      val m4 = ((col("s4").cast("double") / nd
+        - lit(4.0) * mean * (col("s3").cast("double") / nd)) +
+        lit(6.0) * mean * mean * (col("s2").cast("double") / nd)) -
+        lit(3.0) * mean * mean * mean * mean
+      val skew = m3 / (sqrt(m2) * m2)
+      val kurt = m4 / (m2 * m2) - lit(3.0)
+      per.select(col("event_type"), col("n"),
+        round(skew, 6).as("skew"), round(kurt, 6).as("kurt_excess"),
+        round(nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)), 4)
+          .as("jb"))
+    }),
+
+    // Grubbs outlier statistic per series — G = max|x − x̄| / s, plus
+    // WHICH row attains it. The deviation rides the n-scaled integer
+    // |c·n − S| (exact, no float mean subtraction per row), and the
+    // argmax tie-breaks deterministically to the LOWEST event_id via
+    // max_by over a (dev, −id) struct — the q352 min_by/max_by device,
+    // one hash aggregate, no window. Per-type stats broadcast back.
+    "q359_grubbs" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val st = ev(s, d).select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(col("c")).as("sc"), sum(col("c").cast(dec) * col("c")).as("qc"))
+      val j = ev(s, d).select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"), col("event_id"), col("n"), col("sc"),
+          col("qc"), abs(col("c") * col("n") - col("sc")).as("dev"))
+      j.groupBy("event_type").agg(max(col("n")).as("n"),
+          max(col("sc")).as("sc"), max(col("qc")).as("qc"),
+          max(col("dev")).as("md"),
+          max_by(col("event_id"),
+            struct(col("dev"), (col("event_id") * -1).as("ni")))
+            .as("outlier_event_id"))
+        .select(col("event_type"), col("n"),
+          round((col("md").cast("double") / col("n").cast("double"))
+            / sqrt((col("qc").cast("double")
+              - col("sc").cast("double") * col("sc").cast("double")
+                / col("n").cast("double"))
+              / (col("n") - 1).cast("double")), 6).as("g"),
+          col("outlier_event_id"))
+    }),
+
+    // Maximum drawdown per series — peak-to-trough on the cents "price"
+    // path in (ts, event_id) total order: running max via a keyed
+    // cumulative window (linear, partition = series; never a global
+    // window), drawdown = running_max − price, one grouped max. All
+    // integer until the final dollars rounding.
+    "q360_max_drawdown" -> ((s, d) => {
+      val b = ev(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("tsu").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.select(col("event_type"), (max(col("c")).over(w) - col("c")).as("dd"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          round(max(col("dd")).cast("double") / 100, 2).as("max_drawdown"))
+    }),
+
+    // Friedman rank test over COMPLETE blocks — blocks are UTC days,
+    // treatments the event types, block response = the day's exact-cent
+    // total per type. Within-day average ranks carry the exact doubled
+    // form 2·r̄ = 2(rank−1) + ties + 1 (day-keyed windows over the
+    // bounded day×type cell relation, not the event stream); days
+    // missing a treatment drop (classic Friedman needs complete blocks;
+    // the global k attaches as a 1-row broadcast). χ² folds Σ R² over
+    // the k-row treatment relation in sorted order. Average ranks
+    // handle ties; the classic statistic carries no tie-correction term.
+    "q361_friedman" -> ((s, d) => {
+      val cell = ev(s, d).select(col("event_type"),
+          expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
+            " DIV 86400000000L").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("day", "event_type").agg(sum(col("c")).as("sv"))
+      val kk = cell.agg(countDistinct(col("event_type")).as("k"))
+      val complete = cell.withColumn("kc",
+          count(lit(1)).over(Window.partitionBy("day")))
+        .crossJoin(broadcast(kk)).filter(col("kc") === col("k"))
+      val ranked = complete.select(col("event_type"), col("k"),
+        (lit(2) * (rank().over(Window.partitionBy("day").orderBy("sv")) - 1)
+          + count(lit(1)).over(Window.partitionBy("day", "sv")) + 1)
+          .as("r2"))
+      val per = ranked.groupBy("event_type").agg(sum(col("r2")).as("rr2"),
+        count(lit(1)).as("nb"), max(col("k")).as("k"))
+      val tot = per.agg(max(col("nb")).as("n_blocks"), max(col("k")).as("k"))
+      per.agg(sort_array(collect_list(struct(col("event_type"),
+          col("rr2").cast("double").as("rd")))).as("gs"))
+        .select(expr("aggregate(gs, 0D, (acc, x) -> " +
+          "acc + (x.rd / 2D) * (x.rd / 2D))").as("sr2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_blocks"), col("k"),
+          round(lit(12.0) / (col("n_blocks").cast("double")
+              * col("k").cast("double") * (col("k") + 1).cast("double"))
+            * col("sr2")
+            - lit(3.0) * col("n_blocks").cast("double")
+              * (col("k") + 1).cast("double"), 6).as("chi2"))
+    }),
+
+    // Average precision (PR-AUC) — q334's ROC companion for imbalanced
+    // retrieval eval, in the threshold-step form AP = Σ (ΔR_i · P_i)
+    // over DISTINCT scores descending (the tie-canonical definition:
+    // tied scores enter as one block, so no arbitrary within-tie order
+    // leaks into the metric). Scores quantize to whole dollars, so the
+    // cumulative TP/row counts ride GlobalRank's distributed prefix sums
+    // over a ≤600-row score relation and the one float fold runs
+    // score-descending on both engines.
+    "q362_average_precision" -> ((s, d) => {
+      val base = ev(s, d).select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lab"),
+        expr("(CAST(round(value * 100) AS LONG) - " +
+          "pmod(CAST(round(value * 100) AS LONG), 100L)) DIV 100L").as("sc"))
+      val byc = base.groupBy("sc").agg(count(lit(1)).as("t"),
+        sum(col("lab")).as("ta"))
+      val pp = graft.operators.GlobalRank.exclusivePrefixSums(
+        byc.withColumn("negs", col("sc") * -1), "negs", Seq("t", "ta"))
+      val tot = byc.agg(sum(col("ta")).as("np"), count(lit(1)).as("n_scores"))
+      pp.select((col("cum_before_t") + col("t")).as("ct"),
+          (col("cum_before_ta") + col("ta")).as("cta"),
+          col("ta"), col("negs"))
+        .agg(sort_array(collect_list(struct(col("negs"),
+          col("ta").cast("double").as("tad"),
+          col("cta").cast("double").as("ctad"),
+          col("ct").cast("double").as("ctd")))).as("gs"))
+        .crossJoin(broadcast(tot))
+        .select(col("np").as("n_pos"), col("n_scores"),
+          when(col("np") > 0, round(expr("aggregate(gs, 0D, (acc, x) -> " +
+            "acc + x.tad * (x.ctad / x.ctd))") / col("np").cast("double"),
+            6)).as("ap"))
+    }),
+
+    // Average True Range over the q352 hourly bars — the windowed-over-
+    // aggregated composition (bars first, indicator second): TR =
+    // max(H−L, |H−C₋₁|, |L−C₋₁|) per bar in exact cents, ATR = the
+    // trailing 14-bar mean, full windows only (q317's exclusion rule).
+    // Bars are keyed per series so every window is per-type over the
+    // BOUNDED bar relation; everything is integral until the final
+    // dollar divisions, so max/argmax over ATRs are order-free.
+    "q363_atr" -> ((s, d) => {
+      val b = ev(s, d).select(col("event_type"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L)) " +
+          "DIV 3600000000L").as("hour"),
+        unix_micros(col("ts")).as("tsu"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      val bars = b.groupBy("event_type", "hour").agg(
+        max(col("c")).as("hi"), min(col("c")).as("lo"),
+        max_by(col("c"), struct(col("tsu"), col("event_id"))).as("cl"))
+      val wo = Window.partitionBy("event_type").orderBy("hour")
+      val tr = bars.select(col("event_type"), col("hour"),
+          lag(col("cl"), 1).over(wo).as("pc"), col("hi"), col("lo"))
+        .filter(col("pc").isNotNull)
+        .select(col("event_type"), col("hour"),
+          greatest(col("hi") - col("lo"), abs(col("hi") - col("pc")),
+            abs(col("lo") - col("pc"))).as("tr"))
+      val w14 = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-13, Window.currentRow)
+      tr.select(col("event_type"), col("hour"),
+          sum(col("tr")).over(w14).as("s14"),
+          count(lit(1)).over(w14).as("k14"))
+        .filter(col("k14") === 14)
+        .groupBy("event_type").agg(count(lit(1)).as("n_full"),
+          round(max(col("s14")).cast("double") / 1400, 4).as("max_atr"),
+          round(max_by(col("s14"), col("hour")).cast("double") / 1400, 4)
+            .as("last_atr"))
+    }),
+
+    // Wilder-style RSI profile (simple 14-tick averages) per series —
+    // tick-to-tick gains/losses are exact cents, and the overbought/
+    // oversold counts use the INTEGER forms of the thresholds
+    // (RSI ≥ 70 ⟺ 3·G ≥ 7·L on G+L > 0), so no row's classification
+    // ever hangs on a float boundary; flat windows (G+L = 0, RSI
+    // undefined) count in neither bucket. max_rsi is a max over
+    // exact-ratio doubles — order-free.
+    "q364_rsi" -> ((s, d) => {
+      val wo = Window.partitionBy("event_type")
+        .orderBy(col("tsu").asc, col("event_id").asc)
+      val diffs = ev(s, d).select(col("event_type"),
+          unix_micros(col("ts")).as("tsu"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .select(col("event_type"), col("tsu"), col("event_id"),
+          (col("c") - lag(col("c"), 1).over(wo)).as("df"))
+        .filter(col("df").isNotNull)
+      val w14 = Window.partitionBy("event_type")
+        .orderBy(col("tsu").asc, col("event_id").asc)
+        .rowsBetween(-13, Window.currentRow)
+      diffs.select(col("event_type"),
+          sum(greatest(col("df"), lit(0L))).over(w14).as("g"),
+          sum(greatest(col("df") * -1, lit(0L))).over(w14).as("l"),
+          count(lit(1)).over(w14).as("k14"))
+        .filter(col("k14") === 14)
+        .groupBy("event_type").agg(count(lit(1)).as("n_windows"),
+          sum(when(col("g") + col("l") > 0
+            && col("g") * 3 >= col("l") * 7, 1L).otherwise(0L))
+            .as("overbought"),
+          sum(when(col("g") + col("l") > 0
+            && col("l") * 3 >= col("g") * 7, 1L).otherwise(0L))
+            .as("oversold"),
+          round(max(when(col("g") + col("l") > 0,
+            lit(100.0) * col("g").cast("double")
+              / (col("g") + col("l")).cast("double"))), 4).as("max_rsi"))
+    }),
+
+    // Interval-OVERLAP join (the q52 point-in-range join's symmetric
+    // sibling): per-user daily activity intervals × per-type daily
+    // activity intervals, pairs that overlap in time. The scale device
+    // is grid bucketing — each interval explodes into the 6-hour cells
+    // it covers (≤5 per daily interval), the join runs on the cell key,
+    // pairs dedup, and the exact predicate a_s ≤ b_e ∧ b_s ≤ a_e
+    // verifies (cell agreement is necessary, not sufficient). Never an
+    // unbounded theta join; the oracle replays the theta join directly
+    // and the grid width provably cancels out.
+    "q365_interval_overlap" -> ((s, d) => {
+      val cellW = 21600000000L // 6 h in µs
+      val b = ev(s, d).select(col("event_type"), col("user_id"),
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
+          " DIV 86400000000L").as("day"),
+        unix_micros(col("ts")).as("tsu"))
+      val a = b.groupBy("user_id", "day")
+        .agg(min(col("tsu")).as("a_s"), max(col("tsu")).as("a_e"))
+      val p = b.groupBy("event_type", "day")
+        .agg(min(col("tsu")).as("b_s"), max(col("tsu")).as("b_e"))
+      // integer floor division (no double quotient: a 1-ulp flip at a
+      // cell boundary could drop a covering cell and lose a true pair)
+      def cells(df: DataFrame, s0: String, e0: String): DataFrame =
+        df.withColumn("cell", explode(sequence(
+          ((col(s0) - pmod(col(s0), lit(cellW))) / cellW).cast("long"),
+          ((col(e0) - pmod(col(e0), lit(cellW))) / cellW).cast("long"))))
+      cells(a, "a_s", "a_e").join(cells(p, "b_s", "b_e"), Seq("cell"))
+        .drop("cell").distinct()
+        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+        .groupBy("event_type").agg(count(lit(1)).as("n_pairs"),
+          round(sum(least(col("a_e"), col("b_e"))
+            - greatest(col("a_s"), col("b_s"))).cast("double") / 1000000,
+            2).as("overlap_seconds"))
+    }),
+
+    // Burrows' Delta stylometry distance between sources — z-scores of
+    // the top-20 corpus words' relative frequencies (total order: count
+    // desc, word asc — the q58 TakeOrdered cut), Δ(s₁,s₂) = mean_w
+    // |z₁ − z₂|. The source×word matrix densifies by cross join (zeros
+    // matter), per-word μ/σ and the per-pair fold both run over SORTED
+    // bounded lists (≤ sources, ≤ 20 words) so every float sum has one
+    // fixed order on both engines. Words with σ = 0 carry no signal and
+    // drop. All corpus-scale work is one token count.
+    "q366_burrows_delta" -> ((s, d) => {
+      val toks = doc(s, d).select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val top = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w").asc).limit(20).select("w")
+      val totals = toks.groupBy("source").agg(count(lit(1)).as("tot"))
+      val sw = toks.join(broadcast(top), Seq("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val dense = totals.crossJoin(broadcast(top))
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("w"),
+          (coalesce(col("c"), lit(0L)).cast("double")
+            / col("tot").cast("double")).as("f"))
+      val stats = dense.groupBy("w")
+        .agg(sort_array(collect_list(struct(col("source"), col("f"))))
+          .as("fs"))
+        .select(col("w"),
+          expr("aggregate(fs, 0D, (a, x) -> a + x.f)").as("s1"),
+          expr("aggregate(fs, 0D, (a, x) -> a + x.f * x.f)").as("s2"),
+          expr("CAST(size(fs) AS DOUBLE)").as("k"))
+        .select(col("w"), (col("s1") / col("k")).as("mu"),
+          sqrt(col("s2") / col("k")
+            - (col("s1") / col("k")) * (col("s1") / col("k"))).as("sig"))
+        .filter(col("sig") > 0)
+      val z = dense.join(broadcast(stats), Seq("w"))
+        .select(col("source"), col("w"),
+          ((col("f") - col("mu")) / col("sig")).as("z"))
+      val za = z.groupBy("source")
+        .agg(sort_array(collect_list(struct(col("w"), col("z")))).as("zs"))
+      za.as("l").join(za.as("r"),
+          col("l.source") < col("r.source"))
+        .select(col("l.source").as("source_a"),
+          col("r.source").as("source_b"),
+          round(expr("aggregate(zip_with(l.zs, r.zs, " +
+            "(x, y) -> abs(x.z - y.z)), 0D, (a, v) -> a + v)")
+            / expr("CAST(size(l.zs) AS DOUBLE)"), 6).as("delta"))
+    }),
+
+    // Trimmed vs winsorized mean per series — the two standard robust
+    // locations side by side (P7/q05 clamps a FIXED threshold; this
+    // trims/clamps the data's own exact deciles). Decile interpolation
+    // fractions are tenths, so the bounds ride a ×10 integer domain —
+    // with an explicit round() on BOTH engines, because 10·p is an
+    // integer ± each engine's (n−1)·0.1 float noise and truncate-vs-
+    // round would split on the noise sign (the q348 lesson one level
+    // deeper: medians are half-integral, deciles are NOT). Both output
+    // means are then exact-integer ratios; rows strictly outside
+    // [p10, p90] trim.
+    "q367_trimmed_mean" -> ((s, d) => {
+      val base = ev(s, d).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+      val qs = base.groupBy("event_type").agg(
+        round(Stats.quantileExpr(s, "c", 0.1) * 10).cast("long").as("p10x"),
+        round(Stats.quantileExpr(s, "c", 0.9) * 10).cast("long").as("p90x"))
+      base.join(broadcast(qs), Seq("event_type"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"),
+          sum(when(col("c") * 10 >= col("p10x")
+            && col("c") * 10 <= col("p90x"), col("c"))).as("s_in"),
+          sum(when(col("c") * 10 >= col("p10x")
+            && col("c") * 10 <= col("p90x"), 1L)).as("n_in"),
+          sum(when(col("c") * 10 < col("p10x"), 1L).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("c") * 10 > col("p90x"), 1L).otherwise(0L))
+            .as("n_hi"),
+          max(col("p10x")).as("p10x"), max(col("p90x")).as("p90x"))
+        .select(col("event_type"), col("n"),
+          round(col("s_in").cast("double") / col("n_in").cast("double")
+            / 100, 4).as("trimmed_mean"),
+          round((col("s_in") * 10 + col("n_lo") * col("p10x")
+            + col("n_hi") * col("p90x")).cast("double")
+            / (col("n").cast("double") * 1000), 4).as("winsorized_mean"))
     })
   )
 
@@ -15462,6 +15873,169 @@ object Queries {
         | CASE WHEN tp * 2 + fp + fn > 0
         |  THEN round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) END AS f1,
         | pred_clusters, truth_clusters
-        |FROM m, pc, tc""".stripMargin
+        |FROM m, pc, tc""".stripMargin,
+
+    // Exact doubled average ranks (q334's device); the Σ R²/n fold runs
+    // over the list ORDERed by group so both engines add in the same
+    // sequence.
+    "q356_kruskal_wallis" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |byc AS (SELECT c, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1),
+        |pp AS (
+        | SELECT c, t, coalesce(CAST(sum(t) OVER (ORDER BY c
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+        |   AS cum_before
+        | FROM byc),
+        |per AS (
+        | SELECT event_type, CAST(sum(g) AS BIGINT) AS ng,
+        |  sum(CAST(g AS HUGEINT) * (2 * cum_before + t + 1)) AS r2
+        | FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS g
+        |       FROM b GROUP BY 1, 2) byct
+        | JOIN pp USING (c) GROUP BY 1),
+        |ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS t3 FROM byc),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |        CAST(count(*) AS BIGINT) AS k FROM per),
+        |f AS (SELECT list_reduce(list_transform(
+        |   list(struct_pack(ng := ng, r2d := CAST(r2 AS DOUBLE))
+        |     ORDER BY event_type),
+        |   x -> (x.r2d / 2) * (x.r2d / 2) / CAST(x.ng AS DOUBLE)),
+        |   (a, b) -> a + b) AS srn
+        | FROM per)
+        |SELECT nn AS n, k,
+        | round(((12.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))) * srn
+        |   - 3.0 * CAST(nn + 1 AS DOUBLE))
+        |  / (1.0 - CAST(t3 AS DOUBLE)
+        |   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+        |    - CAST(nn AS DOUBLE))), 6) AS h
+        |FROM f, tot, ties""".stripMargin,
+
+    // 2·|c − median| keeps the deviations integral (medians are
+    // half-integral); only Σ S²/n is float, folded in group order.
+    "q357_levene_bf" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |med AS (SELECT event_type,
+        |  CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS m2
+        | FROM b GROUP BY 1),
+        |z AS (SELECT b.event_type, abs(b.c * 2 - med.m2) AS z
+        |      FROM b JOIN med USING (event_type)),
+        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
+        |  CAST(sum(z) AS BIGINT) AS sg, sum(CAST(z AS HUGEINT) * z) AS qg
+        | FROM z GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |  CAST(count(*) AS BIGINT) AS k, sum(CAST(sg AS HUGEINT)) AS st,
+        |  sum(qg) AS qt FROM per),
+        |f AS (SELECT list_reduce(list_transform(
+        |   list(struct_pack(ng := ng, sgd := CAST(sg AS DOUBLE))
+        |     ORDER BY event_type),
+        |   x -> x.sgd * x.sgd / CAST(x.ng AS DOUBLE)),
+        |   (a, b) -> a + b) AS srn
+        | FROM per)
+        |SELECT nn AS n, k,
+        | round(((srn - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+        |     / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |  / ((CAST(qt AS DOUBLE) - srn) / CAST(nn - k AS DOUBLE)), 6) AS w
+        |FROM f, tot""".stripMargin,
+
+    // HUGEINT power sums (cents⁴ overflows int64 per row) mirror the
+    // Spark DECIMAL(38,0) sums bit-exactly through the double cast.
+    "q358_jarque_bera" ->
+      """WITH per AS (
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS s1,
+        |  sum(CAST(c AS HUGEINT) * c) AS s2,
+        |  sum(CAST(c AS HUGEINT) * c * c) AS s3,
+        |  sum(CAST(c AS HUGEINT) * c * c * c) AS s4
+        | FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |       FROM events) GROUP BY 1),
+        |mm AS (
+        | SELECT event_type, n,
+        |  CAST(s2 AS DOUBLE) / nd - mean * mean AS m2,
+        |  CAST(s3 AS DOUBLE) / nd - 3.0 * mean * (CAST(s2 AS DOUBLE) / nd)
+        |   + 2.0 * mean * mean * mean AS m3,
+        |  CAST(s4 AS DOUBLE) / nd - 4.0 * mean * (CAST(s3 AS DOUBLE) / nd)
+        |   + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / nd)
+        |   - 3.0 * mean * mean * mean * mean AS m4,
+        |  nd
+        | FROM (SELECT *, CAST(n AS DOUBLE) AS nd,
+        |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM per)),
+        |sk AS (
+        | SELECT event_type, n, nd, m3 / (sqrt(m2) * m2) AS skew,
+        |  m4 / (m2 * m2) - 3.0 AS kurt
+        | FROM mm)
+        |SELECT event_type, n, round(skew, 6) AS skew,
+        | round(kurt, 6) AS kurt_excess,
+        | round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 4) AS jb
+        |FROM sk""".stripMargin,
+
+    // Deviations ride the n-scaled integer |c·n − S|; the argmax
+    // tie-break (dev DESC, event_id ASC) replays via row_number.
+    "q359_grubbs" ->
+      """WITH b AS (
+        | SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc, sum(CAST(c AS HUGEINT) * c) AS qc
+        | FROM b GROUP BY 1),
+        |j AS (SELECT b.event_type, b.event_id, st.n, st.sc, st.qc,
+        |  abs(b.c * st.n - st.sc) AS dev,
+        |  row_number() OVER (PARTITION BY b.event_type
+        |   ORDER BY abs(b.c * st.n - st.sc) DESC, b.event_id ASC) AS rn
+        | FROM b JOIN st USING (event_type))
+        |SELECT event_type, n,
+        | round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / sqrt((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 6) AS g,
+        | event_id AS outlier_event_id
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q360_max_drawdown" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |dd AS (
+        | SELECT event_type,
+        |  max(c) OVER (PARTITION BY event_type ORDER BY tsu, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS dd
+        | FROM b)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | round(CAST(max(dd) AS DOUBLE) / 100, 2) AS max_drawdown
+        |FROM dd GROUP BY 1""".stripMargin,
+
+    // 2·r̄ = 2(rank−1) + ties + 1 keeps within-block average ranks
+    // integral; only complete blocks rank.
+    "q361_friedman" ->
+      """WITH cell AS (
+        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
+        | FROM events GROUP BY 1, 2),
+        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        |       FROM cell),
+        |complete AS (
+        | SELECT c.*, kk.k FROM cell c, kk
+        | WHERE (SELECT count(*) FROM cell c2 WHERE c2.day = c.day) = kk.k),
+        |ranked AS (
+        | SELECT event_type, k,
+        |  2 * (rank() OVER (PARTITION BY day ORDER BY sv) - 1)
+        |   + count(*) OVER (PARTITION BY day, sv) + 1 AS r2
+        | FROM complete),
+        |per AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS rr2,
+        |  CAST(count(*) AS BIGINT) AS nb, max(k) AS k
+        | FROM ranked GROUP BY 1),
+        |tot AS (SELECT max(nb) AS n_blocks, max(k) AS k FROM per),
+        |f AS (SELECT list_reduce(list_transform(
+        |   list(CAST(rr2 AS DOUBLE) ORDER BY event_type),
+        |   x -> (x / 2) * (x / 2)), (a, b) -> a + b) AS sr2
+        | FROM per)
+        |SELECT n_blocks, k,
+        | round(12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+        |    * CAST(k + 1 AS DOUBLE)) * sr2
+        |  - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6)
+        |  AS chi2
+        |FROM f, tot""".stripMargin
   )
 }

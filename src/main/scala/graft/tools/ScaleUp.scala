@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an sf·K dataset from a driver sf directory by K-fold
+  * replication with per-replica key offsets — every foreign-key
+  * relationship is preserved inside each replica (customer i·C+c keeps
+  * exactly the orders i·O+o that referenced c), so each replica is a
+  * disjoint copy of the original "world" and the union is a valid
+  * TPC-H-ish instance K× the size. Used for the scaling-ratio audit in
+  * BASELINE.md (no sf1 directory ships with the harness); writes OUTSIDE
+  * the repo (e.g. /tmp/sf1).
+  *
+  * Dimension tables region/nation stay as-is (they are fixed vocabularies
+  * joined by every replica). `documents.text` is token-remapped per
+  * replica (every word gets a `~i` suffix) so replicas share ZERO
+  * shingles: the corpus' internal near-dup structure replicates exactly
+  * ×K instead of every document acquiring K−1 cross-replica twins (which
+  * would densify the LSH/PPJoin pair volume quadratically — a different
+  * experiment than "same data, K× more of it"). Embedding vectors repeat
+  * unchanged (ANN cost is driven by row count, not vector values).
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <K>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, kStr) = args
+    val k = kStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def rd(name: String): DataFrame =
+      if (name == "events") graft.Tables.events(spark, src)
+      else spark.read.parquet(s"$src/$name.parquet")
+
+    // offset stride per key space: next power of 10 above the max key,
+    // so replica membership is readable off the key's leading digits
+    def stride(df: DataFrame, c: String): Long = {
+      val mx = df.agg(max(col(c))).head.getLong(0)
+      var s = 1L
+      while (s <= mx) s *= 10
+      s
+    }
+
+    val cust = rd("customer"); val supp = rd("supplier"); val part = rd("part")
+    val ord = rd("orders"); val li = rd("lineitem"); val ev = rd("events")
+    val doc = rd("documents"); val emb = rd("embeddings")
+    val cS = stride(cust, "c_custkey"); val sS = stride(supp, "s_suppkey")
+    val pS = stride(part, "p_partkey"); val oS = stride(ord, "o_orderkey")
+    val eS = stride(ev, "event_id")
+    val uS = stride(ev, "user_id"); val dS = stride(doc, "doc_id")
+    val vS = stride(emb, "vec_id")
+
+    // one replica of a table: shift the listed key columns by i·stride
+    def replica(df: DataFrame, i: Int, shifts: (String, Long)*): DataFrame =
+      shifts.foldLeft(df) { case (d, (c, st)) =>
+        d.withColumn(c, col(c) + lit(i * st)) }
+
+    def expand(df: DataFrame, shifts: (String, Long)*): DataFrame =
+      (0 until k).map(i => replica(df, i, shifts: _*)).reduce(_ unionAll _)
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    write(spark.read.parquet(s"$src/region.parquet"), "region")
+    write(spark.read.parquet(s"$src/nation.parquet"), "nation")
+    write(expand(cust, "c_custkey" -> cS), "customer")
+    write(expand(supp, "s_suppkey" -> sS), "supplier")
+    write(expand(part, "p_partkey" -> pS), "part")
+    write(expand(ord, "o_orderkey" -> oS, "o_custkey" -> cS), "orders")
+    write(expand(li, "l_orderkey" -> oS, "l_partkey" -> pS,
+      "l_suppkey" -> sS), "lineitem")
+    write(expand(ev, "event_id" -> eS, "user_id" -> uS), "events")
+    val docReplicas = (0 until k).map { i =>
+      val shifted = doc.withColumn("doc_id", col("doc_id") + lit(i * dS))
+      if (i == 0) shifted
+      else {
+        val remapped = array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " ")
+        shifted.withColumn("text", remapped)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }
+    write(docReplicas.reduce(_ unionAll _), "documents")
+    write(expand(emb, "vec_id" -> vS), "embeddings")
+    println(s"[scaleup] wrote ${k}x of $src to $out")
+    spark.stop()
+  }
+}
