@@ -8056,11 +8056,13 @@ object Queries {
       val p = b.groupBy("event_type", "day")
         .agg(min(col("tsu")).as("b_s"), max(col("tsu")).as("b_e"))
       // integer floor division (no double quotient: a 1-ulp flip at a
-      // cell boundary could drop a covering cell and lose a true pair)
+      // cell boundary could drop a covering cell and lose a true pair).
+      // pmod+DIV keeps the quotient in the integer domain end to end —
+      // Divide would detour through double, exact only below 2^53.
       def cells(df: DataFrame, s0: String, e0: String): DataFrame =
         df.withColumn("cell", explode(sequence(
-          ((col(s0) - pmod(col(s0), lit(cellW))) / cellW).cast("long"),
-          ((col(e0) - pmod(col(e0), lit(cellW))) / cellW).cast("long"))))
+          expr(s"($s0 - pmod($s0, ${cellW}L)) DIV ${cellW}L"),
+          expr(s"($e0 - pmod($e0, ${cellW}L)) DIV ${cellW}L"))))
       cells(a, "a_s", "a_e").join(cells(p, "b_s", "b_e"), Seq("cell"))
         .drop("cell").distinct()
         .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
@@ -16036,6 +16038,199 @@ object Queries {
         |    * CAST(k + 1 AS DOUBLE)) * sr2
         |  - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6)
         |  AS chi2
-        |FROM f, tot""".stripMargin
+        |FROM f, tot""".stripMargin,
+
+    // Tie-canonical AP: distinct-score blocks descending; the one float
+    // fold runs in the same sc-DESC order on both engines (list_reduce
+    // left fold == Spark aggregate with 0D init, since 0 + x = x exactly).
+    // sc replays Spark's pmod device so the floor is sign-safe.
+    "q362_average_precision" ->
+      """WITH base AS (
+        | SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab,
+        |  (CAST(round(value * 100) AS BIGINT)
+        |   - ((CAST(round(value * 100) AS BIGINT) % 100) + 100) % 100)
+        |   // 100 AS sc
+        | FROM events),
+        |byc AS (SELECT sc, CAST(count(*) AS BIGINT) AS t,
+        |  CAST(sum(lab) AS BIGINT) AS ta FROM base GROUP BY 1),
+        |cum AS (
+        | SELECT sc, ta,
+        |  CAST(sum(t) OVER (ORDER BY sc DESC) AS BIGINT) AS ct,
+        |  CAST(sum(ta) OVER (ORDER BY sc DESC) AS BIGINT) AS cta
+        | FROM byc),
+        |tot AS (SELECT CAST(sum(ta) AS BIGINT) AS n_pos,
+        |  CAST(count(*) AS BIGINT) AS n_scores FROM byc),
+        |f AS (SELECT list_reduce(
+        |   list(CAST(ta AS DOUBLE)
+        |     * (CAST(cta AS DOUBLE) / CAST(ct AS DOUBLE))
+        |    ORDER BY sc DESC),
+        |   (a, b) -> a + b) AS ap_sum
+        | FROM cum)
+        |SELECT n_pos, n_scores,
+        | CASE WHEN n_pos > 0
+        |  THEN round(ap_sum / CAST(n_pos AS DOUBLE), 6) END AS ap
+        |FROM f, tot""".stripMargin,
+
+    // Close price via rd=1 row_number (q352's device ≡ Spark's
+    // max_by(c, (tsu, event_id))); TR/ATR sums stay in exact cents,
+    // so max/arg_max over s14 are order-free.
+    "q363_atr" ->
+      """WITH b AS (
+        | SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |r AS (SELECT event_type, hour, c,
+        |  row_number() OVER (PARTITION BY event_type, hour
+        |   ORDER BY tsu DESC, event_id DESC) AS rd
+        | FROM b),
+        |bars AS (
+        | SELECT event_type, hour, max(c) AS hi, min(c) AS lo,
+        |  max(CASE WHEN rd = 1 THEN c END) AS cl
+        | FROM r GROUP BY 1, 2),
+        |lagged AS (
+        | SELECT event_type, hour, hi, lo,
+        |  lag(cl) OVER (PARTITION BY event_type ORDER BY hour) AS pc
+        | FROM bars),
+        |tr AS (
+        | SELECT event_type, hour,
+        |  greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS tr
+        | FROM lagged WHERE pc IS NOT NULL),
+        |w AS (
+        | SELECT event_type, hour,
+        |  CAST(sum(tr) OVER win AS BIGINT) AS s14,
+        |  count(*) OVER win AS k14
+        | FROM tr
+        | WINDOW win AS (PARTITION BY event_type ORDER BY hour
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
+        | round(CAST(max(s14) AS DOUBLE) / 1400, 4) AS max_atr,
+        | round(CAST(arg_max(s14, hour) AS DOUBLE) / 1400, 4) AS last_atr
+        |FROM w WHERE k14 = 14 GROUP BY 1""".stripMargin,
+
+    // Integer threshold forms (3G ≥ 7L / 3L ≥ 7G) keep the bucket
+    // counts float-free; only max_rsi divides, as an exact-long ratio.
+    "q364_rsi" ->
+      """WITH b AS (
+        | SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |d AS (
+        | SELECT event_type, tsu, event_id,
+        |  c - lag(c) OVER (PARTITION BY event_type
+        |   ORDER BY tsu, event_id) AS df
+        | FROM b),
+        |w AS (
+        | SELECT event_type,
+        |  sum(greatest(df, 0)) OVER win AS g,
+        |  sum(greatest(-df, 0)) OVER win AS l,
+        |  count(*) OVER win AS k14
+        | FROM d WHERE df IS NOT NULL
+        | WINDOW win AS (PARTITION BY event_type ORDER BY tsu, event_id
+        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows,
+        | CAST(sum(CASE WHEN g + l > 0 AND g * 3 >= l * 7
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS overbought,
+        | CAST(sum(CASE WHEN g + l > 0 AND l * 3 >= g * 7
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS oversold,
+        | round(max(CASE WHEN g + l > 0 THEN 100.0 * CAST(g AS DOUBLE)
+        |   / CAST(g + l AS DOUBLE) END), 4) AS max_rsi
+        |FROM w WHERE k14 = 14 GROUP BY 1""".stripMargin,
+
+    // The oracle replays the theta join DIRECTLY (no grid): each
+    // (user, day) × (type, day) interval pair overlapping in time —
+    // the grid-cell device on the Spark side provably finds exactly
+    // these pairs (overlap at t ⇒ both cover cell ⌊t/W⌋; cell
+    // agreement is then verified by the exact predicate).
+    "q365_interval_overlap" ->
+      """WITH b AS (
+        | SELECT event_type, user_id,
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  CAST(epoch_us(ts) AS BIGINT) AS tsu
+        | FROM events),
+        |a AS (SELECT user_id, day, min(tsu) AS a_s, max(tsu) AS a_e
+        | FROM b GROUP BY 1, 2),
+        |p AS (SELECT event_type, day, min(tsu) AS b_s, max(tsu) AS b_e
+        | FROM b GROUP BY 1, 2),
+        |pairs AS (
+        | SELECT p.event_type,
+        |  least(a.a_e, p.b_e) - greatest(a.a_s, p.b_s) AS ov
+        | FROM a, p WHERE a.a_s <= p.b_e AND p.b_s <= a.a_e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        | round(CAST(sum(ov) AS DOUBLE) / 1000000, 2) AS overlap_seconds
+        |FROM pairs GROUP BY 1""".stripMargin,
+
+    // Every float fold (s1, s2 per word; the per-pair |Δz| sum) runs
+    // over a list ORDERed exactly as Spark's sort_array — source asc
+    // per word, word asc per pair — so the sums are bit-identical.
+    // sig/mu/z replay Spark's op sequence term for term.
+    "q366_burrows_delta" ->
+      """WITH toks AS (
+        | SELECT source, unnest(string_split(text, ' ')) AS w
+        | FROM documents),
+        |tk AS (SELECT source, w FROM toks WHERE len(w) > 0),
+        |top AS (
+        | SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1
+        |  ORDER BY cnt DESC, w ASC LIMIT 20)),
+        |totals AS (SELECT source, count(*) AS tot FROM tk GROUP BY 1),
+        |sw AS (SELECT tk.source, tk.w, count(*) AS c FROM tk
+        | JOIN top ON tk.w = top.w GROUP BY 1, 2),
+        |dense AS (
+        | SELECT t.source, p.w,
+        |  CAST(coalesce(sw.c, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS f
+        | FROM totals t CROSS JOIN top p
+        | LEFT JOIN sw ON sw.source = t.source AND sw.w = p.w),
+        |stats AS (
+        | SELECT w,
+        |  list_reduce(list(f ORDER BY source), (a, b) -> a + b) AS s1,
+        |  list_reduce(list(f * f ORDER BY source), (a, b) -> a + b) AS s2,
+        |  CAST(count(*) AS DOUBLE) AS k
+        | FROM dense GROUP BY 1),
+        |st AS (
+        | SELECT w, s1 / k AS mu,
+        |  sqrt(s2 / k - (s1 / k) * (s1 / k)) AS sig
+        | FROM stats),
+        |z AS (
+        | SELECT d.source, d.w, (d.f - st.mu) / st.sig AS z
+        | FROM dense d JOIN st ON d.w = st.w WHERE st.sig > 0),
+        |pairs AS (
+        | SELECT a.source AS source_a, b.source AS source_b,
+        |  list_reduce(list(abs(a.z - b.z) ORDER BY a.w),
+        |   (x, y) -> x + y) AS sd,
+        |  CAST(count(*) AS DOUBLE) AS k
+        | FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT source_a, source_b, round(sd / k, 6) AS delta
+        |FROM pairs""".stripMargin,
+
+    // quantile_cont ≡ Spark's exact percentile (type-7 interpolation);
+    // the explicit round() on the ×10 decile domain is the shared
+    // contract — 10·p is integral ± each engine's float noise.
+    "q367_trimmed_mean" ->
+      """WITH base AS (
+        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        | FROM events),
+        |qs AS (
+        | SELECT event_type,
+        |  CAST(round(quantile_cont(c, 0.1) * 10) AS BIGINT) AS p10x,
+        |  CAST(round(quantile_cont(c, 0.9) * 10) AS BIGINT) AS p90x
+        | FROM base GROUP BY 1),
+        |agg AS (
+        | SELECT b.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  sum(CASE WHEN b.c * 10 >= qs.p10x AND b.c * 10 <= qs.p90x
+        |    THEN b.c END) AS s_in,
+        |  sum(CASE WHEN b.c * 10 >= qs.p10x AND b.c * 10 <= qs.p90x
+        |    THEN 1 END) AS n_in,
+        |  sum(CASE WHEN b.c * 10 < qs.p10x THEN 1 ELSE 0 END) AS n_lo,
+        |  sum(CASE WHEN b.c * 10 > qs.p90x THEN 1 ELSE 0 END) AS n_hi,
+        |  max(qs.p10x) AS p10x, max(qs.p90x) AS p90x
+        | FROM base b JOIN qs ON b.event_type = qs.event_type
+        | GROUP BY 1)
+        |SELECT event_type, n,
+        | round(CAST(s_in AS DOUBLE) / CAST(n_in AS DOUBLE) / 100, 4)
+        |  AS trimmed_mean,
+        | round(CAST(s_in * 10 + n_lo * p10x + n_hi * p90x AS DOUBLE)
+        |  / (CAST(n AS DOUBLE) * 1000), 4) AS winsorized_mean
+        |FROM agg""".stripMargin
   )
 }

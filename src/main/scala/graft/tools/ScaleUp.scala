@@ -42,7 +42,13 @@ object ScaleUp {
     // offset stride per key space: next power of 10 above the max key,
     // so replica membership is readable off the key's leading digits
     def stride(df: DataFrame, c: String): Long = {
-      val mx = df.agg(max(col(c))).head.getLong(0)
+      // cast-to-long + null check: an Int-typed key parquet or an empty
+      // table would otherwise throw an opaque ClassCastException/NPE here
+      val row = df.agg(max(col(c).cast("long"))).head
+      if (row.isNullAt(0))
+        sys.error(s"ScaleUp: table has no rows (max($c) is null) — " +
+          "cannot derive a replica stride")
+      val mx = row.getLong(0)
       var s = 1L
       while (s <= mx) s *= 10
       s
