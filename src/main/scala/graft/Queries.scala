@@ -1,18 +1,5 @@
 package graft
 
-import graft.dedup.Dedup
-import graft.functions.Lambert93
-import graft.ml.Models
-import graft.multimodal.Multimodal
-import graft.operators.{Cleaning, Impute, Rankings}
-import graft.similarity.Similarity
-import graft.stats.Stats
-import graft.streaming.EventsStream
-import graft.text.{Mixing, Text}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
-
 /** The engine's named query surface: one entry per SURVEY.md §2 operator
   * (plus the LLM-data-pipeline operators), each paired where SQL-expressible
   * with a DuckDB oracle in [[oracle]].
@@ -28,16209 +15,22 @@ import org.apache.spark.sql.functions._
   *  - epoch seconds via floor() on both sides (DuckDB's CAST rounds).
   */
 object Queries {
-  type Q = (SparkSession, String) => DataFrame
-
-  private def li(s: SparkSession, d: String)  = Tables.lineitem(s, d)
-  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
-  private def ev(s: SparkSession, d: String)  = Tables.events(s, d)
-  private def doc(s: SparkSession, d: String) = Tables.documents(s, d)
-
-  /** The support-2 co-purchase part graph shared by q147/q159/q161/q162/
-    * q168: undirected pairs (u < v) of parts sharing ≥ 2 orders. The
-    * per-order self-join is bounded by basket size; the min-support
-    * filter keeps the graph sparse (same device as every frequent-itemset
-    * pipeline). */
-  private def copurchasePairs(s: SparkSession, d: String): DataFrame = {
-    val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
-    lp.select(col("l_orderkey"), col("l_partkey").as("u"))
-      .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
-        Seq("l_orderkey"))
-      .filter(col("u") < col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
-      .filter(col("__sup") >= 2)
-      .select("u", "v")
-  }
-
-  /** q220/q276 shared 16-token chunk cut — (doc_id, idx, chunk) rows,
-    * chunks cut per-row with transform+slice (no explode-join); the
-    * keeper rule over these is min(struct(doc_id, idx)). One definition
-    * so the chunk-grid arithmetic can never diverge between its users. */
-  private def chunks16(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("__t"))
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, (size(__t) - 1) DIV 16),
-          |  i -> array_join(slice(__t, i * 16 + 1, 16), ' '))""".stripMargin))
-        .as(Seq("idx", "chunk")))
-
-  /** q257/q275 shared alpha-ratio quality score over `text` (0.0 for an
-    * empty string — the divide guard), exact-int/exact-int so the double
-    * is engine-identical. */
-  private def alphaRatio: Column =
-    when(length(col("text")) > 0,
-      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
-        length(col("text"))).otherwise(lit(0.0))
-
-  // ---------------------------------------------------------------- queries
-
-  val queries: Map[String, Q] = Map[String, Q](
-    // A1/A3/A13 — grouped aggregation over the fact table (partial+final
-    // hash agg; one shuffle on the tiny group key).
-    "q01_agg_pricing" -> ((s, d) => {
-      li(s, d).groupBy(col("l_returnflag"), col("l_linestatus")).agg(
-        round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        count(lit(1)).as("cnt"))
-    }),
-
-    // P2 — full-row distinct.
-    "q02_distinct_flags" -> ((s, d) =>
-      Cleaning.distinctRows(li(s, d).select("l_returnflag", "l_linestatus"))),
-
-    // P3 — keyed dedup, deterministic keep-first.
-    "q03_dedup_keep_first" -> ((s, d) =>
-      Cleaning.dedupKeepFirst(
-        li(s, d).select("l_partkey", "l_orderkey", "l_linenumber"),
-        Seq("l_partkey"), Seq(col("l_orderkey"), col("l_linenumber")))),
-
-    // P10/P12/F7 — membership + range predicates (pushed to parquet scan).
-    "q04_filter_isin" -> ((s, d) =>
-      li(s, d).filter(col("l_returnflag").isin("A", "R") && col("l_quantity") > 25)
-        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
-
-    // P7 — winsorize outliers.
-    "q05_winsorize" -> ((s, d) =>
-      Cleaning.winsorize(ev(s, d), "value", 400.0, 300.0)
-        .select(col("event_id"), col("value").as("value_capped"))),
-
-    // P1/F1 — blank→null normalization.
-    "q06_blank_normalize" -> ((s, d) =>
-      Cleaning.normalizeBlanks(ord(s, d), Seq("o_orderpriority"))
-        .select(col("o_orderkey"), col("o_orderpriority").as("priority_norm"))),
-
-    // F3 — case normalization via the custom codegen'd TitleCase
-    // expression. The oracle uses the first-char formula, which provably
-    // agrees on these single-word values (hyphen/apostrophe multi-word
-    // divergence from initcap is covered by CleaningSpec).
-    "q07_case_norm" -> ((s, d) =>
-      Tables.nation(s, d).select(col("n_nationkey"),
-        graft.functions.TitleCase(col("n_name")).as("n_name_norm"))),
-
-    // F2 — literal replace.
-    "q08_str_replace" -> ((s, d) =>
-      Tables.part(s, d).select(col("p_partkey"),
-        replace(col("p_type"), lit(" "), lit("_")).as("p_type_norm"))),
-
-    // J1 — multi-table star join; dims broadcast (no shuffle of the fact).
-    "q09_join_star" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val n = broadcast(Tables.nation(s, d))
-      val r = broadcast(Tables.region(s, d))
-      c.join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("c_acctbal")), 4).as("acct_total"),
-          round(avg(col("c_acctbal")), 4).as("acct_avg"))
-    }),
-
-    // J2/J3 — count enrichment as a window (avoids the self-join the
-    // reference uses; zero extra scan).
-    "q10_count_enrich" -> ((s, d) =>
-      ord(s, d).select(col("o_orderkey"), col("o_custkey"),
-        count(lit(1)).over(Window.partitionBy("o_custkey")).as("cust_order_cnt"))),
-
-    // A7/W1 — mode (top-1 per group after pre-count).
-    "q11_mode_top1" -> ((s, d) =>
-      Rankings.modePerGroup(ord(s, d), Seq("o_orderpriority"), "o_orderstatus")
-        .select(col("o_orderpriority"), col("o_orderstatus_mode"), col("cnt"))),
-
-    // A2 — global quantiles (exact by default; `graft.quantiles.exact=false`
-    // flips every quantile consumer to the O(1)-memory sketch — see
-    // Stats.quantileExpr).
-    "q12_quantiles_global" -> ((s, d) => {
-      def q(p: Double) = Stats.quantileExpr(s, "l_quantity", p)
-      li(s, d).agg(
-        round(q(0.25), 4).as("p25"),
-        round(q(0.5), 4).as("p50"),
-        round(q(0.75), 4).as("p75"),
-        round(q(0.75) - q(0.25), 4).as("iqr"))
-    }),
-
-    // A5/A6 — grouped means + quantiles + IQR.
-    "q13_grouped_stats" -> ((s, d) => {
-      def q(p: Double) = Stats.quantileExpr(s, "l_quantity", p)
-      li(s, d).groupBy(col("l_returnflag")).agg(
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(q(0.5), 4).as("p50_qty"),
-        round(q(0.25), 4).as("p25_qty"),
-        round(q(0.75), 4).as("p75_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        count(lit(1)).as("cnt"))
-    }),
-
-    // A11 — min/max extents.
-    "q14_extents" -> ((s, d) =>
-      ev(s, d).agg(
-        round(min(col("value")), 4).as("vmin"), round(max(col("value")), 4).as("vmax"),
-        min(col("user_id")).as("umin"), max(col("user_id")).as("umax"))),
-
-    // A12/F5 — contingency counts over a derived threshold bucketing.
-    "q15_crosstab" -> ((s, d) =>
-      ev(s, d).withColumn("bucket",
-          when(col("value") < 100, "low").when(col("value") < 300, "mid").otherwise("high"))
-        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))),
-
-    // A9/F6 — first-non-null fill within group (nulls synthesized
-    // deterministically since the testdata is complete).
-    "q16_group_fill" -> ((s, d) => {
-      val base = ev(s, d).withColumn("v",
-        when(col("event_type") === "error", lit(null).cast("double")).otherwise(col("value")))
-      Impute.firstNonNullFill(base, Seq("user_id"), "v", "event_id")
-        .select(col("event_id"), col("v").as("v_filled"))
-    }),
-
-    // J4/J5/F9/W2 — 1-NN imputation via the size-aware dispatcher: exact
-    // (broadcast cross-join) while the missing side fits the broadcast
-    // threshold, grid-bucketed ring escalation beyond it (value-identical;
-    // ImputeSpec proves both the equivalence and the switch).
-    "q17_knn_impute" -> ((s, d) => {
-      val e = ev(s, d)
-      val missing = e.filter(col("event_id") % 1000 === 0)
-      val known = e.filter(col("event_id") % 1000 =!= 0)
-      Impute.knnImpute(missing, known, "user_id", "value", "event_id",
-          "event_id", Seq("event_type"))
-        .select(col("event_id"), col("event_type_nn"))
-    }),
-
-    // §2.6 — set operation (union-distinct of two slices).
-    "q18_union_slices" -> ((s, d) => {
-      val o = ord(s, d)
-      o.filter(col("o_orderstatus") === "F").select("o_orderkey", "o_totalprice")
-        .unionByName(o.filter(col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice"))
-        .distinct()
-    }),
-
-    // M1/M2 — covariance + Pearson correlation pairs.
-    "q19_corr_cov" -> ((s, d) =>
-      Stats.corrPairs(li(s, d), Seq(
-          "l_quantity" -> "l_extendedprice",
-          "l_quantity" -> "l_discount",
-          "l_extendedprice" -> "l_discount"))
-        .select(
-          round(col("corr_l_quantity_l_extendedprice"), 6).as("corr_qty_price"),
-          round(col("cov_l_quantity_l_extendedprice"), 4).as("cov_qty_price"),
-          round(col("corr_l_quantity_l_discount"), 6).as("corr_qty_disc"),
-          round(col("cov_l_quantity_l_discount"), 6).as("cov_qty_disc"),
-          round(col("corr_l_extendedprice_l_discount"), 6).as("corr_price_disc"),
-          round(col("cov_l_extendedprice_l_discount"), 4).as("cov_price_disc"))),
-
-    // M6/M7 — simple linear regression, closed form (regr_* aggregates).
-    "q20_regression_closed" -> ((s, d) =>
-      li(s, d).agg(
-        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
-        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("intercept"),
-        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
-        count(lit(1)).as("n"))),
-
-    // M3/M4 — χ² independence.
-    "q21_chi2" -> ((s, d) =>
-      Stats.chiSquare(li(s, d), "l_returnflag", "l_linestatus")
-        .select(round(col("chi2_stat"), 6).as("chi2_stat"), col("dof"))),
-
-    // M8 — one-way ANOVA.
-    "q22_anova" -> ((s, d) =>
-      Stats.anova(ev(s, d), "value", "event_type")
-        .select(round(col("ms_between"), 4).as("ms_between"),
-          round(col("ms_within"), 4).as("ms_within"),
-          round(col("f_stat"), 6).as("f_stat"))),
-
-    // LLM-dedup: exact content-hash dedup.
-    "q23_dedup_exact" -> ((s, d) => Dedup.exactDedup(doc(s, d), "text", "doc_id")),
-
-    // LLM-text: token counting.
-    "q24_token_count" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))),
-
-    // LLM-text: quality features.
-    "q25_text_quality" -> ((s, d) => {
-      val feats = Text.qualityFeatures(col("text"))
-      val sel = col("doc_id") +: feats.map { case (n, c) =>
-        if (n == "n_chars_q" || n == "n_tokens") c.as(n) else round(c, 6).as(n)
-      }
-      doc(s, d).select(sel: _*)
-    }),
-
-    // LLM-text: language ID (stopword-evidence heuristic).
-    "q26_lang_id" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"), col("lang"), Text.langId(col("text")).as("lang_pred"))),
-
-    // LLM-similarity: brute-force cosine top-k (exact baseline; LSH scale
-    // path is q34).
-    "q27_ann_cosine" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.cosineTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          "vec_id", "embedding", 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-    }),
-
-    // X1/F9/F10 — Lambert-93 inverse reprojection over synthetic coords
-    // derived from the events table.
-    "q28_lambert93" -> ((s, d) => {
-      val base = ev(s, d).select(col("event_id"),
-        (lit(600000.0) + col("user_id") * lit(1000.0) + col("value")).as("x"),
-        (lit(6600000.0) + col("value") * lit(1000.0)).as("y"))
-      base.select(col("event_id"),
-        round(Lambert93.lonDeg(col("x"), col("y")), 6).as("lon"),
-        round(Lambert93.latDeg(col("x"), col("y")), 6).as("lat"))
-    }),
-
-    // Structured Streaming — event-time tumbling windows (oracle: the
-    // equivalent batch aggregation; complete-mode single batch => equal).
-    "q29_stream_windowed" -> ((s, d) => EventsStream.windowedCounts(s, d)),
-
-    // W1 — top-k per group.
-    "q30_topk_per_group" -> ((s, d) =>
-      Rankings.topKPerGroup(
-          ord(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
-          Seq(col("o_orderpriority")),
-          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)),
-
-    // Sessionization (gap-based) — lag/lead window + running sum.
-    "q31_sessionize" -> ((s, d) => EventsStream.sessionize(s, d, 30)),
-
-    // LLM-dedup: MinHash + LSH near-dup candidate pairs, over the
-    // md5/mod-p hash family (OracleHashes.scala) so the ENTIRE pipeline —
-    // shingle hashes, the 16 affine minhash functions, banding, estimated
-    // Jaccard — is replayed bit-for-bit by the DuckDB oracle. The xxh64
-    // family remains the raw-throughput path (DedupSpec covers both).
-    "q32_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3, bands = 8, rowsPerBand = 2,
-        threshold = 0.5, family = "md5p61")
-        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))),
-
-    // LLM-dedup: SimHash near-dup pairs, md5 token-hash family — the
-    // 64-bit fingerprint, block partitioning, and Hamming verification are
-    // all exactly mirrored in the DuckDB oracle.
-    "q33_simhash_dups" -> ((s, d) =>
-      Dedup.simHashDups(doc(s, d), "text", "doc_id", blocks = 4, maxHamming = 3,
-        family = "md5p61")),
-
-    // LLM-dedup: exact n-gram Jaccard sweep from a bounded probe set.
-    "q34_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(
-        doc(s, d).filter(col("doc_id") % 100 === 0), doc(s, d), "text", "doc_id",
-        k = 2, threshold = 0.05, broadcastProbe = true)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
-
-    // LLM-similarity: LSH-bucketed ANN (scale path of q27), md5-sign
-    // Rademacher planes (OracleHashes.scala) — signatures, multi-probe
-    // bucket set, candidate join, and the exact cosine re-rank are all
-    // replayed bit-for-bit by the DuckDB oracle (±1·v is IEEE-exact, so
-    // the projection is the same sequential fold q27 already proved).
-    "q35_ann_lsh" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.lshCosineTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          "vec_id", "embedding", 5, nBits = 8, dim = 64, family = "md5sign")
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-    }),
-
-    // M5/M7 — multivariate linear regression (numeric + categorical
-    // indicators) via the exact single-pass normal-equations solver,
-    // DuckDB-oracled (estimate/std_err/t_value hash-match; p-values are
-    // API-level, Student-t tail, spec-verified — DuckDB has no t CDF).
-    // The iterative spark.ml fit remains as Models.linearRegression,
-    // cross-checked against this one in ModelsSpec. Features are rescaled
-    // to comparable units (pct, k$) so the covariance system is
-    // well-conditioned and engine-ulp moment differences stay orders of
-    // magnitude below the rounding grid.
-    "q36_linreg_ml" -> ((s, d) =>
-      Models.olsExact(
-        li(s, d).select(
-          col("l_quantity"), (col("l_discount") * 100).as("disc_pct"),
-          (col("l_tax") * 100).as("tax_pct"), col("l_returnflag"),
-          (col("l_extendedprice") / 1000).as("price_k")),
-        "price_k", Seq("l_quantity", "disc_pct", "tax_pct"),
-        Seq("l_returnflag" -> "A", "l_returnflag" -> "N"))
-        .select(col("term"), round(col("estimate"), 4).as("estimate"),
-          round(col("std_err"), 4).as("std_err"),
-          round(col("t_value"), 4).as("t_value"))),
-
-    // M9-M11 — logistic regression + confusion matrix, trained on a
-    // linearly-separable label (is_high_disc is a threshold on a feature,
-    // margin ≈ 0.3σ) so the converged fit classifies every row correctly
-    // and the confusion matrix + accuracy are exactly DuckDB-oracled. The
-    // reference-shaped non-separable fit stays verified against the
-    // published confusion matrix in ModelsSpec.
-    // maxIter capped at 25: on separable data the loss has no finite
-    // optimum (L-BFGS would burn all 100 iterations); the boundary — and
-    // the oracle-checked confusion matrix — is stable long before.
-    "q37_logistic_ml" -> ((s, d) =>
-      Models.logisticConfusion(
-        li(s, d).withColumn("is_high_disc", (col("l_discount") > 0.05).cast("double")),
-        "is_high_disc", Seq("l_quantity", "l_discount", "l_tax"), Seq("l_linestatus"),
-        // Measured (TuneQ37, sf0.1): the 0.5-threshold confusion is already
-        // stable at 5 iterations (0.3σ margin); 12 is a 2.4× safety factor.
-        // Beyond that, iterations cost ~0.1 s each while the pipeline's
-        // fixed cost (indexer/encoder/assembler passes + instance caching +
-        // transform) dominates — so 12 captures the whole win.
-        // SF-dependence: the label is SEPARABLE BY CONSTRUCTION
-        // (is_high_disc is a threshold on a feature), so the boundary the
-        // 0.5 threshold sees is scale-free — more rows sharpen the same
-        // separating direction rather than move it. Verified empirically at
-        // sf0.001/0.01 (Verify gate) and sf0.1 (TuneQ37); if the gate SF
-        // ever exceeds 0.1, re-run TuneQ37 at that SF before trusting 12.
-        maxIter = 12)),
-
-    // M2 matrix form — distributed Pearson correlation matrix, long form.
-    "q41_corr_matrix" -> ((s, d) =>
-      Models.correlationMatrix(li(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .select(col("var_a"), col("var_b"), round(col("corr"), 6).as("corr"))),
-
-    // M13 — decision tree (never actually called by the reference). Same
-    // separable-label scheme as q37: l_discount has ≤11 distinct values
-    // (< maxBins), so the threshold 0.05 is an available split, the greedy
-    // root split is pure, and the confusion matrix is exactly predictable.
-    "q42_decision_tree" -> ((s, d) =>
-      Models.decisionTreeConfusion(
-        li(s, d).withColumn("is_high_disc", (col("l_discount") > 0.05).cast("double")),
-        "is_high_disc", Seq("l_quantity", "l_discount", "l_tax"))),
-
-    // Multimodal plumbing — binary payload → batch feature extraction
-    // through the default ByteHistogramCodec (pluggable MediaCodec seam;
-    // schema/partitioning real). Scalar outputs are DuckDB-oracled; the
-    // feature vector is exact-value-verified in IoMultimodalSpec.
-    "q38_multimodal_features" -> ((s, d) =>
-      Multimodal.extractFeatures(
-        Multimodal.mediaFromText(doc(s, d), "doc_id", "text"))
-        .select("media_id", "modality", "n_bytes", "checksum")),
-
-    // Skew-mitigation pattern with an exact oracle: salted two-phase
-    // aggregation (salt → partial agg → final agg) must equal the plain
-    // one-phase group-by. Counts are exact; double sums are rounded on
-    // both sides. This is the verbatim recipe for hot keys at 100 TB.
-    "q39_salted_agg" -> ((s, d) => {
-      val salted = li(s, d)
-        .withColumn("__salt", pmod(hash(col("l_orderkey")), lit(16)))
-        .groupBy(col("l_returnflag"), col("__salt"))
-        .agg(count(lit(1)).as("pc"), sum(col("l_quantity")).as("ps"))
-      salted.groupBy(col("l_returnflag"))
-        .agg(sum(col("pc")).as("cnt"), round(sum(col("ps")), 2).as("sum_qty"))
-    }),
-
-    // Sketch-based scale path of A2/distinct-count: HLL + t-digest-style
-    // approx quantiles. Raw sketch values are engine-specific (DuckDB's HLL
-    // ≠ Spark's), so the oracle-able output is the EXACT twins plus
-    // tolerance booleans computed Spark-side: the sketch path is still
-    // exercised (it feeds the booleans), and the oracle asserts the exact
-    // columns plus literal-TRUE booleans — i.e. the sketches really honor
-    // their guarantees. Tolerances match what each sketch PROMISES:
-    //  - HLL promises relative cardinality error (rsd=0.005 → the 2% gate
-    //    is a 4σ margin);
-    //  - the GK quantile sketch promises RANK accuracy (1/10000), not
-    //    value accuracy — on a discrete column a value-relative gate is
-    //    wrong (one grid step of l_quantity at p25=13 is 7.7%) — so the
-    //    gate is the rank form: the sketch value must lie between the
-    //    exact quantiles at p±0.01 (100× the sketch's guaranteed error).
-    // At 100 TB you'd drop the exact twins and ship the sketches alone —
-    // this query proves they'd be trustworthy.
-    "q40_approx_stats" -> ((s, d) => {
-      def within2pct(approxC: Column, exactC: Column): Column =
-        abs(approxC.cast("double") - exactC.cast("double")) <=
-          abs(exactC.cast("double")) * lit(0.02)
-      def rankOk(approxC: Column, loC: Column, hiC: Column): Column =
-        approxC.cast("double").between(loC, hiC)
-      // The exact count-distincts run in their OWN aggregation, apart from
-      // the sketch/percentile buffers: mixing count(DISTINCT x) with
-      // imperative aggregates makes Spark's distinct rewrite group the
-      // FIRST partial aggregate by the distinct keys — ~|orders| groups
-      // each dragging a multi-KB HLL/percentile buffer (measured: ~700 s
-      // at sf0.1). Split, both sides are one healthy pass; the one-row
-      // results cross-join for free.
-      val exact = li(s, d).agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      val sketches = li(s, d).agg(
-        approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
-        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("aq"),
-        // one buffer for all nine exact quantiles (targets + rank brackets)
-        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, " +
-          "0.24, 0.26, 0.49, 0.51, 0.74, 0.76))").as("eq"))
-      exact.crossJoin(sketches)
-        .select(
-          col("exact_orders"), col("exact_parts"),
-          round(col("eq").getItem(0), 4).as("exact_p25"),
-          round(col("eq").getItem(1), 4).as("exact_p50"),
-          round(col("eq").getItem(2), 4).as("exact_p75"),
-          within2pct(col("approx_orders"), col("exact_orders"))
-            .as("orders_within_2pct"),
-          within2pct(col("approx_parts"), col("exact_parts"))
-            .as("parts_within_2pct"),
-          rankOk(col("aq").getItem(0), col("eq").getItem(3), col("eq").getItem(4))
-            .as("p25_rank_ok"),
-          rankOk(col("aq").getItem(1), col("eq").getItem(5), col("eq").getItem(6))
-            .as("p50_rank_ok"),
-          rankOk(col("aq").getItem(2), col("eq").getItem(7), col("eq").getItem(8))
-            .as("p75_rank_ok"))
-    }),
-
-    // E1-shaped multi-stage cleaning chain with ONE cross-engine oracle:
-    // keyed dedup keep-first → winsorize → window count enrichment, all
-    // verified as a single composed result.
-    "q43_clean_chain" -> ((s, d) => {
-      var df = ev(s, d)
-      df = Cleaning.dedupKeepFirst(df, Seq("user_id", "event_type"), Seq(col("event_id")))
-      df = Cleaning.winsorize(df, "value", 400.0, 300.0)
-      df.select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        count(lit(1)).over(Window.partitionBy("user_id")).as("user_events"))
-    }),
-
-    // LLM-dedup end product: candidates → exact-jaccard verify → connected
-    // components → canonical id per document. md5p61 family makes the LSH
-    // candidate stage oracle-replayable (q32's machinery at k=2), the
-    // verify stage is hash-independent string-shingle Jaccard (q34's
-    // argument), and components are the q70 recursive-CTE shape — so the
-    // WHOLE pipeline is DuckDB-verified. rounds=16 is a generous fixpoint
-    // budget (early-exit: near-dup clusters converge in 2-3) so Spark's
-    // min-label propagation provably reaches the true components the
-    // recursive CTE computes.
-    "q44_dedup_canonicalize" -> ((s, d) =>
-      Dedup.canonicalize(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3, rounds = 16, family = "md5p61")),
-
-    // A12 pivot form — contingency table as wide columns.
-    "q45_crosstab_pivot" -> ((s, d) =>
-      ev(s, d).withColumn("bucket",
-          when(col("value") < 100, "low").when(col("value") < 300, "mid").otherwise("high"))
-        .groupBy("event_type").pivot("bucket", Seq("low", "mid", "high")).count()
-        .na.fill(0L, Seq("low", "mid", "high"))),
-
-    // Hierarchical aggregation (beyond the reference): rollup with
-    // subtotals and grand total.
-    "q46_rollup" -> ((s, d) =>
-      li(s, d).rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))),
-
-    // Set algebra completion: intersect/except over projected slices.
-    "q64_intersect_except" -> ((s, d) => {
-      val o = ord(s, d)
-      val f = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
-      val big = o.filter(col("o_totalprice") > 100000).select("o_custkey").distinct()
-      f.intersect(big).withColumn("set_op", lit("intersect"))
-        .unionByName(f.except(big).withColumn("set_op", lit("except")))
-    }),
-
-    // Ordered string aggregation (listagg): deterministic via sorted
-    // distinct collection on both engines.
-    "q65_string_agg" -> ((s, d) =>
-      li(s, d).groupBy(col("l_returnflag"))
-        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus"))))
-          .as("statuses"))),
-
-    // Semi/anti joins — the EXISTS / NOT EXISTS shapes (no payload from
-    // the probe side ever shuffles or materializes).
-    "q62_semi_anti" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val o = ord(s, d)
-      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
-        .agg(count(lit(1)).as("cnt")).withColumn("segment", lit("with_orders"))
-      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
-        .agg(count(lit(1)).as("cnt")).withColumn("segment", lit("without_orders"))
-      withOrders.unionByName(withoutOrders).select("segment", "cnt")
-    }),
-
-    // Grouped exact distinct-count (expands to a two-level aggregation).
-    "q63_grouped_distinct" -> ((s, d) =>
-      li(s, d).groupBy(col("l_returnflag")).agg(
-        countDistinct(col("l_partkey")).as("parts"),
-        countDistinct(col("l_suppkey")).as("supps"),
-        count(lit(1)).as("cnt"))),
-
-    // Deterministic hash-based sampling — reproducible train/eval splits
-    // without engine-specific RNGs: md5 of the stable id gates the row, so
-    // any engine selects the identical subset (~25% here).
-    "q60_hash_sample" -> ((s, d) =>
-      ev(s, d)
-        .filter(substring(md5(col("event_id").cast("string").cast("binary")), 1, 1)
-          .isin("0", "1", "2", "3"))
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("sampled_cnt"), round(sum(col("value")), 2).as("sampled_sum"))),
-
-    // Full cube (all grouping-set combinations; rollup's completion).
-    "q61_cube" -> ((s, d) =>
-      li(s, d).cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"), round(avg(col("l_quantity")), 4).as("avg_qty"))),
-
-    // Corpus n-gram frequency profile: top-20 bigrams with a total-order
-    // rank (cnt desc, bigram asc) so the cut is engine-independent.
-    "q58_top_bigrams" -> ((s, d) => {
-      val toks = Text.tokens(col("text"))
-      val bigrams = transform(
-        sequence(lit(1), size(col("toks")) - 1),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
-      val counts = doc(s, d).select(toks.as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(explode(bigrams).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-      // Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject —
-      // each partition keeps a local 20-row heap and only those reach the
-      // driver — instead of an all-rows single-partition window exchange.
-      // The rank is re-derived post-cut (at most 20 rows) so the output
-      // schema matches the previous window form.
-      val w = Window.orderBy(col("cnt").desc, col("bigram").asc)
-      counts.orderBy(col("cnt").desc, col("bigram").asc).limit(20)
-        .withColumn("rnk", row_number().over(w))
-    }),
-
-    // Percentile clipping — the scale-realistic winsorize: clamp to the
-    // exact [p01, p99] band computed from the data itself.
-    "q59_clip_percentile" -> ((s, d) => {
-      val e = ev(s, d)
-      val bounds = e.agg(
-        Stats.quantileExpr(s, "value", 0.01).as("lo"),
-        Stats.quantileExpr(s, "value", 0.99).as("hi"))
-      e.crossJoin(broadcast(bounds))
-        .select(col("event_id"),
-          round(when(col("value") < col("lo"), col("lo"))
-            .when(col("value") > col("hi"), col("hi"))
-            .otherwise(col("value")), 4).as("value_clipped"))
-    }),
-
-    // Skew-mitigation JOIN with an exact oracle: the hot-key side is
-    // salted (deterministic hash salt) and the dim side replicated per
-    // salt, so one hot key spreads over N tasks; result provably equals
-    // the plain join (oracle). Companion of the salted AGG in q39.
-    "q57_salted_join" -> ((s, d) => {
-      val salts = 8
-      // derived dim: one row per (user_id % 5) bucket — 5 hot keys
-      val dim = Tables.events(s, d).select((col("user_id") % 5).as("k"))
-        .distinct().withColumn("k_label", concat(lit("seg_"), col("k")))
-      val dimReplicated = dim.withColumn("__salt",
-        explode(array((0 until salts).map(lit): _*)))
-      val fact = ev(s, d).withColumn("k", col("user_id") % 5)
-        .withColumn("__salt", pmod(hash(col("event_id")), lit(salts)))
-      fact.join(dimReplicated, Seq("k", "__salt"))
-        .groupBy(col("k_label"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
-    }),
-
-    // Corpus quality FILTER — the keep/drop decision a training pipeline
-    // actually ships: length + token + stopword-evidence thresholds.
-    "q54_quality_filter" -> ((s, d) => {
-      val t = col("text")
-      val nChars = length(t).cast("long")
-      val nToks = Text.tokenCount(t)
-      val stop = Text.occurrences(t, " the ") + Text.occurrences(t, " a ") +
-        Text.occurrences(t, " and ") + Text.occurrences(t, " of ")
-      doc(s, d).select(col("doc_id"), nChars.as("n_chars_q"), nToks.as("n_tokens"),
-          (stop / nToks).as("stop_share"))
-        .withColumn("keep",
-          col("n_chars_q") >= 100 && col("n_tokens") >= 20 && col("stop_share") > 0.0)
-        .select(col("doc_id"), col("keep"))
-    }),
-
-    // PII-ish scrubbing — digit-run redaction (regex shared verbatim with
-    // the oracle; both engines treat '[0-9]+' identically).
-    "q55_redact_numbers" -> ((s, d) =>
-      ev(s, d).select(col("event_id"),
-        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"))),
-
-    // Data-profiling summary — per-column nulls/distincts/extents in one
-    // pass (the engine's `describe`).
-    "q56_profile" -> ((s, d) =>
-      li(s, d).agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("qty_nulls"),
-        countDistinct(col("l_partkey")).as("part_distinct"),
-        round(min(col("l_extendedprice")), 4).as("price_min"),
-        round(max(col("l_extendedprice")), 4).as("price_max"),
-        round(avg(col("l_quantity")), 4).as("qty_avg"))),
-
-    // Per-label embedding centroids — elementwise vector mean (the
-    // k-means/cluster-profile aggregation) in long form.
-    "q53_label_centroids" -> ((s, d) =>
-      Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-        .agg(round(avg(col("col").cast("double")), 6).as("centroid"))),
-
-    // Range/interval join (binned equi-join form — the scale path; the
-    // naive θ-join baseline is equivalence-tested in RangeJoinSpec):
-    // events bucketed into value bands from a derived ranges dim.
-    "q52_range_join" -> ((s, d) => {
-      val bands = s.range(0, 10).select(
-        (col("id") * 50.0).as("lo"), ((col("id") + 1) * 50.0).as("hi"),
-        concat(lit("band_"), col("id")).as("band"))
-      operators.RangeJoin.binned(ev(s, d).select("event_id", "value"), bands,
-          "value", "lo", "hi", binWidth = 50.0)
-        .groupBy(col("band")).agg(count(lit(1)).as("cnt"),
-          round(sum(col("value")), 2).as("sum_value"))
-    }),
-
-    // Backward as-of join (custom operator by composition): each purchase
-    // event enriched with the user's most recent view event at-or-before
-    // it. Right side deduped per (user, ts) so tie semantics are engine-
-    // independent.
-    "q51_asof_join" -> ((s, d) => {
-      val e = ev(s, d)
-      val purchases = e.filter(col("event_type") === "purchase")
-      val views = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
-      operators.AsOfJoin.backward(purchases, views, "user_id", "ts",
-          "event_id", "view_id", Seq("view_id", "view_value"))
-        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
-    }),
-
-    // Semi-structured column handling: JSON property extraction from the
-    // events props payload (typed get + string get).
-    "q49_json_extract" -> ((s, d) =>
-      ev(s, d).select(
-        col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
-        get_json_object(col("props"), "$.k").as("k_str"))),
-
-    // Pure-SQL surface: the same aggregation as q01 driven entirely
-    // through spark.sql over registered temp views (the "switch user"
-    // path for SQL-only workloads).
-    "q50_sql_surface" -> ((s, d) => {
-      Catalog.registerAll(s, d)
-      s.sql("""SELECT l_returnflag, count(*) AS cnt,
-              |       round(avg(l_extendedprice), 4) AS avg_price
-              |FROM lineitem GROUP BY l_returnflag""".stripMargin)
-    }),
-
-    // Explicit window frames + lead/lag (beyond the reference's top-1-only
-    // window usage): per-user event-time ordering, trailing moving average
-    // and step delta.
-    "q48_moving_window" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      ev(s, d).select(
-        col("event_id"), col("user_id"),
-        round(avg(col("value")).over(w.rowsBetween(-3, 0)), 4).as("mov_avg"),
-        (col("value") - lag(col("value"), 1, 0.0).over(w)).as("delta"))
-    }),
-
-    // Classic warehouse shape (TPC-H Q5-like): 5-way star join with a
-    // time-range filter pushed to the fact scans, revenue per nation.
-    // Dims broadcast; the only shuffle is the customer⋈orders co-key and
-    // the final small aggregation.
-    "q47_revenue_by_nation" -> ((s, d) => {
-      val c = Tables.customer(s, d)
-      val o = ord(s, d).filter(col("o_orderdate") >= lit("1998-01-01"))
-      val n = broadcast(Tables.nation(s, d))
-      val r = broadcast(Tables.region(s, d))
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
-        .join(n, col("c_nationkey") === col("n_nationkey"))
-        .join(r, col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"), count(lit(1)).as("cnt"))
-    }),
-
-    // E1 END-TO-END — the reference's full cleaning backbone
-    // (`R_groupe4.R:41-209`: TreePipeline.clean) re-composed stage for
-    // stage over the harness events table, with the data quirks the tree
-    // CSV has (blank strings, scattered nulls) synthesized
-    // deterministically so every stage has real work. ONE DuckDB oracle
-    // verifies the whole composition — this is the hash-green row for the
-    // operators that only appear mid-pipeline (P1/P2/P4/P5/P6/P8/F8/A10…).
-    // Stage order mirrors TreePipeline.clean exactly; geometry (X1/J4) is
-    // covered by its own oracles (q28/q17).
-    "q66_tree_pipeline_e2e" -> ((s, d) => {
-      val raw = ev(s, d).select(
-        col("event_id"), col("user_id"), col("value"), col("props"),
-        // blanks → P1; scattered nulls → P4/A9/A10/A7 targets
-        when(col("event_id") % 97 === 0, lit("  "))
-          .otherwise(col("event_type")).as("etype"),
-        when(col("event_id") % 13 === 0, lit(null: String))
-          .otherwise(concat(lit("p"), (col("user_id") % 7).cast("string"))).as("pied"),
-        when(col("event_id") % 11 === 0, lit(null: String))
-          .otherwise(concat(lit("s"), (col("user_id") % 5).cast("string"))).as("situ"),
-        when(col("event_id") % 17 === 0, lit(null: String))
-          .otherwise(concat(lit("v"), (col("user_id") % 3).cast("string"))).as("ville"),
-        when(col("event_id") % 101 === 0, lit(null).cast("double"))
-          .otherwise(col("value")).as("vreq"))
-      var df = Cleaning.normalizeBlanks(raw, Seq("etype"))                  // P1
-      df = Cleaning.distinctRows(df)                                        // P2
-      df = Cleaning.dedupKeepFirst(df, Seq("user_id", "etype"),
-        Seq(col("event_id")))                                               // P3
-      df = Cleaning.requireNonNull(df, Seq("vreq"))                         // P4
-      df = Cleaning.sanityFilter(df, col("value") >= 0)                     // P5 (default off)
-      df = Cleaning.constantFill(df, "src", "Orthophoto")                   // P6
-      df = Cleaning.winsorize(df, "value", 400.0, 300.0)                    // P7
-      df = Cleaning.dropCols(df, Seq("props", "vreq"))                      // P8
-      df = Cleaning.relabel(df, "etype", "click", "tap")                    // F2
-      df = df.filter(!col("etype").isin("error") || col("etype").isNull)    // P10
-      df = Cleaning.titleCase(df, "etype")                                  // F3
-      df = Impute.firstFills(df, Seq("etype"),
-        Seq("pied" -> false, "situ" -> true), "event_id")     // A9+A10 fused
-      df = Impute.modeFill(df, Seq("etype"), "ville")                       // A7+J1
-      df = Cleaning.fillUnknown(df, "Inconnue",
-        Seq("etype", "pied", "situ", "ville"))                              // F8
-      df.select("event_id", "user_id", "etype", "value", "src",
-        "pied", "situ", "ville")                                            // P14
-    }),
-
-    // Streaming-native stateful sessionization (flatMapGroupsWithState +
-    // event-time timeout) — the oracle is the batch gap-sessionization
-    // restricted to the sessions the stream provably closes (derivation on
-    // the oracle entry below); q31 oracles the batch twin.
-    "q67_sessionize_stateful" -> ((s, d) =>
-      EventsStream.sessionizeStateful(s, d, 30)),
-
-    // S1 — CSV scan with a DECLARED schema over a committed tree-shaped
-    // fixture (the reference's own I/O is CSV, `R_groupe4.R:41,1074`;
-    // S2/S3 round-trip through the same Csv module in TreePipelineSpec).
-    // Blank cells land as null on both engines (Spark nullValue=""/DuckDB
-    // default nullstr) — the fixture has blank numeric AND string cells to
-    // pin that. Ignores the sf dir: the fixture is the dataset.
-    "q68_csv_scan" -> ((s, _) =>
-      graft.io.Csv.read(s, csvFixturePath, csvFixtureSchema)
-        .select(csvFixtureCols.map(col): _*)),
-
-    // S2+S3 — CSV sink + round-trip re-read (`R_groupe4.R:1074-1077`: the
-    // reference exports its cleaned frame to CSV and re-reads it as its
-    // only I/O "test"). The fixture is parsed, written through Csv.write
-    // (all columns, natural partitioning), re-read with the declared
-    // schema, and must hash-match the ORIGINAL fixture's oracle — i.e.
-    // the sink loses nothing: doubles survive via shortest-round-trip
-    // formatting, nulls stay null, quoted/accented strings stay intact.
-    "q72_csv_roundtrip" -> ((s, _) => {
-      val parsed = graft.io.Csv.read(s, csvFixturePath, csvFixtureSchema)
-      // Unique per Spark app: two concurrent sessions (bench + verify,
-      // parallel CI) must not race on the same overwrite + re-read dir.
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q72_roundtrip_${s.sparkContext.applicationId}").getAbsolutePath
-      graft.io.Csv.roundTrip(s, parsed, dir)
-        .select(csvFixtureCols.map(col): _*)
-    })
-  ) ++ Map[String, Q](
-
-    // LLM-dedup: EXACT embedding-cosine near-dup pairs via grid-blocked
-    // candidate generation (no cross join, no approximation). The corpus
-    // has no natural near-dups (max pairwise cosine ~0.51), so the query
-    // deterministically unions in perturbed copies of every 50th vector
-    // (first coordinate +0.05 in double) — the detector must find exactly
-    // those 10 pairs at threshold 0.99 and nothing else.
-    "q69_cosine_neardup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("embedding"))
-      val dups = e.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          concat(array(element_at(col("embedding"), 1) + lit(0.05)),
-            slice(col("embedding"), 2, 63)).as("embedding"))
-      Similarity.cosineNearDupPairs(e.unionByName(dups), "vec_id", "embedding",
-          threshold = 0.99, blockDims = 3)
-        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
-    }),
-
-    // LLM-dedup: exact canonicalization — true connected components of the
-    // "n-gram jaccard >= 0.5" graph (recall-1.0 candidates via the inverted
-    // postings join, min-label propagation to fixpoint). The oracle
-    // recomputes the same components with a recursive CTE; q44 remains the
-    // LSH-candidates variant (approximate recall by design, rows-only).
-    "q70_canonicalize_exact" -> ((s, d) =>
-      Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.5)),
-
-    // P9 — drop-columns-by-prefix (ref drops helper columns by name prefix
-    // when exporting, `R_groupe4.R:1071-1072` spirit): schema-level operator,
-    // oracled by selecting the surviving columns explicitly.
-    "q71_drop_prefix" -> ((s, d) =>
-      Cleaning.dropColsByPrefix(doc(s, d), "n_")),
-
-    // LLM-similarity: IVF-flat ANN — the inverted-file coarse quantizer
-    // complementing q35's hyperplane LSH (the two standard ANN scale
-    // paths). Deterministic centroid rule (16 lowest-id corpus vectors)
-    // makes centroids → assignment → probe → re-rank exactly replayable
-    // by the DuckDB oracle; assignment is a pure per-row expression (no
-    // corpus shuffle), probes touch nProbe/nCells of the corpus.
-    "q73_ann_ivf" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.ivfCosineTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          "vec_id", "embedding", 5, nCells = 16, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-    }),
-
-    // Multimodal frame sampling (video-style fixed-frame payloads): every
-    // 4th 64-byte frame as its own row — sequence+explode+binary substr,
-    // fully codegen'd, no UDF. The corpus is ASCII so byte offsets equal
-    // char offsets and the oracle slices the text directly.
-    "q74_frame_sample" -> ((s, d) =>
-      graft.multimodal.Multimodal.frameSample(
-          graft.multimodal.Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
-          frameBytes = 64, stride = 4)
-        .select(col("media_id"), col("n_frames"), col("frame_idx"),
-          decode(col("frame"), "UTF-8").as("frame_text"))),
-
-    // Streaming stream–static broadcast join (stateless enrichment): every
-    // event enriched with its user's batch-aggregated profile; a single
-    // AvailableNow batch makes it equal to the batch join the oracle runs.
-    "q75_stream_static_join" -> ((s, d) => EventsStream.streamStaticJoin(s, d)),
-
-    // X1 through the pure-SQL surface (SURVEY.md §4): the same
-    // reprojection as q28, but written in SQL against the
-    // `lambert93_to_wgs84` function GraftExtensions registers — the
-    // builder assembles the identical expression tree, so this shares
-    // q28's oracle verbatim. Requires spark.sql.extensions=
-    // graft.GraftExtensions (how Verify/Bench build their sessions).
-    "q76_lambert93_sql" -> ((s, d) => {
-      Catalog.registerAll(s, d)
-      s.sql("""SELECT event_id,
-              |  round(ll.lon, 6) AS lon, round(ll.lat, 6) AS lat
-              |FROM (
-              |  SELECT event_id,
-              |    lambert93_to_wgs84(600000.0 + user_id * 1000.0 + value,
-              |                       6600000.0 + value * 1000.0) AS ll
-              |  FROM events) t""".stripMargin)
-    }),
-
-    // Streaming exact dedup via dropDuplicatesWithinWatermark: state for
-    // each key expires once the watermark passes it, so memory is bounded
-    // by arrival-rate × horizon (plain dropDuplicates without ts in the
-    // key never evicts). Dedup on the coarser (user_id, event_type) key —
-    // real duplicates exist, unlike the unique event_id — then count
-    // survivors per type. Survivor CONTENT is arrival-order dependent, but
-    // in the single AvailableNow batch the per-type survivor count equals
-    // the distinct key count exactly, which is what the oracle checks.
-    "q77_stream_dedup" -> ((s, d) =>
-      EventsStream.dedupStreamCounts(s, d, Seq("user_id", "event_type"))),
-
-    // Winnowing (MOSS) fingerprint near-dup — the fifth dedup modality
-    // (exact / MinHash-LSH / SimHash / n-gram-Jaccard / winnowing): distinct
-    // window-minima of md5p61 shingle hashes per document, inverted postings
-    // self-join, pairs sharing >= 8 fingerprints. The signature is ~2/(w+1)
-    // of the full shingle index — winnowing is how the postings table
-    // shrinks at corpus scale while keeping recall 1.0 for matches of
-    // >= k+w-1 tokens. maxDocFreq=64 drops boilerplate fingerprints, the
-    // standard O(df²) join-fan-out skew guard (mirrored in the oracle).
-    "q78_winnow_neardup" -> ((s, d) =>
-      Dedup.winnowNearDupPairs(doc(s, d), "text", "doc_id",
-        k = 3, w = 4, minShared = 8, maxDocFreq = 64)),
-
-    // TF-IDF top-terms per document — the classic corpus-weighting operator.
-    // idf is the RATIONAL form N/df (one correctly-rounded IEEE division,
-    // bit-exact on any engine) rather than ln(N/df), whose libm rounding is
-    // engine-specific; swap functions.log in for production use — the plan
-    // shape (explode -> two hash aggs -> term join -> per-doc top-k window)
-    // is identical. N arrives as a broadcast 1-row cross join, never a
-    // driver-side collect.
-    "q79_tfidf_topk" -> ((s, d) => {
-      val tf = doc(s, d)
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
-      val nDocs = doc(s, d).agg(count(lit(1)).as("n_docs"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("term").asc)
-      tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
-        .withColumn("score",
-          col("tf") * (col("n_docs").cast("double") / col("df_docs")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
-        .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
-          col("rnk"), round(col("score"), 6).as("tfidf"))
-    }),
-
-    // Partition-pruned layout — the 100 TB table design this engine assumes:
-    // events written as date-partitioned parquet (the sink side of a daily
-    // ingest), re-read with a partition-column predicate. The filter never
-    // touches file contents: it prunes whole directories at planning time
-    // (PartitionFilters in the scan, see PLANS.md), so a 3-day query over a
-    // 10-year corpus reads 0.1% of the files. Oracle = the same aggregate
-    // over the unpartitioned original.
-    "q80_partition_prune" -> ((s, d) => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q80_partitioned_${s.sparkContext.applicationId}").getAbsolutePath
-      ev(s, d).withColumn("dt", to_date(col("ts")))
-        .write.partitionBy("dt").mode("overwrite").parquet(out)
-      s.read.parquet(out)
-        .filter(col("dt").between(lit("2024-01-10"), lit("2024-01-12")))
-        .groupBy(col("dt").cast("string").as("dt"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
-    }),
-
-    // Int8 scalar-quantized ANN — the memory-side scale path ANN indexes
-    // actually ship (FAISS SQ8): per-vector symmetric quantization
-    // (scale = max|x|/127, code = floor(x/scale + 0.5)), then brute-force
-    // cosine over the CODES. Dot products become exact integer arithmetic
-    // (bounded by 64·127² < 2^21 — no overflow, no float summation-order
-    // ambiguity), 4× less memory traffic than float32; only the final
-    // norm/ratio touches doubles (sqrt and division are correctly rounded,
-    // so the oracle replays bit-for-bit). Zero vectors are excluded by the
-    // same nonzero-norm contract as q73.
-    "q81_quantized_ann" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-        .withColumn("scale",
-          array_max(transform(col("v"), x => abs(x))) / lit(127.0))
-        .filter(col("scale") > 0)
-        .withColumn("qv",
-          transform(col("v"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
-        .withColumn("qn", sqrt(aggregate(
-          col("qv"), lit(0L), (acc, x) => acc + x * x).cast("double")))
-        .select(col("vec_id"), col("qv"), col("qn"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("qn").as("qan"))
-      val c = e.filter(col("vec_id") >= 5)
-        .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("qn").as("qbn"))
-      val qdot = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-        lit(0L), (acc, x) => acc + x)
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("qcos").desc, col("neighbor_id").asc)
-      broadcast(q).crossJoin(c)
-        .withColumn("qcos", qdot.cast("double") / (col("qan") * col("qbn")))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("query_id"), col("neighbor_id"), col("rnk"),
-          round(col("qcos"), 6).as("qcos"))
-    }),
-
-    // Stream–stream event-time interval join (click→purchase attribution
-    // within 1h): both sides watermarked, state evicted past the interval
-    // bound — the two-unbounded-sides join Structured Streaming shape that
-    // completes the streaming surface (windowed agg / dedup / stream-static
-    // / stateful sessions / stream-stream). One AvailableNow batch emits
-    // exactly the batch interval join the oracle runs.
-    "q82_stream_stream_join" -> ((s, d) => EventsStream.streamStreamJoin(s, d)),
-
-    // JSONL sink + re-read — the LLM-corpus interchange format (one JSON
-    // object per line): the documents table written through the JSON sink
-    // and read back with the DECLARED schema must equal the original, i.e.
-    // the sink loses nothing (quotes/control chars escape and unescape,
-    // nulls stay null, BIGINTs stay integral). Reading with an explicit
-    // schema matters at scale: schema inference is a full extra pass over
-    // the corpus before the real read — at 100 TB that is the difference
-    // between one scan and two. Completes the format matrix: CSV (q72),
-    // partitioned parquet (q80), JSONL (here).
-    "q83_jsonl_roundtrip" -> ((s, d) => {
-      val docs = doc(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q83_jsonl_${s.sparkContext.applicationId}").getAbsolutePath
-      graft.io.Jsonl.write(docs, dir)
-      graft.io.Jsonl.read(s, dir, docs.schema, quarantine = false)
-        .select(docs.columns.map(col): _*)
-    }),
-
-    // Sequence packing (concat-and-chop) for LLM pretraining: each doc's
-    // global token offset and 2048-token training-sequence id, via the
-    // two-phase distributed prefix sum in SequencePack — the global cumsum
-    // WITHOUT the single-partition window the naive `sum() over (ORDER BY)`
-    // plans (the oracle runs exactly that naive form; same integers).
-    "q84_pack_sequences" -> ((s, d) =>
-      graft.text.SequencePack.packOffsets(
-        doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L)),
-
-    // Chunk-level packing: documents SPLIT across sequence boundaries —
-    // one row per (sequence, doc-slice), the exact shape a trainer's data
-    // loader consumes. Spark side explodes each doc over the sequences it
-    // spans; the oracle replays the same slice arithmetic off the naive
-    // global cumsum.
-    "q85_pack_slices" -> ((s, d) =>
-      graft.text.SequencePack.packSlices(
-        doc(s, d), "doc_id", Text.tokenCount(col("text")), budget = 2048L)),
-
-    // Forward as-of join: each purchase enriched with the user's NEXT view
-    // at-or-after it (q51's mirror — same one-shuffle tagged-union window,
-    // descending time). Right side deduped per (user, ts) as in q51 so tie
-    // semantics are engine-independent.
-    "q86_asof_forward" -> ((s, d) => {
-      val e = ev(s, d)
-      val purchases = e.filter(col("event_type") === "purchase")
-      val views = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
-      operators.AsOfJoin.forward(purchases, views, "user_id", "ts",
-          "event_id", "view_id", Seq("view_id", "view_value"))
-        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
-    }),
-
-    // Nearest as-of join: the closer of the backward/forward matches,
-    // backward on distance ties — both directions from ONE union and ONE
-    // sort (AsOfJoin.nearest). The oracle replays it as two DuckDB ASOF
-    // joins + a distance CASE.
-    "q87_asof_nearest" -> ((s, d) => {
-      val e = ev(s, d)
-      val purchases = e.filter(col("event_type") === "purchase")
-      val views = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
-      operators.AsOfJoin.nearest(purchases, views, "user_id", "ts",
-          "event_id", "view_id", Seq("view_id", "view_value"))
-        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
-    }),
-
-    // IVF-flat ANN with TRAINED centroids — q73's production upgrade: the
-    // coarse quantizer is k-means over the corpus (q105's machinery), so
-    // cells follow the data distribution; L2 cell assignment + probe,
-    // cosine re-rank inside probed cells. The oracle replays training,
-    // assignment, probing and re-ranking end-to-end.
-    "q106_ann_ivf_trained" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.ivfTrainedTopK(
-        e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-        "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3, trainIters = 2)
-        .withColumnRenamed("rank", "rnk")
-    }),
-
-    // Distributed Lloyd's k-means, 2 fixed iterations over the embedding
-    // corpus (k=8, deterministic lowest-id init): assignment is a pure
-    // column expression per row, the update collects only the k x dims
-    // rounded-mean centroid table — the corpus never leaves executors.
-    // Every arithmetic step is engine-replayable (sequential distance
-    // folds, 6-dp centroid rounding as the float-parity seam), so the
-    // oracle recomputes BOTH iterations in SQL.
-    "q105_kmeans" -> ((s, d) =>
-      graft.ml.KMeans.lloyd(
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)),
-
-    // Length-weighted sampling — curation that preferentially keeps
-    // longer documents: keep with probability min(1, n_tokens/80), decided
-    // by a DETERMINISTIC per-doc uniform (first 8 md5 hex digits / 2^32 —
-    // replayable in any engine, stable across runs; no rand()). The
-    // u < p comparison uses one correctly-rounded double division per
-    // side, so the kept set is engine-exact.
-    "q103_weighted_sample" -> ((s, d) => {
-      val n = Text.tokenCount(col("text"))
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8),
-        16, 10).cast("long").cast("double") / lit(4294967296.0)
-      doc(s, d)
-        .select(col("doc_id"), n.as("n_tokens"), u.as("u"))
-        .filter(col("u") < least(lit(1.0), col("n_tokens").cast("double") / lit(80.0)))
-        .select(col("doc_id"), col("n_tokens"))
-    }),
-
-    // Curriculum binning — difficulty buckets WITHOUT a global sort:
-    // exact quartile cutpoints (one tiny agg, broadcast as a 1-row cross
-    // join) and a counting CASE per row. The ntile() a naive version
-    // would use is a single-partition window over the corpus — the q84
-    // scale cliff; cutpoint binning is the 100 TB shape.
-    "q104_curriculum_bins" -> ((s, d) => {
-      val base = doc(s, d).select(col("doc_id"),
-        Text.tokenCount(col("text")).as("n_tokens"))
-      val cuts = base.agg(
-        expr("percentile(n_tokens, 0.25)").as("q1"),
-        expr("percentile(n_tokens, 0.5)").as("q2"),
-        expr("percentile(n_tokens, 0.75)").as("q3"))
-      base.crossJoin(broadcast(cuts))
-        .select(col("doc_id"), col("n_tokens"),
-          (lit(1L) + (col("n_tokens") > col("q1")).cast("long")
-            + (col("n_tokens") > col("q2")).cast("long")
-            + (col("n_tokens") > col("q3")).cast("long")).as("bucket"))
-    }),
-
-    // Schema evolution: two parquet batches written with DIFFERENT
-    // column sets (the long-lived-table reality — producers add fields),
-    // read back as one relation via mergeSchema. Spark unions by column
-    // name, absent columns null-filled; the oracle builds the same
-    // relation explicitly. mergeSchema costs a footer pass per file at
-    // planning — acceptable at write-batch granularity, and the committed
-    // layout answer at scale is a declared catalog schema; this query
-    // pins the read semantics.
-    "q102_schema_evolution" -> ((s, d) => {
-      val docs = doc(s, d)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q102_${s.sparkContext.applicationId}").getAbsolutePath
-      docs.select("doc_id", "text", "lang")
-        .write.mode("overwrite").parquet(s"$base/v1")
-      docs.select("doc_id", "source", "n_chars")
-        .write.mode("overwrite").parquet(s"$base/v2")
-      s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
-        .select("doc_id", "text", "lang", "source", "n_chars")
-    }),
-
-    // Stream-stream FULL OUTER interval join — q95 plus the purchase-side
-    // gate: a purchase only matches clicks at-or-before it, so its state
-    // is final once the watermark reaches its own event time (ts + 1h
-    // delay < max ts); the click side keeps q95's interval-end gate.
-    "q101_stream_full_join" -> ((s, d) =>
-      EventsStream.streamStreamFullJoin(s, d)),
-
-    // The LLM-data-pipeline E2E — the composed flagship, q66's twin for
-    // the curation surface: NFC normalize → token/repetition quality gate
-    // → exact dedup keep-first → per-source quota → sequence packing.
-    // Every stage BINDS on this corpus (dups exist, quota 20 < 25
-    // docs/source) and every stage is one of the already-oracled
-    // operators, so the chain replays in SQL end-to-end.
-    "q100_pipeline_e2e" -> ((s, d) => {
-      val normed = doc(s, d)
-        .withColumn("text", graft.functions.NfcNormalize(col("text")))
-      // Quality inputs from the one-pass TextProfile (bit-equivalent to
-      // tokenCount/dupNgramFraction per TextProfileSpec; this map stage
-      // dominated the pipeline's per-row cost).
-      val qual = normed
-        .withColumn("__p", graft.functions.TextProfile(col("text"), 3))
-        .withColumn("n_tokens", col("__p.n_tokens"))
-        .filter(col("n_tokens") >= 5 &&
-          (col("__p.n_grams") === 0 ||
-            round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast("double") /
-              col("__p.n_grams").cast("double"), 6) <= 0.5))
-        .drop("__p")
-      // Keep-first dedup as a window over the text hash — one shuffle on
-      // md5(text), no keepers table. (The previous broadcast(keepers)
-      // semi-join was a corpus-cardinality broadcast: fine at sf0.1, an
-      // executor OOM at 100 TB.)
-      val ded = qual
-        .withColumn("__dk", row_number().over(
-          Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .filter(col("__dk") === 1).drop("__dk")
-      val quota = ded
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        .filter(col("__rk") <= 20)
-      graft.text.SequencePack.packOffsets(
-        quota, "doc_id", col("n_tokens"), budget = 2048L)
-    }),
-
-    // BPE-ish pre-tokenization counts (word/number/punct runs — the usual
-    // byte-pair-encoder first pass): total and distinct token counts per
-    // doc, pure per-row regex + array arithmetic. The q24 whitespace
-    // count's sub-word twin.
-    "q99_regex_tokens" -> ((s, d) => {
-      val toks = Text.tokenizeRegex(col("text"))
-      doc(s, d).select(col("doc_id"),
-        size(toks).cast("long").as("n_toks"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"))
-    }),
-
-    // Heavy hitters, sketch → exact-verify: the SpaceSaving aggregate
-    // condenses each partition to k=256 counters (map-side combine; the
-    // shuffle carries k per partition regardless of key cardinality),
-    // its superset guarantee (any item with freq > n/k is present,
-    // 1/256 < the 0.5% threshold) makes the candidate list complete, and
-    // the exact recount of that broadcast candidate set yields the EXACT
-    // heavy-hitter relation — which is what the oracle computes.
-    "q98_heavy_hitters" -> ((s, d) => {
-      val e = ev(s, d)
-      val sketch = e.agg(
-        graft.functions.SpaceSavingTopK(col("user_id"), 256).as("sk"),
-        count(lit(1)).as("n"))
-      val cand = sketch.select(explode(col("sk")).as("c"))
-        .select(col("c.item").as("user_id"))
-      e.join(broadcast(cand), "user_id")
-        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(sketch.select(col("n"))))
-        .filter(col("cnt") * 200 > col("n"))
-        .select(col("user_id"), col("cnt"))
-    }),
-
-    // Small-file compaction round-trip: scatter documents into 32 tiny
-    // files, compact to ~1 file, re-read — the content contract is
-    // re-read == original (the q83 pattern); CompactionSpec asserts the
-    // file-count mechanics.
-    "q96_compact_roundtrip" -> ((s, d) => {
-      val docs = doc(s, d)
-      val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q96_${s.sparkContext.applicationId}").getAbsolutePath
-      docs.repartition(32).write.mode("overwrite").parquet(s"$base/small")
-      graft.io.Compact.compact(s, s"$base/small", s"$base/compact",
-        targetBytes = 1L << 30)
-      s.read.parquet(s"$base/compact").select(docs.columns.map(col): _*)
-    }),
-
-    // Key-skew profile — the diagnostic before choosing a salting/AQE
-    // strategy: per-key counts, then their distribution (exact quantiles
-    // over |keys| rows, not the corpus) and the hottest key. One shuffle
-    // for the per-key agg; the profile agg runs over |keys| rows.
-    "q97_skew_profile" -> ((s, d) => {
-      val counts = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      counts.agg(
-        count(lit(1)).as("n_keys"),
-        max(col("cnt")).as("max_cnt"),
-        round(expr("percentile(cnt, 0.5)"), 4).as("p50"),
-        round(expr("percentile(cnt, 0.9)"), 4).as("p90"),
-        round(expr("percentile(cnt, 0.99)"), 4).as("p99"),
-        graft.functions.ArgMinBy(col("user_id"),
-          (-col("cnt")).cast("double"), col("user_id")).as("top_key"))
-    }),
-
-    // Stream-stream LEFT OUTER interval join: q82's twin with the
-    // watermark-gated null emissions — an unmatched click emits nulls
-    // only once the global watermark (min of both sides' max ts − 1h)
-    // passes the end of its join interval; later clicks stay buffered
-    // (they could still match). The gate is deterministic, so the oracle
-    // replays it as batch SQL with the same cutoff.
-    "q95_stream_left_join" -> ((s, d) =>
-      EventsStream.streamStreamLeftJoin(s, d)),
-
-    // Near-dup survivor selection — the curation step AFTER clustering:
-    // within each exact-Jaccard connected component keep the "best"
-    // document (longest text, lowest id on ties) and record the cluster
-    // size. Composes canonicalizeExact with the house arg_min_by hash
-    // aggregate (argmax q == argmin -q): one |clusters|-group agg, no
-    // window over the corpus.
-    "q94_dedup_survivors" -> ((s, d) => {
-      val clusters = Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.5)
-      clusters
-        .join(doc(s, d).select(col("doc_id"),
-          length(col("text")).cast("long").as("q")), "doc_id")
-        .groupBy(col("canonical_id"))
-        .agg(
-          graft.functions.ArgMinBy(col("doc_id"),
-            (-col("q")).cast("double"), col("doc_id")).as("keep_id"),
-          count(lit(1)).as("cluster_size"),
-          max(col("q")).as("keep_len"))
-    }),
-
-    // Per-dimension z-score standardization of the embedding corpus — the
-    // ML feature-prep twin of q53: dimension stats are a |dims|-row
-    // broadcast, the fact side never shuffles for the join (the only
-    // shuffle is the |dims|-group stats agg with map-side partials).
-    // The hashed z rides integer 1e-4 units: (x-mu)/sigma is an
-    // IEEE-identical double on both engines once mu/sigma are pre-rounded,
-    // and round-to-INTEGER of an identical double agrees everywhere
-    // (HALF_UP and half-away-from-zero only meet at exact .5 ties, where
-    // both go away from zero) — unlike round(z, 4), whose decimal-scale
-    // paths differ between engines and flipped boundary values at 2M rows.
-    "q93_standardize" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
-          col("col").cast("double").as("x"))
-      // mu/sigma are rounded to 7dp BEFORE the division on both sides:
-      // avg/stddev are order-dependent float sums that differ ~1e-15
-      // between engines, which can flip the 4th decimal of z on boundary
-      // values (the PageRank/k-means intermediate-state rule).
-      val stats = e.groupBy("dim")
-        .agg(round(avg("x"), 7).as("mu"), round(stddev_samp("x"), 7).as("sigma"))
-      e.join(broadcast(stats), "dim")
-        .select(col("vec_id"), col("dim"),
-          round((col("x") - col("mu")) / col("sigma") * lit(10000.0d))
-            .cast("long").as("z_e4"))
-    }),
-
-    // Z-order (Morton) key over (doc_id, n_chars) — the multi-dimensional
-    // clustering key behind io.ZOrder.cluster: pure bit-interleave
-    // arithmetic, replayed exactly in DuckDB (sum of disjoint bits == OR).
-    // The layout operator itself is ZOrderSpec's territory (file splits
-    // are sampling-dependent); the KEY is what must be engine-exact.
-    "q92_zorder_key" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"),
-        graft.io.ZOrder.zValue(Seq(col("doc_id"), col("n_chars")), 16).as("z"))),
-
-    // Backward as-of with a 10-minute tolerance (pandas merge_asof
-    // semantics): the left row survives unenriched when its match is
-    // farther than the bound — the common "stale quote" guard in
-    // time-series enrichment.
-    "q91_asof_tolerance" -> ((s, d) => {
-      val e = ev(s, d)
-      val purchases = e.filter(col("event_type") === "purchase")
-      val views = e.filter(col("event_type") === "view")
-        .groupBy(col("user_id"), col("ts"))
-        .agg(max(col("event_id")).as("view_id"), max(col("value")).as("view_value"))
-      operators.AsOfJoin.backward(purchases, views, "user_id", "ts",
-          "event_id", "view_id", Seq("view_id", "view_value"),
-          toleranceSecs = Some(600.0))
-        .select(col("event_id"), col("view_id_asof"), col("view_value_asof"))
-    }),
-
-    // Unicode NFC canonicalization — the mandatory first step before any
-    // hash-based dedup (composed vs decomposed spellings of one grapheme
-    // hash differently). Custom codegen'd expression (Spark has no
-    // built-in); exercised against text with a decomposed-é suffix so the
-    // normalization is non-trivial, DuckDB nfc_normalize as the twin.
-    "q88_nfc_normalize" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"),
-        graft.functions.NfcNormalize(
-          // decomposed "café straße": e + COMBINING ACUTE (U+0301) --
-          // NFC must compose it to U+00E9; ß (U+00DF) is NFC-stable
-          concat(col("text"), lit(" cafe\u0301 stra\u00dfe")))
-          .as("norm_text"))),
-
-    // Gopher-style repetition signal: duplicate 3-gram fraction per doc —
-    // no explode/shuffle; counts from the one-pass TextProfile expression
-    // (bit-equivalent to the HOF form per TextProfileSpec; 2.5 s → ~0.3 s
-    // at sf0.1, and the per-row cost IS the scale cost for a map-only op).
-    "q89_repetition" -> ((s, d) =>
-      doc(s, d)
-        .withColumn("__p", graft.functions.TextProfile(col("text"), 3))
-        .select(col("doc_id"),
-          col("__p.n_grams").as("total_ngrams"),
-          when(col("__p.n_grams") > 0,
-            round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast("double") /
-              col("__p.n_grams").cast("double"), 6)).otherwise(lit(0.0))
-            .as("dup_fraction"))),
-
-    // Per-source quota sampling — training-data curation: keep at most K
-    // docs per source, selected by deterministic hash order (md5 of the
-    // id, replayable in any engine) so the sample is stable across runs
-    // and engines. One shuffle on source; skew bounded by the hottest
-    // source like any window — at extreme per-source cardinality the same
-    // pattern runs on a salted pre-pass, but the quota semantics ARE a
-    // per-key rank, so the window form is the honest baseline.
-    "q90_source_quota" -> ((s, d) =>
-      doc(s, d)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
-        .filter(col("rk") <= 10)
-        .select(col("source"), col("doc_id"), col("rk"))),
-
-    // Eval-set decontamination (the GPT-3-style n-gram overlap filter):
-    // docs with doc_id % 100 == 0 stand in for the held-out benchmark;
-    // the rest of the corpus is annotated with its distinct shared-gram
-    // count. Eval grams are a broadcast distinct set — a map-side
-    // semi-join, zero corpus shuffle.
-    "q107_decontaminate" -> ((s, d) => {
-      val docs = doc(s, d)
-      graft.text.Decontaminate.flagContaminated(
-        docs.filter(col("doc_id") % 100 =!= 0),
-        docs.filter(col("doc_id") % 100 === 0),
-        "doc_id", "text", k = 3)
-        .select(col("doc_id"), col("shared_grams"), col("contaminated"))
-    }),
-
-    // SemDeDup — semantic (embedding-space) dedup: k-means clusters
-    // (q105's engine-replayable Lloyd's), pairwise cosine INSIDE each
-    // cluster only, lowest-id survivor. Near-duplicates injected the
-    // q69 way so the flagged set is non-trivial; the oracle replays
-    // train → assign → pairwise → flag end-to-end.
-    "q108_semdedup" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("embedding"))
-      val dups = e.filter(col("vec_id") % 50 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
-          concat(array(element_at(col("embedding"), 1) + lit(0.05)),
-            slice(col("embedding"), 2, 63)).as("embedding"))
-      graft.dedup.SemDedup.semDedup(e.unionByName(dups), "vec_id", "embedding",
-        k = 8, trainIters = 2, threshold = 0.99)
-    }),
-
-    // ORC round-trip — the Hive-era columnar format, source-coverage twin
-    // of q72 (CSV) / q83 (JSONL): declared-schema read back of what was
-    // written must equal the original relation.
-    "q109_orc_roundtrip" -> ((s, d) => {
-      val docs = doc(s, d)
-      val dir = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q109_orc_${s.sparkContext.applicationId}").getAbsolutePath
-      graft.io.Orc.write(docs, dir)
-      graft.io.Orc.read(s, dir, docs.schema).select(docs.columns.map(col): _*)
-    }),
-
-    // Deterministic per-epoch training shuffle: md5(seed ‖ id) order key,
-    // global rank via the two-phase decomposition (256 parallel bucket
-    // windows + one O(256) offset window) — no rand(), no single-
-    // partition corpus-wide window.
-    "q110_training_shuffle" -> ((s, d) =>
-      graft.operators.TrainingShuffle.shuffleRank(
-        doc(s, d).select(col("doc_id")), "doc_id", seed = "epoch1")),
-
-    // Robust per-group outlier flags: median/MAD cut (50% breakdown
-    // point) over per-lang token counts — two grouped exact-median aggs,
-    // group tables broadcast back; integer inputs make every comparison
-    // IEEE-exact with no rounding seam.
-    "q111_mad_outliers" -> ((s, d) =>
-      Stats.madOutliers(
-        doc(s, d).select(col("doc_id"), col("lang"),
-          Text.tokenCount(col("text")).as("n_tokens")),
-        Seq("lang"), "n_tokens", cutoff = 3.0)),
-
-    // RAG chunking: sliding token windows (window 50, stride 30) per doc
-    // — overlapping chunks so no retrieval context straddles a hard cut.
-    // Pure codegen'd explode arithmetic (starts 0,30,… while < n_tokens,
-    // length clipped at the doc end), no shuffle anywhere.
-    "q112_chunk_overlap" -> ((s, d) =>
-      doc(s, d)
-        .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens"))
-        .where(col("n_tokens") > 0)
-        .withColumn("chunk_start",
-          explode(sequence(lit(0L), col("n_tokens") - 1, lit(30L))))
-        .select(col("doc_id"),
-          expr("chunk_start DIV 30").as("chunk_id"),
-          col("chunk_start"),
-          least(lit(50L), col("n_tokens") - col("chunk_start")).as("chunk_len"))),
-
-    // Exact stratified train/val/test split: 80/10/10 WITHIN each lang
-    // stratum, membership decided by deterministic md5 rank — stable
-    // across runs/engines, exact per-stratum proportions (integer
-    // arithmetic: rk*10 <= n*8), no rand(). Per-stratum window ranks,
-    // parallel across strata (the q90 shape).
-    "q113_stratified_split" -> ((s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      doc(s, d).select(col("doc_id"), col("lang"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("nl", count(lit(1)).over(Window.partitionBy("lang")))
-        .select(col("doc_id"), col("lang"),
-          when(col("rk") * 10 <= col("nl") * 8, "train")
-            .when(col("rk") * 10 <= col("nl") * 9, "val")
-            .otherwise("test").as("split"))
-    }),
-
-    // Cross-batch incremental dedup — the nightly-ingest gate: an
-    // incoming batch is admitted only where its content fingerprint does
-    // not already exist in the corpus. Anti-join on the fingerprint (md5
-    // here so the oracle replays it; production swaps xxhash64): one
-    // shuffle of 16-byte fingerprints, never of text. Exact duplicates
-    // injected (q69's convention) so the gate provably rejects.
-    "q114_incremental_dedup" -> ((s, d) => {
-      val docs = doc(s, d)
-      val cols = docs.columns
-      val corpus = docs.filter(col("doc_id") % 10 =!= 7)
-      val incoming = docs.filter(col("doc_id") % 10 === 7)
-        .unionByName(docs.filter(col("doc_id") % 25 === 3)
-          .select((cols.map {
-            case "doc_id" => (col("doc_id") + 100000).as("doc_id")
-            case c        => col(c)
-          }).toIndexedSeq: _*))
-      incoming.withColumn("fp", md5(col("text")))
-        .join(corpus.select(md5(col("text")).as("fp")).distinct(),
-          Seq("fp"), "left_anti")
-        .select("doc_id")
-    }),
-
-    // Streaming heavy hitters, lambda shape: per-window SpaceSaving
-    // sketch as the streaming state (k counters per open window), exact
-    // batch recount of the emitted candidate set — provably exact for
-    // the 0.5% threshold since k=256 ≥ 200.
-    "q115_stream_heavy_hitters" -> ((s, d) =>
-      EventsStream.windowedHeavyHitters(s, d)),
-
-    // Vocabulary construction — tokenizer training's first step: corpus
-    // token frequencies, deterministic (freq desc, token asc) rank, top V
-    // become vocab ids 1..V. The global order is TakeOrderedAndProject
-    // (parallel partial top-V heaps, no full sort); the rank window then
-    // runs over the V surviving rows only — the W3 tiny-result shape, not
-    // a corpus-wide window.
-    "q116_vocab" -> ((s, d) => {
-      val counts = doc(s, d)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-      counts.orderBy(col("freq").desc, col("token").asc).limit(256)
-        .withColumn("vocab_id", row_number().over(
-          Window.orderBy(col("freq").desc, col("token").asc)).cast("long"))
-    }),
-
-    // OOV rate per document against the q116 vocabulary — the coverage
-    // metric a tokenizer-training loop iterates on. Vocab (V rows) is
-    // broadcast; the corpus-side check is a map-side hash join on the
-    // exploded token stream, then one per-doc agg.
-    "q117_oov_rate" -> ((s, d) => {
-      // V = 16 < the corpus's distinct-token count, so the OOV path is
-      // non-trivially exercised (V = 256 would cover every token here).
-      val vocab = doc(s, d)
-        .select(explode(split(col("text"), " ")).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("token").asc).limit(16)
-        .select(col("token"), lit(1L).as("__in_vocab"))
-      doc(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .join(broadcast(vocab), Seq("token"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
-        .withColumn("oov_rate",
-          round(col("n_oov").cast("double") / col("n_tokens"), 6))
-    }),
-
-    // Inverted-index posting relation (token, doc_id, pos) — the
-    // substrate of phrase search / exact-match retrieval. posexplode is
-    // codegen'd projection work, no shuffle; at scale the relation is
-    // written bucketed by token (io/Bucketing) so lookups are
-    // shuffle-free.
-    "q118_postings" -> ((s, d) =>
-      doc(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("col").as("token"), col("doc_id"),
-          col("pos").cast("long").as("pos"))),
-
-    // Matryoshka two-stage retrieval: coarse rank on the 16-dim embedding
-    // PREFIX (a 4× narrower scan at the storage layer), exact full-dim
-    // rerank on the per-query shortlist only. Deterministic candidate cut
-    // ⇒ exactly oracle-replayable.
-    "q119_matryoshka_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.matryoshkaTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          "vec_id", "embedding", 5, coarseDim = 16, candidates = 20)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
-          round(col("cos_sim"), 6).as("cos_sim"))
-    }),
-
-    // Binary sign-quantized ANN: 1 bit/dim (16× under float32), Hamming
-    // candidate scan as popcount-of-XOR over two longs, exact cosine
-    // rerank of the shortlist. Integer ranking keys ⇒ deterministic cut.
-    "q120_binary_hamming" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.binaryHammingTopK(
-          e.filter(col("vec_id") < 5), e.filter(col("vec_id") >= 5),
-          "vec_id", "embedding", 5, dim = 64, candidates = 20)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("rnk"),
-          col("hamming"), round(col("cos_sim"), 6).as("cos_sim"))
-    }),
-
-    // Temperature-scaled source mixing (τ = 1/2): per-source targets
-    // ∝ √n_s flatten the natural source distribution; selection is
-    // rank-by-md5 — reproducible, engine-neutral, no RNG.
-    "q121_temperature_mix" -> ((s, d) =>
-      Mixing.temperatureMix(doc(s, d), "source", "doc_id", 200)),
-
-    // BM25 lexical retrieval — the term-weighting complement to the ANN
-    // family; postings-shaped (q79/q118), corpus scalars on a broadcast
-    // 1-row cross join, global top-k via TakeOrderedAndProject.
-    "q122_bm25" -> ((s, d) =>
-      graft.text.Bm25.topK(doc(s, d), "doc_id", "text",
-        Seq("vector", "join", "scan"), 20)),
-
-    // Per-source quality pruning: drop each source's bottom length
-    // quartile — exact per-group percentile cutpoints (tiny agg,
-    // broadcast back), then a map-side filter; no corpus-wide ntile.
-    "q123_quality_prune" -> ((s, d) => {
-      val base = doc(s, d).select(col("doc_id"), col("source"),
-        Text.tokenCount(col("text")).as("n_tokens"))
-      val cuts = base.groupBy("source")
-        .agg(expr("percentile(n_tokens, 0.25)").as("q1"))
-      base.join(broadcast(cuts), Seq("source"))
-        .filter(col("n_tokens") > col("q1"))
-        .select(col("doc_id"), col("source"), col("n_tokens"))
-    }),
-
-    // Near-dup canonicalization keeping the BEST-quality representative
-    // (not the lowest id): clusters from the exact-Jaccard connected
-    // components (q70), representative = argmax (n_chars desc, doc_id
-    // asc) per cluster — what a curation pipeline actually keeps.
-    // Integer ranking keys ⇒ exactly oracle-replayable.
-    "q124_cluster_best" -> ((s, d) => {
-      val canon = Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.5)
-      val w = Window.partitionBy("canonical_id")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      doc(s, d).select(col("doc_id"), col("n_chars"))
-        .join(canon, Seq("doc_id"))
-        .withColumn("__r", row_number().over(w))
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy("canonical_id")))
-        .filter(col("__r") === 1)
-        .select(col("canonical_id"), col("doc_id").as("kept_doc_id"),
-          col("n_chars").as("kept_n_chars"), col("cluster_size"))
-    }),
-
-    // Exactly-once streaming file sink: foreachBatch + idempotent
-    // per-batch-id overwrite; the stream runs TWICE (simulated retry) —
-    // an appending sink would double every row and fail the hash.
-    "q126_stream_exactly_once" -> ((s, d) =>
-      EventsStream.idempotentSinkCounts(s, d)),
-
-    // MERGE-style snapshot upsert: a deterministic changeset (updates for
-    // doc_id%10==0, deletes for %10==1, 3 inserts) applied via
-    // anti-join ∪ upserts — the logical core of Delta/Iceberg merge.
-    "q127_upsert_snapshot" -> ((s, d) => {
-      val snap = doc(s, d)
-      val updates = snap.filter(col("doc_id") % 10 === 0)
-        .withColumn("n_chars", col("n_chars") + 1000L)
-        .withColumn("source", lit("updated"))
-        .withColumn("op", lit("update"))
-      val deletes = snap.filter(col("doc_id") % 10 === 1)
-        .withColumn("op", lit("delete"))
-      val inserts = s.range(3).select(
-        (col("id") + 1000000L).as("doc_id"),
-        concat(lit("new doc "), col("id")).as("text"),
-        lit("en").as("lang"),
-        lit("ingest").as("source"),
-        length(concat(lit("new doc "), col("id"))).cast("long").as("n_chars"),
-        lit("insert").as("op"))
-      graft.operators.Upsert(snap,
-        updates.unionByName(deletes).unionByName(inserts), "doc_id")
-    }),
-
-    // SCD2 history build: changelog → [valid_from, valid_to) validity
-    // intervals per key via one lead window (total order on (ts,
-    // event_id)); pairs with the as-of joins for point-in-time lookups.
-    "q128_scd2" -> ((s, d) =>
-      graft.operators.Scd2.intervals(
-          ev(s, d).select(col("user_id"), col("ts"), col("event_id"),
-            col("event_type")),
-          "user_id", "ts", "event_id")
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          unix_timestamp(col("valid_from")).as("valid_from_s"),
-          unix_timestamp(col("valid_to")).as("valid_to_s"),
-          col("is_current"))),
-
-    // Fuzzy entity matching: min-edit-distance lookup of misspelled names
-    // against a dimension table — the data-cleaning complement to exact
-    // isin (q04). The dimension is broadcast; levenshtein is a codegen'd
-    // built-in on both engines with the identical classic DP definition.
-    "q129_fuzzy_match" -> ((s, d) => {
-      // misspellings of the synthetic NATION_N names, chosen so each
-      // argmin is unique (one deletion/insertion/substitution/transposition)
-      val probes = s.range(1).select(explode(array(
-        Seq("NATIN_3", "NATIONN_8", "MATION_19", "NATI0N_21", "NATOIN_14")
-          .map(lit): _*)).as("probe"))
-      val nat = Tables.nation(s, d).select(col("n_name"))
-      val w = Window.partitionBy("probe")
-        .orderBy(col("dist").asc, col("n_name").asc)
-      probes.crossJoin(broadcast(nat))
-        .withColumn("dist", levenshtein(col("probe"), col("n_name")).cast("long"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("probe"), col("n_name").as("best_name"), col("dist"))
-    }),
-
-    // Distribution-analytic window functions — percent_rank / cume_dist /
-    // ntile per group over a TOTAL (price, key) order, so the doubles are
-    // exact small-integer ratios and replay bit-for-bit. Groups hash
-    // across executors; no global window.
-    "q130_analytic_ranks" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"),
-          ntile(4).over(w).cast("long").as("quartile"))
-    }),
-
-    // Unpivot/melt: wide measure columns → (measure, value) rows — the
-    // inverse of q45's pivot; pure projection+generate, no shuffle.
-    "q131_unpivot" -> ((s, d) =>
-      li(s, d).filter(col("l_orderkey") < 2000)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"))
-        .unpivot(
-          Array(col("l_orderkey"), col("l_linenumber")),
-          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
-          "measure", "value")),
-
-    // Time-series resampling with gap fill: per-entity hourly grid from
-    // its own [min, max] span (sequence+explode — no driver loop), left
-    // join of observed counts, zero-fill. The grid is generated, never
-    // stored; at scale both sides shuffle on (entity, hour).
-    "q132_resample" -> ((s, d) => {
-      val e = ev(s, d).filter(col("user_id") < 30)
-        .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
-          col("value"))
-      val span = e.groupBy("user_id")
-        .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
-      val grid = span.select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
-          .as("hour"))
-      val obs = e.groupBy("user_id", "hour")
-        .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
-      grid.join(obs, Seq("user_id", "hour"), "left")
-        .select(col("user_id"), unix_timestamp(col("hour")).as("hour_s"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"),
-          round(coalesce(col("sv"), lit(0.0)), 4).as("sum_value"))
-    }),
-
-    // PageRank over the symmetrized customer↔supplier purchase graph —
-    // iterative compute #3 (after k-means and CC), engine-replayable via
-    // per-iteration rounding (the q105 rule). Symmetrizing removes
-    // dangling mass and the two node-id ranges are disjoint by the +1e6
-    // offset.
-    "q133_pagerank" -> ((s, d) => {
-      val eo = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-      val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
-      // eo is distinct and the +1e6 offset makes cust/supp id ranges
-      // disjoint, so the symmetrized union is distinct by construction —
-      // skip iterate()'s defensive dedup shuffle
-      graft.graph.PageRank.iterate(edges, iters = 2, dedup = false)
-        .select(col("node"), round(col("pr"), 6).as("pr"))
-    }),
-
-    // Tie-corrected (mid-rank) Mann-Whitney AUC of `value` as a score for
-    // the click label. Every term is an exact multiple of 0.5 below 2^52,
-    // so all sums are IEEE-exact and ORDER-INDEPENDENT — bit parity with
-    // no rounding seam. The only ordered scan is the two-phase exclusive
-    // prefix sum over the DISTINCT-value table (GlobalRank — no global
-    // row window).
-    "q134_auc" -> ((s, d) => {
-      val sc = ev(s, d).select(col("value"),
-        when(col("event_type") === "click", 1L).otherwise(0L).as("lab"))
-      val g = sc.groupBy("value")
-        .agg(count(lit(1)).as("cnt"), sum(col("lab")).as("npos_v"))
-      val c = graft.operators.GlobalRank.exclusivePrefixSum(g, "value", "cnt")
-      val scalars = sc.agg(sum(col("lab")).as("npos"),
-        (count(lit(1)) - sum(col("lab"))).as("nneg"))
-      c.agg(sum(col("npos_v") *
-          (col("cum_before") + (col("cnt") + 1) / lit(2.0))).as("rsum"))
-        .crossJoin(broadcast(scalars))
-        .select(
-          round((col("rsum") - col("npos").cast("double") * (col("npos") + 1) / 2)
-            / (col("npos").cast("double") * col("nneg")), 6).as("auc"),
-          col("npos"), col("nneg"))
-    }),
-
-    // Calibration / reliability bins: equal-width score bins over the
-    // observed [min, max] (broadcast bounds), per-bin positive rate (an
-    // exact integer ratio — no rounding) and mean score (rounded).
-    "q135_calibration_bins" -> ((s, d) => {
-      val b = ev(s, d).agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
-      ev(s, d).crossJoin(broadcast(b))
-        .select(
-          least(lit(9L), floor((col("value") - col("mn"))
-            / ((col("mx") - col("mn")) / lit(10))).cast("long")).as("bin"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("lab"),
-          col("value"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("cnt"),
-          (sum(col("lab")).cast("double") / count(lit(1))).as("pos_rate"),
-          round(sum(col("value")) / count(lit(1)), 4).as("mean_value"))
-    }),
-
-    // Funnel analysis: per (user, day), the ordered view→click→purchase
-    // progression as three chained min-timestamp aggregations (each stage
-    // = one hash join + one grouped min on the (user, day) key — no
-    // per-row state machine, no window); strict > means a later stage
-    // must strictly follow the previous one.
-    "q136_funnel" -> ((s, d) => {
-      val e = ev(s, d).select(col("user_id"),
-        date_format(col("ts"), "yyyy-MM-dd").as("d"),
-        col("ts"), col("event_type"))
-      val groups = e.select("user_id", "d").distinct()
-      val g1 = e.filter(col("event_type") === "view")
-        .groupBy("user_id", "d").agg(min(col("ts")).as("f1"))
-      val g2 = e.join(g1, Seq("user_id", "d"))
-        .filter(col("event_type") === "click" && col("ts") > col("f1"))
-        .groupBy("user_id", "d").agg(min(col("ts")).as("f2"))
-      val g3 = e.join(g2, Seq("user_id", "d"))
-        .filter(col("event_type") === "purchase" && col("ts") > col("f2"))
-        .groupBy("user_id", "d").agg(min(col("ts")).as("f3"))
-      groups
-        .join(g1, Seq("user_id", "d"), "left")
-        .join(g2, Seq("user_id", "d"), "left")
-        .join(g3, Seq("user_id", "d"), "left")
-        .groupBy("d")
-        .agg(count(lit(1)).as("n_groups"),
-          count(col("f1")).as("reached_view"),
-          count(col("f2")).as("reached_click"),
-          count(col("f3")).as("reached_purchase"))
-    }),
-
-    // Retention cohorts: cohort = a user's first active week, retention
-    // cell (cohort, k) = distinct users active k weeks later — two hash
-    // aggs + one broadcast-joinable first-week table; all-integer
-    // arithmetic (epoch-week via integer division).
-    "q137_retention" -> ((s, d) => {
-      val wk = ev(s, d).select(col("user_id"),
-        expr("unix_timestamp(ts) div 604800").as("wk")).distinct()
-      // First-week via a window on the same user_id partitioning — one
-      // shuffle, no per-user broadcast table (which is corpus-cardinality
-      // and would OOM at 100 TB).
-      val cohort = wk.withColumn("cohort_wk",
-        min(col("wk")).over(Window.partitionBy(col("user_id"))))
-      cohort
-        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
-        .agg(count_distinct(col("user_id")).as("n_users"))
-    }),
-
-    // Incremental NEAR-dup admission (q114's exact twin, approximate
-    // family): the batch (doc_id%7==0) probes the corpus's MinHash band
-    // index; md5/mod-p family so the whole pipeline replays in SQL.
-    "q138_incremental_minhash" -> ((s, d) =>
-      Dedup.incrementalMinHash(
-        doc(s, d).filter(col("doc_id") % 7 =!= 0),
-        doc(s, d).filter(col("doc_id") % 7 === 0),
-        "text", "doc_id", k = 3, bands = 8, rowsPerBand = 2,
-        threshold = 0.5, family = "md5p61")),
-
-    // Higher distribution moments per group from ONE pass of power sums
-    // (Σx..Σx⁴ — map-side-combinable aggs); skewness/kurtosis assembled
-    // from raw sums with sqrt-only arithmetic (v^1.5 = v·√v, no pow),
-    // rounded 4 dp per the float-sum parity rule.
-    "q139_moments" -> ((s, d) => {
-      val x = col("l_quantity")
-      val g = li(s, d).groupBy("l_returnflag").agg(
-        count(lit(1)).as("n"), sum(x).as("s1"), sum(x * x).as("s2"),
-        sum(x * x * x).as("s3"), sum(x * x * x * x).as("s4"))
-      val mean = col("s1") / col("n")
-      val v = col("s2") / col("n") - mean * mean
-      val m3 = col("s3") / col("n") - lit(3.0) * mean * (col("s2") / col("n")) +
-        lit(2.0) * mean * mean * mean
-      val m4 = col("s4") / col("n") - lit(4.0) * mean * (col("s3") / col("n")) +
-        lit(6.0) * mean * mean * (col("s2") / col("n")) -
-        lit(3.0) * mean * mean * mean * mean
-      g.select(col("l_returnflag"), col("n"),
-        round(mean, 4).as("mean"), round(v, 4).as("variance"),
-        round(m3 / (v * sqrt(v)), 4).as("skewness"),
-        round(m4 / (v * v) - lit(3.0), 4).as("kurtosis_excess"))
-    }),
-
-    // Shannon entropy of each user's event-type mix — the categorical
-    // concentration profile (behavioral diversity signal). Two hash aggs;
-    // ln is libm → rounded 4 dp.
-    "q140_type_entropy" -> ((s, d) => {
-      val c = ev(s, d).groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("cnt"))
-      val tot = c.groupBy("user_id").agg(sum(col("cnt")).as("n_events"))
-      val p = col("cnt").cast("double") / col("n_events")
-      c.join(tot, Seq("user_id"))
-        .groupBy("user_id")
-        .agg(max(col("n_events")).as("n_events"),
-          round(-sum(p * log(p)), 4).as("entropy"))
-    }),
-
-    // Batch FULL OUTER join (the remaining join-type surface beside
-    // inner/left/semi/anti/intersect/except): per-nation customer vs
-    // supplier counts with deliberately disjoint filters so both
-    // null-extension sides are exercised; key coalesced from both sides.
-    "q141_full_outer" -> ((s, d) => {
-      val c = Tables.customer(s, d).filter(col("c_nationkey") >= 5)
-        .groupBy(col("c_nationkey").as("nk_c"))
-        .agg(count(lit(1)).as("cust_cnt"))
-      val sp = Tables.supplier(s, d).filter(col("s_nationkey") < 15)
-        .groupBy(col("s_nationkey").as("nk_s"))
-        .agg(count(lit(1)).as("supp_cnt"))
-      c.join(sp, col("nk_c") === col("nk_s"), "full_outer")
-        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
-          col("cust_cnt"), col("supp_cnt"))
-    }),
-
-    // Edit-distance self-join over the DISTINCT name dictionary with
-    // length-band blocking (|len a − len b| ≤ maxDist prunes pairs before
-    // any DP runs — the standard scale guard, since levenshtein ≥ length
-    // difference); entity-resolution's pair-generation stage.
-    "q142_fuzzy_join" -> ((s, d) => {
-      val names = Tables.part(s, d).select(col("p_name")).distinct()
-      val a = names.select(col("p_name").as("name_a"),
-        length(col("p_name")).as("la"))
-      val b = names.select(col("p_name").as("name_b"),
-        length(col("p_name")).as("lb"))
-      a.join(b, col("name_a") < col("name_b") &&
-          abs(col("la") - col("lb")) <= 2)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
-        .filter(col("dist") <= 2)
-        .select("name_a", "name_b", "dist")
-    }),
-
-    // Non-hierarchical GROUPING SETS — the grouping-set surface rollup
-    // (q46) and cube (q61) can't express: the two single-column marginals
-    // WITHOUT the pair or the grand total. One shuffle; Spark expands to
-    // an Expand node feeding one hash agg, same as rollup. grouping()
-    // flags (cast long both sides) disambiguate real NULL keys from
-    // aggregated-away ones.
-    "q143_grouping_sets" -> ((s, d) =>
-      li(s, d)
-        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
-          col("l_returnflag"), col("l_linestatus"))
-        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
-          grouping(col("l_linestatus")).cast("long").as("g_status"),
-          count(lit(1)).as("cnt"),
-          round(sum(col("l_quantity")), 4).as("sum_qty"))
-        .select("l_returnflag", "l_linestatus", "g_flag", "g_status",
-          "cnt", "sum_qty")),
-
-    // Span-limited EWMA (pandas adjust=true form, truncated at 16 terms —
-    // the dropped tail weight is 0.75^16 < 1.1%): per-user trailing
-    // exponentially-weighted mean of `value`. The 16-row bounded window
-    // collects the frame into an array (frame order = window order on
-    // both engines), then one higher-order fold applies weights newest-
-    // heaviest, index-ascending so the summation association is identical
-    // cross-engine. Bounded frame ⇒ scale-safe (no corpus-wide window;
-    // per-user partitions). 0.75^k is exactly representable (3^k/4^k,
-    // k ≤ 15) so power() is bit-identical; the final ratio is rounded
-    // 4 dp per the libm parity rule.
-    "q144_ewma" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(-15, Window.currentRow)
-      ev(s, d)
-        .withColumn("__frame", collect_list(col("value")).over(w))
-        .withColumn("__num", expr(
-          """aggregate(
-            |  zip_with(__frame,
-            |    transform(__frame, (x, i) ->
-            |      power(0.75D, CAST(size(__frame) - 1 - i AS DOUBLE))),
-            |    (x, w) -> x * w),
-            |  0D, (acc, t) -> acc + t)""".stripMargin))
-        .withColumn("__den", expr(
-          """aggregate(
-            |  transform(__frame, (x, i) ->
-            |    power(0.75D, CAST(size(__frame) - 1 - i AS DOUBLE))),
-            |  0D, (acc, t) -> acc + t)""".stripMargin))
-        .select(col("event_id"), col("user_id"),
-          round(col("__num") / col("__den"), 4).as("ewma"))
-    }),
-
-    // Welch's unequal-variance t-test: does mean(value) differ between
-    // clicks and purchases? Sufficient statistics only (n, Σx, Σx² per
-    // group — one map-side-combinable hash agg; the q139 moments seam),
-    // then the t statistic and Welch–Satterthwaite df as scalar
-    // arithmetic on the 2-row table pivoted to one row. Double sums are
-    // order-dependent ⇒ every derived scalar rounded 4 dp.
-    "q145_welch_ttest" -> ((s, d) => {
-      val g = ev(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).cast("double").as("n"),
-          sum(col("value")).as("s1"),
-          sum(col("value") * col("value")).as("s2"))
-      val p = g.agg(
-        max(when(col("event_type") === "click", col("n"))).as("n1"),
-        max(when(col("event_type") === "click", col("s1"))).as("a1"),
-        max(when(col("event_type") === "click", col("s2"))).as("b1"),
-        max(when(col("event_type") === "purchase", col("n"))).as("n2"),
-        max(when(col("event_type") === "purchase", col("s1"))).as("a2"),
-        max(when(col("event_type") === "purchase", col("s2"))).as("b2"))
-      val m1 = col("a1") / col("n1"); val m2 = col("a2") / col("n2")
-      // sample variance via (Σx² − n·mean²)/(n−1), the same form in SQL
-      val v1 = (col("b1") - col("n1") * m1 * m1) / (col("n1") - lit(1.0))
-      val v2 = (col("b2") - col("n2") * m2 * m2) / (col("n2") - lit(1.0))
-      val se2 = v1 / col("n1") + v2 / col("n2")
-      val df = se2 * se2 /
-        ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - lit(1.0)) +
-          (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - lit(1.0)))
-      p.select(col("n1").cast("long").as("n_click"),
-        col("n2").cast("long").as("n_purchase"),
-        round(m1, 4).as("mean_click"), round(m2, 4).as("mean_purchase"),
-        round((m1 - m2) / sqrt(se2), 4).as("t_stat"),
-        round(df, 4).as("welch_df"))
-    }),
-
-    // Population Stability Index — the distribution-drift monitor between
-    // a reference corpus snapshot (even doc_id) and the current one (odd
-    // doc_id), over n_chars in 10 equal-width bins from the REFERENCE
-    // extent (broadcast 1-row bounds, the q135 binning shape). Laplace
-    // (+1) smoothing keeps ln finite on empty bins; p/q are exact integer
-    // ratios so only the ln seam needs the 4-dp round. Two hash aggs +
-    // a 10-row join — scale-safe.
-    "q146_psi" -> ((s, d) => {
-      val ref = doc(s, d).filter(col("doc_id") % 2 === 0)
-      val cur = doc(s, d).filter(col("doc_id") % 2 === 1)
-      val bounds = ref.agg(min(col("n_chars")).as("__lo"),
-        max(col("n_chars")).as("__hi"))
-      def binned(df: DataFrame): DataFrame = df.crossJoin(broadcast(bounds))
-        .withColumn("bin",
-          least(lit(9L), greatest(lit(0L),
-            floor((col("n_chars") - col("__lo")) * 10 /
-              (col("__hi") - col("__lo") + 1)).cast("long"))))
-        .groupBy("bin").agg(count(lit(1)).as("cnt"))
-      val r = binned(ref).withColumnRenamed("cnt", "cnt_ref")
-      val c = binned(cur).withColumnRenamed("cnt", "cnt_cur")
-      // corpus sizes as a broadcast 1-row scalar (q79's N pattern — stays
-      // in the plan, no driver action)
-      val tot = ref.agg(count(lit(1)).as("__nr"))
-        .crossJoin(cur.agg(count(lit(1)).as("__nc")))
-      val allBins = ref.sparkSession.range(10).select(col("id").as("bin"))
-      val j = allBins
-        .join(broadcast(r), Seq("bin"), "left")
-        .join(broadcast(c), Seq("bin"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("bin"),
-          coalesce(col("cnt_ref"), lit(0L)).as("cnt_ref"),
-          coalesce(col("cnt_cur"), lit(0L)).as("cnt_cur"),
-          col("__nr"), col("__nc"))
-      val p = (col("cnt_ref") + lit(1)).cast("double") /
-        (col("__nr") + lit(10)).cast("double")
-      val q = (col("cnt_cur") + lit(1)).cast("double") /
-        (col("__nc") + lit(10)).cast("double")
-      j.select(col("bin"), col("cnt_ref"), col("cnt_cur"),
-        round((p - q) * log(p / q), 6).as("psi_term"))
-    }),
-
-    // Triangle counting over the co-purchase part graph (parts sharing an
-    // order), by degree orientation — O(m^1.5) work whatever the skew
-    // (graph/Triangles.scala). Edge building self-joins lineitem per
-    // order (bounded basket size); a SUPPORT threshold (co-occur in ≥ 2
-    // orders) keeps the signal edges and drops the single-co-occurrence
-    // noise that would otherwise make a near-complete graph — the same
-    // min-support device every frequent-itemset pipeline applies before
-    // graph analytics.
-    "q147_triangles" -> ((s, d) => {
-      val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val edges = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
-        .filter(col("__sup") >= 2)
-        .select("u", "v")
-      graft.graph.Triangles.count(edges)
-    }),
-
-    // Two-sample Kolmogorov–Smirnov: D = max |ECDF_click − ECDF_view|
-    // over the shared distinct-value table. Cumulative counts come from
-    // ONE multi-weight two-phase prefix sum (GlobalRank — no corpus-wide
-    // window); the ECDFs are integer-ratio divisions, so every derived
-    // double is bit-deterministic cross-engine: NO rounding seam at all.
-    // argmax is the ≤-smallest value attaining D (TakeOrdered, k=1).
-    "q148_ks_test" -> ((s, d) => {
-      val sc = ev(s, d).filter(col("event_type").isin("click", "view"))
-        .select(col("value"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
-          when(col("event_type") === "view", 1L).otherwise(0L).as("c2"))
-      val g = sc.groupBy("value")
-        .agg(sum(col("c1")).as("n1v"), sum(col("c2")).as("n2v"))
-      val cum = graft.operators.GlobalRank
-        .exclusivePrefixSums(g, "value", Seq("n1v", "n2v"))
-      val tot = g.agg(sum(col("n1v")).as("__n1"), sum(col("n2v")).as("__n2"))
-      cum.crossJoin(broadcast(tot))
-        .select(col("value"),
-          abs((col("cum_before_n1v") + col("n1v")).cast("double") / col("__n1")
-            - (col("cum_before_n2v") + col("n2v")).cast("double") / col("__n2"))
-            .as("d"),
-          col("__n1"), col("__n2"))
-        .orderBy(col("d").desc, col("value").asc).limit(1)
-        .select(col("__n1").as("n_click"), col("__n2").as("n_view"),
-          col("d").as("d_stat"), col("value").as("at_value"))
-    }),
-
-    // Runtime Bloom pre-filter ahead of an exact semi-join — the
-    // user-level form of AQE's InjectRuntimeFilter: the dim side's keys
-    // condense into a 1 KB bitset (bloom_build, map-side-combinable OR),
-    // broadcast as a 1-row scalar, and the fact side drops non-members
-    // MAP-SIDE before any shuffle. The exact semi-join then removes the
-    // ~ε false positives, so the bloom stage is semantically transparent
-    // (the oracle is the plain semi-join) — it exists to cut the shuffled
-    // fact volume to ~|matching| at 100 TB. Probe and build share one JVM
-    // hash (Murmur3), so no false negatives by construction.
-    "q149_bloom_join" -> ((s, d) => {
-      import graft.functions.BloomFilterAgg
-      val dim = Tables.supplier(s, d).filter(col("s_nationkey") < 5)
-        .select(col("s_suppkey"))
-      // The bitset is built by a tiny first job and INLINED as a literal
-      // into the fact-side filter — the q73/q105 device (collect is of an
-      // AGGREGATED 1 KB result, bounded by sketch geometry, never by data
-      // size). A 1-row cross join would carry the probe as a
-      // BroadcastNestedLoopJoin condition, which Catalyst floats ABOVE
-      // the exact semi-join — shuffling the full fact side, exactly the
-      // pathology the bloom exists to prevent. As a literal, the probe is
-      // an ordinary Filter fused into the scan stage, below the exchange
-      // (PLANS.md shows the filtered-then-shuffled shape).
-      val words = dim.agg(
-        BloomFilterAgg(col("s_suppkey"), numWords = 128, numHashes = 3)
-          .as("bloom"))
-        .first().getAs[scala.collection.Seq[Long]](0).toArray
-      val pre = li(s, d).select(col("l_suppkey"), col("l_extendedprice"))
-        .filter(BloomFilterAgg.mightContain(col("l_suppkey"), lit(words),
-          numWords = 128, numHashes = 3))
-      // the exact join pinned to its 100 TB shape (shuffled — a real dim
-      // side outgrows the broadcast threshold)
-      pre.join(dim.hint("shuffle_hash"),
-          col("l_suppkey") === col("s_suppkey"), "leftsemi")
-        .groupBy(col("l_suppkey"))
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("l_extendedprice")), 4).as("revenue"))
-    }),
-
-    // Bigram PMI — collocation mining over the corpus (the phrase-merge
-    // signal tokenizer/vocab pipelines use). Adjacent pairs via a
-    // codegen'd zip_with of the token array against its own shift (zero
-    // shuffle to build), then two hash aggs; scalars ride a broadcast
-    // 1-row cross join. PMI in log space (counts can exceed double-exact
-    // products at corpus scale): ln(c_xy) + 2ln(N_tok) − ln(N_big) −
-    // ln(c_x) − ln(c_y), libm → rounded 4 dp. Support floor c_xy ≥ 5;
-    // top-100 by (pmi desc, pair asc) via TakeOrderedAndProject.
-    "q150_bigram_pmi" -> ((s, d) => {
-      val toks = doc(s, d).select(split(col("text"), " ").as("t"))
-      val uni = toks.select(explode(col("t")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cw"))
-      val big = toks.select(explode(expr(
-        """zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),
-          |  (a, b) -> struct(a AS w1, b AS w2))""".stripMargin)).as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      val bigc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-        .filter(col("cxy") >= 5)
-      val tot = uni.agg(sum(col("cw")).as("__nt"))
-        .crossJoin(big.agg(count(lit(1)).as("__nb")))
-      bigc
-        .join(uni.select(col("w").as("w1"), col("cw").as("cx")), Seq("w1"))
-        .join(uni.select(col("w").as("w2"), col("cw").as("cy")), Seq("w2"))
-        .crossJoin(broadcast(tot))
-        .select(col("w1"), col("w2"), col("cxy"),
-          round(log(col("cxy")) + lit(2.0) * log(col("__nt"))
-            - log(col("__nb")) - log(col("cx")) - log(col("cy")), 4)
-            .as("pmi"))
-        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc).limit(100)
-    }),
-
-    // Last-observation-carried-forward gap fill — the time-series repair
-    // step (sensor dropouts, sparse telemetry). Gaps are introduced
-    // DETERMINISTICALLY (the q55/q103 md5-hex device — engine-exact, no
-    // rand()), then filled per user with an ignoreNulls last() over the
-    // unbounded-preceding frame. Carried values are original doubles —
-    // no arithmetic, no rounding seam. Per-user partitions ⇒ scale-safe.
-    "q151_locf" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sparse = ev(s, d).withColumn("v",
-        when(substring(md5(col("event_id").cast("string")), 1, 1)
-          .isin("0", "1", "2", "3"), lit(null).cast("double"))
-          .otherwise(col("value")))
-      sparse.select(col("event_id"), col("user_id"),
-        col("v").isNull.cast("long").as("was_gap"),
-        last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
-    }),
-
-    // Trailing-window z-score anomaly flags: each event scored against
-    // the PRIOR 16 events' mean/std (frame excludes current — no
-    // self-masking). Sufficient statistics in the window (sum, sum²) so
-    // both engines run identical arithmetic; z rounded 4 dp (windowed
-    // double sums are order-dependent at 1e-15). Null score below 8
-    // observations or at zero variance. Bounded frame, per-user
-    // partitions ⇒ scale-safe.
-    "q152_rolling_zscore" -> ((s, d) => {
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(-16, -1)
-      val n = count(col("value")).over(w)
-      val s1 = sum(col("value")).over(w)
-      val s2 = sum(col("value") * col("value")).over(w)
-      ev(s, d)
-        .withColumn("n_win", n)
-        // ANSI mode errors on 0/0 for the first events in a partition, so
-        // the guard lives on the intermediates, not just the final CASE
-        .withColumn("__m", when(col("n_win") >= 8, s1 / col("n_win")))
-        .withColumn("__v", when(col("n_win") >= 8,
-          (s2 - col("n_win") * col("__m") * col("__m")) / (col("n_win") - lit(1))))
-        .select(col("event_id"), col("user_id"), col("n_win"),
-          when(col("n_win") >= 8 && col("__v") > 0,
-            round((col("value") - col("__m")) / sqrt(col("__v")), 4))
-            .as("zscore"))
-    }),
-
-    // Entity resolution end-to-end: q142's length-band candidate pairs →
-    // exact levenshtein ≤ 2 edges → connected components (the shared
-    // min-label fixpoint, graph/ConnectedComponents — fails loudly if the
-    // round cap truncates) → lexicographically-least canonical per
-    // cluster. String labels propagate fine: min-label only needs an
-    // orderable id. The blocking bound (lev ≥ len-diff) makes candidate
-    // generation lossless, so these are the TRUE components of the
-    // "distance ≤ 2" graph — hence SQL-oracle-able via recursive CTE.
-    "q153_entity_resolution" -> ((s, d) => {
-      val names = Tables.part(s, d).select(col("p_name")).distinct()
-      val a = names.select(col("p_name").as("name_a"),
-        length(col("p_name")).as("la"))
-      val b = names.select(col("p_name").as("name_b"),
-        length(col("p_name")).as("lb"))
-      val pairs = a.join(b, col("name_a") < col("name_b") &&
-          abs(col("la") - col("lb")) <= 2)
-        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
-        .select(col("name_a").as("id_a"), col("name_b").as("id_b"))
-      val (labels, converged) = graft.graph.ConnectedComponents.minLabel(
-        pairs, names.select(col("p_name").as("node")), maxRounds = 16)
-      if (!converged)
-        throw new IllegalStateException(
-          "q153: min-label propagation did not reach a fixpoint in 16 rounds")
-      labels.select(col("node").as("name"), col("label").as("canonical"),
-        count(lit(1)).over(Window.partitionBy(col("label")))
-          .as("cluster_size"))
-    }),
-
-    // Weighted median (and p25/p75): smallest value whose cumulative
-    // weight reaches the target fraction — revenue-weighted quantity
-    // quantiles, the "what quantity does half the MONEY sit below" shape.
-    // Weights aggregate per distinct value (one hash agg), then ONE
-    // two-phase prefix sum orders them (GlobalRank — no corpus-wide
-    // window); the threshold probes are three 1-row min-aggs on the same
-    // cumulated table. Weights are cent-exact integers (×100) so the
-    // comparison has no float seam.
-    "q154_weighted_median" -> ((s, d) => {
-      val g = li(s, d)
-        .select(col("l_quantity"),
-          round(col("l_extendedprice") * 100).cast("long").as("w"))
-        .groupBy("l_quantity").agg(sum(col("w")).as("wv"))
-      val cum = graft.operators.GlobalRank.exclusivePrefixSum(g, "l_quantity", "wv")
-        .withColumn("cum_w", col("cum_before") + col("wv"))
-      val tot = g.agg(sum(col("wv")).as("__tw"))
-      val c = cum.crossJoin(broadcast(tot))
-      // integer cross-multiplication (cum·den ≥ tot·num) — exact; factors
-      // ≤ 4 keep headroom to ~Long.Max/4 total cents
-      def probe(num: Long, den: Long, name: String) =
-        c.filter(col("cum_w") * lit(den) >= col("__tw") * lit(num))
-          .agg(min(col("l_quantity")).as(name))
-      probe(1L, 4L, "w_p25").crossJoin(probe(1L, 2L, "w_median"))
-        .crossJoin(probe(3L, 4L, "w_p75"))
-    }),
-
-    // Snapshot diff — the data-versioning primitive (what changed between
-    // yesterday's and today's corpus): full outer join on the key,
-    // row-hash comparison, one status column. Snapshots are simulated
-    // from the one events table by deterministic key arithmetic (old =
-    // 4∤id, new = id%5≠0 with values bumped on id%7=0 — giving all four
-    // statuses). xxhash64 is unavailable in DuckDB, so row identity uses
-    // md5 of a canonical string — the engine-exact q55 device.
-    "q155_snapshot_diff" -> ((s, d) => {
-      val base = ev(s, d).select(col("event_id"), col("event_type"), col("value"))
-      val old = base.filter(col("event_id") % 4 =!= 0)
-      val neu = base.filter(col("event_id") % 5 =!= 0)
-        .withColumn("value",
-          when(col("event_id") % 7 === 0, col("value") + 1.0)
-            .otherwise(col("value")))
-      def hashed(df: DataFrame, pfx: String) = df.select(
-        col("event_id").as(s"${pfx}_id"),
-        md5(concat_ws("|", col("event_type"), col("value").cast("string")))
-          .as(s"${pfx}_h"))
-      hashed(old, "o").join(hashed(neu, "n"),
-          col("o_id") === col("n_id"), "full_outer")
-        .select(coalesce(col("o_id"), col("n_id")).as("event_id"),
-          when(col("o_id").isNull, "added")
-            .when(col("n_id").isNull, "removed")
-            .when(col("o_h") =!= col("n_h"), "changed")
-            .otherwise("unchanged").as("status"))
-        .groupBy("status").agg(count(lit(1)).as("cnt"))
-    }),
-
-    // Jaro–Winkler similarity scoring over the blocked name dictionary —
-    // the transposition-aware fuzzy scorer (levenshtein's complement for
-    // name matching), as a custom codegen'd Catalyst expression
-    // (functions/JaroWinkler.scala, bit-verified against DuckDB's native
-    // implementation incl. the 0.7 boost threshold and integer t/2).
-    // The length band here is the BLOCKING stage, part of the declared
-    // semantics (JW has no levenshtein-style length bound); threshold on
-    // the ROUNDED score so the cross-engine float seam can't flip the
-    // cut.
-    "q156_jaro_winkler" -> ((s, d) => {
-      val names = Tables.part(s, d).select(col("p_name")).distinct()
-      val a = names.select(col("p_name").as("name_a"),
-        length(col("p_name")).as("la"))
-      val b = names.select(col("p_name").as("name_b"),
-        length(col("p_name")).as("lb"))
-      a.join(b, col("name_a") < col("name_b") &&
-          abs(col("la") - col("lb")) <= 3)
-        .withColumn("jw", round(
-          graft.functions.JaroWinkler(col("name_a"), col("name_b")), 4))
-        .filter(col("jw") >= 0.9)
-        .select("name_a", "name_b", "jw")
-    }),
-
-    // Streaming rolling z-score — q152's stateful stream twin: per-user
-    // ring-buffer state in flatMapGroupsWithState, scores each event
-    // against its prior ≤16 values with bit-identical arithmetic (fold
-    // order, variance shape, HALF_UP round), so the oracle is literally
-    // the batch window SQL. State ~128 B/user — bounded by user
-    // cardinality, not history.
-    "q157_stream_zscore" -> ((s, d) =>
-      EventsStream.rollingZScore(s, d)
-        .select("event_id", "user_id", "n_win", "zscore")),
-
-    // Multinomial naive Bayes, end-to-end in relational algebra: train on
-    // the 80% key split, Laplace-smoothed per-class log-likelihoods over
-    // two discrete features (hour of day; value decile from TRAIN-extent
-    // bins), argmax per test row, confusion-matrix output. Every
-    // probability is an exact integer ratio into ln (libm → score rounded
-    // 4 dp; argmax on the ROUNDED score, ties to the lexicographic-min
-    // class). The model IS three tiny count tables (broadcast joins) —
-    // no iteration, one pass over train + one over test; per-row argmax
-    // is a K-row window per event (K = |classes|).
-    "q158_naive_bayes" -> ((s, d) => {
-      val e = ev(s, d).select(col("event_id"), col("event_type"), col("ts"),
-        col("value"))
-      val train = e.filter(col("event_id") % 10 < 8)
-      val test = e.filter(col("event_id") % 10 >= 8)
-      val bounds = train.agg(min(col("value")).as("__lo"),
-        max(col("value")).as("__hi"))
-      def feat(df: DataFrame): DataFrame = df.crossJoin(broadcast(bounds))
-        .withColumn("h", hour(col("ts")).cast("long"))
-        .withColumn("b", least(lit(9L), greatest(lit(0L),
-          floor((col("value") - col("__lo")) * 10 / (col("__hi") - col("__lo")))
-            .cast("long"))))
-        .drop("__lo", "__hi")
-      val tr = feat(train)
-      val classes = tr.groupBy(col("event_type").as("cls"))
-        .agg(count(lit(1)).as("n_c"))
-      val scal = tr.agg(count(lit(1)).as("__n"),
-        countDistinct(col("h")).as("__v1"),
-        countDistinct(col("b")).as("__v2"))
-        .crossJoin(classes.agg(count(lit(1)).as("__k")))
-      val c1 = tr.groupBy(col("event_type").as("cls"), col("h"))
-        .agg(count(lit(1)).as("c1"))
-      val c2 = tr.groupBy(col("event_type").as("cls"), col("b"))
-        .agg(count(lit(1)).as("c2"))
-      val scored = feat(test)
-        .crossJoin(broadcast(classes))
-        .join(broadcast(c1), Seq("cls", "h"), "left")
-        .join(broadcast(c2), Seq("cls", "b"), "left")
-        .crossJoin(broadcast(scal))
-        .withColumn("score", round(
-          log((col("n_c") + lit(1)).cast("double") /
-            (col("__n") + col("__k")).cast("double")) +
-          log((coalesce(col("c1"), lit(0L)) + lit(1)).cast("double") /
-            (col("n_c") + col("__v1")).cast("double")) +
-          log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
-            (col("n_c") + col("__v2")).cast("double")), 4))
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("score").desc, col("cls").asc)
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .groupBy(col("event_type").as("actual"), col("cls").as("predicted"))
-        .agg(count(lit(1)).as("cnt"))
-    }),
-
-    // Label-propagation community detection (synchronous, 2 fixed rounds,
-    // deterministic): each node adopts its neighbors' most frequent label,
-    // ties to the smallest — all-integer counts, so a SQL oracle unrolls
-    // the rounds exactly (the PageRank replay rule without needing any
-    // rounding). Same support-2 co-purchase graph as q147; per round one
-    // join + one count agg + one per-node argmax window over the
-    // neighbor-label groups.
-    "q159_label_prop" -> ((s, d) => {
-      val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val p = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("__sup"))
-        .filter(col("__sup") >= 2)
-        .select("u", "v")
-      val labels = graft.graph.LabelProp.run(
-        p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
-        iters = 2)
-      labels.select(col("node"), col("label"),
-        count(lit(1)).over(Window.partitionBy(col("label")))
-          .as("community_size"))
-    }),
-
-    // Poisson bootstrap — THE distributed resampling scheme (per-row
-    // Poisson(1) weights approximate multinomial resampling without any
-    // global coordination): 32 deterministic pseudo-resamples from the
-    // q103 md5-uniform device through the Poisson(1) inverse CDF
-    // (identical literal thresholds both engines), one explode + one hash
-    // agg. Resample means are order-dependent double sums → rounded 4 dp.
-    // Output: the 32 resample means of `value` — the CI is percentiles of
-    // this tiny relation.
-    "q160_poisson_bootstrap" -> ((s, d) => {
-      val u = conv(substring(md5(concat(col("event_id").cast("string"),
-        lit("_"), col("b").cast("string"))), 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
-      val w = when(u < 0.36787944117144233, 0L)
-        .when(u < 0.7357588823428847, 1L)
-        .when(u < 0.9196986029286058, 2L)
-        .when(u < 0.9810118431238462, 3L)
-        .when(u < 0.9963401531726563, 4L)
-        .otherwise(5L)
-      ev(s, d).select(col("event_id"), col("value"),
-          explode(sequence(lit(0L), lit(31L))).as("b"))
-        .withColumn("w", w)
-        .groupBy("b")
-        .agg(round(sum(col("w") * col("value")) / sum(col("w")), 4)
-          .as("boot_mean"))
-    }),
-
-    // k-core decomposition, two synchronous peel rounds (k=3) on the
-    // support-2 co-purchase graph: each round drops nodes of degree < k
-    // and removes their incident edges — all-integer, so the oracle
-    // unrolls both rounds exactly. Per round: one count agg + two
-    // semi-joins; the edge list is checkpointed once and reused, so the
-    // expensive basket self-join runs a single time regardless of rounds.
-    "q161_kcore" -> ((s, d) => {
-      val p = copurchasePairs(s, d)
-      val edges = graft.io.Checkpoints.truncate(
-        p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
-        eager = true)
-      graft.graph.KCore.peel(edges, k = 3, rounds = 2)
-    }),
-
-    // Multi-source BFS, three synchronous frontier rounds: hop distance to
-    // the nearest seed (node ≡ 0 mod 100) — the standard "distance to a
-    // landmark set" primitive. Per round one join + one min agg; min-hop
-    // labels are integers, so the oracle unrolls the rounds exactly.
-    // Monotone-min propagation means re-relaxing already-settled nodes is
-    // harmless (no frontier-only optimization needed for 3 rounds).
-    "q162_bfs_hops" -> ((s, d) => {
-      val p = copurchasePairs(s, d)
-      val edges = graft.io.Checkpoints.truncate(
-        p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
-        eager = true)
-      val seeds = edges.select(col("src").as("node")).distinct()
-        .filter(col("node") % 100 === 0)
-      graft.graph.Bfs.hops(edges, seeds, rounds = 3)
-    }),
-
-    // First-order Markov transition matrix over each user's event-type
-    // sequence (ordered by ts, event_id): transition counts + row-
-    // normalized probabilities. One lag window partitioned by user (the
-    // sequence shuffle) + one hash agg; the row normalizer is a window
-    // sum over the tiny (from_type) groups. Counts are exact integers;
-    // the probability is one integer ratio → rounded 4 dp.
-    "q163_markov_transitions" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val t = ev(s, d)
-        .select(col("user_id"), col("event_type").as("from_type"),
-          lead(col("event_type"), 1).over(w).as("to_type"))
-        .filter(col("to_type").isNotNull)
-        .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
-      t.withColumn("prob", round(
-        col("cnt").cast("double") /
-          sum(col("cnt")).over(Window.partitionBy(col("from_type"))), 4))
-    }),
-
-    // Benford first-digit audit of `value`: observed leading-digit
-    // distribution vs the log-law expectation, with per-digit χ²
-    // contributions — the classic fraud/data-quality screen. The leading
-    // digit comes from the INTEGER round(|value|·10⁶) (identical HALF_UP
-    // rounding both engines; string front-char avoids any log10-boundary
-    // ambiguity). One hash agg + a broadcast 1-row total; expectation and
-    // χ² terms are libm ln → rounded 4 dp.
-    "q164_benford" -> ((s, d) => {
-      val m = round(abs(col("value")) * lit(1e6), 0).cast("long")
-      val digits = ev(s, d).select(m.as("m")).filter(col("m") > 0)
-        .select(substring(col("m").cast("string"), 1, 1).cast("long")
-          .as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("obs"))
-      val tot = digits.agg(sum(col("obs")).as("__n"))
-      digits.crossJoin(broadcast(tot))
-        .withColumn("expected", round(
-          col("__n") * log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 4))
-        .withColumn("chi2_term", round(
-          pow(col("obs").cast("double")
-            - col("__n") * log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0)), 2)
-            / (col("__n") * log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))), 4))
-        .select("digit", "obs", "expected", "chi2_term")
-    }),
-
-    // Gini concentration of order revenue per market segment (the
-    // inequality/skew audit): G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) over
-    // ascending-rank positions i. One join + one rank window partitioned
-    // by segment + one hash agg; ties rank by (x, orderkey) so positions
-    // are a total order. The rank-weighted sum is an order-dependent
-    // double sum → rounded 4 dp.
-    "q165_gini" -> ((s, d) => {
-      val o = ord(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .select(col("c_mktsegment").as("segment"),
-          col("o_totalprice").as("x"), col("o_orderkey"))
-      val w = Window.partitionBy("segment")
-        .orderBy(col("x").asc, col("o_orderkey").asc)
-      o.withColumn("i", row_number().over(w))
-        .groupBy("segment").agg(
-          count(lit(1)).as("n"),
-          round((lit(2) * sum(col("i") * col("x"))
-              - (count(lit(1)) + lit(1)) * sum(col("x")))
-            / (count(lit(1)) * sum(col("x"))), 4).as("gini"))
-    }),
-
-    // Kaplan–Meier survival over per-user activity spans (days between
-    // first and last event; every span "observed"): S(t) = Π(1 − dᵢ/nᵢ)
-    // over event-times ≤ t. The product is exp(Σ ln) over the cumulative
-    // window; a zero factor (last duration, nᵢ = dᵢ) is handled by flag,
-    // not ln(0) — Spark's log() returns null on 0 where DuckDB gives
-    // -inf, so the zero case must never reach ln. The windowed relation
-    // is bounded by DISTINCT durations (≤ the span of days in the data,
-    // the W3 tiny-result shape), so the global window is not a scale
-    // risk; the per-user span agg is the one real shuffle.
-    "q166_kaplan_meier" -> ((s, d) => {
-      val spans = ev(s, d).groupBy(col("user_id"))
-        .agg(datediff(max(col("ts")), min(col("ts"))).cast("long").as("t"))
-      val dt = spans.groupBy("t").agg(count(lit(1)).as("d"))
-      val tot = dt.agg(sum(col("d")).as("__n"))
-      val w = Window.orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wp = Window.orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val base = dt.crossJoin(broadcast(tot))
-        .withColumn("n_risk", col("__n") - coalesce(sum(col("d")).over(wp), lit(0L)))
-      base
-        .withColumn("__dead", max(when(col("d") === col("n_risk"), 1L)
-          .otherwise(0L)).over(w))
-        .withColumn("surv", when(col("__dead") === 1, lit(0.0)).otherwise(
-          round(exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-            .over(w)), 4)))
-        .select("t", "d", "n_risk", "surv")
-    }),
-
-    // Autocorrelation of the daily event count at lags 1–7 — the
-    // seasonality screen. Days become epoch-day integers so the lag join
-    // is a pure integer equi-join; every Pearson input is an exact
-    // integer sum (CAST to BIGINT in the oracle per the HUGEINT rule),
-    // so numerator/denominator are bit-deterministic doubles — NO
-    // rounding seam, like q148. One date agg, one 7-way explode of a
-    // 365-row relation, one equi-join, one hash agg per lag.
-    "q167_acf" -> ((s, d) => {
-      val daily = ev(s, d)
-        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
-          .cast("long").as("day"))
-        .agg(count(lit(1)).as("c"))
-      val lags = daily.select(col("day"), col("c"),
-        explode(sequence(lit(1L), lit(7L))).as("lag"))
-      lags.alias("a")
-        .join(daily.alias("b"), col("b.day") === col("a.day") + col("a.lag"))
-        .select(col("a.lag").as("lag"), col("a.c").as("x"), col("b.c").as("y"))
-        .groupBy("lag").agg(
-          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sx2"),
-          sum(col("y") * col("y")).as("sy2"))
-        .select(col("lag"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
-              * (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")))
-            .as("acf"))
-    }),
-
-    // Frequent 3-itemsets with the apriori prune: candidate triples are
-    // generated ONLY from frequent pairs (every 2-subset must be
-    // frequent before the triple is ever counted) — the device that
-    // keeps candidate volume polynomial in the frequent-pair count
-    // instead of exploding with basket size. Baskets are DISTINCT
-    // (order, part) so support counts orders. Three joins + two
-    // semi-joins + one hash agg; all-integer.
-    "q168_freq_triples" -> ((s, d) => {
-      val bk = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val po = bk.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(bk.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-      val p2 = po.groupBy("u", "v").agg(count(lit(1)).as("__sup"))
-        .filter(col("__sup") >= 2).select("u", "v")
-      val t0 = po.join(p2, Seq("u", "v"), "semi")
-      val cand = t0
-        .join(bk.select(col("l_orderkey"), col("l_partkey").as("w")),
-          Seq("l_orderkey"))
-        .filter(col("w") > col("v"))
-        .join(p2.select(col("u"), col("v").as("w")), Seq("u", "w"), "semi")
-        .join(p2.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "semi")
-      cand.groupBy("u", "v", "w").agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-    }),
-
-    // Association rules from the frequent pairs: confidence and lift for
-    // both rule directions (u→v, v→u) — the q168 family's scoring step.
-    // Item and pair supports are one hash agg each over distinct-order
-    // baskets; the basket total rides a broadcast 1-row scalar. All
-    // inputs are exact integers; conf/lift are integer-ratio doubles
-    // rounded 4 dp.
-    "q169_lift_rules" -> ((s, d) => {
-      val bk = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val nOrders = bk.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("__n"))
-      val isup = bk.groupBy(col("l_partkey").as("item"))
-        .agg(count(lit(1)).as("s"))
-      val p2 = bk.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(bk.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("pair_sup"))
-        .filter(col("pair_sup") >= 2)
-      val rules = p2.select(col("u").as("antecedent"),
-          col("v").as("consequent"), col("pair_sup"))
-        .unionAll(p2.select(col("v").as("antecedent"),
-          col("u").as("consequent"), col("pair_sup")))
-      rules
-        .join(isup.select(col("item").as("antecedent"), col("s").as("s_a")),
-          Seq("antecedent"))
-        .join(isup.select(col("item").as("consequent"), col("s").as("s_c")),
-          Seq("consequent"))
-        .crossJoin(broadcast(nOrders))
-        .select(col("antecedent"), col("consequent"), col("pair_sup"),
-          round(col("pair_sup").cast("double") / col("s_a"), 4).as("conf"),
-          round(col("pair_sup").cast("double") * col("__n")
-            / (col("s_a") * col("s_c")), 4).as("lift"))
-    }),
-
-    // Revenue cohort matrix — the LTV view every growth team builds:
-    // customers cohorted by first-order month, revenue and distinct
-    // buyers by month age. Month arithmetic stays in integer
-    // (year·12+month) space so no date-format parity seam exists; one
-    // min-agg + one join + one hash agg (count-distinct adds its
-    // expand). Revenue is an order-dependent double sum → rounded 4 dp.
-    "q170_cohort_revenue" -> ((s, d) => {
-      val o = ord(s, d)
-      val f = o.groupBy(col("o_custkey"))
-        .agg(min(col("o_orderdate")).as("__f"))
-      o.join(f, Seq("o_custkey"))
-        .select(
-          (year(col("__f")) * 100 + month(col("__f"))).cast("long").as("cohort"),
-          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-            - (year(col("__f")) * 12 + month(col("__f")))).cast("long").as("age"),
-          col("o_custkey"), col("o_totalprice"))
-        .groupBy("cohort", "age")
-        .agg(countDistinct(col("o_custkey")).as("customers"),
-          round(sum(col("o_totalprice")), 4).as("revenue"))
-    }),
-
-    // Herfindahl–Hirschman supplier-concentration index per part: the
-    // market-structure audit (HHI = Σ share², share = supplier's slice of
-    // the part's shipped quantity). Rather than summing per-supplier
-    // share² doubles (order-dependent accumulation → cross-engine 4 dp
-    // straddles), use the algebraic identity HHI = Σqᵢ² / (Σqᵢ)² on
-    // 4-dp-scaled BIGINT quantities: both sums are exact integers, so
-    // the single final division is bit-identical on any engine and any
-    // partitioning. Two hash aggs total, no window. Precondition: scaled
-    // per-supplier quantity < ~3e9 (qs² fits in a long through the sum),
-    // comfortably true for quantity-like measures.
-    "q171_hhi" -> ((s, d) => {
-      val qs = li(s, d).groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(round(sum(col("l_quantity")), 4).as("q"))
-        .select(col("l_partkey"),
-          round(col("q") * 10000).cast("long").as("qs"))
-      qs.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("n_suppliers"),
-          sum(col("qs")).as("__t"),
-          sum(col("qs") * col("qs")).as("__s2"))
-        .select(col("l_partkey"), col("n_suppliers"),
-          round(col("__s2").cast("double")
-            / (col("__t").cast("double") * col("__t").cast("double")), 4)
-            .as("hhi"))
-    }),
-
-    // CUSUM changepoint scan over the daily event count: the day whose
-    // cumulative deviation from the global mean is largest in absolute
-    // value — the standard level-shift detector. The windowed relation
-    // is the tiny daily table (W3 shape); the mean is an exact integer
-    // ratio; the argmax orders by the ROUNDED statistic with a day
-    // tie-break so both engines pick the same row.
-    "q172_cusum" -> ((s, d) => {
-      val daily = ev(s, d)
-        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
-          .cast("long").as("day"))
-        .agg(count(lit(1)).as("c"))
-      val st = daily.agg(sum(col("c")).as("__s"), count(lit(1)).as("__d"))
-      val w = Window.orderBy(col("day").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.crossJoin(broadcast(st))
-        .withColumn("dev",
-          col("c").cast("double") - col("__s").cast("double") / col("__d"))
-        .withColumn("cusum", sum(col("dev")).over(w))
-        .select(col("day"), round(col("cusum"), 4).as("cusum"),
-          round(abs(col("cusum")), 4).as("__a"))
-        .orderBy(col("__a").desc, col("day").asc).limit(1)
-        .select("day", "cusum")
-    }),
-
-    // Unigram log-probability scoring (the CCNet-style LM-quality
-    // signal): mean ln p(token) under the corpus unigram distribution.
-    // Token freqs are one hash agg; the per-doc mean is a second agg over
-    // the postings join; ln is libm → rounded 4 dp per the parity rule.
-    "q125_unigram_logprob" -> ((s, d) => {
-      val postings = doc(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val freqs = postings.groupBy("token").agg(count(lit(1)).as("freq"))
-      val total = postings.agg(count(lit(1)).as("total"))
-      postings.join(freqs, Seq("token"))
-        .crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(round(
-          sum(log(col("freq").cast("double") / col("total"))) / count(lit(1)),
-          4).as("avg_logprob"))
-    }),
-
-    // Gopher-style composite quality rules (Rae et al. 2021, App. A1.1,
-    // reduced to this corpus's signal set): hard per-doc bounds on token
-    // count, mean word length, type-token ratio, and duplicate-3-gram
-    // fraction. Pure codegen'd per-row arithmetic — zero shuffle at any
-    // scale. The per-rule booleans come back as columns so a pipeline can
-    // both filter on `keep` and audit WHY a doc dropped (the operational
-    // shape of the C4/Dolma/FineWeb rule filters). All four rules BIND on
-    // the corpus (each excludes some docs at sf0.01). Comparisons stay
-    // engine-exact: the ratios are divisions of exact integers (identical
-    // doubles on both engines), and dup3 is pre-rounded at 6 dp.
-    "q173_gopher_rules" -> ((s, d) => {
-      // All four integer inputs from ONE pass over the document
-      // (functions/TextProfile) instead of four expression-tree passes —
-      // TextProfileSpec pins bit-equivalence to the HOF formulation.
-      val nt   = col("__p.n_tokens")
-      val awl  = (length(col("text")).cast("long") - (nt - 1)).cast("double") /
-        nt.cast("double")
-      val ttr  = round(col("__p.n_distinct_tokens").cast("double") / nt.cast("double"), 6)
-      val dup3 = when(col("__p.n_grams") > 0,
-        round((col("__p.n_grams") - col("__p.n_distinct_grams")).cast("double") /
-          col("__p.n_grams").cast("double"), 6)).otherwise(lit(0.0))
-      doc(s, d)
-        .withColumn("__p", graft.functions.TextProfile(col("text"), 3))
-        .select(
-          col("doc_id"),
-          nt.as("n_tokens"),
-          (nt >= 25 && nt <= 75).as("r_len"),
-          (awl >= 3.9 && awl <= 5.1).as("r_wordlen"),
-          (ttr >= 0.4).as("r_ttr"),
-          (dup3 <= 0.02).as("r_dup3"))
-        .withColumn("keep",
-          col("r_len") && col("r_wordlen") && col("r_ttr") && col("r_dup3"))
-    }),
-
-    // Zipf rank-frequency slope per source (log-log regression; ~-1 for
-    // natural language) — the corpus-health diagnostic behind "is this
-    // source machine-generated?" triage. Word counts and ranks are exact
-    // integers; ln is libm → each point rounded 6 dp, and the regression
-    // runs closed-form over sums that are themselves rounded 6 dp first,
-    // so both engines compute the slope from identical bits (the
-    // PageRank/k-means intermediate-rounding rule). One hash agg + one
-    // |vocab|-per-source window — scales as a word-count job.
-    "q174_zipf_slope" -> ((s, d) => {
-      val words = doc(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      val freq = words.groupBy("source", "word").agg(count(lit(1)).as("freq"))
-      val lg = freq
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("source").orderBy(col("freq").desc, col("word").asc)))
-        .select(col("source"),
-          round(log(col("rnk").cast("double")), 6).as("lx"),
-          round(log(col("freq").cast("double")), 6).as("ly"))
-      lg.groupBy("source")
-        .agg(count(lit(1)).cast("double").as("__n"),
-          round(sum(col("lx")), 6).as("__sx"),
-          round(sum(col("ly")), 6).as("__sy"),
-          round(sum(col("lx") * col("lx")), 6).as("__sxx"),
-          round(sum(col("lx") * col("ly")), 6).as("__sxy"))
-        .select(col("source"),
-          round((col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
-            (col("__n") * col("__sxx") - col("__sx") * col("__sx")), 4)
-            .as("zipf_slope"))
-    }),
-
-    // Cross-source contamination matrix: pairwise Jaccard overlap of the
-    // sources' distinct 3-gram sets — the decontamination diagnostic run
-    // before mixing corpora (which source pairs share boilerplate?). The
-    // gram-level self-join is postings-shaped (equi-join on gram; per-gram
-    // fanout bounded by |sources|², not corpus size) and the size table is
-    // a |sources|-row broadcast — both bounded at 100 TB. A df cap like
-    // winnowing's maxDocFreq slots in unchanged if |sources| grows.
-    "q175_source_overlap" -> ((s, d) => {
-      val grams = doc(s, d)
-        .select(col("source"), Text.tokens(col("text")).as("__toks"))
-        .select(col("source"),
-          explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
-        .distinct()
-      val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
-      grams.withColumnRenamed("source", "src_a")
-        .join(grams.withColumnRenamed("source", "src_b"), Seq("gram"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
-        .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("na"))), Seq("src_a"))
-        .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("nb"))), Seq("src_b"))
-        .select(col("src_a"), col("src_b"), col("inter"),
-          round(col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double"), 6).as("jaccard"))
-    }),
-
-    // Median/IQR robust scaling of the embedding corpus — q93's outlier-
-    // insensitive twin (the sklearn RobustScaler shape). Same plan as q93:
-    // the only shuffle is the |dims|-group stats agg; the fact side joins
-    // the |dims|-row broadcast without moving. Exact `percentile` for
-    // oracle parity; `graft.quantiles.exact=false` flips to the bounded-
-    // memory percentile_approx sketch at 100 TB (the q12/q40 switch).
-    // med/iqr pre-rounded 7 dp on both engines before the division.
-    "q176_robust_scale" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
-          col("col").cast("double").as("x"))
-      val stats = e.groupBy("dim").agg(
-        round(Stats.quantileExpr(s, "x", 0.5), 7).as("med"),
-        round(Stats.quantileExpr(s, "x", 0.75) - Stats.quantileExpr(s, "x", 0.25), 7)
-          .as("iqr"))
-      e.join(broadcast(stats), "dim")
-        .select(col("vec_id"), col("dim"),
-          round((col("x") - col("med")) / col("iqr"), 4).as("rz"))
-    }),
-
-    // Weighted sampling WITHOUT replacement, exactly k per source — the
-    // Efraimidis–Spirakis (A-ES) reservoir: key = −ln(u)/w, keep the k
-    // smallest keys (equivalent to u^(1/w) max-keep). q103's Bernoulli
-    // twin keeps each doc independently; this one hits the quota exactly —
-    // the "sample 1M docs proportional to quality" shape of training-mix
-    // construction. u is the deterministic md5-uniform (q103 device)
-    // shifted to (0,1] so ln never sees 0; w = n_chars (exact column).
-    // Selection cuts on the ROUNDED key with a doc_id tie-break (the q156
-    // device), so a 1-ulp libm ln divergence can never flip the kept set.
-    // One shuffle on source; Spark plans the rank filter as a
-    // WindowGroupLimit (per-partition top-k heaps, no full sort at scale).
-    "q177_weighted_reservoir" -> ((s, d) => {
-      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long").cast("double") + lit(1.0)) / lit(4294967297.0)
-      val key = round(-log(u) / col("n_chars").cast("double"), 8)
-      doc(s, d)
-        .select(col("source"), col("doc_id"), col("n_chars"), key.as("sel_key"))
-        .withColumn("sel_rank", row_number().over(
-          Window.partitionBy(col("source"))
-            .orderBy(col("sel_key").asc, col("doc_id").asc)))
-        .filter(col("sel_rank") <= 5)
-        // BIGINT rank like DuckDB's row_number (int32 vs int64 dtype parity)
-        .withColumn("sel_rank", col("sel_rank").cast("long"))
-    }),
-
-    // BPE vocabulary induction, 3 merge rounds (text/Bpe.scala): the
-    // tokenizer-training first stage. Corpus-scale work is ONE word-freq
-    // hash agg; every round then runs on the |vocab|-row table with a
-    // 1-row broadcast best pair — the production BPE-trainer shape. The
-    // oracle unrolls all three rounds with the same double-replace merge
-    // (replace is left-to-right non-overlapping in BOTH engines; BpeSpec
-    // pins the parity vector).
-    "q178_bpe_merges" -> ((s, d) =>
-      graft.text.Bpe.merges(doc(s, d), "text", rounds = 3)),
-
-    // The encode side of q178: corpus word/BPE-token totals per source
-    // under the trained (3-merge) tokenizer — the "how many tokens is my
-    // corpus" accounting every training run starts with. The trained
-    // tokenizer is a |vocab|-row word→length broadcast; the corpus side
-    // explodes words and never shuffles before the per-source agg.
-    "q179_bpe_encode" -> ((s, d) => {
-      val lens = graft.text.Bpe.encodedLengths(doc(s, d), "text", rounds = 3)
-      doc(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .join(broadcast(lens), Seq("w"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_words"), sum(col("bpe_tokens")).as("n_bpe_tokens"))
-    }),
-
-    // Per-source unigram KL divergence from the corpus-wide distribution —
-    // the source-drift screen run before mixing (q146's PSI for word
-    // distributions; KL(P_src ‖ P_corpus)). Probabilities are exact
-    // integer ratios; every source word exists corpus-wide so q > 0 by
-    // construction; ln is libm → the per-source sum rounds 4 dp. Two hash
-    // aggs + a postings-shaped word join + a |sources|-row and a 1-row
-    // broadcast.
-    "q180_source_kl" -> ((s, d) => {
-      val words = doc(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      val sc = words.groupBy("source", "word").agg(count(lit(1)).as("c"))
-      val st = words.groupBy("source").agg(count(lit(1)).as("nt"))
-      val gc = words.groupBy("word").agg(count(lit(1)).as("g"))
-      val gt = words.agg(count(lit(1)).as("gtot"))
-      sc.join(gc, Seq("word"))
-        .join(broadcast(st), Seq("source"))
-        .crossJoin(broadcast(gt))
-        .select(col("source"),
-          (col("c").cast("double") / col("nt").cast("double")).as("p"),
-          (col("g").cast("double") / col("gtot").cast("double")).as("q"))
-        .groupBy("source")
-        .agg(round(sum(col("p") * log(col("p") / col("q"))), 4).as("kl"))
-    }),
-
-    // Pairwise cosine similarity of per-source embedding centroids — the
-    // "are these sources semantically redundant?" mixing diagnostic.
-    // vec_id ≡ doc_id (driver alignment, the q108 linkage); centroids are
-    // per-dim means ROUNDED 6 dp on both engines (the q73 IVF centroid
-    // rule) so the exact-fold cosine (DotProductD/NormD ≡ the q27 oracle
-    // folds) runs on identical bits. |sources|² pair space — bounded.
-    "q181_source_centroid_sim" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-        .join(doc(s, d).select(col("doc_id").as("vec_id"), col("source")), Seq("vec_id"))
-        .select(col("source"), posexplode(col("embedding")))
-        .select(col("source"), col("pos"), col("col").cast("double").as("x"))
-      val cent = e.groupBy("source", "pos").agg(round(avg("x"), 6).as("m"))
-        .groupBy("source").agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("v"))
-      val a = cent.select(col("source").as("src_a"), col("v").as("va"))
-      val b = cent.select(col("source").as("src_b"), col("v").as("vb"))
-      a.crossJoin(b).filter(col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"),
-          round(graft.functions.DotProductD(col("va"), col("vb")) /
-            (graft.functions.NormD(col("va")) * graft.functions.NormD(col("vb"))), 6)
-            .as("cos_sim"))
-    }),
-
-    // Cross-document repeated spans (ExactSubstr-lite, Lee et al. 2022):
-    // positional 5-gram postings → globally-duplicated grams → per-doc
-    // gaps-and-islands span merge. Linear in corpus size — no doc pairs
-    // ever materialize (see dedup/RepeatedSpans).
-    "q182_repeated_spans" -> ((s, d) =>
-      graft.dedup.RepeatedSpans.perDoc(doc(s, d), "text", "doc_id",
-        k = 5, minDocs = 2)),
-
-    // DSIR importance weights (Xie et al. 2023): score every doc by the
-    // add-1-smoothed unigram log importance ratio of the src0 slice vs
-    // the whole corpus; top-100 by (weight desc, doc_id) selected via a
-    // TakeOrdered boundary key — no global sort (see text/Dsir).
-    "q183_dsir_weights" -> ((s, d) =>
-      graft.text.Dsir.importanceWeights(doc(s, d), "text", "doc_id",
-        col("source") === "src0", topK = 100)),
-
-    // CCNet head/middle/tail LM-quality terciles (Wenzek et al. 2020)
-    // over the in-corpus unigram LM score; keep = not tail (see
-    // text/LmQuality for the sample-the-thresholds scale path).
-    "q184_ccnet_buckets" -> ((s, d) =>
-      graft.text.LmQuality.ccnetBuckets(doc(s, d), "text", "doc_id")),
-
-    // PII redaction sweep (emails → IPv4 → phone-shaped, in that fixed
-    // order): the corpus carries no PII, so a deterministic per-doc
-    // augmentation plants one known item per doc_id%5 class first — the
-    // redactor then has real positives to find, and the per-class match
-    // counts are exact integers. Pure per-row regex: zero shuffle.
-    "q185_pii_redact" -> ((s, d) => {
-      val planted = doc(s, d).select(col("doc_id"), concat(col("text"),
-        when(col("doc_id") % 5 === 0,
-          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
-          .when(col("doc_id") % 5 === 1,
-            concat(lit(" call 555-"),
-              lpad((col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
-              lit(" today")))
-          .when(col("doc_id") % 5 === 2,
-            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
-              lit("."), (col("doc_id") * 3 % 256).cast("string"),
-              lit("."), (col("doc_id") * 7 % 256).cast("string"), lit(" logged")))
-          .otherwise(lit(""))).as("text2"))
-      planted.select(col("doc_id"),
-        graft.text.Pii.matches(col("text2"), graft.text.Pii.EmailRe).cast("long")
-          .as("n_emails"),
-        graft.text.Pii.matches(col("text2"), graft.text.Pii.Ipv4Re).cast("long")
-          .as("n_ips"),
-        graft.text.Pii.matches(
-          regexp_replace(regexp_replace(col("text2"),
-            graft.text.Pii.EmailRe, "[EMAIL]"), graft.text.Pii.Ipv4Re, "[IP]"),
-          graft.text.Pii.PhoneRe).cast("long").as("n_phones"),
-        graft.text.Pii.redact(col("text2")).as("redacted"))
-    }),
-
-    // Product-quantization ANN (Jégou et al. 2011): 4 independent
-    // 16-codeword codebooks over 16-dim blocks (the q105 replayable
-    // Lloyd's per block), corpus encoded + ADC-scored against probe
-    // vec_id 0 in ONE shuffle-free projection (codebooks and the
-    // per-probe code→distance LUT are literals); top-10 by (adc, id)
-    // via TakeOrdered. The 64-float → 4-code compression is the
-    // memory-bound similarity path at 100 TB (see ml/ProductQuantizer).
-    "q186_pq_topk" -> ((s, d) =>
-      graft.ml.ProductQuantizer.adcTopK(Tables.embeddings(s, d),
-        "vec_id", "embedding", blocks = 4, codebookSize = 16, iters = 2,
-        probeId = 0L, topK = 10)),
-
-    // Mergeable-sketch rollup — THE 100 TB distinct-count architecture:
-    // per-source Datasketches HLL over the word stream (one partial-agg
-    // shuffle), then the GLOBAL vocabulary estimated by UNIONING the
-    // per-source sketches (hll_union_agg over |sources| rows) instead of
-    // re-scanning the corpus. Estimates are engine-internal, so the
-    // oracle-checked surface is exact counts + the error-bound booleans
-    // (lgK=14 ⇒ ~0.8 % rse against a 5 % gate; the q40 device). The
-    // 'ALL' row's exact count needs its own corpus-wide distinct — the
-    // very scan the sketch union avoids; it is the verification cost,
-    // not the operator cost.
-    "q187_hll_rollup" -> ((s, d) => {
-      val toks = doc(s, d).select(col("source"),
-        explode(Text.tokens(col("text"))).as("w"))
-      val per = toks.groupBy("source").agg(
-        hll_sketch_agg(col("w"), lit(14)).as("__sk"),
-        countDistinct(col("w")).as("exact_words"))
-      val perOut = per.select(col("source"), col("exact_words"),
-        (abs(hll_sketch_estimate(col("__sk")) - col("exact_words")) <=
-          col("exact_words").cast("double") * 0.05).as("est_ok"))
-      val globExact = toks.agg(countDistinct(col("w")).as("exact_words"))
-      val globOut = per.agg(hll_union_agg(col("__sk"), lit(false)).as("__g"))
-        .crossJoin(broadcast(globExact))
-        .select(lit("ALL").as("source"), col("exact_words"),
-          (abs(hll_sketch_estimate(col("__g")) - col("exact_words")) <=
-            col("exact_words").cast("double") * 0.05).as("est_ok"))
-      perOut.unionByName(globOut)
-    }),
-
-    // Directed n-gram containment pairs (Broder's asymmetric companion
-    // to resemblance): |A∩B|/|A| ≥ 0.8 catches a short doc quoted inside
-    // a long one, which Jaccard structurally misses. Prefix-filtered
-    // overlap join with recall 1.0 — see Dedup.containmentPairs.
-    "q188_containment_pairs" -> ((s, d) =>
-      Dedup.containmentPairs(doc(s, d), "text", "doc_id",
-        k = 3, threshold = 0.8)),
-
-    // Marginal n-gram novelty per source in fixed ingest order — the
-    // diminishing-returns curve behind data-mixing decisions ("what does
-    // adding source N contribute that sources 0..N−1 didn't?"). One
-    // postings agg for each gram's FIRST source rank + one per-source
-    // distinct count; no pairwise source comparison (q175's matrix is
-    // the pairwise view; this is the cumulative one).
-    "q189_source_novelty" -> ((s, d) => {
-      val g = doc(s, d)
-        .select(substring(col("source"), 4, 10).cast("long").as("srank"),
-          Text.tokens(col("text")).as("__toks"))
-        .select(col("srank"),
-          explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
-      val first = g.groupBy("gram").agg(min(col("srank")).as("first_rank"))
-        .groupBy("first_rank").agg(count(lit(1)).as("novel"))
-      val tot = g.select(col("srank"), col("gram")).distinct()
-        .groupBy("srank").agg(count(lit(1)).as("distinct_grams"))
-      tot.join(first, col("srank") === col("first_rank"), "left")
-        .select(col("srank").as("source_rank"),
-          concat(lit("src"), col("srank")).as("source"),
-          col("distinct_grams"),
-          coalesce(col("novel"), lit(0L)).as("novel_grams"),
-          round(coalesce(col("novel"), lit(0L)).cast("double") /
-            col("distinct_grams"), 6).as("novelty"))
-    }),
-
-    // Leakage-safe k-fold assignment: the split unit is the NEAR-DUP
-    // CLUSTER (q70's exact connected components), not the document — a
-    // near-duplicate pair split across train/eval folds is exactly the
-    // contamination ExactSubstr-style dedup exists to prevent. Fold =
-    // deterministic md5-uniform of the canonical id (the q103 device),
-    // so every member of a cluster lands in the same fold by
-    // construction.
-    "q190_leakage_folds" -> ((s, d) => {
-      val canon = Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
-        k = 2, jaccardThreshold = 0.5)
-      canon.select(col("doc_id"), col("canonical_id"),
-        (conv(substring(md5(col("canonical_id").cast("string")), 1, 8),
-          16, 10).cast("long") % 5).as("fold"))
-    }),
-
-    // Mann-Whitney U rank-sum test: is src1's length distribution shifted
-    // vs src0's, assuming nothing about its shape? The nonparametric
-    // third leg of the two-sample family (q145 Welch t = means under
-    // normality, q148 KS = any distributional difference, q191 = location
-    // shift, distribution-free). See stats/Stats.mannWhitneyU for the
-    // distinct-value ranking scale shape.
-    "q191_mann_whitney" -> ((s, d) =>
-      graft.stats.Stats.mannWhitneyU(doc(s, d), "n_chars", "source",
-        "src0", "src1")),
-
-    // Per-doc cross-entropy under the in-corpus add-1 BIGRAM LM — the
-    // KenLM-shaped perplexity filter (CCNet/RefinedWeb), one Markov order
-    // above q125/q184's unigram score. Postings-shape joins throughout;
-    // see text/BigramLm.
-    "q192_bigram_ppl" -> ((s, d) =>
-      graft.text.BigramLm.perDocCrossEntropy(doc(s, d), "text", "doc_id")),
-
-    // Token-balanced output sharding: snake-pack every doc into 8 shards
-    // by token count so per-shard TOKEN totals are equal-cost training
-    // files. Global rank via the two-phase bucket device (never a corpus
-    // window) — see operators/Sharding. Output is the per-shard manifest
-    // the writer would fan out on.
-    "q193_balanced_shards" -> ((s, d) =>
-      graft.operators.Sharding.snakeShards(doc(s, d), "doc_id",
-        graft.text.Text.tokenCount(col("text")), nShards = 8)
-        .groupBy("shard").agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("weight")).as("total_tokens"))),
-
-    // WIMBD-style corpus audit (Elazar et al. 2024): top-10 3-grams per
-    // source by (count desc, gram asc). Map-side-combined gram counts,
-    // then the q30 rank-prune — window input is the |source × gram|
-    // COUNT table, never the token stream.
-    "q194_wimbd_topk" -> ((s, d) => {
-      val toks = doc(s, d).select(col("source"),
-        Text.tokens(col("text")).as("__toks"))
-      val counts = toks.select(col("source"),
-        explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
-        .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
-      graft.operators.Rankings.topKPerGroup(counts, Seq(col("source")),
-        Seq(col("cnt").desc, col("gram").asc), 10)
-    }),
-
-    // Per-doc character-level Shannon entropy — the cheapest gibberish /
-    // binary-spill / mojibake detector (low-entropy = repeated filler,
-    // high-entropy = base64-ish noise). Postings shape: explode chars →
-    // per-(doc, char) counts → per-doc fold; H = ln n − Σ c·ln c / n with
-    // each c·ln c term in integer micro-nats (the q183 device) so the
-    // per-doc sum is exact long arithmetic.
-    "q195_char_entropy" -> ((s, d) => {
-      val ch = doc(s, d).select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
-          .as("c"))
-      val hist = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("nc"))
-      hist.select(col("doc_id"), col("nc"),
-          round(col("nc").cast("double") * log(col("nc").cast("double")) *
-            lit(1000000)).cast("long").as("t6"))
-        .groupBy("doc_id").agg(sum(col("nc")).as("n_chars"), sum(col("t6")).as("s6"))
-        .select(col("doc_id"), col("n_chars"),
-          round(log(col("n_chars").cast("double")) -
-            col("s6").cast("double") / lit(1000000) / col("n_chars"), 4).as("h"))
-    }),
-
-    // HITS hubs & authorities over the DIRECTED customer→supplier
-    // purchase graph — the directed companion to q133's PageRank:
-    // broad-basket buyers (hubs) vs widely-bought-from suppliers
-    // (authorities), two scores PageRank's single stationary mass
-    // conflates. Max-normalized power iteration — see graph/Hits for the
-    // order-independent normalization rule.
-    "q196_hits" -> ((s, d) => {
-      val edges = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      graft.graph.Hits.iterate(edges, iters = 2)
-    }),
-
-    // Gini-Simpson vocabulary diversity per source: 1 − Σ c(c−1)/(n(n−1))
-    // — the probability two tokens drawn without replacement differ. The
-    // fully-EXACT diversity companion to q174's Zipf slope: every term is
-    // integer arithmetic until one final mirrored division, so parity
-    // needs no ln/rounding seam at all. One token-count agg + one
-    // per-source fold.
-    "q197_simpson_diversity" -> ((s, d) => {
-      val wc = doc(s, d)
-        .select(col("source"), explode(Text.tokens(col("text"))).as("w"))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      wc.groupBy("source").agg(
-          sum(col("c")).as("n_tokens"),
-          count(lit(1)).as("vocab"),
-          sum(col("c") * (col("c") - 1)).as("ss"))
-        .select(col("source"), col("n_tokens"), col("vocab"),
-          round(lit(1.0) - col("ss").cast("double") /
-            (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)
-            .as("simpson"))
-    }),
-
-    // Pairwise Jensen-Shannon divergence between source unigram
-    // distributions — the SYMMETRIC, bounded ([0, ln 2]) companion to
-    // q180's KL drift, the standard "how far apart are these two
-    // corpora" mixing diagnostic. Only the SHARED-vocab inner join is
-    // computed; exclusive-word mass contributes exactly ln 2 · (1−Σp) and
-    // rides the same aggregate (m = (p+q)/2 with q = 0 ⇒ term = p·ln 2),
-    // so no per-pair full-outer join ever materializes. Postings shape:
-    // per word, |sources(word)|² pair rows — bounded by |sources|².
-    "q198_source_jsd" -> ((s, d) => {
-      val words = doc(s, d)
-        .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      val sc = words.groupBy("source", "word").agg(count(lit(1)).as("c"))
-      val st = words.groupBy("source").agg(count(lit(1)).as("nt"))
-      val p = sc.join(broadcast(st), Seq("source"))
-        .select(col("source"), col("word"),
-          (col("c").cast("double") / col("nt").cast("double")).as("p"))
-      val a = p.select(col("source").as("src_a"), col("word"), col("p").as("pa"))
-      val b = p.select(col("source").as("src_b"), col("word"), col("p").as("pb"))
-      a.join(b, Seq("word")).filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(
-          sum(col("pa") * log(col("pa") * 2 / (col("pa") + col("pb"))) +
-            col("pb") * log(col("pb") * 2 / (col("pa") + col("pb")))).as("sh"),
-          sum(col("pa")).as("spa"), sum(col("pb")).as("spb"))
-        .select(col("src_a"), col("src_b"),
-          round((col("sh") + log(lit(2.0)) * (lit(2.0) - col("spa") - col("spb")))
-            * lit(0.5), 4).as("jsd"))
-    }),
-
-    // Per-doc cross-entropy under interpolated KNESER-NEY (d = 0.75) —
-    // the smoothing KenLM actually ships; q192 is the add-1 strawman,
-    // this is the production filter. Continuation counts N₁₊ derive from
-    // the gram-type TABLE, never the token stream — see
-    // text/BigramLm.knPerDocCrossEntropy.
-    "q199_kneser_ney_ppl" -> ((s, d) =>
-      graft.text.BigramLm.knPerDocCrossEntropy(doc(s, d), "text", "doc_id")),
-
-    // Common-neighbor link prediction on the co-purchase part graph:
-    // neighborhood Jaccard for every pair sharing ≥ 2 neighbors
-    // (Liben-Nowell & Kleinberg 2003) — "parts bought alongside the same
-    // things should be substitutes/complements". Wedge self-join with the
-    // hub-degree apex cap (the Σ deg² guard); exact integer counts, one
-    // mirrored division. See graph/LinkPrediction.
-    "q200_link_prediction" -> ((s, d) =>
-      graft.graph.LinkPrediction.jaccardPairs(
-        copurchasePairs(s, d).select(col("u"), col("v")),
-        minCommon = 2, maxDegree = 1000)),
-
-    // Deterministic random walks (DeepWalk/node2vec sampling, Perozzi
-    // 2014): one 3-step walk from every node of the co-purchase graph,
-    // next hop = neighbor ranked by the q103 md5-uniform of
-    // (walk_id, step, node) mod degree — pseudo-random yet exactly
-    // replayable in SQL, the property every "random" op in this engine
-    // holds. Per step: one join to the degree table (pure projection
-    // after it) + one equi-join on (node, rank) into the rank-indexed
-    // adjacency — no RNG state, no driver loop.
-    "q201_random_walks" -> ((s, d) => {
-      val p = copurchasePairs(s, d)
-      val adj = p.select(col("u").as("n"), col("v").as("x"))
-        .unionAll(p.select(col("v").as("n"), col("u").as("x")))
-      val adjC = graft.io.Checkpoints.truncate(adj, eager = true)
-      val adjR = adjC.withColumn("r",
-        row_number().over(Window.partitionBy("n").orderBy("x")))
-      val deg = adjC.groupBy("n").agg(count(lit(1)).as("deg"))
-      var walk = deg.select(col("n").as("walk_id"), col("n").as("cur"))
-      val steps = (1 to 3).map { i =>
-        val pick = walk
-          .join(deg.withColumnRenamed("n", "cur"), Seq("cur"))
-          .withColumn("pick",
-            conv(substring(md5(concat_ws("_",
-              col("walk_id"), lit(i), col("cur"))), 1, 8), 16, 10)
-              .cast("long") % col("deg") + 1)
-        walk = pick.join(
-            adjR.select(col("n").as("cur"), col("r").as("pick"), col("x")),
-            Seq("cur", "pick"))
-          .select(col("walk_id"), col("x").as("cur"))
-        walk.select(col("walk_id"), col("cur").as(s"s$i"))
-      }
-      steps.reduce((a, b) => a.join(b, Seq("walk_id")))
-    }),
-
-    // Adamic-Adar link prediction — q200's Jaccard weighted by apex
-    // informativeness: a shared neighbor of degree 1000 says ~nothing, a
-    // shared niche neighbor says a lot (weight 1/ln deg). Same capped
-    // wedge join; the AA sum is the one order-dependent float → round 4.
-    "q202_adamic_adar" -> ((s, d) =>
-      graft.graph.LinkPrediction.adamicAdar(
-        copurchasePairs(s, d).select(col("u"), col("v")),
-        minCommon = 2, maxDegree = 1000)),
-
-    // Newman modularity of the q159 label-prop communities — the quality
-    // score for ANY community assignment: Q_c = e_c/m − (d_c/2m)². All
-    // ingredients exact integers (intra-edge counts, degree sums, m);
-    // per-community terms are fixed-order float expressions converted ONCE
-    // to integer nano-units (round-to-integer of an identical double is
-    // engine-exact — the q93 device), so BOTH the per-community rows and
-    // the ALL row's sum are exact longs with no decimal-round seam.
-    "q203_modularity" -> ((s, d) => {
-      // the support-2 self-join feeds m, intra AND the label-prop edges —
-      // truncate once so it is computed once (the PageRank seam)
-      val p = graft.io.Checkpoints.truncate(copurchasePairs(s, d), eager = true)
-      val edges = p.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
-      val lab = graft.graph.LabelProp.run(edges, iters = 2)
-      val m = p.agg(count(lit(1)).as("m"))
-      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      val dc = lab.join(deg, Seq("node")).groupBy("label")
-        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
-      val intra = p
-        .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
-        .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
-        .filter(col("lu") === col("lv"))
-        .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
-      val per = dc.join(intra, Seq("label"), "left")
-        .crossJoin(broadcast(m))
-        .select(col("label"), col("n_nodes"),
-          coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"), col("m"))
-        .withColumn("__t",
-          col("e_c").cast("double") / col("m") -
-            (col("d_c").cast("double") / (col("m") * 2)) *
-              (col("d_c").cast("double") / (col("m") * 2)))
-        .withColumn("__t9", round(col("__t") * 1000000000L).cast("long"))
-      val perOut = per.select(col("label"), col("n_nodes"), col("e_c"),
-        col("d_c"), col("__t9").as("q_term_nano"))
-      val allOut = per.agg(
-          sum(col("n_nodes")).as("n_nodes"), sum(col("e_c")).as("e_c"),
-          sum(col("d_c")).as("d_c"), sum(col("__t9")).as("q_term_nano"))
-        .select(lit(-1L).as("label"), col("n_nodes"), col("e_c"), col("d_c"),
-          col("q_term_nano"))
-      perOut.unionByName(allOut)
-    }),
-
-    // q175's pairwise source overlap on the MERGEABLE-SKETCH path — the
-    // 100 TB architecture: per-source HLL sketches of the 3-gram sets
-    // (one partial-agg shuffle over the corpus), then every pairwise
-    // UNION size estimated by merging two |sketch|-byte sketches —
-    // |sources|² sketch ops instead of |sources|² corpus joins. The
-    // oracle-checked surface is exact counts + the union-estimate bound
-    // boolean (lgK=14 ⇒ ~0.8 % rse vs a 5 % gate — the q40/q187 device);
-    // the exact intersection here is the verification cost the sketch
-    // path exists to avoid.
-    "q204_sketch_overlap" -> ((s, d) => {
-      val gdist = doc(s, d)
-        .select(col("source"), Text.tokens(col("text")).as("__toks"))
-        .select(col("source"),
-          explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
-        .distinct()
-      val per = gdist.groupBy("source").agg(
-        hll_sketch_agg(col("gram"), lit(14)).as("__sk"),
-        count(lit(1)).as("sz"))
-      val inter = gdist.withColumnRenamed("source", "src_a")
-        .join(gdist.withColumnRenamed("source", "src_b"), Seq("gram"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
-      val a = per.select(col("source").as("src_a"), col("__sk").as("__ska"),
-        col("sz").as("na"))
-      val b = per.select(col("source").as("src_b"), col("__sk").as("__skb"),
-        col("sz").as("nb"))
-      a.crossJoin(b).filter(col("src_a") < col("src_b"))
-        .join(inter, Seq("src_a", "src_b"), "left")
-        .select(col("src_a"), col("src_b"), col("na"), col("nb"),
-          coalesce(col("inter"), lit(0L)).as("inter"),
-          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"),
-          (abs(hll_sketch_estimate(hll_union(col("__ska"), col("__skb"))) -
-            (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
-              .cast("double")) <=
-            (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))
-              .cast("double") * 0.05).as("est_union_ok"))
-    }),
-
-    // The dedup-tuning eval harness: precision/recall/F1 of q32's
-    // MinHash-LSH candidate pairs against the exact 3-gram Jaccard ≥ 0.5
-    // ground truth (q70's recall-1.0 prefix-filter join). Both sides are
-    // the engine's own deterministic operators, so the whole confusion
-    // matrix is exact integers; the band-probability tradeoff (8 bands ×
-    // 2 rows ⇒ s-curve at s ≈ 0.35) becomes a measured number instead of
-    // a formula.
-    "q205_minhash_eval" -> ((s, d) => {
-      val pred = Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3,
-          bands = 8, rowsPerBand = 2, threshold = 0.5, family = "md5p61")
-        .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
-      val truth = Dedup.ngramJaccardSelfPairs(doc(s, d), "text", "doc_id",
-          k = 3, threshold = 0.5)
-        .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
-      pred.join(truth, Seq("id_a", "id_b"), "full_outer")
-        .agg(
-          sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
-            .otherwise(0L)).as("fn"))
-        .select(col("tp"), col("fp"), col("fn"),
-          round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("prec"),
-          round(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("rec"),
-          round((col("tp") * 2).cast("double") /
-            (col("tp") * 2 + col("fp") + col("fn")), 6).as("f1"))
-    }),
-
-    // Personalized weighted PageRank (random walk with restart) from the
-    // graph's minimum node over support-WEIGHTED co-purchase edges — the
-    // recommendation primitive q133's global stationary mass cannot
-    // express. See graph/PageRank.personalizedWeighted.
-    "q206_personalized_pagerank" -> ((s, d) => {
-      val lp = li(s, d).select(col("l_orderkey"), col("l_partkey"))
-      val pw = lp.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(lp.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-      val edges = pw.select(col("u").as("src"), col("v").as("dst"), col("w"))
-        .unionAll(pw.select(col("v").as("src"), col("u").as("dst"), col("w")))
-      graft.graph.PageRank.personalizedWeighted(edges, iters = 2)
-        .select(col("node"), round(col("pr"), 6).as("ppr"))
-    }),
-
-    // Laplace-mechanism noisy release of per-source doc counts (ε = 1,
-    // sensitivity 1) — the data-governance primitive for publishing
-    // corpus statistics. Noise via the inverse CDF over the q103
-    // md5-uniform, shifted (x + 0.5)/2³² so u ∈ (0,1) strictly (ln never
-    // sees 0) — deterministic, hence exactly oracle-replayable; a
-    // deployment would swap the seeded uniform for a secret one, the
-    // plumbing is identical. True counts emitted alongside: this query
-    // verifies the MECHANISM, it is not a privacy boundary.
-    "q207_dp_counts" -> ((s, d) => {
-      val u = (conv(substring(md5(concat(lit("dp_"), col("source"))), 1, 8),
-        16, 10).cast("double") + lit(0.5)) / lit(4294967296.0)
-      val noise = when(u < 0.5, log(u * 2))
-        .otherwise(-log((lit(1.0) - u) * 2))
-      doc(s, d).groupBy("source").agg(count(lit(1)).as("n_docs"))
-        .select(col("source"), col("n_docs"),
-          round(col("n_docs") + noise, 4).as("noisy_docs"))
-    }),
-
-    // Streaming approx-distinct users per hourly window: HLL sketch state
-    // (mergeable, O(2^lgK) bytes per key) where COUNT(DISTINCT) is
-    // structurally unsupported; oracle pins batch-exact counts + the 5 %
-    // estimate bound (q187's device, streamed). See
-    // streaming/EventsStream.windowedApproxDistinct.
-    "q208_stream_approx_distinct" -> ((s, d) =>
-      EventsStream.windowedApproxDistinct(s, d)),
-
-    // Distributed PCA top component by power iteration: the 64×64
-    // covariance is ONE distributed pass (per-dim means rounded 6, the
-    // q181 rule, then a vec_id self-join bounded at n·dims² rows —
-    // LINEAR in corpus size since dims is model-fixed); the power
-    // iterates run on the 4096-row cov TABLE, max-abs-normalized (the
-    // q196 order-independent rule), round(8) per step. No driver-side
-    // matrix, no collect.
-    //
-    // v0 = 1.0 exactly, NOT a fraction like 1/8: an 8-dp cov entry times
-    // 0.125 is an exact multiple of 0.125e-8, so the Σ over 64 such
-    // products lands EXACTLY ON the round-8 decimal midpoint — and then
-    // the ±1e-15 float-order noise decides the rounding side per engine
-    // (measured: 21/64 loadings flipped). With v0 = 1 the first sums sit
-    // on the 1e-8 grid, 0.5e-8 away from any midpoint, and later
-    // iterates are generic 16-decimal products — midpoint hits become
-    // ~1e-7 probability instead of ~25 %.
-    "q209_pca_power" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val e = emb.select(col("vec_id"), posexplode(col("embedding")))
-        .select(col("vec_id"), col("pos").cast("long").as("i"),
-          col("col").cast("double").as("x"))
-      val mu = e.groupBy("i").agg(round(avg(col("x")), 6).as("m"))
-      val c = e.join(broadcast(mu), Seq("i"))
-        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"))
-      val n = emb.agg(count(lit(1)).as("n"))
-      val cov = c
-        .join(c.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
-          Seq("vec_id"))
-        .groupBy("i", "j").agg(sum(col("xc") * col("yc")).as("s"))
-        .crossJoin(broadcast(n))
-        .select(col("i"), col("j"), round(col("s") / (col("n") - 1), 8).as("a"))
-      var v = mu.select(col("i"), lit(1.0).as("v"))
-      for (_ <- 1 to 3) {
-        val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
-          .groupBy("i").agg(round(sum(col("a") * col("v")), 8).as("w"))
-        val m = w.agg(max(abs(col("w"))).as("m"))
-        v = w.crossJoin(broadcast(m))
-          .select(col("i"), round(col("w") / col("m"), 8).as("v"))
-      }
-      v.select(col("i").as("dim"), round(col("v"), 6).as("loading"))
-    }),
-
-    // 5-fold cross-validated simple regression (price ~ quantity): folds
-    // by the q103 md5-uniform of the row key; per-fold training sums are
-    // EXACT LONGS in cent-scaled space, so complement (train) sums are
-    // exact subtraction — no float re-aggregation; slope/intercept are
-    // mirrored double expressions over exact ingredients, residuals
-    // integer-ized to dollars (exact square sums), RMSE one mirrored
-    // sqrt. The model-selection harness companion to q205's dedup eval.
-    "q210_cross_validation" -> ((s, d) => {
-      val rows = li(s, d).select(
-        col("l_quantity").cast("long").as("x"),
-        round(col("l_extendedprice") * 100).cast("long").as("y100"),
-        (conv(substring(md5(concat_ws("_", col("l_orderkey"),
-          col("l_linenumber"))), 1, 8), 16, 10).cast("long") % 5).as("fold"))
-      val fs = rows.groupBy("fold").agg(
-        count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y100")).as("sy"), sum(col("x") * col("y100")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
-      val tot = fs.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
-        sum(col("sy")).as("tsy"), sum(col("sxy")).as("tsxy"),
-        sum(col("sxx")).as("tsxx"))
-      val coef = fs.crossJoin(broadcast(tot))
-        .select(col("fold"), (col("tn") - col("n")).as("ntr"),
-          (col("tsx") - col("sx")).as("tx"), (col("tsy") - col("sy")).as("ty"),
-          (col("tsxy") - col("sxy")).as("txy"),
-          (col("tsxx") - col("sxx")).as("txx"))
-        .withColumn("slope_c", round(
-          (col("ntr").cast("double") * col("txy") -
-            col("tx").cast("double") * col("ty")) /
-            (col("ntr").cast("double") * col("txx") -
-              col("tx").cast("double") * col("tx")), 8))
-        .withColumn("icept_c", round(
-          (col("ty").cast("double") - col("slope_c") * col("tx")) /
-            col("ntr"), 8))
-      rows.join(broadcast(coef), Seq("fold"))
-        .select(col("fold"), col("ntr"), col("slope_c"), col("icept_c"),
-          round((col("y100") - (col("icept_c") + col("slope_c") * col("x")))
-            / 100).cast("long").as("rd"))
-        .groupBy("fold", "ntr", "slope_c", "icept_c").agg(
-          count(lit(1)).as("n_test"), sum(col("rd") * col("rd")).as("sr2"))
-        .select(col("fold"), col("ntr").as("n_train"), col("n_test"),
-          round(col("slope_c") / 100, 6).as("slope"),
-          round(col("icept_c") / 100, 4).as("intercept"),
-          round(sqrt(col("sr2").cast("double") / col("n_test")), 6).as("rmse"))
-    }),
-
-    // The hashing-trick vectorizer (Weinberger et al. 2009): tokens →
-    // 256 buckets by md5, per-doc sparse count vectors — the fixed-width
-    // featurization that needs NO vocabulary pass (unlike q116), which
-    // is the point at 100 TB: one map-side projection + one hash agg.
-    "q211_feature_hashing" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
-        .select(col("doc_id"),
-          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
-            .as("bucket"))
-        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))),
-
-    // Rocchio/nearest-centroid text classifier over the q211 hashed
-    // features — train AND score in one declarative plan, no ML library:
-    // per-source centroids (6-dp means), per-(doc, source) dot products
-    // as a postings join on bucket, argmax by (score desc, source asc).
-    // Self-classification confusion matrix — how separable the sources'
-    // vocabularies actually are.
-    "q212_hash_centroid_classifier" -> ((s, d) => {
-      val feat = doc(s, d)
-        .select(col("doc_id"), col("source"), explode(Text.tokens(col("text"))).as("w"))
-        .select(col("doc_id"), col("source"),
-          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
-            .as("bucket"))
-        .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
-      val nsrc = doc(s, d).groupBy("source").agg(count(lit(1)).as("nd"))
-      val cent = feat.groupBy(col("source").as("csrc"), col("bucket"))
-        .agg(sum(col("cnt")).as("sc"))
-        .join(broadcast(nsrc.select(col("source").as("csrc"), col("nd"))), Seq("csrc"))
-        .select(col("csrc"), col("bucket"),
-          round(col("sc").cast("double") / col("nd"), 6).as("cv"))
-      val cnorm = cent.groupBy("csrc")
-        .agg(round(sqrt(sum(col("cv") * col("cv"))), 6).as("cn"))
-      val dots = feat.join(cent, Seq("bucket"))
-        .groupBy("doc_id", "source", "csrc")
-        .agg(round(sum(col("cnt") * col("cv")), 6).as("dot"))
-      val scored = dots.join(broadcast(cnorm), Seq("csrc"))
-        .select(col("doc_id"), col("source"), col("csrc"),
-          round(col("dot") / col("cn"), 6).as("score"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("csrc").asc)
-      val pred = scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-      val cm = pred.groupBy("source", "csrc").agg(count(lit(1)).as("cnt"))
-      val tot = cm.groupBy("source").agg(sum(col("cnt")).as("n"))
-      cm.join(broadcast(tot), Seq("source"))
-        .select(col("source"), col("csrc").as("pred_source"), col("cnt"),
-          round(col("cnt").cast("double") / col("n"), 6).as("frac"))
-    }),
-
-    // Evaluation of the q26 n-gram language identifier against the TRUE
-    // lang labels: full confusion matrix + per-language recall fractions
-    // — the third eval harness beside q205 (dedup) and q210 (model CV).
-    // Exact integers throughout but the one recall division.
-    "q213_lang_id_eval" -> ((s, d) => {
-      val p = doc(s, d).select(col("lang"), Text.langId(col("text")).as("lang_pred"))
-      val cm = p.groupBy("lang", "lang_pred").agg(count(lit(1)).as("cnt"))
-      val tot = cm.groupBy("lang").agg(sum(col("cnt")).as("n"))
-      cm.join(broadcast(tot), Seq("lang"))
-        .select(col("lang"), col("lang_pred"), col("cnt"),
-          round(col("cnt").cast("double") / col("n"), 6).as("frac"))
-    }),
-
-    // File-statistics skipping simulator — the min/max-zonemap layer
-    // every lake format (parquet row groups, Iceberg/Delta manifests)
-    // adds under partition pruning (q80's directory layer). TWO layouts
-    // of the same rows into ~15 "files", same mid-range 20 % shipdate
-    // predicate: 'natural' (orderkey ranges — shipdate uncorrelated, so
-    // every file straddles the window and zonemaps prune NOTHING) vs
-    // 'clustered' (shipdate value-range files — the sort-by-filter-key
-    // layout, zonemaps skip ~4/5 of files). The measured case FOR
-    // clustering/z-ordering written as one query; all exact integer
-    // micros.
-    "q214_file_skipping" -> ((s, d) => {
-      val base = li(s, d).select(col("l_orderkey"),
-        unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
-      val ext = base.agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
-      val li0 = base.crossJoin(broadcast(ext)).select(col("sd"),
-        expr("l_orderkey DIV 1000").as("fid_nat"),
-        expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)").as("fid_clu"),
-        expr("mn + (mx - mn) * 2 DIV 5").as("lo"),
-        expr("mn + (mx - mn) * 3 DIV 5").as("hi"))
-      val matched = li0.filter(col("sd") >= col("lo") && col("sd") <= col("hi"))
-        .agg(count(lit(1)).as("rows_matched"))
-      def layout(fid: String, name: String) = li0
-        .groupBy(col(fid).as("file_id"))
-        .agg(min(col("sd")).as("fmin"), max(col("sd")).as("fmax"),
-          count(lit(1)).as("nrows"), min(col("lo")).as("lo"), min(col("hi")).as("hi"))
-        .withColumn("__scan", col("fmax") >= col("lo") && col("fmin") <= col("hi"))
-        .agg(count(lit(1)).as("n_files"),
-          sum(when(col("__scan"), 1L).otherwise(0L)).as("files_scanned"),
-          sum(col("nrows")).as("rows_total"),
-          sum(when(col("__scan"), col("nrows")).otherwise(0L)).as("rows_scanned"))
-        .crossJoin(broadcast(matched))
-        .select(lit(name).as("layout"), col("n_files"), col("files_scanned"),
-          col("rows_total"), col("rows_scanned"), col("rows_matched"),
-          round(lit(1.0) - col("files_scanned").cast("double") / col("n_files"), 6)
-            .as("prune_frac"),
-          round(col("rows_matched").cast("double") / col("rows_scanned"), 6)
-            .as("scan_efficiency"))
-      layout("fid_nat", "natural").unionByName(layout("fid_clu", "clustered"))
-    }),
-
-    // Hybrid retrieval fusion (RRF, Cormack et al. 2009): BM25's lexical
-    // top-50 and the exact-cosine dense top-50 for probe doc 0, fused by
-    // reciprocal rank — rrf = Σ 1/(60 + rank) — which needs NO score
-    // calibration between the two systems (the reason RRF is the default
-    // hybrid fuser): ranks are exact integers, each reciprocal is one
-    // exact-ingredient division, the sum is two fixed-order terms. Final
-    // top-10 via TakeOrdered.
-    "q215_hybrid_rrf" -> ((s, d) => {
-      val sparse = graft.text.Bm25.topK(doc(s, d), "doc_id", "text",
-          Seq("vector", "join", "scan"), 50)
-        .filter(col("doc_id") =!= 0L)
-        .select(col("doc_id"), col("rnk").as("r_bm25"))
-      val emb = Tables.embeddings(s, d)
-      val dense = graft.similarity.Similarity.cosineTopK(
-          emb.filter(col("vec_id") === 0L), emb.filter(col("vec_id") =!= 0L),
-          "vec_id", "embedding", 50)
-        .select(col("neighbor_id").as("doc_id"), col("rank").cast("long").as("r_cos"))
-      sparse.join(dense, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("r_bm25"), col("r_cos"),
-          round(coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0)), 6).as("rrf"))
-        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
-    }),
-
-    // Watermark lateness audit: the generated stream is PERFECTLY
-    // event-time ordered (zero disorder measured), so a deterministic
-    // md5-uniform arrival jitter of ±30 min simulates the out-of-order
-    // delivery every real transport has — the standard watermark-testing
-    // device — and the audit then measures, per event_type, how many
-    // events a 10-min watermark would drop and by how much. The running
-    // max-timestamp over ARRIVAL order is the two-phase prefix-MAX (the
-    // SequencePack device with an associative max instead of sum:
-    // arrival-value-range buckets, per-bucket parallel windows, one
-    // O(buckets) offset window) — never a stream-wide ordered window.
-    // All exact integer micros.
-    "q216_lateness_audit" -> ((s, d) => {
-      val horizonUs = 600000000L
-      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("tsu"))
-        .withColumn("arr", col("tsu") +
-          (conv(substring(md5(concat(lit("arr_"), col("event_id"))), 1, 8),
-            16, 10).cast("long") % 3600000000L) - 1800000000L)
-      val ext = ev.agg(min(col("arr")).as("__mn"), max(col("arr")).as("__mx"))
-      val b = ev.crossJoin(broadcast(ext))
-        .withColumn("__bucket",
-          expr("(arr - __mn) DIV (((__mx - __mn) DIV 32) + 1)"))
-      val wLocal = Window.partitionBy("__bucket")
-        .orderBy(col("arr"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val local = b.withColumn("__lmax", max(col("tsu")).over(wLocal))
-      val wB = Window.orderBy("__bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offs = local.groupBy("__bucket").agg(max(col("tsu")).as("__bmax"))
-        .withColumn("__pmax", max(col("__bmax")).over(wB))
-        .select(col("__bucket"), col("__pmax"))
-      val run = local.join(broadcast(offs), Seq("__bucket"))
-        .withColumn("__runmax",
-          greatest(coalesce(col("__lmax"), lit(Long.MinValue)),
-            coalesce(col("__pmax"), lit(Long.MinValue))))
-        .withColumn("__late",
-          col("__runmax") =!= lit(Long.MinValue) &&
-            col("tsu") < col("__runmax") - lit(horizonUs))
-      run.groupBy("event_type").agg(
-          count(lit(1)).as("n_events"),
-          sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"),
-          max(when(col("__late"),
-            col("__runmax") - lit(horizonUs) - col("tsu"))).as("__ml"))
-        .select(col("event_type"), col("n_events"), col("n_late"),
-          expr("coalesce(__ml DIV 1000000, 0)").as("max_late_s"))
-    }),
-
-    // Count-Min sketch (Cormode & Muthukrishnan '05) — frequency
-    // estimation in O(d·w) space regardless of key cardinality. The
-    // counter build is ONE partial+final hash agg over (row, bucket);
-    // the sketch is d·w = 1024 cells at ANY corpus size, so the probe
-    // side broadcasts a bounded table. Hashes are the md5 engine-exact
-    // device (q60/q216); estimates are deterministic upper bounds
-    // (est >= exact), so the oracle replays the construction exactly —
-    // no tolerance band. The ~800-key probe set is itself bounded
-    // (event_type × user bucket), so the global top-20 window is over
-    // a key-cardinality table, not the corpus.
-    "q217_cms_freq" -> ((s, d) => {
-      val w = 256
-      def bucket(i: Column, key: Column): Column =
-        conv(substring(md5(concat(lit("cms_"), i.cast("string"), lit("_"),
-          key)), 1, 8), 16, 10).cast("long") % w
-      val rows = array((0 until 4).map(lit): _*)
-      val keyed = ev(s, d).select(concat(col("event_type"), lit("_"),
-        (col("user_id") % 100).cast("string")).as("key"))
-      val counters = keyed.withColumn("i", explode(rows))
-        .withColumn("bucket", bucket(col("i"), col("key")))
-        .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
-      val exact = keyed.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
-      exact.withColumn("i", explode(rows))
-        .withColumn("bucket", bucket(col("i"), col("key")))
-        .join(broadcast(counters), Seq("i", "bucket"))
-        .groupBy("key", "exact_cnt").agg(min(col("cnt")).as("cms_est"))
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("exact_cnt").desc, col("key").asc)))
-        .filter(col("__rn") <= 20).drop("__rn")
-    }),
-
-    // Sorted-neighborhood blocking (Hernández & Stolfo '95) — the
-    // classic entity-resolution alternative to LSH: one global sort on
-    // a normalized key, then compare only rows within a fixed window
-    // w=10. The global rank is computed WITHOUT a corpus-wide window:
-    // per-bucket row_number (bucket = first key char, order-aligned
-    // with the sort key by construction) + a broadcast prefix-sum of
-    // bucket counts — the q216 two-phase device. The candidate join is
-    // banded on rank DIV w (a pair within w spans at most two adjacent
-    // bands), so it is an equi-join, never a range cross-product.
-    // Verifier = the codegen'd JaroWinkler expression (DuckDB parity
-    // proven by q156).
-    "q218_sorted_neighborhood" -> ((s, d) => {
-      val w = 10
-      val k = doc(s, d).select(col("doc_id"),
-        substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 40)
-          .as("nk"))
-      val b = k.withColumn("bk", coalesce(substring(col("nk"), 1, 1), lit("")))
-      val local = b.withColumn("lrn", row_number().over(
-        Window.partitionBy("bk").orderBy(col("nk"), col("doc_id"))))
-      val offs = local.groupBy("bk").agg(count(lit(1)).as("__c"))
-        .withColumn("__off", coalesce(sum(col("__c")).over(
-          Window.orderBy("bk")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("bk"), col("__off"))
-      val r = local.join(broadcast(offs), Seq("bk"))
-        .select(col("doc_id"), col("nk"),
-          (col("__off") + col("lrn")).as("rn"))
-      val left = r.select(col("doc_id").as("doc_a"), col("nk").as("ka"),
-          col("rn").as("ra"))
-        .withColumn("band",
-          explode(array(expr(s"ra DIV $w"), expr(s"ra DIV $w + 1"))))
-      val right = r.select(col("doc_id").as("doc_b"), col("nk").as("kb"),
-          expr(s"rn DIV $w").as("band"), col("rn").as("rb"))
-      left.join(right, Seq("band"))
-        .filter(col("rb") > col("ra") && col("rb") <= col("ra") + w)
-        .withColumn("sim",
-          round(graft.functions.JaroWinkler(col("ka"), col("kb")), 4))
-        .filter(col("sim") >= 0.9)
-        .select(col("doc_a"), col("doc_b"), col("sim"))
-    }),
-
-    // Skip-gram PPMI co-occurrence (word2vec's implicit matrix,
-    // Levy & Goldberg '14) — pairs at offsets 1..3 are generated
-    // per-row with zip_with over slices (zero shuffle before the
-    // count aggs; q150's bigram device generalized to a window), so
-    // the corpus never self-joins. Positive-PMI scoring keeps the
-    // ln() arithmetic shape identical on both engines (the q150
-    // parity precedent); the top-50 window runs over the >=5-support
-    // pair table, which min-support keeps sparse.
-    "q219_skipgram_ppmi" -> ((s, d) => {
-      val toks = doc(s, d).select(split(col("text"), " ").as("t"))
-      val pairs = toks.select(explode(expr(
-        """flatten(transform(array(1, 2, 3), k ->
-          |  zip_with(slice(t, 1, greatest(size(t) - k, 0)),
-          |           slice(t, 1 + k, greatest(size(t) - k, 0)),
-          |    (a, b) -> struct(a AS w1, b AS w2))))""".stripMargin)).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val cp = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
-        .filter(col("cxy") >= 5)
-      val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("cx"))
-      val c2 = pairs.groupBy("w2").agg(count(lit(1)).as("cy"))
-      val tot = pairs.agg(count(lit(1)).as("__nt"))
-      cp.join(c1, Seq("w1")).join(c2, Seq("w2"))
-        .crossJoin(broadcast(tot))
-        .withColumn("__raw", log(col("cxy")) + log(col("__nt"))
-          - log(col("cx")) - log(col("cy")))
-        .filter(col("__raw") > 0)
-        .select(col("w1"), col("w2"), col("cxy"),
-          round(col("__raw"), 4).as("ppmi"))
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("ppmi").desc, col("w1").asc, col("w2").asc)))
-        .filter(col("__rn") <= 50).drop("__rn")
-    }),
-
-    // Paragraph-style chunk-level exact dedup (RefinedWeb/C4 line
-    // dedup, scaled to fixed 16-token chunks since the corpus has no
-    // newlines): chunks are cut per-row with transform+slice (no
-    // explode-join), the keep-first winner per distinct chunk is ONE
-    // hash agg on min(struct(doc_id, idx)) — lexicographic tuple min,
-    // exact at ANY chunk count (a packed doc_id·K + idx key would
-    // silently corrupt the total order past K chunks/doc), no corpus
-    // window — and the survivor ratio is a second bounded agg.
-    // Text shuffles once (the chunk groupBy); fingerprint-only
-    // variants would shuffle a hash instead (the q114 device).
-    "q220_chunk_dedup" -> ((s, d) => {
-      val chunks = chunks16(doc(s, d))
-      val kept = chunks.groupBy("chunk")
-        .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
-      chunks.join(kept, Seq("chunk"))
-        .groupBy("doc_id").agg(
-          count(lit(1)).as("n_chunks"),
-          sum(when(struct(col("doc_id"), col("idx")) === col("keeper"), 1L)
-            .otherwise(0L)).as("n_kept"))
-        .withColumn("kept_ratio",
-          round(col("n_kept").cast("double") / col("n_chunks"), 4))
-    }),
-
-    // Cross-source quantile normalization — map each source's score
-    // distribution onto the GLOBAL distribution before thresholding, so
-    // one cutoff means the same thing for every source (the score-
-    // calibration step ahead of q123-style pruning). No corpus-wide
-    // window anywhere: the within-source rank decomposes into a
-    // per-(source, value) row_number plus a per-source prefix-sum over
-    // the DISTINCT-VALUE histogram (two-phase device, value-keyed), and
-    // the global quantile lookup is a range join against the bounded
-    // global cumulative histogram. Rank arithmetic is exact integers;
-    // the one float expression ((rank−0.5)/n·N, then ceil) has identical
-    // shape on both engines.
-    "q221_quantile_normalize" -> ((s, d) => {
-      val docs = doc(s, d).select(col("doc_id"), col("source"), col("n_chars"))
-      val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("__c"))
-      val offs = hist.withColumn("__lo", coalesce(
-        sum(col("__c")).over(Window.partitionBy("source").orderBy("n_chars")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("source"), col("n_chars"), col("__lo"))
-      val rs = docs.withColumn("__r", row_number().over(
-          Window.partitionBy("source", "n_chars").orderBy("doc_id")))
-        .join(offs, Seq("source", "n_chars"))
-        .withColumn("rs", col("__lo") + col("__r"))
-      val ns = docs.groupBy("source").agg(count(lit(1)).as("__ns"))
-      val tot = docs.agg(count(lit(1)).as("__n"))
-      val tgt = rs.join(broadcast(ns), Seq("source")).crossJoin(broadcast(tot))
-        .withColumn("tr",
-          ceil((col("rs") - lit(0.5)) / col("__ns") * col("__n")).cast("long"))
-      val gcum = docs.groupBy("n_chars").agg(count(lit(1)).as("__c"))
-        .withColumn("__hi", sum(col("__c")).over(Window.orderBy("n_chars")))
-        .withColumn("__glo", col("__hi") - col("__c"))
-        .select(col("n_chars").as("__v"), col("__glo"), col("__hi"))
-      tgt.join(broadcast(gcum),
-          col("tr") > col("__glo") && col("tr") <= col("__hi"))
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          col("__v").as("norm_chars"))
-    }),
-
-    // Near-dup cluster size profile — the curation report read before
-    // choosing a dedup threshold: how much of the corpus sits in
-    // clusters of each size, from q70's exact (recall-1.0) components.
-    // Two bounded hash aggs on top of the canonicalization; no new
-    // scale surface.
-    "q222_cluster_size_profile" -> ((s, d) =>
-      Dedup.canonicalizeExact(doc(s, d), "text", "doc_id",
-          k = 2, jaccardThreshold = 0.5)
-        .groupBy("canonical_id").agg(count(lit(1)).as("__sz"))
-        .groupBy(col("__sz").as("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"),
-          sum(col("__sz")).as("n_docs"))),
-
-    // Streaming windowed p95 (bounded-histogram state) — see
-    // EventsStream.windowedQuantile. The readout is integer-exact, so
-    // the oracle replays bin → cumulative → ceil(0.95·n) verbatim.
-    "q223_stream_quantile" -> ((s, d) =>
-      EventsStream.windowedQuantile(s, d)),
-
-    // Leave-one-out 10-NN majority-vote label eval over the embedding
-    // table — the labeled-eval harness beside q205 (dedup P/R) and q213
-    // (lang-ID): how well do raw embeddings separate the label classes?
-    // Exact brute-force cosine IS the point here (the truth an ANN
-    // recall eval needs; q35/q73/q81/q186 are the scale paths) — at
-    // 100 TB this runs on a bounded SAMPLED eval set, so the all-pairs
-    // join is eval-set², not corpus², and that contract is ENFORCED:
-    // Similarity.requireEvalBound fail-louds past 100k vectors (a
-    // limit-count probe, O(bound) rows even on a 100 TB table). Dot
-    // products are the q27 sequential-fold device (bit parity proven);
-    // all ranks and votes are exact integers with total-order tie-breaks.
-    "q224_knn_eval" -> ((s, d) => {
-      // Tight-loop dot/norm kernels (functions.VectorOps — bit-identical
-      // to the HOF fold, ~50× less per-pair overhead) + norms computed
-      // ONCE per vector, not per pair: same IEEE values, 4M fewer folds.
-      val e = graft.similarity.Similarity.requireEvalBound(
-          Tables.embeddings(s, d), maxEval = 100000L, what = "q224 embeddings")
-        .select(col("vec_id"), col("label"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", graft.functions.NormD(col("v")))
-      val pairs = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
-          col("v").as("qv"), col("nrm").as("qn"))
-        .crossJoin(e.select(col("vec_id").as("nid"),
-          col("label").as("nlabel"), col("v").as("nv"), col("nrm").as("nn")))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("cos", graft.functions.DotProductD(col("qv"), col("nv")) /
-          (col("qn") * col("nn")))
-      val top = pairs.withColumn("rnk", row_number().over(
-          Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)))
-        .filter(col("rnk") <= 10)
-      val votes = top.groupBy("qid", "qlabel", "nlabel")
-        .agg(count(lit(1)).as("c"))
-      votes.withColumn("vr", row_number().over(
-          Window.partitionBy("qid").orderBy(col("c").desc, col("nlabel").asc)))
-        .filter(col("vr") === 1)
-        .groupBy(col("qlabel").as("true_label"),
-          col("nlabel").as("pred_label"))
-        .agg(count(lit(1)).as("n"))
-    }),
-
-    // Spearman rank correlation per return flag — the nonparametric
-    // companion to q19's Pearson (monotone association, outlier-immune).
-    // Mid-ranks via the q191 exact-integer device (2·avg_rank =
-    // 2·cum − t + 1 over the DISTINCT-VALUE table, so the corpus never
-    // sees a row-level rank window); every sum is an exact long, the
-    // closing products ride decimal(38,0), and the single float
-    // expression (one division, one sqrt) is mirrored op-for-op.
-    "q225_spearman" -> ((s, d) => {
-      val base = li(s, d).select(col("l_returnflag").as("g"),
-        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
-      def ranks2(vc: String, out: String) =
-        base.groupBy(col("g"), col(vc).as("v")).agg(count(lit(1)).as("t"))
-          .withColumn("cum",
-            sum(col("t")).over(Window.partitionBy("g").orderBy("v")))
-          .select(col("g"), col("v").as(vc),
-            (lit(2L) * col("cum") - col("t") + lit(1L)).as(out))
-      val j = base
-        .join(ranks2("x", "rx"), Seq("g", "x"))
-        .join(ranks2("y", "ry"), Seq("g", "y"))
-      val sums = j.groupBy("g").agg(count(lit(1)).as("n"),
-        sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
-        sum(col("rx") * col("ry")).as("sxy"),
-        sum(col("rx") * col("rx")).as("sxx"),
-        sum(col("ry") * col("ry")).as("syy"))
-      def dec(c: Column) = c.cast("decimal(38,0)")
-      sums.select(col("g").as("l_returnflag"), col("n"),
-        round((dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
-            .cast("double") /
-          sqrt((dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
-              .cast("double") *
-            (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
-              .cast("double")), 6).as("spearman"))
-    }),
-
-    // Mutual information between hashed-feature presence (the q211
-    // buckets) and the source label — filter-method feature selection
-    // (which features carry source signal). The full bucket × source
-    // grid is BOUNDED (256 × |sources|), so zero-presence cells are
-    // materialized and no MI mass is silently dropped; each cell's two
-    // p·ln terms are rounded to integer micro-nats before the per-bucket
-    // sum (the q192/q195 device — float association never crosses the
-    // engines), and the top-20 window runs over 256 rows.
-    "q226_mi_features" -> ((s, d) => {
-      val w = doc(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), col("source"),
-          (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
-            .as("b"))
-        .distinct()
-      val nd = doc(s, d).agg(count(lit(1)).as("__n"))
-      val ns = doc(s, d).groupBy("source").agg(count(lit(1)).as("__nsrc"))
-      val pres = w.groupBy("b", "source").agg(count(lit(1)).as("__cp"))
-      val cb = pres.groupBy("b").agg(sum(col("__cp")).as("__cb"))
-      val grid = cb.crossJoin(broadcast(ns))
-        .join(pres, Seq("b", "source"), "left")
-        .withColumn("__c", coalesce(col("__cp"), lit(0L)))
-        .crossJoin(broadcast(nd))
-      val terms = grid.withColumn("__t1",
-          when(col("__c") > 0,
-            col("__c").cast("double") / col("__n") *
-              log(col("__c").cast("double") * col("__n") /
-                (col("__cb").cast("double") * col("__nsrc"))))
-            .otherwise(lit(0.0)))
-        .withColumn("__t0",
-          when(col("__nsrc") - col("__c") > 0,
-            (col("__nsrc") - col("__c")).cast("double") / col("__n") *
-              log((col("__nsrc") - col("__c")).cast("double") * col("__n") /
-                ((col("__n") - col("__cb")).cast("double") * col("__nsrc"))))
-            .otherwise(lit(0.0)))
-        .withColumn("__micro",
-          round(col("__t1") * lit(1e6)).cast("long") +
-            round(col("__t0") * lit(1e6)).cast("long"))
-      terms.groupBy(col("b").as("bucket"))
-        .agg(round(sum(col("__micro")).cast("double") / lit(1e6), 6).as("mi"))
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("mi").desc, col("bucket").asc)))
-        .filter(col("__rn") <= 20).drop("__rn")
-    }),
-
-    // Windowed signal-energy segmentation over binary media — the
-    // VAD/scene-cut shape (active-region detection per fixed frame) on
-    // the q74 frame sampler: frames cut by codegen'd substr (no shuffle
-    // until the caller aggregates), energy = Σ sample² as an EXACT long
-    // (samples are byte codes in the harness codec — a real deployment
-    // swaps the sample transform, plumbing identical), active = mean
-    // square above threshold. Integer-exact end to end.
-    "q227_media_energy" -> ((s, d) => {
-      val frames = Multimodal.frameSample(
-          Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
-          frameBytes = 32, stride = 1)
-        .withColumn("ft", decode(col("frame"), "UTF-8"))
-      frames.withColumn("e2", expr(
-          """aggregate(transform(sequence(1, 32),
-            |  i -> CAST(ascii(substring(ft, i, 1))
-            |          * ascii(substring(ft, i, 1)) AS BIGINT)),
-            |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
-        .select(col("media_id"), col("n_frames"), col("frame_idx"),
-          col("e2"), (col("e2") > lit(320000L)).as("active"))
-    }),
-
-    // Streaming latest-per-key upsert view (CDC materialization) — see
-    // EventsStream.latestPerKey: one max(struct) agg, state = one row
-    // per key, order-insensitive by total-order struct comparison.
-    "q228_stream_upsert" -> ((s, d) =>
-      EventsStream.latestPerKey(s, d)),
-
-    // NDCG@{1,5,10} of the q122 BM25 ranking against a deterministic
-    // graded relevance (distinct query terms present, 0-3) — retrieval
-    // eval harness #5 (dedup q205, CV q210, lang-ID q213, kNN q224).
-    // Gains (2^rel−1)/log2(pos+1) ride integer micro-units per position
-    // before the cutoff sums (q192 device; log2 spelled ln(x)/ln(2) on
-    // BOTH engines so the op sequence is identical); NDCG is one
-    // long/long division. Ideal ranking comes from TakeOrdered over the
-    // rel>0 docs — no corpus window.
-    "q229_ndcg" -> ((s, d) => {
-      val terms = Seq("vector", "join", "scan")
-      val cuts = array(Seq(1, 5, 10).map(lit): _*)
-      def gainMicro(relc: Column, pos: Column): Column =
-        round((pow(lit(2.0), relc.cast("double")) - lit(1.0)) /
-          (log(pos.cast("double") + lit(1.0)) / log(lit(2.0))) * lit(1e6))
-          .cast("long")
-      val rel = doc(s, d).select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("w"))
-        .filter(col("w").isin(terms: _*))
-        .groupBy("doc_id").agg(count(lit(1)).as("rel"))
-      val sys = graft.text.Bm25.topK(doc(s, d), "doc_id", "text", terms, 10)
-        .join(rel, Seq("doc_id"), "left")
-        .withColumn("rel", coalesce(col("rel"), lit(0L)))
-        .withColumn("g", gainMicro(col("rel"), col("rnk")))
-      val sysD = sys.withColumn("k", explode(cuts))
-        .filter(col("rnk") <= col("k"))
-        .groupBy("k").agg(sum(col("g")).as("dcg_micro"))
-      val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
-        .withColumn("rnk", row_number().over(
-          Window.orderBy(col("rel").desc, col("doc_id").asc)))
-        .withColumn("g", gainMicro(col("rel"), col("rnk")))
-      val idealD = ideal.withColumn("k", explode(cuts))
-        .filter(col("rnk") <= col("k"))
-        .groupBy("k").agg(sum(col("g")).as("idcg_micro"))
-      sysD.join(idealD, Seq("k"))
-        .select(col("k"), col("dcg_micro"), col("idcg_micro"),
-          round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
-            .as("ndcg"))
-    }),
-
-    // ANN recall@10 — the metric that justifies (or indicts) every
-    // approximate index: IVF(16 cells, 4 probes) top-10 vs the exact
-    // brute-force top-10 over a 50-query probe set. Hits are exact
-    // integer set intersections; zero-overlap queries are restored by a
-    // left join so the eval can't silently drop its failures. Eval
-    // harness #6 — quantifies the q73 index the way q205 quantifies the
-    // q32 LSH bands.
-    "q230_ann_recall" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 50)
-      val cs = e.filter(col("vec_id") >= 50)
-      val ivf = Similarity.ivfCosineTopK(qs, cs, "vec_id", "embedding",
-          10, nCells = 16, nProbe = 4)
-        .select(col("query_id"), col("neighbor_id"))
-      val exact = Similarity.cosineTopK(qs, cs, "vec_id", "embedding", 10)
-        .select(col("query_id"), col("neighbor_id"))
-      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("__h"))
-      qs.select(col("vec_id").as("query_id"))
-        .join(hits, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("__h"), lit(0L)).as("n_hits"),
-          round(coalesce(col("__h"), lit(0L)).cast("double") / 10.0, 4)
-            .as("recall"))
-    }),
-
-    // First-/last-touch attribution — every purchase credited to the
-    // first and last click by the same user in the preceding hour (the
-    // product-analytics leg beside q136 funnel / q137 retention). The
-    // lookback theta-join is BANDED on the hour bucket (purchase probes
-    // its own and the previous bucket — an equi-join, never a time-range
-    // cross-product); first/last ride min/max(struct(ts, id)) exact
-    // total orders, and clickless purchases stay visible via left join.
-    "q231_attribution" -> ((s, d) => {
-      val hourUs = 3600000000L
-      val ev = ev_(s, d)
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id"),
-          col("tsu").as("ptsu"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id"),
-          col("tsu").as("ctsu"))
-        .withColumn("band", expr(s"ctsu DIV $hourUs"))
-      val probes = purchases.withColumn("band",
-        explode(array(expr(s"ptsu DIV $hourUs"), expr(s"ptsu DIV $hourUs - 1"))))
-      val j = probes.join(clicks, Seq("band", "user_id"))
-        .filter(col("ctsu") <= col("ptsu") &&
-          col("ctsu") >= col("ptsu") - hourUs)
-      val agg = j.groupBy("pid").agg(
-        count(lit(1)).as("n_clicks"),
-        min(struct(col("ctsu"), col("cid"))).getField("cid")
-          .as("first_click_id"),
-        max(struct(col("ctsu"), col("cid"))).getField("cid")
-          .as("last_click_id"))
-      purchases.select(col("pid"))
-        .join(agg, Seq("pid"), "left")
-        .select(col("pid"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
-          col("first_click_id"), col("last_click_id"))
-    }),
-
-    // Near-dup threshold sweep — the tuning curve behind every
-    // canonicalization deployment: cluster count, duplicated-doc count,
-    // and dup rate at Jaccard 0.3 / 0.5 / 0.7, each from the exact
-    // recall-1.0 components. ONE CC run over a threshold-TAGGED graph
-    // instead of three sequential runs (r9 verdict item: the sweep paid
-    // 3× the fixpoint rounds): node (thr_i, doc) packs as doc·8+i — the
-    // 8 bound is structural (|thresholds| < 8 by construction, unlike a
-    // data-dependent packed key) — and each pair edge fans out to every
-    // threshold it survives, so the three subgraphs propagate labels in
-    // PARALLEL inside each round and the round count is the MAX of the
-    // three, not the sum. Min-label over packed ids refines per subgraph
-    // because i is constant within a component (min(doc·8+i) = (min
-    // doc)·8+i). The oracle folds all three thresholds into ONE
-    // recursive CTE keyed by (threshold, node).
-    "q232_dedup_threshold_sweep" -> ((s, d) => {
-      // ONE PPJoin at the lowest threshold carries every higher one: the
-      // pair table keeps its exact jaccard, so the 0.5/0.7 edge sets are
-      // pure filters of the 0.3 pairs (recall 1.0 transfers) — the sweep
-      // pays the similarity join once (minLabel checkpoints the tagged
-      // edges before iterating, so PPJoin runs once, not per round).
-      val thrs = Seq(0.3, 0.5, 0.7)
-      val pairs = Dedup.ngramJaccardSelfPairs(doc(s, d), "text", "doc_id",
-        k = 2, threshold = thrs.min)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-      val tagged = pairs.select(col("id_a"), col("id_b"),
-          explode(array(thrs.zipWithIndex.map { case (t, i) =>
-            when(col("jaccard") >= t, lit(i.toLong)) }: _*)).as("__ti"))
-        .filter(col("__ti").isNotNull)
-        .select((col("id_a") * 8 + col("__ti")).as("id_a"),
-          (col("id_b") * 8 + col("__ti")).as("id_b"))
-      val taggedNodes = doc(s, d).select(col("doc_id").as("node"))
-        .select(explode(array(thrs.indices.map(i =>
-          col("node") * 8 + lit(i.toLong)): _*)).as("node"))
-      val (labels, converged) = graft.graph.ConnectedComponents.minLabel(
-        tagged, taggedNodes, maxRounds = 16)
-      require(converged, "CC fixpoint not reached in the threshold sweep")
-      val thrOf = element_at(array(thrs.map(lit): _*),
-        (col("label") % 8).cast("int") + 1)
-      labels.groupBy("label").agg(count(lit(1)).as("__sz"))
-        .groupBy(thrOf.as("threshold")).agg(
-          count(lit(1)).as("n_clusters"),
-          sum(when(col("__sz") > 1, col("__sz")).otherwise(0L))
-            .as("n_dup_docs"),
-          sum(col("__sz")).as("__total"))
-        .select(col("threshold"), col("n_clusters"), col("n_dup_docs"),
-          round(col("n_dup_docs").cast("double") / col("__total"), 4)
-            .as("dup_rate"))
-    }),
-
-    // IVF nProbe recall curve — the index-tuning companion to q230's
-    // single point and q232's threshold sweep: recall@10 at 1/2/4/8
-    // probes of 16 cells, every setting a FILTER of one shared candidate
-    // join (see Similarity.ivfRecallCurve). Macro-averaged per setting;
-    // per-query grids keep zero-hit probes visible.
-    "q233_ivf_recall_curve" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.ivfRecallCurve(
-          e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50),
-          "vec_id", "embedding", k = 10, nCells = 16,
-          nProbes = Seq(1, 2, 4, 8))
-        .groupBy("n_probe").agg(
-          sum(col("n_hits")).as("total_hits"),
-          round(sum(col("n_hits")).cast("double") /
-            (count(lit(1)) * 10), 4).as("mean_recall"))
-    }),
-
-    // MinHash-LSH band-shape sweep — the s-curve measured across
-    // 16 hashes split as 16×1 / 8×2 / 4×4 bands (more bands = higher
-    // recall, wider bands = higher precision): P/R/F1 per shape against
-    // the shared exact-Jaccard truth (the q205 single point becomes the
-    // tuning curve, completing the sweep family q232/q233). Truth is
-    // computed ONCE; the banding is the only thing that varies.
-    "q234_lsh_band_curve" -> ((s, d) => {
-      val truth = graft.io.Checkpoints.truncate(
-        Dedup.ngramJaccardSelfPairs(doc(s, d), "text", "doc_id",
-          k = 3, threshold = 0.5)
-          .select(col("id_a"), col("id_b")), eager = true)
-      val configs = Seq((16, 1), (8, 2), (4, 4))
-      val preds = configs.map { case (b, r) =>
-        Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3,
-            bands = b, rowsPerBand = r, threshold = 0.5, family = "md5p61")
-          .select(lit(b).as("bands"), lit(r).as("rpb"),
-            col("id_a"), col("id_b"))
-      }.reduce(_.unionByName(_))
-      val truthX = truth.crossJoin(
-        litConfigs(s)(configs, "bands", "rpb"))
-      preds.withColumn("__p", lit(1L))
-        .join(truthX.withColumn("__t", lit(1L)),
-          Seq("bands", "rpb", "id_a", "id_b"), "full_outer")
-        .groupBy("bands", "rpb").agg(
-          sum(when(col("__p").isNotNull && col("__t").isNotNull, 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("__p").isNotNull && col("__t").isNull, 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("__p").isNull && col("__t").isNotNull, 1L)
-            .otherwise(0L)).as("fn"))
-        .select(col("bands"), col("rpb"), col("tp"), col("fp"), col("fn"),
-          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
-            .as("prec"),
-          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
-            .as("rec"))
-    }),
-
-    // Ridge regression coefficient path — the regularization leg of the
-    // model family (q36 OLS, q37 logistic, q42 tree): β(λ) at λ =
-    // 0/1/10/100 from ONE distributed moment pass, each solve a k×k
-    // driver-side elimination (bounded by model width, the olsExact
-    // precedent). λ=0 reproduces OLS exactly; the shrinkage toward zero
-    // across the path is the operator's observable.
-    "q235_ridge_path" -> ((s, d) =>
-      Models.ridgePath(
-          li(s, d).select(col("l_quantity"),
-            (col("l_discount") * 100).as("disc_pct"),
-            (col("l_tax") * 100).as("tax_pct"),
-            (col("l_extendedprice") / 1000).as("price_k")),
-          "price_k", Seq("l_quantity", "disc_pct", "tax_pct"),
-          lambdas = Seq(0.0, 1.0, 10.0, 100.0))
-        .select(col("lambda"), col("term"), round(col("est"), 6).as("est"))),
-
-    // Leave-one-out mean target encoding — the feature-engineering step
-    // that turns a high-cardinality category into a numeric feature
-    // WITHOUT leaking the row's own label: enc_i = (S_c − y_i)/(n_c − 1).
-    // One hash agg + a broadcast join back (category-cardinality table);
-    // the per-category sum is rounded 4 dp before the subtraction so
-    // both engines enter the per-row arithmetic on identical bits
-    // (the mu/sigma q93 rule); singleton categories stay null.
-    "q236_target_encoding" -> ((s, d) => {
-      val o = ord(s, d).select(col("o_orderkey"),
-        col("o_orderpriority").as("cat"),
-        col("o_totalprice").as("y"))
-      val stats = o.groupBy("cat").agg(
-        round(sum(col("y")), 4).as("__s"), count(lit(1)).as("__n"))
-      o.join(broadcast(stats), Seq("cat"))
-        .select(col("o_orderkey"), col("cat"),
-          when(col("__n") > 1,
-            round((col("__s") - col("y")) / (col("__n") - 1), 4))
-            .as("loo_enc"))
-    }),
-
-    // Weight-of-evidence encoding — the binary-target companion to q236
-    // (credit-scoring's categorical encoder): WOE_c = ln(bad share) −
-    // ln(good share), add-half smoothed so empty cells stay finite.
-    // Pure integer counts into ONE mirrored ln expression per category
-    // (no float sums — the q150 parity shape), category-cardinality
-    // output.
-    "q237_woe_encoding" -> ((s, d) => {
-      val o = ord(s, d).select(col("o_orderpriority").as("cat"),
-        (col("o_orderstatus") === "F").as("bad"))
-      val per = o.groupBy("cat").agg(
-        sum(when(col("bad"), 1L).otherwise(0L)).as("bad_c"),
-        sum(when(!col("bad"), 1L).otherwise(0L)).as("good_c"))
-      val tot = per.agg(sum(col("bad_c")).as("__bt"),
-        sum(col("good_c")).as("__gt"))
-      per.crossJoin(broadcast(tot))
-        .select(col("cat"), col("bad_c"), col("good_c"),
-          round(log((col("bad_c").cast("double") + 0.5) /
-              (col("__bt").cast("double") + 0.5)) -
-            log((col("good_c").cast("double") + 0.5) /
-              (col("__gt").cast("double") + 0.5)), 6).as("woe"))
-    }),
-
-    // Built-in session_window streaming sessionization — the declarative
-    // twin of q67's hand-rolled state machine (Spark merges the windows,
-    // owns the state). Boundary rule is >= (a gap of exactly 30 min
-    // starts a session), unlike q31's strict >; the oracle mirrors it in
-    // epoch micros. See EventsStream.sessionWindowCounts.
-    "q238_session_window" -> ((s, d) =>
-      EventsStream.sessionWindowCounts(s, d)),
-
-    // Merkle-style table digest — io.MerkleAudit.tableDigest with the
-    // fixture-scale 2-char prefix (256 buckets); the operator's
-    // prefixChars parameter is how the fan-out scales (16^w buckets →
-    // per-bucket state |rows|/16^w), so the bounded-group-state claim is
-    // a knob, not a hope. Sorting inside each digest level makes the
-    // result partition-order-free; two engines computing the same root
-    // proves the copy byte-identical without moving rows.
-    "q239_merkle_audit" -> ((s, d) =>
-      graft.io.MerkleAudit.tableDigest(ord(s, d), Seq(
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        col("o_orderpriority")), prefixChars = 2)),
-
-    // Per-group OLS ("many models" at scale): slope/intercept/R² of
-    // price~quantity per return flag as pure aggregate algebra
-    // (covar_pop/var_pop/corr — one hash agg, no per-group fitting
-    // loop). The q20 closed form lifted from global to grouped; floats
-    // rounded 6 dp on both engines (q19 rule).
-    "q240_groupwise_ols" -> ((s, d) =>
-      li(s, d).groupBy(col("l_returnflag")).agg(
-        count(lit(1)).as("n"),
-        round(covar_pop(col("l_quantity"), col("l_extendedprice")) /
-          var_pop(col("l_quantity")), 6).as("slope"),
-        round(avg(col("l_extendedprice")) -
-          covar_pop(col("l_quantity"), col("l_extendedprice")) /
-            var_pop(col("l_quantity")) * avg(col("l_quantity")), 6)
-          .as("intercept"),
-        round(corr(col("l_quantity"), col("l_extendedprice")) *
-          corr(col("l_quantity"), col("l_extendedprice")), 6).as("r2"))),
-
-    // TPC-H Q3 (shipping priority) — the canonical 3-table
-    // filter→join→agg→top-k plan: segment filter reaches the customer
-    // scan, date predicates reach orders/lineitem, dims broadcast, and
-    // the top-10 rides TakeOrderedAndProject on (rounded revenue desc,
-    // orderkey) — no corpus sort, no corpus window.
-    "q241_tpch_q3" -> ((s, d) => {
-      val cut = "1997-07-01"
-      val c = Tables.customer(s, d)
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select(col("c_custkey").as("o_custkey"))
-      val o = ord(s, d).filter(col("o_orderdate") < lit(cut).cast("timestamp"))
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      val l = li(s, d).filter(col("l_shipdate") > lit(cut).cast("timestamp"))
-        .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), Seq("o_custkey"))
-        .groupBy(col("l_orderkey"),
-          unix_timestamp(col("o_orderdate")).as("o_orderdate_s"))
-        .agg(round(sum(col("rev")), 4).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
-        .limit(10)
-    }),
-
-    // Seasonal-naive forecast eval — the time-series baseline every
-    // fancier model must beat: forecast(hour) = count(hour − 24h) per
-    // event type, scored by MAPE over hours where both sides exist.
-    // Counts are exact ints; each hour's |a−f|/a rides integer
-    // micro-units before the per-type sum (q192 device), so the one
-    // float division closes the metric deterministically.
-    "q242_seasonal_mape" -> ((s, d) => {
-      val hourly = ev(s, d).groupBy(col("event_type"),
-          (unix_timestamp(date_trunc("hour", col("ts")))).as("h"))
-        .agg(count(lit(1)).as("a"))
-      val fc = hourly.select(col("event_type"),
-        (col("h") + 86400L).as("h"), col("a").as("f"))
-      hourly.join(fc, Seq("event_type", "h"))
-        .withColumn("__m", round(abs(col("a") - col("f")).cast("double") /
-          col("a") * lit(1e6)).cast("long"))
-        .groupBy("event_type").agg(
-          count(lit(1)).as("n_hours"),
-          round(sum(col("__m")).cast("double") / (count(lit(1)) * lit(1e6)), 6)
-            .as("mape"))
-    }),
-
-    // PSI drift time series — q146's two-window PSI unrolled into the
-    // monitoring feed a deployment actually charts: weekly value
-    // distribution vs the FIRST week, fixed 10-bin histogram (no
-    // percentile seam), add-half smoothing so empty cells stay finite,
-    // per-bin p·ln terms in integer micro-nats (q192 device) before the
-    // per-week sum. Everything is bounded: weeks × 10 bins.
-    "q243_psi_drift_series" -> ((s, d) => {
-      val binned = ev(s, d).select(
-        unix_timestamp(date_trunc("week", col("ts"))).as("wk"),
-        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bin"))
-      val counts = binned.groupBy("wk", "bin").agg(count(lit(1)).as("c"))
-      val totals = counts.groupBy("wk").agg(sum(col("c")).as("n"))
-      val w0 = totals.agg(min(col("wk")).as("wk0"))
-      val bins = (0L to 9L).toList
-      val grid = totals.crossJoin(broadcast(w0))
-        .withColumn("bin", explode(array(bins.map(lit): _*)))
-        .join(counts, Seq("wk", "bin"), "left")
-        .withColumn("c", coalesce(col("c"), lit(0L)))
-        .withColumn("p", (col("c").cast("double") + 0.5) /
-          (col("n").cast("double") + 5.0))
-      val base = grid.filter(col("wk") === col("wk0"))
-        .select(col("bin"), col("p").as("pb"))
-      grid.filter(col("wk") =!= col("wk0"))
-        .join(broadcast(base), Seq("bin"))
-        .withColumn("__t", round((col("p") - col("pb")) *
-          log(col("p") / col("pb")) * lit(1e6)).cast("long"))
-        .groupBy("wk").agg(
-          round(sum(col("__t")).cast("double") / lit(1e6), 6).as("psi"))
-    }),
-
-    // Time-series lag features — the feature-engineering step ahead of
-    // any sequential model: per-user lag-1/lag-2 values and a 3-event
-    // rolling mean. The rolling sum rides EXACT cent-scaled longs (the
-    // corpus is 2-dp by construction, verified at load), so the sliding
-    // frame has no float-accumulation seam — both engines divide the
-    // same integer. Windows are user-partitioned; nothing corpus-wide.
-    "q244_lag_features" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
-      val f = w.rowsBetween(-2, 0)
-      ev(s, d).filter(col("event_type") === "view")
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("tsu"), col("value"))
-        .withColumn("cents", round(col("value") * 100).cast("long"))
-        .select(col("event_id"), col("user_id"), col("tsu"),
-          lag(col("cents"), 1).over(w).as("__l1"),
-          lag(col("cents"), 2).over(w).as("__l2"),
-          sum(col("cents")).over(f).as("__s3"),
-          count(lit(1)).over(f).as("__n3"))
-        .select(col("event_id"), col("user_id"),
-          round(col("__l1").cast("double") / 100, 2).as("lag1_value"),
-          round(col("__l2").cast("double") / 100, 2).as("lag2_value"),
-          round(col("__s3").cast("double") / col("__n3") / 100, 4)
-            .as("r3_mean"))
-    }),
-
-    // Week-over-week revenue growth per nation — the period-over-period
-    // BI primitive: weekly sums as EXACT cent longs (no float sum at
-    // any width), growth = (cur − prev)/prev in integer micro-units.
-    // The lag window runs over the bounded (nation × week) table.
-    "q245_wow_growth" -> ((s, d) => {
-      val weekly = li(s, d)
-        .select(col("l_orderkey"),
-          round(col("l_extendedprice") * 100).cast("long").as("cents"))
-        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey"),
-          unix_timestamp(date_trunc("week", col("o_orderdate"))).as("wk")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)
-          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
-          Seq("o_custkey"))
-        .join(broadcast(Tables.nation(s, d)
-          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
-          Seq("c_nationkey"))
-        .groupBy("n_name", "wk").agg(sum(col("cents")).as("rev_cents"))
-      val w = Window.partitionBy("n_name").orderBy("wk")
-      weekly.withColumn("__prev", lag(col("rev_cents"), 1).over(w))
-        .select(col("n_name"), col("wk"),
-          round(col("rev_cents").cast("double") / 100, 2).as("revenue"),
-          when(col("__prev").isNotNull && col("__prev") =!= 0,
-            round((col("rev_cents") - col("__prev")).cast("double") /
-              col("__prev"), 6)).as("wow_growth"))
-    }),
-
-    // Hourly count-spike detection — the ops-monitoring anomaly feed:
-    // each (type, hour) count z-scored against the type's own hourly
-    // distribution. Counts and their square sums are exact longs (one
-    // bounded agg per type), the z is a single mirrored float expression
-    // (q191 shape), spike = z > 3. Degenerate groups (one hour, or zero
-    // variance) yield NULL z/spike deterministically on both engines —
-    // unguarded they'd be 0/0, where Spark IEEE NaN and DuckDB
-    // division semantics can diverge. Nothing corpus-wide: the stats
-    // table is |types| rows.
-    "q246_count_spikes" -> ((s, d) => {
-      val hourly = ev(s, d).groupBy(col("event_type"),
-          unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
-        .agg(count(lit(1)).as("a"))
-      val stats = hourly.groupBy("event_type").agg(
-        count(lit(1)).as("__n"), sum(col("a")).as("__s1"),
-        sum(col("a") * col("a")).as("__s2"))
-      hourly.join(broadcast(stats), Seq("event_type"))
-        .withColumn("__mean", col("__s1").cast("double") / col("__n"))
-        // the n>1 guard must wrap the /(n-1) itself: under ANSI mode a
-        // one-hour type throws DIVIDE_BY_ZERO before any later when()
-        // could mask it (caught by the EvalStatsSpec degenerate fixture)
-        .withColumn("__var", when(col("__n") > 1,
-          (col("__s2").cast("double") -
-            col("__s1").cast("double") * col("__s1") / col("__n")) /
-            (col("__n") - 1)))
-        .withColumn("__sd", when(col("__var") > 0, sqrt(col("__var"))))
-        .select(col("event_type"), col("h"), col("a"),
-          round((col("a") - col("__mean")) / col("__sd"), 4).as("z"),
-          ((col("a") - col("__mean")) / col("__sd") > 3.0).as("spike"))
-    }),
-
-    // Token-budget data selection — "give me the best B tokens": greedy
-    // by (token count desc, doc_id) until the budget fills. The greedy
-    // prefix decomposes into exact VALUE-level cumulative sums (tokens
-    // is a bounded integer) + a per-value running sum — the two-phase
-    // device keyed by score value, so no corpus-wide window exists and
-    // the cut is reproducible at any scale. Reported per source.
-    "q247_token_budget" -> ((s, d) => {
-      val budget = 25000L
-      val docs = doc(s, d).select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
-      val perVal = docs.groupBy("toks").agg(sum(col("toks")).as("__vt"))
-      val offs = perVal.withColumn("__before", coalesce(
-          sum(col("__vt")).over(Window.orderBy(col("toks").desc)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("toks"), col("__before"))
-      val ranked = docs.withColumn("__run", sum(col("toks")).over(
-          Window.partitionBy("toks").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .join(broadcast(offs), Seq("toks"))
-        .filter(col("__before") + col("__run") <= budget)
-      ranked.groupBy("source").agg(
-        count(lit(1)).as("n_kept"),
-        sum(col("toks")).as("tokens_kept"))
-    }),
-
-    // Deterministic negative sampling — contrastive-training pair
-    // generation: per anchor, the first 4 of 8 md5-uniform candidate
-    // draws whose label differs (the q103/q201 seeded-hash device, so
-    // an external engine replays the exact pair set). One candidate
-    // equi-join on id; per-anchor windows over ≤8 rows. A deployment
-    // swaps the hash for a secret seed; the plumbing — draw, reject,
-    // rank — is identical.
-    "q248_negative_sampling" -> ((s, d) => {
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val n = e.agg(count(lit(1)).as("__n"))
-      val trials = e.crossJoin(broadcast(n))
-        .withColumn("t", explode(array((0 until 8).map(lit): _*)))
-        .withColumn("cand", conv(substring(md5(concat(lit("neg_"),
-          col("vec_id"), lit("_"), col("t"))), 1, 8), 16, 10).cast("long")
-          % col("__n"))
-      trials.join(e.select(col("vec_id").as("cand"),
-          col("label").as("cand_label")), Seq("cand"))
-        .filter(col("cand_label") =!= col("label") &&
-          col("cand") =!= col("vec_id"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy("t")))
-        .filter(col("rk") <= 4)
-        .select(col("vec_id").as("anchor_id"), col("cand").as("neg_id"),
-          col("rk"))
-    }),
-
-    // Append-mode watermarked windows — q29's complete-mode aggregation
-    // under the OTHER output contract: a window row is emitted exactly
-    // once, when the watermark (terminal max event time − 1 h) passes
-    // its end — the semantics a downstream incremental consumer relies
-    // on. The oracle recomputes the batch windows and keeps only the
-    // watermark-sealed ones, pinning the emission boundary in SQL.
-    "q249_stream_append_windows" -> ((s, d) =>
-      EventsStream.windowedCountsAppend(s, d)),
-
-    // Corpus health scorecard — the one-row "dataset card" summary every
-    // release ships: doc/token totals, exact-dup rate (md5 distinct),
-    // source/language coverage, mean length. One multi-distinct hash
-    // agg over one scan; every number exact until two mirrored
-    // divisions.
-    "q250_corpus_scorecard" -> ((s, d) =>
-      doc(s, d)
-        .select(col("text"), col("source"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("toks")).as("n_tokens"),
-          countDistinct(md5(col("text"))).as("n_distinct_docs"),
-          countDistinct(col("source")).as("n_sources"),
-          countDistinct(col("lang")).as("n_langs"))
-        .select(col("n_docs"), col("n_tokens"), col("n_distinct_docs"),
-          col("n_sources"), col("n_langs"),
-          round(lit(1.0) - col("n_distinct_docs").cast("double") /
-            col("n_docs"), 6).as("dup_rate"),
-          round(col("n_tokens").cast("double") / col("n_docs"), 4)
-            .as("mean_doc_tokens"))),
-
-    // TPC-H Q17 shape — the correlated-average filter ("lines under 20%
-    // of their part's average quantity"), decorrelated the way Catalyst
-    // itself would: the per-part threshold is ONE agg restricted to the
-    // brand's partkeys BEFORE aggregating (no full-corpus threshold
-    // table), then an equi-join back. The threshold compare is
-    // engine-exact: l_quantity is integer-valued, so sum/avg are exact
-    // doubles at any summation order and avg·0.2 is one identical IEEE
-    // product. Revenue rides the cents device (per-row round-to-integer
-    // of an identical double → exact long sums).
-    "q251_small_qty_revenue" -> ((s, d) => {
-      val p = Tables.part(s, d)
-        .filter(col("p_brand").isin("Brand#1", "Brand#2"))
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-      val l = li(s, d)
-        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-        .join(broadcast(p), "l_partkey")
-      val th = l.groupBy("l_partkey")
-        .agg((avg(col("l_quantity")) * 0.2).as("__lim"))
-      l.join(broadcast(th), "l_partkey")
-        .filter(col("l_quantity") < col("__lim"))
-        .groupBy("p_brand").agg(
-          count(lit(1)).as("n_small"),
-          sum(round(col("l_extendedprice") * 100).cast("long"))
-            .as("revenue_cents"))
-    }),
-
-    // TPC-H Q21 shape — "the supplier who alone held up a multi-supplier
-    // order": the EXISTS (another supplier) / NOT EXISTS (another LATE
-    // supplier) pair decorrelated into one per-(order, supplier) agg +
-    // one per-order agg, so the whole multi-exists plan is two keyed
-    // shuffles (orderkey, then suppkey) instead of two correlated
-    // subquery scans. "Late" = shipped >45 days after the order date
-    // (the schema carries no receipt/commit dates); all compares are
-    // exact timestamps/longs.
-    "q252_sole_late_supplier" -> ((s, d) => {
-      val lines = li(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderdate")), "l_orderkey")
-      val supOrd = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        max((col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 45 DAYS")).cast("long"))
-          .as("late"))
-      val perOrder = supOrd.groupBy("l_orderkey").agg(
-        count(lit(1)).as("__n_supp"), sum(col("late")).as("__n_late"))
-      supOrd.filter(col("late") === 1)
-        .join(perOrder.filter(col("__n_supp") >= 2 && col("__n_late") === 1),
-          "l_orderkey")
-        .groupBy(col("l_suppkey").as("s_suppkey"))
-        .agg(count(lit(1)).as("numwait"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
-        .select("s_suppkey", "s_name", "numwait")
-    }),
-
-    // Referential-integrity audit — the data-contract gate an ingest
-    // pipeline runs before publishing: orphan counts for every FK edge
-    // of the star schema plus duplicate-key counts for every PK. Each FK
-    // check is one left join against the DISTINCT parent keys (small
-    // parents broadcast; the lineitem-side joins shuffle on the key);
-    // each PK check is one groupBy. All outputs exact longs.
-    "q253_referential_audit" -> ((s, d) => {
-      // No broadcast hint on the parent: nation/region are bounded dims
-      // (Catalyst broadcasts them from size stats) but orders/customer
-      // are corpus-cardinality — a hard hint there is the exact
-      // executor-OOM class ScaleGuardSpec polices. AQE picks per parent.
-      def fk(name: String, child: DataFrame, ck: String,
-             parent: DataFrame, pk: String): DataFrame =
-        child.select(col(ck).as("__k"))
-          .join(parent.select(col(pk).as("__k")).distinct()
-            .withColumn("__p", lit(1L)), Seq("__k"), "left")
-          .agg(sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_bad"),
-            count(lit(1)).as("n_checked"))
-          .select(lit(name).as("check"), col("n_bad"), col("n_checked"))
-      def pk(name: String, t: DataFrame, k: String): DataFrame =
-        t.groupBy(col(k)).agg(count(lit(1)).as("__c"))
-          .agg(sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_bad"),
-            count(lit(1)).as("n_checked"))
-          .select(lit(name).as("check"), col("n_bad"), col("n_checked"))
-      val cust = Tables.customer(s, d)
-      val nat = Tables.nation(s, d)
-      Seq(
-        fk("fk_lineitem_orders", li(s, d), "l_orderkey", ord(s, d), "o_orderkey"),
-        fk("fk_lineitem_part", li(s, d), "l_partkey", Tables.part(s, d), "p_partkey"),
-        fk("fk_lineitem_supplier", li(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"),
-        fk("fk_orders_customer", ord(s, d), "o_custkey", cust, "c_custkey"),
-        fk("fk_customer_nation", cust, "c_nationkey", nat, "n_nationkey"),
-        fk("fk_supplier_nation", Tables.supplier(s, d), "s_nationkey", nat, "n_nationkey"),
-        fk("fk_nation_region", nat, "n_regionkey", Tables.region(s, d), "r_regionkey"),
-        pk("pk_orders", ord(s, d), "o_orderkey"),
-        pk("pk_customer", cust, "c_custkey"),
-        pk("pk_part", Tables.part(s, d), "p_partkey"),
-        pk("pk_supplier", Tables.supplier(s, d), "s_suppkey"),
-        pk("pk_nation", nat, "n_nationkey"))
-        .reduce(_.unionByName(_))
-    }),
-
-    // Encoding-quality scan — the mojibake/control-char audit every web
-    // corpus needs: the clean synthetic corpus gets deterministic damage
-    // planted per doc_id%7 class (the q185 plant-then-detect device —
-    // UTF-8-as-Latin-1 "Ã©", the "â€™" triple, U+FFFD, a BEL control
-    // char, NBSP), and the detector reports per-source rates. Detection
-    // is instr on the planted markers (engine-identical codepoint
-    // search; a production sweep widens to regex classes) — pure
-    // per-row work, one |sources|-group agg, zero extra shuffle.
-    "q254_mojibake_scan" -> ((s, d) => {
-      val planted = doc(s, d).select(col("source"), concat(col("text"),
-        when(col("doc_id") % 7 === 0, lit(" cafÃ©"))
-          .when(col("doc_id") % 7 === 1, lit(" itâ€™s"))
-          .when(col("doc_id") % 7 === 2, lit(" bad�byte"))
-          .when(col("doc_id") % 7 === 3, lit(" ringtone"))
-          .when(col("doc_id") % 7 === 4, lit(" non break"))
-          .otherwise(lit(""))).as("text2"))
-      planted.groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum((instr(col("text2"), "Ã") > 0 ||
-          instr(col("text2"), "â€") > 0).cast("long"))
-          .as("n_mojibake"),
-        sum((instr(col("text2"), "�") > 0).cast("long")).as("n_replacement"),
-        sum((instr(col("text2"), "") > 0).cast("long")).as("n_control"),
-        sum((instr(col("text2"), " ") > 0).cast("long")).as("n_nbsp"))
-        .withColumn("clean_rate", round(lit(1.0) -
-          (col("n_mojibake") + col("n_replacement") + col("n_control") +
-            col("n_nbsp")).cast("double") / col("n_docs"), 4))
-    }),
-
-    // Padding-efficiency audit — the batching decision every trainer
-    // makes: fixed batches of 16 sequences padded to the batch max, cost
-    // compared between hash-shuffled order and length-sorted order
-    // (sorted batching is the standard padding-waste fix; this measures
-    // what it buys on THIS corpus). Batching runs per source — the
-    // shard-level sort a packing job does anyway; a global variant would
-    // use q193's two-phase rank. All token counts exact longs; the one
-    // ratio divides exact ints.
-    "q255_padding_efficiency" -> ((s, d) => {
-      val docs = doc(s, d).select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
-      def batched(rank: Column, strategy: String): DataFrame =
-        docs.withColumn("__b", floor((rank - 1) / 16))
-          .groupBy(col("source"), col("__b")).agg(
-            count(lit(1)).as("__n"), max(col("toks")).as("__mx"),
-            sum(col("toks")).as("__sum"))
-          .groupBy("source").agg(
-            count(lit(1)).as("n_batches"),
-            sum(col("__sum")).as("tokens"),
-            sum(col("__mx") * col("__n")).as("padded"))
-          .select(col("source"), lit(strategy).as("strategy"),
-            col("n_batches"), col("tokens"), col("padded"),
-            round((col("padded") - col("tokens")).cast("double") /
-              col("padded"), 4).as("waste_rate"))
-      val bySorted = batched(row_number().over(Window.partitionBy("source")
-        .orderBy(col("toks").desc, col("doc_id"))), "sorted")
-      val byHash = batched(row_number().over(Window.partitionBy("source")
-        .orderBy(md5(concat(lit("pad_"), col("doc_id"))), col("doc_id"))),
-        "hashed")
-      bySorted.unionByName(byHash)
-    }),
-
-    // Systematic PPS sampling — operators.Sampling.systematicPps over
-    // token-count weights: 100 equally-spaced probe points on the
-    // cumulative-weight line, each doc taken once per probe in its
-    // interval. ALL integer arithmetic (see the operator's scaladoc for
-    // the odd-count identity), so the sample is bit-identical on any
-    // engine/partitioning; Σ copies = 100 exactly (SamplingSpec).
-    "q256_systematic_pps" -> ((s, d) =>
-      graft.operators.Sampling.systematicPps(
-        doc(s, d).select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("toks")),
-        "doc_id", "toks", n = 100L)),
-
-    // Quality-threshold sweep — the q232 pattern on a map-only score:
-    // keep-rate and surviving tokens at five alpha-ratio cutoffs from ONE
-    // corpus scan (score computed once, thresholds exploded from a
-    // 5-element literal). The score division is exact-int/exact-int (one
-    // identical double) compared to literal thresholds — engine-exact.
-    "q257_quality_sweep" -> ((s, d) => {
-      val scored = doc(s, d).select(
-        size(split(col("text"), " ")).cast("long").as("toks"),
-        alphaRatio.as("__score"))
-      scored.select(col("toks"), col("__score"),
-          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
-            .as("threshold"))
-        .groupBy("threshold").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(col("__score") >= col("threshold"), 1L).otherwise(0L))
-            .as("n_keep"),
-          sum(when(col("__score") >= col("threshold"), col("toks"))
-            .otherwise(0L)).as("tokens_kept"))
-        .withColumn("keep_rate",
-          round(col("n_keep").cast("double") / col("n_docs"), 4))
-    }),
-
-    // Corpus length profile in exact log2 bins — the doc-length histogram
-    // every dataset card plots, with the bucket computed EXACTLY as the
-    // binary-representation length (floor(log2) with zero float seam —
-    // log2() would flip at exact powers of two) per source.
-    "q258_length_log_histogram" -> ((s, d) =>
-      doc(s, d).select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("toks"))
-        .withColumn("bucket", (length(bin(col("toks"))) - 1).cast("long"))
-        .groupBy("source", "bucket").agg(
-          count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-        .withColumn("lo", expr("CAST(1 AS BIGINT) << CAST(bucket AS INT)"))
-        .withColumn("hi", col("lo") * 2 - 1)),
-
-    // Export shard manifest — the planning table a 100 TB export writes
-    // before moving bytes: deterministic md5 sharding (the q103 seeded-
-    // hash device, engine-replayable), per-shard row/byte totals, id
-    // range, and an ORDER-FREE content digest (bit_xor of per-row 60-bit
-    // md5 prefixes — xor commutes, so the digest is partition-order-
-    // independent with no sort and no overflow). One |shards|-group agg.
-    "q259_export_manifest" -> ((s, d) =>
-      doc(s, d).select(col("doc_id"), col("text"))
-        .withColumn("shard", conv(substring(md5(concat(lit("shard_"),
-          col("doc_id"))), 1, 4), 16, 10).cast("long") % 16)
-        .withColumn("__fp", conv(substring(md5(col("text")), 1, 15), 16, 10)
-          .cast("long"))
-        .groupBy("shard").agg(
-          count(lit(1)).as("n_rows"),
-          sum(length(col("text")).cast("long")).as("bytes"),
-          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-          expr("bit_xor(__fp)").as("digest"))),
-
-    // Out-of-order CDC → latest-wins snapshot: the changelog-compaction
-    // MERGE every lakehouse table needs, with versions arriving in ANY
-    // order (q127's upsert assumes a clean op batch). Latest per key by
-    // the total order (tsu, event_id) via ONE max-struct agg — no window,
-    // one keyed shuffle; 'error' acts as the tombstone op (the harness
-    // changelog has no delete type), so a key whose LAST version is a
-    // tombstone leaves the snapshot entirely.
-    "q260_cdc_snapshot" -> ((s, d) => {
-      ev_(s, d).groupBy("user_id").agg(
-          max(struct(col("tsu"), col("event_id"), col("event_type")))
-            .as("__last"),
-          count(lit(1)).as("n_changes"))
-        .filter(col("__last.event_type") =!= "error")
-        .select(col("user_id"), col("__last.event_id").as("last_event_id"),
-          col("__last.tsu").as("last_tsu"), col("n_changes"))
-    }),
-
-    // ANALYZE TABLE, long form — the per-column statistics a cost-based
-    // planner (and every data catalog) keeps: one row per column with
-    // exact NDV, null count, and min/max/avg-length over a CANONICAL
-    // string encoding (longs print identically on every engine; floats
-    // and timestamps would not, so they ride exact cents/micros — the
-    // encoding is part of the profile's contract). One scan: stack
-    // unpivots the row to (column, value) pairs, one 6-group agg.
-    "q261_analyze_columns" -> ((s, d) =>
-      ord(s, d).selectExpr(
-        """stack(6,
-          | 'o_orderkey', CAST(o_orderkey AS STRING),
-          | 'o_custkey', CAST(o_custkey AS STRING),
-          | 'o_orderstatus', o_orderstatus,
-          | 'o_orderpriority', o_orderpriority,
-          | 'o_totalprice_cents',
-          |   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
-          | 'o_orderdate_us',
-          |   CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS STRING)
-          |) AS (column, value)""".stripMargin)
-        .groupBy("column").agg(
-          count(lit(1)).as("n_rows"),
-          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col("value")).as("ndv"),
-          min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"),
-          round(avg(length(col("value"))), 4).as("avg_len"))),
-
-    // Incremental aggregate maintenance — the partial-state merge every
-    // materialized view / streaming rollup is built on: each "batch"
-    // (orderdate half) computes mergeable per-nation partials (count,
-    // cent sum, min, max), and the published rollup is ONE merge of the
-    // partials — count/sum add, min/max fold — never a rescan of closed
-    // batches. The oracle computes the rollup DIRECTLY, proving
-    // merge(partials) ≡ full recompute, which is the contract that makes
-    // incremental maintenance sound. Exact longs end to end.
-    "q262_partial_agg_merge" -> ((s, d) => {
-      val o = ord(s, d)
-        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
-          col("c_nationkey")), "o_custkey")
-        .select(col("c_nationkey"),
-          (year(col("o_orderdate")) < 1997).as("__old"),
-          round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val partials = o.groupBy("c_nationkey", "__old").agg(
-        count(lit(1)).as("pn"), sum(col("cents")).as("psum"),
-        min(col("cents")).as("pmin"), max(col("cents")).as("pmax"))
-      partials.groupBy("c_nationkey").agg(
-        sum(col("pn")).as("n_orders"), sum(col("psum")).as("sum_cents"),
-        min(col("pmin")).as("min_cents"), max(col("pmax")).as("max_cents"),
-        count(lit(1)).as("n_batches"))
-    }),
-
-    // k-anonymity audit — the privacy gate before a demographic export:
-    // group sizes over the quasi-identifier (nation, segment, account-
-    // balance band), then the at-risk row/group counts at k = 2/5/10 in
-    // one sweep (the q257 pattern over the bounded QI-group table). The
-    // balance band rides exact cents (floor on a float division would
-    // seam at band edges) OFFSET to nonnegative before the integer
-    // division — balances go negative, and SQL DIV truncates toward zero
-    // while DuckDB's // floors, so a negative operand would band
-    // differently per engine. Everything else is exact counting.
-    "q263_k_anonymity" -> ((s, d) => {
-      val qi = Tables.customer(s, d).select(col("c_nationkey"),
-          col("c_mktsegment"),
-          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) " +
-            "DIV 100000 - 1000").as("__band"))
-        .groupBy("c_nationkey", "c_mktsegment", "__band")
-        .agg(count(lit(1)).as("__sz"))
-      qi.select(col("__sz"), explode(array(lit(2L), lit(5L), lit(10L)))
-          .as("k"))
-        .groupBy("k").agg(
-          count(lit(1)).as("n_groups"),
-          sum(when(col("__sz") < col("k"), 1L).otherwise(0L))
-            .as("groups_below_k"),
-          sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
-            .as("rows_at_risk"),
-          sum(col("__sz")).as("__total"))
-        .select(col("k"), col("n_groups"), col("groups_below_k"),
-          col("rows_at_risk"),
-          round(col("rows_at_risk").cast("double") / col("__total"), 4)
-            .as("risk_rate"))
-    }),
-
-    // Debounce / burst-collapse — the event-stream cleanup that precedes
-    // any per-event metric (double-clicks, retry storms): collapse each
-    // user's bursts (inter-event gap ≤ 1 h — the corpus's events are
-    // hours apart, so a seconds-scale window would collapse nothing and
-    // test nothing; ~8.5% of events fold at 1 h) to their FIRST event
-    // via gaps-and-islands — one lag window per user (user-partitioned,
-    // never corpus-wide), island start = gap > threshold. Output is the
-    // kept events; all compares on exact micros.
-    "q265_debounce" -> ((s, d) => {
-      val gapUs = 3600000000L
-      val e = ev_(s, d).select(col("user_id"), col("event_id"), col("tsu"))
-      e.withColumn("__prev", lag(col("tsu"), 1).over(
-          Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))))
-        .filter(col("__prev").isNull || col("tsu") - col("__prev") > gapUs)
-        .select("user_id", "event_id", "tsu")
-    }),
-
-    // Inter-arrival latency percentiles — the SLO table every ops feed
-    // publishes: per event type, exact p50/p95/p99 of the gap between
-    // consecutive events (type-partitioned lag over exact micros, then
-    // the A2 exact-percentile agg; linear interpolation of identical
-    // longs is engine-identical arithmetic).
-    "q266_gap_percentiles" -> ((s, d) => {
-      val e = ev_(s, d).select(col("event_type"), col("event_id"), col("tsu"))
-      val gaps = e.withColumn("__prev", lag(col("tsu"), 1).over(
-          Window.partitionBy("event_type")
-            .orderBy(col("tsu"), col("event_id"))))
-        .filter(col("__prev").isNotNull)
-        .select(col("event_type"), (col("tsu") - col("__prev")).as("gap_us"))
-      gaps.groupBy("event_type").agg(
-        count(lit(1)).as("n_gaps"),
-        round(expr("percentile(gap_us, 0.5)"), 4).as("p50_us"),
-        round(expr("percentile(gap_us, 0.95)"), 4).as("p95_us"),
-        round(expr("percentile(gap_us, 0.99)"), 4).as("p99_us"))
-    }),
-
-    // Two-proportion experiment readout — the A/B conversion test: users
-    // deterministically split by user_id parity, conversion = a
-    // high-value cut (≥ 15 purchases — "≥1" is degenerate on this
-    // corpus: every user purchases, and p = 1 zeroes the pooled
-    // variance); uplift and the pooled two-proportion z statistic as ONE
-    // mirrored float expression over exact integer counts (the q191
-    // shape), NULL-guarded for the degenerate p ∈ {0, 1} pools where
-    // the denominator is legitimately zero. One corpus agg + a 2-row
-    // pivot — nothing corpus-wide after the per-user collapse.
-    "q267_ab_proportions" -> ((s, d) => {
-      val users = ev_(s, d).groupBy("user_id").agg(
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-          .as("__np"))
-        .select(col("user_id"), when(col("__np") >= 15, 1L).otherwise(0L)
-          .as("conv"))
-      val arms = users.groupBy((col("user_id") % 2).as("arm")).agg(
-        count(lit(1)).as("n"), sum(col("conv")).as("x"))
-      val w = arms.agg(
-        sum(when(col("arm") === 0, col("n"))).as("n0"),
-        sum(when(col("arm") === 0, col("x"))).as("x0"),
-        sum(when(col("arm") === 1, col("n"))).as("n1"),
-        sum(when(col("arm") === 1, col("x"))).as("x1"))
-      val xt = col("x0") + col("x1")
-      val nt = col("n0") + col("n1")
-      w.select(col("n0"), col("x0"), col("n1"), col("x1"),
-        round(col("x1").cast("double") / col("n1") -
-          col("x0").cast("double") / col("n0"), 6).as("uplift"),
-        round(when(xt > 0 && xt < nt,
-          (col("x1").cast("double") / col("n1") -
-            col("x0").cast("double") / col("n0")) /
-            sqrt((xt.cast("double") / nt) *
-              (lit(1.0) - xt.cast("double") / nt) *
-              (lit(1.0) / col("n0") + lit(1.0) / col("n1")))), 4).as("z"))
-    }),
-
-    // Single changepoint detection — binary segmentation's first split
-    // over each type's daily count series: the split maximizing the
-    // between-segment SSE reduction, which for a split (S1,n1 | S,n)
-    // reduces to maximizing (S1·n − n1·S)² / (n1·(n−n1)) — ALL INTEGER
-    // except one final mirrored division (bounds: S ≤ corpus events,
-    // S1·n ≤ 1e5·1e3 at sf0.1; the long headroom is 9.2e18 — document
-    // before 100× scale-up, or lift to decimal). The day table is
-    // bounded (|types|×|days|), so its windows are bounded too; CUSUM
-    // (q172) flags drift, this PINPOINTS the break.
-    "q268_changepoint" -> ((s, d) => {
-      val daily = ev_(s, d)
-        .groupBy(col("event_type"), expr("tsu DIV 86400000000").as("day"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-      val pre = daily
-        .withColumn("__i", row_number().over(w))
-        .withColumn("__s1", sum(col("c")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .withColumn("__s", sum(col("c")).over(Window.partitionBy("event_type")))
-        .filter(col("__i") < col("__n"))
-        .withColumn("__num",
-          (col("__s1") * col("__n") - col("__i") * col("__s")) *
-            (col("__s1") * col("__n") - col("__i") * col("__s")))
-        .withColumn("__den", col("__i") * (col("__n") - col("__i")))
-      pre.withColumn("__rk", row_number().over(
-          Window.partitionBy("event_type").orderBy(
-            (col("__num").cast("double") / col("__den")).desc, col("day"))))
-        .filter(col("__rk") === 1)
-        .select(col("event_type"), col("day").as("split_day"),
-          col("__i").as("n_days_before"),
-          round(col("__num").cast("double") / col("__den") /
-            (col("__n") * col("__n")), 4).as("sse_reduction"))
-    }),
-
-    // Distinctive terms per source — Monroe et al.'s log-odds with an
-    // informative Dirichlet prior (the corpus-analysis "what makes source
-    // X different"): per (source, word), delta = log-odds vs the Rest
-    // with prior a_w = a0·(corpus share), z = delta/sqrt(1/(y+a) +
-    // 1/(y'+a')). All counts exact longs; the float chain is mirrored
-    // op-for-op and the per-source top-5 ranks by the ROUNDED z (q219
-    // rule: never rank on a raw libm value), tie-broken by word. Two hash
-    // aggs + a broadcast of the bounded vocab table.
-    "q270_distinctive_terms" -> ((s, d) => {
-      val words = doc(s, d).select(col("source"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-      val sw = words.groupBy("source", "w").agg(count(lit(1)).as("ysw"))
-      val tot = words.groupBy("w").agg(count(lit(1)).as("yw"))
-      val ns = words.groupBy("source").agg(count(lit(1)).as("nsrc"))
-      val n = words.agg(count(lit(1)).as("ntot"))
-      val a0 = 1000.0
-      val scored = sw.join(broadcast(tot), "w").join(broadcast(ns), "source")
-        .crossJoin(broadcast(n))
-        .withColumn("aw", lit(a0) * col("yw") / col("ntot"))
-        .withColumn("yrw", col("yw") - col("ysw"))
-        .withColumn("nrest", col("ntot") - col("nsrc"))
-        .withColumn("delta",
-          log((col("ysw") + col("aw")) /
-            (col("nsrc") + lit(a0) - col("ysw") - col("aw"))) -
-          log((col("yrw") + col("aw")) /
-            (col("nrest") + lit(a0) - col("yrw") - col("aw"))))
-        .withColumn("z", round(col("delta") /
-          sqrt(lit(1.0) / (col("ysw") + col("aw")) +
-            lit(1.0) / (col("yrw") + col("aw"))), 4))
-      scored.withColumn("rk", row_number().over(
-          Window.partitionBy("source").orderBy(col("z").desc, col("w"))))
-        .filter(col("rk") <= 5)
-        .select(col("source"), col("w"), col("ysw"), col("z"),
-          col("rk").cast("long").as("rk"))
-    }),
-
-    // KV-cache prefix-sharing estimate — the inference-cost audit for a
-    // serving fleet: documents sharing their first k tokens re-use one
-    // cached prefix, so tokens_saved = Σ_groups (count−1)·k. Swept at
-    // k = 4/8/16 in one scan (explode the k literals, group by (k,
-    // prefix)); only docs with ≥ k tokens join group k. Exact integers
-    // into one mirrored division per k.
-    "q271_prefix_cache" -> ((s, d) => {
-      val docs = doc(s, d).select(split(col("text"), " ").as("t"))
-      val total = docs.agg(sum(size(col("t")).cast("long")).as("ntok"))
-      val pref = docs.select(size(col("t")).cast("long").as("len"),
-          explode(array(lit(4), lit(8), lit(16))).as("k"), col("t"))
-        .filter(col("len") >= col("k"))
-        .select(col("k").cast("long").as("k"),
-          expr("array_join(slice(t, 1, k), ' ')").as("prefix"))
-      pref.groupBy("k", "prefix").agg(count(lit(1)).as("__c"))
-        .groupBy("k").agg(
-          count(lit(1)).as("n_prefixes"),
-          sum(col("__c")).as("n_docs"),
-          sum((col("__c") - 1) * col("k")).as("tokens_saved"))
-        .crossJoin(broadcast(total))
-        .select(col("k"), col("n_prefixes"), col("n_docs"),
-          col("tokens_saved"),
-          round(col("tokens_saved").cast("double") / col("ntok"), 6)
-            .as("saved_rate"))
-    }),
-
-    // Degree assortativity — Newman's r for the co-purchase graph: the
-    // Pearson correlation of endpoint degrees over (symmetrized) edges —
-    // do hubs attach to hubs? Degrees are one count agg; the correlation
-    // rides exact integer moments through the q225 decimal/HUGEINT
-    // closed form (n·Σxy − Σx·Σy over the two √ terms) — zero float
-    // aggregation anywhere.
-    "q282_assortativity" -> ((s, d) => {
-      val p = copurchasePairs(s, d)
-      val edges = p.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      val j = edges
-        .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
-        .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
-      // degree-product sums in decimal(38,0) — hub degrees square into
-      // LONG-overflow range at scale (same reasoning as q274)
-      def dec(c: Column) = c.cast("decimal(38,0)")
-      val m = j.agg(count(lit(1)).as("n"),
-        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
-        sum(dec(col("dx")) * dec(col("dy"))).as("sxy"),
-        sum(dec(col("dx")) * dec(col("dx"))).as("sxx"),
-        sum(dec(col("dy")) * dec(col("dy"))).as("syy"))
-      val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
-      val denx = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
-      val deny = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
-      m.select(col("n").as("n_edge_ends"),
-        round(when(denx > 0 && deny > 0, num.cast("double") /
-          sqrt(denx.cast("double") * deny.cast("double"))), 6)
-          .as("assortativity"))
-    }),
-
-    // Heaps' law — vocabulary growth V(N) across corpus-size deciles:
-    // each word's FIRST decile of appearance (one min-agg over the
-    // postings — never a per-prefix re-scan), new-word counts per
-    // decile, cumulative V over the bounded 10-row table, and the
-    // log-log growth exponent from the first/last point (ln ratio — one
-    // mirrored float expression). The "scan 10 prefixes" naive form
-    // would be 10 corpus passes; this is one.
-    "q283_heaps_law" -> ((s, d) => {
-      val n = doc(s, d).agg(max(col("doc_id")).as("__mx"),
-        min(col("doc_id")).as("__mn"))
-      val words = doc(s, d).select(col("doc_id"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-        .crossJoin(broadcast(n))
-        // decile 1..10 by doc_id position in the id range (ids are dense
-        // in the harness; the contract is "10 ordered corpus slices",
-        // any monotone id works); exact integer DIV — nonneg operands
-        .withColumn("decile", least(lit(10L),
-          expr("((doc_id - __mn) * 10) DIV (__mx - __mn + 1)") + 1))
-      val firstSeen = words.groupBy("w").agg(min(col("decile")).as("decile"))
-      val perDecile = firstSeen.groupBy("decile")
-        .agg(count(lit(1)).as("new_words"))
-      val toks = words.groupBy("decile").agg(count(lit(1)).as("tokens"))
-      // drive from the token side (every decile has tokens) — a decile
-      // that introduces no new vocabulary must still appear with
-      // new_words = 0, or the growth curve silently loses points
-      toks.join(perDecile, Seq("decile"), "left")
-        .withColumn("new_words", coalesce(col("new_words"), lit(0L)))
-        .withColumn("vocab", sum(col("new_words")).over(
-          Window.orderBy("decile")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("cum_tokens", sum(col("tokens")).over(
-          Window.orderBy("decile")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("decile"), col("new_words"),
-          col("vocab").cast("long").as("vocab"),
-          col("cum_tokens").cast("long").as("cum_tokens"))
-    }),
-
-    // Burstiness — the Fano factor (variance-to-mean ratio of hourly
-    // counts) per event type: F ≈ 1 is Poisson-like traffic, F ≫ 1 is
-    // bursty. Counts and squared sums exact longs (q246's moment table),
-    // one mirrored float expression; |types| output rows.
-    "q284_burstiness" -> ((s, d) => {
-      val hourly = ev_(s, d).groupBy(col("event_type"),
-          expr("tsu DIV 3600000000").as("h"))
-        .agg(count(lit(1)).as("c"))
-      hourly.groupBy("event_type").agg(
-          count(lit(1)).as("n_hours"), sum(col("c")).as("n_events"),
-          sum(col("c") * col("c")).as("__s2"))
-        .select(col("event_type"), col("n_hours"), col("n_events"),
-          round((col("__s2").cast("double") -
-            col("n_events").cast("double") * col("n_events") / col("n_hours"))
-            / col("n_hours") /
-            (col("n_events").cast("double") / col("n_hours")), 6)
-            .as("fano"))
-    }),
-
-    // TPC-H Q20 shape — nested IN with a correlated aggregate ("suppliers
-    // who dominated shipment of some SMALL part in 1996"): the classic
-    //   s_suppkey IN (SELECT ... WHERE qty > 0.5 * (correlated SUM))
-    // decorrelated by hand into aggregate algebra — ONE date+type-filtered
-    // scan aggregated per (part, supplier), the correlated per-part total
-    // as a sum-window over that bounded aggregate (a join back to a
-    // re-grouped copy would re-scan the fact: the plan showed two full
-    // lineitem subtrees), then a left-semi into supplier. Shuffles:
-    // lineitem once on (partkey, suppkey), the aggregate once on partkey
-    // — the window partitions are per-part supplier lists, bounded.
-    // Quantities are integral doubles, so the sums and the 0.5×
-    // threshold compare are exact on both engines.
-    "q285_tpch_q20" -> ((s, d) => {
-      val pk = Tables.part(s, d).filter(col("p_type") === "SMALL")
-        .select(col("p_partkey").as("l_partkey"))
-      val l96 = li(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        .join(broadcast(pk), "l_partkey")
-      val perPS = l96.groupBy("l_partkey", "l_suppkey")
-        .agg(sum(col("l_quantity")).as("__q"))
-      val dominant = perPS
-        .withColumn("__tot",
-          sum(col("__q")).over(Window.partitionBy("l_partkey")))
-        .filter(col("__q") > col("__tot") * 0.5)
-        .select(col("l_suppkey").as("s_suppkey")).distinct()
-      Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
-        .join(dominant, Seq("s_suppkey"), "left_semi")
-    }),
-
-    // TPC-H Q22 shape — scalar subquery + NOT EXISTS anti-join ("rich
-    // customers gone quiet"): balance above the global positive-balance
-    // average AND no order since 1999, counted per nation. The scalar
-    // subquery is a 1-row aggregate broadcast-crossed into the customer
-    // scan; NOT EXISTS decorrelates to a left-anti join against the
-    // DISTINCT recent-order custkeys (the date filter reaches the orders
-    // scan). The average is rounded 4 dp before the compare so the
-    // threshold is the same bits on both engines (the q93 mu/sigma
-    // rule); balance sums ride exact cent longs.
-    "q286_tpch_q22" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
-      val avgBal = cust.filter(col("c_acctbal") > 0)
-        .agg(round(avg(col("c_acctbal")), 4).as("__avg"))
-      val recent = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
-        .select(col("o_custkey").as("c_custkey")).distinct()
-      cust.crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("__avg"))
-        .join(recent, Seq("c_custkey"), "left_anti")
-        .groupBy("c_nationkey").agg(
-          count(lit(1)).as("numcust"),
-          round(sum(round(col("c_acctbal") * 100).cast("long"))
-            .cast("double") / 100, 2).as("totacctbal"))
-    }),
-
-    // TPC-H Q2 shape — correlated scalar-min subquery ("the cheapest
-    // supplier of each part"): WHERE unit = (SELECT min(unit) ... same
-    // part) decorrelated into ONE argmin aggregate — min(struct(price,
-    // suppkey)) per part — instead of a min-subquery + equality join
-    // back (which would scan the pair aggregate twice and return
-    // duplicate rows on price ties; the struct min is deterministic by
-    // the suppkey tie-break, documented divergence from the tie-keeping
-    // textbook form). Unit prices are rounded to cent longs BEFORE the
-    // min so the compare is integer-exact on both engines.
-    "q287_tpch_q2" -> ((s, d) => {
-      val pk = Tables.part(s, d)
-        .filter(col("p_type") === "PROMO" && col("p_size") > 25)
-        .select(col("p_partkey").as("l_partkey"))
-      // qty > 0 guard: the fixtures guarantee it, but on a zero-quantity
-      // line Spark ANSI overflows on round(Inf) where DuckDB nulls —
-      // excluding degenerate lines is the documented contract (mirrored
-      // in the oracle)
-      val unit = li(s, d)
-        .filter(col("l_quantity") > 0)
-        .select(col("l_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice") / col("l_quantity") * 100)
-            .cast("long").as("__u"))
-        .join(broadcast(pk), "l_partkey")
-        .groupBy("l_partkey", "l_suppkey").agg(min(col("__u")).as("__mu"))
-      unit.groupBy(col("l_partkey").as("p_partkey"))
-        .agg(min(struct(col("__mu"), col("l_suppkey"))).as("__best"))
-        .select(col("p_partkey"),
-          col("__best.l_suppkey").as("s_suppkey"),
-          round(col("__best.__mu").cast("double") / 100, 2).as("unit_price"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
-        .select("p_partkey", "s_suppkey", "s_name", "unit_price")
-    }),
-
-    // TPC-H Q11 shape — grouped agg with HAVING against a global scalar
-    // ("parts worth a material share of total revenue"): the scalar total
-    // is re-aggregated from the per-part partials (one fact scan), the
-    // HAVING compare is INTEGER algebra (rev·2000 > total) rather than a
-    // float share — exact at any scale, no epsilon. rev·2000 needs a
-    // per-part revenue past ~4.6e15 cents to overflow Long (and ANSI
-    // would fail loud, not wrap). The 1-row total broadcasts; nothing
-    // but the fact agg shuffles.
-    "q288_tpch_q11" -> ((s, d) => {
-      val perPart = li(s, d)
-        .groupBy("l_partkey")
-        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
-          .as("__rev"))
-      val tot = perPart.agg(sum(col("__rev")).as("__tot"))
-      perPart.crossJoin(broadcast(tot))
-        .filter(col("__rev") * 2000 > col("__tot"))
-        .select(col("l_partkey").as("p_partkey"),
-          round(col("__rev").cast("double") / 100, 2).as("value"))
-    }),
-
-    // TPC-H Q13 shape — count distribution over a filtered LEFT join
-    // ("how many customers placed 0, 1, 2, ... non-urgent orders"): the
-    // zero bucket only exists because the join is left-outer and the
-    // filter sits in the JOIN CONDITION, not a WHERE (the classic Q13
-    // trap — a WHERE would silently drop order-less customers). Orders
-    // shuffle once on custkey; both aggs are keyed.
-    "q289_tpch_q13" -> ((s, d) => {
-      val o = ord(s, d)
-        .filter(col("o_orderpriority") =!= "1-URGENT")
-        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"))
-      Tables.customer(s, d).select("c_custkey")
-        .join(o, Seq("c_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
-    }),
-
-    // TPC-H Q15 shape — "the view with the scalar max" (top supplier(s)
-    // by windowed revenue, ties kept): the revenue view aggregates once,
-    // the max is a 1-row re-aggregate broadcast back, and the filter is
-    // an exact cent-long equality — the decorrelated form of
-    //   WHERE total_revenue = (SELECT max(total_revenue) FROM view).
-    "q290_tpch_q15" -> ((s, d) => {
-      val rev = li(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
-        .groupBy(col("l_suppkey").as("s_suppkey"))
-        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * 100).cast("long")).as("__rc"))
-      val mx = rev.agg(max(col("__rc")).as("__mx"))
-      rev.crossJoin(broadcast(mx))
-        .filter(col("__rc") === col("__mx"))
-        .join(broadcast(Tables.supplier(s, d)
-          .select(col("s_suppkey"), col("s_name"))), "s_suppkey")
-        .select(col("s_suppkey"), col("s_name"),
-          round(col("__rc").cast("double") / 100, 2).as("total_revenue"))
-    }),
-
-    // TPC-H Q16 shape — NOT IN + COUNT DISTINCT ("supplier diversity per
-    // brand/size, excluding blacklisted suppliers"): the NOT IN
-    // decorrelates to a left-anti join against the bounded blacklist
-    // (negative-balance suppliers), supplier-part pairs come from the
-    // fact (distinct'd in the same agg), and the distinct count is a
-    // keyed two-level agg — no OrderBy, no global exchange.
-    "q291_tpch_q16" -> ((s, d) => {
-      val sizes = Seq(1, 4, 9, 16, 25, 36, 49)
-      val p = Tables.part(s, d)
-        .filter(col("p_type") =!= "PROMO" && col("p_size").isin(sizes: _*))
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"),
-          col("p_size"))
-      val bad = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
-        .select(col("s_suppkey").as("l_suppkey"))
-      val pairs = li(s, d).select(col("l_partkey"), col("l_suppkey"))
-        .join(broadcast(p), "l_partkey")
-        .join(broadcast(bad), Seq("l_suppkey"), "left_anti")
-      pairs.groupBy("p_brand", "p_size")
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-    }),
-
-    // TPC-H Q18 shape — IN over a grouped HAVING ("large-volume
-    // orders"): the IN-subquery is the same grouped aggregate the outer
-    // query needs, so it collapses to one lineitem agg + HAVING filter
-    // joined back to orders/customer — the fact shuffles once on
-    // orderkey and the qualifying-order table (HAVING-bounded) drives
-    // the joins. Quantities are integral doubles: sums exact.
-    "q292_tpch_q18" -> ((s, d) => {
-      val big = li(s, d).groupBy("l_orderkey")
-        .agg(sum(col("l_quantity")).as("total_qty"))
-        .filter(col("total_qty") > 250)
-      big.join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_custkey"), col("o_totalprice"),
-          unix_timestamp(col("o_orderdate")).as("o_orderdate_s")),
-          "l_orderkey")
-        .join(Tables.customer(s, d)
-          .select(col("c_custkey").as("o_custkey"), col("c_name")),
-          Seq("o_custkey"))
-        .select(col("c_name"), col("o_custkey").as("c_custkey"),
-          col("l_orderkey").as("o_orderkey"), col("o_orderdate_s"),
-          col("o_totalprice"), col("total_qty"))
-    }),
-
-    // Clustering-depth audit — the layout advisor's objective function
-    // (Delta/Iceberg "liquid clustering" literature): for each candidate
-    // file layout, how many files' [min, max] shipdate ranges overlap
-    // each file (1.0 = perfectly clustered, n_files = useless stats).
-    // q214 measures ONE probe; this scores the whole layout.
-    //
-    // Shape: ONE tagged-explode fact pass builds all three layouts'
-    // extent tables (a per-layout subtree re-scans the fact each time),
-    // then overlap counts come from a SWEEP-LINE over the extent
-    // endpoints — overlap_i = #{fmin_j ≤ fmax_i} − #{fmax_j < fmin_i},
-    // two running counters in one window — instead of the naive
-    // interval self-join, which is manifest² (a 1e5-file manifest would
-    // mean 1e10 comparisons; the sweep is linear and references the
-    // extent subtree ONCE, so nothing recomputes). The per-layout
-    // window runs over manifest-cardinality metadata (4 rows per file);
-    // past ~1e6 files per layout, lift it through the GlobalRank
-    // bucketed prefix-sum device. Extents are exact micros; the one
-    // division is mirrored.
-    "q293_clustering_depth" -> ((s, d) => {
-      val base = li(s, d).select(col("l_orderkey"),
-        unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
-      val ext = base.agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
-      // ONE tagged-explode fact pass for all three layouts (a per-layout
-      // subtree would re-scan the fact once per layout — 4 full reads at
-      // 100 TB); map-side partial agg collapses the 3x exploded rows to
-      // manifest cardinality per partition before the one shuffle
-      val f = base.crossJoin(broadcast(ext))
-        .select(col("sd"), explode(array(
-          struct(lit("natural").as("lay"),
-            expr("l_orderkey DIV 1000").as("fid")),
-          struct(lit("clustered").as("lay"),
-            expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)").as("fid")),
-          struct(lit("roundrobin").as("lay"),
-            expr("l_orderkey % 16").as("fid")))).as("lf"))
-        .groupBy(col("lf.lay").as("lay"), col("lf.fid").as("fid"))
-        .agg(min(col("sd")).as("fmin"), max(col("sd")).as("fmax"))
-      // sweep events per extent: start(t0) and probeA(t2) at/for fmax's
-      // ≤-count, probeB(t1) and end(t3) for the strict < count — the t
-      // order makes "start at pos == probe pos" count (≤) and "end at
-      // pos == probe pos" not count (<); rows tied on (pos, t) are
-      // mutually order-free because a row type never reads its own
-      // counter
-      val evs = f.select(col("lay"), col("fid"), explode(array(
-          struct(col("fmin").as("pos"), lit(0).as("t")),
-          struct(col("fmin").as("pos"), lit(1).as("t")),
-          struct(col("fmax").as("pos"), lit(2).as("t")),
-          struct(col("fmax").as("pos"), lit(3).as("t")))).as("e"))
-        .select(col("lay"), col("fid"),
-          col("e.pos").as("pos"), col("e.t").as("t"))
-      val w = Window.partitionBy("lay").orderBy("pos", "t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      evs
-        .withColumn("cs", sum(when(col("t") === 0, 1L).otherwise(0L)).over(w))
-        .withColumn("ce", sum(when(col("t") === 3, 1L).otherwise(0L)).over(w))
-        .groupBy("lay", "fid").agg(
-          (max(when(col("t") === 2, col("cs"))) -
-            max(when(col("t") === 1, col("ce")))).as("__ov"))
-        .groupBy(col("lay").as("layout")).agg(count(lit(1)).as("n_files"),
-          round(sum(col("__ov")).cast("double") / count(lit(1)), 6)
-            .as("avg_overlap"),
-          max(col("__ov")).as("max_overlap"))
-    }),
-
-    // Join-cardinality estimation audit — the optimizer-statistics
-    // primitive behind every join reorder: |A ⋈ B| on a key predicted
-    // from (a) the System-R global uniform formula n²/ndv and (b) a
-    // 16-bucket histogram refinement Σ n_b²/ndv_b, scored against the
-    // exact Σ c_k² (the self-join size that dedup/co-purchase planning
-    // needs). Everything rides ONE per-key count agg (key-cardinality,
-    // the only fact shuffle); estimates are integer DIV algebra — no
-    // float until the final mirrored error ratio. Arithmetic bound: the
-    // n·n products are exact to ~3·10⁹ rows per arm (ANSI fails loud,
-    // never wraps); past that, lift the products through the q225
-    // decimal(38,0) device — deliberately NOT done here because Spark's
-    // decimal division rounds HALF_UP at scale 6 where DuckDB truncates,
-    // a 5e-7-wide parity seam the long DIV form cannot have.
-    "q294_join_card_estimate" -> ((s, d) => {
-      val ck = li(s, d).groupBy("l_partkey").agg(count(lit(1)).as("c"))
-      val exact = ck.agg(sum(col("c") * col("c")).as("exact"))
-      val global = ck.agg(sum(col("c")).as("__n"), count(lit(1)).as("__v"))
-        .select(lit("global").as("method"),
-          expr("__n * __n DIV __v").as("est"))
-      val hist = ck.groupBy(expr("l_partkey % 16").as("__b"))
-        .agg(sum(col("c")).as("__nb"), count(lit(1)).as("__vb"))
-        .agg(sum(expr("__nb * __nb DIV __vb")).as("est"))
-        .select(lit("hist16").as("method"), col("est"))
-      global.unionByName(hist).crossJoin(broadcast(exact))
-        .select(col("method"), col("est"), col("exact"),
-          round((col("est") - col("exact")).cast("double") / col("exact"), 6)
-            .as("rel_err"))
-    }),
-
-    // Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
-    // '01) — the LM complement to q122's BM25: score(d) = Σ_t log((tf +
-    // μ·cf_t/|C|)/(|d| + μ)), μ = 2000. Per-doc tf via HOF filter over
-    // the token array (zero shuffle before the 1-row collection-stats
-    // agg, which broadcasts back); absent terms still get the smoothed
-    // collection mass — the reason QLD needs no per-term join. The
-    // 3-term log sum is written in FIXED order on both engines (never a
-    // float agg), ranking is by the rounded score (q219 rule), and the
-    // top-10 is TakeOrdered — no corpus-wide window. Contract: probe
-    // terms occur in the corpus (cf > 0), else log(0).
-    "q295_qld_retrieval" -> ((s, d) => {
-      val mu = 2000.0
-      def tf(t: String) = size(filter(col("__t"), x => x === lit(t)))
-      val base = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("__t"))
-        .select(col("doc_id"), size(col("__t")).as("dl"),
-          tf("vector").as("tf1"), tf("join").as("tf2"), tf("scan").as("tf3"))
-      val cstats = base.agg(sum(col("dl")).as("ct"), sum(col("tf1")).as("cf1"),
-        sum(col("tf2")).as("cf2"), sum(col("tf3")).as("cf3"))
-      def term(tfc: String, cfc: String) =
-        log((col(tfc) + lit(mu) * col(cfc) / col("ct")) / (col("dl") + lit(mu)))
-      base.crossJoin(broadcast(cstats))
-        .select(col("doc_id"),
-          round(term("tf1", "cf1") + term("tf2", "cf2") + term("tf3", "cf3"), 6)
-            .as("qld"))
-        .orderBy(col("qld").desc, col("doc_id").asc).limit(10)
-    }),
-
-    // Brier-score decomposition (Murphy '73) — the forecast-eval
-    // primitive behind every calibration dashboard: BS, reliability,
-    // resolution, uncertainty over 10 probability bins. The forecast is
-    // a deterministic pseudo-probability (orderkey·7919 mod 100, cents)
-    // so every ingredient is an EXACT integer: the Brier numerator is
-    // Σ(p_cents − 100y)² as longs, and the per-bin REL/RES terms are
-    // doubles built from exact ints and folded in EXPLICIT bin order
-    // via aggregate() over the sorted 10-element array — never a
-    // float-sum agg (the q215 fixed-order device, generalized). One
-    // fact agg to 10 rows; everything after is bounded.
-    "q296_brier_decomposition" -> ((s, d) => {
-      val p = ord(s, d).select(
-        expr("o_orderkey * 7919 % 100").as("pc"),
-        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
-      val bins = p.groupBy(expr("pc DIV 10").as("bin")).agg(
-        count(lit(1)).as("n"), sum(col("pc")).as("sp"), sum(col("y")).as("sy"),
-        sum((col("pc") - lit(100L) * col("y")) *
-            (col("pc") - lit(100L) * col("y"))).as("sq"))
-      bins.agg(
-          sum(col("n")).as("N"), sum(col("sy")).as("SY"), sum(col("sq")).as("SQ"),
-          collect_list(struct(col("bin"), col("n"), col("sp"), col("sy")))
-            .as("__b"))
-        .select(col("N"), col("SY"), col("SQ"),
-          expr("""aggregate(array_sort(__b), 0.0D, (acc, x) ->
-                 |  acc + (CAST(x.sp AS DOUBLE) / 100 - x.sy) *
-                 |        (CAST(x.sp AS DOUBLE) / 100 - x.sy) / x.n)"""
-            .stripMargin).as("__rel"),
-          expr("""aggregate(array_sort(__b), 0.0D, (acc, x) ->
-                 |  acc + (CAST(x.sy AS DOUBLE) / x.n - CAST(SY AS DOUBLE) / N) *
-                 |        (CAST(x.sy AS DOUBLE) / x.n - CAST(SY AS DOUBLE) / N) *
-                 |        x.n)""".stripMargin).as("__res"))
-        .select(
-          round(col("SQ").cast("double") / col("N") / 10000, 6).as("brier"),
-          round(col("__rel") / col("N"), 6).as("reliability"),
-          round(col("__res") / col("N"), 6).as("resolution"),
-          round((col("SY").cast("double") / col("N")) *
-            (lit(1.0) - col("SY").cast("double") / col("N")), 6)
-            .as("uncertainty"))
-    }),
-
-    // l-diversity audit — k-anonymity's (q263) necessary complement:
-    // a group can be k-large yet leak its sensitive attribute if every
-    // member shares one value. Per quasi-identifier group (priority ×
-    // order year), count rows and DISTINCT sensitive values; groups
-    // with l < 2 are homogeneous leaks. Bounded output (|QI| groups),
-    // one keyed two-level agg, exact longs.
-    "q297_l_diversity" -> ((s, d) =>
-      ord(s, d).groupBy(col("o_orderpriority"),
-          year(col("o_orderdate")).cast("long").as("yr"))
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("o_orderstatus")).as("l_distinct"))
-        .withColumn("diverse", col("l_distinct") >= 2)),
-
-    // Top session paths — the product-analytics "what do sessions look
-    // like" feed: per (user, 30-min session), the first three event
-    // types in time order joined as a path string, then the global
-    // top-10 path counts. Sessionization is q31's strict-> gap rule;
-    // both windows ride ONE user_id exchange (same partitioning), the
-    // rank filter caps rows BEFORE the per-session array agg (bounded
-    // state by construction), and the top-10 is TakeOrdered on
-    // (count desc, path asc) — no corpus-wide window anywhere.
-    "q298_top_paths" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val sess = ev(s, d).select(col("user_id"), col("event_id"),
-          col("ts"), col("event_type"))
-        .withColumn("__prev", lag(col("ts"), 1).over(w))
-        .withColumn("__new", when(col("__prev").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("__prev")) > 1800L,
-          1L).otherwise(0L))
-        .withColumn("__sess", sum(col("__new")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("user_id", "__sess").orderBy("ts", "event_id")))
-        .filter(col("__rn") <= 3)
-      sess.groupBy("user_id", "__sess")
-        .agg(array_join(transform(
-          array_sort(collect_list(struct(col("__rn"), col("event_type")))),
-          x => x.getField("event_type")), ">").as("path"))
-        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-        .orderBy(col("n_sessions").desc, col("path").asc).limit(10)
-    }),
-
-    // RFM segmentation — the classic BI customer grid (recency /
-    // frequency / monetary quintiles): per-customer stats in ONE keyed
-    // agg (cents-exact monetary), quintile boundaries from ONE
-    // array-probability percentile pass per metric (the q278 device —
-    // never five sorts), scores as exact boundary-compare sums, recency
-    // inverted so 5 = most recent. Boundary doubles are
-    // interpolation-identical on both engines (q278 precedent); every
-    // compare after that is long vs double with the same bits. Output
-    // is the bounded segment grid (≤125 rows).
-    "q299_rfm_segments" -> ((s, d) => {
-      val o = ord(s, d).select(col("o_custkey"), col("o_orderdate"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val ref = o.agg(max(col("o_orderdate")).as("__ref"))
-      val per = o.groupBy("o_custkey").agg(
-          max(col("o_orderdate")).as("__last"),
-          count(lit(1)).as("freq"), sum(col("cents")).as("mon"))
-        .crossJoin(broadcast(ref))
-        .withColumn("rec", datediff(col("__ref"), col("__last")).cast("long"))
-      val bounds = per.agg(
-        expr("percentile(rec, array(0.2, 0.4, 0.6, 0.8))").as("br"),
-        expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").as("bf"),
-        expr("percentile(mon, array(0.2, 0.4, 0.6, 0.8))").as("bm"))
-      def score(m: String, b: String) = (lit(1) + (0 to 3).map(i =>
-        when(col(m) > col(b).getItem(i), 1).otherwise(0)).reduce(_ + _))
-        .cast("long")
-      per.crossJoin(broadcast(bounds))
-        .withColumn("r", lit(6L) - score("rec", "br"))
-        .withColumn("f", score("freq", "bf"))
-        .withColumn("m", score("mon", "bm"))
-        .groupBy(format_string("%d-%d-%d", col("r"), col("f"), col("m"))
-          .as("segment"))
-        .agg(count(lit(1)).as("n_customers"),
-          round(sum(col("mon")).cast("double") / 100, 2).as("monetary"))
-    }),
-
-    // N-gram novelty by corpus slice — the "is the tail of the corpus
-    // still teaching anything" curve (q283's Heaps law at bigram-
-    // OCCURRENCE level): per decile, the fraction of bigram occurrences
-    // whose bigram first appeared in THAT decile. Bigrams are cut
-    // per-row with zip_with (no self-join), first-seen is one min-agg,
-    // and everything is exact longs into one mirrored ratio.
-    "q300_ngram_novelty" -> ((s, d) => {
-      val n = doc(s, d).agg(max(col("doc_id")).as("__mx"),
-        min(col("doc_id")).as("__mn"))
-      val bi = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
-        .crossJoin(broadcast(n))
-        .withColumn("decile", least(lit(10L),
-          expr("((doc_id - __mn) * 10) DIV (__mx - __mn + 1)") + 1))
-        .select(col("decile"), explode(expr(
-          """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
-            |         slice(t, 2, greatest(size(t) - 1, 0)),
-            |  (a, b) -> concat(a, ' ', b))""".stripMargin)).as("g"))
-      val occ = bi.groupBy("decile", "g").agg(count(lit(1)).as("__c"))
-      val first = occ.groupBy("g").agg(min(col("decile")).as("__fd"))
-      occ.join(first, "g")
-        .groupBy("decile").agg(
-          sum(col("__c")).as("total_occ"),
-          sum(when(col("decile") === col("__fd"), col("__c")).otherwise(0L))
-            .as("novel_occ"))
-        .withColumn("novelty_rate",
-          round(col("novel_occ").cast("double") / col("total_occ"), 6))
-    }),
-
-    // TPC-H Q5 shape — the snowflake "local supplier volume" join: fact ⋈
-    // orders ⋈ customer ⋈ supplier with the *non-key* equality
-    // c_nationkey = s_nationkey (the classic join-graph cycle), nation ⋈
-    // region folded to a broadcast dimension. The fact shuffles once per
-    // big key (orderkey, custkey, suppkey); the region filter prunes the
-    // nation broadcast to 5 rows BEFORE it touches the fact, and the date
-    // band reaches the orders scan. Revenue rides exact cent longs.
-    "q301_tpch_q5" -> ((s, d) => {
-      val asia = Tables.nation(s, d)
-        .join(broadcast(Tables.region(s, d)
-          .filter(col("r_name") === "ASIA")
-          .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
-        .select(col("n_nationkey"), col("n_name"))
-      val o96 = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey").as("l_suppkey"),
-          col("s_nationkey").as("n_nationkey"))
-      li(s, d).select(col("l_orderkey"), col("l_suppkey"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-            .cast("long").as("__c"))
-        .join(o96, "l_orderkey")
-        .join(cust, "o_custkey")
-        .join(sup, "l_suppkey")
-        .filter(col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(asia), "n_nationkey")
-        .groupBy("n_name")
-        .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"))
-    }),
-
-    // TPC-H Q6 shape — the pure predicate-pushdown showcase: a
-    // filter-everything scalar aggregate whose date band + discount band +
-    // quantity cap must ALL reach the parquet scan (PushedFilters shows
-    // the full conjunction; the scan reads 4 of 11 columns). No shuffle
-    // beyond the 1-row partial-agg merge. Forecast-revenue cents exact.
-    "q302_tpch_q6" -> ((s, d) => {
-      li(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
-          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-          col("l_quantity") < 24)
-        .agg(
-          round(sum(round(col("l_extendedprice") * col("l_discount") * 100)
-            .cast("long")).cast("double") / 100, 2).as("revenue"),
-          count(lit(1)).as("n_lines"))
-    }),
-
-    // TPC-H Q7 shape — "volume shipping" between two nations in both
-    // directions: the supplier and customer legs each pre-join their
-    // 2-row nation slice (broadcast) BEFORE touching the fact, so only
-    // lines with a qualifying supplier survive the first join — the
-    // disjunctive (N1→N2 OR N2→N1) pair filter then needs no fact
-    // re-scan. Ship-year grouping keeps the output 2 nations × 2 years.
-    "q303_tpch_q7" -> ((s, d) => {
-      // NATION_3/NATION_8 (not 1/2): the sf0.001 slice has suppliers in
-      // only 10 nations — this pair is the Q7 shape AND nonempty at the
-      // smallest fixture.
-      val pair = Tables.nation(s, d)
-        .filter(col("n_name").isin("NATION_3", "NATION_8"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-        .join(broadcast(pair.select(col("n_nationkey").as("s_nationkey"),
-          col("n_name").as("supp_nation"))), "s_nationkey")
-        .select("l_suppkey", "supp_nation")
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
-        .join(broadcast(pair.select(col("n_nationkey").as("c_nationkey"),
-          col("n_name").as("cust_nation"))), "c_nationkey")
-        .select("o_custkey", "cust_nation")
-      li(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_suppkey"),
-          year(col("l_shipdate")).cast("long").as("l_year"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-            .cast("long").as("__c"))
-        .join(sup, "l_suppkey")
-        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_custkey")), "l_orderkey")
-        .join(cust, "o_custkey")
-        .filter((col("supp_nation") === "NATION_3" &&
-            col("cust_nation") === "NATION_8") ||
-          (col("supp_nation") === "NATION_8" &&
-            col("cust_nation") === "NATION_3"))
-        .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"))
-    }),
-
-    // TPC-H Q8 shape — "national market share": of all ECONOMY-part
-    // revenue sold into the AMERICA region per order year, what fraction
-    // came from NATION_3 suppliers. The CASE-sum / sum ratio rides two
-    // exact cent-long sums in ONE aggregate (no second pass, no join of
-    // two aggregates); part and both nation slices broadcast; the fact
-    // shuffles on its join keys only. Ratio mirrored at 6 dp.
-    "q304_tpch_q8" -> ((s, d) => {
-      val eco = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
-        .select(col("p_partkey").as("l_partkey"))
-      val amer = Tables.nation(s, d)
-        .join(broadcast(Tables.region(s, d)
-          .filter(col("r_name") === "AMERICA")
-          .select(col("r_regionkey").as("n_regionkey"))), "n_regionkey")
-        .select(col("n_nationkey").as("c_nationkey"))
-      val cust = Tables.customer(s, d)
-        .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
-        .join(broadcast(amer), Seq("c_nationkey"), "left_semi")
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)
-          .select(col("n_nationkey").as("s_nationkey"),
-            col("n_name").as("supp_nation"))), "s_nationkey")
-        .select("l_suppkey", "supp_nation")
-      li(s, d)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-            .cast("long").as("__c"))
-        .join(broadcast(eco), "l_partkey")
-        .join(ord(s, d)
-          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-          .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
-            year(col("o_orderdate")).cast("long").as("o_year")),
-          "l_orderkey")
-        .join(cust, "o_custkey")
-        .join(sup, "l_suppkey")
-        .groupBy("o_year")
-        .agg(round(
-          sum(when(col("supp_nation") === "NATION_3", col("__c"))
-            .otherwise(0L)).cast("double") /
-            sum(col("__c")), 6).as("mkt_share"))
-    }),
-
-    // TPC-H Q9 shape — "product-type profit" by supplier nation and order
-    // year, parts selected by a LIKE on p_name. The schema has no
-    // partsupp, so supply cost is proxied at 2% of retail price per unit
-    // (documented adaptation — the plan shape, a 5-way join with a
-    // substring part filter feeding a two-key rollup, is the point).
-    // Profit = revenue cents − cost cents, each rounded per-row so the
-    // subtraction is integer-exact on both engines.
-    "q305_tpch_q9" -> ((s, d) => {
-      val pk = Tables.part(s, d).filter(col("p_name").contains("widget"))
-        .select(col("p_partkey").as("l_partkey"), col("p_retailprice"))
-      val sup = Tables.supplier(s, d)
-        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)
-          .select(col("n_nationkey").as("s_nationkey"),
-            col("n_name").as("nation"))), "s_nationkey")
-        .select("l_suppkey", "nation")
-      li(s, d)
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-        .join(broadcast(pk), "l_partkey")
-        .select(col("l_orderkey"), col("l_suppkey"),
-          (round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-            * 100).cast("long") -
-           round(col("p_retailprice") * col("l_quantity") * 2).cast("long"))
-            .as("__p"))
-        .join(sup, "l_suppkey")
-        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          year(col("o_orderdate")).cast("long").as("o_year")), "l_orderkey")
-        .groupBy("nation", "o_year")
-        .agg(round(sum(col("__p")).cast("double") / 100, 2).as("sum_profit"))
-    }),
-
-    // TPC-H Q10 shape — "returned-item reporting": revenue lost to
-    // returns in one quarter, attributed to customers. The heavy
-    // reduction happens FIRST (one custkey-grouped agg over the filtered
-    // fact ⋈ orders), and only the surviving ~|customers-with-returns|
-    // rows join the customer attributes and the nation broadcast — the
-    // textbook group-by-every-attribute form would drag c_name/c_acctbal
-    // through the big shuffle for nothing.
-    "q306_tpch_q10" -> ((s, d) => {
-      val oq = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
-        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
-      li(s, d).filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-            .cast("long").as("__c"))
-        .join(oq, "l_orderkey")
-        .groupBy("o_custkey").agg(sum(col("__c")).as("__rev"))
-        .join(Tables.customer(s, d)
-          .select(col("c_custkey").as("o_custkey"), col("c_name"),
-            col("c_acctbal"), col("c_nationkey")), "o_custkey")
-        .join(broadcast(Tables.nation(s, d)
-          .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
-          "c_nationkey")
-        .select(col("o_custkey").as("c_custkey"), col("c_name"),
-          round(col("__rev").cast("double") / 100, 2).as("revenue"),
-          col("c_acctbal"), col("n_name"))
-    }),
-
-    // TPC-H Q12 shape — conditional priority counts over a lateness join
-    // (adapted: the schema has no shipmode/commitdate, so "late" is
-    // shipped >60 days after the order date and the 2-row group key is
-    // l_linestatus). The CASE-sums split one count by a predicate on the
-    // JOINED side — the shape that turns two fact passes into one.
-    "q307_tpch_q12" -> ((s, d) => {
-      li(s, d)
-        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-        .select(col("l_orderkey"), col("l_shipdate"), col("l_linestatus"))
-        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderdate"), col("o_orderpriority")), "l_orderkey")
-        .filter(col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .groupBy("l_linestatus")
-        .agg(
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
-            .otherwise(0L)).as("high_line_count"),
-          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
-            .otherwise(1L)).as("low_line_count"))
-    }),
-
-    // TPC-H Q14 shape — "promotion effect": a CASE-sum / sum percentage
-    // over one month of the fact ⋈ a broadcast part dimension. Both sums
-    // are exact cent longs out of ONE aggregate; the division is the only
-    // float op and is mirrored at 6 dp.
-    "q308_tpch_q14" -> ((s, d) => {
-      li(s, d)
-        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
-          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
-        .select(col("l_partkey"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-            .cast("long").as("__c"))
-        .join(broadcast(Tables.part(s, d)
-          .select(col("p_partkey").as("l_partkey"), col("p_type"))),
-          "l_partkey")
-        .agg(round(lit(100.0) *
-          sum(when(col("p_type") === "PROMO", col("__c")).otherwise(0L))
-            .cast("double") / sum(col("__c")), 6).as("promo_revenue"))
-    }),
-
-    // TPC-H Q19 shape — the disjunctive OR-of-ANDs join predicate
-    // ("discounted revenue for three brand/size/quantity envelopes").
-    // The common support of the three branches is extracted BY HAND onto
-    // each side — part keeps only the three brand+size envelopes (a
-    // 3-branch OR a row store can evaluate per file via min/max stats),
-    // lineitem keeps qty ∈ [1, 30] — so the join input is already narrow
-    // and only the residual brand×quantity disjunction runs post-join;
-    // leaving the whole OR as a join condition would force the optimizer
-    // to choose between no pushdown and a nested-loop join.
-    "q309_tpch_q19" -> ((s, d) => {
-      val p = Tables.part(s, d)
-        .filter((col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
-          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
-          (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-      li(s, d)
-        .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
-        .select(col("l_partkey"), col("l_quantity"),
-          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-            .cast("long").as("__c"))
-        .join(broadcast(p), "l_partkey")
-        .filter((col("p_brand") === "Brand#12" &&
-            col("l_quantity").between(1, 11)) ||
-          (col("p_brand") === "Brand#23" &&
-            col("l_quantity").between(10, 20)) ||
-          (col("p_brand") === "Brand#15" &&
-            col("l_quantity").between(20, 30)))
-        .agg(round(sum(col("__c")).cast("double") / 100, 2).as("revenue"),
-          count(lit(1)).as("n_lines"))
-    }),
-
-    // Mean reciprocal rank — the retrieval-eval companion to NDCG (q229)
-    // and recall curves (q230/q233): for a BATCH of queries, 1/rank of
-    // the first relevant hit in the top-10. The batch form scores ALL
-    // queries in one pass (tf of query terms + per-doc lengths + one
-    // rank window partitioned by query) instead of one BM25 run per
-    // query — at 100 TB with a token-bucketed postings layout (q118)
-    // this touches only the query terms' postings. Each query here is a
-    // single term, so the BM25 score needs no cross-term sum; relevance
-    // = tf ≥ 2 (so top-ranked single-occurrence docs are irrelevant and
-    // the metric is non-trivial). Scores round 4 dp before ranking
-    // (ln() is libm-dependent — the Bm25 house rule); rank ties break
-    // by doc_id.
-    "q310_mrr" -> ((s, d) => {
-      val terms = Seq("vector", "join", "scan")
-      val p = doc(s, d).select(col("doc_id"),
-        explode(split(col("text"), " ")).as("token"))
-      val tf = p.filter(col("token").isin(terms: _*))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = p.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val scalars = doc(s, d).agg(count(lit(1)).as("n_docs"))
-        .crossJoin(p.agg(count(lit(1)).as("total_toks")))
-        .select(col("n_docs"),
-          (col("total_toks").cast("double") / col("n_docs")).as("avgdl"))
-      val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-      val idf = log(lit(1.0) + (col("n_docs").cast("double") - col("df") +
-        lit(0.5)) / (col("df") + lit(0.5)))
-      val tfNorm = col("tf").cast("double") * lit(2.2) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val scored = tf.join(broadcast(df_), Seq("token"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(scalars))
-        .select(col("token"), col("doc_id"), col("tf"),
-          round(idf * tfNorm, 4).as("score"))
-      val ranked = scored.withColumn("rnk", row_number().over(
-          Window.partitionBy("token")
-            .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
-        .filter(col("rnk") <= 10)
-      ranked.groupBy(col("token").as("query"))
-        .agg(coalesce(min(when(col("tf") >= 2, col("rnk"))), lit(0L))
-          .as("first_rel_rank"))
-        .withColumn("rr", when(col("first_rel_rank") > 0,
-          round(lit(1.0) / col("first_rel_rank"), 6)).otherwise(lit(0.0)))
-    }),
-
-    // t-closeness — the third leg of the privacy-audit family
-    // (k-anonymity q263, l-diversity q297): per quasi-identifier group,
-    // the total-variation distance between the group's
-    // sensitive-attribute distribution and the global one. The full
-    // (group × bucket) grid is materialized by crossing the bounded
-    // per-group agg with the 4-row global bucket table (a missing
-    // bucket contributes its full global mass — skipping absent cells
-    // understates TVD), counts stay exact longs, and the single float
-    // division |c·N − C·n| / (2·n·N) is mirrored at 6 dp. Day-of-week
-    // is epoch-day mod 7 (both engines' dayofweek origins differ).
-    "q311_t_closeness" -> ((s, d) => {
-      val b = ev(s, d).select(col("event_type"),
-        (datediff(col("ts"), lit("1970-01-01").cast("timestamp")) % 7)
-          .cast("long").as("dow"),
-        least(lit(3L), floor(col("value") / 125).cast("long")).as("sb"))
-      val cgs = b.groupBy("event_type", "dow", "sb")
-        .agg(count(lit(1)).as("__c"))
-      val ng = b.groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
-      val cs = b.groupBy("sb").agg(count(lit(1)).as("__cs"))
-      val tot = b.agg(count(lit(1)).as("__n"))
-      ng.crossJoin(broadcast(cs)).crossJoin(broadcast(tot))
-        .join(cgs, Seq("event_type", "dow", "sb"), "left")
-        .withColumn("__c", coalesce(col("__c"), lit(0L)))
-        .groupBy("event_type", "dow", "n", "__n")
-        .agg(sum(abs(col("__c") * col("__n") - col("__cs") * col("n")))
-          .as("__num"))
-        .select(col("event_type"), col("dow"), col("n"),
-          round(col("__num").cast("double") /
-            (lit(2.0) * col("n") * col("__n")), 6).as("tvd"))
-    }),
-
-    // Local clustering coefficient — per-node closure over the
-    // co-purchase graph (global triangle census: q147): LCC(v) =
-    // 2·tri(v) / (deg(v)·(deg(v)−1)). Triangles come from the same
-    // degree-oriented O(m^1.5) wedge scheme (Triangles.perNode — each
-    // closed wedge credits its three corners), so hub nodes can't blow
-    // up the self-join; the coefficient is exact-integer algebra with
-    // one mirrored division. Isolated-from-triangles and degree-1
-    // nodes report 0.0.
-    "q312_local_clustering" -> ((s, d) => {
-      graft.graph.Triangles.perNode(copurchasePairs(s, d))
-        .select(col("node"), col("deg"), col("tri"),
-          when(col("deg") >= 2,
-            round(lit(2.0) * col("tri") / (col("deg") * (col("deg") - 1)), 6))
-            .otherwise(lit(0.0)).as("lcc"))
-    }),
-
-    // Cohen's kappa — inter-annotator agreement between two deterministic
-    // document raters (the curation-ops question "do my two quality
-    // heuristics agree beyond chance?"): rater A flags length
-    // (n_chars > 300), rater B flags alphabetic density (alpha ratio
-    // > 0.85). One pass: four exact counts from one aggregate, then
-    // p_o, p_e, and κ = (p_o − p_e)/(1 − p_e) as mirrored float algebra
-    // (guarded: perfect chance agreement p_e = 1 yields NULL, not a
-    // divide-by-zero).
-    "q313_cohens_kappa" -> ((s, d) => {
-      val r = doc(s, d).select(
-        (col("n_chars") > 300).cast("long").as("a"),
-        (alphaRatio > 0.85).cast("long").as("b"))
-      r.agg(count(lit(1)).as("n"), sum(col("a")).as("na"),
-          sum(col("b")).as("nb"),
-          sum(col("a") * col("b")).as("nab"))
-        .select(col("n"),
-          round((col("nab") + (col("n") - col("na") - col("nb") +
-            col("nab"))).cast("double") / col("n"), 6).as("p_o"),
-          round((col("na").cast("double") * col("nb") +
-            (col("n") - col("na")).cast("double") * (col("n") - col("nb")))
-            / (col("n").cast("double") * col("n")), 6).as("p_e"))
-        .withColumn("kappa", when(col("p_e") < 1.0,
-          round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 6)))
-    }),
-
-    // Trailing time-RANGE window — the frame type nothing else in the
-    // suite exercises: per customer, 90-day trailing spend at every
-    // order, as RANGE BETWEEN 89 PRECEDING AND CURRENT ROW over integer
-    // order-day (a VALUE-range frame — same-day peer rows aggregate
-    // together regardless of intra-day order, which a ROWS frame gets
-    // wrong). One keyed exchange on custkey, per-customer partitions
-    // bounded; cents exact.
-    "q314_trailing_spend" -> ((s, d) => {
-      val o = ord(s, d).select(col("o_orderkey"), col("o_custkey"),
-        datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
-          .cast("long").as("d"),
-        round(col("o_totalprice") * 100).cast("long").as("__c"))
-      val w = Window.partitionBy("o_custkey").orderBy("d")
-        .rangeBetween(-89, 0)
-      o.select(col("o_orderkey"), col("o_custkey"), col("d"),
-        round(sum(col("__c")).over(w).cast("double") / 100, 2)
-          .as("trail_spend"),
-        count(lit(1)).over(w).as("trail_n"))
-    }),
-
-    // Dynamic partition overwrite — the backfill primitive every
-    // partitioned 100 TB table lives by: rewrite ONE day's partition
-    // (here: a value correction on 2024-01-10) without touching the
-    // other 29 directories. partitionOverwriteMode=dynamic scopes the
-    // overwrite to partitions present in the written data — STATIC mode
-    // would silently truncate the whole table, the classic backfill
-    // footgun. The audit re-read aggregates per day; the oracle computes
-    // the expected post-backfill state from the source directly.
-    "q315_dynamic_overwrite" -> ((s, d) => {
-      val out = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q315_dynover_${s.sparkContext.applicationId}").getAbsolutePath
-      val base = ev(s, d).withColumn("dt", to_date(col("ts")))
-      base.write.partitionBy("dt").mode("overwrite").parquet(out)
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        base.filter(col("dt") === lit("2024-01-10"))
-          .withColumn("value", col("value") * 2)
-          .write.partitionBy("dt").mode("overwrite").parquet(out)
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      s.read.parquet(out)
-        .groupBy(col("dt").cast("string").as("dt"))
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("value")), 4).as("sum_value"))
-    }),
-
-    // Theil–Sen robust trend — the outlier-immune slope the monitoring
-    // family (q172 CUSUM, q268 changepoint) wants: median of pairwise
-    // slopes. The full estimator is n² pairs — a scale cliff — so this
-    // is the SYSTEMATIC variant: rank each series once (keyed window),
-    // pair row i with row i + n/2 (n/2 disjoint-span pairs, one
-    // self-join on the rank — linear work, statistically the classic
-    // split-pairing form). Same-hour pairs (Δx = 0) are excluded;
-    // the median is an exact interpolated percentile over slopes both
-    // engines compute bit-identically.
-    "q316_theil_sen" -> ((s, d) => {
-      val b = Tables.events(s, d).select(col("event_type"),
-        expr("unix_micros(ts) DIV 3600000000").as("x"),
-        col("value").as("v"), col("event_id"))
-      val idx = b.select(col("event_type"), col("x"), col("v"),
-        row_number().over(Window.partitionBy("event_type")
-          .orderBy(col("x"), col("event_id"))).cast("long").as("i"),
-        count(lit(1)).over(Window.partitionBy("event_type")).as("n"))
-      val lo = idx.filter(col("i") <= expr("n DIV 2"))
-        .select(col("event_type"), col("i"),
-          col("x").as("x1"), col("v").as("v1"))
-      val hi = idx.select(col("event_type"),
-          (col("i") - expr("n DIV 2")).as("i"),
-          col("x").as("x2"), col("v").as("v2"))
-      lo.join(hi, Seq("event_type", "i"))
-        .filter(col("x2") =!= col("x1"))
-        .withColumn("slope",
-          (col("v2") - col("v1")) / (col("x2") - col("x1")).cast("double"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_pairs"),
-          round(expr("percentile(slope, 0.5)"), 6).as("theil_sen_slope"))
-    }),
-
-    // Classical additive seasonal decomposition — the hour-of-day
-    // profile after detrending with a centered 25-hour moving average
-    // (the STL-shaped question "what does traffic look like net of
-    // trend?"). Everything before the final division is exact integer
-    // algebra: hourly sums ride cents, the detrended residual is kept
-    // as 25·y − Σ₂₅y (no float MA), and edge hours without a full
-    // 25-observation window are excluded rather than half-averaged.
-    // Per-series windows are keyed; the series is hours (bounded).
-    "q317_seasonal_decompose" -> ((s, d) => {
-      val hourly = Tables.events(s, d).select(col("event_type"),
-          expr("unix_micros(ts) DIV 3600000000").as("h"),
-          round(col("value") * 100).cast("long").as("__c"))
-        .groupBy("event_type", "h").agg(sum(col("__c")).as("y"))
-      val w = Window.partitionBy("event_type").orderBy("h")
-        .rowsBetween(-12, 12)
-      hourly.select(col("event_type"), col("h"), col("y"),
-          sum(col("y")).over(w).as("__s25"),
-          count(lit(1)).over(w).as("__k"))
-        .filter(col("__k") === 25)
-        .groupBy(col("event_type"), (col("h") % 24).as("hod"))
-        .agg(count(lit(1)).as("n_obs"),
-          round(sum(col("y") * 25 - col("__s25")).cast("double") /
-            (lit(25.0) * count(lit(1)) * 100), 4).as("seasonal"))
-    }),
-
-    // Flesch reading ease — the classic readability feature curation
-    // stacks score documents with (alongside q25's length/punct ratios
-    // and q173's Gopher rules). All three inputs are exact integer
-    // counts, one regex pass each: words = [^ ]+ runs, sentences =
-    // [.!?]+ runs floored at 1, syllables = vowel-group runs (the
-    // standard dictionary-free proxy). 206.835 − 1.015·(w/s) −
-    // 84.6·(syl/w) is then fixed-order double algebra over exact ints,
-    // rounded 4dp both engines. Pure projection — the scan streams,
-    // no shuffle at any scale.
-    "q318_flesch_readability" -> ((s, d) => {
-      val counted = doc(s, d).select(col("doc_id"),
-        size(expr("regexp_extract_all(text, '[^ ]+', 0)"))
-          .cast("long").as("n_words"),
-        greatest(lit(1L), size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
-          .cast("long")).as("n_sentences"),
-        size(expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
-          .cast("long").as("n_syllables"))
-      counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
-        col("n_syllables"),
-        when(col("n_words") > 0, round(lit(206.835)
-          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
-          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 4))
-          .as("flesch"))
-    }),
-
-    // 1-D energy distance between the click and view value samples —
-    // the two-sample drift test that sees location AND shape (unlike
-    // q148's KS sup-statistic, which a pure tail change can hide from).
-    // The textbook estimator is three n² pairwise kernels — a scale
-    // cliff — but in 1-D every Σ|aᵢ−bⱼ| collapses to prefix algebra
-    // over the shared value order: with exclusive counts/sums of each
-    // sample strictly below v, pairs where v is the LARGER side
-    // contribute mult·(v·cnt_lt − sum_lt), and summing that over
-    // distinct values counts every pair exactly once (ties contribute
-    // 0). GlobalRank's two-phase prefix sums keep the order distributed
-    // (q148's device), so the whole test is one hash agg + bucketed
-    // windows + a 1-row agg — O(n log n). Values ride cents so every
-    // pairwise term is exact integer; sums accumulate in decimal(38,0)
-    // (BIGINT saturates near 10⁹ rows × 10⁵ cents); the final division
-    // is the only float op, rounded 6dp.
-    "q319_energy_distance" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val sc = ev(s, d).filter(col("event_type").isin("click", "view"))
-        .select(round(col("value") * 100).cast("long").as("v"),
-          when(col("event_type") === "click", 1L).otherwise(0L).as("c1"),
-          when(col("event_type") === "view", 1L).otherwise(0L).as("c2"))
-      val g = sc.groupBy("v")
-        .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-        .withColumn("s1", col("v") * col("n1"))
-        .withColumn("s2", col("v") * col("n2"))
-      val p = graft.operators.GlobalRank.exclusivePrefixSums(
-        g, "v", Seq("n1", "n2", "s1", "s2"))
-      val t = p.agg(
-        sum(col("n1").cast(dec)
-            * (col("v") * col("cum_before_n2") - col("cum_before_s2"))
-          + col("n2").cast(dec)
-            * (col("v") * col("cum_before_n1") - col("cum_before_s1")))
-          .as("sxy"),
-        sum(col("n1").cast(dec)
-          * (col("v") * col("cum_before_n1") - col("cum_before_s1"))).as("sxx2"),
-        sum(col("n2").cast(dec)
-          * (col("v") * col("cum_before_n2") - col("cum_before_s2"))).as("syy2"),
-        sum(col("n1")).as("n"), sum(col("n2")).as("m"))
-      // Σ ordered within-sample pairs = 2·(larger-side sum), so the
-      // n⁻²-weighted within terms carry the same 2.0 as the cross term
-      t.select(col("n").as("n_click"), col("m").as("n_view"),
-        round(lit(2.0) * col("sxy").cast("double")
-            / (col("n").cast("double") * col("m"))
-          - lit(2.0) * col("sxx2").cast("double")
-            / (col("n").cast("double") * col("n"))
-          - lit(2.0) * col("syy2").cast("double")
-            / (col("m").cast("double") * col("m")), 6)
-          .as("energy_dist_cents"))
-    }),
-
-    // Log-rank test — the standard A/B comparison for time-to-event
-    // outcomes (the two-cohort complement of q166's single-sample
-    // Kaplan–Meier curve): cohorts = user_id parity, event time = the
-    // q166 activity span in days, no censoring (every span ends
-    // observed). At each distinct time the observed cohort-A deaths
-    // face the hypergeometric expectation d·n1/n with variance
-    // d·n1/n·n2/n·(n−d)/(n−1); at-risk counts fall out of exclusive
-    // prefix sums over the distinct-day table (bounded by the fixture's
-    // day span, so the unpartitioned window is O(days), q166's shape).
-    // χ² = (Σ(o−e))²/Σv. Integer counts throughout; the per-time
-    // divisions are the only float ops, rounded 4dp after the final
-    // 1-row sums.
-    "q320_logrank_test" -> ((s, d) => {
-      val spans = ev(s, d).groupBy(col("user_id"))
-        .agg(datediff(max(col("ts")), min(col("ts"))).cast("long").as("t"))
-        .select(col("t"), (col("user_id") % 2).as("g"))
-      val dt = spans.groupBy("t").agg(
-        sum(when(col("g") === 0, 1L).otherwise(0L)).as("d1"),
-        sum(when(col("g") === 1, 1L).otherwise(0L)).as("d2"))
-      val tot = dt.agg(sum(col("d1")).as("__N1"), sum(col("d2")).as("__N2"))
-      val wp = Window.orderBy(col("t").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val base = dt.crossJoin(broadcast(tot))
-        .withColumn("n1", col("__N1") - coalesce(sum(col("d1")).over(wp), lit(0L)))
-        .withColumn("n2", col("__N2") - coalesce(sum(col("d2")).over(wp), lit(0L)))
-        .withColumn("n", col("n1") + col("n2"))
-        .withColumn("dd", col("d1") + col("d2"))
-        .filter(col("n") > 1) // n=1 terms contribute 0 to o−e, v undefined
-      val r = base.agg(
-        max(col("__N1")).as("n_a"), max(col("__N2")).as("n_b"),
-        sum(col("d1")).as("o1"),
-        sum(col("dd").cast("double") * col("n1") / col("n")).as("e1"),
-        sum(col("dd").cast("double") * col("n1") / col("n") * col("n2")
-          / col("n") * (col("n") - col("dd")) / (col("n") - 1)).as("v1"))
-      r.select(col("n_a"), col("n_b"), col("o1"),
-        round(col("e1"), 4).as("e1"),
-        round(when(col("v1") > 0,
-          (col("o1") - col("e1")) * (col("o1") - col("e1")) / col("v1")), 4)
-          .as("chi2"))
-    }),
-
-    // Difference-in-differences — the workhorse quasi-experimental
-    // estimator: cohort = user_id parity (odd = treated), period = the
-    // fixture midpoint (post = day ≥ 2024-01-16), outcome = value. The
-    // 2×2 cell-mean double difference nets out both the cohort baseline
-    // and the common time shock; SE is the pooled variance of a
-    // difference of four independent means (√Σ sᵢ²/nᵢ). Cents-exact
-    // moments (Σc, Σc² in decimal(38,0) — c² sums pass BIGINT around
-    // 10¹⁰ rows) make every cell statistic exact integer algebra until
-    // the divisions, guarded against empty/singleton/zero-variance
-    // cells to deterministic NULL (the q246 ANSI lesson). One
-    // conditional aggregate — nothing shuffles wider than 4 rows.
-    "q321_diff_in_diff" -> ((s, d) => {
-      val g = ev(s, d).select(
-          (col("user_id") % 2).as("tr"),
-          when(to_date(col("ts")) >= lit("2024-01-16"), 1L)
-            .otherwise(0L).as("po"),
-          round(col("value") * 100).cast("long").as("c"))
-        .groupBy("tr", "po").agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
-          sum((col("c") * col("c")).cast("decimal(38,0)")).as("q"))
-      def pick(t: Int, p: Int, c: String) =
-        max(when(col("tr") === t && col("po") === p, col(c)))
-      val r = g.agg(
-        pick(0, 0, "n").as("n00"), pick(0, 1, "n").as("n01"),
-        pick(1, 0, "n").as("n10"), pick(1, 1, "n").as("n11"),
-        pick(0, 0, "s").as("s00"), pick(0, 1, "s").as("s01"),
-        pick(1, 0, "s").as("s10"), pick(1, 1, "s").as("s11"),
-        pick(0, 0, "q").as("q00"), pick(0, 1, "q").as("q01"),
-        pick(1, 0, "q").as("q10"), pick(1, 1, "q").as("q11"))
-      def m(sc: String, n: String) = col(sc).cast("double") / col(n)
-      def v(q: String, sc: String, n: String) = when(col(n) > 1,
-        (col(q).cast("double") - col(sc).cast("double") * col(sc) / col(n))
-          / (col(n) - 1))
-      val didC = when(col("n00") > 0 && col("n01") > 0
-          && col("n10") > 0 && col("n11") > 0,
-        (m("s11", "n11") - m("s10", "n10")) - (m("s01", "n01") - m("s00", "n00")))
-      val seVar = v("q00", "s00", "n00") / col("n00") +
-        v("q01", "s01", "n01") / col("n01") +
-        v("q10", "s10", "n10") / col("n10") +
-        v("q11", "s11", "n11") / col("n11")
-      r.select(col("n00"), col("n01"), col("n10"), col("n11"),
-        round(didC / 100, 4).as("did"),
-        round(when(seVar > 0, sqrt(seVar) / 100), 4).as("se"),
-        round(when(seVar > 0, didC / sqrt(seVar)), 4).as("t_stat"))
-    }),
-
-    // U-shaped (position-based) multi-touch attribution — the
-    // fractional-credit refinement of q231's first/last-touch: each
-    // purchase's hour-window click path pays 40% to the first touch,
-    // 40% to the last, and splits 20% across the middle (1.0 / 0.5–0.5
-    // for paths of one/two). Same banded equi-join as q231 (a click's
-    // hour band meets the purchase's two probe bands — never a raw
-    // theta join), then per-purchase rank windows (bounded by path
-    // length) and one hour-of-day roll-up. Credits are exact binary
-    // fractions except the middle split; the aggregate is rounded 4dp.
-    "q322_position_attribution" -> ((s, d) => {
-      val hourUs = 3600000000L
-      val evd = ev_(s, d)
-      val purchases = evd.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("pid"), col("user_id"),
-          col("tsu").as("ptsu"))
-      val clicks = evd.filter(col("event_type") === "click")
-        .select(col("event_id").as("cid"), col("user_id"),
-          col("tsu").as("ctsu"))
-        .withColumn("band", expr(s"ctsu DIV $hourUs"))
-      val probes = purchases.withColumn("band",
-        explode(array(expr(s"ptsu DIV $hourUs"),
-          expr(s"ptsu DIV $hourUs - 1"))))
-      val j = probes.join(clicks, Seq("band", "user_id"))
-        .filter(col("ctsu") <= col("ptsu") &&
-          col("ctsu") >= col("ptsu") - hourUs)
-        .select(col("pid"), col("cid"), col("ctsu"))
-      val ranked = j
-        .withColumn("i", row_number().over(
-          Window.partitionBy("pid").orderBy(col("ctsu").asc, col("cid").asc)))
-        .withColumn("nc", count(lit(1)).over(Window.partitionBy("pid")))
-      ranked.withColumn("credit",
-          when(col("nc") === 1, lit(1.0))
-            .when(col("nc") === 2, lit(0.5))
-            .when(col("i") === 1 || col("i") === col("nc"), lit(0.4))
-            .otherwise(lit(0.2) / (col("nc") - 2)))
-        .groupBy(expr(s"ctsu DIV $hourUs % 24").as("hod"))
-        .agg(count(lit(1)).as("n_touches"),
-          round(sum(col("credit")), 4).as("credit"))
-    }),
-
-    // Lead–lag cross-correlation between hourly click and purchase
-    // counts at lags −3…+3 — "how many hours does conversion trail
-    // traffic?", the two-series companion of q167's ACF and its exact
-    // shape: one hourly hash agg, a 7-way explode of the bounded hour
-    // relation, one integer equi-join per lag, and Pearson from exact
-    // integer sums (bit-deterministic doubles — no rounding seam).
-    // Degenerate variance guards to NULL (the q246 ANSI lesson).
-    "q323_cross_correlation" -> ((s, d) => {
-      val hourly = ev(s, d)
-        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-      val lags = hourly.select(col("h"), col("x"),
-        explode(sequence(lit(-3L), lit(3L))).as("lag"))
-      lags.alias("a")
-        .join(hourly.alias("b"), col("b.h") === col("a.h") + col("a.lag"))
-        .select(col("a.lag").as("lag"), col("a.x").as("x"), col("b.y").as("y"))
-        .groupBy("lag").agg(
-          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sx2"),
-          sum(col("y") * col("y")).as("sy2"))
-        .select(col("lag"), col("n"),
-          when(col("n") * col("sx2") - col("sx") * col("sx") > 0 &&
-               col("n") * col("sy2") - col("sy") * col("sy") > 0,
-            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-              / sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double")
-                * (col("n") * col("sy2") - col("sy") * col("sy")).cast("double")))
-            .as("ccf"))
-    }),
-
-    // Hurst exponent via rescaled-range (R/S) analysis — the
-    // long-range-dependence screen for the event stream (H≈0.5 is
-    // memoryless; H→1 is trending/bursty, q284's burstiness seen at
-    // range scale). The series is the bounded hourly-count relation;
-    // for block sizes 8/16/32/64 every full block computes R from the
-    // SCALED cumulative deviation bn·Σ≤j(c) − j·Σ(c) — exact integers,
-    // no float mean subtraction — and S from exact moments, so the only
-    // floats are the final per-block division, the per-size mean
-    // (rounded 6dp BEFORE the log so both engines regress identical
-    // inputs), and the 4-point log-log slope. Windows are keyed by
-    // (size, block); the one unpartitioned window ranks the bounded
-    // hour relation (q166's shape).
-    "q324_hurst_exponent" -> ((s, d) => {
-      val hourly = ev(s, d)
-        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(count(lit(1)).as("c"))
-      val idx = hourly.withColumn("i",
-        row_number().over(Window.orderBy("h")).cast("long") - 1)
-      val sized = idx.select(col("i"), col("c"),
-          explode(expr("array(bigint(8), bigint(16), bigint(32), bigint(64))"))
-            .as("bn"))
-        .withColumn("blk", expr("i DIV bn"))
-        .withColumn("j", expr("i % bn") + 1)
-      val wb = Window.partitionBy("bn", "blk").orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wall = Window.partitionBy("bn", "blk")
-      val dev = sized
-        .withColumn("pc", sum(col("c")).over(wb))
-        .withColumn("s", sum(col("c")).over(wall))
-        .withColumn("q", sum(col("c") * col("c")).over(wall))
-        .withColumn("k", count(lit(1)).over(wall))
-        .filter(col("k") === col("bn"))
-        .withColumn("z", col("bn") * col("pc") - col("j") * col("s"))
-      val blocks = dev.groupBy("bn", "blk").agg(
-        (max(col("z")) - min(col("z"))).as("rs_scaled"),
-        max(col("s")).as("s"), max(col("q")).as("q"))
-      val rs = blocks
-        .withColumn("varS",
-          (col("q").cast("double") - col("s").cast("double") * col("s")
-            / col("bn")) / (col("bn") - 1))
-        .filter(col("varS") > 0)
-        .withColumn("rs",
-          col("rs_scaled").cast("double") / col("bn") / sqrt(col("varS")))
-      val pts = rs.groupBy("bn").agg(count(lit(1)).as("nblk"),
-        round(avg(col("rs")), 6).as("mean_rs"))
-      val pt = pts.select(col("bn"), col("nblk"), col("mean_rs"),
-        log(col("bn").cast("double")).as("lx"), log(col("mean_rs")).as("ly"))
-      val o = pt.agg(count(lit(1)).as("k"),
-        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
-        sum(col("lx") * col("ly")).as("sxy"),
-        sum(col("lx") * col("lx")).as("sx2"))
-      pt.crossJoin(broadcast(o))
-        .select(col("bn"), col("nblk"), col("mean_rs"),
-          round((col("k") * col("sxy") - col("sx") * col("sy"))
-            / (col("k") * col("sx2") - col("sx") * col("sx")), 4).as("hurst"))
-    }),
-
-    // Effect-size panel — the "is it LARGE, not just significant?"
-    // companions to the q145/q21/q191 test family, on their own
-    // comparisons: Cohen's d (click vs view values, pooled-variance
-    // standardized difference), Cramér's V (event_type × epoch-day%7
-    // contingency — %7, not dayofweek(), whose week-start convention
-    // differs between engines), and rank-biserial r = 1 − 2U/(n₁n₂)
-    // from the q191 doubled-midrank device (exact integers until one
-    // division). Cents-exact moments in decimal(38,0); three 1-row
-    // aggregates meet on broadcast cross joins.
-    "q325_effect_sizes" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val base = ev(s, d).filter(col("event_type").isin("click", "view"))
-        .select(col("event_type").as("g"),
-          round(col("value") * 100).cast("long").as("c"))
-      val mom = base.agg(
-        sum(when(col("g") === "click", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("g") === "click", col("c")).otherwise(0L)).as("s1"),
-        sum(when(col("g") === "click", (col("c") * col("c")).cast(dec))
-          .otherwise(lit(0).cast(dec))).as("q1"),
-        sum(when(col("g") === "view", 1L).otherwise(0L)).as("n2"),
-        sum(when(col("g") === "view", col("c")).otherwise(0L)).as("s2"),
-        sum(when(col("g") === "view", (col("c") * col("c")).cast(dec))
-          .otherwise(lit(0).cast(dec))).as("q2"))
-      val dCol = mom.select(col("n1"), col("n2"),
-        ((col("s1").cast("double") / col("n1")
-            - col("s2").cast("double") / col("n2"))
-          / sqrt(((col("q1").cast("double")
-              - col("s1").cast("double") * col("s1") / col("n1"))
-            + (col("q2").cast("double")
-              - col("s2").cast("double") * col("s2") / col("n2")))
-            / (col("n1") + col("n2") - 2))).as("__d"))
-      val ct = ev(s, d).select(col("event_type").as("et"),
-          (datediff(to_date(col("ts")), lit("1970-01-01")).cast("long") % 7)
-            .as("dow"))
-        .groupBy("et", "dow").agg(count(lit(1)).as("o"))
-      val rm = ct.groupBy("et").agg(sum(col("o")).as("rm"))
-      val cm = ct.groupBy("dow").agg(sum(col("o")).as("cm"))
-      val nn = ct.agg(sum(col("o")).as("nn"),
-        countDistinct(col("et")).as("r"), countDistinct(col("dow")).as("cc"))
-      // the FULL margin grid, not just observed cells — an empty et×dow
-      // cell still contributes (0−e)²/e (the q311 missing-bucket lesson)
-      val chi = rm.crossJoin(cm).join(ct, Seq("et", "dow"), "left")
-        .withColumn("o", coalesce(col("o"), lit(0L)))
-        .crossJoin(broadcast(nn))
-        .select(
-          (col("o").cast("double")
-            - col("rm").cast("double") * col("cm") / col("nn")).as("__dv"),
-          col("rm"), col("cm"), col("nn"), col("r"), col("cc"))
-        .select((col("__dv") * col("__dv")
-            / (col("rm").cast("double") * col("cm") / col("nn"))).as("term"),
-          col("nn"), col("r"), col("cc"))
-        .agg(sum(col("term")).as("chi2"), max(col("nn")).as("nn"),
-          max(col("r")).as("r"), max(col("cc")).as("cc"))
-        .select(sqrt(col("chi2") / (col("nn").cast("double")
-          * least(col("r") - 1, col("cc") - 1))).as("__v"))
-      val byV = base.groupBy("c").agg(count(lit(1)).as("t"),
-        sum(when(col("g") === "click", 1L).otherwise(0L)).as("ta"))
-      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byV, "c", "t")
-      val rb = pp.agg(
-        sum(col("ta").cast(dec)
-          * (lit(2) * col("cum_before") + col("t") + 1)).as("r2a"),
-        sum(col("ta")).as("na"), sum(col("t") - col("ta")).as("nb"))
-        .select((lit(1.0)
-          - (col("r2a") - col("na").cast(dec) * (col("na") + 1)).cast("double")
-            / (col("na").cast("double") * col("nb"))).as("__rb"))
-      dCol.crossJoin(broadcast(chi)).crossJoin(broadcast(rb))
-        .select(col("n1").as("n_click"), col("n2").as("n_view"),
-          round(col("__d"), 4).as("cohens_d"),
-          round(col("__v"), 4).as("cramers_v"),
-          round(col("__rb"), 4).as("rank_biserial"))
-    }),
-
-    // Hill tail-index MLE over the co-purchase degree distribution — the
-    // "is this graph scale-free?" screen next to q282 (assortativity) and
-    // q174 (Zipf): α̂ = 1 + n_tail / Σ ln(dᵢ/x_min) over the tail
-    // deg ≥ x_min = 5. Degrees reuse the q282 edge device; the log-sum
-    // collapses to the BOUNDED distinct-degree relation (cnt·ln(d) — one
-    // term per degree VALUE, not per node), with the q174 float ladder
-    // (ln points 6 dp → sum 6 dp → α 4 dp) so both engines regress
-    // identical bits. Plan: the copurchase self-join + two hash aggs;
-    // nothing grows past |distinct degrees| after the degree agg.
-    "q326_hill_tail" -> ((s, d) => {
-      val p = copurchasePairs(s, d)
-      val deg = p.select(col("u").as("node"))
-        .unionAll(p.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val byDeg = deg.filter(col("deg") >= 5)
-        .groupBy("deg").agg(count(lit(1)).as("cnt"))
-        .select(col("cnt"),
-          round(log(col("deg").cast("double") / lit(5.0)), 6).as("lt"))
-      byDeg.agg(sum(col("cnt")).as("n_tail"),
-          round(sum(col("cnt") * col("lt")), 6).as("__ls"))
-        .select(lit(5L).as("x_min"), col("n_tail"),
-          when(col("__ls") > 0,
-            round(lit(1.0) + col("n_tail").cast("double") / col("__ls"), 4))
-            .as("alpha"))
-    }),
-
-    // MATTR (moving-average type-token ratio, window 10) per document —
-    // the lexical-diversity score that, unlike raw TTR, doesn't shrink
-    // with document length (Covington & McFall 2010). The naive form
-    // re-scans every 10-token window; this computes Σ-distinct-per-window
-    // in ONE pass via the previous-occurrence trick: token i is distinct
-    // in window j iff its previous occurrence p(i) < j, so it contributes
-    // to exactly the windows j ∈ [max(p+1, i−9, 0), min(i, nw−1)] — an
-    // interval-length sum, exact integers until the final division. All
-    // windows are per-doc (bounded by doc length); no corpus-wide state.
-    "q327_mattr" -> ((s, d) => {
-      val W = 10
-      val toks = doc(s, d)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .filter(length(col("w")) > 0)
-        .withColumn("i", row_number().over(
-          Window.partitionBy("doc_id").orderBy("pos")).cast("long") - 1)
-      val prev = toks.withColumn("p", coalesce(
-        lag(col("i"), 1).over(
-          Window.partitionBy("doc_id", "w").orderBy("i")), lit(-1L)))
-      val c = prev
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .filter(col("n") >= W)
-        .withColumn("nw", col("n") - (W - 1))
-        .withColumn("lo", greatest(col("p") + 1, col("i") - (W - 1), lit(0L)))
-        .withColumn("hi", least(col("i"), col("nw") - 1))
-      c.groupBy("doc_id").agg(max(col("n")).as("ntok"),
-        round(sum(greatest(col("hi") - col("lo") + 1, lit(0L))).cast("double")
-          / (max(col("nw")) * W).cast("double"), 6).as("mattr"))
-    }),
-
-    // Markov entropy rate of the per-user event-type chain — the
-    // predictability score over q163's transition matrix: H =
-    // Σᵢⱼ (cᵢⱼ/N)·ln(cᵢ/cᵢⱼ) (positive formulation — ln(cᵢ/cᵢⱼ) ≥ 0, so a
-    // deterministic one-destination state contributes +0.0, never −0.0),
-    // with the normalized rate H/ln(k) against the k-state uniform bound.
-    // Counts are exact integers; terms follow the q174 ladder (6 dp
-    // points over the ≤k² transition relation, 6 dp sums, 4 dp ratio).
-    // One per-user window + one k²-row hash agg.
-    "q328_entropy_rate" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val t = ev(s, d)
-        .select(col("user_id"), col("event_type").as("a"),
-          lead(col("event_type"), 1).over(w).as("b"))
-        .filter(col("b").isNotNull)
-        .groupBy("a", "b").agg(count(lit(1)).as("cij"))
-      val terms = t
-        .withColumn("ci", sum(col("cij")).over(Window.partitionBy("a")))
-        .select(col("a"), col("cij"), round(col("cij").cast("double")
-          * log(col("ci").cast("double") / col("cij")), 6).as("term"))
-      val agg = terms.agg(sum(col("cij")).as("n_transitions"),
-        countDistinct(col("a")).as("n_states"),
-        round(sum(col("term")), 6).as("__s"))
-      val e = agg.select(col("n_transitions"), col("n_states"),
-        round(col("__s") / col("n_transitions").cast("double"), 6)
-          .as("entropy_rate"),
-        round(log(col("n_states").cast("double")), 6).as("max_entropy"))
-      e.select(col("n_transitions"), col("n_states"), col("entropy_rate"),
-        col("max_entropy"),
-        when(col("max_entropy") > 0,
-          round(col("entropy_rate") / col("max_entropy"), 4)).as("normalized"))
-    }),
-
-    // Sequential co-purchase — "bought A, next order contained B": the
-    // directed next-basket association behind recommendation candidates,
-    // complementing the same-basket q147 family. Consecutive orders pair
-    // up via one per-customer lead window; each (order, next-order) pair
-    // joins its two DISTINCT basket part sets (fanout bounded by
-    // basket², never corpus-wide); top-20 by a total order rides
-    // TakeOrderedAndProject (distributed top-k — no global sort), and the
-    // rank window runs over the 20-row result only.
-    "q329_sequential_copurchase" -> ((s, d) => {
-      val nxt = ord(s, d).select(col("o_orderkey").as("k1"),
-          lead(col("o_orderkey"), 1).over(Window.partitionBy("o_custkey")
-            .orderBy(col("o_orderdate").asc, col("o_orderkey").asc))
-            .as("k2"))
-        .filter(col("k2").isNotNull)
-      val parts = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val pairs = nxt
-        .join(parts.select(col("l_orderkey").as("k1"),
-          col("l_partkey").as("part_a")), Seq("k1"))
-        .join(parts.select(col("l_orderkey").as("k2"),
-          col("l_partkey").as("part_b")), Seq("k2"))
-        .groupBy("part_a", "part_b").agg(count(lit(1)).as("cnt"))
-      val top = pairs.orderBy(col("cnt").desc, col("part_a").asc,
-        col("part_b").asc).limit(20)
-      top.withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc,
-          col("part_a").asc, col("part_b").asc)).cast("long"))
-        .select("rnk", "part_a", "part_b", "cnt")
-    }),
-
-    // Kendall τ-b between daily click and purchase volumes — the
-    // rank-correlation twin of q323's Pearson lead–lag, robust to any
-    // monotone transform. The pairwise compare runs over the DAILY
-    // relation, whose size is bounded by calendar span (30 rows here,
-    // ~3.6k for a decade), never by corpus size — the O(span²) loop is
-    // a constant at 100 TB. Concordant/discordant/tie counts are exact
-    // integers; τ-b's one sqrt is the only float.
-    "q330_kendall_tau" -> ((s, d) => {
-      val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("x"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
-      val p = daily.alias("a").join(daily.alias("b"), col("a.day") < col("b.day"))
-        .select((col("b.x") - col("a.x")).as("dx"),
-          (col("b.y") - col("a.y")).as("dy"))
-      p.agg(count(lit(1)).as("n0"),
-          sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("conc"),
-          sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("disc"),
-          sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
-          sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
-        .select(col("n0").as("n_pairs"), col("conc").as("concordant"),
-          col("disc").as("discordant"),
-          when(col("n0") - col("tx") > 0 && col("n0") - col("ty") > 0,
-            round((col("conc") - col("disc")).cast("double") /
-              sqrt((col("n0") - col("tx")).cast("double")
-                * (col("n0") - col("ty")).cast("double")), 6)).as("tau_b"))
-    }),
-
-    // Autocorrelation function (lags 1–24) + Ljung-Box Q over the hourly
-    // event-count series — the white-noise screen before any forecasting.
-    // Exact-integer device: r_k's numerator/denominator are scaled by n²
-    // (Σ(n·cₜ−S)(n·cₜ₊ₖ−S) / Σ(n·cₜ−S)²) in decimal(38,0), so the mean
-    // subtraction never touches floats; each r_k is one deterministic
-    // division rounded 6 dp, and Q accumulates r²/(n−k) over the ORDERED
-    // 24-row lag relation (both engines add identical doubles in lag
-    // order). The lag join is i = i+k over the rank index — 24·n rows,
-    // one shuffle.
-    "q331_acf_ljung_box" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val hourly = ev(s, d)
-        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(count(lit(1)).as("c"))
-      val idx = hourly.withColumn("i",
-        row_number().over(Window.orderBy("h")).cast("long"))
-      val tot = idx.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
-      val z = idx.crossJoin(broadcast(tot))
-        .select(col("i"), col("n"),
-          (col("n") * col("c") - col("s")).cast(dec).as("z"))
-      val den = z.agg(sum(col("z") * col("z")).as("den"),
-        max(col("n")).as("n"))
-      val num = z.select(col("i"), col("z"),
-          explode(sequence(lit(1L), lit(24L))).as("k")).alias("a")
-        .join(z.select(col("i").as("bi"), col("z").as("bz")).alias("b"),
-          col("b.bi") === col("a.i") + col("a.k"))
-        .groupBy(col("a.k").as("lag")).agg(sum(col("a.z") * col("b.bz")).as("num"))
-      val r = num.crossJoin(broadcast(den))
-        .select(col("lag"), col("n"),
-          when(col("den") > 0, round(
-            col("num").cast("double") / col("den").cast("double"), 6))
-            .as("acf"))
-      r.withColumn("lb_q", round(col("n").cast("double") * (col("n") + 2)
-          * sum(col("acf") * col("acf")
-              / (col("n") - col("lag")).cast("double"))
-            .over(Window.orderBy("lag")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4))
-        .select("lag", "acf", "lb_q")
-    }),
-
-    // Wald–Wolfowitz runs test on the hourly count series vs its median —
-    // "is the series randomly ordered, or does it cluster above/below?"
-    // Ties AT the median drop (the standard treatment); runs count from
-    // one lag over the bounded hour relation (q166's single-partition
-    // shape, span-bounded); μ and σ² of the run count are rational in
-    // exact integers, so z is one deterministic float expression.
-    "q332_runs_test" -> ((s, d) => {
-      val hourly = ev(s, d)
-        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(count(lit(1)).as("c"))
-      val med = hourly.agg(expr("percentile(c, 0.5)").as("m"))
-      val signed = hourly.crossJoin(broadcast(med))
-        .filter(col("c") =!= col("m"))
-        .select(col("h"), when(col("c") > col("m"), 1L).otherwise(0L).as("sg"))
-      val agg = signed.select(col("sg"),
-          lag(col("sg"), 1).over(Window.orderBy("h")).as("pr"))
-        .agg(sum(when(col("pr").isNull || col("pr") =!= col("sg"), 1L)
-            .otherwise(0L)).as("runs"),
-          sum(col("sg")).as("n1"), sum(lit(1L) - col("sg")).as("n2"))
-      val mu = lit(2.0) * col("n1") * col("n2") /
-        (col("n1") + col("n2")).cast("double") + 1.0
-      val sg2 = (lit(2.0) * col("n1") * col("n2")
-          * (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2"))) /
-        ((col("n1") + col("n2")).cast("double")
-          * (col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
-      agg.select(col("n1").as("n_above"), col("n2").as("n_below"),
-        col("runs"),
-        when(col("n1") > 0 && col("n2") > 0 && col("n1") + col("n2") > 1,
-          round((col("runs").cast("double") - mu) / sqrt(sg2), 4)).as("z"))
-    }),
-
-    // Mann–Kendall trend test over daily event counts — the
-    // distribution-free companion to q316's Theil–Sen slope (MK says IF
-    // there's a monotone trend; Theil–Sen says how steep). S and the tie
-    // correction are exact integers over the span-bounded daily relation
-    // (the q330 scale argument); Var(S) is an integer/18; z applies the
-    // ±1 continuity correction.
-    "q333_mann_kendall" -> ((s, d) => {
-      val daily = ev(s, d).groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("c"))
-      val sStat = daily.alias("a")
-        .join(daily.alias("b"), col("a.day") < col("b.day"))
-        .agg(coalesce(sum(when(col("b.c") > col("a.c"), 1L)
-          .when(col("b.c") < col("a.c"), -1L).otherwise(0L)), lit(0L))
-          .as("s_stat"))
-      val ties = daily.groupBy("c").agg(count(lit(1)).as("t"))
-        .filter(col("t") > 1)
-        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
-          lit(0L)).as("tt"))
-      val nn = daily.agg(count(lit(1)).as("n"))
-      val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5)
-        - col("tt")).cast("double") / 18.0
-      sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(nn))
-        .select(col("n").as("n_days"), col("s_stat"),
-          round(varS, 4).as("var_s"),
-          when(varS > 0, round(
-            when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
-              .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
-              .otherwise(lit(0.0)) / sqrt(varS), 4)).as("z"))
-    }),
-
-    // ROC AUC of `value` as a purchase discriminator — the rank-sum
-    // (Mann–Whitney) identity AUC = (2R₊ − n₊(n₊+1)) / (2n₊n₋) with
-    // midrank tie handling, over cents-exact scores. Reuses q325's
-    // doubled-midrank device on the distributed two-phase prefix sum —
-    // NO global sort, no corpus-wide window; everything is exact
-    // integers (decimal accumulators — rank sums square past long at
-    // corpus scale) until one final division.
-    "q334_roc_auc" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val base = ev(s, d).select(
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lab"),
-        round(col("value") * 100).cast("long").as("c"))
-      val byc = base.groupBy("c").agg(count(lit(1)).as("t"),
-        sum(col("lab")).as("ta"))
-      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byc, "c", "t")
-      pp.agg(sum(col("ta").cast(dec)
-            * (lit(2) * col("cum_before") + col("t") + 1)).as("r2"),
-          sum(col("ta")).as("np"), sum(col("t") - col("ta")).as("nn"))
-        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-          when(col("np") > 0 && col("nn") > 0, round(
-            (col("r2") - col("np").cast(dec) * (col("np") + 1)).cast("double")
-              / (lit(2.0) * col("np").cast("double") * col("nn")), 6))
-            .as("auc"))
-    }),
-
-    // Add-one-smoothed bigram LM perplexity per document — the language-
-    // model quality screen (the CCNet/Wikipedia-LM device, reduced to a
-    // corpus-trained bigram model): p(w₂|w₁) = (c₁₂+1)/(c₁+V), scored
-    // back over each doc's own bigrams. Training and scoring are the
-    // same postings-shaped joins (bigram → count, context → count) that
-    // scale as word-count jobs; V is a 1-row broadcast. Per-doc log sums
-    // follow q125's proven form (sum raw ln, round 4); ppl exponentiates
-    // the ROUNDED average so both engines exp identical bits.
-    "q335_bigram_perplexity" -> ((s, d) => {
-      val toks = doc(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " "))
-          .as(Seq("pos", "w")))
-        .filter(length(col("w")) > 0)
-      val big = toks.select(col("doc_id"), col("w").as("w1"),
-          lead(col("w"), 1).over(
-            Window.partitionBy("doc_id").orderBy("pos")).as("w2"))
-        .filter(col("w2").isNotNull)
-      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      val cu = big.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val v = toks.agg(countDistinct(col("w")).as("vv"))
-      val scored = big.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-        .crossJoin(broadcast(v))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"),
-          round(sum(log((col("c12") + 1).cast("double")
-            / (col("c1") + col("vv")))) / count(lit(1)), 4).as("avg_lp"))
-      scored.select(col("doc_id"), col("n_bigrams"), col("avg_lp"),
-        round(exp(-col("avg_lp")), 4).as("ppl"))
-    }),
-
-    // Gumbel extreme-value fit over daily block maxima of the hourly
-    // event rate — the capacity-planning question ("what hourly burst do
-    // we see once per 100 days?") answered by the method of moments:
-    // β = s·√6/π, μ = x̄ − γβ, x_T = μ − β·ln(−ln(1−1/T)). Blocks are
-    // epoch-day integers (hour DIV 24 — no calendar parity risk); the
-    // moments over the span-bounded maxima relation are exact integers,
-    // so the only floats are staged, mirrored expressions (6 dp each);
-    // the ln(−ln(0.99)) constant is embedded as one literal on both
-    // engines (libm ln can differ a ulp between JVM and DuckDB).
-    "q336_gumbel_maxima" -> ((s, d) => {
-      val hourly = ev(s, d)
-        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(count(lit(1)).as("c"))
-      val maxima = hourly.groupBy(expr("h DIV 24").as("day"))
-        .agg(max(col("c")).as("m"))
-      val mom = maxima.agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
-        sum((col("m") * col("m")).cast("decimal(38,0)")).as("q"))
-      val varS = (col("n").cast("decimal(38,0)") * col("q")
-        - col("sm").cast("decimal(38,0)") * col("sm")).cast("double") /
-        (col("n").cast("double") * (col("n") - 1))
-      val withB = mom.select(col("n"), col("sm"), varS.as("__var"))
-        .filter(col("n") > 1 && col("__var") > 0)
-        .select(col("n"),
-          (col("sm").cast("double") / col("n")).as("__mean"),
-          round(sqrt(col("__var")) * sqrt(lit(6.0)) / lit(math.Pi), 6)
-            .as("gumbel_beta"))
-      val withMu = withB.select(col("n").as("n_blocks"), col("gumbel_beta"),
-        round(col("__mean") - lit(0.5772156649015329) * col("gumbel_beta"), 6)
-          .as("gumbel_mu"))
-      withMu.select(col("n_blocks"), col("gumbel_mu"), col("gumbel_beta"),
-        round(col("gumbel_mu") + lit(4.600149226776579) * col("gumbel_beta"), 4)
-          .as("rl_100"))
-    }),
-
-    // Reciprocal-rank fusion of BM25 and query-likelihood (Dirichlet)
-    // rankings — the standard hybrid-retrieval merge (Cormack et al.
-    // 2009): RRF(d) = Σ 1/(60+rankᵢ(d)) over each ranking's TOP-20 ONLY,
-    // so the fused relation is bounded at 40 rows regardless of corpus
-    // size (both top-20s ride TakeOrderedAndProject; missing membership
-    // contributes 0, the truncated-list convention). Ranks come from
-    // total orders; 1/(60+r) is exact-int division.
-    "q337_rrf_fusion" -> ((s, d) => {
-      val terms = Seq("vector", "join", "scan")
-      val bm = graft.text.Bm25.topK(doc(s, d), "doc_id", "text", terms, 20)
-        .select(col("doc_id"), col("rnk").as("r_bm25"))
-      val t = doc(s, d).select(col("doc_id"), split(col("text"), " ").as("w"))
-      val dstats = t.select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        filter(col("w"), x => x === terms(0)).as("__f1"),
-        filter(col("w"), x => x === terms(1)).as("__f2"),
-        filter(col("w"), x => x === terms(2)).as("__f3"))
-        .select(col("doc_id"), col("dl"),
-          size(col("__f1")).cast("long").as("tf1"),
-          size(col("__f2")).cast("long").as("tf2"),
-          size(col("__f3")).cast("long").as("tf3"))
-      val c = dstats.agg(sum(col("dl")).as("ct"), sum(col("tf1")).as("cf1"),
-        sum(col("tf2")).as("cf2"), sum(col("tf3")).as("cf3"))
-      def term(tf: Column, cf: Column, dl: Column, ct: Column): Column =
-        log((tf.cast("double") + lit(2000.0) * cf / ct)
-          / (dl.cast("double") + 2000.0))
-      val qld = dstats.crossJoin(broadcast(c))
-        .select(col("doc_id"), round(
-          term(col("tf1"), col("cf1"), col("dl"), col("ct"))
-            + term(col("tf2"), col("cf2"), col("dl"), col("ct"))
-            + term(col("tf3"), col("cf3"), col("dl"), col("ct")), 6).as("qld"))
-        .orderBy(col("qld").desc, col("doc_id").asc).limit(20)
-        .withColumn("r_qld", row_number().over(
-          Window.orderBy(col("qld").desc, col("doc_id").asc)).cast("long"))
-        .select("doc_id", "r_qld")
-      bm.join(qld, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          (coalesce(lit(1.0) / (col("r_bm25") + 60), lit(0.0))
-            + coalesce(lit(1.0) / (col("r_qld") + 60), lit(0.0))).as("__s"),
-          col("r_bm25"), col("r_qld"))
-        .orderBy(col("__s").desc, col("doc_id").asc).limit(10)
-        .select(col("doc_id"), round(col("__s"), 6).as("rrf_score"),
-          col("r_bm25"), col("r_qld"))
-    }),
-
-    // Population stability index between the first and second half of the
-    // event window — THE production drift metric for "did the value
-    // distribution move between reference and current?" (PSI > 0.2 =
-    // retrain). Fixed-width cent buckets (never reference-quantile edges,
-    // whose float cutpoints drift between engines); Laplace-smoothed
-    // shares so empty cells stay finite; shares are exact-integer ratios,
-    // each bucket's (p−q)·ln(p/q) term rounds 6 dp, and the sum runs over
-    // the ≤|value-range/50| bucket relation. One scan + one bucket agg.
-    "q338_psi_drift" -> ((s, d) => {
-      val dlo = ev(s, d).agg(
-        min(expr("unix_micros(ts) DIV 86400000000")).as("d0"))
-      val bucketed = ev(s, d).crossJoin(broadcast(dlo))
-        .select(expr("CAST(round(value * 100) AS BIGINT) DIV 5000").as("bucket"),
-          (expr("unix_micros(ts) DIV 86400000000") < col("d0") + 15)
-            .as("is_ref"))
-      val bk = bucketed.groupBy("bucket").agg(
-        sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
-        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
-      val tot = bk.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
-        count(lit(1)).as("k"))
-      val terms = bk.crossJoin(broadcast(tot))
-        .select(col("na"), col("nb"), col("k"),
-          ((col("ca") + 1).cast("double") / (col("na") + col("k"))).as("p"),
-          ((col("cb") + 1).cast("double") / (col("nb") + col("k"))).as("q"))
-        .select(col("na"), col("nb"), col("k"),
-          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
-            .as("term"))
-      terms.groupBy("na", "nb", "k").agg(round(sum(col("term")), 4).as("psi"))
-        .select(col("na").as("n_ref"), col("nb").as("n_cur"),
-          col("k").as("n_buckets"), col("psi"))
-    }),
-
-    // Seasonal-naive forecast scorecard over the hourly series — MAE,
-    // sMAPE, and MASE of ŷ_t = y_{t−24}, the baseline every real forecast
-    // must beat (MASE < 1 = better than the one-step naive). Absolute
-    // errors are exact integers, so MAE and MASE are deterministic
-    // rationals; sMAPE's per-row ratio is exact-int over exact-int and
-    // its mean follows the q125 sum-then-round precedent. Two lag windows
-    // over the span-bounded hour relation; one agg.
-    "q339_forecast_eval" -> ((s, d) => {
-      val hourly = ev(s, d)
-        .groupBy(expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.orderBy("h")
-      val lagd = hourly.select(col("c"),
-        lag(col("c"), 24).over(w).as("sn"), lag(col("c"), 1).over(w).as("nv"))
-      val m = lagd.agg(
-        sum(when(col("sn").isNotNull, abs(col("c") - col("sn")))).as("se"),
-        sum(when(col("sn").isNotNull, 1L)).as("ne"),
-        sum(when(col("sn").isNotNull && col("c") + col("sn") > 0,
-          lit(2.0) * abs(col("c") - col("sn"))
-            / (col("c") + col("sn")))).as("sm"),
-        sum(when(col("sn").isNotNull && col("c") + col("sn") > 0, 1L))
-          .as("nm"),
-        sum(when(col("nv").isNotNull, abs(col("c") - col("nv")))).as("s1"),
-        sum(when(col("nv").isNotNull, 1L)).as("n1"))
-      m.select(col("ne").as("n_eval"),
-        round(col("se").cast("double") / col("ne"), 4).as("mae"),
-        round(col("sm") / col("nm"), 4).as("smape"),
-        when(col("s1") > 0, round((col("se").cast("double") / col("ne"))
-          / (col("s1").cast("double") / col("n1")), 4)).as("mase"))
-    }),
-
-    // Split-conformal prediction interval for a per-type mean model —
-    // the distribution-free "how wide must the interval be for 90%
-    // coverage?" primitive (Vovk; Angelopoulos & Bates 2021). Model =
-    // per-event-type cents mean on the reference half; nonconformity =
-    // |residual| on the calibration half; q̂ = the ⌈0.9(n+1)⌉-th order
-    // statistic — an EXACT integer-rank selection over the two-phase
-    // prefix device (no global sort), k in pure integer arithmetic.
-    // Scores are rounded 6 dp before grouping so both engines select
-    // from identical keys.
-    "q340_conformal_interval" -> ((s, d) => {
-      val d0e = ev(s, d).agg(
-        min(expr("unix_micros(ts) DIV 86400000000")).as("d0"))
-      val base = ev(s, d).crossJoin(broadcast(d0e)).select(
-        col("event_type").as("et"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("c"),
-        (expr("unix_micros(ts) DIV 86400000000") < col("d0") + 15)
-          .as("is_ref"))
-      val mod = base.filter(col("is_ref")).groupBy("et")
-        .agg(sum(col("c")).as("s"), count(lit(1)).as("n"))
-      val cal = base.filter(!col("is_ref")).join(mod, Seq("et"))
-        .select(round(abs(col("c").cast("double")
-          - col("s").cast("double") / col("n")), 6).as("sc"))
-      val byS = cal.groupBy("sc").agg(count(lit(1)).as("t"))
-      val nk = byS.agg(sum(col("t")).as("ncal"))
-      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byS, "sc", "t")
-      val qhat = pp.crossJoin(broadcast(nk))
-        .filter(expr("cum_before + t >= (9 * (ncal + 1) + 9) DIV 10"))
-        .agg(min(col("sc")).as("qhat"))
-      val cov = byS.crossJoin(broadcast(qhat))
-        .filter(col("sc") <= col("qhat")).agg(sum(col("t")).as("cnt"))
-      qhat.crossJoin(broadcast(nk)).crossJoin(broadcast(cov))
-        .select(col("ncal").as("n_cal"), round(col("qhat"), 6).as("qhat"),
-          round(col("cnt").cast("double") / col("ncal"), 6).as("coverage"))
-    }),
-
-    // Eigenvector centrality by power iteration on the customer–supplier
-    // graph — the influence measure PageRank's teleport mass distorts
-    // (pure A·x with max-normalization instead). Three unrolled
-    // iterations under the q133/q105 intermediate-rounding rule (each
-    // neighbor-sum and each normalization rounded 8 dp, so both engines
-    // enter every round with identical bits and a SQL oracle replays the
-    // whole computation). Per round: one src-join + one dst-agg; the
-    // checkpointed edge table is pre-partitioned on src so only the
-    // node-cardinality score table moves.
-    "q341_eigenvector_centrality" -> ((s, d) => {
-      val eo = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
-        .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("cust"),
-          (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-      val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
-      val e = graft.io.Checkpoints.truncate(
-        edges.repartition(col("src")), eager = true)
-      var x = e.select(col("src").as("node")).distinct()
-        .withColumn("score", lit(1.0))
-      for (_ <- 1 to 3) {
-        val sums = e.join(x.select(col("node").as("src"), col("score")),
-            Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(round(sum(col("score")), 8).as("raw"))
-        val m = sums.agg(max(col("raw")).as("m"))
-        x = sums.crossJoin(broadcast(m))
-          .select(col("node"), round(col("raw") / col("m"), 8).as("score"))
-      }
-      x.select(col("node"), round(col("score"), 6).as("score"))
-    }),
-
-    // McNemar's paired test (Edwards continuity correction) between two
-    // threshold classifiers on the SAME events — the correct way to ask
-    // "is model B actually better than model A?" on paired predictions
-    // (a two-proportion z on overlapping samples is wrong). b/c discordant
-    // counts and (|b−c|−1)² are exact integers — χ² is one deterministic
-    // division. One scan, one agg; b=c yields the standard 1/(b+c).
-    "q342_mcnemar" -> ((s, d) => {
-      val base = ev(s, d).select(
-        (col("event_type") === "purchase").as("y"),
-        (expr("CAST(round(value * 100) AS BIGINT)") > 10000L).as("pa"),
-        (expr("CAST(round(value * 100) AS BIGINT)") > 15000L).as("pb"))
-      base.agg(count(lit(1)).as("n"),
-          sum(when(col("pa") === col("y") && col("pb") =!= col("y"), 1L)
-            .otherwise(0L)).as("b"),
-          sum(when(col("pa") =!= col("y") && col("pb") === col("y"), 1L)
-            .otherwise(0L)).as("c"),
-          sum(when(col("pa") === col("y"), 1L).otherwise(0L)).as("oka"),
-          sum(when(col("pb") === col("y"), 1L).otherwise(0L)).as("okb"))
-        .select(col("n").as("n_paired"), col("b").as("b_only_a"),
-          col("c").as("c_only_b"),
-          round(col("oka").cast("double") / col("n"), 6).as("acc_a"),
-          round(col("okb").cast("double") / col("n"), 6).as("acc_b"),
-          when(col("b") + col("c") > 0, round(
-            ((abs(col("b") - col("c")) - 1) * (abs(col("b") - col("c")) - 1))
-              .cast("double") / (col("b") + col("c")), 4))
-            .as("mcnemar_chi2"))
-    }),
-
-    // Haversine nearest-site assignment + distance-ring histogram — the
-    // geo primitive beside X1's Lambert-93: event points (coords derived
-    // deterministically from the row, q28's device) against a 5-row
-    // broadcast site table; per-point nearest is a 5-row window, rings
-    // are integer buckets of the 6dp-rounded distance. The point→small-dim
-    // cross join is the canonical geo-join shape (fanout |sites|, never
-    // point²); trig parity rides the same rounding contract Lambert-93
-    // has proven for ten rounds.
-    "q343_haversine_sites" -> ((s, d) => {
-      val pts = ev(s, d).select(col("event_id"),
-        (lit(43.0) + (col("user_id") % 1000) * lit(0.006)).as("lat"),
-        (lit(-1.0) + (expr("CAST(round(value * 100) AS BIGINT)") % 600)
-          * lit(0.01)).as("lon"))
-      val sites = s.range(1).select(explode(array(
-        struct(lit(1L).as("site_id"), lit(48.8566).as("slat"), lit(2.3522).as("slon")),
-        struct(lit(2L).as("site_id"), lit(45.764).as("slat"), lit(4.8357).as("slon")),
-        struct(lit(3L).as("site_id"), lit(43.2965).as("slat"), lit(5.3698).as("slon")),
-        struct(lit(4L).as("site_id"), lit(50.6292).as("slat"), lit(3.0573).as("slon")),
-        struct(lit(5L).as("site_id"), lit(44.8378).as("slat"), lit(-0.5792).as("slon"))))
-        .as("st")).select(col("st.*"))
-      val sh = sin(radians(col("slat") - col("lat")) / 2)
-      val sl = sin(radians(col("slon") - col("lon")) / 2)
-      val dist = round(lit(2.0 * 6371.0088) * asin(least(lit(1.0),
-        sqrt(sh * sh + cos(radians(col("lat"))) * cos(radians(col("slat")))
-          * (sl * sl)))), 6)
-      val assigned = pts.crossJoin(broadcast(sites))
-        .select(col("event_id"), col("site_id"), dist.as("dist_km"))
-        .withColumn("rn", row_number().over(Window.partitionBy("event_id")
-          .orderBy(col("dist_km").asc, col("site_id").asc)))
-        .filter(col("rn") === 1)
-      assigned.groupBy(col("site_id"),
-          floor(col("dist_km") / 100).cast("long").as("ring"))
-        .agg(count(lit(1)).as("cnt"))
-    }),
-
-    // Survivorship merge (golden record) — the entity-resolution step
-    // AFTER matching: clusters (here the custkey-bucket entity) collapse
-    // to one canonical row under explicit field rules — best-source name
-    // (max acctbal, custkey tiebreak), min key as canonical id, cents-
-    // exact balance total, mode segment with alphabetical tiebreak. Each
-    // rule is one window or agg partitioned by entity — group-bounded,
-    // no cross-entity state; this is exactly the q3-keep-first contract
-    // generalized to per-field policies.
-    "q344_golden_record" -> ((s, d) => {
-      val c = Tables.customer(s, d).withColumn("entity",
-        expr("c_custkey DIV 10"))
-      val best = c.withColumn("rn", row_number().over(
-          Window.partitionBy("entity")
-            .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
-        .filter(col("rn") === 1)
-        .select(col("entity"), col("c_name").as("golden_name"))
-      val segs = c.groupBy("entity", "c_mktsegment")
-        .agg(count(lit(1)).as("sc"))
-        .withColumn("rn", row_number().over(Window.partitionBy("entity")
-          .orderBy(col("sc").desc, col("c_mktsegment").asc)))
-        .filter(col("rn") === 1)
-        .select(col("entity"), col("c_mktsegment").as("seg_mode"))
-      val aggd = c.groupBy("entity").agg(
-        min(col("c_custkey")).as("canonical_key"),
-        count(lit(1)).as("n_records"),
-        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("__cents"))
-      aggd.join(best, Seq("entity")).join(segs, Seq("entity"))
-        .select(col("entity"), col("canonical_key"), col("n_records"),
-          col("golden_name"), col("seg_mode"),
-          (col("__cents").cast("double") / 100.0).as("total_bal"))
-    }),
-
-    // Multi-class F1 scorecard — per-class precision/recall/F1 from the
-    // confusion counts of a deterministic cents-bucket classifier over
-    // event_type, with micro-F1 (= accuracy in single-label multi-class)
-    // and macro-F1 (mean per-class, absent classes score 0) attached.
-    // Everything through the F1 ratio is exact integers; the macro mean
-    // runs over the ≤|classes| bounded relation. One scan → one k²-max
-    // confusion agg.
-    "q345_multiclass_f1" -> ((s, d) => {
-      val pred = expr("""CASE
-        WHEN CAST(round(value * 100) AS BIGINT) < 5000 THEN 'view'
-        WHEN CAST(round(value * 100) AS BIGINT) < 10000 THEN 'click'
-        WHEN CAST(round(value * 100) AS BIGINT) < 15000 THEN 'signup'
-        WHEN CAST(round(value * 100) AS BIGINT) < 20000 THEN 'error'
-        ELSE 'purchase' END""")
-      val base = ev(s, d).select(col("event_type").as("truth"),
-        pred.as("pred"))
-      val classes = base.select(col("truth").as("cls")).distinct()
-      val byCls = classes
-        .join(base.groupBy(col("truth").as("cls"))
-          .agg(count(lit(1)).as("n_true")), Seq("cls"), "left")
-        .join(base.filter(col("truth") === col("pred"))
-          .groupBy(col("truth").as("cls")).agg(count(lit(1)).as("tp")),
-          Seq("cls"), "left")
-        .join(base.groupBy(col("pred").as("cls"))
-          .agg(count(lit(1)).as("n_pred")), Seq("cls"), "left")
-        .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
-          (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L)))
-            .as("fp"),
-          (col("n_true") - coalesce(col("tp"), lit(0L))).as("fn"))
-      val scored = byCls.select(col("cls"), col("tp"), col("fp"), col("fn"),
-        when(col("tp") + col("fp") > 0,
-          col("tp").cast("double") / (col("tp") + col("fp"))).as("prec"),
-        when(col("tp") + col("fn") > 0,
-          col("tp").cast("double") / (col("tp") + col("fn"))).as("rec"))
-        // null prec (no predictions) forces tp=0 ⇒ rec=0; the null
-        // condition falls through to the 0.0 branch on BOTH engines
-        .withColumn("f1", when(col("prec") + col("rec") > 0,
-          lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
-          .otherwise(lit(0.0)))
-      val overall = scored.agg(
-        round(sum(col("tp")).cast("double")
-          / (sum(col("tp")) + sum(col("fn"))), 6).as("micro_f1"),
-        round(avg(col("f1")), 6).as("macro_f1"))
-      scored.crossJoin(broadcast(overall))
-        .select(col("cls"), col("tp"), col("fp"), col("fn"),
-          round(col("prec"), 6).as("prec"), round(col("rec"), 6).as("rec"),
-          round(col("f1"), 6).as("f1"), col("micro_f1"), col("macro_f1"))
-    }),
-
-    // Cumulative gains / lift by score decile — the model-targeting chart
-    // ("mailing the top 30% captures what share of buyers?"). Deciles
-    // come from the NINE exact percentile cutpoints broadcast back
-    // (q123's device — no corpus-wide ntile window); a row's decile is
-    // 10 − |{cuts below its score}| via one array filter. Gains/lift
-    // accumulate over the bounded 10-row relation in decile order.
-    "q346_gains_curve" -> ((s, d) => {
-      val base = ev(s, d).select(
-        expr("CAST(round(value * 100) AS BIGINT)").as("score"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
-      val cuts = base.agg(expr(
-        "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-        .as("cuts"))
-      val dec = base.crossJoin(broadcast(cuts))
-        .select((lit(10) - size(filter(col("cuts"),
-          c => col("score") > c))).cast("long").as("decile"), col("pos"))
-        .groupBy("decile").agg(count(lit(1)).as("n"), sum(col("pos")).as("p"))
-      val w = Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      dec.select(col("decile"), col("n"), col("p"),
-          sum(col("p")).over(w).as("__cum"),
-          sum(col("p")).over(tot).as("__tp"), sum(col("n")).over(tot).as("__tn"))
-        .select(col("decile"), col("n"), col("p"),
-          round(col("__cum").cast("double") / col("__tp"), 6).as("gain"),
-          round((col("p").cast("double") / col("n"))
-            / (col("__tp").cast("double") / col("__tn")), 6).as("lift"))
-    }),
-
-    // TPC-H Q4 shape — EXISTS decorrelated to a left-semi join feeding a
-    // grouped count: orders (in a date band) with at least one slow
-    // lineitem (shipped >30 days after the order date), counted per
-    // priority. The semi join shuffles on orderkey once; the date filter
-    // reaches the orders scan.
-    "q280_tpch_q4" -> ((s, d) => {
-      val o = ord(s, d)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-      val late = li(s, d).select(col("l_orderkey").as("o_orderkey"),
-          col("l_shipdate"))
-        .join(o.select("o_orderkey", "o_orderdate"), "o_orderkey")
-        .filter(col("l_shipdate") >
-          col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-        .select("o_orderkey").distinct()
-      o.join(late, Seq("o_orderkey"), "left_semi")
-        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
-    }),
-
-    // Pareto frontier (2-D skyline) — the multi-objective shortlist every
-    // catalog/benchmark comparison wants: parts not STRICTLY dominated on
-    // (price low, size high). survive ⟺ size > max size among strictly
-    // cheaper parts AND size = max size at its own price (an equal-size
-    // cheaper part dominates; equal on both axes → both survive). The
-    // "max among strictly cheaper" is GlobalRank.exclusivePrefixMax —
-    // the shared two-phase device (per-bucket windows + an O(buckets)
-    // offset pass), never a corpus-wide ordered window. All compares
-    // exact (size int; prices identical doubles).
-    "q281_pareto_frontier" -> ((s, d) => {
-      val p = Tables.part(s, d).select(col("p_partkey"), col("p_name"),
-        col("p_retailprice"), col("p_size").cast("long").as("p_size"))
-      val perPrice = p.groupBy("p_retailprice")
-        .agg(max(col("p_size")).as("__mx"))
-      val cheaperMax = graft.operators.GlobalRank.exclusivePrefixMax(
-          perPrice, "p_retailprice", "__mx", nBuckets = 32)
-        .select(col("p_retailprice"), col("__mx"),
-          coalesce(col("max_before"), lit(Long.MinValue)).as("__cm"))
-      p.join(cheaperMax, "p_retailprice")
-        .filter(col("p_size") > col("__cm") && col("p_size") === col("__mx"))
-        .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
-          col("p_size"))
-    }),
-
-    // Dynamic-gap session windows — session_window with a PER-EVENT gap
-    // expression (purchase holds 60 min, else 30): the intent-aware
-    // timeout streams grew in Spark 3.2+. The oracle replays the merge
-    // rule exactly: break when ts ≥ running max of previous (ts + gap)
-    // per user — q238's boundary convention generalized to variable gaps.
-    "q277_dynamic_session" -> ((s, d) =>
-      EventsStream.dynamicSessionCounts(s, d)),
-
-    // Equi-height histogram — the ANALYZE-grade decile table for a
-    // numeric column (q261's companion; q104 buckets per ROW, this emits
-    // the catalog HISTOGRAM): exact-percentile boundaries (A2 device),
-    // per-bucket counts via the bounded boundary-compare sum — no range
-    // join, no sort. Boundaries/interpolation are identical doubles on
-    // both engines.
-    "q278_equiheight_hist" -> ((s, d) => {
-      // ONE percentile aggregate with an array of probabilities — nine
-      // separate percentile() calls each buffer the whole column (9×
-      // sort, measured 15 s at sf0.1); the array form sorts once (2 s)
-      val b = li(s, d).agg(
-          min(col("l_extendedprice")).as("b0"),
-          expr("percentile(l_extendedprice, " +
-            "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))").as("__bs"),
-          max(col("l_extendedprice")).as("b10"))
-        .select(col("b0") +: (1 to 9).map(j =>
-          col("__bs").getItem(j - 1).as(s"b$j")) :+ col("b10"): _*)
-      li(s, d).crossJoin(broadcast(b))
-        .withColumn("bucket", (lit(1) + (1 to 9).map(j =>
-          when(col("l_extendedprice") > col(s"b$j"), 1).otherwise(0))
-          .reduce(_ + _)).cast("long"))
-        .groupBy("bucket").agg(
-          count(lit(1)).as("n_rows"),
-          round(min(col("l_extendedprice")), 4).as("lo_seen"),
-          round(max(col("l_extendedprice")), 4).as("hi_seen"))
-    }),
-
-    // Post-stratification — the survey/eval-methodology estimator: a 10%
-    // deterministic hash sample's naive mean vs the post-stratified mean
-    // Σ_h (N_h/N)·mean_h (population strata shares reweight the sample),
-    // against the true population mean. Cents-exact sums; the strata
-    // table is bounded (|priorities|); sampling is the q103 md5-uniform
-    // device so any engine replays the exact sample.
-    "q279_post_stratification" -> ((s, d) => {
-      val o = ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
-        round(col("o_totalprice") * 100).cast("long").as("cents"))
-      val u = conv(substring(md5(concat(lit("ps_"),
-        col("o_orderkey").cast("string"))), 1, 8), 16, 10)
-        .cast("long").cast("double") / lit(4294967296.0)
-      val sampled = o.withColumn("__in", (u < 0.1).cast("long"))
-      val strata = sampled.groupBy("o_orderpriority").agg(
-        count(lit(1)).as("nh"), sum(col("__in")).as("nh_s"),
-        sum(when(col("__in") === 1, col("cents")).otherwise(0L)).as("sh_s"),
-        sum(col("cents")).as("sh"))
-      // per-stratum contribution in integer MILLI-cents (round-to-int of
-      // the identical double (nh·sh_s)/nh_s·1000 — the q93 device), so
-      // the cross-strata sum is exact longs, not an order-dependent
-      // float fold; an unsampled stratum contributes 0 (guarded — ANSI
-      // division would throw).
-      val term = when(col("nh_s") > 0,
-        round((col("nh") * col("sh_s")).cast("double") / col("nh_s") *
-          lit(1000.0)).cast("long")).otherwise(0L)
-      strata.agg(
-          sum(col("nh")).as("n_pop"), sum(col("nh_s")).as("n_sample"),
-          sum(col("sh")).as("s_pop"), sum(col("sh_s")).as("s_sample"),
-          sum(term).as("__pst_milli"))
-        .select(col("n_pop"), col("n_sample"),
-          round(col("s_sample").cast("double") / col("n_sample") / 100, 4)
-            .as("naive_mean"),
-          round(col("__pst_milli").cast("double") / 1000 / col("n_pop") / 100,
-            4).as("post_strat_mean"),
-          round(col("s_pop").cast("double") / col("n_pop") / 100, 4)
-            .as("population_mean"))
-    }),
-
-    // Curation mixture plan — fractional-knapsack source selection: rank
-    // sources by mean quality (alpha ratio in exact micro-units — the
-    // per-source mean is Σ per-doc micro-scores / docs, all longs), take
-    // whole sources in quality order until the 500k-token budget, take a
-    // FRACTION of the straddling source, skip the rest. The plan table is
-    // |sources| rows, so its windows are bounded; everything up to the
-    // one take_frac division is exact integer arithmetic.
-    "q275_mixture_plan" -> ((s, d) => {
-      val budget = 500000L
-      val docs = doc(s, d).select(col("source"),
-        size(split(col("text"), " ")).cast("long").as("toks"),
-        round(alphaRatio * 1000000L).cast("long").as("__q_micro"))
-      val src = docs.groupBy("source").agg(
-        count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
-        sum(col("__q_micro")).as("__qsum"))
-      val w = Window.orderBy(
-        (col("__qsum").cast("double") / col("n_docs")).desc, col("source"))
-      src
-        .withColumn("quality_rank", row_number().over(w))
-        .withColumn("__before", coalesce(sum(col("tokens")).over(
-          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("take_tokens",
-          greatest(lit(0L), least(col("tokens"), lit(budget) - col("__before"))))
-        .select(col("source"), col("quality_rank").cast("long").as("quality_rank"),
-          col("n_docs"), col("tokens"),
-          round(col("__qsum").cast("double") / col("n_docs") / 1000000L, 6)
-            .as("mean_quality"),
-          col("take_tokens"),
-          round(col("take_tokens").cast("double") / col("tokens"), 6)
-            .as("take_frac"))
-    }),
-
-    // Dedup-funnel impact report — the one-table answer to "what does
-    // each dedup stage cost me": docs/tokens entering, surviving exact
-    // dedup (md5 keep-first), then surviving chunk-level dedup on top
-    // (q220's keeper rule collapsed to full-doc survival = doc keeps ≥ 1
-    // chunk). One row per stage with exact counts and a mirrored
-    // retention ratio — the composition metric a curation pipeline
-    // publishes per release.
-    "q276_dedup_funnel" -> ((s, d) => {
-      val docs = doc(s, d).select(col("doc_id"), col("text"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
-      val stage0 = docs.agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).as("n_tokens"))
-        .select(lit(1L).as("stage"), lit("ingest").as("name"),
-          col("n_docs"), col("n_tokens"))
-      val keepers = docs.groupBy(md5(col("text")).as("__h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val exact = docs.join(keepers, "doc_id")
-      val stage1 = exact.agg(count(lit(1)).as("n_docs"),
-        sum(col("toks")).as("n_tokens"))
-        .select(lit(2L).as("stage"), lit("exact_dedup").as("name"),
-          col("n_docs"), col("n_tokens"))
-      // chunk survival on the exact-dedup survivors: a doc survives if it
-      // keeps at least one 16-token chunk under the q220 keeper rule
-      // (the shared chunks16 cut — one definition for both queries)
-      val chunks = chunks16(exact)
-      val kept = chunks.groupBy("chunk")
-        .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
-      val surviving = chunks.join(kept, "chunk")
-        .filter(struct(col("doc_id"), col("idx")) === col("keeper"))
-        .select("doc_id").distinct()
-      val stage2 = exact.join(surviving, "doc_id")
-        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-        .select(lit(3L).as("stage"), lit("chunk_dedup").as("name"),
-          col("n_docs"), col("n_tokens"))
-      val total = docs.agg(sum(col("toks")).as("__t0"))
-      stage0.unionByName(stage1).unionByName(stage2)
-        .crossJoin(broadcast(total))
-        .select(col("stage"), col("name"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / col("__t0"), 6)
-            .as("token_retention"))
-    }),
-
-    // CUPED variance-reduced experiment readout — the industry-standard
-    // companion to q267: per-user pre-period spend (first 15 days) as the
-    // covariate, θ = cov(pre, post)/var(pre) pooled across arms, adjusted
-    // uplift = raw − θ·(pre-mean gap), variance reduction = ρ². Moments
-    // ride exact cent longs; the covariance algebra uses the q225
-    // decimal(38,0)/HUGEINT device (n·Σxy − Σx·Σy stays exact — each
-    // factor ≤ 2e18, and ρ² multiplies two DOUBLE ratios rather than
-    // squaring a decimal, which would overflow precision 38 differently
-    // per engine). One corpus agg → per-user table → one 1-row agg.
-    "q274_cuped" -> ((s, d) => {
-      val ev0 = Tables.events(s, d).select(col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"),
-        round(col("value") * 100).cast("long").as("cents"))
-      val mn = ev0.agg(min(col("day")).as("mn"))
-      val users = ev0.crossJoin(broadcast(mn))
-        .groupBy("user_id").agg(
-          sum(when(col("day") < col("mn") + 15, col("cents"))
-            .otherwise(0L)).as("pre"),
-          sum(when(col("day") >= col("mn") + 15, col("cents"))
-            .otherwise(0L)).as("post"))
-        .withColumn("arm", col("user_id") % 2)
-      // second-moment SUMS ride decimal(38,0) — a LONG Σ(pre·post) wraps
-      // silently around 1e19 (per-user cents ~1e7 squared × 1e5 users),
-      // well before the n·Σxy products the decimal device already covers
-      def dec0(c: Column) = c.cast("decimal(38,0)")
-      val m = users.agg(
-        count(lit(1)).as("n"),
-        sum(col("pre")).as("sx"), sum(col("post")).as("sy"),
-        sum(dec0(col("pre")) * dec0(col("pre"))).as("sxx"),
-        sum(dec0(col("pre")) * dec0(col("post"))).as("sxy"),
-        sum(dec0(col("post")) * dec0(col("post"))).as("syy"),
-        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
-        sum(when(col("arm") === 0, col("pre")).otherwise(0L)).as("x0"),
-        sum(when(col("arm") === 0, col("post")).otherwise(0L)).as("y0"),
-        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("arm") === 1, col("pre")).otherwise(0L)).as("x1"),
-        sum(when(col("arm") === 1, col("post")).otherwise(0L)).as("y1"))
-      def dec(c: Column) = c.cast("decimal(38,0)")
-      val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
-      val den = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
-      val deny = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
-      val theta = num.cast("double") / den.cast("double")
-      val upliftRaw = col("y1").cast("double") / col("n1") -
-        col("y0").cast("double") / col("n0")
-      val preGap = col("x1").cast("double") / col("n1") -
-        col("x0").cast("double") / col("n0")
-      // zero pre-variance (all users identical pre spend) or zero post-
-      // variance would 0/0 — NULL deterministically on both engines
-      m.select(col("n0"), col("n1"),
-        round(upliftRaw, 4).as("uplift_raw_cents"),
-        round(when(den > 0, theta), 6).as("theta"),
-        round(when(den > 0, upliftRaw - theta * preGap), 4)
-          .as("uplift_cuped_cents"),
-        round(when(den > 0 && deny > 0,
-          (num.cast("double") / den.cast("double")) *
-            (num.cast("double") / deny.cast("double"))), 6)
-          .as("var_reduction"))
-    }),
-
-    // Sliding (overlapping) stream windows — q29's tumbling aggregation
-    // at a 2 h window / 1 h slide, so each event feeds exactly two
-    // windows (the dashboard rate-smoothing shape). Batch-equivalence
-    // oracle: every event assigned to BOTH covering window starts.
-    "q273_stream_sliding_windows" -> ((s, d) =>
-      EventsStream.slidingWindowCounts(s, d)),
-
-    // Clustering-quality readout — the simplified (centroid-based)
-    // silhouette over the q105 k-means labels: per point a = distance to
-    // its (nearest) centroid, b = distance to the second-nearest, s =
-    // (b−a)/max(a,b). The per-point (d², cid) ranking is an array_sort of
-    // literal-centroid structs (identical fold + identical lexicographic
-    // order on both engines — the q105 parity devices); per-point s
-    // converts ONCE to integer micro-units (round-to-int of an identical
-    // double, the q93 device) so the per-cluster mean is exact long
-    // arithmetic into one mirrored division. Pure map-side expressions +
-    // one k-group agg; centroids are the k·dims driver table, never the
-    // corpus.
-    "q272_silhouette" -> ((s, d) => {
-      val (cents, v) = graft.ml.KMeans.lloydCentroids(
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 2)
-      def dist2(c: Array[Double]): Column =
-        aggregate(zip_with(col("__v"), array(c.map(lit).toIndexedSeq: _*),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (a, b) => a + b)
-      val sorted = array_sort(array(cents.map { case (cid, cv) =>
-        struct(dist2(cv).as("d2"), lit(cid).as("cid")) }: _*))
-      val a = sqrt(sorted.getItem(0).getField("d2"))
-      val b = sqrt(sorted.getItem(1).getField("d2"))
-      val sPoint = when(greatest(a, b) > 0,
-        (b - a) / greatest(a, b)).otherwise(lit(0.0))
-      v.select(sorted.getItem(0).getField("cid").as("cluster"),
-          round(sPoint * 1000000L).cast("long").as("__mu"))
-        .groupBy("cluster").agg(
-          count(lit(1)).as("n"), sum(col("__mu")).as("__sm"))
-        .select(col("cluster"), col("n"),
-          round(col("__sm").cast("double") / col("n") / 1000000L, 6)
-            .as("mean_silhouette"))
-    }),
-
-    // ViT-style patch tokenization over the synthetic byte raster — the
-    // image-to-token pre-step with the plumbing real (sequence+explode+
-    // HOF fold, codegen'd, shuffle-free; see Multimodal.patchGrid): one
-    // row per 4×4 tile of the 16-wide raster with exact intensity sums;
-    // the mean divides by 16 (a power of two) so even the double is
-    // bit-exact with no rounding.
-    "q269_patch_grid" -> ((s, d) =>
-      graft.multimodal.Multimodal.patchGrid(
-        graft.multimodal.Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
-        width = 16, patch = 4)),
-
-    // Share-of-parent rollup — the ratio-to-parent BI primitive (nation
-    // share within region, region share of total) from ONE exact-cents
-    // aggregation: the share windows run over the BOUNDED nation table
-    // (25 rows), never the fact stream; ratios divide exact longs.
-    "q264_revenue_share" -> ((s, d) => {
-      val rev = li(s, d)
-        .select(col("l_orderkey"),
-          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-            .cast("long").as("cents"))
-        .join(ord(s, d).select(col("o_orderkey").as("l_orderkey"),
-          col("o_custkey")), "l_orderkey")
-        .join(Tables.customer(s, d).select(col("c_custkey").as("o_custkey"),
-          col("c_nationkey")), "o_custkey")
-        .join(broadcast(Tables.nation(s, d).select(
-          col("n_nationkey").as("c_nationkey"), col("n_name"),
-          col("n_regionkey"))), "c_nationkey")
-        .join(broadcast(Tables.region(s, d).select(
-          col("r_regionkey").as("n_regionkey"), col("r_name"))),
-          "n_regionkey")
-        .groupBy("r_name", "n_name").agg(sum(col("cents")).as("cents"))
-      rev
-        .withColumn("region_cents",
-          sum(col("cents")).over(Window.partitionBy("r_name")))
-        .withColumn("total_cents",
-          sum(col("cents")).over(Window.partitionBy(lit(1))))
-        .select(col("r_name"), col("n_name"), col("cents"),
-          round(col("cents").cast("double") / col("region_cents"), 6)
-            .as("share_of_region"),
-          round(col("region_cents").cast("double") / col("total_cents"), 6)
-            .as("region_share_of_total"))
-    }),
-
-    // Phrase search over the positional postings relation (q118's
-    // substrate): the two token scans filter-push onto the postings
-    // build (at scale: a bucketed-by-token index → both sides are
-    // pruned scans, no full-corpus pass), then one equi-join on
-    // (doc_id, adjacent position). Zero similarity math — exact-match
-    // retrieval is a join shape, not a scan shape.
-    "q347_phrase_search" -> ((s, d) => {
-      val toks = doc(s, d)
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), col("pos"), col("col").as("w"))
-      val first = toks.filter(col("w") === "table")
-        .select(col("doc_id"), col("pos"))
-      val second = toks.filter(col("w") === "hash")
-        .select(col("doc_id"), (col("pos") - 1).as("pos"))
-      first.join(second, Seq("doc_id", "pos"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
-    }),
-
-    // k-fold cross-validated simple regression WITHOUT iteration: one
-    // scan builds per-fold sufficient statistics (exact integer sums —
-    // dollars/quantity are whole numbers), the 5-row fold relation
-    // gets the grand totals broadcast back, and each fold's
-    // OUT-OF-FOLD slope/intercept is (total − fold) arithmetic. Fold
-    // RMSE expands Σ(y−a−bx)² from the same six statistics. This is
-    // how CV scales: no per-fold re-scan, no model-fit loop. Int64
-    // headroom note: sum(y*y) at y~1e5 holds ~9e8 rows per fold before
-    // wrapping — fine to TB-scale facts; beyond that, promote the
-    // squared sums to DECIMAL(38,0) (DuckDB already promotes to
-    // HUGEINT).
-    "q348_cv_ols" -> ((s, d) => {
-      val b = li(s, d).select(
-        ((col("l_orderkey") + col("l_linenumber")) % 5).cast("long")
-          .as("fold"),
-        // round() before the long cast: Spark's cast truncates while
-        // the oracle's CAST rounds — rounding both sides (the y
-        // treatment) keeps parity independent of quantity integrality
-        round(col("l_quantity")).cast("long").as("x"),
-        round(col("l_extendedprice")).cast("long").as("y"))
-      val per = b.groupBy("fold").agg(
-        count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
-      val tot = per.agg(sum(col("n")).as("tn"), sum(col("sx")).as("tsx"),
-        sum(col("sy")).as("tsy"), sum(col("sxx")).as("tsxx"),
-        sum(col("sxy")).as("tsxy"))
-      val oof = per.crossJoin(broadcast(tot)).select(col("fold"),
-        col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"),
-        (col("tn") - col("n")).cast("double").as("rn"),
-        (col("tsx") - col("sx")).cast("double").as("rsx"),
-        (col("tsy") - col("sy")).cast("double").as("rsy"),
-        (col("tsxx") - col("sxx")).cast("double").as("rsxx"),
-        (col("tsxy") - col("sxy")).cast("double").as("rsxy"))
-      val fit = oof.select(col("fold"), col("n"), col("sx"), col("sy"),
-        col("sxx"), col("sxy"), col("syy"), col("rn"), col("rsx"), col("rsy"),
-        ((col("rn") * col("rsxy") - col("rsx") * col("rsy")) /
-          (col("rn") * col("rsxx") - col("rsx") * col("rsx"))).as("b"))
-        .withColumn("a", (col("rsy") - col("b") * col("rsx")) / col("rn"))
-      fit.select(col("fold"), col("n"),
-          round(col("b"), 6).as("slope"), round(col("a"), 4).as("intercept"),
-          round(sqrt((col("syy").cast("double")
-            - lit(2.0) * col("a") * col("sy")
-            - lit(2.0) * col("b") * col("sxy")
-            + col("n") * col("a") * col("a")
-            + lit(2.0) * col("a") * col("b") * col("sx")
-            + col("b") * col("b") * col("sxx").cast("double"))
-            / col("n")), 4).as("rmse"))
-        .orderBy("fold")
-    }),
-
-    // Isotonic calibration (PAV) — the monotone score→probability map
-    // model-serving calibration wants, computed by the minimax identity
-    // fit_i = max_{j≤i} min_{k≥i} rate(j..k) (Barlow & Brunk '72) over
-    // the BOUNDED score-bin relation: the 100 TB scan collapses to ~20
-    // (bin, n, pos) rows FIRST, then the O(b³) pooling runs on a
-    // broadcast-bounded table — never on raw rows. Every pooled rate is
-    // a quotient of exact integers; the hashed outputs ride integer
-    // 1e-6 units (the q93 device), so min/max selection replays
-    // bit-for-bit.
-    "q349_isotonic_calibration" -> ((s, d) => {
-      val b = ev(s, d).select(
-        // exact integer FLOOR division (subtract the nonnegative pmod
-        // remainder, then DIV is exact): Spark's bare DIV truncates
-        // toward zero while the DuckDB oracle's // floors — they only
-        // agree on nonnegative scores, and bins must not depend on that
-        expr("(CAST(round(value * 100) AS LONG) - " +
-          "pmod(CAST(round(value * 100) AS LONG), 1000L)) DIV 1000L")
-          .as("bin"),
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pos"))
-      val bins = b.groupBy("bin").agg(count(lit(1)).as("n"),
-        sum(col("pos")).as("p"))
-      // running sums over the bin relation (bounded, ≤ ~21 rows — the
-      // q346 precedent), never the event stream
-      val w = Window.orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val pre = bins.select(col("bin"), col("n"), col("p"),
-        sum(col("n")).over(w).as("cn"), sum(col("p")).over(w).as("cp"))
-      val pj = pre.select(col("bin").as("j"), (col("cp") - col("p")).as("pj0"),
-        (col("cn") - col("n")).as("nj0"))
-      val pk = pre.select(col("bin").as("k"), col("cp").as("cpk"),
-        col("cn").as("cnk"))
-      val pairs = pj.join(pk, col("j") <= col("k"))
-        .select(col("j"), col("k"), ((col("cpk") - col("pj0")).cast("double")
-          / (col("cnk") - col("nj0"))).as("avgr"))
-      val idx = bins.select(col("bin").as("i"))
-      val fit = pairs.join(idx, col("j") <= col("i") && col("k") >= col("i"))
-        .groupBy("j", "i").agg(min(col("avgr")).as("m"))
-        .groupBy("i").agg(max(col("m")).as("fit"))
-      bins.join(fit, col("bin") === col("i"))
-        .select(col("bin"), col("n"), col("p"),
-          round(col("p").cast("double") / col("n") * lit(1000000.0d))
-            .cast("long").as("raw_e6"),
-          round(col("fit") * lit(1000000.0d)).cast("long").as("iso_e6"))
-    }),
-
-    // Hourly OHLC + VWAP bars — the time-bucketed downsampling shape
-    // (market bars, telemetry rollups): one grouped aggregation, with
-    // open/close as min_by/max_by over the exact (epoch-micro,
-    // event_id) total order (the injected RewriteMinByStruct rule keeps
-    // this a hash aggregate). Prices are exact cents; VWAP divides two
-    // exact integer sums.
-    "q352_vwap_bars" -> ((s, d) => {
-      val b = ev(s, d).select(
-        // floor division via pmod (not bare DIV, which truncates toward
-        // zero): pre-epoch timestamps must land in the earlier hour
-        // bucket, matching DuckDB's flooring //
-        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L)) " +
-          "DIV 3600000000L").as("hour"),
-        unix_micros(col("ts")).as("tsu"), col("event_id"),
-        round(col("value") * 100).cast("long").as("cents"),
-        (col("user_id") % 10 + 1).cast("long").as("qty"))
-      b.groupBy("hour").agg(
-          min_by(col("cents"), struct(col("tsu"), col("event_id")))
-            .as("open_c"),
-          max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
-          max_by(col("cents"), struct(col("tsu"), col("event_id")))
-            .as("close_c"),
-          sum(col("cents") * col("qty")).as("__pv"),
-          sum(col("qty")).as("volume"))
-        .select(col("hour"), col("open_c"), col("high_c"), col("low_c"),
-          col("close_c"), col("volume"),
-          // integer micro-dollar units (the q93 device): pv/vol is an
-          // identical double on both engines and round-to-INTEGER agrees
-          // everywhere, unlike round(x, 6) whose decimal-scale paths can
-          // flip boundary values (vol divides pv in binary fractions, so
-          // .5 landings are common here)
-          round(col("__pv").cast("double") / col("volume") * lit(10000.0d))
-            .cast("long").as("vwap_e6"))
-    }),
-
-    // URL decomposition + per-host rollup — the web-corpus curation
-    // primitive (domain quotas, host dedup keys, eTLD grouping). URLs
-    // are synthesized deterministically from document fields, then
-    // host / registered-domain / query-param fall out of three
-    // codegen'd regexes in ONE projection pass — no UDF, no shuffle
-    // before the final per-host aggregate.
-    "q350_url_parse" -> ((s, d) => {
-      val u = doc(s, d).select(col("doc_id"), col("lang"),
-        concat(lit("https://www."), col("source"), lit(".example.com/"),
-          col("lang"), lit("/doc-"), col("doc_id"),
-          lit("?ref="), (col("doc_id") % 7).cast("string")).as("url"))
-      u.select(
-          regexp_extract(col("url"), "^https?://([^/]+)/", 1).as("host"),
-          col("lang"), (col("doc_id") % 7).as("ref"))
-        .withColumn("domain",
-          regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
-        .groupBy("host", "domain").agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("lang")).as("n_langs"),
-          round(avg(col("ref")), 4).as("avg_ref"))
-    }),
-
-    // HTML → text stripping — the first stage of every web-scrape
-    // pipeline: tag removal + entity unescape as two codegen'd
-    // regexp/replace chains in a single projection (at 100 TB this is
-    // embarrassingly parallel scan work; the only aggregate is the
-    // per-source report). Tag count is measured before stripping via
-    // exact character arithmetic.
-    "q351_html_strip" -> ((s, d) => {
-      val h = doc(s, d).select(col("doc_id"), col("source"),
-        concat(lit("<html><body data-src=\""), col("source"),
-          lit("\"><h1>Doc "), col("doc_id"), lit("</h1><p>"),
-          regexp_replace(regexp_replace(col("text"), "table",
-            "<b>table</b>"), "fast", "&amp;fast"),
-          lit("</p></body></html>")).as("html"))
-      val stripped = h.select(col("doc_id"), col("source"), col("html"),
-        regexp_replace(regexp_replace(col("html"), "<[^>]+>", ""),
-          "&amp;", "&").as("clean"))
-      stripped.groupBy("source").agg(count(lit(1)).as("n_docs"),
-        sum(length(col("html")) - length(regexp_replace(col("html"), "<", "")))
-          .as("n_tags"),
-        round(avg(length(col("clean"))), 4).as("avg_clean_len"))
-    }),
-
-    // MERGE-style upsert AUDIT — the metrics row every MERGE INTO emits
-    // (Delta/Iceberg `operationMetrics`): rows matched-and-updated, rows
-    // inserted, rows retained untouched, with post-merge checksums per
-    // action. Target = the per-part snapshot as of the cutoff; source =
-    // the post-cutoff delta of the same feed (q315 is the write half of
-    // this; q127 returns the merged TABLE — this returns the AUDIT).
-    // Both relations come out of ONE fact scan as conditional aggregates
-    // (sum(when) is null when no rows — exactly the key-presence test a
-    // full-outer target⋈source would give), so the whole merge
-    // classification costs one shuffle on the merge key instead of two
-    // aggregations plus an outer join. Revenue rides exact cents.
-    "q353_merge_audit" -> ((s, d) => {
-      val cut = lit("1997-06-01").cast("timestamp")
-      // merge key = (part, supplier): fine enough that all three actions
-      // occur at every SF (a coarser key degenerates to all-update once
-      // every key straddles the cutoff)
-      val per = li(s, d).select(col("l_partkey"), col("l_suppkey"),
-          col("l_shipdate").lt(cut).as("__old"),
-          round(col("l_extendedprice") * 100).cast("long").as("__c"))
-        .groupBy("l_partkey", "l_suppkey").agg(
-          sum(when(col("__old"), col("__c"))).as("t_c"),
-          sum(when(col("__old"), 1L)).as("t_n"),
-          sum(when(!col("__old"), col("__c"))).as("s_c"),
-          sum(when(!col("__old"), 1L)).as("s_n"))
-      per.select(
-          when(col("t_n").isNotNull && col("s_n").isNotNull, "update")
-            .when(col("t_n").isNull, "insert").otherwise("retain")
-            .as("action"),
-          col("t_n"), col("s_n"),
-          (coalesce(col("t_c"), lit(0L)) + coalesce(col("s_c"), lit(0L)))
-            .as("__m"))
-        .groupBy("action").agg(count(lit(1)).as("n_keys"),
-          coalesce(sum(col("t_n")), lit(0L)).as("n_target_rows"),
-          coalesce(sum(col("s_n")), lit(0L)).as("n_source_rows"),
-          round(sum(col("__m")).cast("double") / 100, 2)
-            .as("merged_revenue"))
-    }),
-
-    // Pivot-wide with MULTIPLE measures per pivot value — the dashboard
-    // export shape (q45 pivots one measure): event volume AND exact-cent
-    // value per 6-hour time-of-day band, one wide row per event type.
-    // The pivot list is explicit (no distinct-values pre-scan — at scale
-    // that scan is a full pass just to learn the column set) and the
-    // whole thing is ONE partial-aggregating hash aggregate: 4 bands ×
-    // 2 measures = 8 counters per group, map-side combined. Bucketing is
-    // floor-division via pmod (q352's device) so pre-epoch timestamps
-    // would band identically to DuckDB's flooring //.
-    "q354_pivot_multi" -> ((s, d) => {
-      val b = ev(s, d).select(col("event_type"),
-        expr("pmod((unix_micros(ts) - pmod(unix_micros(ts), 3600000000L))" +
-          " DIV 3600000000L, 24L) DIV 6L").as("band"),
-        round(col("value") * 100).cast("long").as("cents"))
-      b.groupBy("event_type").pivot("band", Seq(0, 1, 2, 3))
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("cents")).cast("double") / 100, 2).as("val"))
-    }),
-
-    // End-to-end dedup QUALITY scorecard — closes the loop q205 opened at
-    // the candidate-pair level: run the full production chain
-    // (MinHash → LSH band join → exact-Jaccard verify → connected
-    // components, q44's exact parameters) and grade its final CLUSTERS
-    // against the exact ground truth (PPJoin candidate generation has
-    // recall 1.0 by theorem, so canonicalizeExact's components ARE the
-    // true "jaccard ≥ 0.3" clustering). Grading is standard pair-level
-    // cluster eval: a pair counts iff the two docs share a label, so the
-    // comparison also scores the transitive closure the CC step adds —
-    // the part no pairwise eval sees. Co-membership joins cost Σ|c|²
-    // over CLUSTERS (near-dup clusters are single-digit; the corpus-size
-    // term is linear), and the two scalar cluster counts attach by
-    // 1-row broadcast.
-    "q355_dedup_scorecard" -> ((s, d) => {
-      val docs = doc(s, d)
-      val pred = Dedup.canonicalize(docs, "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3, rounds = 16, family = "md5p61")
-      val truth = Dedup.canonicalizeExact(docs, "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3, maxRounds = 16)
-      def comember(lab: DataFrame): DataFrame =
-        lab.select(col("canonical_id").as("__l"), col("doc_id").as("id_a"))
-          .join(lab.select(col("canonical_id").as("__l"),
-            col("doc_id").as("id_b")), Seq("__l"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b")
-      def nClusters(lab: DataFrame, out: String): DataFrame =
-        lab.groupBy("canonical_id").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") >= 2).agg(count(lit(1)).as(out))
-      val cm = comember(pred).withColumn("__p", lit(1L))
-        .join(comember(truth).withColumn("__t", lit(1L)),
-          Seq("id_a", "id_b"), "full_outer")
-        .agg(
-          // coalesce: a duplicate-free corpus has ZERO pairs on both
-          // sides, and sum over no rows is null — the scorecard reports 0
-          coalesce(sum(when(col("__p").isNotNull && col("__t").isNotNull,
-            1L).otherwise(0L)), lit(0L)).as("tp"),
-          coalesce(sum(when(col("__p").isNotNull && col("__t").isNull,
-            1L).otherwise(0L)), lit(0L)).as("fp"),
-          coalesce(sum(when(col("__p").isNull && col("__t").isNotNull,
-            1L).otherwise(0L)), lit(0L)).as("fn"))
-      cm.crossJoin(broadcast(nClusters(pred, "pred_clusters")))
-        .crossJoin(broadcast(nClusters(truth, "truth_clusters")))
-        .select(col("tp"), col("fp"), col("fn"),
-          when(col("tp") + col("fp") > 0, round(col("tp").cast("double")
-            / (col("tp") + col("fp")), 6)).as("prec"),
-          when(col("tp") + col("fn") > 0, round(col("tp").cast("double")
-            / (col("tp") + col("fn")), 6)).as("rec"),
-          when(col("tp") * 2 + col("fp") + col("fn") > 0,
-            round((col("tp") * 2).cast("double")
-              / (col("tp") * 2 + col("fp") + col("fn")), 6)).as("f1"),
-          col("pred_clusters"), col("truth_clusters"))
-    }),
-
-    // Kruskal–Wallis rank ANOVA (q191's Mann–Whitney generalized to k
-    // groups, tie-corrected): does `value` distribute identically across
-    // event types? Global average ranks ride q334's exact device —
-    // 2·rank(c) = 2·cum_before + t + 1 over the DISTINCT-score relation
-    // (GlobalRank's two-phase prefix sum, never a corpus-wide window) —
-    // so the per-group rank sums are exact integers (DECIMAL: at 1e12
-    // rows 2R ~ N² overflows int64). The only float work is Σ R²/n over
-    // the k-row group relation, folded in sorted group order so both
-    // engines add in the same sequence. Tie term Σ(t³−t) is exact.
-    "q356_kruskal_wallis" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val base = ev(s, d).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"))
-      val byc = base.groupBy("c").agg(count(lit(1)).as("t"))
-      val pp = graft.operators.GlobalRank.exclusivePrefixSum(byc, "c", "t")
-      val per = base.groupBy("event_type", "c").agg(count(lit(1)).as("g"))
-        .join(pp.select(col("c"), col("t"), col("cum_before")), Seq("c"))
-        .groupBy("event_type").agg(sum(col("g")).as("ng"),
-          sum(col("g").cast(dec)
-            * (lit(2) * col("cum_before") + col("t") + 1)).as("r2"))
-      val ties = pp.agg(
-        sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("t3"))
-      val tot = per.agg(sum(col("ng")).as("nn"), count(lit(1)).as("k"))
-      per.agg(sort_array(collect_list(struct(col("event_type"),
-          col("ng"), col("r2").cast("double").as("r2d")))).as("gs"))
-        .select(expr("aggregate(gs, 0D, (acc, x) -> " +
-          "acc + (x.r2d / 2D) * (x.r2d / 2D) / CAST(x.ng AS DOUBLE))")
-          .as("srn"))
-        .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
-        .select(col("nn").as("n"), col("k"),
-          round(((lit(12.0) / (col("nn").cast("double")
-              * (col("nn") + 1).cast("double"))) * col("srn")
-            - lit(3.0) * (col("nn") + 1).cast("double"))
-            / (lit(1.0) - col("t3").cast("double")
-              / (col("nn").cast("double") * col("nn").cast("double")
-                * col("nn").cast("double") - col("nn").cast("double"))), 6)
-            .as("h"))
-    }),
-
-    // Brown–Forsythe Levene test — variance homogeneity via one-way
-    // ANOVA on |x − group median| (the robust form; q22 is the plain
-    // ANOVA). The deviations are EXACT integers on the doubled-cents
-    // scale (group medians are multiples of 0.5 cents, so 2·|c − med|
-    // is integral — W is scale-invariant), which makes every sum exact;
-    // the single ordered fold computes Σ S²/n and the rest is scalar
-    // algebra on a 1-row relation. Group medians broadcast (k rows).
-    "q357_levene_bf" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val base = ev(s, d).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"))
-      val med = base.groupBy("event_type").agg(
-        (Stats.quantileExpr(s, "c", 0.5) * 2).cast("long").as("m2"))
-      val z = base.join(broadcast(med), Seq("event_type"))
-        .select(col("event_type"), abs(col("c") * 2 - col("m2")).as("z"))
-      val per = z.groupBy("event_type").agg(count(lit(1)).as("ng"),
-        sum(col("z")).as("sg"), sum(col("z").cast(dec) * col("z")).as("qg"))
-      val tot = per.agg(sum(col("ng")).as("nn"), count(lit(1)).as("k"),
-        sum(col("sg")).as("st"), sum(col("qg")).as("qt"))
-      per.agg(sort_array(collect_list(struct(col("event_type"),
-          col("ng"), col("sg").cast("double").as("sgd")))).as("gs"))
-        .select(expr("aggregate(gs, 0D, (acc, x) -> " +
-          "acc + x.sgd * x.sgd / CAST(x.ng AS DOUBLE))").as("srn"))
-        .crossJoin(broadcast(tot))
-        .select(col("nn").as("n"), col("k"),
-          round(((col("srn") - col("st").cast("double")
-              * col("st").cast("double") / col("nn").cast("double"))
-            / (col("k") - 1).cast("double"))
-            / ((col("qt").cast("double") - col("srn"))
-              / (col("nn") - col("k")).cast("double")), 6).as("w"))
-    }),
-
-    // Jarque–Bera normality screen per series — skewness, excess
-    // kurtosis and the JB statistic from the first four RAW power sums,
-    // each an exact DECIMAL(38,0) integer (cents⁴ ~1e19 overflows int64
-    // PER ROW, so the cast precedes the multiplies; DuckDB rides
-    // HUGEINT). One map-side-combinable hash aggregate per type; the
-    // central-moment expansion is then fixed-order scalar algebra —
-    // the only libm call is the correctly-rounded sqrt.
-    "q358_jarque_bera" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val per = ev(s, d).select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"),
-          sum(col("c")).as("s1"), sum(col("c").cast(dec) * col("c")).as("s2"),
-          sum(col("c").cast(dec) * col("c") * col("c")).as("s3"),
-          sum(col("c").cast(dec) * col("c") * col("c") * col("c")).as("s4"))
-      val nd = col("n").cast("double")
-      val mean = col("s1").cast("double") / nd
-      val m2 = col("s2").cast("double") / nd - mean * mean
-      val m3 = (col("s3").cast("double") / nd
-        - lit(3.0) * mean * (col("s2").cast("double") / nd)) +
-        lit(2.0) * mean * mean * mean
-      val m4 = ((col("s4").cast("double") / nd
-        - lit(4.0) * mean * (col("s3").cast("double") / nd)) +
-        lit(6.0) * mean * mean * (col("s2").cast("double") / nd)) -
-        lit(3.0) * mean * mean * mean * mean
-      val skew = m3 / (sqrt(m2) * m2)
-      val kurt = m4 / (m2 * m2) - lit(3.0)
-      per.select(col("event_type"), col("n"),
-        round(skew, 6).as("skew"), round(kurt, 6).as("kurt_excess"),
-        round(nd / lit(6.0) * (skew * skew + kurt * kurt / lit(4.0)), 4)
-          .as("jb"))
-    }),
-
-    // Grubbs outlier statistic per series — G = max|x − x̄| / s, plus
-    // WHICH row attains it. The deviation rides the n-scaled integer
-    // |c·n − S| (exact, no float mean subtraction per row), and the
-    // argmax tie-breaks deterministically to the LOWEST event_id via
-    // max_by over a (dev, −id) struct — the q352 min_by/max_by device,
-    // one hash aggregate, no window. Per-type stats broadcast back.
-    "q359_grubbs" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val st = ev(s, d).select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"),
-          sum(col("c")).as("sc"), sum(col("c").cast(dec) * col("c")).as("qc"))
-      val j = ev(s, d).select(col("event_type"), col("event_id"),
-          round(col("value") * 100).cast("long").as("c"))
-        .join(broadcast(st), Seq("event_type"))
-        .select(col("event_type"), col("event_id"), col("n"), col("sc"),
-          col("qc"), abs(col("c") * col("n") - col("sc")).as("dev"))
-      j.groupBy("event_type").agg(max(col("n")).as("n"),
-          max(col("sc")).as("sc"), max(col("qc")).as("qc"),
-          max(col("dev")).as("md"),
-          max_by(col("event_id"),
-            struct(col("dev"), (col("event_id") * -1).as("ni")))
-            .as("outlier_event_id"))
-        .select(col("event_type"), col("n"),
-          round((col("md").cast("double") / col("n").cast("double"))
-            / sqrt((col("qc").cast("double")
-              - col("sc").cast("double") * col("sc").cast("double")
-                / col("n").cast("double"))
-              / (col("n") - 1).cast("double")), 6).as("g"),
-          col("outlier_event_id"))
-    }),
-
-    // Maximum drawdown per series — peak-to-trough on the cents "price"
-    // path in (ts, event_id) total order: running max via a keyed
-    // cumulative window (linear, partition = series; never a global
-    // window), drawdown = running_max − price, one grouped max. All
-    // integer until the final dollars rounding.
-    "q360_max_drawdown" -> ((s, d) => {
-      val b = ev(s, d).select(col("event_type"),
-        unix_micros(col("ts")).as("tsu"), col("event_id"),
-        round(col("value") * 100).cast("long").as("c"))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("tsu").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      b.select(col("event_type"), (max(col("c")).over(w) - col("c")).as("dd"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"),
-          round(max(col("dd")).cast("double") / 100, 2).as("max_drawdown"))
-    }),
-
-    // Friedman rank test over COMPLETE blocks — blocks are UTC days,
-    // treatments the event types, block response = the day's exact-cent
-    // total per type. Within-day average ranks carry the exact doubled
-    // form 2·r̄ = 2(rank−1) + ties + 1 (day-keyed windows over the
-    // bounded day×type cell relation, not the event stream); days
-    // missing a treatment drop (classic Friedman needs complete blocks;
-    // the global k attaches as a 1-row broadcast). χ² folds Σ R² over
-    // the k-row treatment relation in sorted order. Average ranks
-    // handle ties; the classic statistic carries no tie-correction term.
-    "q361_friedman" -> ((s, d) => {
-      val cell = ev(s, d).select(col("event_type"),
-          expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
-            " DIV 86400000000L").as("day"),
-          round(col("value") * 100).cast("long").as("c"))
-        .groupBy("day", "event_type").agg(sum(col("c")).as("sv"))
-      val kk = cell.agg(countDistinct(col("event_type")).as("k"))
-      val complete = cell.withColumn("kc",
-          count(lit(1)).over(Window.partitionBy("day")))
-        .crossJoin(broadcast(kk)).filter(col("kc") === col("k"))
-      val ranked = complete.select(col("event_type"), col("k"),
-        (lit(2) * (rank().over(Window.partitionBy("day").orderBy("sv")) - 1)
-          + count(lit(1)).over(Window.partitionBy("day", "sv")) + 1)
-          .as("r2"))
-      val per = ranked.groupBy("event_type").agg(sum(col("r2")).as("rr2"),
-        count(lit(1)).as("nb"), max(col("k")).as("k"))
-      val tot = per.agg(max(col("nb")).as("n_blocks"), max(col("k")).as("k"))
-      per.agg(sort_array(collect_list(struct(col("event_type"),
-          col("rr2").cast("double").as("rd")))).as("gs"))
-        .select(expr("aggregate(gs, 0D, (acc, x) -> " +
-          "acc + (x.rd / 2D) * (x.rd / 2D))").as("sr2"))
-        .crossJoin(broadcast(tot))
-        .select(col("n_blocks"), col("k"),
-          round(lit(12.0) / (col("n_blocks").cast("double")
-              * col("k").cast("double") * (col("k") + 1).cast("double"))
-            * col("sr2")
-            - lit(3.0) * col("n_blocks").cast("double")
-              * (col("k") + 1).cast("double"), 6).as("chi2"))
-    }),
-
-    // Average precision (PR-AUC) — q334's ROC companion for imbalanced
-    // retrieval eval, in the threshold-step form AP = Σ (ΔR_i · P_i)
-    // over DISTINCT scores descending (the tie-canonical definition:
-    // tied scores enter as one block, so no arbitrary within-tie order
-    // leaks into the metric). Scores quantize to whole dollars, so the
-    // cumulative TP/row counts ride GlobalRank's distributed prefix sums
-    // over a ≤600-row score relation and the one float fold runs
-    // score-descending on both engines.
-    "q362_average_precision" -> ((s, d) => {
-      val base = ev(s, d).select(
-        when(col("event_type") === "purchase", 1L).otherwise(0L).as("lab"),
-        expr("(CAST(round(value * 100) AS LONG) - " +
-          "pmod(CAST(round(value * 100) AS LONG), 100L)) DIV 100L").as("sc"))
-      val byc = base.groupBy("sc").agg(count(lit(1)).as("t"),
-        sum(col("lab")).as("ta"))
-      val pp = graft.operators.GlobalRank.exclusivePrefixSums(
-        byc.withColumn("negs", col("sc") * -1), "negs", Seq("t", "ta"))
-      val tot = byc.agg(sum(col("ta")).as("np"), count(lit(1)).as("n_scores"))
-      pp.select((col("cum_before_t") + col("t")).as("ct"),
-          (col("cum_before_ta") + col("ta")).as("cta"),
-          col("ta"), col("negs"))
-        .agg(sort_array(collect_list(struct(col("negs"),
-          col("ta").cast("double").as("tad"),
-          col("cta").cast("double").as("ctad"),
-          col("ct").cast("double").as("ctd")))).as("gs"))
-        .crossJoin(broadcast(tot))
-        .select(col("np").as("n_pos"), col("n_scores"),
-          when(col("np") > 0, round(expr("aggregate(gs, 0D, (acc, x) -> " +
-            "acc + x.tad * (x.ctad / x.ctd))") / col("np").cast("double"),
-            6)).as("ap"))
-    }),
-
-    // Average True Range over the q352 hourly bars — the windowed-over-
-    // aggregated composition (bars first, indicator second): TR =
-    // max(H−L, |H−C₋₁|, |L−C₋₁|) per bar in exact cents, ATR = the
-    // trailing 14-bar mean, full windows only (q317's exclusion rule).
-    // Bars are keyed per series so every window is per-type over the
-    // BOUNDED bar relation; everything is integral until the final
-    // dollar divisions, so max/argmax over ATRs are order-free.
-    "q363_atr" -> ((s, d) => {
-      val b = ev(s, d).select(col("event_type"),
-        expr("(unix_micros(ts) - pmod(unix_micros(ts), 3600000000L)) " +
-          "DIV 3600000000L").as("hour"),
-        unix_micros(col("ts")).as("tsu"), col("event_id"),
-        round(col("value") * 100).cast("long").as("c"))
-      val bars = b.groupBy("event_type", "hour").agg(
-        max(col("c")).as("hi"), min(col("c")).as("lo"),
-        max_by(col("c"), struct(col("tsu"), col("event_id"))).as("cl"))
-      val wo = Window.partitionBy("event_type").orderBy("hour")
-      val tr = bars.select(col("event_type"), col("hour"),
-          lag(col("cl"), 1).over(wo).as("pc"), col("hi"), col("lo"))
-        .filter(col("pc").isNotNull)
-        .select(col("event_type"), col("hour"),
-          greatest(col("hi") - col("lo"), abs(col("hi") - col("pc")),
-            abs(col("lo") - col("pc"))).as("tr"))
-      val w14 = Window.partitionBy("event_type").orderBy("hour")
-        .rowsBetween(-13, Window.currentRow)
-      tr.select(col("event_type"), col("hour"),
-          sum(col("tr")).over(w14).as("s14"),
-          count(lit(1)).over(w14).as("k14"))
-        .filter(col("k14") === 14)
-        .groupBy("event_type").agg(count(lit(1)).as("n_full"),
-          round(max(col("s14")).cast("double") / 1400, 4).as("max_atr"),
-          round(max_by(col("s14"), col("hour")).cast("double") / 1400, 4)
-            .as("last_atr"))
-    }),
-
-    // Wilder-style RSI profile (simple 14-tick averages) per series —
-    // tick-to-tick gains/losses are exact cents, and the overbought/
-    // oversold counts use the INTEGER forms of the thresholds
-    // (RSI ≥ 70 ⟺ 3·G ≥ 7·L on G+L > 0), so no row's classification
-    // ever hangs on a float boundary; flat windows (G+L = 0, RSI
-    // undefined) count in neither bucket. max_rsi is a max over
-    // exact-ratio doubles — order-free.
-    "q364_rsi" -> ((s, d) => {
-      val wo = Window.partitionBy("event_type")
-        .orderBy(col("tsu").asc, col("event_id").asc)
-      val diffs = ev(s, d).select(col("event_type"),
-          unix_micros(col("ts")).as("tsu"), col("event_id"),
-          round(col("value") * 100).cast("long").as("c"))
-        .select(col("event_type"), col("tsu"), col("event_id"),
-          (col("c") - lag(col("c"), 1).over(wo)).as("df"))
-        .filter(col("df").isNotNull)
-      val w14 = Window.partitionBy("event_type")
-        .orderBy(col("tsu").asc, col("event_id").asc)
-        .rowsBetween(-13, Window.currentRow)
-      diffs.select(col("event_type"),
-          sum(greatest(col("df"), lit(0L))).over(w14).as("g"),
-          sum(greatest(col("df") * -1, lit(0L))).over(w14).as("l"),
-          count(lit(1)).over(w14).as("k14"))
-        .filter(col("k14") === 14)
-        .groupBy("event_type").agg(count(lit(1)).as("n_windows"),
-          sum(when(col("g") + col("l") > 0
-            && col("g") * 3 >= col("l") * 7, 1L).otherwise(0L))
-            .as("overbought"),
-          sum(when(col("g") + col("l") > 0
-            && col("l") * 3 >= col("g") * 7, 1L).otherwise(0L))
-            .as("oversold"),
-          round(max(when(col("g") + col("l") > 0,
-            lit(100.0) * col("g").cast("double")
-              / (col("g") + col("l")).cast("double"))), 4).as("max_rsi"))
-    }),
-
-    // Interval-OVERLAP join (the q52 point-in-range join's symmetric
-    // sibling): per-user daily activity intervals × per-type daily
-    // activity intervals, pairs that overlap in time. The scale device
-    // is grid bucketing — each interval explodes into the 6-hour cells
-    // it covers (≤5 per daily interval), the join runs on the cell key,
-    // pairs dedup, and the exact predicate a_s ≤ b_e ∧ b_s ≤ a_e
-    // verifies (cell agreement is necessary, not sufficient). Never an
-    // unbounded theta join; the oracle replays the theta join directly
-    // and the grid width provably cancels out.
-    "q365_interval_overlap" -> ((s, d) => {
-      val cellW = 21600000000L // 6 h in µs
-      val b = ev(s, d).select(col("event_type"), col("user_id"),
-        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000L))" +
-          " DIV 86400000000L").as("day"),
-        unix_micros(col("ts")).as("tsu"))
-      val a = b.groupBy("user_id", "day")
-        .agg(min(col("tsu")).as("a_s"), max(col("tsu")).as("a_e"))
-      val p = b.groupBy("event_type", "day")
-        .agg(min(col("tsu")).as("b_s"), max(col("tsu")).as("b_e"))
-      // integer floor division (no double quotient: a 1-ulp flip at a
-      // cell boundary could drop a covering cell and lose a true pair).
-      // pmod+DIV keeps the quotient in the integer domain end to end —
-      // Divide would detour through double, exact only below 2^53.
-      def cells(df: DataFrame, s0: String, e0: String): DataFrame =
-        df.withColumn("cell", explode(sequence(
-          expr(s"($s0 - pmod($s0, ${cellW}L)) DIV ${cellW}L"),
-          expr(s"($e0 - pmod($e0, ${cellW}L)) DIV ${cellW}L"))))
-      cells(a, "a_s", "a_e").join(cells(p, "b_s", "b_e"), Seq("cell"))
-        .drop("cell").distinct()
-        .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
-        .groupBy("event_type").agg(count(lit(1)).as("n_pairs"),
-          round(sum(least(col("a_e"), col("b_e"))
-            - greatest(col("a_s"), col("b_s"))).cast("double") / 1000000,
-            2).as("overlap_seconds"))
-    }),
-
-    // Burrows' Delta stylometry distance between sources — z-scores of
-    // the top-20 corpus words' relative frequencies (total order: count
-    // desc, word asc — the q58 TakeOrdered cut), Δ(s₁,s₂) = mean_w
-    // |z₁ − z₂|. The source×word matrix densifies by cross join (zeros
-    // matter), per-word μ/σ and the per-pair fold both run over SORTED
-    // bounded lists (≤ sources, ≤ 20 words) so every float sum has one
-    // fixed order on both engines. Words with σ = 0 carry no signal and
-    // drop. All corpus-scale work is one token count.
-    "q366_burrows_delta" -> ((s, d) => {
-      val toks = doc(s, d).select(col("source"),
-          explode(split(col("text"), " ")).as("w"))
-        .filter(length(col("w")) > 0)
-      val top = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("w").asc).limit(20).select("w")
-      val totals = toks.groupBy("source").agg(count(lit(1)).as("tot"))
-      val sw = toks.join(broadcast(top), Seq("w"))
-        .groupBy("source", "w").agg(count(lit(1)).as("c"))
-      val dense = totals.crossJoin(broadcast(top))
-        .join(sw, Seq("source", "w"), "left")
-        .select(col("source"), col("w"),
-          (coalesce(col("c"), lit(0L)).cast("double")
-            / col("tot").cast("double")).as("f"))
-      val stats = dense.groupBy("w")
-        .agg(sort_array(collect_list(struct(col("source"), col("f"))))
-          .as("fs"))
-        .select(col("w"),
-          expr("aggregate(fs, 0D, (a, x) -> a + x.f)").as("s1"),
-          expr("aggregate(fs, 0D, (a, x) -> a + x.f * x.f)").as("s2"),
-          expr("CAST(size(fs) AS DOUBLE)").as("k"))
-        .select(col("w"), (col("s1") / col("k")).as("mu"),
-          sqrt(col("s2") / col("k")
-            - (col("s1") / col("k")) * (col("s1") / col("k"))).as("sig"))
-        .filter(col("sig") > 0)
-      val z = dense.join(broadcast(stats), Seq("w"))
-        .select(col("source"), col("w"),
-          ((col("f") - col("mu")) / col("sig")).as("z"))
-      val za = z.groupBy("source")
-        .agg(sort_array(collect_list(struct(col("w"), col("z")))).as("zs"))
-      za.as("l").join(za.as("r"),
-          col("l.source") < col("r.source"))
-        .select(col("l.source").as("source_a"),
-          col("r.source").as("source_b"),
-          round(expr("aggregate(zip_with(l.zs, r.zs, " +
-            "(x, y) -> abs(x.z - y.z)), 0D, (a, v) -> a + v)")
-            / expr("CAST(size(l.zs) AS DOUBLE)"), 6).as("delta"))
-    }),
-
-    // Trimmed vs winsorized mean per series — the two standard robust
-    // locations side by side (P7/q05 clamps a FIXED threshold; this
-    // trims/clamps the data's own exact deciles). Decile interpolation
-    // fractions are tenths, so the bounds ride a ×10 integer domain —
-    // with an explicit round() on BOTH engines, because 10·p is an
-    // integer ± each engine's (n−1)·0.1 float noise and truncate-vs-
-    // round would split on the noise sign (the q348 lesson one level
-    // deeper: medians are half-integral, deciles are NOT). Both output
-    // means are then exact-integer ratios; rows strictly outside
-    // [p10, p90] trim.
-    "q367_trimmed_mean" -> ((s, d) => {
-      val base = ev(s, d).select(col("event_type"),
-        round(col("value") * 100).cast("long").as("c"))
-      val qs = base.groupBy("event_type").agg(
-        round(Stats.quantileExpr(s, "c", 0.1) * 10).cast("long").as("p10x"),
-        round(Stats.quantileExpr(s, "c", 0.9) * 10).cast("long").as("p90x"))
-      base.join(broadcast(qs), Seq("event_type"))
-        .groupBy("event_type").agg(count(lit(1)).as("n"),
-          sum(when(col("c") * 10 >= col("p10x")
-            && col("c") * 10 <= col("p90x"), col("c"))).as("s_in"),
-          sum(when(col("c") * 10 >= col("p10x")
-            && col("c") * 10 <= col("p90x"), 1L)).as("n_in"),
-          sum(when(col("c") * 10 < col("p10x"), 1L).otherwise(0L))
-            .as("n_lo"),
-          sum(when(col("c") * 10 > col("p90x"), 1L).otherwise(0L))
-            .as("n_hi"),
-          max(col("p10x")).as("p10x"), max(col("p90x")).as("p90x"))
-        .select(col("event_type"), col("n"),
-          round(col("s_in").cast("double") / col("n_in").cast("double")
-            / 100, 4).as("trimmed_mean"),
-          round((col("s_in") * 10 + col("n_lo") * col("p10x")
-            + col("n_hi") * col("p90x")).cast("double")
-            / (col("n").cast("double") * 1000), 4).as("winsorized_mean"))
-    })
-  )
-
-  /** Tiny literal DataFrame helper for sweep-config tables. */
-  private def litConfigs(s: SparkSession)(rows: Seq[(Int, Int)],
-                                          c1: String, c2: String): DataFrame = {
-    import s.implicits._
-    rows.toDF(c1, c2)
-  }
-
-  /** events with exact epoch-micro timestamps — shared by q231. */
-  private def ev_(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).select(col("event_id"), col("user_id"),
-      col("event_type"), unix_micros(col("ts")).as("tsu"))
-
-  /** Committed CSV fixture for q68 (30 rows, UTF-8 accents, hyphenated
-    * names, blank cells). Resolved relative to the repo root whether the
-    * JVM starts there or elsewhere. */
-  private[graft] def csvFixturePath: String =
-    Seq("data/trees_fixture.csv", "/root/repo/data/trees_fixture.csv")
-      .map(new java.io.File(_)).find(_.exists).map(_.getAbsolutePath)
-      .getOrElse("data/trees_fixture.csv")
-
-  /** The columns q68/q72 project (haut_tronc is parsed but dropped,
-    * mirroring the reference's export pruning). */
-  private[graft] val csvFixtureCols: Seq[String] = Seq(
-    "X", "Y", "haut_tot", "tronc_diam", "age_estim", "clc_quartier",
-    "clc_secteur", "fk_arb_etat", "fk_stadedev", "feuillage", "remarquable")
-
-  private[graft] def csvFixtureOracleSql: String =
-    s"""SELECT ${csvFixtureCols.mkString(", ")}
-       |FROM read_csv('$csvFixturePath', header=true,
-       | columns={'X':'DOUBLE','Y':'DOUBLE','haut_tot':'DOUBLE',
-       |  'haut_tronc':'DOUBLE','tronc_diam':'DOUBLE','age_estim':'DOUBLE',
-       |  'clc_quartier':'VARCHAR','clc_secteur':'VARCHAR',
-       |  'fk_arb_etat':'VARCHAR','fk_stadedev':'VARCHAR',
-       |  'feuillage':'VARCHAR','remarquable':'VARCHAR'})""".stripMargin
-
-  private[graft] val csvFixtureSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("X", DoubleType), StructField("Y", DoubleType),
-      StructField("haut_tot", DoubleType), StructField("haut_tronc", DoubleType),
-      StructField("tronc_diam", DoubleType), StructField("age_estim", DoubleType),
-      StructField("clc_quartier", StringType), StructField("clc_secteur", StringType),
-      StructField("fk_arb_etat", StringType), StructField("fk_stadedev", StringType),
-      StructField("feuillage", StringType), StructField("remarquable", StringType)))
-  }
-
-  // ------------------------------------------------------------- oracle SQL
-
-  /** DuckDB SQL for the Lambert-93 inverse: identical constants and op
-    * sequence as [[Lambert93]], latitude iteration unrolled via chained
-    * SELECT * REPLACE. */
-  private def lambertOracle: String = {
-    val n = "0.725607765053267"
-    val c = "11754255.426096"
-    val e = "0.08181919104281579"
-    val iter = "SELECT * REPLACE (2*atan(pow((1 + " + e + "*sin(phi))/(1 - " + e +
-      "*sin(phi)), " + e + "/2) * exp(liso)) - pi()/2 AS phi) FROM "
-    val iters = (1 to Lambert93.ITERS)
-      .map(i => s"i$i AS ($iter i${i - 1})").mkString(", ")
-    s"""WITH base AS (SELECT event_id, 600000.0 + user_id*1000.0 + value AS x,
-       |  6600000.0 + value*1000.0 AS y FROM events),
-       |c0 AS (SELECT event_id, x, y,
-       |  atan2(x - 700000.0, 12655612.049876 - y) AS gamma,
-       |  sqrt((x - 700000.0)*(x - 700000.0) + (y - 12655612.049876)*(y - 12655612.049876)) AS r
-       |  FROM base),
-       |c1 AS (SELECT *, -ln(r / $c) / $n AS liso FROM c0),
-       |i0 AS (SELECT *, 2*atan(exp(liso)) - pi()/2 AS phi FROM c1),
-       |$iters
-       |SELECT event_id,
-       |  round(3.0 + gamma / $n * 180.0 / pi(), 6) AS lon,
-       |  round(phi * 180.0 / pi(), 6) AS lat
-       |FROM i${Lambert93.ITERS}""".stripMargin
-  }
-
-  val oracle: Map[String, String] = Map(
-    "q01_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 4) AS sum_qty,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q02_distinct_flags" ->
-      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-
-    "q03_dedup_keep_first" ->
-      """SELECT l_partkey, l_orderkey, l_linenumber FROM (
-        | SELECT l_partkey, l_orderkey, l_linenumber,
-        |  row_number() OVER (PARTITION BY l_partkey ORDER BY l_orderkey, l_linenumber) AS rn
-        | FROM lineitem) t WHERE rn = 1""".stripMargin,
-
-    "q04_filter_isin" ->
-      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
-        |FROM lineitem WHERE l_returnflag IN ('A','R') AND l_quantity > 25""".stripMargin,
-
-    "q05_winsorize" ->
-      """SELECT event_id,
-        | CASE WHEN value > 400 THEN CAST(300.0 AS DOUBLE) ELSE value END AS value_capped
-        |FROM events""".stripMargin,
-
-    "q06_blank_normalize" ->
-      "SELECT o_orderkey, nullif(trim(o_orderpriority), '') AS priority_norm FROM orders",
-
-    "q07_case_norm" ->
-      """SELECT n_nationkey,
-        | concat(upper(substr(n_name, 1, 1)), lower(substr(n_name, 2))) AS n_name_norm
-        |FROM nation""".stripMargin,
-
-    "q08_str_replace" ->
-      "SELECT p_partkey, replace(p_type, ' ', '_') AS p_type_norm FROM part",
-
-    "q09_join_star" ->
-      """SELECT r_name, n_name, count(*) AS n_customers,
-        | round(sum(c_acctbal), 4) AS acct_total, round(avg(c_acctbal), 4) AS acct_avg
-        |FROM customer
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name""".stripMargin,
-
-    "q10_count_enrich" ->
-      """SELECT o_orderkey, o_custkey,
-        | count(*) OVER (PARTITION BY o_custkey) AS cust_order_cnt
-        |FROM orders""".stripMargin,
-
-    "q11_mode_top1" ->
-      """SELECT o_orderpriority, o_orderstatus AS o_orderstatus_mode, cnt FROM (
-        | SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
-        |  row_number() OVER (PARTITION BY o_orderpriority
-        |                     ORDER BY count(*) DESC, o_orderstatus) AS rn
-        | FROM orders GROUP BY o_orderpriority, o_orderstatus) t
-        |WHERE rn = 1""".stripMargin,
-
-    "q12_quantiles_global" ->
-      """SELECT round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-        | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        | round(quantile_cont(l_quantity, 0.75), 4) AS p75,
-        | round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 4) AS iqr
-        |FROM lineitem""".stripMargin,
-
-    "q13_grouped_stats" ->
-      """SELECT l_returnflag,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-        | round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
-        | round(quantile_cont(l_quantity, 0.75), 4) AS p75_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q14_extents" ->
-      """SELECT round(min(value), 4) AS vmin, round(max(value), 4) AS vmax,
-        | min(user_id) AS umin, max(user_id) AS umax FROM events""".stripMargin,
-
-    "q15_crosstab" ->
-      """SELECT event_type,
-        | CASE WHEN value < 100 THEN 'low' WHEN value < 300 THEN 'mid' ELSE 'high' END AS bucket,
-        | count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "q16_group_fill" ->
-      """WITH base AS (
-        | SELECT event_id, user_id,
-        |  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
-        | FROM events),
-        |fills AS (
-        | SELECT user_id, arg_min(v, event_id) AS fill_v FROM base
-        | WHERE v IS NOT NULL GROUP BY user_id)
-        |SELECT b.event_id, coalesce(b.v, f.fill_v) AS v_filled
-        |FROM base b LEFT JOIN fills f USING (user_id)""".stripMargin,
-
-    "q17_knn_impute" ->
-      """WITH missing AS (
-        | SELECT event_id, user_id, value FROM events WHERE event_id % 1000 = 0),
-        |known AS (
-        | SELECT event_id, user_id, value, event_type FROM events WHERE event_id % 1000 <> 0),
-        |pairs AS (
-        | SELECT m.event_id AS event_id, k.event_type AS event_type_nn,
-        |  row_number() OVER (PARTITION BY m.event_id
-        |   ORDER BY (m.user_id - k.user_id)*(m.user_id - k.user_id)
-        |          + (m.value - k.value)*(m.value - k.value) ASC,
-        |          k.event_id ASC) AS rn
-        | FROM missing m CROSS JOIN known k)
-        |SELECT event_id, event_type_nn FROM pairs WHERE rn = 1""".stripMargin,
-
-    "q18_union_slices" ->
-      """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
-        |UNION
-        |SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000""".stripMargin,
-
-    "q19_corr_cov" ->
-      """SELECT
-        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        | round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-        | round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
-        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
-        | round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc,
-        | round(covar_samp(l_extendedprice, l_discount), 4) AS cov_price_disc
-        |FROM lineitem""".stripMargin,
-
-    "q20_regression_closed" ->
-      """SELECT round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        | count(*) AS n
-        |FROM lineitem""".stripMargin,
-
-    "q21_chi2" ->
-      """WITH obs AS (
-        | SELECT l_returnflag AS r, l_linestatus AS c, CAST(count(*) AS DOUBLE) AS o
-        | FROM lineitem GROUP BY 1, 2),
-        |j AS (
-        | SELECT r, c, o,
-        |  sum(o) OVER (PARTITION BY r) AS rm,
-        |  sum(o) OVER (PARTITION BY c) AS cm,
-        |  sum(o) OVER () AS n
-        | FROM obs)
-        |SELECT round(sum((o - rm*cm/n) * (o - rm*cm/n) / (rm*cm/n)), 6) AS chi2_stat,
-        | (count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS dof
-        |FROM j""".stripMargin,
-
-    "q22_anova" ->
-      """WITH g AS (
-        | SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |  avg(value) AS m, var_samp(value) AS v
-        | FROM events WHERE value IS NOT NULL GROUP BY event_type),
-        |t AS (
-        | SELECT g.*, sum(n) OVER () AS nn,
-        |  sum(n * m) OVER () / sum(n) OVER () AS gm,
-        |  CAST(count(*) OVER () AS DOUBLE) AS k
-        | FROM g)
-        |SELECT round(sum(n * ((m - gm) * (m - gm))) / (max(k) - 1), 4) AS ms_between,
-        | round(sum((n - 1) * v) / (max(nn) - max(k)), 4) AS ms_within,
-        | round((sum(n * ((m - gm) * (m - gm))) / (max(k) - 1))
-        |      / (sum((n - 1) * v) / (max(nn) - max(k))), 6) AS f_stat
-        |FROM t""".stripMargin,
-
-    "q23_dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
-        |FROM documents GROUP BY md5(text)""".stripMargin,
-
-    "q24_token_count" ->
-      """SELECT doc_id,
-        | CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
-        |FROM documents""".stripMargin,
-
-    "q25_text_quality" ->
-      """WITH t AS (
-        | SELECT doc_id, text,
-        |  CAST(length(text) AS BIGINT) AS nc,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
-        | FROM documents)
-        |SELECT doc_id,
-        | nc AS n_chars_q,
-        | nt AS n_tokens,
-        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / nt, 6) AS avg_token_len,
-        | round(CAST(nt - 1 AS DOUBLE) / nc, 6) AS space_ratio,
-        | round((((length(text) - length(replace(text, ' the ', ''))) / 5
-        |   + (length(text) - length(replace(text, ' a ', ''))) / 3)
-        |   + (length(text) - length(replace(text, ' and ', ''))) / 5
-        |   + (length(text) - length(replace(text, ' of ', ''))) / 4) / nt, 6) AS stopword_share
-        |FROM t""".stripMargin,
-
-    "q26_lang_id" ->
-      """WITH s AS (
-        | SELECT doc_id, lang,
-        |  ((length(text) - length(replace(text, ' the ', ''))) / 5
-        |   + (length(text) - length(replace(text, ' and ', ''))) / 5)
-        |   + (length(text) - length(replace(text, ' of ', ''))) / 4 AS s_en,
-        |  ((length(text) - length(replace(text, ' le ', ''))) / 4
-        |   + (length(text) - length(replace(text, ' la ', ''))) / 4)
-        |   + (length(text) - length(replace(text, ' et ', ''))) / 4 AS s_fr,
-        |  ((length(text) - length(replace(text, ' der ', ''))) / 5
-        |   + (length(text) - length(replace(text, ' und ', ''))) / 5)
-        |   + (length(text) - length(replace(text, ' die ', ''))) / 5 AS s_de,
-        |  ((length(text) - length(replace(text, ' el ', ''))) / 4
-        |   + (length(text) - length(replace(text, ' los ', ''))) / 5)
-        |   + (length(text) - length(replace(text, ' y ', ''))) / 3 AS s_es
-        | FROM documents),
-        |b AS (SELECT *, greatest(s_en, s_fr, s_de, s_es) AS best FROM s)
-        |SELECT doc_id, lang,
-        | CASE WHEN s_en = best AND best > 0 THEN 'en'
-        |      WHEN s_fr = best AND best > 0 THEN 'fr'
-        |      WHEN s_de = best AND best > 0 THEN 'de'
-        |      WHEN s_es = best AND best > 0 THEN 'es'
-        |      ELSE 'unknown' END AS lang_pred
-        |FROM b""".stripMargin,
-
-    "q27_ann_cosine" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv FROM e WHERE vec_id >= 5),
-        |p AS (
-        | SELECT query_id, neighbor_id,
-        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(nv, x -> x * x), (x, y) -> x + y))) AS cos_sim
-        | FROM q CROSS JOIN c),
-        |r AS (
-        | SELECT query_id, neighbor_id, cos_sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
-        | FROM p)
-        |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    // q35 LSH ANN replayed bit-for-bit: the 8 Rademacher hyperplanes'
-    // sign bits come from md5_number_lower('hyperplane_' || p); ±1·v is
-    // IEEE-exact, so each projection is the same sequential left fold as
-    // q27's dot product (parity proven there); multi-probe = the 8
-    // single-bit-flip buckets via xor; candidates deduped, then exact
-    // cosine re-rank with the deterministic (cos desc, id asc) order.
-    "q35_ann_lsh" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |sg AS (
-        | SELECT vec_id, v,
-        |  CAST(list_sum(list_transform(range(8), p ->
-        |    CASE WHEN list_reduce(list_transform(range(64), i ->
-        |      CASE WHEN (md5_number_lower('hyperplane_' || p) >> i) & 1 = 1
-        |           THEN v[i + 1] ELSE -v[i + 1] END), (x, y) -> x + y) > 0
-        |    THEN 1 << p ELSE 0 END)) AS INT) AS sig,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
-        | FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, sig, nrm AS qn FROM sg WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv, sig AS bucket, nrm AS nn
-        |      FROM sg WHERE vec_id >= 5),
-        |probes AS (
-        | SELECT query_id, qv, qn, CAST(xor(sig, m.m) AS INT) AS bucket
-        | FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) m),
-        |p AS (
-        | SELECT DISTINCT query_id, neighbor_id,
-        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (qn * nn) AS cos_sim
-        | FROM probes JOIN c USING (bucket)),
-        |r AS (
-        | SELECT query_id, neighbor_id, cos_sim,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
-        | FROM p)
-        |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    "q28_lambert93" -> lambertOracle,
-
-    // q76 is q28 through the SQL surface — same result, same oracle.
-    "q76_lambert93_sql" -> lambertOracle,
-
-    "q29_stream_windowed" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
-        | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "q30_topk_per_group" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
-        | SELECT o_orderpriority, o_orderkey, o_totalprice,
-        |  row_number() OVER (PARTITION BY o_orderpriority
-        |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        | FROM orders) t WHERE rn <= 3""".stripMargin,
-
-    "q31_sessionize" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, ts, value,
-        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events),
-        |s AS (
-        | SELECT *, CASE WHEN prev_ts IS NULL
-        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
-        | FROM e),
-        |x AS (
-        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        | FROM s)
-        |SELECT user_id, session_seq, count(*) AS n_events,
-        | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        | round(sum(value), 4) AS session_value
-        |FROM x GROUP BY user_id, session_seq""".stripMargin,
-
-    // MinHash+LSH replayed bit-for-bit (OracleHashes.scala md5p61 family):
-    // base = md5_number_lower(shingle) ≡ MD5 digest bytes 8..15 LE (probed
-    // identical), reduced mod p = 2⁶¹−1 with UNSIGNED remainder on both
-    // sides (UBIGINT % here, Long.remainderUnsigned there); the 16 affine
-    // functions (a_j·x + b_j) mod p use md5-derived seeds, computed in
-    // HUGEINT here and by exact 128-bit Mersenne folding there
-    // (property-tested vs BigInteger). Banding = the signature slices
-    // themselves (list equality), est = agreeing positions / 16 (exact
-    // binary division by 16, so round(·,4) is pure display on both sides).
-    "q32_minhash_lsh" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
-        | FROM toks),
-        |base AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
-        | FROM sh),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(16), j ->
-        |   list_min(list_transform(bs, x ->
-        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
-        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
-        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
-        | FROM base),
-        |banded AS (
-        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
-        | FROM sig, range(8) r(b)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  list_sum(list_transform(range(16), i ->
-        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
-        | FROM banded a JOIN banded b
-        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, round(est, 4) AS est_jaccard
-        |FROM cand WHERE est >= 0.5""".stripMargin,
-
-    // SimHash replayed bit-for-bit: per-token md5_number_lower votes ±1
-    // per bit ((h >> b) & 1 is a logical shift on UBIGINT, matching
-    // Long's >>>), fingerprint bit set iff votes strictly positive; the 4
-    // 16-bit blocks, candidate equi-join, and bit_count(xor) Hamming
-    // verification mirror Dedup.simHashDups exactly. Only id/Hamming
-    // columns are emitted, so the UBIGINT-vs-signed-long fingerprint
-    // representation difference never reaches the compared output.
-    "q33_simhash_dups" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |th AS (
-        | SELECT doc_id, list_transform(t, x -> md5_number_lower(x)) AS hs FROM toks),
-        |sig AS (
-        | SELECT doc_id, CAST(list_sum(list_transform(range(64), b ->
-        |   CASE WHEN list_sum(list_transform(hs, h ->
-        |     CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-        |   THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)) AS UBIGINT) AS sim
-        | FROM th),
-        |blocked AS (
-        | SELECT doc_id, r.blk AS blk, (sim >> (r.blk * 16)) & 65535 AS blk_val, sim
-        | FROM sig, range(4) r(blk)),
-        |pairs AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-        | FROM blocked a JOIN blocked b
-        |   ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
-
-    // The full near-dup canonicalization pipeline replayed end-to-end:
-    // q32's md5p61 minhash/banding at k=2 for candidates (est >= t/2 =
-    // 0.15), hash-independent string-shingle Jaccard for the verify stage
-    // (q34's argument), and q70's recursive-CTE connected components.
-    // Spark reaches the same fixpoint because canonicalize's min-label
-    // propagation runs to convergence (rounds=16 backstop, early exit).
-    "q44_dedup_canonicalize" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |   i -> array_to_string(t[i : i + 1], ' ')) AS s
-        | FROM toks),
-        |base AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
-        | FROM sh),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(16), j ->
-        |   list_min(list_transform(bs, x ->
-        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
-        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
-        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
-        | FROM base),
-        |banded AS (
-        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
-        | FROM sig, range(8) r(b)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM banded a JOIN banded b
-        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        | WHERE list_sum(list_transform(range(16), i ->
-        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 >= 0.15),
-        |shd AS (
-        | SELECT doc_id, list_distinct(s) AS sd FROM sh),
-        |verified AS (
-        | SELECT c.id_a AS ia, c.id_b AS ib
-        | FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
-        | WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
-        |   / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.3),
-        |e AS (SELECT ia AS a, ib AS b FROM verified
-        |      UNION ALL SELECT ib, ia FROM verified),
-        |cc(node, label) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a)
-        |SELECT node AS doc_id, min(label) AS canonical_id
-        |FROM cc GROUP BY node""".stripMargin,
-
-    // Exact n-gram Jaccard is hash-INDEPENDENT: the Spark side compares
-    // 64-bit xxhash64 shingle sets, this oracle compares the string
-    // shingles themselves — identical |A∩B|/|A∪B| unless two distinct
-    // 2-shingles collide in 64 bits (probability ~n²/2⁶⁴, negligible and
-    // loudly visible as a hash mismatch if it ever happened). Shingling
-    // mirrors Text.shingleHashes: split on single space, windows of 2,
-    // max(size-1, 1) windows (short docs yield one truncated shingle),
-    // distinct. The oracle may brute-force pairs — it is DuckDB-side only;
-    // the Spark plan stays the inverted-postings join.
-    "q34_ngram_jaccard" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  len(list_intersect(a.s, b.s)) AS shared, len(a.s) AS sza, len(b.s) AS szb
-        | FROM sh a JOIN sh b ON a.doc_id % 100 = 0 AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b,
-        | round(CAST(shared AS DOUBLE) / (sza + szb - shared), 4) AS jaccard
-        |FROM pairs
-        |WHERE CAST(shared AS DOUBLE) / (sza + szb - shared) >= 0.05""".stripMargin,
-
-    // The ByteHistogramCodec fake decode is deterministic over the
-    // document bytes (ASCII in this corpus, so ord(char) == byte): the
-    // rolling checksum is re-expressed with HUGEINT modular arithmetic
-    // (Scala Long wraps silently at 2⁶⁴; DuckDB BIGINT would overflow-
-    // error), then mapped back to signed 64-bit.
-    "q38_multimodal_features" ->
-      """WITH b AS (
-        | SELECT doc_id AS media_id, 'text/plain' AS modality,
-        |  list_transform(range(1, length(text) + 1),
-        |    i -> CAST(ord(substr(text, i, 1)) AS HUGEINT)) AS bytes,
-        |  CAST(length(text) AS BIGINT) AS n_bytes
-        | FROM documents),
-        |c AS (
-        | SELECT media_id, modality, n_bytes,
-        |  CASE WHEN n_bytes = 0 THEN CAST(0 AS HUGEINT)
-        |   ELSE list_reduce(bytes,
-        |     (x, y) -> (x * 31 + y) % 18446744073709551616::HUGEINT) END AS cs
-        | FROM b)
-        |SELECT media_id, modality, n_bytes,
-        | CAST(CASE WHEN cs > 9223372036854775807::HUGEINT
-        |  THEN cs - 18446744073709551616::HUGEINT ELSE cs END AS BIGINT) AS checksum
-        |FROM c""".stripMargin,
-
-    "q39_salted_agg" ->
-      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    // q40: the oracle asserts the exact twins and that Spark's sketches
-    // landed within 2% of truth (the booleans must be literally TRUE).
-    "q40_approx_stats" ->
-      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
-        | count(DISTINCT l_partkey) AS exact_parts,
-        | round(quantile_cont(l_quantity, 0.25), 4) AS exact_p25,
-        | round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
-        | round(quantile_cont(l_quantity, 0.75), 4) AS exact_p75,
-        | TRUE AS orders_within_2pct,
-        | TRUE AS parts_within_2pct,
-        | TRUE AS p25_rank_ok,
-        | TRUE AS p50_rank_ok,
-        | TRUE AS p75_rank_ok
-        |FROM lineitem""".stripMargin,
-
-    "q41_corr_matrix" -> {
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      (for { i <- cols.indices; j <- cols.indices if i < j } yield
-        s"SELECT '${cols(i)}' AS var_a, '${cols(j)}' AS var_b, " +
-          s"round(corr(${cols(i)}, ${cols(j)}), 6) AS corr FROM lineitem")
-        .mkString("\nUNION ALL\n")
-    },
-
-    "q43_clean_chain" ->
-      """WITH deduped AS (
-        | SELECT * FROM (
-        |  SELECT event_id, user_id, event_type, value,
-        |   row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn
-        |  FROM events) t WHERE rn = 1),
-        |capped AS (
-        | SELECT event_id, user_id, event_type,
-        |  CASE WHEN value > 400 THEN CAST(300.0 AS DOUBLE) ELSE value END AS value
-        | FROM deduped)
-        |SELECT event_id, user_id, event_type, value,
-        | count(*) OVER (PARTITION BY user_id) AS user_events
-        |FROM capped""".stripMargin,
-
-    "q45_crosstab_pivot" ->
-      """WITH b AS (
-        | SELECT event_type,
-        |  CASE WHEN value < 100 THEN 'low' WHEN value < 300 THEN 'mid' ELSE 'high' END AS bucket
-        | FROM events)
-        |SELECT event_type,
-        | count(*) FILTER (WHERE bucket = 'low') AS low,
-        | count(*) FILTER (WHERE bucket = 'mid') AS mid,
-        | count(*) FILTER (WHERE bucket = 'high') AS high
-        |FROM b GROUP BY event_type""".stripMargin,
-
-    "q46_rollup" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        | round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
-
-    "q64_intersect_except" ->
-      """WITH f AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
-        |big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 100000)
-        |SELECT o_custkey, 'intersect' AS set_op FROM (SELECT * FROM f INTERSECT SELECT * FROM big) t1
-        |UNION ALL
-        |SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM f EXCEPT SELECT * FROM big) t2""".stripMargin,
-
-    "q65_string_agg" ->
-      """SELECT l_returnflag,
-        | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q62_semi_anti" ->
-      """SELECT 'with_orders' AS segment, count(*) AS cnt FROM customer
-        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |UNION ALL
-        |SELECT 'without_orders' AS segment, count(*) AS cnt FROM customer
-        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-
-    "q63_grouped_distinct" ->
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS parts,
-        | count(DISTINCT l_suppkey) AS supps, count(*) AS cnt
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q60_hash_sample" ->
-      """SELECT event_type, count(*) AS sampled_cnt, round(sum(value), 2) AS sampled_sum
-        |FROM events
-        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
-        |GROUP BY event_type""".stripMargin,
-
-    "q61_cube" ->
-      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        | round(avg(l_quantity), 4) AS avg_qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
-
-    "q58_top_bigrams" ->
-      """WITH toks AS (
-        | SELECT string_split(text, ' ') AS l FROM documents WHERE len(string_split(text, ' ')) >= 2),
-        |bigrams AS (
-        | SELECT unnest(list_transform(generate_series(1, len(l) - 1),
-        |   i -> concat(l[i], ' ', l[i + 1]))) AS bigram
-        | FROM toks),
-        |counts AS (
-        | SELECT bigram, count(*) AS cnt FROM bigrams GROUP BY bigram)
-        |SELECT bigram, cnt, rnk FROM (
-        | SELECT bigram, cnt, row_number() OVER (ORDER BY cnt DESC, bigram) AS rnk
-        | FROM counts) t
-        |WHERE rnk <= 20""".stripMargin,
-
-    "q59_clip_percentile" ->
-      """WITH b AS (
-        | SELECT quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
-        | FROM events)
-        |SELECT event_id,
-        | round(CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
-        |            ELSE value END, 4) AS value_clipped
-        |FROM events, b""".stripMargin,
-
-    "q57_salted_join" ->
-      """WITH dim AS (
-        | SELECT DISTINCT user_id % 5 AS k FROM events),
-        |labeled AS (
-        | SELECT k, concat('seg_', CAST(k AS VARCHAR)) AS k_label FROM dim)
-        |SELECT k_label, count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events e JOIN labeled l ON e.user_id % 5 = l.k
-        |GROUP BY k_label""".stripMargin,
-
-    "q54_quality_filter" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |  CAST(length(text) AS BIGINT) AS nc,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt,
-        |  (length(text) - length(replace(text, ' the ', ''))) / 5
-        |    + (length(text) - length(replace(text, ' a ', ''))) / 3
-        |    + (length(text) - length(replace(text, ' and ', ''))) / 5
-        |    + (length(text) - length(replace(text, ' of ', ''))) / 4 AS stp
-        | FROM documents)
-        |SELECT doc_id,
-        | (nc >= 100 AND nt >= 20 AND stp / nt > 0.0) AS keep
-        |FROM t""".stripMargin,
-
-    "q55_redact_numbers" ->
-      """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted
-        |FROM events""".stripMargin,
-
-    "q56_profile" ->
-      """SELECT count(*) AS n_rows,
-        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
-        | count(DISTINCT l_partkey) AS part_distinct,
-        | round(min(l_extendedprice), 4) AS price_min,
-        | round(max(l_extendedprice), 4) AS price_max,
-        | round(avg(l_quantity), 4) AS qty_avg
-        |FROM lineitem""".stripMargin,
-
-    "q53_label_centroids" ->
-      """SELECT label, CAST(d.i AS BIGINT) AS dim,
-        | round(avg(CAST(embedding[d.i] AS DOUBLE)), 6) AS centroid
-        |FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d
-        |GROUP BY label, d.i""".stripMargin,
-
-    "q52_range_join" ->
-      """WITH bands AS (
-        | SELECT i * 50.0 AS lo, (i + 1) * 50.0 AS hi,
-        |  concat('band_', CAST(i AS VARCHAR)) AS band
-        | FROM (SELECT unnest(range(0, 10)) AS i))
-        |SELECT band, count(*) AS cnt, round(sum(value), 2) AS sum_value
-        |FROM events JOIN bands ON value >= lo AND value < hi
-        |GROUP BY band""".stripMargin,
-
-    "q51_asof_join" ->
-      """WITH purchases AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |views AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
-        |SELECT p.event_id, v.view_id AS view_id_asof, v.view_value AS view_value_asof
-        |FROM purchases p
-        |ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts""".stripMargin,
-
-    "q49_json_extract" ->
-      """SELECT event_id,
-        | CAST(json_extract(props, '$.k') AS INT) AS k_int,
-        | json_extract_string(props, '$.k') AS k_str
-        |FROM events""".stripMargin,
-
-    "q50_sql_surface" ->
-      """SELECT l_returnflag, count(*) AS cnt,
-        | round(avg(l_extendedprice), 4) AS avg_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q48_moving_window" ->
-      """SELECT event_id, user_id,
-        | round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg,
-        | value - lag(value, 1, CAST(0.0 AS DOUBLE)) OVER (PARTITION BY user_id
-        |   ORDER BY ts, event_id) AS delta
-        |FROM events""".stripMargin,
-
-    "q47_revenue_by_nation" ->
-      """SELECT r_name, n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        | count(*) AS cnt
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-        |GROUP BY r_name, n_name""".stripMargin,
-
-    // The exact normal-equations OLS, generated so the moment aggregates
-    // and the pivotless Gauss-Jordan mirror Models.olsExact op for op.
-    "q36_linreg_ml" -> Models.olsOracleSql(
-      """SELECT CAST(l_quantity AS DOUBLE) AS f0,
-        | CAST(l_discount * 100 AS DOUBLE) AS f1,
-        | CAST(l_tax * 100 AS DOUBLE) AS f2,
-        | CAST(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS DOUBLE) AS f3,
-        | CAST(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS DOUBLE) AS f4,
-        | CAST(l_extendedprice / 1000 AS DOUBLE) AS y
-        |FROM lineitem
-        |WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-        | AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL
-        | AND l_extendedprice IS NOT NULL""".stripMargin,
-      Seq("l_quantity", "disc_pct", "tax_pct",
-        "l_returnflag_oh_A", "l_returnflag_oh_N"), 4),
-
-    // Separable label ⇒ the converged logistic fit classifies every row
-    // correctly, so the confusion matrix is the label's own contingency
-    // and accuracy is exactly 1.
-    "q37_logistic_ml" ->
-      """SELECT CAST(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS DOUBLE) AS label,
-        | CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS prediction,
-        | count(*) AS cnt, CAST(1.0 AS DOUBLE) AS accuracy
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
-
-    "q42_decision_tree" ->
-      """SELECT CAST(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS DOUBLE) AS label,
-        | CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS prediction,
-        | count(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
-
-    // E1 composed pipeline — same stage chain as the Spark side, one CTE
-    // per stage. Group fills are expressed as GROUP-BY fill tables +
-    // equality LEFT JOIN (not windows) to mirror Spark's join-based
-    // operators exactly: a NULL group key matches nothing in either
-    // engine. A10's first-INCLUDING-null uses the struct arg_min trick
-    // (a struct argument is never NULL, so the aggregate can't skip it).
-    "q66_tree_pipeline_e2e" ->
-      """WITH raw AS (
-        | SELECT event_id, user_id, value, props,
-        |  CASE WHEN event_id % 97 = 0 THEN '  ' ELSE event_type END AS etype,
-        |  CASE WHEN event_id % 13 = 0 THEN NULL
-        |       ELSE 'p' || CAST(user_id % 7 AS VARCHAR) END AS pied,
-        |  CASE WHEN event_id % 11 = 0 THEN NULL
-        |       ELSE 's' || CAST(user_id % 5 AS VARCHAR) END AS situ,
-        |  CASE WHEN event_id % 17 = 0 THEN NULL
-        |       ELSE 'v' || CAST(user_id % 3 AS VARCHAR) END AS ville,
-        |  CASE WHEN event_id % 101 = 0 THEN NULL ELSE value END AS vreq
-        | FROM events),
-        |p1 AS (SELECT * REPLACE (nullif(trim(etype), '') AS etype) FROM raw),
-        |p2 AS (SELECT DISTINCT * FROM p1),
-        |p3 AS (SELECT * EXCLUDE (rn) FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, etype
-        |    ORDER BY event_id) AS rn FROM p2) t WHERE rn = 1),
-        |p4 AS (SELECT * FROM p3 WHERE vreq IS NOT NULL),
-        |p6 AS (SELECT *, 'Orthophoto' AS src FROM p4),
-        |p7 AS (SELECT * REPLACE (CASE WHEN value > 400
-        |  THEN CAST(300.0 AS DOUBLE) ELSE value END AS value) FROM p6),
-        |p8 AS (SELECT event_id, user_id, etype, value, src, pied, situ, ville FROM p7),
-        |f2 AS (SELECT * REPLACE (replace(etype, 'click', 'tap') AS etype) FROM p8),
-        |p10 AS (SELECT * FROM f2 WHERE etype <> 'error' OR etype IS NULL),
-        |-- first-char title case == Spark's per-WORD TitleCase only because
-        |-- event_type values are single words with no separators (domain
-        |-- assumption; a value like 'page_view' would diverge: Spark
-        |-- 'Page_View' vs this 'Page_view')
-        |f3 AS (SELECT * REPLACE (
-        |  upper(substr(etype, 1, 1)) || lower(substr(etype, 2)) AS etype) FROM p10),
-        |a9f AS (SELECT etype, arg_min(pied, event_id) AS fp
-        |  FROM f3 WHERE pied IS NOT NULL GROUP BY etype),
-        |a9 AS (SELECT f3.* REPLACE (coalesce(f3.pied, a9f.fp) AS pied)
-        |  FROM f3 LEFT JOIN a9f ON f3.etype = a9f.etype),
-        |a10f AS (SELECT etype, arg_min({'v': situ}, event_id).v AS fs
-        |  FROM a9 GROUP BY etype),
-        |a10 AS (SELECT a9.* REPLACE (coalesce(a9.situ, a10f.fs) AS situ)
-        |  FROM a9 LEFT JOIN a10f ON a9.etype = a10f.etype),
-        |mf AS (SELECT etype, ville AS fv FROM (
-        |  SELECT etype, ville, row_number() OVER (PARTITION BY etype
-        |    ORDER BY count(*) DESC, ville ASC) AS rn
-        |  FROM a10 WHERE ville IS NOT NULL GROUP BY etype, ville) t WHERE rn = 1),
-        |a7 AS (SELECT a10.* REPLACE (coalesce(a10.ville, mf.fv) AS ville)
-        |  FROM a10 LEFT JOIN mf ON a10.etype = mf.etype)
-        |SELECT event_id, user_id, coalesce(etype, 'Inconnue') AS etype,
-        | value, src, coalesce(pied, 'Inconnue') AS pied,
-        | coalesce(situ, 'Inconnue') AS situ, coalesce(ville, 'Inconnue') AS ville
-        |FROM a7""".stripMargin,
-
-    // Stateful-streaming oracle = the batch gap-sessionization (q31's CTE)
-    // restricted to the sessions the AvailableNow run provably closes.
-    // Derivation (StreamingSpec's "stateful emits exactly the provably
-    // closed sessions" case asserts it in-engine):
-    //  1. All events arrive in ONE microbatch (single parquet file), so
-    //     every session except each user's LAST is closed inline by the
-    //     gap rule and emitted.
-    //  2. AvailableNow then runs a final batch with the watermark advanced
-    //     to floor(max event-time in ms) - gapMs. A user's still-open last
-    //     session times out iff its timeout timestamp
-    //     (floor(epoch-seconds(last event)) * 1000 + gapMs) is STRICTLY
-    //     below that watermark (Spark fires timers on `ts < watermark`).
-    // Hence: emit all sessions EXCEPT a user's last one whose
-    // last_ts*1000 + gapMs >= max_ms - gapMs. Second-truncation of
-    // last_ts mirrors the implementation's unix_timestamp; max_ms keeps
-    // millisecond precision like Spark's watermark tracker.
-    "q67_sessionize_stateful" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, ts, value,
-        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events),
-        |s AS (
-        | SELECT *, CASE WHEN prev_ts IS NULL
-        |   OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
-        | FROM e),
-        |x AS (
-        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        | FROM s),
-        |sess AS (
-        | SELECT user_id, session_seq, count(*) AS n_events,
-        |  CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        |  round(sum(value), 4) AS session_value,
-        |  CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts
-        | FROM x GROUP BY user_id, session_seq),
-        |sess2 AS (
-        | SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS max_seq FROM sess),
-        |wm AS (SELECT CAST(floor(epoch(max(ts)) * 1000) AS BIGINT) - 1800000 AS wm_ms
-        |  FROM events)
-        |SELECT user_id, session_seq, n_events, session_start, session_value
-        |FROM sess2, wm
-        |WHERE session_seq < max_seq OR last_ts * 1000 + 1800000 < wm_ms""".stripMargin,
-
-    // S1 CSV-scan parity: same committed fixture, explicit column types
-    // mirroring the declared Spark schema (DuckDB's default nullstr=''
-    // matches Spark's nullValue='' for the blank cells). Path is the
-    // runtime-resolved fixture location, not a hardcoded literal, so the
-    // gate works from any checkout directory.
-    "q68_csv_scan" -> csvFixtureOracleSql,
-
-    // S2/S3 round-trip parity: a lossless sink+re-read must equal the
-    // ORIGINAL fixture, so the oracle is identical to q68's.
-    "q72_csv_roundtrip" -> csvFixtureOracleSql,
-
-    // Same float→double widening, same +0.05 double perturbation, same
-    // sequential-left-fold dot/norm order as the Spark side (q27 proved
-    // list_reduce ≡ aggregate() fold parity to the last bit); round(6) on
-    // both sides absorbs nothing — values match exactly, rounding is only
-    // display normalization.
-    "q69_cosine_neardup" ->
-      """WITH base AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |dups AS (
-        | SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.05], v[2:64]) AS v
-        | FROM base WHERE vec_id % 50 = 0),
-        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dups),
-        |p AS (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos_sim
-        | FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
-        |FROM p WHERE cos_sim >= 0.99""".stripMargin,
-
-    // True connected components of the jaccard>=0.5 graph via recursive
-    // CTE min-label reachability: a (node, label) pair is kept only while
-    // label < node (labels only flow downhill), so the fixpoint's
-    // min(label) per node is exactly the component minimum — the same
-    // fixpoint canonicalizeExact's min-label propagation converges to.
-    // Shingling mirrors q34's string-shingle equivalence to the hashed
-    // Spark-side shingles (windows of 2, max(len-1,1), distinct).
-    "q70_canonicalize_exact" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |pairs AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |e AS (SELECT ia AS a, ib AS b FROM pairs
-        |      UNION ALL SELECT ib, ia FROM pairs),
-        |cc(node, label) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a)
-        |SELECT node AS doc_id, min(label) AS canonical_id
-        |FROM cc GROUP BY node""".stripMargin,
-
-    "q71_drop_prefix" ->
-      "SELECT doc_id, text, lang, source FROM documents",
-
-    // IVF-flat ANN replayed exactly: centroids = the 16 lowest-id corpus
-    // vectors; assignment/probing use the same sequential-fold cosine as
-    // q27 (parity proven) with the same (cos desc, cent_id asc)
-    // tie-breaks as Spark's struct-greatest / array_sort expressions;
-    // each corpus row lands in exactly one cell, so no dedup is needed.
-    "q73_ann_ivf" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |n AS (
-        | SELECT vec_id, v,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
-        | FROM e),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn FROM n WHERE vec_id >= 5),
-        |cent AS (SELECT neighbor_id AS cent_id, nv AS cv, nn AS cn FROM c
-        |         ORDER BY neighbor_id LIMIT 16),
-        |asg AS (
-        | SELECT neighbor_id, nv, nn, cent_id AS cell FROM (
-        |  SELECT c.neighbor_id, c.nv, c.nn, cent.cent_id,
-        |   row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-        |     (list_reduce(list_transform(list_zip(c.nv, cent.cv), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) / (c.nn * cent.cn)) DESC,
-        |     cent.cent_id ASC) AS rn
-        |  FROM c CROSS JOIN cent) WHERE rn = 1),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-        |pr AS (
-        | SELECT query_id, qv, qn, cent_id AS cell FROM (
-        |  SELECT q.query_id, q.qv, q.qn, cent.cent_id,
-        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |     (list_reduce(list_transform(list_zip(q.qv, cent.cv), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) / (q.qn * cent.cn)) DESC,
-        |     cent.cent_id ASC) AS rn
-        |  FROM q CROSS JOIN cent) WHERE rn <= 4),
-        |p AS (
-        | SELECT query_id, neighbor_id,
-        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (qn * nn) AS cos_sim
-        | FROM pr JOIN asg USING (cell)),
-        |r AS (
-        | SELECT query_id, neighbor_id, cos_sim,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rnk
-        | FROM p)
-        |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    // Frame sampling parity: mediaFromText payload = UTF-8(text) over an
-    // ASCII corpus, so Spark's binary substr on the payload equals
-    // DuckDB's substr on the text; range(0, n, 4) = sequence(0, n-1, 4).
-    "q74_frame_sample" ->
-      """WITH f AS (
-        | SELECT doc_id AS media_id, text,
-        |  CAST(floor(length(text) / 64) AS INT) AS n_frames FROM documents)
-        |SELECT media_id, n_frames, CAST(u.i AS INT) AS frame_idx,
-        | substr(text, CAST(u.i AS INT) * 64 + 1, 64) AS frame_text
-        |FROM f, unnest(range(0, n_frames, 4)) u(i)
-        |WHERE n_frames > 0""".stripMargin,
-
-    // Stream-static enrichment == the plain batch join (single
-    // AvailableNow microbatch); round(sum,4) is the q29-established
-    // tolerance for order-dependent float aggregation.
-    "q75_stream_static_join" ->
-      """WITH u AS (
-        | SELECT user_id, count(*) AS user_cnt, round(sum(value), 4) AS user_total
-        | FROM events GROUP BY user_id)
-        |SELECT e.event_id, e.user_id, u.user_cnt, u.user_total
-        |FROM events e JOIN u USING (user_id)""".stripMargin,
-
-    // Streaming dedup on (user_id, event_type): the per-type survivor count
-    // is exactly the distinct key count, independent of arrival order.
-    "q77_stream_dedup" ->
-      """SELECT event_type, count(DISTINCT user_id) AS cnt
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    // Winnowing replayed bit-for-bit: 3-token shingles hashed with q32's
-    // md5p61 base (md5_number_lower mod 2^61-1, values < 2^61 so signed
-    // BIGINT order = unsigned), window minima over w=4 consecutive shingle
-    // hashes with the same clamping as Spark's slice(), list_distinct, then
-    // the identical postings self-join with the df<=64 fingerprint cap.
-    "q78_winnow_neardup" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
-        | FROM toks),
-        |bs AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::BIGINT) AS h
-        | FROM sh),
-        |fp AS (
-        | SELECT doc_id, unnest(list_distinct(
-        |   list_transform(range(0, greatest(len(h) - 4, 0) + 1),
-        |     j -> list_min(h[j + 1 : j + 4])))) AS fp
-        | FROM bs),
-        |kept AS (
-        | SELECT doc_id, fp FROM (
-        |  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fp)
-        | WHERE df <= 64)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin,
-
-    // TF-IDF with the rational idf N/df: integer counts and one
-    // correctly-rounded division — bit-exact cross-engine (see the Spark
-    // side for why ln() is deliberately avoided).
-    "q79_tfidf_topk" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |sc AS (
-        | SELECT doc_id, term, tf, df_docs,
-        |  tf * (CAST(n_docs AS DOUBLE) / df_docs) AS score
-        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
-        |r AS (
-        | SELECT doc_id, term, tf, df_docs, score,
-        |  CAST(row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY score DESC, term) AS INT) AS rnk
-        | FROM sc)
-        |SELECT doc_id, term, tf, df_docs, rnk, round(score, 6) AS tfidf
-        |FROM r WHERE rnk <= 3""".stripMargin,
-
-    // The partition-pruned re-read aggregates exactly what a date filter on
-    // the original computes (UTC session on the Spark side = DuckDB's naive
-    // timestamps, the q29-established parity).
-    "q80_partition_prune" ->
-      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_type,
-        | count(*) AS cnt, round(sum(value), 4) AS sum_value
-        |FROM events
-        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
-        |GROUP BY 1, 2""".stripMargin,
-
-    // Int8 quantization replayed exactly: scale = list_max(|x|)/127 and
-    // code = floor(x/scale + 0.5) are correctly-rounded IEEE ops; the code
-    // dot/norms are pure integer arithmetic, so the only doubles in the
-    // final cosine are one sqrt and one division — both correctly rounded,
-    // hence bit-identical to Spark's.
-    "q81_quantized_ann" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |s AS (
-        | SELECT vec_id, v,
-        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
-        | FROM e WHERE list_max(list_transform(v, x -> abs(x))) / 127.0 > 0),
-        |qz AS (
-        | SELECT vec_id,
-        |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
-        | FROM s),
-        |nm AS (
-        | SELECT vec_id, qv,
-        |  sqrt(CAST(list_reduce(list_transform(qv, x -> x * x),
-        |    (x, y) -> x + y) AS DOUBLE)) AS qn
-        | FROM qz),
-        |q AS (SELECT vec_id AS query_id, qv AS qa, qn AS qan FROM nm WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, qv AS qb, qn AS qbn FROM nm WHERE vec_id >= 5),
-        |p AS (
-        | SELECT query_id, neighbor_id,
-        |  CAST(list_reduce(list_transform(list_zip(qa, qb), z -> z[1] * z[2]),
-        |    (x, y) -> x + y) AS DOUBLE) / (qan * qbn) AS qcos
-        | FROM q CROSS JOIN c),
-        |r AS (
-        | SELECT query_id, neighbor_id, qcos,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY qcos DESC, neighbor_id) AS INT) AS rnk
-        | FROM p)
-        |SELECT query_id, neighbor_id, rnk, round(qcos, 6) AS qcos
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    // The stream-stream interval join == the batch interval join (inner
-    // join emission is watermark-independent; single AvailableNow batch).
-    // Epoch seconds floored on both engines before differencing.
-    "q82_stream_stream_join" ->
-      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
-        | CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
-        |   AS secs_to_purchase,
-        | p.value AS purchase_value
-        |FROM events c JOIN events p ON c.user_id = p.user_id
-        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
-
-    // Round-trip fidelity: the re-read must equal the ORIGINAL table, so
-    // the oracle is simply the original (the q72 pattern for JSONL).
-    "q83_jsonl_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents",
-
-    // The naive single-window global cumsum — the semantics the two-phase
-    // prefix sum must reproduce integer-for-integer.
-    "q84_pack_sequences" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |c AS (
-        | SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        | FROM d)
-        |SELECT doc_id, n_tokens,
-        | CAST(cum - n_tokens AS BIGINT) AS start_offset,
-        | CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
-        |FROM c""".stripMargin,
-
-    // Same naive cumsum, then each document unnested over the sequences it
-    // spans; slice_start is the offset WITHIN the document.
-    "q85_pack_slices" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |c AS (
-        | SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        | FROM d),
-        |s AS (
-        | SELECT doc_id, n_tokens, CAST(cum - n_tokens AS BIGINT) AS so
-        | FROM c WHERE n_tokens > 0),
-        |x AS (
-        | SELECT doc_id, n_tokens, so,
-        |  unnest(range(so // 2048, (so + n_tokens - 1) // 2048 + 1)) AS seq_id
-        | FROM s)
-        |SELECT seq_id, doc_id,
-        | greatest(so, seq_id * 2048) - so AS slice_start,
-        | least(so + n_tokens, (seq_id + 1) * 2048)
-        |   - greatest(so, seq_id * 2048) AS slice_len
-        |FROM x""".stripMargin,
-
-    "q86_asof_forward" ->
-      """WITH purchases AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |views AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
-        |SELECT p.event_id, v.view_id AS view_id_asof, v.view_value AS view_value_asof
-        |FROM purchases p
-        |ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts >= p.ts""".stripMargin,
-
-    // Nearest = closer of the two directed matches; distance compared in
-    // epoch seconds (double) on both engines, backward wins ties.
-    "q87_asof_nearest" ->
-      """WITH purchases AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |views AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
-        |b AS (
-        | SELECT p.event_id, p.ts, v.ts AS bts, v.view_id AS b_id, v.view_value AS b_val
-        | FROM purchases p
-        | ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts),
-        |f AS (
-        | SELECT p.event_id, v.ts AS fts, v.view_id AS f_id, v.view_value AS f_val
-        | FROM purchases p
-        | ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts >= p.ts)
-        |SELECT b.event_id,
-        | CASE WHEN b_id IS NULL THEN f_id
-        |      WHEN f_id IS NULL THEN b_id
-        |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_id
-        |      ELSE b_id END AS view_id_asof,
-        | CASE WHEN b_id IS NULL THEN f_val
-        |      WHEN f_id IS NULL THEN b_val
-        |      WHEN epoch(fts) - epoch(b.ts) < epoch(b.ts) - epoch(bts) THEN f_val
-        |      ELSE b_val END AS view_value_asof
-        |FROM b JOIN f USING (event_id)""".stripMargin,
-
-    "q96_compact_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents",
-
-    // Train (q105's CTEs on the corpus slice) -> assign -> probe -> cosine
-    // re-rank, all replayed.
-    "q106_ann_ivf_trained" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |co AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
-        |qs AS (
-        | SELECT vec_id AS query_id, v AS qv,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS qn
-        | FROM e WHERE vec_id < 5),
-        |c0 AS (SELECT vec_id AS cid, v AS cv FROM co ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        | SELECT vec_id, v, cell FROM (
-        |  SELECT co.vec_id, co.v, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY co.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(co.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM co CROSS JOIN c0 c) t WHERE rn = 1),
-        |c1 AS (
-        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
-        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
-        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
-        |  GROUP BY cell, d.i) s
-        | GROUP BY cell),
-        |asg AS (
-        | SELECT vec_id AS neighbor_id, v AS nv,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nn,
-        |  cell
-        | FROM (
-        |  SELECT co.vec_id, co.v AS v, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY co.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(co.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM co CROSS JOIN c1 c) t
-        | WHERE rn = 1
-        |   AND list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) > 0),
-        |probes AS (
-        | SELECT query_id, qv, qn, cell FROM (
-        |  SELECT q.query_id, q.qv, q.qn, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |     list_reduce(list_transform(list_zip(q.qv, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM qs q CROSS JOIN c1 c) t WHERE rn <= 3 AND qn > 0),
-        |r AS (
-        | SELECT query_id, neighbor_id,
-        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]),
-        |    (a, b) -> a + b) / (qn * nn) AS qcos,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY list_reduce(list_transform(list_zip(qv, nv),
-        |      z -> z[1] * z[2]), (a, b) -> a + b) / (qn * nn) DESC,
-        |    neighbor_id ASC) AS INT) AS rnk
-        | FROM probes JOIN asg USING (cell))
-        |SELECT query_id, neighbor_id, rnk, round(qcos, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    // Both Lloyd iterations replayed: same init rule, same sequential
-    // distance fold (list_reduce == aggregate-with-0-init since 0+x==x),
-    // same 6-dp centroid rounding.
-    "q105_kmeans" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |c0 AS (
-        | SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        | SELECT vec_id, v, cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(e.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
-        |c1 AS (
-        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
-        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
-        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
-        |  GROUP BY cell, d.i) s
-        | GROUP BY cell),
-        |a2 AS (
-        | SELECT vec_id, cell FROM (
-        |  SELECT e.vec_id, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(e.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM e CROSS JOIN c1 c) t WHERE rn = 1)
-        |SELECT vec_id, CAST(cell AS BIGINT) AS cluster FROM a2""".stripMargin,
-
-    "q103_weighted_sample" ->
-      """SELECT doc_id, n_tokens FROM (
-        | SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens,
-        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |    AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
-        | FROM documents)
-        |WHERE u < least(1.0, n_tokens / 80.0)""".stripMargin,
-
-    // quantile_cont == Spark's exact percentile (q12 parity); boolean
-    // sums replaced by a counting CASE to keep everything BIGINT.
-    "q104_curriculum_bins" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |c AS (
-        | SELECT quantile_cont(n_tokens, 0.25) AS q1,
-        |  quantile_cont(n_tokens, 0.5) AS q2,
-        |  quantile_cont(n_tokens, 0.75) AS q3
-        | FROM t)
-        |SELECT doc_id, n_tokens,
-        | CAST(1 + (CASE WHEN n_tokens > q1 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN n_tokens > q2 THEN 1 ELSE 0 END)
-        |   + (CASE WHEN n_tokens > q3 THEN 1 ELSE 0 END) AS BIGINT) AS bucket
-        |FROM t, c""".stripMargin,
-
-    "q102_schema_evolution" ->
-      """SELECT doc_id, text, lang,
-        | CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
-        |FROM documents
-        |UNION ALL
-        |SELECT doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
-        | source, n_chars
-        |FROM documents""".stripMargin,
-
-    // q95's oracle plus the purchase-side nulls with their own gate.
-    "q101_stream_full_join" ->
-      """WITH c AS (
-        | SELECT event_id AS click_id, user_id, ts FROM events
-        | WHERE event_type = 'click'),
-        |p AS (
-        | SELECT event_id AS purchase_id, user_id, ts, value FROM events
-        | WHERE event_type = 'purchase'),
-        |m AS (
-        | SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS mx),
-        |matched AS (
-        | SELECT c.user_id, c.click_id, p.purchase_id,
-        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
-        |    AS secs_to_purchase,
-        |  p.value AS purchase_value
-        | FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
-        |uc AS (
-        | SELECT c.user_id, c.click_id,
-        |  CAST(NULL AS BIGINT) AS purchase_id,
-        |  CAST(NULL AS BIGINT) AS secs_to_purchase,
-        |  CAST(NULL AS DOUBLE) AS purchase_value
-        | FROM c, m
-        | WHERE NOT EXISTS (SELECT 1 FROM p
-        |   WHERE p.user_id = c.user_id
-        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
-        |  AND c.ts + INTERVAL 2 HOUR < m.mx),
-        |up AS (
-        | SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.purchase_id,
-        |  CAST(NULL AS BIGINT) AS secs_to_purchase,
-        |  p.value AS purchase_value
-        | FROM p, m
-        | WHERE NOT EXISTS (SELECT 1 FROM c
-        |   WHERE c.user_id = p.user_id
-        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
-        |  AND p.ts + INTERVAL 1 HOUR < m.mx)
-        |SELECT * FROM matched
-        |UNION ALL SELECT * FROM uc
-        |UNION ALL SELECT * FROM up""".stripMargin,
-
-    // Each CTE replays one already-proven stage (q88/q24/q89/q23/q90/q84
-    // fragments); the window-sum alias is CAST at use per the house rule.
-    "q100_pipeline_e2e" ->
-      """WITH nrm AS (
-        | SELECT doc_id, source, nfc_normalize(text) AS text FROM documents),
-        |tok AS (
-        | SELECT doc_id, source, text,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens,
-        |  str_split(text, ' ') AS toks
-        | FROM nrm),
-        |g AS (
-        | SELECT doc_id, source, text, n_tokens,
-        |  CASE WHEN len(toks) >= 3
-        |   THEN list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' '))
-        |   ELSE [] END AS grams
-        | FROM tok),
-        |qual AS (
-        | SELECT doc_id, source, text, n_tokens FROM g
-        | WHERE n_tokens >= 5 AND
-        |  (CASE WHEN len(grams) > 0
-        |    THEN round((len(grams) - len(list_distinct(grams)))
-        |          / CAST(len(grams) AS DOUBLE), 6)
-        |    ELSE 0.0 END) <= 0.5),
-        |ded AS (
-        | SELECT qual.* FROM qual
-        | JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
-        |       FROM qual GROUP BY md5(text)) k USING (doc_id)),
-        |quota AS (
-        | SELECT doc_id, n_tokens FROM (
-        |  SELECT doc_id, n_tokens,
-        |   CAST(row_number() OVER (PARTITION BY source
-        |     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
-        |  FROM ded)
-        | WHERE rk <= 20),
-        |c AS (
-        | SELECT doc_id, n_tokens,
-        |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
-        | FROM quota)
-        |SELECT doc_id, n_tokens,
-        | CAST(cum - n_tokens AS BIGINT) AS start_offset,
-        | CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
-        |FROM c""".stripMargin,
-
-    // Same pattern, same token semantics: Java and RE2 agree on this
-    // alternation of literal classes.
-    "q99_regex_tokens" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
-        |   AS BIGINT) AS n_toks,
-        | CAST(len(list_distinct(
-        |   regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')))
-        |   AS BIGINT) AS n_distinct
-        |FROM documents""".stripMargin,
-
-    // The exact heavy-hitter relation the two-phase sketch must equal
-    // (count(*) is BIGINT — no HUGEINT sum in sight).
-    "q98_heavy_hitters" ->
-      """WITH c AS (
-        | SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
-        |t AS (SELECT count(*) AS n FROM events)
-        |SELECT user_id, cnt FROM c, t WHERE cnt * 200 > n""".stripMargin,
-
-    // quantile_cont == Spark's exact percentile (the q12 parity pattern);
-    // hottest key = min key among those at the max count.
-    "q97_skew_profile" ->
-      """WITH c AS (
-        | SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
-        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
-        | CAST(max(cnt) AS BIGINT) AS max_cnt,
-        | round(quantile_cont(cnt, 0.5), 4) AS p50,
-        | round(quantile_cont(cnt, 0.9), 4) AS p90,
-        | round(quantile_cont(cnt, 0.99), 4) AS p99,
-        | CAST(min(user_id) FILTER (WHERE cnt = (SELECT max(cnt) FROM c))
-        |   AS BIGINT) AS top_key
-        |FROM c""".stripMargin,
-
-    // The left-outer gate: nulls exactly for unmatched clicks whose join
-    // interval end (click_ts + 1h) is below the final watermark
-    // (min(max click ts, max purchase ts) − 1h) — i.e. ts + 2h < mx.
-    "q95_stream_left_join" ->
-      """WITH c AS (
-        | SELECT event_id AS click_id, user_id, ts FROM events
-        | WHERE event_type = 'click'),
-        |p AS (
-        | SELECT event_id AS purchase_id, user_id, ts, value FROM events
-        | WHERE event_type = 'purchase'),
-        |m AS (
-        | SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p)) AS mx),
-        |matched AS (
-        | SELECT c.user_id, c.click_id, p.purchase_id,
-        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
-        |    AS secs_to_purchase,
-        |  p.value AS purchase_value
-        | FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
-        |unmatched AS (
-        | SELECT c.user_id, c.click_id,
-        |  CAST(NULL AS BIGINT) AS purchase_id,
-        |  CAST(NULL AS BIGINT) AS secs_to_purchase,
-        |  CAST(NULL AS DOUBLE) AS purchase_value
-        | FROM c, m
-        | WHERE NOT EXISTS (SELECT 1 FROM p
-        |   WHERE p.user_id = c.user_id
-        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
-        |  AND c.ts + INTERVAL 2 HOUR < m.mx)
-        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched""".stripMargin,
-
-    // q70's recursive-CTE clustering + a longest-text/lowest-id survivor
-    // pick per component (count(*) OVER is BIGINT in DuckDB — no HUGEINT).
-    "q94_dedup_survivors" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |pairs AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |e AS (SELECT ia AS a, ib AS b FROM pairs
-        |      UNION ALL SELECT ib, ia FROM pairs),
-        |cc(node, label) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a),
-        |cl AS (
-        | SELECT node AS doc_id, min(label) AS canonical_id
-        | FROM cc GROUP BY node),
-        |scored AS (
-        | SELECT cl.canonical_id, cl.doc_id,
-        |  CAST(length(d.text) AS BIGINT) AS q
-        | FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
-        |SELECT canonical_id, doc_id AS keep_id, cnt AS cluster_size,
-        | q AS keep_len
-        |FROM (
-        | SELECT canonical_id, doc_id, q,
-        |  row_number() OVER (PARTITION BY canonical_id
-        |    ORDER BY q DESC, doc_id) AS rn,
-        |  count(*) OVER (PARTITION BY canonical_id) AS cnt
-        | FROM scored)
-        |WHERE rn = 1""".stripMargin,
-
-    // z in integer 1e-4 units: round-to-integer of the identical double
-    // (x-mu)/sigma*1e4 — the only rounding mode both engines share exactly.
-    "q93_standardize" ->
-      """WITH e AS (
-        | SELECT vec_id, CAST(d.i AS BIGINT) AS dim,
-        |  CAST(embedding[d.i] AS DOUBLE) AS x
-        | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
-        |s AS (
-        | SELECT dim, round(avg(x), 7) AS mu, round(stddev_samp(x), 7) AS sigma
-        | FROM e GROUP BY dim)
-        |SELECT vec_id, dim,
-        | CAST(round((x - mu) / sigma * 10000.0) AS BIGINT) AS z_e4
-        |FROM e JOIN s USING (dim)""".stripMargin,
-
-    // Disjoint bit positions, so list_sum == bitwise OR; CAST guards the
-    // HUGEINT promotion per the house rule.
-    "q92_zorder_key" ->
-      """SELECT doc_id,
-        | CAST(list_sum(list_transform(range(0, 16), i ->
-        |   (((doc_id >> i) & 1) << (2 * i))
-        |   + (((n_chars >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
-        |FROM documents""".stripMargin,
-
-    "q91_asof_tolerance" ->
-      """WITH purchases AS (
-        | SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
-        |views AS (
-        | SELECT user_id, ts, max(event_id) AS view_id, max(value) AS view_value
-        | FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
-        |j AS (
-        | SELECT p.event_id, p.ts, v.ts AS vts, v.view_id, v.view_value
-        | FROM purchases p
-        | ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts)
-        |SELECT event_id,
-        | CASE WHEN epoch(ts) - epoch(vts) <= 600 THEN view_id END AS view_id_asof,
-        | CASE WHEN epoch(ts) - epoch(vts) <= 600 THEN view_value END
-        |   AS view_value_asof
-        |FROM j""".stripMargin,
-
-    // chr(769) = U+0301 COMBINING ACUTE, chr(223) = ß — the same
-    // decomposed suffix the Spark side appends; both engines must compose
-    // the e+accent to U+00E9 and leave ß alone.
-    "q88_nfc_normalize" ->
-      """SELECT doc_id,
-        | nfc_normalize(text || ' cafe' || chr(769) || ' stra' || chr(223) || 'e')
-        |   AS norm_text
-        |FROM documents""".stripMargin,
-
-    "q89_repetition" ->
-      """WITH t AS (
-        | SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(toks) >= 3
-        |   THEN list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' '))
-        |   ELSE [] END AS grams
-        | FROM t)
-        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS total_ngrams,
-        | CASE WHEN len(grams) > 0
-        |  THEN round((len(grams) - len(list_distinct(grams)))
-        |        / CAST(len(grams) AS DOUBLE), 6)
-        |  ELSE 0.0 END AS dup_fraction
-        |FROM g""".stripMargin,
-
-    "q90_source_quota" ->
-      """SELECT source, doc_id, rk FROM (
-        | SELECT source, doc_id,
-        |  CAST(row_number() OVER (PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
-        | FROM documents)
-        |WHERE rk <= 10""".stripMargin,
-
-    // 3-gram shingling mirrors q89's oracle idiom (empty when < 3 tokens,
-    // matching Spark's ngramStrings); per-doc grams distinct before the
-    // join so `shared_grams` counts distinct contaminating grams.
-    "q107_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        | SELECT doc_id,
-        |  CASE WHEN len(toks) >= 3
-        |   THEN list_distinct(list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' ')))
-        |   ELSE [] END AS grams
-        | FROM t),
-        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 100 = 0),
-        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 100 <> 0),
-        |sh AS (SELECT cg.doc_id, count(*) AS shared
-        |       FROM cg JOIN eg USING (gram) GROUP BY cg.doc_id)
-        |SELECT d.doc_id,
-        | CAST(coalesce(sh.shared, 0) AS BIGINT) AS shared_grams,
-        | CAST(CASE WHEN coalesce(sh.shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
-        |   AS contaminated
-        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
-        |WHERE d.doc_id % 100 <> 0""".stripMargin,
-
-    // q105's two-iteration Lloyd's replay over the dup-injected corpus
-    // (q69's injection), then within-cell pairwise cosine (the same
-    // sequential folds the q69 oracle proves bit-identical) and the
-    // lowest-id survivor flag.
-    "q108_semdedup" ->
-      """WITH e0 AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |dups AS (
-        | SELECT vec_id + 100000 AS vec_id, list_concat([v[1] + 0.05], v[2:64]) AS v
-        | FROM e0 WHERE vec_id % 50 = 0),
-        |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM dups),
-        |c0 AS (
-        | SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        | SELECT vec_id, v, cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(e.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
-        |c1 AS (
-        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
-        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
-        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
-        |  GROUP BY cell, d.i) s
-        | GROUP BY cell),
-        |a2 AS (
-        | SELECT vec_id, v, cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(e.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM e CROSS JOIN c1 c) t WHERE rn = 1),
-        |p AS (
-        | SELECT a.vec_id AS ia, b.vec_id AS ib
-        | FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        | WHERE list_reduce(list_transform(list_zip(a.v, b.v),
-        |         z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
-        |   >= 0.99),
-        |drp AS (SELECT DISTINCT ib FROM p)
-        |SELECT a2.vec_id, CAST(a2.cell AS BIGINT) AS cluster,
-        | CAST(CASE WHEN drp.ib IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM a2 LEFT JOIN drp ON a2.vec_id = drp.ib""".stripMargin,
-
-    // Round-trip fidelity (q83's rule): the re-read must equal the
-    // ORIGINAL table, so the oracle is simply the original.
-    "q109_orc_roundtrip" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents",
-
-    // The naive single-window global rank the two-phase form must equal;
-    // md5 hex is lowercase in both engines, ASCII compare, id tiebreak.
-    "q110_training_shuffle" ->
-      """SELECT doc_id,
-        | row_number() OVER (
-        |   ORDER BY md5('epoch1' || CAST(doc_id AS VARCHAR)), doc_id)
-        |  AS shuffle_rank
-        |FROM documents""".stripMargin,
-
-    // quantile_cont == Spark's exact percentile (q12/q104 parity); integer
-    // inputs make med multiples of 0.5, adev exact, mad multiples of 0.25,
-    // 3*mad exact — no rounding seam anywhere. Inner join on lang drops
-    // NULL-lang rows identically on both engines.
-    "q111_mad_outliers" ->
-      """WITH t AS (
-        | SELECT doc_id, lang,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |m AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS med
-        |      FROM t GROUP BY lang),
-        |d AS (SELECT t.doc_id, t.lang, t.n_tokens, m.med,
-        |       abs(t.n_tokens - m.med) AS adev FROM t JOIN m USING (lang)),
-        |md AS (SELECT lang, quantile_cont(adev, 0.5) AS mad
-        |       FROM d GROUP BY lang)
-        |SELECT d.doc_id, d.lang, d.n_tokens, d.med, md.mad,
-        | CAST(CASE WHEN d.adev > 3.0 * md.mad THEN 1 ELSE 0 END AS BIGINT)
-        |   AS is_outlier
-        |FROM d JOIN md USING (lang)""".stripMargin,
-
-    // range(0, n, 30) == Spark's sequence(0, n-1, 30) for n > 0.
-    "q112_chunk_overlap" ->
-      """WITH t AS (
-        | SELECT doc_id,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |x AS (
-        | SELECT doc_id, n_tokens, unnest(range(0, n_tokens, 30)) AS chunk_start
-        | FROM t WHERE n_tokens > 0)
-        |SELECT doc_id,
-        | CAST(chunk_start // 30 AS BIGINT) AS chunk_id,
-        | CAST(chunk_start AS BIGINT) AS chunk_start,
-        | CAST(least(50, n_tokens - chunk_start) AS BIGINT) AS chunk_len
-        |FROM x""".stripMargin,
-
-    // NULL lang forms its own window partition in both engines (unlike
-    // join keys), so no rows are lost.
-    "q113_stratified_split" ->
-      """WITH r AS (
-        | SELECT doc_id, lang,
-        |  row_number() OVER (PARTITION BY lang
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
-        |  count(*) OVER (PARTITION BY lang) AS nl
-        | FROM documents)
-        |SELECT doc_id, lang,
-        | CASE WHEN rk * 10 <= nl * 8 THEN 'train'
-        |      WHEN rk * 10 <= nl * 9 THEN 'val'
-        |      ELSE 'test' END AS split
-        |FROM r""".stripMargin,
-
-    "q114_incremental_dedup" ->
-      """WITH d AS (SELECT doc_id, text FROM documents),
-        |corpus AS (SELECT md5(text) AS fp FROM d WHERE doc_id % 10 <> 7),
-        |inc AS (
-        | SELECT doc_id, text FROM d WHERE doc_id % 10 = 7
-        | UNION ALL
-        | SELECT doc_id + 100000 AS doc_id, text FROM d WHERE doc_id % 25 = 3)
-        |SELECT doc_id FROM inc
-        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = md5(inc.text))""".stripMargin,
-
-    // The exact per-window heavy-hitter relation the sketch + recount
-    // composition must equal (win_start = epoch-aligned tumbling hour,
-    // q29's idiom).
-    "q115_stream_heavy_hitters" ->
-      """WITH w AS (
-        | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
-        |   AS win_start, user_id
-        | FROM events),
-        |n AS (SELECT win_start, count(*) AS n FROM w GROUP BY win_start),
-        |c AS (SELECT win_start, user_id, count(*) AS cnt
-        |      FROM w GROUP BY win_start, user_id)
-        |SELECT c.win_start, c.user_id, c.cnt
-        |FROM c JOIN n USING (win_start)
-        |WHERE c.cnt * 200 > n.n""".stripMargin,
-
-    // Same (freq DESC, token ASC) total order on both sides, so the
-    // top-256 set and the rank labels agree exactly.
-    "q116_vocab" ->
-      """WITH t AS (
-        | SELECT unnest(string_split(text, ' ')) AS token FROM documents),
-        |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
-        |SELECT token, freq,
-        | CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS BIGINT)
-        |   AS vocab_id
-        |FROM c ORDER BY freq DESC, token ASC LIMIT 256""".stripMargin,
-
-    "q117_oov_rate" ->
-      """WITH t AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        | FROM documents),
-        |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token),
-        |v AS (SELECT token FROM c ORDER BY freq DESC, token ASC LIMIT 16)
-        |SELECT doc_id, count(*) AS n_tokens,
-        | CAST(count(CASE WHEN v.token IS NULL THEN 1 END) AS BIGINT) AS n_oov,
-        | round(count(CASE WHEN v.token IS NULL THEN 1 END)
-        |   / CAST(count(*) AS DOUBLE), 6) AS oov_rate
-        |FROM t LEFT JOIN v ON t.token = v.token
-        |GROUP BY doc_id""".stripMargin,
-
-    // Parallel unnests zip positionally in DuckDB; range(0, len) matches
-    // posexplode's 0-based positions.
-    "q118_postings" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT unnest(toks) AS token, doc_id,
-        | unnest(range(0, len(toks))) AS pos
-        |FROM t""".stripMargin,
-
-    // Both stages are the q27 sequential folds (parity proven there), the
-    // coarse stage over the [1:16] list prefix; candidate cut and final
-    // rank are total orders, so the two-stage result replays exactly.
-    "q119_matryoshka_topk" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv FROM e WHERE vec_id >= 5),
-        |p AS (
-        | SELECT query_id, neighbor_id, qv, nv,
-        |  list_reduce(list_transform(list_zip(qv[1:16], nv[1:16]), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(qv[1:16], x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(nv[1:16], x -> x * x), (x, y) -> x + y))) AS coarse
-        | FROM q CROSS JOIN c),
-        |cand AS (
-        | SELECT * FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
-        |  FROM p) WHERE crnk <= 20),
-        |f AS (
-        | SELECT query_id, neighbor_id,
-        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(nv, x -> x * x), (x, y) -> x + y))) AS cos_sim
-        | FROM cand),
-        |r AS (
-        | SELECT query_id, neighbor_id, cos_sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
-        | FROM f)
-        |SELECT query_id, neighbor_id, rnk, round(cos_sim, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    // Sign packing replayed word-for-word: 32-bit words (DuckDB's BIGINT
-    // shift rejects bit 63, which is why the engine packs 32-bit words —
-    // Similarity.signPack), integer Hamming = popcount of XOR per word,
-    // exact-cosine rerank identical to q27's folds.
-    "q120_binary_hamming" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |sg AS (
-        | SELECT vec_id, v,
-        |  list_transform([0, 1], w ->
-        |   CAST(list_sum(list_transform(range(32), i ->
-        |    CASE WHEN v[w * 32 + i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END))
-        |   AS BIGINT)) AS words
-        | FROM e),
-        |q AS (SELECT vec_id AS query_id, v AS qv, words AS qw FROM sg WHERE vec_id < 5),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv, words AS nw FROM sg WHERE vec_id >= 5),
-        |h AS (
-        | SELECT query_id, neighbor_id, qv, nv,
-        |  CAST(bit_count(xor(qw[1], nw[1])) + bit_count(xor(qw[2], nw[2])) AS BIGINT) AS hamming
-        | FROM q CROSS JOIN c),
-        |cand AS (
-        | SELECT * FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id) AS crnk
-        |  FROM h) WHERE crnk <= 20),
-        |f AS (
-        | SELECT query_id, neighbor_id, hamming,
-        |  list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(nv, x -> x * x), (x, y) -> x + y))) AS cos_sim
-        | FROM cand),
-        |r AS (
-        | SELECT query_id, neighbor_id, hamming, cos_sim,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
-        | FROM f)
-        |SELECT query_id, neighbor_id, rnk, hamming, round(cos_sim, 6) AS cos_sim
-        |FROM r WHERE rnk <= 5""".stripMargin,
-
-    // Σ√n_s is a sequential source-asc fold on both engines (list(... ORDER
-    // BY source) ↔ sort_array(collect_list)), so the normalizer is the
-    // same double and the floor'd targets match exactly; row selection is
-    // the md5-rank construction (q60/q103 family).
-    "q121_temperature_mix" ->
-      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
-        |w AS (
-        | SELECT list_reduce(list_transform(list(cnt ORDER BY source), x ->
-        |   sqrt(CAST(x AS DOUBLE))), (a, b) -> a + b) AS wsum
-        | FROM c),
-        |t AS (
-        | SELECT source, CAST(floor(200.0 * sqrt(CAST(cnt AS DOUBLE)) / wsum) AS BIGINT)
-        |   AS target_cnt
-        | FROM c, w),
-        |r AS (
-        | SELECT doc_id, source,
-        |  row_number() OVER (PARTITION BY source
-        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rnk
-        | FROM documents)
-        |SELECT doc_id, r.source, target_cnt
-        |FROM r JOIN t ON r.source = t.source WHERE rnk <= target_cnt""".stripMargin,
-
-    // ln is libm (not bit-guaranteed across engines) → scores rounded 4 dp
-    // on BOTH sides and ranked by the ROUNDED value (house parity rule).
-    // Literals: 1.2::DOUBLE + 1.0 replays Scala's k1 + 1.0 (the double of
-    // the literal 2.2 is a DIFFERENT value); avgdl is an exact integer
-    // ratio in double on both engines.
-    "q122_bm25" ->
-      """WITH p AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
-        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
-        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
-        |sc AS (
-        | SELECT tf.doc_id,
-        |  round(sum(
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
-        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4) AS score
-        | FROM tf JOIN df ON tf.token = df.token
-        |  JOIN dl ON tf.doc_id = dl.doc_id, s
-        | GROUP BY tf.doc_id),
-        |r AS (SELECT doc_id, score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-        | FROM sc)
-        |SELECT doc_id, score, rnk FROM r WHERE rnk <= 20""".stripMargin,
-
-    // quantile_cont == Spark's exact percentile (q12/q104 parity).
-    "q123_quality_prune" ->
-      """WITH t AS (
-        | SELECT doc_id, source,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
-        |    AS n_tokens
-        | FROM documents),
-        |c AS (SELECT source, quantile_cont(n_tokens, 0.25) AS q1
-        |      FROM t GROUP BY source)
-        |SELECT doc_id, t.source, n_tokens
-        |FROM t JOIN c ON t.source = c.source WHERE n_tokens > q1""".stripMargin,
-
-    // q70's recursive-CTE connected components, then the keep-best window
-    // — integer ranking keys (n_chars, doc_id), exact replay.
-    "q124_cluster_best" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |pairs AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |e AS (SELECT ia AS a, ib AS b FROM pairs
-        |      UNION ALL SELECT ib, ia FROM pairs),
-        |cc(node, label) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a),
-        |lab AS (SELECT node AS doc_id, min(label) AS canonical_id
-        |        FROM cc GROUP BY node),
-        |r AS (
-        | SELECT l.canonical_id, d.doc_id, d.n_chars,
-        |  row_number() OVER (PARTITION BY l.canonical_id
-        |    ORDER BY d.n_chars DESC, d.doc_id) AS rn,
-        |  count(*) OVER (PARTITION BY l.canonical_id) AS cluster_size
-        | FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
-        |SELECT canonical_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
-        | CAST(cluster_size AS BIGINT) AS cluster_size
-        |FROM r WHERE rn = 1""".stripMargin,
-
-    // The batch equivalence of the exactly-once sink (q29's relation):
-    // if the simulated retry duplicated rows, cnt/sum would double.
-    "q126_stream_exactly_once" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
-        | event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // Anti-join ∪ upserts replay; integer/string columns only ⇒ exact.
-    "q127_upsert_snapshot" ->
-      """WITH upd AS (
-        | SELECT doc_id, text, lang, 'updated' AS source,
-        |  n_chars + 1000 AS n_chars, 'update' AS op
-        | FROM documents WHERE doc_id % 10 = 0),
-        |del AS (
-        | SELECT doc_id, text, lang, source, n_chars, 'delete' AS op
-        | FROM documents WHERE doc_id % 10 = 1),
-        |ins AS (
-        | SELECT 1000000 + i AS doc_id, 'new doc ' || i AS text,
-        |  'en' AS lang, 'ingest' AS source,
-        |  CAST(length('new doc ' || i) AS BIGINT) AS n_chars, 'insert' AS op
-        | FROM (SELECT unnest(range(0, 3)) AS i)),
-        |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM del
-        |       UNION ALL SELECT * FROM ins)
-        |SELECT doc_id, text, lang, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM ch)
-        |UNION ALL
-        |SELECT doc_id, text, lang, source, n_chars FROM ch
-        |WHERE op <> 'delete'""".stripMargin,
-
-    // lead() window replay; epoch seconds via floor on both sides (house
-    // rule), null valid_to ⇒ current row.
-    "q128_scd2" ->
-      """SELECT user_id, event_id, event_type,
-        | CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
-        | CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
-        | lead(ts) OVER w IS NULL AS is_current
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
-
-    // levenshtein is the identical classic DP on both engines (integers).
-    "q129_fuzzy_match" ->
-      """WITH p AS (
-        | SELECT unnest(['NATIN_3', 'NATIONN_8', 'MATION_19', 'NATI0N_21',
-        |   'NATOIN_14']) AS probe),
-        |d AS (SELECT probe, n_name, levenshtein(probe, n_name) AS dist
-        |      FROM p CROSS JOIN nation),
-        |r AS (SELECT probe, n_name, dist,
-        |  row_number() OVER (PARTITION BY probe ORDER BY dist, n_name) AS rn
-        | FROM d)
-        |SELECT probe, n_name AS best_name, CAST(dist AS BIGINT) AS dist
-        |FROM r WHERE rn = 1""".stripMargin,
-
-    // percent_rank/cume_dist are exact small-integer ratios over a total
-    // order — bit-identical doubles, no rounding needed.
-    "q130_analytic_ranks" ->
-      """SELECT o_orderkey, o_orderpriority, o_totalprice,
-        | percent_rank() OVER w AS pct_rank,
-        | cume_dist() OVER w AS cume,
-        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderpriority
-        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
-
-    // Manual UNION ALL replay of the melt (all measures already DOUBLE).
-    "q131_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
-        |  l_quantity AS value
-        |FROM lineitem WHERE l_orderkey < 2000
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
-        |FROM lineitem WHERE l_orderkey < 2000
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
-        |FROM lineitem WHERE l_orderkey < 2000""".stripMargin,
-
-    // generate_series == Spark's sequence with an hour step (both closed
-    // ranges over exact hour-truncated timestamps).
-    "q132_resample" ->
-      """WITH e AS (
-        | SELECT user_id, date_trunc('hour', ts) AS hour, value
-        | FROM events WHERE user_id < 30),
-        |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
-        |         FROM e GROUP BY user_id),
-        |grid AS (SELECT user_id,
-        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
-        |obs AS (SELECT user_id, hour, count(*) AS cnt, sum(value) AS sv
-        |        FROM e GROUP BY user_id, hour)
-        |SELECT g.user_id, CAST(floor(epoch(g.hour)) AS BIGINT) AS hour_s,
-        | COALESCE(cnt, 0) AS cnt, round(COALESCE(sv, 0.0), 4) AS sum_value
-        |FROM grid g LEFT JOIN obs o
-        | ON g.user_id = o.user_id AND g.hour = o.hour""".stripMargin,
-
-    // Two unrolled power iterations; (1.0 - 0.85::DOUBLE) replays Scala's
-    // 1.0 - damping (the double of the literal 0.15 is a DIFFERENT
-    // value); per-iteration round(8) makes the order-dependent incoming
-    // sums engine-identical before they feed the next iteration.
-    "q133_pagerank" ->
-      """WITH eo AS (
-        | SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
-        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT cust AS src, supp AS dst FROM eo
-        |      UNION ALL SELECT supp, cust FROM eo),
-        |deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
-        |nn AS (SELECT count(*) AS n FROM deg),
-        |pr0 AS (SELECT node, 1.0::DOUBLE / n AS pr FROM deg, nn),
-        |pr1 AS (
-        | SELECT e.dst AS node,
-        |  round((1.0 - 0.85::DOUBLE) / n
-        |    + 0.85::DOUBLE * sum(p.pr / d.outdeg), 8) AS pr
-        | FROM e JOIN pr0 p ON p.node = e.src JOIN deg d ON d.node = e.src, nn
-        | GROUP BY e.dst, n),
-        |pr2 AS (
-        | SELECT e.dst AS node,
-        |  round((1.0 - 0.85::DOUBLE) / n
-        |    + 0.85::DOUBLE * sum(p.pr / d.outdeg), 8) AS pr
-        | FROM e JOIN pr1 p ON p.node = e.src JOIN deg d ON d.node = e.src, nn
-        | GROUP BY e.dst, n)
-        |SELECT node, round(pr, 6) AS pr FROM pr2""".stripMargin,
-
-    // Mid-rank Mann-Whitney replay; the oracle may use the naive ordered
-    // window over distinct values (it has no scale constraint) — the
-    // engine's two-phase prefix sum computes the identical cum_before.
-    "q134_auc" ->
-      """WITH s AS (
-        | SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab
-        | FROM events),
-        |g AS (SELECT value, count(*) AS cnt, sum(lab) AS npos_v
-        |      FROM s GROUP BY value),
-        |c AS (SELECT value, cnt, npos_v,
-        |  COALESCE(CAST(sum(cnt) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
-        | FROM g),
-        |t AS (SELECT sum(npos_v * (cum_before + (cnt + 1) / 2.0)) AS rsum FROM c),
-        |sc AS (SELECT CAST(sum(lab) AS BIGINT) AS npos,
-        |  CAST(count(*) - sum(lab) AS BIGINT) AS nneg FROM s)
-        |SELECT round((rsum - CAST(npos AS DOUBLE) * (npos + 1) / 2)
-        |  / (CAST(npos AS DOUBLE) * nneg), 6) AS auc, npos, nneg
-        |FROM t, sc""".stripMargin,
-
-    // Bin arithmetic is identical IEEE on both engines (stored doubles,
-    // same op sequence); pos_rate is an exact integer ratio.
-    "q135_calibration_bins" ->
-      """WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
-        |x AS (
-        | SELECT least(9, CAST(floor((value - mn) / ((mx - mn) / 10))
-        |   AS BIGINT)) AS bin,
-        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS lab, value
-        | FROM events, b)
-        |SELECT bin, count(*) AS cnt,
-        | CAST(sum(lab) AS DOUBLE) / count(*) AS pos_rate,
-        | round(sum(value) / count(*), 4) AS mean_value
-        |FROM x GROUP BY bin""".stripMargin,
-
-    // Chained min-timestamp replay; timestamps compare at full µs
-    // precision on both engines, strict > as in the Spark plan.
-    "q136_funnel" ->
-      """WITH e AS (
-        | SELECT user_id, strftime(ts, '%Y-%m-%d') AS d, ts, event_type
-        | FROM events),
-        |groups AS (SELECT DISTINCT user_id, d FROM e),
-        |g1 AS (SELECT user_id, d, min(ts) AS f1 FROM e
-        |       WHERE event_type = 'view' GROUP BY user_id, d),
-        |g2 AS (SELECT e.user_id, e.d, min(ts) AS f2
-        |       FROM e JOIN g1 ON e.user_id = g1.user_id AND e.d = g1.d
-        |       WHERE event_type = 'click' AND ts > f1 GROUP BY e.user_id, e.d),
-        |g3 AS (SELECT e.user_id, e.d, min(ts) AS f3
-        |       FROM e JOIN g2 ON e.user_id = g2.user_id AND e.d = g2.d
-        |       WHERE event_type = 'purchase' AND ts > f2 GROUP BY e.user_id, e.d)
-        |SELECT g.d, count(*) AS n_groups,
-        | count(f1) AS reached_view,
-        | count(f2) AS reached_click,
-        | count(f3) AS reached_purchase
-        |FROM groups g
-        | LEFT JOIN g1 ON g.user_id = g1.user_id AND g.d = g1.d
-        | LEFT JOIN g2 ON g.user_id = g2.user_id AND g.d = g2.d
-        | LEFT JOIN g3 ON g.user_id = g3.user_id AND g.d = g3.d
-        |GROUP BY g.d""".stripMargin,
-
-    // Integer epoch-week arithmetic on both engines (floor'd epoch
-    // seconds, integer division by 604800).
-    "q137_retention" ->
-      """WITH wk AS (
-        | SELECT DISTINCT user_id,
-        |  CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
-        | FROM events),
-        |cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id)
-        |SELECT cohort_wk, wk - cohort_wk AS week_offset,
-        | count(DISTINCT w.user_id) AS n_users
-        |FROM wk w JOIN cohort c ON w.user_id = c.user_id
-        |GROUP BY cohort_wk, week_offset""".stripMargin,
-
-    // q32's md5/mod-p minhash replay, split into batch-probes-corpus; the
-    // lowest matching corpus id is the canonical attribution.
-    "q138_incremental_minhash" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
-        | FROM toks),
-        |base AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
-        | FROM sh),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(16), j ->
-        |   list_min(list_transform(bs, x ->
-        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
-        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
-        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
-        | FROM base),
-        |bb AS (
-        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
-        | FROM sig, range(8) r(b) WHERE doc_id % 7 = 0),
-        |cb AS (
-        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
-        | FROM sig, range(8) r(b) WHERE doc_id % 7 <> 0),
-        |m AS (
-        | SELECT DISTINCT bb.doc_id AS id, cb.doc_id AS corpus_id,
-        |  list_sum(list_transform(range(16), i ->
-        |    CASE WHEN bb.sig[i + 1] = cb.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
-        | FROM bb JOIN cb
-        |   ON bb.band = cb.band AND bb.band_key = cb.band_key),
-        |mm AS (SELECT id, min(corpus_id) AS dup_of FROM m
-        |       WHERE est >= 0.5 GROUP BY id)
-        |SELECT d.doc_id, dup_of, dup_of IS NOT NULL AS is_dup
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
-        |LEFT JOIN mm ON d.doc_id = mm.id""".stripMargin,
-
-    // Raw power sums → central moments in the same left-associative
-    // textual order as the Spark expressions; v^1.5 as v*sqrt(v) (no
-    // pow); rounded 4 dp (order-dependent sums).
-    "q139_moments" ->
-      """WITH g AS (
-        | SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS s1,
-        |  sum(l_quantity * l_quantity) AS s2,
-        |  sum(l_quantity * l_quantity * l_quantity) AS s3,
-        |  sum(l_quantity * l_quantity * l_quantity * l_quantity) AS s4
-        | FROM lineitem GROUP BY l_returnflag),
-        |m AS (
-        | SELECT l_returnflag, n, s1 / n AS mean,
-        |  s2 / n - (s1 / n) * (s1 / n) AS v,
-        |  s3 / n - 3.0 * (s1 / n) * (s2 / n)
-        |    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
-        |  s4 / n - 4.0 * (s1 / n) * (s3 / n)
-        |    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
-        |    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
-        | FROM g)
-        |SELECT l_returnflag, n, round(mean, 4) AS mean,
-        | round(v, 4) AS variance,
-        | round(m3 / (v * sqrt(v)), 4) AS skewness,
-        | round(m4 / (v * v) - 3.0, 4) AS kurtosis_excess
-        |FROM m""".stripMargin,
-
-    // Exact integer ratios into ln (libm → rounded 4 dp).
-    "q140_type_entropy" ->
-      """WITH c AS (
-        | SELECT user_id, event_type, count(*) AS cnt
-        | FROM events GROUP BY user_id, event_type),
-        |t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events
-        |      FROM c GROUP BY user_id)
-        |SELECT c.user_id, max(n_events) AS n_events,
-        | round(-sum((CAST(cnt AS DOUBLE) / n_events)
-        |   * ln(CAST(cnt AS DOUBLE) / n_events)), 4) AS entropy
-        |FROM c JOIN t ON c.user_id = t.user_id
-        |GROUP BY c.user_id""".stripMargin,
-
-    // FULL JOIN + COALESCE replay; integer counts and nulls only.
-    "q141_full_outer" ->
-      """WITH c AS (
-        | SELECT c_nationkey AS nk_c, count(*) AS cust_cnt
-        | FROM customer WHERE c_nationkey >= 5 GROUP BY c_nationkey),
-        |s AS (
-        | SELECT s_nationkey AS nk_s, count(*) AS supp_cnt
-        | FROM supplier WHERE s_nationkey < 15 GROUP BY s_nationkey)
-        |SELECT COALESCE(nk_c, nk_s) AS nationkey, cust_cnt, supp_cnt
-        |FROM c FULL JOIN s ON nk_c = nk_s""".stripMargin,
-
-    // Same length-band prefilter + identical classic-DP levenshtein.
-    "q142_fuzzy_join" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part)
-        |SELECT a.p_name AS name_a, b.p_name AS name_b,
-        | CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM n a JOIN n b
-        | ON a.p_name < b.p_name
-        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
-
-    // GROUPING() is BIGINT in DuckDB; Spark's grouping() cast to match.
-    "q143_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
-        | CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-        | count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
-
-    // Same bounded-frame list + index lambda (DuckDB i is 1-based, so the
-    // exponent is len-i vs Spark's size-1-i over 0-based). 0.75^k exact;
-    // the ratio rounded 4 dp.
-    "q144_ewma" ->
-      """WITH f AS (
-        | SELECT event_id, user_id,
-        |  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS frame
-        | FROM events)
-        |SELECT event_id, user_id,
-        | round(
-        |  list_sum(list_transform(frame, (x, i) ->
-        |    x * pow(0.75, len(frame) - i))) /
-        |  list_sum(list_transform(frame, (x, i) ->
-        |    pow(0.75, len(frame) - i))), 4) AS ewma
-        |FROM f""".stripMargin,
-
-    // Same sufficient-statistics pivot; all derived scalars rounded 4 dp
-    // (double sums are order-dependent).
-    "q145_welch_ttest" ->
-      """WITH g AS (
-        | SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-        |  sum(value) AS s1, sum(value * value) AS s2
-        | FROM events WHERE event_type IN ('click', 'purchase')
-        | GROUP BY event_type),
-        |p AS (
-        | SELECT
-        |  max(CASE WHEN event_type = 'click' THEN n END) AS n1,
-        |  max(CASE WHEN event_type = 'click' THEN s1 END) AS a1,
-        |  max(CASE WHEN event_type = 'click' THEN s2 END) AS b1,
-        |  max(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
-        |  max(CASE WHEN event_type = 'purchase' THEN s1 END) AS a2,
-        |  max(CASE WHEN event_type = 'purchase' THEN s2 END) AS b2
-        | FROM g),
-        |m AS (
-        | SELECT n1, n2, a1 / n1 AS m1, a2 / n2 AS m2,
-        |  (b1 - n1 * (a1 / n1) * (a1 / n1)) / (n1 - 1.0) AS v1,
-        |  (b2 - n2 * (a2 / n2) * (a2 / n2)) / (n2 - 1.0) AS v2
-        | FROM p)
-        |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
-        | round(m1, 4) AS mean_click, round(m2, 4) AS mean_purchase,
-        | round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
-        | round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2) /
-        |   ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
-        |     + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 4) AS welch_df
-        |FROM m""".stripMargin,
-
-    // Same reference-extent equal-width bins + Laplace smoothing; integer
-    // ratios into ln → the product rounded (6 dp).
-    "q146_psi" ->
-      """WITH ref AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 0),
-        |cur AS (SELECT n_chars FROM documents WHERE doc_id % 2 = 1),
-        |b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM ref),
-        |tot AS (SELECT (SELECT count(*) FROM ref) AS nr,
-        |               (SELECT count(*) FROM cur) AS nc),
-        |rb AS (
-        | SELECT CAST(least(9, greatest(0,
-        |   floor((n_chars - lo) * 10 / (hi - lo + 1)))) AS BIGINT) AS bin,
-        |  count(*) AS cnt_ref
-        | FROM ref, b GROUP BY 1),
-        |cb AS (
-        | SELECT CAST(least(9, greatest(0,
-        |   floor((n_chars - lo) * 10 / (hi - lo + 1)))) AS BIGINT) AS bin,
-        |  count(*) AS cnt_cur
-        | FROM cur, b GROUP BY 1),
-        |j AS (
-        | SELECT g.bin,
-        |  CAST(coalesce(cnt_ref, 0) AS BIGINT) AS cnt_ref,
-        |  CAST(coalesce(cnt_cur, 0) AS BIGINT) AS cnt_cur, nr, nc
-        | FROM generate_series(0, 9) g(bin)
-        | LEFT JOIN rb ON g.bin = rb.bin
-        | LEFT JOIN cb ON g.bin = cb.bin, tot)
-        |SELECT bin, cnt_ref, cnt_cur,
-        | round((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)
-        |      - CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
-        |  * ln((CAST(cnt_ref + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
-        |     / (CAST(cnt_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))), 6)
-        |  AS psi_term
-        |FROM j""".stripMargin,
-
-    // All-integer replay of the degree-oriented scheme: same (deg, id)
-    // total order, same one-wedge-per-triangle invariant.
-    "q147_triangles" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |e AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
-        | SELECT node, count(*) AS deg FROM (
-        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
-        | GROUP BY node),
-        |o AS (
-        | SELECT
-        |  CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
-        |   THEN u ELSE v END AS src,
-        |  CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
-        |   THEN v ELSE u END AS dst
-        | FROM e JOIN deg d1 ON e.u = d1.node JOIN deg d2 ON e.v = d2.node),
-        |orr AS (SELECT o.src, o.dst, deg.deg AS ddst
-        |        FROM o JOIN deg ON o.dst = deg.node),
-        |w AS (
-        | SELECT a.src, a.dst AS w1, b.dst AS w2
-        | FROM orr a JOIN orr b ON a.src = b.src
-        | WHERE a.ddst < b.ddst OR (a.ddst = b.ddst AND a.dst < b.dst)),
-        |t AS (
-        | SELECT * FROM w
-        | WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.w1 AND o.dst = w.w2))
-        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
-        | (SELECT count(*) FROM e) AS n_edges,
-        | (SELECT count(*) FROM w) AS n_wedges,
-        | (SELECT count(*) FROM t) AS n_triangles""".stripMargin,
-
-    // The naive single-window ECDF replay; the two-phase prefix sums must
-    // reproduce it bit-for-bit (integer-ratio doubles, no rounding).
-    "q148_ks_test" ->
-      """WITH g AS (
-        | SELECT value,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n1v,
-        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n2v
-        | FROM events WHERE event_type IN ('click', 'view')
-        | GROUP BY value),
-        |c AS (
-        | SELECT value,
-        |  CAST(sum(n1v) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-        |    AS BIGINT) AS cum1,
-        |  CAST(sum(n2v) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
-        |    AS BIGINT) AS cum2
-        | FROM g),
-        |tot AS (SELECT CAST(sum(n1v) AS BIGINT) AS n1,
-        |               CAST(sum(n2v) AS BIGINT) AS n2 FROM g)
-        |SELECT n1 AS n_click, n2 AS n_view,
-        | abs(CAST(cum1 AS DOUBLE) / n1 - CAST(cum2 AS DOUBLE) / n2) AS d_stat,
-        | value AS at_value
-        |FROM c, tot
-        |ORDER BY d_stat DESC, value LIMIT 1""".stripMargin,
-
-    // The bloom stage is semantically transparent (false positives die in
-    // the exact semi-join), so the oracle is the plain semi-join + agg.
-    "q149_bloom_join" ->
-      """SELECT l_suppkey, count(*) AS cnt,
-        | round(sum(l_extendedprice), 4) AS revenue
-        |FROM lineitem
-        |WHERE l_suppkey IN
-        | (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5)
-        |GROUP BY l_suppkey""".stripMargin,
-
-    // Same shift-zip bigrams (DuckDB 1-based slices), same log-space PMI.
-    "q150_bigram_pmi" ->
-      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
-        |uni AS (
-        | SELECT w, count(*) AS cw FROM (SELECT unnest(t) AS w FROM tk)
-        | GROUP BY w),
-        |bg AS (
-        | SELECT bg[1] AS w1, bg[2] AS w2 FROM (
-        |  SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS bg
-        |  FROM tk)),
-        |bigc AS (
-        | SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY w1, w2
-        | HAVING count(*) >= 5),
-        |tot AS (
-        | SELECT (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS nt,
-        |        (SELECT count(*) FROM bg) AS nb)
-        |SELECT w1, w2, cxy,
-        | round(ln(cxy) + 2.0 * ln(nt) - ln(nb) - ln(cx) - ln(cy), 4) AS pmi
-        |FROM bigc
-        |JOIN (SELECT w AS w1, cw AS cx FROM uni) USING (w1)
-        |JOIN (SELECT w AS w2, cw AS cy FROM uni) USING (w2)
-        |, tot
-        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
-
-    // Same md5-hex gap device, same ignoreNulls carry; carried values are
-    // untouched doubles so the compare is exact.
-    "q151_locf" ->
-      """WITH s AS (
-        | SELECT event_id, user_id, ts,
-        |  CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
-        |        IN ('0','1','2','3') THEN NULL ELSE value END AS v
-        | FROM events)
-        |SELECT event_id, user_id,
-        | CAST(v IS NULL AS BIGINT) AS was_gap,
-        | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-        |   ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
-        |FROM s""".stripMargin,
-
-    // Same windowed sufficient statistics; z rounded 4 dp.
-    "q152_rolling_zscore" ->
-      """WITH w AS (
-        | SELECT event_id, user_id, value,
-        |  count(value) OVER win AS n_win,
-        |  sum(value) OVER win AS s1,
-        |  sum(value * value) OVER win AS s2
-        | FROM events
-        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)),
-        |m AS (
-        | SELECT event_id, user_id, value, n_win,
-        |  s1 / n_win AS mu,
-        |  (s2 - n_win * (s1 / n_win) * (s1 / n_win)) / (n_win - 1) AS v
-        | FROM w)
-        |SELECT event_id, user_id, n_win,
-        | CASE WHEN n_win >= 8 AND v > 0
-        |  THEN round((value - mu) / sqrt(v), 4) END AS zscore
-        |FROM m""".stripMargin,
-
-    // True components of the lev<=2 graph via recursive CTE (the q124
-    // min-label shape on string ids).
-    "q153_entity_resolution" ->
-      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
-        |pairs AS (
-        | SELECT a.p_name AS ia, b.p_name AS ib
-        | FROM n a JOIN n b ON a.p_name < b.p_name
-        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
-        | WHERE levenshtein(a.p_name, b.p_name) <= 2),
-        |e AS (SELECT ia AS a, ib AS b FROM pairs
-        |      UNION ALL SELECT ib, ia FROM pairs),
-        |cc(node, label) AS (
-        | SELECT p_name, p_name FROM n
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a),
-        |lab AS (SELECT node, min(label) AS canonical FROM cc GROUP BY node)
-        |SELECT node AS name, canonical,
-        | CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
-        |   AS cluster_size
-        |FROM lab""".stripMargin,
-
-    // Naive-window replay of the prefix sums; cent-integer weights so the
-    // threshold comparisons are exact on both engines.
-    "q154_weighted_median" ->
-      """WITH g AS (
-        | SELECT l_quantity,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS wv
-        | FROM lineitem GROUP BY l_quantity),
-        |c AS (
-        | SELECT l_quantity,
-        |  CAST(sum(wv) OVER (ORDER BY l_quantity ROWS UNBOUNDED PRECEDING)
-        |    AS BIGINT) AS cum_w
-        | FROM g),
-        |tot AS (SELECT CAST(sum(wv) AS BIGINT) AS tw FROM g)
-        |SELECT
-        | (SELECT min(l_quantity) FROM c, tot WHERE cum_w * 4 >= tw) AS w_p25,
-        | (SELECT min(l_quantity) FROM c, tot WHERE cum_w * 2 >= tw) AS w_median,
-        | (SELECT min(l_quantity) FROM c, tot WHERE cum_w * 4 >= tw * 3) AS w_p75""".stripMargin,
-
-    // Same simulated snapshots; hash EQUALITY is engine-internal (double
-    // formatting differs across engines but stays injective within each),
-    // so only the status counts surface — and those are exact.
-    "q155_snapshot_diff" ->
-      """WITH o AS (
-        | SELECT event_id AS o_id,
-        |  md5(concat_ws('|', event_type, CAST(value AS VARCHAR))) AS o_h
-        | FROM events WHERE event_id % 4 <> 0),
-        |n AS (
-        | SELECT event_id AS n_id,
-        |  md5(concat_ws('|', event_type, CAST(
-        |    CASE WHEN event_id % 7 = 0 THEN value + 1.0 ELSE value END
-        |    AS VARCHAR))) AS n_h
-        | FROM events WHERE event_id % 5 <> 0)
-        |SELECT status, count(*) AS cnt FROM (
-        | SELECT CASE WHEN o_id IS NULL THEN 'added'
-        |             WHEN n_id IS NULL THEN 'removed'
-        |             WHEN o_h <> n_h THEN 'changed'
-        |             ELSE 'unchanged' END AS status
-        | FROM o FULL JOIN n ON o_id = n_id)
-        |GROUP BY status""".stripMargin,
-
-    // DuckDB's native jaro_winkler_similarity replays the custom
-    // expression (same windowing, integer t/2, 0.7-thresholded boost);
-    // both sides cut on the 4-dp-rounded score.
-    "q156_jaro_winkler" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part)
-        |SELECT a.p_name AS name_a, b.p_name AS name_b,
-        | round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
-        |FROM n a JOIN n b
-        | ON a.p_name < b.p_name
-        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
-        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9""".stripMargin,
-
-    // The stream's state machine must reproduce the batch window exactly
-    // — same oracle as q152.
-    "q157_stream_zscore" ->
-      """WITH w AS (
-        | SELECT event_id, user_id, value,
-        |  count(value) OVER win AS n_win,
-        |  sum(value) OVER win AS s1,
-        |  sum(value * value) OVER win AS s2
-        | FROM events
-        | WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)),
-        |m AS (
-        | SELECT event_id, user_id, value, n_win,
-        |  s1 / n_win AS mu,
-        |  (s2 - n_win * (s1 / n_win) * (s1 / n_win)) / (n_win - 1) AS v
-        | FROM w)
-        |SELECT event_id, user_id, n_win,
-        | CASE WHEN n_win >= 8 AND v > 0
-        |  THEN round((value - mu) / sqrt(v), 4) END AS zscore
-        |FROM m""".stripMargin,
-
-    // Full CTE replay: integer-ratio lns summed in the same order, argmax
-    // on the rounded score with the same tie rule.
-    "q158_naive_bayes" ->
-      """WITH tr0 AS (SELECT * FROM events WHERE event_id % 10 < 8),
-        |te0 AS (SELECT * FROM events WHERE event_id % 10 >= 8),
-        |bnd AS (SELECT min(value) AS lo, max(value) AS hi FROM tr0),
-        |tr AS (
-        | SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS h,
-        |  CAST(least(9, greatest(0,
-        |    floor((value - lo) * 10 / (hi - lo)))) AS BIGINT) AS b
-        | FROM tr0, bnd),
-        |te AS (
-        | SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS h,
-        |  CAST(least(9, greatest(0,
-        |    floor((value - lo) * 10 / (hi - lo)))) AS BIGINT) AS b
-        | FROM te0, bnd),
-        |cls AS (SELECT event_type AS cls, count(*) AS n_c FROM tr GROUP BY 1),
-        |scal AS (SELECT (SELECT count(*) FROM tr) AS n,
-        |  (SELECT count(DISTINCT h) FROM tr) AS v1,
-        |  (SELECT count(DISTINCT b) FROM tr) AS v2,
-        |  (SELECT count(*) FROM cls) AS k),
-        |f1 AS (SELECT event_type AS cls, h, count(*) AS c1 FROM tr GROUP BY 1, 2),
-        |f2 AS (SELECT event_type AS cls, b, count(*) AS c2 FROM tr GROUP BY 1, 2),
-        |sc AS (
-        | SELECT te.event_id, te.event_type, cls.cls,
-        |  round(ln(CAST(n_c + 1 AS DOUBLE) / CAST(n + k AS DOUBLE))
-        |   + ln(CAST(coalesce(c1, 0) + 1 AS DOUBLE) / CAST(n_c + v1 AS DOUBLE))
-        |   + ln(CAST(coalesce(c2, 0) + 1 AS DOUBLE) / CAST(n_c + v2 AS DOUBLE)),
-        |   4) AS score
-        | FROM te CROSS JOIN cls
-        | LEFT JOIN f1 ON f1.cls = cls.cls AND f1.h = te.h
-        | LEFT JOIN f2 ON f2.cls = cls.cls AND f2.b = te.b
-        | CROSS JOIN scal),
-        |pick AS (
-        | SELECT event_id, event_type, cls, row_number() OVER (
-        |   PARTITION BY event_id ORDER BY score DESC, cls) AS rn
-        | FROM sc)
-        |SELECT event_type AS actual, cls AS predicted, count(*) AS cnt
-        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
-
-    // Two unrolled synchronous rounds — all-integer, no rounding needed.
-    "q159_label_prop" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |p AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS src, v AS dst FROM p
-        |      UNION ALL SELECT v AS src, u AS dst FROM p),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-        |r1 AS (
-        | SELECT e.src, l0.label, count(*) AS c
-        | FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2),
-        |l1 AS (
-        | SELECT src AS node, label FROM (
-        |  SELECT src, label, row_number() OVER (
-        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r1)
-        | WHERE rn = 1),
-        |r2 AS (
-        | SELECT e.src, l1.label, count(*) AS c
-        | FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2),
-        |l2 AS (
-        | SELECT src AS node, label FROM (
-        |  SELECT src, label, row_number() OVER (
-        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r2)
-        | WHERE rn = 1)
-        |SELECT node, label,
-        | CAST(count(*) OVER (PARTITION BY label) AS BIGINT)
-        |   AS community_size
-        |FROM l2""".stripMargin,
-
-    // Same md5-uniform → identical Poisson(1) inverse-CDF thresholds;
-    // the resample means rounded 4 dp.
-    "q160_poisson_bootstrap" ->
-      """WITH x AS (
-        | SELECT value, b,
-        |  CAST(CAST(concat('0x', substr(md5(concat(
-        |    CAST(event_id AS VARCHAR), '_', CAST(b AS VARCHAR))), 1, 8))
-        |    AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
-        | FROM events, generate_series(0, 31) g(b)),
-        |wts AS (
-        | SELECT value, b,
-        |  CASE WHEN u < 0.36787944117144233 THEN 0
-        |       WHEN u < 0.7357588823428847 THEN 1
-        |       WHEN u < 0.9196986029286058 THEN 2
-        |       WHEN u < 0.9810118431238462 THEN 3
-        |       WHEN u < 0.9963401531726563 THEN 4
-        |       ELSE 5 END AS w
-        | FROM x)
-        |SELECT b, round(sum(w * value) / CAST(sum(w) AS BIGINT), 4)
-        |  AS boot_mean
-        |FROM wts GROUP BY b""".stripMargin,
-
-    // Two unrolled peel rounds, all-integer.
-    "q161_kcore" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |p AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e0 AS (SELECT u AS src, v AS dst FROM p
-        |       UNION ALL SELECT v AS src, u AS dst FROM p),
-        |k1 AS (SELECT src FROM e0 GROUP BY src HAVING count(*) >= 3),
-        |e1 AS (
-        | SELECT e0.src, e0.dst FROM e0
-        | WHERE e0.src IN (SELECT src FROM k1)
-        |   AND e0.dst IN (SELECT src FROM k1)),
-        |k2 AS (SELECT src FROM e1 GROUP BY src HAVING count(*) >= 3),
-        |e2 AS (
-        | SELECT e1.src, e1.dst FROM e1
-        | WHERE e1.src IN (SELECT src FROM k2)
-        |   AND e1.dst IN (SELECT src FROM k2))
-        |SELECT src AS node, count(*) AS deg FROM e2 GROUP BY 1""".stripMargin,
-
-    // Three unrolled min-relax rounds, all-integer.
-    "q162_bfs_hops" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |p AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS src, v AS dst FROM p
-        |      UNION ALL SELECT v AS src, u AS dst FROM p),
-        |l0 AS (
-        | SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hop FROM e
-        | WHERE src % 100 = 0),
-        |l1 AS (
-        | SELECT node, min(hop) AS hop FROM (
-        |  SELECT node, hop FROM l0
-        |  UNION ALL
-        |  SELECT e.src AS node, l0.hop + 1 AS hop
-        |  FROM e JOIN l0 ON l0.node = e.dst) GROUP BY 1),
-        |l2 AS (
-        | SELECT node, min(hop) AS hop FROM (
-        |  SELECT node, hop FROM l1
-        |  UNION ALL
-        |  SELECT e.src AS node, l1.hop + 1 AS hop
-        |  FROM e JOIN l1 ON l1.node = e.dst) GROUP BY 1),
-        |l3 AS (
-        | SELECT node, min(hop) AS hop FROM (
-        |  SELECT node, hop FROM l2
-        |  UNION ALL
-        |  SELECT e.src AS node, l2.hop + 1 AS hop
-        |  FROM e JOIN l2 ON l2.node = e.dst) GROUP BY 1)
-        |SELECT node, hop FROM l3""".stripMargin,
-
-    // lead() over the same (ts, event_id) total order; the row
-    // normalizer is CAST at the window per the HUGEINT parity rule.
-    "q163_markov_transitions" ->
-      """WITH t AS (
-        | SELECT event_type AS from_type,
-        |  lead(event_type) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        | FROM events),
-        |c AS (
-        | SELECT from_type, to_type, count(*) AS cnt FROM t
-        | WHERE to_type IS NOT NULL GROUP BY 1, 2)
-        |SELECT from_type, to_type, cnt,
-        | round(CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS BIGINT), 4) AS prob
-        |FROM c""".stripMargin,
-
-    // Same integer leading-digit device; ln-based expectation rounded
-    // 4 dp on both sides.
-    "q164_benford" ->
-      """WITH m AS (
-        | SELECT CAST(round(abs(value) * 1e6) AS BIGINT) AS m FROM events),
-        |d AS (
-        | SELECT CAST(substr(CAST(m AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-        |  count(*) AS obs
-        | FROM m WHERE m > 0 GROUP BY 1),
-        |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
-        |SELECT digit, obs,
-        | round(n * ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS expected,
-        | round(pow(CAST(obs AS DOUBLE)
-        |     - n * ln(1.0 + 1.0 / digit) / ln(10.0), 2)
-        |   / (n * ln(1.0 + 1.0 / digit) / ln(10.0)), 4) AS chi2_term
-        |FROM d, tot""".stripMargin,
-
-    // Same (x, orderkey) rank order; the rank-weighted double sum is
-    // rounded 4 dp on both sides.
-    "q165_gini" ->
-      """WITH o AS (
-        | SELECT c_mktsegment AS segment, o_totalprice AS x, o_orderkey
-        | FROM orders JOIN customer ON o_custkey = c_custkey),
-        |r AS (
-        | SELECT segment, x, row_number() OVER (
-        |   PARTITION BY segment ORDER BY x, o_orderkey) AS i
-        | FROM o)
-        |SELECT segment, count(*) AS n,
-        | round((2 * sum(i * x) - (count(*) + 1) * sum(x))
-        |   / (count(*) * sum(x)), 4) AS gini
-        |FROM r GROUP BY 1""".stripMargin,
-
-    // Same zero-factor flag (DuckDB would tolerate ln(0) = -inf but the
-    // CASE keeps both engines off the ln(0) path); cumulative ln sums run
-    // in the same ascending-t order.
-    "q166_kaplan_meier" ->
-      """WITH spans AS (
-        | SELECT user_id, date_diff('day', CAST(min(ts) AS DATE),
-        |   CAST(max(ts) AS DATE)) AS t
-        | FROM events GROUP BY 1),
-        |dt AS (SELECT t, count(*) AS d FROM spans GROUP BY 1),
-        |tot AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM dt),
-        |base AS (
-        | SELECT t, d,
-        |  n - coalesce(CAST(sum(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
-        | FROM dt, tot),
-        |f AS (
-        | SELECT t, d, n_risk,
-        |  max(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
-        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS dead,
-        |  sum(CASE WHEN d = n_risk THEN NULL
-        |      ELSE ln(1.0 - CAST(d AS DOUBLE) / n_risk) END) OVER (
-        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS lnsum
-        | FROM base)
-        |SELECT t, d, n_risk,
-        | CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lnsum), 4) END AS surv
-        |FROM f""".stripMargin,
-
-    // Integer epoch-day lag join; Pearson inputs are exact integer sums
-    // (CAST to BIGINT before the double math) — bit-deterministic, no
-    // rounding seam.
-    "q167_acf" ->
-      """WITH daily AS (
-        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-        |  count(*) AS c
-        | FROM events GROUP BY 1),
-        |pairs AS (
-        | SELECT g.lag AS lag, a.c AS x, b.c AS y
-        | FROM daily a CROSS JOIN generate_series(1, 7) g(lag)
-        | JOIN daily b ON b.day = a.day + g.lag),
-        |agg AS (
-        | SELECT lag, count(*) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy,
-        |  CAST(sum(x * x) AS BIGINT) AS sx2,
-        |  CAST(sum(y * y) AS BIGINT) AS sy2
-        | FROM pairs GROUP BY 1)
-        |SELECT lag, n,
-        | CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
-        |     * CAST(n * sy2 - sy * sy AS DOUBLE)) AS acf
-        |FROM agg""".stripMargin,
-
-    // Same apriori prune (every 2-subset frequent) over distinct-order
-    // baskets; all-integer.
-    "q168_freq_triples" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |po AS (
-        | SELECT a.l_orderkey, a.l_partkey AS u, b.l_partkey AS v
-        | FROM bk a JOIN bk b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-        |p2 AS (
-        | SELECT u, v FROM po GROUP BY u, v HAVING count(*) >= 2),
-        |t0 AS (
-        | SELECT po.l_orderkey, po.u, po.v FROM po
-        | JOIN p2 ON p2.u = po.u AND p2.v = po.v),
-        |cand AS (
-        | SELECT t0.u, t0.v, c.l_partkey AS w
-        | FROM t0 JOIN bk c ON c.l_orderkey = t0.l_orderkey
-        |  AND c.l_partkey > t0.v
-        | WHERE EXISTS (SELECT 1 FROM p2 WHERE p2.u = t0.u
-        |    AND p2.v = c.l_partkey)
-        |  AND EXISTS (SELECT 1 FROM p2 WHERE p2.u = t0.v
-        |    AND p2.v = c.l_partkey))
-        |SELECT u, v, w, count(*) AS support
-        |FROM cand GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
-
-    // Same integer supports; conf/lift division shapes mirror the Spark
-    // column expressions exactly.
-    "q169_lift_rules" ->
-      """WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |n AS (SELECT count(DISTINCT l_orderkey) AS nn FROM bk),
-        |isup AS (SELECT l_partkey AS item, count(*) AS s FROM bk GROUP BY 1),
-        |p2 AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS pair_sup
-        | FROM bk a JOIN bk b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |rules AS (
-        | SELECT u AS antecedent, v AS consequent, pair_sup FROM p2
-        | UNION ALL
-        | SELECT v AS antecedent, u AS consequent, pair_sup FROM p2)
-        |SELECT antecedent, consequent, pair_sup,
-        | round(CAST(pair_sup AS DOUBLE) / sa.s, 4) AS conf,
-        | round(CAST(pair_sup AS DOUBLE) * nn / (sa.s * sc.s), 4) AS lift
-        |FROM rules
-        |JOIN isup sa ON sa.item = antecedent
-        |JOIN isup sc ON sc.item = consequent
-        |CROSS JOIN n""".stripMargin,
-
-    // Same integer month index; revenue rounded 4 dp.
-    "q170_cohort_revenue" ->
-      """WITH f AS (
-        | SELECT o_custkey, min(o_orderdate) AS f FROM orders GROUP BY 1)
-        |SELECT
-        | CAST(year(f.f) * 100 + month(f.f) AS BIGINT) AS cohort,
-        | CAST((year(o_orderdate) * 12 + month(o_orderdate))
-        |   - (year(f.f) * 12 + month(f.f)) AS BIGINT) AS age,
-        | count(DISTINCT o_custkey) AS customers,
-        | round(sum(o_totalprice), 4) AS revenue
-        |FROM orders JOIN f USING (o_custkey)
-        |GROUP BY 1, 2""".stripMargin,
-
-    // Same Σq²/T² integer identity: exact BIGINT sums, one final double
-    // division — no order-dependent double accumulation on either side.
-    "q171_hhi" ->
-      """WITH qs AS (
-        | SELECT l_partkey,
-        |  CAST(round(round(sum(l_quantity), 4) * 10000) AS BIGINT) AS qs
-        | FROM lineitem GROUP BY l_partkey, l_suppkey)
-        |SELECT l_partkey, count(*) AS n_suppliers,
-        | round(CAST(sum(qs * qs) AS BIGINT)
-        |   / (CAST(sum(qs) AS BIGINT) * 1.0 * CAST(sum(qs) AS BIGINT)), 4)
-        |   AS hhi
-        |FROM qs GROUP BY 1""".stripMargin,
-
-    // Same ascending-day cumulative order; argmax on the rounded
-    // statistic with the day tie-break.
-    "q172_cusum" ->
-      """WITH daily AS (
-        | SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-        |  count(*) AS c
-        | FROM events GROUP BY 1),
-        |st AS (SELECT CAST(sum(c) AS BIGINT) AS s, count(*) AS dd FROM daily),
-        |dev AS (
-        | SELECT day, CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / dd AS dev
-        | FROM daily, st),
-        |cs AS (
-        | SELECT day, sum(CAST(dev AS DOUBLE)) OVER (
-        |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |   AS cusum
-        | FROM dev)
-        |SELECT day, round(cusum, 4) AS cusum FROM cs
-        |ORDER BY round(abs(cusum), 4) DESC, day LIMIT 1""".stripMargin,
-
-    // Same ln-rounding rule as q122; freq/total is double on both sides.
-    "q125_unigram_logprob" ->
-      """WITH p AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |f AS (SELECT token, count(*) AS freq FROM p GROUP BY token),
-        |t AS (SELECT count(*) AS total FROM p)
-        |SELECT doc_id,
-        | round(sum(ln(CAST(freq AS DOUBLE) / total)) / count(*), 4) AS avg_logprob
-        |FROM p JOIN f ON p.token = f.token, t GROUP BY doc_id""".stripMargin,
-
-    // Integer-ratio comparisons replay exactly (same doubles both
-    // engines); dup3 is pre-rounded 6 dp like the Spark side.
-    "q173_gopher_rules" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks,
-        |  CAST(length(text) AS BIGINT) AS nc,
-        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS nt
-        | FROM documents),
-        |g AS (
-        | SELECT doc_id, nt, nc, toks,
-        |  CASE WHEN len(toks) >= 3
-        |   THEN list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' '))
-        |   ELSE [] END AS grams
-        | FROM t),
-        |r AS (
-        | SELECT doc_id, nt AS n_tokens,
-        |  nt >= 25 AND nt <= 75 AS r_len,
-        |  CAST(nc - (nt - 1) AS DOUBLE) / nt >= 3.9
-        |   AND CAST(nc - (nt - 1) AS DOUBLE) / nt <= 5.1 AS r_wordlen,
-        |  round(CAST(len(list_distinct(toks)) AS DOUBLE) / nt, 6) >= 0.4 AS r_ttr,
-        |  (CASE WHEN len(grams) > 0
-        |    THEN round(CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
-        |           / len(grams), 6)
-        |    ELSE 0.0 END) <= 0.02 AS r_dup3
-        | FROM g)
-        |SELECT doc_id, n_tokens, r_len, r_wordlen, r_ttr, r_dup3,
-        | r_len AND r_wordlen AND r_ttr AND r_dup3 AS keep
-        |FROM r""".stripMargin,
-
-    // Same 6-dp ln points and 6-dp pre-rounded sums; the slope is then a
-    // closed form over identical bits on both engines.
-    "q174_zipf_slope" ->
-      """WITH w AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
-        |f AS (SELECT source, word, count(*) AS freq FROM w GROUP BY 1, 2),
-        |r AS (
-        | SELECT source, freq, row_number() OVER (
-        |   PARTITION BY source ORDER BY freq DESC, word) AS rnk
-        | FROM f),
-        |l AS (
-        | SELECT source, round(ln(CAST(rnk AS DOUBLE)), 6) AS lx,
-        |  round(ln(CAST(freq AS DOUBLE)), 6) AS ly
-        | FROM r),
-        |a AS (
-        | SELECT source, CAST(count(*) AS DOUBLE) AS n,
-        |  round(sum(lx), 6) AS sx, round(sum(ly), 6) AS sy,
-        |  round(sum(lx * lx), 6) AS sxx, round(sum(lx * ly), 6) AS sxy
-        | FROM l GROUP BY 1)
-        |SELECT source,
-        | round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
-        |FROM a""".stripMargin,
-
-    // Distinct gram sets per source; intersection via the gram equi-join,
-    // union by inclusion-exclusion. Counts CAST to BIGINT per house rule.
-    "q175_source_overlap" ->
-      """WITH t AS (
-        | SELECT source, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        | SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3
-        |   THEN list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' '))
-        |   ELSE [] END) AS gram
-        | FROM t),
-        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
-        |iv AS (
-        | SELECT a.source AS src_a, b.source AS src_b,
-        |  CAST(count(*) AS BIGINT) AS inter
-        | FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-        | GROUP BY 1, 2)
-        |SELECT src_a, src_b, inter,
-        | round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
-        |FROM iv
-        |JOIN sz na ON iv.src_a = na.source
-        |JOIN sz nb ON iv.src_b = nb.source""".stripMargin,
-
-    // quantile_cont matches Spark's exact `percentile` interpolation (the
-    // q12 parity precedent); med/iqr pre-rounded 7 dp before the division.
-    "q176_robust_scale" ->
-      """WITH e AS (
-        | SELECT vec_id, CAST(d.i AS BIGINT) AS dim,
-        |  CAST(embedding[d.i] AS DOUBLE) AS x
-        | FROM embeddings, (SELECT unnest(range(1, 65)) AS i) d),
-        |s AS (
-        | SELECT dim, round(quantile_cont(x, 0.5), 7) AS med,
-        |  round(quantile_cont(x, 0.75) - quantile_cont(x, 0.25), 7) AS iqr
-        | FROM e GROUP BY dim)
-        |SELECT vec_id, dim, round((x - med) / iqr, 4) AS rz
-        |FROM e JOIN s USING (dim)""".stripMargin,
-
-    // Same md5-uniform shifted to (0,1]; the kept set cuts on the ROUNDED
-    // key with the doc_id tie-break, so libm ln parity is not load-bearing.
-    "q177_weighted_reservoir" ->
-      """WITH k AS (
-        | SELECT source, doc_id, n_chars,
-        |  round(-ln((CAST(CAST(concat('0x',
-        |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      AS DOUBLE) + 1.0) / 4294967297.0)
-        |    / CAST(n_chars AS DOUBLE), 8) AS sel_key
-        | FROM documents),
-        |r AS (
-        | SELECT source, doc_id, n_chars, sel_key,
-        |  row_number() OVER (PARTITION BY source
-        |    ORDER BY sel_key, doc_id) AS sel_rank
-        | FROM k)
-        |SELECT source, doc_id, n_chars, sel_key, sel_rank
-        |FROM r WHERE sel_rank <= 5""".stripMargin,
-
-    // Three unrolled merge rounds; chars via 1-based indexing (engines
-    // disagree on empty-pattern splits), double-replace merge per round.
-    "q178_bpe_merges" ->
-      """WITH wf AS (
-        | SELECT w, count(*) AS freq FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        | WHERE length(w) > 0 GROUP BY w),
-        |s1 AS (
-        | SELECT ' ' || array_to_string(
-        |    list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
-        |   || ' ' AS seq, freq
-        | FROM wf),
-        |p1 AS (
-        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
-        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
-        |    ELSE [] END) AS pair
-        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s1))
-        | GROUP BY pair),
-        |b1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |s2 AS (
-        | SELECT replace(replace(seq,
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
-        |  freq
-        | FROM s1, b1 b),
-        |p2 AS (
-        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
-        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
-        |    ELSE [] END) AS pair
-        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s2))
-        | GROUP BY pair),
-        |b2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |s3 AS (
-        | SELECT replace(replace(seq,
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
-        |  freq
-        | FROM s2, b2 b),
-        |p3 AS (
-        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
-        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
-        |    ELSE [] END) AS pair
-        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s3))
-        | GROUP BY pair),
-        |b3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-        |SELECT CAST(1 AS BIGINT) AS round, pair,
-        |  replace(pair, ' ', '') AS merged, cnt FROM b1
-        |UNION ALL
-        |SELECT CAST(2 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b2
-        |UNION ALL
-        |SELECT CAST(3 AS BIGINT), pair, replace(pair, ' ', ''), cnt FROM b3""".stripMargin,
-
-    // q178's chain carried through the final merge (s4), then the corpus
-    // word stream joins the |vocab|-row length table.
-    "q179_bpe_encode" ->
-      """WITH wf AS (
-        | SELECT w, count(*) AS freq FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        | WHERE length(w) > 0 GROUP BY w),
-        |s1 AS (
-        | SELECT w, ' ' || array_to_string(
-        |    list_transform(range(1, length(w) + 1), i -> w[i]), ' ')
-        |   || ' ' AS seq, freq
-        | FROM wf),
-        |p1 AS (
-        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
-        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
-        |    ELSE [] END) AS pair
-        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s1))
-        | GROUP BY pair),
-        |b1 AS (SELECT pair FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |s2 AS (
-        | SELECT w, replace(replace(seq,
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
-        |  freq
-        | FROM s1, b1 b),
-        |p2 AS (
-        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
-        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
-        |    ELSE [] END) AS pair
-        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s2))
-        | GROUP BY pair),
-        |b2 AS (SELECT pair FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |s3 AS (
-        | SELECT w, replace(replace(seq,
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
-        |  freq
-        | FROM s2, b2 b),
-        |p3 AS (
-        | SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |  SELECT freq, unnest(CASE WHEN len(sym) >= 2
-        |    THEN list_transform(range(1, len(sym)), i -> sym[i] || ' ' || sym[i+1])
-        |    ELSE [] END) AS pair
-        |  FROM (SELECT freq, string_split(trim(seq), ' ') AS sym FROM s3))
-        | GROUP BY pair),
-        |b3 AS (SELECT pair FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
-        |s4 AS (
-        | SELECT w, replace(replace(seq,
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
-        |    ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ') AS seq,
-        |  freq
-        | FROM s3, b3 b),
-        |lens AS (
-        | SELECT w, CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS bpe_tokens
-        | FROM s4),
-        |corpus AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
-        | CAST(sum(bpe_tokens) AS BIGINT) AS n_bpe_tokens
-        |FROM corpus JOIN lens USING (w)
-        |WHERE length(w) > 0
-        |GROUP BY source""".stripMargin,
-
-    // Exact integer-ratio probabilities into ln (the q125/q146 rule),
-    // per-source sum rounded 4 dp.
-    "q180_source_kl" ->
-      """WITH w AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS word FROM documents),
-        |sc AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
-        |st AS (SELECT source, count(*) AS nt FROM w GROUP BY 1),
-        |gc AS (SELECT word, count(*) AS g FROM w GROUP BY 1),
-        |gt AS (SELECT count(*) AS gtot FROM w)
-        |SELECT source,
-        | round(sum((CAST(c AS DOUBLE) / nt)
-        |   * ln((CAST(c AS DOUBLE) / nt) / (CAST(g AS DOUBLE) / gtot))), 4) AS kl
-        |FROM sc JOIN gc USING (word) JOIN st USING (source), gt
-        |GROUP BY source""".stripMargin,
-
-    // Centroid means rounded 6 dp (q73 rule); the cosine folds are the
-    // q27 parity shapes. vec_id ≡ doc_id is the q108 linkage.
-    "q181_source_centroid_sim" ->
-      """WITH e AS (
-        | SELECT d.source, i.i AS pos, CAST(em.embedding[i.i] AS DOUBLE) AS x
-        | FROM embeddings em
-        | JOIN documents d ON em.vec_id = d.doc_id,
-        |  (SELECT unnest(range(1, 65)) AS i) i),
-        |c AS (SELECT source, pos, round(avg(x), 6) AS m FROM e GROUP BY 1, 2),
-        |v AS (SELECT source, list(m ORDER BY pos) AS v FROM c GROUP BY 1)
-        |SELECT a.source AS src_a, b.source AS src_b,
-        | round(list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
-        |    (x, y) -> x + y)
-        |  / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-        |   * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
-        |  6) AS cos_sim
-        |FROM v a JOIN v b ON a.source < b.source""".stripMargin,
-
-    // Positional 5-grams via index-into-list (DuckDB's posexplode);
-    // islands by the same pos − row_number device; counts CAST BIGINT.
-    "q182_repeated_spans" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |ng AS (
-        | SELECT doc_id, len(toks) AS nt, CASE WHEN len(toks) >= 5
-        |   THEN list_transform(range(1, len(toks) - 3),
-        |          i -> array_to_string(toks[i:i+4], ' '))
-        |   ELSE [] END AS grams
-        | FROM t),
-        |g AS (
-        | SELECT doc_id, i AS pos, grams[i] AS gram
-        | FROM ng, unnest(range(1, len(grams) + 1)) AS r(i)),
-        |dup AS (
-        | SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        |dp AS (
-        | SELECT g.doc_id, g.pos,
-        |  g.pos - row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos)
-        |    AS island
-        | FROM g JOIN dup USING (gram)),
-        |isl AS (
-        | SELECT doc_id, island, count(*) AS ilen
-        | FROM dp GROUP BY doc_id, island),
-        |agg AS (
-        | SELECT doc_id, CAST(sum(ilen) AS BIGINT) AS n_dup_grams,
-        |  CAST(count(*) AS BIGINT) AS n_spans,
-        |  CAST(max(ilen) + 4 AS BIGINT) AS max_span_tokens
-        | FROM isl GROUP BY doc_id)
-        |SELECT ng.doc_id,
-        | coalesce(n_dup_grams, 0) AS n_dup_grams,
-        | coalesce(n_spans, 0) AS n_spans,
-        | coalesce(max_span_tokens, 0) AS max_span_tokens,
-        | round(CAST(coalesce(n_dup_grams, 0) AS DOUBLE) /
-        |   greatest(nt - 4, 1), 6) AS dup_frac
-        |FROM ng LEFT JOIN agg USING (doc_id)""".stripMargin,
-
-    // Per-word log-ratio = single ln of one exact integer ratio, kept in
-    // integer micro-units so doc sums are exact long arithmetic (order-
-    // independent); selection replayed as a plain rank (the engine's
-    // TakeOrdered boundary is the same total order).
-    "q183_dsir_weights" ->
-      """WITH tok AS (
-        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        | FROM documents),
-        |vocab AS (SELECT count(DISTINCT w) AS v FROM tok),
-        |tot AS (
-        | SELECT CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS tt,
-        |  CAST(count(*) AS BIGINT) AS tr FROM tok),
-        |wc AS (
-        | SELECT w,
-        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS ct,
-        |  CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY w),
-        |lr AS (
-        | SELECT w, CAST(round(ln(CAST((ct + 1) * (tr + v) AS DOUBLE) /
-        |                  ((cr + 1) * (tt + v))) * 1000000) AS BIGINT) AS lrw6
-        | FROM wc, vocab, tot),
-        |dw AS (
-        | SELECT t.doc_id,
-        |  round(CAST(sum(lr.lrw6) AS DOUBLE) / 1000000, 4) AS weight
-        | FROM tok t JOIN lr ON t.w = lr.w GROUP BY t.doc_id),
-        |rk AS (
-        | SELECT doc_id, weight,
-        |  row_number() OVER (ORDER BY weight DESC, doc_id) AS rnk FROM dw)
-        |SELECT doc_id, weight, rnk <= 100 AS selected FROM rk""".stripMargin,
-
-    // The q125 score feeding tercile cuts; quantile_cont matches Spark's
-    // exact `percentile` interpolation (the q104 precedent).
-    "q184_ccnet_buckets" ->
-      """WITH tok AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY w),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok),
-        |sc AS (
-        | SELECT doc_id, round(sum(ln(CAST(f AS DOUBLE) / t)) / count(*), 4)
-        |   AS score
-        | FROM tok JOIN freq USING (w), tot GROUP BY doc_id),
-        |cut AS (
-        | SELECT quantile_cont(score, 0.33333333) AS t1,
-        |  quantile_cont(score, 0.66666667) AS t2 FROM sc)
-        |SELECT doc_id, score,
-        | CASE WHEN score >= t2 THEN 'head' WHEN score >= t1 THEN 'middle'
-        |  ELSE 'tail' END AS bucket,
-        | score >= t1 AS keep
-        |FROM sc, cut""".stripMargin,
-
-    // Same planted augmentation, same fixed redaction order (emails →
-    // IPv4 → phone-shaped); RE2 'g' flag ≡ Spark's global replace.
-    "q185_pii_redact" ->
-      """WITH aug AS (
-        | SELECT doc_id, text ||
-        |  CASE CAST(doc_id % 5 AS INTEGER)
-        |   WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
-        |   WHEN 1 THEN ' call 555-' ||
-        |     lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today'
-        |   WHEN 2 THEN ' from 10.' || doc_id % 256 || '.' ||
-        |     (doc_id * 3) % 256 || '.' || (doc_id * 7) % 256 || ' logged'
-        |   ELSE '' END AS text2
-        | FROM documents),
-        |r1 AS (
-        | SELECT doc_id, text2,
-        |  CAST(len(regexp_extract_all(text2,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-        |    AS n_emails,
-        |  CAST(len(regexp_extract_all(text2,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  regexp_replace(regexp_replace(text2,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t1
-        | FROM aug)
-        |SELECT doc_id, n_emails, n_ips,
-        | CAST(len(regexp_extract_all(t1, '\b\d{3}-\d{4}\b')) AS BIGINT)
-        |   AS n_phones,
-        | regexp_replace(t1, '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS redacted
-        |FROM r1""".stripMargin,
-
-    // The q105 CTE chain per 16-dim block: lowest-id init, one 6-dp
-    // rounded-mean update, (dist, cid) nearest replayed as row_number.
-    // The ADC sum replays Spark's ascending-block left fold via
-    // list(dpb ORDER BY b) + list_reduce — bit-identical 4-term sums.
-    "q186_pq_topk" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |blk AS (SELECT unnest(range(0, 4)) AS b),
-        |sv AS (
-        | SELECT e.vec_id, blk.b, e.v[blk.b*16+1 : blk.b*16+16] AS sv
-        | FROM e, blk),
-        |c0 AS (
-        | SELECT b, vec_id AS cid, sv AS cv FROM (
-        |  SELECT b, vec_id, sv,
-        |   row_number() OVER (PARTITION BY b ORDER BY vec_id) AS rn FROM sv) t
-        | WHERE rn <= 16),
-        |a1 AS (
-        | SELECT vec_id, b, cell, sv FROM (
-        |  SELECT sv.vec_id, sv.b, c.cid AS cell, sv.sv,
-        |   row_number() OVER (PARTITION BY sv.vec_id, sv.b ORDER BY
-        |     list_reduce(list_transform(list_zip(sv.sv, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, x) -> a + x) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM sv JOIN c0 c USING (b)) t WHERE rn = 1),
-        |c1 AS (
-        | SELECT b, cell AS cid, list(m ORDER BY i) AS cv FROM (
-        |  SELECT b, cell, d.i AS i, round(avg(sv[d.i]), 6) AS m
-        |  FROM a1, (SELECT unnest(range(1, 17)) AS i) d
-        |  GROUP BY b, cell, d.i) s
-        | GROUP BY b, cell),
-        |codes AS (
-        | SELECT vec_id, b, cell FROM (
-        |  SELECT sv.vec_id, sv.b, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY sv.vec_id, sv.b ORDER BY
-        |     list_reduce(list_transform(list_zip(sv.sv, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, x) -> a + x) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM sv JOIN c1 c USING (b)) t WHERE rn = 1),
-        |probe AS (SELECT b, sv AS pv FROM sv WHERE vec_id = 0),
-        |lut AS (
-        | SELECT c1.b, c1.cid,
-        |  list_reduce(list_transform(list_zip(p.pv, c1.cv),
-        |    z -> (z[1] - z[2]) * (z[1] - z[2])), (a, x) -> a + x) AS dpb
-        | FROM c1 JOIN probe p USING (b)),
-        |adcs AS (
-        | SELECT codes.vec_id,
-        |  round(list_reduce(list(lut.dpb ORDER BY codes.b), (a, x) -> a + x),
-        |    6) AS adc
-        | FROM codes JOIN lut ON codes.b = lut.b AND codes.cell = lut.cid
-        | GROUP BY codes.vec_id),
-        |rk AS (
-        | SELECT vec_id, adc, row_number() OVER (ORDER BY adc, vec_id) AS rnk
-        | FROM adcs)
-        |SELECT CAST(rnk AS BIGINT) AS rank, vec_id, adc
-        |FROM rk WHERE rnk <= 10""".stripMargin,
-
-    // Exact distinct counts replayed; the HLL estimates are engine-
-    // internal, so the bound booleans assert TRUE (the q40 device —
-    // lgK=14 rse ~0.8 % against the 5 % gate).
-    "q187_hll_rollup" ->
-      """WITH tok AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
-        |SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_words,
-        | TRUE AS est_ok
-        |FROM tok GROUP BY source
-        |UNION ALL
-        |SELECT 'ALL' AS source, CAST(count(DISTINCT w) AS BIGINT), TRUE
-        |FROM tok""".stripMargin,
-
-    // Exact containment replay: the engine's prefix filter has recall
-    // 1.0, so the naive all-pairs postings join gives identical rows.
-    // Gram STRINGS here ≡ the engine's 64-bit shingle hashes (the q70
-    // hash-identity convention).
-    "q188_containment_pairs" ->
-      """WITH t AS (
-        | SELECT doc_id, list_distinct(
-        |   CASE WHEN len(string_split(text, ' ')) >= 3
-        |    THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
-        |           i -> array_to_string((string_split(text, ' '))[i:i+2], ' '))
-        |    ELSE [] END) AS grams
-        | FROM documents),
-        |s AS (SELECT doc_id, len(grams) AS sz FROM t),
-        |p AS (SELECT doc_id, unnest(grams) AS gram FROM t),
-        |pairs AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(count(*) AS BIGINT) AS shared
-        | FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-        | GROUP BY 1, 2)
-        |SELECT id_a, id_b, shared,
-        | round(CAST(shared AS DOUBLE) / sa.sz, 6) AS containment
-        |FROM pairs JOIN s sa ON pairs.id_a = sa.doc_id
-        |WHERE CAST(shared AS DOUBLE) / sa.sz >= 0.8""".stripMargin,
-
-    // First-seen source rank per gram + per-source distinct counts; the
-    // novelty ratio is a division of exact integers.
-    "q189_source_novelty" ->
-      """WITH t AS (
-        | SELECT CAST(substr(source, 4) AS BIGINT) AS srank,
-        |  string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        | SELECT srank, unnest(CASE WHEN len(toks) >= 3
-        |   THEN list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' '))
-        |   ELSE [] END) AS gram
-        | FROM t),
-        |fst AS (SELECT gram, min(srank) AS first_rank FROM g GROUP BY gram),
-        |nov AS (SELECT first_rank, CAST(count(*) AS BIGINT) AS novel
-        |        FROM fst GROUP BY 1),
-        |tot AS (SELECT srank, CAST(count(DISTINCT gram) AS BIGINT)
-        |          AS distinct_grams FROM g GROUP BY srank)
-        |SELECT tot.srank AS source_rank, 'src' || tot.srank AS source,
-        | distinct_grams,
-        | coalesce(nov.novel, 0) AS novel_grams,
-        | round(CAST(coalesce(nov.novel, 0) AS DOUBLE) / distinct_grams, 6)
-        |   AS novelty
-        |FROM tot LEFT JOIN nov ON nov.first_rank = tot.srank""".stripMargin,
-
-    // q70's recursive-CTE components + the q103 md5-uniform device on the
-    // canonical id — cluster-consistent folds by construction.
-    "q190_leakage_folds" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |pairs AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |e AS (SELECT ia AS a, ib AS b FROM pairs
-        |      UNION ALL SELECT ib, ia FROM pairs),
-        |cc(node, label) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a)
-        |SELECT node AS doc_id, min(label) AS canonical_id,
-        | CAST(CAST(concat('0x',
-        |   substr(md5(CAST(min(label) AS VARCHAR)), 1, 8)) AS BIGINT) % 5
-        |  AS BIGINT) AS fold
-        |FROM cc GROUP BY node""".stripMargin,
-
-    // Exact-integer rank algebra (2·avg_rank = 2·cum − t + 1) so U and the
-    // tie term are BIGINTs; z is the one float expression, mirrored
-    // op-for-op against Stats.mannWhitneyU.
-    "q191_mann_whitney" ->
-      """WITH sub AS (
-        | SELECT source AS g, n_chars AS v FROM documents
-        | WHERE source IN ('src0', 'src1')),
-        |byv AS (
-        | SELECT v, CAST(count(*) AS BIGINT) AS t,
-        |  CAST(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ta
-        | FROM sub GROUP BY v),
-        |rk AS (
-        | SELECT t, ta, CAST(sum(t) OVER (ORDER BY v
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-        | FROM byv),
-        |ag AS (
-        | SELECT CAST(sum(ta * (cum * 2 - t + 1)) AS BIGINT) AS r2a,
-        |  CAST(sum(ta) AS BIGINT) AS na,
-        |  CAST(sum(t - ta) AS BIGINT) AS nb,
-        |  CAST(sum(t * t * t - t) AS BIGINT) AS ties FROM rk),
-        |z0 AS (
-        | SELECT na AS n_a, nb AS n_b,
-        |  CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_a,
-        |  CAST(na AS DOUBLE) * nb
-        |    - CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_b,
-        |  round(CAST(r2a - na * (na + 1) - na * nb AS DOUBLE) /
-        |    (2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0 *
-        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(ties AS DOUBLE) /
-        |        (CAST(na + nb AS DOUBLE) * (na + nb - 1))))), 6) AS z
-        | FROM ag)
-        |SELECT n_a, n_b, u_a, u_b, z, abs(z) > 1.959964 AS significant
-        |FROM z0""".stripMargin,
-
-    // Context count c(w1,·) derived from the c2 table (sum of bigram
-    // counts by first word — identical to counting the bigram stream);
-    // per-gram log-prob as one ln of an exact integer ratio in micro-nats
-    // (the q183 device), per-doc sums exact longs.
-    "q192_bigram_ppl" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bg AS (
-        | SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
-        | FROM t, unnest(range(1, len(toks))) AS r(i)),
-        |c2 AS (
-        | SELECT gram, split_part(gram, ' ', 1) AS w1,
-        |  CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY gram),
-        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
-        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
-        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-        |lp AS (
-        | SELECT c2.gram, CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) /
-        |    CAST(c1.c1 + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lp6
-        | FROM c2 JOIN c1 USING (w1), v),
-        |pd AS (
-        | SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(lp.lp6) AS BIGINT) AS s6
-        | FROM bg JOIN lp USING (gram) GROUP BY bg.doc_id)
-        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
-        | coalesce(round(CAST(-s6 AS DOUBLE) / 1000000 / n_bigrams, 4), 0.0)
-        |   AS h
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
-
-    // The engine's two-phase bucketed rank ≡ one global row_number here;
-    // snake CASE replayed verbatim.
-    "q193_balanced_shards" ->
-      """WITH d AS (
-        | SELECT doc_id,
-        |  CAST(len(text) - len(replace(text, ' ', '')) + 1 AS BIGINT) AS w
-        | FROM documents),
-        |rk AS (
-        | SELECT doc_id, w,
-        |  row_number() OVER (ORDER BY w DESC, doc_id) AS r FROM d),
-        |sh AS (
-        | SELECT w, CAST(CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
-        |   ELSE 7 - (r - 1) % 8 END AS BIGINT) AS shard
-        | FROM rk)
-        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(w) AS BIGINT) AS total_tokens
-        |FROM sh GROUP BY shard""".stripMargin,
-
-    // Count table then rank — same two-phase shape as the engine; binary
-    // string order on ascii grams is collation-safe in both engines.
-    "q194_wimbd_topk" ->
-      """WITH t AS (
-        | SELECT source, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        | SELECT source, array_to_string(toks[i : i + 2], ' ') AS gram
-        | FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
-        | WHERE len(toks) >= 3),
-        |c AS (
-        | SELECT source, gram, CAST(count(*) AS BIGINT) AS cnt
-        | FROM g GROUP BY source, gram),
-        |r AS (
-        | SELECT source, gram, cnt, row_number() OVER (
-        |   PARTITION BY source ORDER BY cnt DESC, gram) AS rn FROM c)
-        |SELECT source, gram, cnt FROM r WHERE rn <= 10""".stripMargin,
-
-    // Chars via substr-by-position (unambiguous in both engines, unlike
-    // empty-separator splits); per-(doc,char) c·ln c in micro-nats → exact
-    // long sums; H mirrors the engine's op order.
-    "q195_char_entropy" ->
-      """WITH ch AS (
-        | SELECT doc_id, substr(text, i, 1) AS c
-        | FROM documents, unnest(range(1, len(text) + 1)) AS r(i)),
-        |hist AS (
-        | SELECT doc_id, c, CAST(count(*) AS BIGINT) AS nc
-        | FROM ch GROUP BY doc_id, c),
-        |term AS (
-        | SELECT doc_id, nc,
-        |  CAST(round(CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE)) * 1000000)
-        |    AS BIGINT) AS t6
-        | FROM hist),
-        |pd AS (
-        | SELECT doc_id, CAST(sum(nc) AS BIGINT) AS n_chars,
-        |  CAST(sum(t6) AS BIGINT) AS s6
-        | FROM term GROUP BY doc_id)
-        |SELECT doc_id, n_chars,
-        | round(ln(CAST(n_chars AS DOUBLE))
-        |   - CAST(s6 AS DOUBLE) / 1000000 / n_chars, 4) AS h
-        |FROM pd""".stripMargin,
-
-    // Two unrolled hub/authority rounds; round(sum, 8) per half-step and
-    // MAX (order-independent) normalization replay graph/Hits verbatim.
-    "q196_hits" ->
-      """WITH eo AS (
-        | SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |h0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS score FROM eo),
-        |a1r AS (SELECT dst AS node, round(sum(score), 8) AS raw
-        |        FROM eo JOIN h0 ON h0.node = eo.src GROUP BY dst),
-        |a1m AS (SELECT max(raw) AS mx FROM a1r),
-        |a1 AS (SELECT node, round(raw / mx, 8) AS score FROM a1r, a1m),
-        |h1r AS (SELECT src AS node, round(sum(score), 8) AS raw
-        |        FROM eo JOIN a1 ON a1.node = eo.dst GROUP BY src),
-        |h1m AS (SELECT max(raw) AS mx FROM h1r),
-        |h1 AS (SELECT node, round(raw / mx, 8) AS score FROM h1r, h1m),
-        |a2r AS (SELECT dst AS node, round(sum(score), 8) AS raw
-        |        FROM eo JOIN h1 ON h1.node = eo.src GROUP BY dst),
-        |a2m AS (SELECT max(raw) AS mx FROM a2r),
-        |a2 AS (SELECT node, round(raw / mx, 8) AS score FROM a2r, a2m),
-        |h2r AS (SELECT src AS node, round(sum(score), 8) AS raw
-        |        FROM eo JOIN a2 ON a2.node = eo.dst GROUP BY src),
-        |h2m AS (SELECT max(raw) AS mx FROM h2r),
-        |h2 AS (SELECT node, round(raw / mx, 8) AS score FROM h2r, h2m)
-        |SELECT 'hub' AS kind, node, round(score, 6) AS score FROM h2
-        |UNION ALL
-        |SELECT 'auth' AS kind, node, round(score, 6) AS score FROM a2""".stripMargin,
-
-    // Exact integer arithmetic end-to-end; the single division is
-    // mirrored op-for-op.
-    "q197_simpson_diversity" ->
-      """WITH tok AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
-        |wc AS (
-        | SELECT source, w, CAST(count(*) AS BIGINT) AS c
-        | FROM tok GROUP BY source, w),
-        |ag AS (
-        | SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) AS BIGINT) AS vocab,
-        |  CAST(sum(c * (c - 1)) AS BIGINT) AS ss
-        | FROM wc GROUP BY source)
-        |SELECT source, n_tokens, vocab,
-        | round(1.0 - CAST(ss AS DOUBLE) /
-        |   (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson
-        |FROM ag""".stripMargin,
-
-    // Shared-vocab inner join + the exclusive-mass ln 2 identity; the
-    // order-dependent vocab sum rides the q180 round(4) seam.
-    "q198_source_jsd" ->
-      """WITH w AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS word
-        | FROM documents),
-        |sc AS (
-        | SELECT source, word, CAST(count(*) AS BIGINT) AS c
-        | FROM w GROUP BY source, word),
-        |st AS (
-        | SELECT source, CAST(count(*) AS BIGINT) AS nt
-        | FROM w GROUP BY source),
-        |p AS (
-        | SELECT source, word, CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) AS p
-        | FROM sc JOIN st USING (source)),
-        |sh AS (
-        | SELECT a.source AS src_a, b.source AS src_b,
-        |  sum(a.p * ln(a.p * 2 / (a.p + b.p))
-        |    + b.p * ln(b.p * 2 / (a.p + b.p))) AS sh,
-        |  sum(a.p) AS spa, sum(b.p) AS spb
-        | FROM p a JOIN p b ON a.word = b.word AND a.source < b.source
-        | GROUP BY 1, 2)
-        |SELECT src_a, src_b,
-        | round((sh + ln(2.0) * (2.0 - spa - spb)) * 0.5, 4) AS jsd
-        |FROM sh""".stripMargin,
-
-    // Continuation counts from the gram-type table; P's two-term float
-    // expression replayed in the engine's exact op order, ln in
-    // micro-nats (the q183/q192 device).
-    "q199_kneser_ney_ppl" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |bg AS (
-        | SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
-        | FROM t, unnest(range(1, len(toks))) AS r(i)),
-        |c2 AS (
-        | SELECT gram, split_part(gram, ' ', 1) AS w1,
-        |  split_part(gram, ' ', 2) AS w2,
-        |  CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY gram),
-        |c1 AS (
-        | SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
-        |  CAST(count(*) AS BIGINT) AS n1f FROM c2 GROUP BY w1),
-        |n1b AS (
-        | SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM c2 GROUP BY w2),
-        |btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM c2),
-        |lp AS (
-        | SELECT c2.gram, CAST(round(ln(
-        |   (CAST(c2.c2 AS DOUBLE) - 0.75) / c1.c1
-        |     + 0.75 * c1.n1f / c1.c1 * (CAST(n1b.n1b AS DOUBLE) / btot.b))
-        |   * 1000000) AS BIGINT) AS lp6
-        | FROM c2 JOIN c1 USING (w1) JOIN n1b USING (w2), btot),
-        |pd AS (
-        | SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(lp.lp6) AS BIGINT) AS s6
-        | FROM bg JOIN lp USING (gram) GROUP BY bg.doc_id)
-        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
-        | coalesce(round(CAST(-s6 AS DOUBLE) / 1000000 / n_bigrams, 4), 0.0)
-        |   AS h_kn
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
-
-    // q147's copurchase CTE, full wedge enumeration (apex cap is a no-op
-    // here and mirrored anyway), exact counts, one mirrored division.
-    "q200_link_prediction" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |pr AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |adj AS (SELECT u AS n, v AS x FROM pr UNION ALL SELECT v, u FROM pr),
-        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
-        |adjk AS (
-        | SELECT adj.n, adj.x FROM adj JOIN deg USING (n) WHERE deg <= 1000),
-        |cp AS (
-        | SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS common
-        | FROM adjk a JOIN adjk b ON a.n = b.n AND a.x < b.x
-        | GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT cp.u, cp.v, common,
-        | round(CAST(common AS DOUBLE) / (du.deg + dv.deg - common), 6)
-        |   AS jaccard
-        |FROM cp JOIN deg du ON du.n = cp.u JOIN deg dv ON dv.n = cp.v""".stripMargin,
-
-    // Three unrolled steps of the md5-uniform next-hop pick over the
-    // rank-indexed adjacency — the q190/q160 hash device, so the walk is
-    // exactly replayable.
-    "q201_random_walks" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |pr AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |adj AS (SELECT u AS n, v AS x FROM pr UNION ALL SELECT v, u FROM pr),
-        |adjr AS (
-        | SELECT n, x, row_number() OVER (PARTITION BY n ORDER BY x) AS r
-        | FROM adj),
-        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
-        |w0 AS (SELECT n AS walk_id, n AS cur FROM deg),
-        |p1 AS (
-        | SELECT walk_id, cur,
-        |  CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) || '_1_'
-        |    || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT) % deg + 1 AS pick
-        | FROM w0 JOIN deg ON deg.n = w0.cur),
-        |w1 AS (SELECT walk_id, x AS cur FROM p1
-        |       JOIN adjr ON adjr.n = p1.cur AND adjr.r = p1.pick),
-        |p2 AS (
-        | SELECT walk_id, cur,
-        |  CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) || '_2_'
-        |    || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT) % deg + 1 AS pick
-        | FROM w1 JOIN deg ON deg.n = w1.cur),
-        |w2 AS (SELECT walk_id, x AS cur FROM p2
-        |       JOIN adjr ON adjr.n = p2.cur AND adjr.r = p2.pick),
-        |p3 AS (
-        | SELECT walk_id, cur,
-        |  CAST(concat('0x', substr(md5(CAST(walk_id AS VARCHAR) || '_3_'
-        |    || CAST(cur AS VARCHAR)), 1, 8)) AS BIGINT) % deg + 1 AS pick
-        | FROM w2 JOIN deg ON deg.n = w2.cur),
-        |w3 AS (SELECT walk_id, x AS cur FROM p3
-        |       JOIN adjr ON adjr.n = p3.cur AND adjr.r = p3.pick)
-        |SELECT w1.walk_id, w1.cur AS s1, w2.cur AS s2, w3.cur AS s3
-        |FROM w1 JOIN w2 USING (walk_id) JOIN w3 USING (walk_id)""".stripMargin,
-
-    // Same capped wedge join as q200 with the apex 1/ln(deg) weight; the
-    // AA sum rides the round(4) seam.
-    "q202_adamic_adar" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |pr AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |adj AS (SELECT u AS n, v AS x FROM pr UNION ALL SELECT v, u FROM pr),
-        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY n),
-        |adjk AS (
-        | SELECT adj.n, deg.deg, adj.x FROM adj JOIN deg USING (n)
-        | WHERE deg <= 1000)
-        |SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS common,
-        | round(sum(1.0 / ln(CAST(a.deg AS DOUBLE))), 4) AS aa
-        |FROM adjk a JOIN adjk b ON a.n = b.n AND a.x < b.x
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
-
-    // q159's unrolled label-prop replay + exact modularity ingredients;
-    // q_term rides integer nano-units everywhere (exact longs — the q93
-    // round-to-integer device), and the ALL row sums them.
-    "q203_modularity" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |p AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS src, v AS dst FROM p
-        |      UNION ALL SELECT v AS src, u AS dst FROM p),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-        |r1 AS (
-        | SELECT e.src, l0.label, count(*) AS c
-        | FROM e JOIN l0 ON l0.node = e.dst GROUP BY 1, 2),
-        |l1 AS (
-        | SELECT src AS node, label FROM (
-        |  SELECT src, label, row_number() OVER (
-        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r1)
-        | WHERE rn = 1),
-        |r2 AS (
-        | SELECT e.src, l1.label, count(*) AS c
-        | FROM e JOIN l1 ON l1.node = e.dst GROUP BY 1, 2),
-        |l2 AS (
-        | SELECT src AS node, label FROM (
-        |  SELECT src, label, row_number() OVER (
-        |    PARTITION BY src ORDER BY c DESC, label) AS rn FROM r2)
-        | WHERE rn = 1),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p),
-        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-        |        FROM e GROUP BY src),
-        |dc AS (
-        | SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
-        |  CAST(sum(deg) AS BIGINT) AS d_c
-        | FROM l2 JOIN deg USING (node) GROUP BY label),
-        |intra AS (
-        | SELECT lu.label, CAST(count(*) AS BIGINT) AS e_c
-        | FROM p JOIN l2 lu ON lu.node = p.u JOIN l2 lv ON lv.node = p.v
-        | WHERE lu.label = lv.label GROUP BY lu.label),
-        |per AS (
-        | SELECT dc.label, dc.n_nodes, coalesce(intra.e_c, 0) AS e_c,
-        |  dc.d_c, m.m,
-        |  CAST(coalesce(intra.e_c, 0) AS DOUBLE) / m.m
-        |    - (CAST(dc.d_c AS DOUBLE) / (m.m * 2))
-        |      * (CAST(dc.d_c AS DOUBLE) / (m.m * 2)) AS t
-        | FROM dc LEFT JOIN intra USING (label), m)
-        |SELECT label, n_nodes, e_c, d_c,
-        | CAST(round(t * 1000000000) AS BIGINT) AS q_term_nano FROM per
-        |UNION ALL
-        |SELECT -1 AS label, CAST(sum(n_nodes) AS BIGINT),
-        | CAST(sum(e_c) AS BIGINT), CAST(sum(d_c) AS BIGINT),
-        | CAST(sum(CAST(round(t * 1000000000) AS BIGINT)) AS BIGINT)
-        |FROM per""".stripMargin,
-
-    // q175's exact CTEs extended to ALL pairs (left join, zero-intersect
-    // kept); the sketch estimate is engine-internal, so the oracle pins
-    // the exact counts and expects the 5 % union bound to hold (the
-    // q40/q187 TRUE-literal device — ~6× margin over lgK=14's rse).
-    "q204_sketch_overlap" ->
-      """WITH t AS (
-        | SELECT source, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        | SELECT DISTINCT source, unnest(CASE WHEN len(toks) >= 3
-        |   THEN list_transform(range(1, len(toks) - 1),
-        |          i -> array_to_string(toks[i:i+2], ' '))
-        |   ELSE [] END) AS gram
-        | FROM t),
-        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
-        |iv AS (
-        | SELECT a.source AS src_a, b.source AS src_b,
-        |  CAST(count(*) AS BIGINT) AS inter
-        | FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
-        | GROUP BY 1, 2)
-        |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS na, sb.n AS nb,
-        | coalesce(iv.inter, 0) AS inter,
-        | sa.n + sb.n - coalesce(iv.inter, 0) AS uni,
-        | TRUE AS est_union_ok
-        |FROM sz sa JOIN sz sb ON sa.source < sb.source
-        |LEFT JOIN iv ON iv.src_a = sa.source AND iv.src_b = sb.source""".stripMargin,
-
-    // Prediction side = q32's full MinHash replay; truth side =
-    // brute-force exact 3-gram Jaccard (DuckDB-side only — the engine's
-    // truth is the prefix-filtered join, identical rows by recall 1.0);
-    // confusion counts and ratios are exact integers.
-    "q205_minhash_eval" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
-        | FROM toks),
-        |base AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
-        | FROM sh),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(16), j ->
-        |   list_min(list_transform(bs, x ->
-        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
-        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
-        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
-        | FROM base),
-        |banded AS (
-        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
-        | FROM sig, range(8) r(b)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  list_sum(list_transform(range(16), i ->
-        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
-        | FROM banded a JOIN banded b
-        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |pred AS (SELECT id_a, id_b FROM cand WHERE est >= 0.5),
-        |shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
-        |truth AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |j AS (
-        | SELECT p.id_a IS NOT NULL AS isp, t.id_a IS NOT NULL AS ist
-        | FROM pred p FULL OUTER JOIN truth t
-        |   ON p.id_a = t.id_a AND p.id_b = t.id_b),
-        |ag AS (
-        | SELECT CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |  CAST(sum(CASE WHEN isp AND NOT ist THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |  CAST(sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS fn
-        | FROM j)
-        |SELECT tp, fp, fn,
-        | round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS prec,
-        | round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS rec,
-        | round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) AS f1
-        |FROM ag""".stripMargin,
-
-    // Two unrolled restart iterations; (1.0 - 0.85::DOUBLE) replays
-    // Scala's 1.0 - damping (the q133 literal rule), per-iteration
-    // round(8), weighted transition p.pr * w / wout in the engine's op
-    // order.
-    "q206_personalized_pagerank" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |pw AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v,
-        |  CAST(count(*) AS BIGINT) AS w
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e0 AS (SELECT u AS src, v AS dst, w FROM pw
-        |       UNION ALL SELECT v, u, w FROM pw),
-        |e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w
-        |      FROM e0 GROUP BY 1, 2),
-        |ow AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wout
-        |       FROM e GROUP BY 1),
-        |sd AS (SELECT min(node) AS seed FROM ow),
-        |p0 AS (
-        | SELECT node, CASE WHEN node = seed THEN 1.0::DOUBLE
-        |   ELSE 0.0::DOUBLE END AS pr FROM ow, sd),
-        |c1 AS (
-        | SELECT e.dst AS node, sum(p.pr * e.w / w2.wout) AS s
-        | FROM e JOIN p0 p ON p.node = e.src JOIN ow w2 ON w2.node = e.src
-        | GROUP BY e.dst),
-        |p1 AS (
-        | SELECT ow.node,
-        |  round(CASE WHEN ow.node = seed THEN (1.0 - 0.85::DOUBLE)
-        |    ELSE 0.0::DOUBLE END + 0.85::DOUBLE * coalesce(c1.s, 0.0), 8) AS pr
-        | FROM ow LEFT JOIN c1 ON c1.node = ow.node, sd),
-        |c2 AS (
-        | SELECT e.dst AS node, sum(p.pr * e.w / w2.wout) AS s
-        | FROM e JOIN p1 p ON p.node = e.src JOIN ow w2 ON w2.node = e.src
-        | GROUP BY e.dst),
-        |p2 AS (
-        | SELECT ow.node,
-        |  round(CASE WHEN ow.node = seed THEN (1.0 - 0.85::DOUBLE)
-        |    ELSE 0.0::DOUBLE END + 0.85::DOUBLE * coalesce(c2.s, 0.0), 8) AS pr
-        | FROM ow LEFT JOIN c2 ON c2.node = ow.node, sd)
-        |SELECT node, round(pr, 6) AS ppr FROM p2""".stripMargin,
-
-    // Same shifted md5-uniform through the same casewise Laplace inverse
-    // CDF — deterministic noise, replayed op-for-op.
-    "q207_dp_counts" ->
-      """WITH c AS (
-        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-        | FROM documents GROUP BY source),
-        |u AS (
-        | SELECT source, n_docs,
-        |  (CAST(concat('0x', substr(md5('dp_' || source), 1, 8)) AS BIGINT)
-        |    + 0.5) / 4294967296.0 AS u
-        | FROM c)
-        |SELECT source, n_docs,
-        | round(n_docs + CASE WHEN u < 0.5 THEN ln(u * 2)
-        |   ELSE -ln((1.0 - u) * 2) END, 4) AS noisy_docs
-        |FROM u""".stripMargin,
-
-    // Batch-exact distincts per hourly window (the q29 epoch convention);
-    // the streaming sketch estimate is engine-internal → TRUE bound
-    // booleans (the q187 device).
-    "q208_stream_approx_distinct" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
-        |   AS win_start,
-        | event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        | TRUE AS est_ok
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    // Per-dim means rounded 6, cov entries rounded 8 after the one float
-    // sum, then three unrolled max-abs-normalized power steps — every
-    // stage re-enters on identical bits (the q133/q196 iteration rule).
-    "q209_pca_power" ->
-      """WITH e AS (
-        | SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
-        |  CAST(embedding[i] AS DOUBLE) AS x
-        | FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)),
-        |mu AS (SELECT i, round(avg(x), 6) AS m FROM e GROUP BY i),
-        |c AS (SELECT e.vec_id, e.i, e.x - mu.m AS xc FROM e JOIN mu USING (i)),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-        |cov AS (
-        | SELECT a.i, b.i AS j, round(sum(a.xc * b.xc) / (n.n - 1), 8) AS av
-        | FROM c a JOIN c b ON a.vec_id = b.vec_id, n
-        | GROUP BY a.i, b.i, n.n),
-        |v0 AS (SELECT i, 1.0::DOUBLE AS v FROM mu),
-        |w1 AS (SELECT cov.i, round(sum(cov.av * v0.v), 8) AS w
-        |       FROM cov JOIN v0 ON v0.i = cov.j GROUP BY cov.i),
-        |m1 AS (SELECT max(abs(w)) AS m FROM w1),
-        |v1 AS (SELECT i, round(w / m, 8) AS v FROM w1, m1),
-        |w2 AS (SELECT cov.i, round(sum(cov.av * v1.v), 8) AS w
-        |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY cov.i),
-        |m2 AS (SELECT max(abs(w)) AS m FROM w2),
-        |v2 AS (SELECT i, round(w / m, 8) AS v FROM w2, m2),
-        |w3 AS (SELECT cov.i, round(sum(cov.av * v2.v), 8) AS w
-        |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY cov.i),
-        |m3 AS (SELECT max(abs(w)) AS m FROM w3),
-        |v3 AS (SELECT i, round(w / m, 8) AS v FROM w3, m3)
-        |SELECT i AS dim, round(v, 6) AS loading FROM v3""".stripMargin,
-
-    // Exact cent-scaled long sums per fold, exact complement subtraction,
-    // mirrored double slope/intercept, integer-dollar residuals → exact
-    // square sums, one mirrored sqrt.
-    "q210_cross_validation" ->
-      """WITH rows0 AS (
-        | SELECT CAST(l_quantity AS BIGINT) AS x,
-        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y100,
-        |  CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
-        |    CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
-        | FROM lineitem),
-        |fs AS (
-        | SELECT fold, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y100) AS BIGINT) AS sy,
-        |  CAST(sum(x * y100) AS BIGINT) AS sxy,
-        |  CAST(sum(x * x) AS BIGINT) AS sxx
-        | FROM rows0 GROUP BY fold),
-        |tot AS (
-        | SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
-        |  CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxy) AS BIGINT) AS tsxy,
-        |  CAST(sum(sxx) AS BIGINT) AS tsxx FROM fs),
-        |co AS (
-        | SELECT fold, tn - n AS ntr, tsx - sx AS tx, tsy - sy AS ty,
-        |  tsxy - sxy AS txy, tsxx - sxx AS txx FROM fs, tot),
-        |co2 AS (
-        | SELECT fold, ntr, tx, ty,
-        |  round((CAST(ntr AS DOUBLE) * txy - CAST(tx AS DOUBLE) * ty)
-        |    / (CAST(ntr AS DOUBLE) * txx - CAST(tx AS DOUBLE) * tx), 8)
-        |    AS slope_c
-        | FROM co),
-        |co3 AS (
-        | SELECT fold, ntr, slope_c,
-        |  round((CAST(ty AS DOUBLE) - slope_c * tx) / ntr, 8) AS icept_c
-        | FROM co2),
-        |r AS (
-        | SELECT r0.fold, c.ntr, c.slope_c, c.icept_c,
-        |  CAST(round((y100 - (c.icept_c + c.slope_c * x)) / 100) AS BIGINT)
-        |    AS rd
-        | FROM rows0 r0 JOIN co3 c USING (fold)),
-        |ag AS (
-        | SELECT fold, ntr, slope_c, icept_c,
-        |  CAST(count(*) AS BIGINT) AS n_test,
-        |  CAST(sum(rd * rd) AS BIGINT) AS sr2
-        | FROM r GROUP BY 1, 2, 3, 4)
-        |SELECT fold, ntr AS n_train, n_test,
-        | round(slope_c / 100, 6) AS slope,
-        | round(icept_c / 100, 4) AS intercept,
-        | round(sqrt(CAST(sr2 AS DOUBLE) / n_test), 6) AS rmse
-        |FROM ag""".stripMargin,
-
-    // Same md5 bucket hash; exact counts.
-    "q211_feature_hashing" ->
-      """WITH w AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
-        |SELECT doc_id,
-        | CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
-        | CAST(count(*) AS BIGINT) AS cnt
-        |FROM w GROUP BY 1, 2""".stripMargin,
-
-    // Same bucketed features, 6-dp centroids/norms/dots, argmax replayed
-    // as row_number over (score desc, source asc).
-    "q212_hash_centroid_classifier" ->
-      """WITH tok AS (
-        | SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        | FROM documents),
-        |feat AS (
-        | SELECT doc_id, source,
-        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS bucket,
-        |  CAST(count(*) AS BIGINT) AS cnt
-        | FROM tok GROUP BY 1, 2, 3),
-        |nsrc AS (
-        | SELECT source, CAST(count(*) AS BIGINT) AS nd
-        | FROM documents GROUP BY source),
-        |cent AS (
-        | SELECT f.source AS csrc, f.bucket,
-        |  round(CAST(sum(f.cnt) AS DOUBLE) / any_value(n.nd), 6) AS cv
-        | FROM feat f JOIN nsrc n USING (source) GROUP BY 1, 2),
-        |cnorm AS (
-        | SELECT csrc, round(sqrt(sum(cv * cv)), 6) AS cn
-        | FROM cent GROUP BY csrc),
-        |dots AS (
-        | SELECT f.doc_id, f.source, c.csrc,
-        |  round(sum(f.cnt * c.cv), 6) AS dot
-        | FROM feat f JOIN cent c USING (bucket) GROUP BY 1, 2, 3),
-        |scored AS (
-        | SELECT d.doc_id, d.source, d.csrc, round(d.dot / n.cn, 6) AS score
-        | FROM dots d JOIN cnorm n USING (csrc)),
-        |pred AS (
-        | SELECT source, csrc AS pred_source FROM (
-        |  SELECT source, csrc, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, csrc) AS rn
-        |  FROM scored)
-        | WHERE rn = 1),
-        |cm AS (
-        | SELECT source, pred_source, CAST(count(*) AS BIGINT) AS cnt
-        | FROM pred GROUP BY 1, 2),
-        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
-        |        FROM cm GROUP BY source)
-        |SELECT cm.source, cm.pred_source, cm.cnt,
-        | round(CAST(cm.cnt AS DOUBLE) / tot.n, 6) AS frac
-        |FROM cm JOIN tot USING (source)""".stripMargin,
-
-    // q26's marker-score CASE chain + the confusion aggregation.
-    "q213_lang_id_eval" ->
-      """WITH s AS (
-        | SELECT doc_id, lang,
-        |  ((length(text) - length(replace(text, ' the ', ''))) / 5
-        |   + (length(text) - length(replace(text, ' and ', ''))) / 5)
-        |   + (length(text) - length(replace(text, ' of ', ''))) / 4 AS s_en,
-        |  ((length(text) - length(replace(text, ' le ', ''))) / 4
-        |   + (length(text) - length(replace(text, ' la ', ''))) / 4)
-        |   + (length(text) - length(replace(text, ' et ', ''))) / 4 AS s_fr,
-        |  ((length(text) - length(replace(text, ' der ', ''))) / 5
-        |   + (length(text) - length(replace(text, ' und ', ''))) / 5)
-        |   + (length(text) - length(replace(text, ' die ', ''))) / 5 AS s_de,
-        |  ((length(text) - length(replace(text, ' el ', ''))) / 4
-        |   + (length(text) - length(replace(text, ' los ', ''))) / 5)
-        |   + (length(text) - length(replace(text, ' y ', ''))) / 3 AS s_es
-        | FROM documents),
-        |b AS (SELECT *, greatest(s_en, s_fr, s_de, s_es) AS best FROM s),
-        |p AS (
-        | SELECT lang,
-        |  CASE WHEN s_en = best AND best > 0 THEN 'en'
-        |       WHEN s_fr = best AND best > 0 THEN 'fr'
-        |       WHEN s_de = best AND best > 0 THEN 'de'
-        |       WHEN s_es = best AND best > 0 THEN 'es'
-        |       ELSE 'unknown' END AS lang_pred
-        | FROM b),
-        |cm AS (
-        | SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS cnt
-        | FROM p GROUP BY 1, 2),
-        |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM cm GROUP BY lang)
-        |SELECT cm.lang, cm.lang_pred, cm.cnt,
-        | round(CAST(cm.cnt AS DOUBLE) / tot.n, 6) AS frac
-        |FROM cm JOIN tot USING (lang)""".stripMargin,
-
-    // epoch_us ≡ unix_micros under the UTC session; integer-DIV file ids
-    // and cutoffs; all counts exact; both layouts replayed.
-    "q214_file_skipping" ->
-      """WITH ext AS (
-        | SELECT CAST(min(epoch_us(l_shipdate)) AS BIGINT) AS mn,
-        |  CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS mx FROM lineitem),
-        |li0 AS (
-        | SELECT epoch_us(l_shipdate) AS sd,
-        |  l_orderkey // 1000 AS fid_nat,
-        |  (epoch_us(l_shipdate) - mn) // (((mx - mn) // 15) + 1) AS fid_clu,
-        |  mn + (mx - mn) * 2 // 5 AS lo, mn + (mx - mn) * 3 // 5 AS hi
-        | FROM lineitem, ext),
-        |matched AS (
-        | SELECT CAST(count(*) AS BIGINT) AS rows_matched
-        | FROM li0 WHERE sd >= lo AND sd <= hi),
-        |fn AS (
-        | SELECT fid_nat AS file_id, CAST(min(sd) AS BIGINT) AS fmin,
-        |  CAST(max(sd) AS BIGINT) AS fmax, CAST(count(*) AS BIGINT) AS nrows,
-        |  CAST(min(lo) AS BIGINT) AS lo, CAST(min(hi) AS BIGINT) AS hi
-        | FROM li0 GROUP BY 1),
-        |fc AS (
-        | SELECT fid_clu AS file_id, CAST(min(sd) AS BIGINT) AS fmin,
-        |  CAST(max(sd) AS BIGINT) AS fmax, CAST(count(*) AS BIGINT) AS nrows,
-        |  CAST(min(lo) AS BIGINT) AS lo, CAST(min(hi) AS BIGINT) AS hi
-        | FROM li0 GROUP BY 1),
-        |an AS (
-        | SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_files,
-        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS files_scanned,
-        |  CAST(sum(nrows) AS BIGINT) AS rows_total,
-        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN nrows ELSE 0 END)
-        |    AS BIGINT) AS rows_scanned
-        | FROM fn),
-        |ac AS (
-        | SELECT 'clustered' AS layout, CAST(count(*) AS BIGINT) AS n_files,
-        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS files_scanned,
-        |  CAST(sum(nrows) AS BIGINT) AS rows_total,
-        |  CAST(sum(CASE WHEN fmax >= lo AND fmin <= hi THEN nrows ELSE 0 END)
-        |    AS BIGINT) AS rows_scanned
-        | FROM fc),
-        |u AS (SELECT * FROM an UNION ALL SELECT * FROM ac)
-        |SELECT layout, n_files, files_scanned, rows_total, rows_scanned,
-        | rows_matched,
-        | round(1.0 - CAST(files_scanned AS DOUBLE) / n_files, 6) AS prune_frac,
-        | round(CAST(rows_matched AS DOUBLE) / rows_scanned, 6)
-        |   AS scan_efficiency
-        |FROM u, matched""".stripMargin,
-
-    // q122's BM25 chain at k=50 (probe doc excluded) + q27's exact
-    // cosine for probe 0 vs the rest + the two-term reciprocal fusion.
-    "q215_hybrid_rrf" ->
-      """WITH p AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
-        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
-        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
-        |sc AS (
-        | SELECT tf.doc_id,
-        |  round(sum(
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
-        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4) AS score
-        | FROM tf JOIN df ON tf.token = df.token
-        |  JOIN dl ON tf.doc_id = dl.doc_id, s
-        | GROUP BY tf.doc_id),
-        |sp AS (
-        | SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-        |   AS BIGINT) AS r_bm25
-        | FROM sc QUALIFY r_bm25 <= 50),
-        |spx AS (SELECT doc_id, r_bm25 FROM sp WHERE doc_id <> 0),
-        |e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |cp AS (
-        | SELECT c.vec_id AS doc_id,
-        |  list_reduce(list_transform(list_zip(qv, c.v), z -> z[1] * z[2]), (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(qv, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))) AS cos_sim
-        | FROM q CROSS JOIN e c WHERE c.vec_id <> 0),
-        |de AS (
-        | SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id)
-        |   AS BIGINT) AS r_cos
-        | FROM cp QUALIFY r_cos <= 50),
-        |f AS (
-        | SELECT coalesce(spx.doc_id, de.doc_id) AS doc_id, spx.r_bm25, de.r_cos,
-        |  round(coalesce(1.0 / (60 + spx.r_bm25), 0.0)
-        |    + coalesce(1.0 / (60 + de.r_cos), 0.0), 6) AS rrf
-        | FROM spx FULL OUTER JOIN de ON spx.doc_id = de.doc_id)
-        |SELECT doc_id, r_bm25, r_cos, rrf FROM f
-        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
-
-    // Same md5 arrival jitter; the naive stream-wide ordered window IS
-    // fine oracle-side — the engine computes the identical running max
-    // with the two-phase device.
-    "q216_lateness_audit" ->
-      """WITH ev AS (
-        | SELECT event_id, event_type, epoch_us(ts) AS tsu,
-        |  epoch_us(ts) + CAST(concat('0x', substr(md5('arr_' || event_id),
-        |    1, 8)) AS BIGINT) % 3600000000 - 1800000000 AS arr
-        | FROM events),
-        |r AS (
-        | SELECT event_type, tsu,
-        |  CAST(max(tsu) OVER (ORDER BY arr, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
-        |    AS runmax
-        | FROM ev),
-        |l AS (
-        | SELECT event_type, tsu, runmax,
-        |  runmax IS NOT NULL AND tsu < runmax - 600000000 AS late
-        | FROM r)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        | CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
-        | CAST(coalesce(max(CASE WHEN late THEN runmax - 600000000 - tsu END)
-        |   // 1000000, 0) AS BIGINT) AS max_late_s
-        |FROM l GROUP BY event_type""".stripMargin,
-
-    "q217_cms_freq" ->
-      """WITH keyed AS (
-        | SELECT event_type || '_' || CAST(user_id % 100 AS VARCHAR) AS key
-        | FROM events),
-        |h AS (
-        | SELECT key, r.i AS i,
-        |  CAST(concat('0x', substr(md5('cms_' || r.i || '_' || key), 1, 8))
-        |    AS BIGINT) % 256 AS bucket
-        | FROM keyed, (SELECT unnest(range(0, 4)) AS i) r),
-        |counters AS (SELECT i, bucket, count(*) AS cnt FROM h GROUP BY i, bucket),
-        |exact AS (SELECT key, count(*) AS exact_cnt FROM keyed GROUP BY key),
-        |probe AS (
-        | SELECT e.key, e.exact_cnt, min(c.cnt) AS cms_est
-        | FROM exact e, (SELECT unnest(range(0, 4)) AS i) r
-        | JOIN counters c ON c.i = r.i
-        |  AND c.bucket = CAST(concat('0x',
-        |    substr(md5('cms_' || r.i || '_' || e.key), 1, 8)) AS BIGINT) % 256
-        | GROUP BY e.key, e.exact_cnt)
-        |SELECT key, exact_cnt, cms_est FROM (
-        | SELECT key, exact_cnt, cms_est,
-        |  row_number() OVER (ORDER BY exact_cnt DESC, key) AS rn FROM probe) t
-        |WHERE rn <= 20""".stripMargin,
-
-    "q218_sorted_neighborhood" ->
-      """WITH k AS (
-        | SELECT doc_id,
-        |  substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, 40) AS nk
-        | FROM documents),
-        |r AS (
-        | SELECT doc_id, nk, row_number() OVER (ORDER BY nk, doc_id) AS rn
-        | FROM k)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        | round(jaro_winkler_similarity(a.nk, b.nk), 4) AS sim
-        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 10
-        |WHERE round(jaro_winkler_similarity(a.nk, b.nk), 4) >= 0.9""".stripMargin,
-
-    "q219_skipgram_ppmi" ->
-      """WITH tk AS (SELECT string_split(text, ' ') AS t FROM documents),
-        |p0 AS (
-        | SELECT unnest(flatten(list_transform([1, 2, 3], k ->
-        |   list_transform(generate_series(1, len(t) - k),
-        |     i -> struct_pack(w1 := t[i], w2 := t[i + k]))))) AS p
-        | FROM tk),
-        |pairs AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p0),
-        |cp AS (SELECT w1, w2, count(*) AS cxy FROM pairs
-        |       GROUP BY w1, w2 HAVING count(*) >= 5),
-        |c1 AS (SELECT w1 AS w, count(*) AS cx FROM pairs GROUP BY w1),
-        |c2 AS (SELECT w2 AS w, count(*) AS cy FROM pairs GROUP BY w2),
-        |tot AS (SELECT count(*) AS nt FROM pairs)
-        |SELECT w1, w2, cxy, ppmi FROM (
-        | SELECT w1, w2, cxy,
-        |  round(ln(cxy) + ln(nt) - ln(cx) - ln(cy), 4) AS ppmi,
-        |  row_number() OVER (ORDER BY
-        |    round(ln(cxy) + ln(nt) - ln(cx) - ln(cy), 4) DESC, w1, w2) AS rn
-        | FROM cp JOIN c1 ON cp.w1 = c1.w JOIN c2 ON cp.w2 = c2.w, tot
-        | WHERE ln(cxy) + ln(nt) - ln(cx) - ln(cy) > 0) t
-        |WHERE rn <= 50""".stripMargin,
-
-    // chunk grid derived from the token count (no fixed 16-chunk cap —
-    // long docs would silently diverge); keeper is a lexicographic tuple
-    // min, exact at any chunk count.
-    "q220_chunk_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |chunks AS (
-        | SELECT doc_id, CAST(i.i AS BIGINT) AS idx,
-        |  array_to_string(t[16 * i.i + 1 : 16 * i.i + 16], ' ') AS chunk
-        | FROM toks CROSS JOIN LATERAL
-        |  (SELECT unnest(range(0, (len(t) + 15) // 16)) AS i) i),
-        |kept AS (
-        | SELECT chunk, min({'doc_id': doc_id, 'idx': idx}) AS keeper
-        | FROM chunks GROUP BY chunk)
-        |SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-        | CAST(sum(CASE WHEN {'doc_id': c.doc_id, 'idx': c.idx} = k.keeper
-        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        | round(CAST(sum(CASE WHEN {'doc_id': c.doc_id, 'idx': c.idx} = k.keeper
-        |          THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS kept_ratio
-        |FROM chunks c JOIN kept k USING (chunk)
-        |GROUP BY c.doc_id""".stripMargin,
-
-    "q221_quantile_normalize" ->
-      """WITH src AS (
-        | SELECT doc_id, source, n_chars,
-        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
-        |    AS rs,
-        |  count(*) OVER (PARTITION BY source) AS ns
-        | FROM documents),
-        |tot AS (SELECT count(*) AS n FROM documents),
-        |tgt AS (
-        | SELECT doc_id, source, n_chars,
-        |  CAST(ceil((rs - 0.5::DOUBLE) / ns * n) AS BIGINT) AS tr
-        | FROM src, tot),
-        |hist AS (SELECT n_chars AS v, count(*) AS c FROM documents
-        |         GROUP BY n_chars),
-        |cum AS (
-        | SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS hi,
-        |        CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS lo
-        | FROM hist)
-        |SELECT t.doc_id, t.source, t.n_chars, c.v AS norm_chars
-        |FROM tgt t JOIN cum c ON t.tr > c.lo AND t.tr <= c.hi""".stripMargin,
-
-    "q222_cluster_size_profile" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |pairs AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |e AS (SELECT ia AS a, ib AS b FROM pairs
-        |      UNION ALL SELECT ib, ia FROM pairs),
-        |cc(node, label) AS (
-        | SELECT doc_id, doc_id FROM documents
-        | UNION
-        | SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
-        | WHERE cc.label < e.a),
-        |comp AS (SELECT node, min(label) AS cid FROM cc GROUP BY node),
-        |sz AS (SELECT cid, count(*) AS csize FROM comp GROUP BY cid)
-        |SELECT csize AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
-        | CAST(sum(csize) AS BIGINT) AS n_docs
-        |FROM sz GROUP BY csize""".stripMargin,
-
-    "q223_stream_quantile" ->
-      """WITH h AS (
-        | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
-        |    AS win_start,
-        |  event_type, CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
-        | FROM events GROUP BY 1, 2, 3),
-        |t AS (
-        | SELECT win_start, event_type, CAST(sum(c) AS BIGINT) AS n_events,
-        |  CAST(ceil(sum(c) * 0.95::DOUBLE) AS BIGINT) AS target
-        | FROM h GROUP BY 1, 2),
-        |cum AS (
-        | SELECT win_start, event_type, bin,
-        |  CAST(sum(c) OVER (PARTITION BY win_start, event_type
-        |    ORDER BY bin) AS BIGINT) AS cum
-        | FROM h)
-        |SELECT c.win_start, c.event_type, t.n_events, min(c.bin) AS p95_bin
-        |FROM cum c JOIN t USING (win_start, event_type)
-        |WHERE c.cum >= t.target
-        |GROUP BY c.win_start, c.event_type, t.n_events""".stripMargin,
-
-    "q224_knn_eval" ->
-      """WITH e AS (
-        | SELECT vec_id, label,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |p AS (
-        | SELECT a.vec_id AS qid, a.label AS qlabel,
-        |  b.vec_id AS nid, b.label AS nlabel,
-        |  list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
-        |    (x, y) -> x + y)
-        |   / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-        |    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
-        |   AS cos
-        | FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        |r AS (
-        | SELECT qid, qlabel, nlabel,
-        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rnk
-        | FROM p),
-        |votes AS (
-        | SELECT qid, qlabel, nlabel, count(*) AS c
-        | FROM r WHERE rnk <= 10 GROUP BY qid, qlabel, nlabel),
-        |pred AS (
-        | SELECT qid, qlabel, nlabel AS plabel FROM (
-        |  SELECT qid, qlabel, nlabel,
-        |   row_number() OVER (PARTITION BY qid ORDER BY c DESC, nlabel) AS vr
-        |  FROM votes) t WHERE vr = 1)
-        |SELECT qlabel AS true_label, plabel AS pred_label,
-        | CAST(count(*) AS BIGINT) AS n
-        |FROM pred GROUP BY 1, 2""".stripMargin,
-
-    "q225_spearman" ->
-      """WITH base AS (
-        | SELECT l_returnflag AS g, l_quantity AS x, l_extendedprice AS y
-        | FROM lineitem),
-        |xr AS (SELECT g, x AS v, CAST(count(*) AS BIGINT) AS t
-        |       FROM base GROUP BY g, x),
-        |xc AS (SELECT g, v, t,
-        |  CAST(sum(t) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-        | FROM xr),
-        |xm AS (SELECT g, v, 2 * cum - t + 1 AS r2 FROM xc),
-        |yr AS (SELECT g, y AS v, CAST(count(*) AS BIGINT) AS t
-        |       FROM base GROUP BY g, y),
-        |yc AS (SELECT g, v, t,
-        |  CAST(sum(t) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
-        | FROM yr),
-        |ym AS (SELECT g, v, 2 * cum - t + 1 AS r2 FROM yc),
-        |j AS (
-        | SELECT b.g, xm.r2 AS rx, ym.r2 AS ry
-        | FROM base b JOIN xm ON b.g = xm.g AND b.x = xm.v
-        |             JOIN ym ON b.g = ym.g AND b.y = ym.v),
-        |s AS (
-        | SELECT g, CAST(count(*) AS HUGEINT) AS n,
-        |  CAST(sum(rx) AS HUGEINT) AS sx, CAST(sum(ry) AS HUGEINT) AS sy,
-        |  CAST(sum(rx * ry) AS HUGEINT) AS sxy,
-        |  CAST(sum(rx * rx) AS HUGEINT) AS sxx,
-        |  CAST(sum(ry * ry) AS HUGEINT) AS syy
-        | FROM j GROUP BY g)
-        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
-        | round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS spearman
-        |FROM s""".stripMargin,
-
-    "q226_mi_features" ->
-      """WITH w AS (
-        | SELECT DISTINCT doc_id, source,
-        |  CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) % 256 AS b
-        | FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
-        |       FROM documents) t),
-        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
-        |       FROM documents GROUP BY source),
-        |pres AS (SELECT b, source, CAST(count(*) AS BIGINT) AS cp
-        |         FROM w GROUP BY b, source),
-        |cb AS (SELECT b, CAST(sum(cp) AS BIGINT) AS cb FROM pres GROUP BY b),
-        |grid AS (
-        | SELECT cb.b, ns.source, ns.nsrc, cb.cb, coalesce(p.cp, 0) AS c, nd.n
-        | FROM cb CROSS JOIN ns
-        | LEFT JOIN pres p ON p.b = cb.b AND p.source = ns.source, nd),
-        |terms AS (
-        | SELECT b,
-        |  CAST(round(CASE WHEN c > 0 THEN
-        |    CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) * n
-        |      / (CAST(cb AS DOUBLE) * nsrc)) ELSE 0.0 END * 1000000)
-        |   AS BIGINT)
-        |  + CAST(round(CASE WHEN nsrc - c > 0 THEN
-        |     CAST(nsrc - c AS DOUBLE) / n * ln(CAST(nsrc - c AS DOUBLE) * n
-        |       / (CAST(n - cb AS DOUBLE) * nsrc)) ELSE 0.0 END * 1000000)
-        |    AS BIGINT) AS micro
-        | FROM grid)
-        |SELECT bucket, mi FROM (
-        | SELECT b AS bucket,
-        |  round(CAST(sum(micro) AS DOUBLE) / 1000000, 6) AS mi
-        | FROM terms GROUP BY b) m
-        |QUALIFY row_number() OVER (ORDER BY mi DESC, bucket) <= 20""".stripMargin,
-
-    "q227_media_energy" ->
-      """WITH f AS (
-        | SELECT doc_id AS media_id,
-        |  CAST(floor(len(text) / 32) AS INT) AS n_frames,
-        |  unnest(range(0, CAST(floor(len(text) / 32) AS BIGINT))) AS frame_idx,
-        |  text
-        | FROM documents WHERE len(text) >= 32),
-        |fr AS (
-        | SELECT media_id, n_frames, CAST(frame_idx AS INT) AS frame_idx,
-        |  substr(text, CAST(frame_idx * 32 + 1 AS INT), 32) AS ft
-        | FROM f),
-        |e AS (
-        | SELECT media_id, n_frames, frame_idx,
-        |  CAST(list_reduce(list_transform(range(1, 33),
-        |    i -> unicode(substr(ft, CAST(i AS INT), 1))
-        |       * unicode(substr(ft, CAST(i AS INT), 1))), (a, x) -> a + x)
-        |   AS BIGINT) AS e2
-        | FROM fr)
-        |SELECT media_id, n_frames, frame_idx, e2, e2 > 320000 AS active
-        |FROM e""".stripMargin,
-
-    "q228_stream_upsert" ->
-      """SELECT user_id, last_tsu, last_event_id, last_event_type, last_value
-        |FROM (
-        | SELECT user_id,
-        |  CAST(epoch_us(ts) AS BIGINT) AS last_tsu,
-        |  event_id AS last_event_id,
-        |  event_type AS last_event_type,
-        |  value AS last_value,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY ts DESC, event_id DESC) AS rn
-        | FROM events) t
-        |WHERE rn = 1""".stripMargin,
-
-    "q229_ndcg" ->
-      """WITH p AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM p GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
-        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |  CAST((SELECT count(*) FROM p) AS DOUBLE) / (SELECT count(*) FROM documents) AS avgdl),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
-        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
-        |sc AS (
-        | SELECT tf.doc_id,
-        |  round(sum(
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
-        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4) AS score
-        | FROM tf JOIN df ON tf.token = df.token
-        |  JOIN dl ON tf.doc_id = dl.doc_id, s
-        | GROUP BY tf.doc_id),
-        |r AS (SELECT doc_id,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
-        | FROM sc),
-        |rel AS (
-        | SELECT doc_id, CAST(count(*) AS BIGINT) AS rel FROM (
-        |  SELECT DISTINCT doc_id, token FROM p
-        |  WHERE token IN ('vector', 'join', 'scan')) t
-        | GROUP BY doc_id),
-        |cuts AS (SELECT unnest([1, 5, 10]) AS k),
-        |sysg AS (
-        | SELECT r.rnk, coalesce(rel.rel, 0) AS rel,
-        |  CAST(round((power(2.0, CAST(coalesce(rel.rel, 0) AS DOUBLE)) - 1.0)
-        |    / (ln(CAST(r.rnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000)
-        |   AS BIGINT) AS g
-        | FROM r LEFT JOIN rel ON r.doc_id = rel.doc_id WHERE r.rnk <= 10),
-        |sysd AS (
-        | SELECT k, CAST(sum(g) AS BIGINT) AS dcg_micro
-        | FROM sysg JOIN cuts ON sysg.rnk <= cuts.k GROUP BY k),
-        |ideal AS (
-        | SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
-        |   AS BIGINT) AS rnk
-        | FROM rel QUALIFY rnk <= 10),
-        |idealg AS (
-        | SELECT rnk,
-        |  CAST(round((power(2.0, CAST(rel AS DOUBLE)) - 1.0)
-        |    / (ln(CAST(rnk AS DOUBLE) + 1.0) / ln(2.0)) * 1000000)
-        |   AS BIGINT) AS g
-        | FROM ideal),
-        |ideald AS (
-        | SELECT k, CAST(sum(g) AS BIGINT) AS idcg_micro
-        | FROM idealg JOIN cuts ON idealg.rnk <= cuts.k GROUP BY k)
-        |SELECT sysd.k, dcg_micro, idcg_micro,
-        | round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6) AS ndcg
-        |FROM sysd JOIN ideald ON sysd.k = ideald.k""".stripMargin,
-
-    "q230_ann_recall" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |n AS (
-        | SELECT vec_id, v,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
-        | FROM e),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn FROM n
-        |      WHERE vec_id >= 50),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
-        |      WHERE vec_id < 50),
-        |cent AS (SELECT neighbor_id AS cent_id, nv AS cv, nn AS cn FROM c
-        |         ORDER BY neighbor_id LIMIT 16),
-        |asg AS (
-        | SELECT neighbor_id, nv, nn, cent_id AS cell FROM (
-        |  SELECT c.neighbor_id, c.nv, c.nn, cent.cent_id,
-        |   row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-        |     (list_reduce(list_transform(list_zip(c.nv, cent.cv), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) / (c.nn * cent.cn)) DESC,
-        |     cent.cent_id ASC) AS rn
-        |  FROM c CROSS JOIN cent) WHERE rn = 1),
-        |pr AS (
-        | SELECT query_id, qv, qn, cent_id AS cell FROM (
-        |  SELECT q.query_id, q.qv, q.qn, cent.cent_id,
-        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |     (list_reduce(list_transform(list_zip(q.qv, cent.cv), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) / (q.qn * cent.cn)) DESC,
-        |     cent.cent_id ASC) AS rn
-        |  FROM q CROSS JOIN cent) WHERE rn <= 4),
-        |ivf AS (
-        | SELECT query_id, neighbor_id FROM (
-        |  SELECT query_id, neighbor_id,
-        |   row_number() OVER (PARTITION BY query_id ORDER BY
-        |    (list_reduce(list_transform(list_zip(qv, nv), z -> z[1] * z[2]),
-        |       (x, y) -> x + y) / (qn * nn)) DESC, neighbor_id) AS rnk
-        |  FROM pr JOIN asg USING (cell)) t WHERE rnk <= 10),
-        |exact AS (
-        | SELECT query_id, neighbor_id FROM (
-        |  SELECT q.query_id, c.neighbor_id,
-        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |    (list_reduce(list_transform(list_zip(q.qv, c.nv), z -> z[1] * z[2]),
-        |       (x, y) -> x + y) / (q.qn * c.nn)) DESC, c.neighbor_id) AS rnk
-        |  FROM q CROSS JOIN c) t WHERE rnk <= 10),
-        |hits AS (
-        | SELECT e.query_id, CAST(count(*) AS BIGINT) AS h
-        | FROM exact e JOIN ivf i
-        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-        | GROUP BY e.query_id)
-        |SELECT q.query_id, coalesce(h, 0) AS n_hits,
-        | round(CAST(coalesce(h, 0) AS DOUBLE) / 10.0, 4) AS recall
-        |FROM q LEFT JOIN hits ON q.query_id = hits.query_id""".stripMargin,
-
-    "q231_attribution" ->
-      """WITH ev AS (
-        | SELECT event_id, user_id, event_type,
-        |  CAST(epoch_us(ts) AS BIGINT) AS tsu
-        | FROM events),
-        |p AS (SELECT event_id AS pid, user_id, tsu AS ptsu FROM ev
-        |      WHERE event_type = 'purchase'),
-        |c AS (SELECT event_id AS cid, user_id, tsu AS ctsu FROM ev
-        |      WHERE event_type = 'click'),
-        |j AS (
-        | SELECT p.pid, c.cid, c.ctsu FROM p JOIN c
-        |  ON p.user_id = c.user_id
-        |   AND c.ctsu <= p.ptsu AND c.ctsu >= p.ptsu - 3600000000),
-        |f AS (SELECT pid, cid AS first_click_id FROM (
-        |  SELECT pid, cid,
-        |   row_number() OVER (PARTITION BY pid ORDER BY ctsu, cid) AS rn
-        |  FROM j) t WHERE rn = 1),
-        |l AS (SELECT pid, cid AS last_click_id FROM (
-        |  SELECT pid, cid,
-        |   row_number() OVER (PARTITION BY pid ORDER BY ctsu DESC, cid DESC)
-        |    AS rn
-        |  FROM j) t WHERE rn = 1),
-        |n AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_clicks
-        |      FROM j GROUP BY pid)
-        |SELECT p.pid, coalesce(n.n_clicks, 0) AS n_clicks,
-        | f.first_click_id, l.last_click_id
-        |FROM p LEFT JOIN n USING (pid) LEFT JOIN f USING (pid)
-        | LEFT JOIN l USING (pid)""".stripMargin,
-
-    "q232_dedup_threshold_sweep" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_distinct(
-        |   list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |     i -> array_to_string(t[i : i + 1], ' '))) AS s
-        | FROM toks),
-        |jp AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib,
-        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-        |th AS (SELECT unnest([0.3::DOUBLE, 0.5::DOUBLE, 0.7::DOUBLE]) AS thr),
-        |e AS (SELECT thr, ia AS a, ib AS b FROM jp JOIN th ON jac >= thr
-        |      UNION ALL SELECT thr, ib, ia FROM jp JOIN th ON jac >= thr),
-        |cc(thr, node, label) AS (
-        | SELECT th.thr, doc_id, doc_id FROM documents, th
-        | UNION
-        | SELECT e.thr, e.a, cc.label FROM e
-        |  JOIN cc ON cc.thr = e.thr AND cc.node = e.b
-        | WHERE cc.label < e.a),
-        |comp AS (SELECT thr, node, min(label) AS cid FROM cc GROUP BY thr, node),
-        |sz AS (SELECT thr, cid, count(*) AS csize FROM comp GROUP BY thr, cid)
-        |SELECT thr AS threshold, CAST(count(*) AS BIGINT) AS n_clusters,
-        | CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS BIGINT)
-        |   AS n_dup_docs,
-        | round(CAST(sum(CASE WHEN csize > 1 THEN csize ELSE 0 END) AS DOUBLE)
-        |   / sum(csize), 4) AS dup_rate
-        |FROM sz GROUP BY thr""".stripMargin,
-
-    "q233_ivf_recall_curve" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |n AS (
-        | SELECT vec_id, v,
-        |  sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS nrm
-        | FROM e),
-        |c AS (SELECT vec_id AS neighbor_id, v AS nv, nrm AS nn FROM n
-        |      WHERE vec_id >= 50),
-        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
-        |      WHERE vec_id < 50),
-        |cent AS (SELECT neighbor_id AS cent_id, nv AS cv, nn AS cn FROM c
-        |         ORDER BY neighbor_id LIMIT 16),
-        |asg AS (
-        | SELECT neighbor_id, nv, nn, cent_id AS cell FROM (
-        |  SELECT c.neighbor_id, c.nv, c.nn, cent.cent_id,
-        |   row_number() OVER (PARTITION BY c.neighbor_id ORDER BY
-        |     (list_reduce(list_transform(list_zip(c.nv, cent.cv), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) / (c.nn * cent.cn)) DESC,
-        |     cent.cent_id ASC) AS rn
-        |  FROM c CROSS JOIN cent) WHERE rn = 1),
-        |pr AS (
-        | SELECT query_id, qv, qn, cent_id AS cell, rn FROM (
-        |  SELECT q.query_id, q.qv, q.qn, cent.cent_id,
-        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |     (list_reduce(list_transform(list_zip(q.qv, cent.cv), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) / (q.qn * cent.cn)) DESC,
-        |     cent.cent_id ASC) AS rn
-        |  FROM q CROSS JOIN cent) WHERE rn <= 8),
-        |np AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
-        |ivf AS (
-        | SELECT n_probe, query_id, neighbor_id FROM (
-        |  SELECT np.n_probe, pr.query_id, asg.neighbor_id,
-        |   row_number() OVER (PARTITION BY np.n_probe, pr.query_id ORDER BY
-        |    (list_reduce(list_transform(list_zip(pr.qv, asg.nv), z -> z[1] * z[2]),
-        |       (x, y) -> x + y) / (pr.qn * asg.nn)) DESC, asg.neighbor_id) AS rnk
-        |  FROM pr JOIN asg USING (cell) JOIN np ON pr.rn <= np.n_probe) t
-        | WHERE rnk <= 10),
-        |exact AS (
-        | SELECT query_id, neighbor_id FROM (
-        |  SELECT q.query_id, c.neighbor_id,
-        |   row_number() OVER (PARTITION BY q.query_id ORDER BY
-        |    (list_reduce(list_transform(list_zip(q.qv, c.nv), z -> z[1] * z[2]),
-        |       (x, y) -> x + y) / (q.qn * c.nn)) DESC, c.neighbor_id) AS rnk
-        |  FROM q CROSS JOIN c) t WHERE rnk <= 10),
-        |hits AS (
-        | SELECT i.n_probe, e.query_id, CAST(count(*) AS BIGINT) AS h
-        | FROM exact e JOIN ivf i
-        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-        | GROUP BY 1, 2),
-        |grid AS (SELECT np.n_probe, q.query_id FROM np, q),
-        |per AS (
-        | SELECT g.n_probe, g.query_id, coalesce(h, 0) AS h
-        | FROM grid g LEFT JOIN hits
-        |  ON g.n_probe = hits.n_probe AND g.query_id = hits.query_id)
-        |SELECT n_probe, CAST(sum(h) AS BIGINT) AS total_hits,
-        | round(CAST(sum(h) AS DOUBLE) / (count(*) * 10), 4) AS mean_recall
-        |FROM per GROUP BY n_probe""".stripMargin,
-
-    "q234_lsh_band_curve" ->
-      """WITH toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
-        |   i -> array_to_string(t[i : i + 2], ' ')) AS s
-        | FROM toks),
-        |base AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
-        | FROM sh),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(16), j ->
-        |   list_min(list_transform(bs, x ->
-        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
-        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
-        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
-        | FROM base),
-        |cfg AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4)) c(bands, rpb)),
-        |banded AS (
-        | SELECT cfg.bands, cfg.rpb, doc_id, r.b AS band,
-        |  sig[cfg.rpb * r.b + 1 : cfg.rpb * r.b + cfg.rpb] AS band_key, sig
-        | FROM sig, cfg, range(16) r(b)
-        | WHERE r.b < cfg.bands),
-        |cand AS (
-        | SELECT DISTINCT a.bands, a.rpb, a.doc_id AS id_a, b.doc_id AS id_b,
-        |  list_sum(list_transform(range(16), i ->
-        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 AS est
-        | FROM banded a JOIN banded b
-        |   ON a.bands = b.bands AND a.rpb = b.rpb AND a.band = b.band
-        |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-        |pred AS (SELECT bands, rpb, id_a, id_b FROM cand WHERE est >= 0.5),
-        |shd AS (SELECT doc_id, list_distinct(s) AS s FROM sh),
-        |truth AS (
-        | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
-        |truthx AS (SELECT cfg.bands, cfg.rpb, truth.id_a, truth.id_b
-        |           FROM truth, cfg),
-        |j AS (
-        | SELECT coalesce(p.bands, t.bands) AS bands,
-        |  coalesce(p.rpb, t.rpb) AS rpb,
-        |  p.id_a IS NOT NULL AS isp, t.id_a IS NOT NULL AS ist
-        | FROM pred p FULL OUTER JOIN truthx t
-        |   ON p.bands = t.bands AND p.rpb = t.rpb
-        |    AND p.id_a = t.id_a AND p.id_b = t.id_b)
-        |SELECT bands, rpb,
-        | CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        | CAST(sum(CASE WHEN isp AND NOT ist THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        | CAST(sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        | round(CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS DOUBLE)
-        |  / (sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END)
-        |   + sum(CASE WHEN isp AND NOT ist THEN 1 ELSE 0 END)), 6) AS prec,
-        | round(CAST(sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END) AS DOUBLE)
-        |  / (sum(CASE WHEN isp AND ist THEN 1 ELSE 0 END)
-        |   + sum(CASE WHEN NOT isp AND ist THEN 1 ELSE 0 END)), 6) AS rec
-        |FROM j GROUP BY bands, rpb""".stripMargin,
-
-    "q235_ridge_path" -> Models.ridgeOracleSql(
-      """SELECT CAST(l_quantity AS DOUBLE) AS f0,
-        | CAST(l_discount * 100 AS DOUBLE) AS f1,
-        | CAST(l_tax * 100 AS DOUBLE) AS f2,
-        | CAST(l_extendedprice / 1000 AS DOUBLE) AS y
-        |FROM lineitem
-        |WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-        | AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL""".stripMargin,
-      Seq("l_quantity", "disc_pct", "tax_pct"),
-      Seq(0.0, 1.0, 10.0, 100.0), 6),
-
-    "q236_target_encoding" ->
-      """WITH o AS (
-        | SELECT o_orderkey, o_orderpriority AS cat, o_totalprice AS y
-        | FROM orders),
-        |s AS (
-        | SELECT cat, round(sum(y), 4) AS sc, CAST(count(*) AS BIGINT) AS nc
-        | FROM o GROUP BY cat)
-        |SELECT o.o_orderkey, o.cat,
-        | CASE WHEN s.nc > 1 THEN round((s.sc - o.y) / (s.nc - 1), 4) END
-        |  AS loo_enc
-        |FROM o JOIN s USING (cat)""".stripMargin,
-
-    "q237_woe_encoding" ->
-      """WITH o AS (
-        | SELECT o_orderpriority AS cat, o_orderstatus = 'F' AS bad
-        | FROM orders),
-        |per AS (
-        | SELECT cat,
-        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS bad_c,
-        |  CAST(sum(CASE WHEN NOT bad THEN 1 ELSE 0 END) AS BIGINT) AS good_c
-        | FROM o GROUP BY cat),
-        |tot AS (
-        | SELECT CAST(sum(bad_c) AS BIGINT) AS bt,
-        |  CAST(sum(good_c) AS BIGINT) AS gt FROM per)
-        |SELECT cat, bad_c, good_c,
-        | round(ln((CAST(bad_c AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 0.5))
-        |  - ln((CAST(good_c AS DOUBLE) + 0.5) / (CAST(gt AS DOUBLE) + 0.5)), 6)
-        |  AS woe
-        |FROM per, tot""".stripMargin,
-
-    "q238_session_window" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, value, CAST(epoch_us(ts) AS BIGINT) AS tsu,
-        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |   AS prev_tsu
-        | FROM events),
-        |s AS (
-        | SELECT *, CASE WHEN prev_tsu IS NULL
-        |   OR tsu - prev_tsu >= 1800000000 THEN 1 ELSE 0 END AS new_session
-        | FROM e),
-        |x AS (
-        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
-        |   ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |   AS session_seq
-        | FROM s)
-        |SELECT user_id, CAST(min(tsu) // 1000000 AS BIGINT) AS session_start,
-        | CAST(count(*) AS BIGINT) AS n_events,
-        | round(sum(value), 4) AS session_value
-        |FROM x GROUP BY user_id, session_seq""".stripMargin,
-
-    // row encoding mirrors MerkleAudit.tableDigest: per-column md5
-    // tokens (null -> '-') concatenated, NOT a '|'-join — delimiter
-    // injection and null/empty-string collisions are contract bugs in a
-    // byte-identity audit
-    "q239_merkle_audit" ->
-      """WITH h AS (
-        | SELECT md5(
-        |   coalesce(md5(CAST(o_orderkey AS VARCHAR)), '-') ||
-        |   coalesce(md5(CAST(o_custkey AS VARCHAR)), '-') ||
-        |   coalesce(md5(CAST(o_orderstatus AS VARCHAR)), '-') ||
-        |   coalesce(md5(CAST(o_orderpriority AS VARCHAR)), '-')) AS h
-        | FROM orders),
-        |b AS (
-        | SELECT substr(h, 1, 2) AS bucket,
-        |  md5(string_agg(h, '' ORDER BY h)) AS digest
-        | FROM h GROUP BY 1)
-        |SELECT bucket, digest FROM b
-        |UNION ALL
-        |SELECT '__root' AS bucket,
-        | md5(string_agg(digest, '' ORDER BY digest)) AS digest
-        |FROM b""".stripMargin,
-
-    "q240_groupwise_ols" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        | round(covar_pop(l_quantity, l_extendedprice)
-        |   / var_pop(l_quantity), 6) AS slope,
-        | round(avg(l_extendedprice) - covar_pop(l_quantity, l_extendedprice)
-        |   / var_pop(l_quantity) * avg(l_quantity), 6) AS intercept,
-        | round(corr(l_quantity, l_extendedprice)
-        |   * corr(l_quantity, l_extendedprice), 6) AS r2
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-
-    "q241_tpch_q3" ->
-      """WITH c AS (
-        | SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-        |o AS (
-        | SELECT o_orderkey, o_custkey,
-        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s
-        | FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
-        |l AS (
-        | SELECT l_orderkey, l_extendedprice * (1.0 - l_discount) AS rev
-        | FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-07-01'),
-        |agg AS (
-        | SELECT l_orderkey, o_orderdate_s, round(sum(rev), 4) AS revenue
-        | FROM l JOIN o ON l_orderkey = o_orderkey
-        |  JOIN c ON o.o_custkey = c.c_custkey
-        | GROUP BY l_orderkey, o_orderdate_s)
-        |SELECT l_orderkey, o_orderdate_s, revenue FROM (
-        | SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rn
-        | FROM agg) t
-        |WHERE rn <= 10""".stripMargin,
-
-    "q242_seasonal_mape" ->
-      """WITH hourly AS (
-        | SELECT event_type,
-        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS a
-        | FROM events GROUP BY 1, 2),
-        |fc AS (SELECT event_type, h + 86400 AS h, a AS f FROM hourly),
-        |j AS (
-        | SELECT hourly.event_type,
-        |  CAST(round(CAST(abs(hourly.a - fc.f) AS DOUBLE) / hourly.a * 1000000)
-        |   AS BIGINT) AS m
-        | FROM hourly JOIN fc
-        |  ON hourly.event_type = fc.event_type AND hourly.h = fc.h)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-        | round(CAST(sum(m) AS DOUBLE) / (count(*) * 1000000), 6) AS mape
-        |FROM j GROUP BY event_type""".stripMargin,
-
-    "q243_psi_drift_series" ->
-      """WITH binned AS (
-        | SELECT CAST(floor(epoch(date_trunc('week', ts))) AS BIGINT) AS wk,
-        |  least(CAST(floor(value / 50) AS BIGINT), 9) AS bin
-        | FROM events),
-        |counts AS (SELECT wk, bin, CAST(count(*) AS BIGINT) AS c
-        |           FROM binned GROUP BY wk, bin),
-        |totals AS (SELECT wk, CAST(sum(c) AS BIGINT) AS n
-        |           FROM counts GROUP BY wk),
-        |w0 AS (SELECT min(wk) AS wk0 FROM totals),
-        |grid AS (
-        | SELECT t.wk, b.bin, t.n, coalesce(c.c, 0) AS c,
-        |  (CAST(coalesce(c.c, 0) AS DOUBLE) + 0.5)
-        |    / (CAST(t.n AS DOUBLE) + 5.0) AS p
-        | FROM totals t CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b
-        | LEFT JOIN counts c ON c.wk = t.wk AND c.bin = b.bin),
-        |base AS (
-        | SELECT bin, p AS pb FROM grid, w0 WHERE grid.wk = w0.wk0),
-        |terms AS (
-        | SELECT g.wk,
-        |  CAST(round((g.p - base.pb) * ln(g.p / base.pb) * 1000000) AS BIGINT)
-        |   AS t
-        | FROM grid g JOIN base USING (bin), w0
-        | WHERE g.wk <> w0.wk0)
-        |SELECT wk, round(CAST(sum(t) AS DOUBLE) / 1000000, 6) AS psi
-        |FROM terms GROUP BY wk""".stripMargin,
-
-    "q244_lag_features" ->
-      """WITH e AS (
-        | SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS tsu,
-        |  CAST(round(value * 100) AS BIGINT) AS cents
-        | FROM events WHERE event_type = 'view'),
-        |w AS (
-        | SELECT event_id, user_id,
-        |  lag(cents, 1) OVER win AS l1,
-        |  lag(cents, 2) OVER win AS l2,
-        |  CAST(sum(cents) OVER (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |    AS BIGINT) AS s3,
-        |  CAST(count(*) OVER (win ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |    AS BIGINT) AS n3
-        | FROM e
-        | WINDOW win AS (PARTITION BY user_id ORDER BY tsu, event_id))
-        |SELECT event_id, user_id,
-        | round(CAST(l1 AS DOUBLE) / 100, 2) AS lag1_value,
-        | round(CAST(l2 AS DOUBLE) / 100, 2) AS lag2_value,
-        | round(CAST(s3 AS DOUBLE) / n3 / 100, 4) AS r3_mean
-        |FROM w""".stripMargin,
-
-    "q245_wow_growth" ->
-      """WITH li AS (
-        | SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT)
-        |   AS cents
-        | FROM lineitem),
-        |o AS (
-        | SELECT o_orderkey, o_custkey,
-        |  CAST(floor(epoch(date_trunc('week', o_orderdate))) AS BIGINT) AS wk
-        | FROM orders),
-        |weekly AS (
-        | SELECT n.n_name, o.wk, CAST(sum(li.cents) AS BIGINT) AS rev_cents
-        | FROM li JOIN o ON li.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
-        | GROUP BY n.n_name, o.wk),
-        |lagd AS (
-        | SELECT n_name, wk, rev_cents,
-        |  lag(rev_cents, 1) OVER (PARTITION BY n_name ORDER BY wk) AS prev
-        | FROM weekly)
-        |SELECT n_name, wk,
-        | round(CAST(rev_cents AS DOUBLE) / 100, 2) AS revenue,
-        | CASE WHEN prev IS NOT NULL AND prev <> 0 THEN
-        |  round(CAST(rev_cents - prev AS DOUBLE) / prev, 6) END AS wow_growth
-        |FROM lagd""".stripMargin,
-
-    // degenerate groups (n=1 or zero variance) → NULL sd → NULL z/spike,
-    // mirroring the Spark-side guard.
-    "q246_count_spikes" ->
-      """WITH hourly AS (
-        | SELECT event_type,
-        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS a
-        | FROM events GROUP BY 1, 2),
-        |st AS (
-        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(a) AS BIGINT) AS s1, CAST(sum(a * a) AS BIGINT) AS s2
-        | FROM hourly GROUP BY event_type),
-        |sd AS (
-        | SELECT event_type, n, s1,
-        |  CASE WHEN n > 1 AND
-        |   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) > 0
-        |  THEN sqrt(
-        |   (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
-        |  END AS sd
-        | FROM st)
-        |SELECT h.event_type, h.h, h.a,
-        | round((h.a - CAST(s1 AS DOUBLE) / n) / sd, 4) AS z,
-        | (h.a - CAST(s1 AS DOUBLE) / n) / sd > 3.0 AS spike
-        |FROM hourly h JOIN sd USING (event_type)""".stripMargin,
-
-    "q247_token_budget" ->
-      """WITH docs AS (
-        | SELECT doc_id, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        | FROM documents),
-        |pv AS (SELECT toks, CAST(sum(toks) AS BIGINT) AS vt
-        |       FROM docs GROUP BY toks),
-        |offs AS (
-        | SELECT toks, CAST(coalesce(sum(vt) OVER (ORDER BY toks DESC
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |   AS bef
-        | FROM pv),
-        |ranked AS (
-        | SELECT d.doc_id, d.source, d.toks,
-        |  CAST(sum(d.toks) OVER (PARTITION BY d.toks ORDER BY d.doc_id
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run,
-        |  o.bef
-        | FROM docs d JOIN offs o USING (toks))
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-        | CAST(sum(toks) AS BIGINT) AS tokens_kept
-        |FROM ranked WHERE bef + run <= 25000
-        |GROUP BY source""".stripMargin,
-
-    "q248_negative_sampling" ->
-      """WITH e AS (SELECT vec_id, label FROM embeddings),
-        |n AS (SELECT count(*) AS n FROM e),
-        |trials AS (
-        | SELECT e.vec_id, e.label, r.t,
-        |  CAST(concat('0x', substr(md5('neg_' || e.vec_id || '_' || r.t),
-        |    1, 8)) AS BIGINT) % n.n AS cand
-        | FROM e, (SELECT unnest(range(0, 8)) AS t) r, n),
-        |ok AS (
-        | SELECT tr.vec_id, tr.t, tr.cand
-        | FROM trials tr JOIN e c ON tr.cand = c.vec_id
-        | WHERE c.label <> tr.label AND tr.cand <> tr.vec_id)
-        |SELECT vec_id AS anchor_id, cand AS neg_id, rk FROM (
-        | SELECT vec_id, cand,
-        |  CAST(row_number() OVER (PARTITION BY vec_id ORDER BY t) AS INT)
-        |   AS rk
-        | FROM ok) x
-        |WHERE rk <= 4""".stripMargin,
-
-    "q249_stream_append_windows" ->
-      """WITH wm AS (
-        | SELECT CAST(max(epoch_us(ts)) AS BIGINT) - 3600000000 AS w
-        | FROM events),
-        |agg AS (
-        | SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
-        |   AS win_start,
-        |  event_type, CAST(count(*) AS BIGINT) AS cnt,
-        |  round(sum(value), 4) AS sum_value
-        | FROM events GROUP BY 1, 2)
-        |SELECT win_start, event_type, cnt, sum_value
-        |FROM agg, wm
-        |WHERE (win_start + 3600) * 1000000 <= wm.w""".stripMargin,
-
-    "q250_corpus_scorecard" ->
-      """WITH d AS (
-        | SELECT text, source, lang,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        | FROM documents),
-        |a AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
-        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_docs,
-        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        | FROM d)
-        |SELECT n_docs, n_tokens, n_distinct_docs, n_sources, n_langs,
-        | round(1.0 - CAST(n_distinct_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
-        | round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS mean_doc_tokens
-        |FROM a""".stripMargin,
-
-    // threshold compare is engine-exact: integer-valued quantities make
-    // avg exact at any summation order, ·0.2 is one identical product;
-    // revenue rides the cents device.
-    "q251_small_qty_revenue" ->
-      """WITH p AS (
-        | SELECT p_partkey AS l_partkey, p_brand FROM part
-        | WHERE p_brand IN ('Brand#1', 'Brand#2')),
-        |l AS (
-        | SELECT li.l_partkey, p_brand, l_quantity, l_extendedprice
-        | FROM lineitem li JOIN p USING (l_partkey)),
-        |th AS (
-        | SELECT l_partkey, avg(l_quantity) * 0.2 AS lim
-        | FROM l GROUP BY l_partkey)
-        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
-        | CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |   AS revenue_cents
-        |FROM l JOIN th USING (l_partkey)
-        |WHERE l_quantity < lim
-        |GROUP BY p_brand""".stripMargin,
-
-    "q252_sole_late_supplier" ->
-      """WITH lines AS (
-        | SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-        | FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
-        |sup_ord AS (
-        | SELECT l_orderkey, l_suppkey,
-        |  CAST(max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS late
-        | FROM lines GROUP BY 1, 2),
-        |per_order AS (
-        | SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
-        | FROM sup_ord GROUP BY 1)
-        |SELECT so.l_suppkey AS s_suppkey, s_name,
-        | CAST(count(*) AS BIGINT) AS numwait
-        |FROM sup_ord so
-        |JOIN per_order po ON po.l_orderkey = so.l_orderkey
-        | AND po.n_supp >= 2 AND po.n_late = 1
-        |JOIN supplier ON s_suppkey = so.l_suppkey
-        |WHERE so.late = 1
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q253_referential_audit" ->
-      """SELECT 'fk_lineitem_orders' AS "check",
-        | CAST(sum(CASE WHEN o.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
-        | CAST(count(*) AS BIGINT) AS n_checked
-        |FROM lineitem LEFT JOIN
-        | (SELECT DISTINCT o_orderkey AS k FROM orders) o ON o.k = l_orderkey
-        |UNION ALL
-        |SELECT 'fk_lineitem_part',
-        | CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM lineitem LEFT JOIN
-        | (SELECT DISTINCT p_partkey AS k FROM part) p ON p.k = l_partkey
-        |UNION ALL
-        |SELECT 'fk_lineitem_supplier',
-        | CAST(sum(CASE WHEN sp.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM lineitem LEFT JOIN
-        | (SELECT DISTINCT s_suppkey AS k FROM supplier) sp ON sp.k = l_suppkey
-        |UNION ALL
-        |SELECT 'fk_orders_customer',
-        | CAST(sum(CASE WHEN c.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM orders LEFT JOIN
-        | (SELECT DISTINCT c_custkey AS k FROM customer) c ON c.k = o_custkey
-        |UNION ALL
-        |SELECT 'fk_customer_nation',
-        | CAST(sum(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM customer LEFT JOIN
-        | (SELECT DISTINCT n_nationkey AS k FROM nation) n ON n.k = c_nationkey
-        |UNION ALL
-        |SELECT 'fk_supplier_nation',
-        | CAST(sum(CASE WHEN n.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM supplier LEFT JOIN
-        | (SELECT DISTINCT n_nationkey AS k FROM nation) n ON n.k = s_nationkey
-        |UNION ALL
-        |SELECT 'fk_nation_region',
-        | CAST(sum(CASE WHEN r.k IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM nation LEFT JOIN
-        | (SELECT DISTINCT r_regionkey AS k FROM region) r ON r.k = n_regionkey
-        |UNION ALL
-        |SELECT 'pk_orders',
-        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
-        |UNION ALL
-        |SELECT 'pk_customer',
-        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM (SELECT count(*) AS c FROM customer GROUP BY c_custkey)
-        |UNION ALL
-        |SELECT 'pk_part',
-        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM (SELECT count(*) AS c FROM part GROUP BY p_partkey)
-        |UNION ALL
-        |SELECT 'pk_supplier',
-        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM (SELECT count(*) AS c FROM supplier GROUP BY s_suppkey)
-        |UNION ALL
-        |SELECT 'pk_nation',
-        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        | CAST(count(*) AS BIGINT)
-        |FROM (SELECT count(*) AS c FROM nation GROUP BY n_nationkey)""".stripMargin,
-
-    // plants mirror the Spark side byte for byte; detection is instr on
-    // the planted markers (codepoint search, engine-identical).
-    "q254_mojibake_scan" ->
-      """WITH planted AS (
-        | SELECT source, text ||
-        |  CASE WHEN doc_id % 7 = 0 THEN ' cafÃ©'
-        |       WHEN doc_id % 7 = 1 THEN ' itâ€™s'
-        |       WHEN doc_id % 7 = 2 THEN ' bad�byte'
-        |       WHEN doc_id % 7 = 3 THEN ' ring' || chr(7) || 'tone'
-        |       WHEN doc_id % 7 = 4 THEN ' non' || chr(160) || 'break'
-        |       ELSE '' END AS text2
-        | FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(CASE WHEN instr(text2, 'Ã') > 0
-        |   OR instr(text2, 'â€') > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_mojibake,
-        | CAST(sum(CASE WHEN instr(text2, '�') > 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_replacement,
-        | CAST(sum(CASE WHEN instr(text2, chr(7)) > 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_control,
-        | CAST(sum(CASE WHEN instr(text2, chr(160)) > 0 THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_nbsp,
-        | round(1.0 - CAST(
-        |   sum(CASE WHEN instr(text2, 'Ã') > 0
-        |     OR instr(text2, 'â€') > 0 THEN 1 ELSE 0 END)
-        |   + sum(CASE WHEN instr(text2, '�') > 0 THEN 1 ELSE 0 END)
-        |   + sum(CASE WHEN instr(text2, chr(7)) > 0 THEN 1 ELSE 0 END)
-        |   + sum(CASE WHEN instr(text2, chr(160)) > 0 THEN 1 ELSE 0 END)
-        |  AS DOUBLE) / count(*), 4) AS clean_rate
-        |FROM planted GROUP BY source""".stripMargin,
-
-    "q255_padding_efficiency" ->
-      """WITH docs AS (
-        | SELECT doc_id, source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        | FROM documents),
-        |ranked AS (
-        | SELECT source, toks,
-        |  row_number() OVER (PARTITION BY source
-        |    ORDER BY toks DESC, doc_id) AS rs,
-        |  row_number() OVER (PARTITION BY source
-        |    ORDER BY md5('pad_' || doc_id), doc_id) AS rh
-        | FROM docs),
-        |b AS (
-        | SELECT source, 'sorted' AS strategy, (rs - 1) // 16 AS b,
-        |  count(*) AS n, max(toks) AS mx, sum(toks) AS s
-        | FROM ranked GROUP BY 1, 2, 3
-        | UNION ALL
-        | SELECT source, 'hashed' AS strategy, (rh - 1) // 16 AS b,
-        |  count(*) AS n, max(toks) AS mx, sum(toks) AS s
-        | FROM ranked GROUP BY 1, 2, 3)
-        |SELECT source, strategy, CAST(count(*) AS BIGINT) AS n_batches,
-        | CAST(sum(s) AS BIGINT) AS tokens,
-        | CAST(sum(mx * n) AS BIGINT) AS padded,
-        | round(CAST(sum(mx * n) - sum(s) AS DOUBLE) / sum(mx * n), 4)
-        |   AS waste_rate
-        |FROM b GROUP BY 1, 2""".stripMargin,
-
-    // the window prefix sum here is the oracle's shortcut; the Spark side
-    // uses the two-phase decomposition — values identical by design. All
-    // integer arithmetic, mirrored clamp for clamp.
-    "q256_systematic_pps" ->
-      """WITH w AS (
-        | SELECT doc_id,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS weight
-        | FROM documents
-        | WHERE len(string_split(text, ' ')) > 0),
-        |c AS (
-        | SELECT doc_id, weight,
-        |  CAST(coalesce(sum(weight) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |   AS BIGINT) AS cum_before,
-        |  CAST(sum(weight) OVER () AS BIGINT) AS W
-        | FROM w),
-        |k AS (
-        | SELECT doc_id, weight,
-        |  greatest((200 * cum_before + W - 1) // W, 1) AS mlo,
-        |  least(((200 * (cum_before + weight) + W - 1) // W) - 1, 199)
-        |    AS mhi
-        | FROM c)
-        |SELECT doc_id, weight,
-        | CAST(greatest(((mhi + 1) // 2) - (mlo // 2), 0) AS BIGINT)
-        |   AS copies
-        |FROM k
-        |WHERE ((mhi + 1) // 2) - (mlo // 2) > 0""".stripMargin,
-
-    "q257_quality_sweep" ->
-      """WITH scored AS (
-        | SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |  CASE WHEN length(text) > 0 THEN
-        |   CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |     AS DOUBLE) / length(text) ELSE 0.0 END AS score
-        | FROM documents),
-        |x AS (
-        | SELECT toks, score, t.threshold
-        | FROM scored CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.6::DOUBLE,
-        |   0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold) t)
-        |SELECT threshold, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS n_keep,
-        | CAST(sum(CASE WHEN score >= threshold THEN toks ELSE 0 END)
-        |   AS BIGINT) AS tokens_kept,
-        | round(CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END)
-        |   AS DOUBLE) / count(*), 4) AS keep_rate
-        |FROM x GROUP BY threshold""".stripMargin,
-
-    // floor(log2) as binary-string length — zero float seam (log2()
-    // flips at exact powers of two).
-    "q258_length_log_histogram" ->
-      """WITH d AS (
-        | SELECT source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        | FROM documents),
-        |b AS (
-        | SELECT source, toks,
-        |  CAST(length(printf('%b', toks)) - 1 AS BIGINT) AS bucket
-        | FROM d)
-        |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(toks) AS BIGINT) AS tokens,
-        | CAST(1::BIGINT << CAST(bucket AS INT) AS BIGINT) AS lo,
-        | CAST((1::BIGINT << CAST(bucket AS INT)) * 2 - 1 AS BIGINT) AS hi
-        |FROM b GROUP BY source, bucket""".stripMargin,
-
-    "q259_export_manifest" ->
-      """WITH d AS (
-        | SELECT doc_id, text,
-        |  CAST(CAST(concat('0x', substr(md5('shard_' || doc_id), 1, 4))
-        |    AS BIGINT) % 16 AS BIGINT) AS shard,
-        |  CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
-        |    AS BIGINT) AS fp
-        | FROM documents)
-        |SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(length(text)) AS BIGINT) AS bytes,
-        | CAST(min(doc_id) AS BIGINT) AS min_id,
-        | CAST(max(doc_id) AS BIGINT) AS max_id,
-        | CAST(bit_xor(fp) AS BIGINT) AS digest
-        |FROM d GROUP BY shard""".stripMargin,
-
-    // latest-wins by the exact (tsu, event_id) total order; a key whose
-    // final version is the tombstone ('error') drops out.
-    "q260_cdc_snapshot" ->
-      """WITH e AS (
-        | SELECT event_id, user_id, event_type,
-        |  CAST(epoch_us(ts) AS BIGINT) AS tsu
-        | FROM events),
-        |r AS (
-        | SELECT user_id, event_id, event_type, tsu,
-        |  row_number() OVER (PARTITION BY user_id
-        |    ORDER BY tsu DESC, event_id DESC) AS rn,
-        |  count(*) OVER (PARTITION BY user_id) AS n_changes
-        | FROM e)
-        |SELECT user_id, event_id AS last_event_id, tsu AS last_tsu,
-        | CAST(n_changes AS BIGINT) AS n_changes
-        |FROM r WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
-
-    // canonical string encoding mirrored column for column; binary
-    // collation on both engines makes min/max comparable.
-    "q261_analyze_columns" ->
-      """WITH u AS (
-        | SELECT 'o_orderkey' AS "column",
-        |  CAST(o_orderkey AS VARCHAR) AS value FROM orders
-        | UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
-        |  FROM orders
-        | UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
-        | UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
-        | UNION ALL SELECT 'o_totalprice_cents',
-        |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
-        |  FROM orders
-        | UNION ALL SELECT 'o_orderdate_us',
-        |  CAST(CAST(epoch_us(o_orderdate) AS BIGINT) AS VARCHAR)
-        |  FROM orders)
-        |SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS n_null,
-        | CAST(count(DISTINCT value) AS BIGINT) AS ndv,
-        | min(value) AS min_value, max(value) AS max_value,
-        | round(avg(length(value)), 4) AS avg_len
-        |FROM u GROUP BY "column"""".stripMargin,
-
-    // the oracle recomputes the rollup DIRECTLY — passing proves
-    // merge(partials) ≡ full recompute.
-    "q262_partial_agg_merge" ->
-      """WITH o AS (
-        | SELECT c_nationkey,
-        |  year(o_orderdate) < 1997 AS old,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        | FROM orders JOIN customer ON c_custkey = o_custkey)
-        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
-        | CAST(sum(cents) AS BIGINT) AS sum_cents,
-        | CAST(min(cents) AS BIGINT) AS min_cents,
-        | CAST(max(cents) AS BIGINT) AS max_cents,
-        | CAST(count(DISTINCT old) AS BIGINT) AS n_batches
-        |FROM o GROUP BY c_nationkey""".stripMargin,
-
-    // band offset to nonnegative: DIV truncates, // floors — they only
-    // agree on nonnegative operands.
-    "q263_k_anonymity" ->
-      """WITH qi AS (
-        | SELECT c_nationkey, c_mktsegment,
-        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000000) // 100000
-        |    - 1000 AS band,
-        |  CAST(count(*) AS BIGINT) AS sz
-        | FROM customer GROUP BY 1, 2, 3),
-        |x AS (
-        | SELECT sz, k.k FROM qi
-        | CROSS JOIN (SELECT unnest([2::BIGINT, 5::BIGINT, 10::BIGINT])
-        |   AS k) k)
-        |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
-        | CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
-        |   AS groups_below_k,
-        | CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
-        |   AS rows_at_risk,
-        | round(CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS DOUBLE)
-        |   / sum(sz), 4) AS risk_rate
-        |FROM x GROUP BY k""".stripMargin,
-
-    "q264_revenue_share" ->
-      """WITH rev AS (
-        | SELECT r_name, n_name,
-        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |    AS BIGINT)) AS BIGINT) AS cents
-        | FROM lineitem
-        | JOIN orders ON o_orderkey = l_orderkey
-        | JOIN customer ON c_custkey = o_custkey
-        | JOIN nation ON n_nationkey = c_nationkey
-        | JOIN region ON r_regionkey = n_regionkey
-        | GROUP BY 1, 2),
-        |w AS (
-        | SELECT r_name, n_name, cents,
-        |  CAST(sum(cents) OVER (PARTITION BY r_name) AS BIGINT)
-        |    AS region_cents,
-        |  CAST(sum(cents) OVER () AS BIGINT) AS total_cents
-        | FROM rev)
-        |SELECT r_name, n_name, cents,
-        | round(CAST(cents AS DOUBLE) / region_cents, 6) AS share_of_region,
-        | round(CAST(region_cents AS DOUBLE) / total_cents, 6)
-        |   AS region_share_of_total
-        |FROM w""".stripMargin,
-
-    // exact degree moments through the HUGEINT closed form.
-    "q282_assortativity" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |p AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS src, v AS dst FROM p
-        |      UNION ALL SELECT v AS src, u AS dst FROM p),
-        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-        |        FROM e GROUP BY 1),
-        |j AS (
-        | SELECT dx.deg AS dx, dy.deg AS dy
-        | FROM e JOIN deg dx ON dx.node = e.src
-        |        JOIN deg dy ON dy.node = e.dst),
-        |m AS (
-        | SELECT CAST(count(*) AS HUGEINT) AS n,
-        |  CAST(sum(dx) AS HUGEINT) AS sx, CAST(sum(dy) AS HUGEINT) AS sy,
-        |  CAST(sum(CAST(dx AS HUGEINT) * dy) AS HUGEINT) AS sxy,
-        |  CAST(sum(CAST(dx AS HUGEINT) * dx) AS HUGEINT) AS sxx,
-        |  CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy
-        | FROM j)
-        |SELECT CAST(n AS BIGINT) AS n_edge_ends,
-        | round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-        |  THEN CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |        * CAST(n * syy - sy * sy AS DOUBLE)) END, 6)
-        |   AS assortativity
-        |FROM m""".stripMargin,
-
-    // one min-agg for first appearance; cumulative V over 10 rows.
-    "q283_heaps_law" ->
-      """WITH nn AS (
-        | SELECT max(doc_id) AS mx, min(doc_id) AS mn FROM documents),
-        |w AS (
-        | SELECT least(10, ((doc_id - mn) * 10) // (mx - mn + 1) + 1)
-        |   AS decile, w
-        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-        |       FROM documents), nn
-        | WHERE length(w) > 0),
-        |fs AS (SELECT w, CAST(min(decile) AS BIGINT) AS decile
-        |       FROM w GROUP BY w),
-        |pd AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_words
-        |       FROM fs GROUP BY decile),
-        |tk AS (SELECT CAST(decile AS BIGINT) AS decile,
-        |  CAST(count(*) AS BIGINT) AS tokens FROM w GROUP BY decile),
-        |g AS (
-        | SELECT tk.decile, CAST(coalesce(pd.new_words, 0) AS BIGINT)
-        |   AS new_words, tokens
-        | FROM tk LEFT JOIN pd USING (decile))
-        |SELECT decile, new_words,
-        | CAST(sum(new_words) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab,
-        | CAST(sum(tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-        |FROM g""".stripMargin,
-
-    // q246's exact moment table into the variance-to-mean ratio.
-    "q284_burstiness" ->
-      """WITH hourly AS (
-        | SELECT event_type,
-        |  CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS h,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1, 2),
-        |m AS (
-        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-        |  CAST(sum(c) AS BIGINT) AS n_events,
-        |  CAST(sum(c * c) AS BIGINT) AS s2
-        | FROM hourly GROUP BY 1)
-        |SELECT event_type, n_hours, n_events,
-        | round((CAST(s2 AS DOUBLE)
-        |   - CAST(n_events AS DOUBLE) * n_events / n_hours)
-        |  / n_hours / (CAST(n_events AS DOUBLE) / n_hours), 6) AS fano
-        |FROM m""".stripMargin,
-
-    // the oracle keeps the textbook correlated form (nested IN + scalar
-    // correlated SUM) — DuckDB decorrelates it itself; the Spark side is
-    // the hand-decorrelated aggregate algebra. Same relation.
-    "q285_tpch_q20" ->
-      """SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey IN (
-        | SELECT l_suppkey FROM (
-        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
-        |  FROM lineitem JOIN part ON p_partkey = l_partkey
-        |  WHERE p_type = 'SMALL'
-        |   AND l_shipdate >= TIMESTAMP '1996-01-01'
-        |   AND l_shipdate < TIMESTAMP '1997-01-01'
-        |  GROUP BY 1, 2) ps
-        | WHERE q > 0.5 * (
-        |  SELECT sum(l_quantity) FROM lineitem l2
-        |  WHERE l2.l_partkey = ps.l_partkey
-        |   AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-        |   AND l2.l_shipdate < TIMESTAMP '1997-01-01'))""".stripMargin,
-
-    "q286_tpch_q22" ->
-      """WITH a AS (
-        | SELECT round(avg(c_acctbal), 4) AS ab
-        | FROM customer WHERE c_acctbal > 0)
-        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
-        | round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
-        |   / 100, 2) AS totacctbal
-        |FROM customer c, a
-        |WHERE c_acctbal > a.ab
-        | AND NOT EXISTS (SELECT 1 FROM orders o
-        |   WHERE o.o_custkey = c.c_custkey
-        |    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
-        |GROUP BY c_nationkey""".stripMargin,
-
-    // textbook correlated scalar-min; the suppkey tie-break mirrors the
-    // engine's struct-min argmin
-    "q287_tpch_q2" ->
-      """WITH u AS (
-        | SELECT l_partkey, l_suppkey,
-        |  min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
-        |    AS mu
-        | FROM lineitem JOIN part ON p_partkey = l_partkey
-        | WHERE p_type = 'PROMO' AND p_size > 25 AND l_quantity > 0
-        | GROUP BY 1, 2),
-        |best AS (
-        | SELECT u.l_partkey, min(u.l_suppkey) AS l_suppkey, u.mu
-        | FROM u
-        | WHERE u.mu = (SELECT min(u2.mu) FROM u u2
-        |               WHERE u2.l_partkey = u.l_partkey)
-        | GROUP BY u.l_partkey, u.mu)
-        |SELECT b.l_partkey AS p_partkey, b.l_suppkey AS s_suppkey, s_name,
-        | round(CAST(mu AS DOUBLE) / 100, 2) AS unit_price
-        |FROM best b JOIN supplier s ON s.s_suppkey = b.l_suppkey""".stripMargin,
-
-    "q288_tpch_q11" ->
-      """WITH pp AS (
-        | SELECT l_partkey,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS rev
-        | FROM lineitem GROUP BY 1)
-        |SELECT l_partkey AS p_partkey,
-        | round(CAST(rev AS DOUBLE) / 100, 2) AS value
-        |FROM pp
-        |WHERE rev * 2000 > (SELECT sum(rev) FROM pp)""".stripMargin,
-
-    "q289_tpch_q13" ->
-      """WITH cc AS (
-        | SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-        | FROM customer LEFT JOIN orders
-        |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-        | GROUP BY c_custkey)
-        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        |FROM cc GROUP BY c_count""".stripMargin,
-
-    "q290_tpch_q15" ->
-      """WITH rev AS (
-        | SELECT l_suppkey AS s_suppkey,
-        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
-        |    AS BIGINT)) AS BIGINT) AS rc
-        | FROM lineitem
-        | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        |  AND l_shipdate < TIMESTAMP '1996-04-01'
-        | GROUP BY 1)
-        |SELECT r.s_suppkey, s_name,
-        | round(CAST(rc AS DOUBLE) / 100, 2) AS total_revenue
-        |FROM rev r JOIN supplier s USING (s_suppkey)
-        |WHERE rc = (SELECT max(rc) FROM rev)""".stripMargin,
-
-    "q291_tpch_q16" ->
-      """SELECT p_brand, p_size,
-        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE p_type <> 'PROMO'
-        | AND p_size IN (1, 4, 9, 16, 25, 36, 49)
-        | AND l_suppkey NOT IN (
-        |   SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q292_tpch_q18" ->
-      """SELECT c_name, c_custkey, o_orderkey,
-        | CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
-        | o_totalprice, sum(l_quantity) AS total_qty
-        |FROM customer
-        | JOIN orders ON c_custkey = o_custkey
-        | JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey IN (
-        |  SELECT l_orderkey FROM lineitem
-        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
-        |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
-
-    "q299_rfm_segments" ->
-      """WITH o AS (
-        | SELECT o_custkey, o_orderdate,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        | FROM orders),
-        |ref AS (SELECT max(o_orderdate) AS refd FROM o),
-        |per AS (
-        | SELECT o_custkey, CAST(count(*) AS BIGINT) AS freq,
-        |  CAST(sum(cents) AS BIGINT) AS mon,
-        |  CAST(date_diff('day', max(o_orderdate), refd) AS BIGINT) AS rec
-        | FROM o, ref GROUP BY o_custkey, refd),
-        |b AS (
-        | SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS br,
-        |  quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS bf,
-        |  quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS bm
-        | FROM per),
-        |sc AS (
-        | SELECT 6 - (1 + (rec > br[1])::INT + (rec > br[2])::INT
-        |   + (rec > br[3])::INT + (rec > br[4])::INT) AS r,
-        |  1 + (freq > bf[1])::INT + (freq > bf[2])::INT
-        |   + (freq > bf[3])::INT + (freq > bf[4])::INT AS f,
-        |  1 + (mon > bm[1])::INT + (mon > bm[2])::INT
-        |   + (mon > bm[3])::INT + (mon > bm[4])::INT AS m,
-        |  mon
-        | FROM per, b)
-        |SELECT format('{:d}-{:d}-{:d}', r, f, m) AS segment,
-        | CAST(count(*) AS BIGINT) AS n_customers,
-        | round(CAST(sum(mon) AS DOUBLE) / 100, 2) AS monetary
-        |FROM sc GROUP BY 1""".stripMargin,
-
-    "q300_ngram_novelty" ->
-      """WITH n AS (SELECT max(doc_id) AS mx, min(doc_id) AS mn
-        |           FROM documents),
-        |bi AS (
-        | SELECT least(10, ((doc_id - mn) * 10) // (mx - mn + 1) + 1)
-        |   AS decile,
-        |  unnest(list_transform(
-        |    range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
-        |    i -> (string_split(text, ' '))[i] || ' '
-        |       || (string_split(text, ' '))[i + 1])) AS g
-        | FROM documents, n),
-        |occ AS (
-        | SELECT decile, g, CAST(count(*) AS BIGINT) AS c
-        | FROM bi GROUP BY 1, 2),
-        |fs AS (SELECT g, min(decile) AS fd FROM occ GROUP BY g)
-        |SELECT CAST(decile AS BIGINT) AS decile,
-        | CAST(sum(c) AS BIGINT) AS total_occ,
-        | CAST(sum(CASE WHEN decile = fd THEN c ELSE 0 END) AS BIGINT)
-        |   AS novel_occ,
-        | round(CAST(sum(CASE WHEN decile = fd THEN c ELSE 0 END) AS DOUBLE)
-        |   / sum(c), 6) AS novelty_rate
-        |FROM occ JOIN fs USING (g)
-        |GROUP BY decile""".stripMargin,
-
-    "q301_tpch_q5" ->
-      """SELECT n_name,
-        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
-        |FROM customer, orders, lineitem, supplier, nation, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        | AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        | AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        | AND r_name = 'ASIA'
-        | AND o_orderdate >= TIMESTAMP '1996-01-01'
-        | AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name""".stripMargin,
-
-    "q302_tpch_q6" ->
-      """SELECT round(CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
-        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
-        | CAST(count(*) AS BIGINT) AS n_lines
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        | AND l_shipdate < TIMESTAMP '1997-01-01'
-        | AND l_discount >= 0.05 AND l_discount <= 0.07
-        | AND l_quantity < 24""".stripMargin,
-
-    "q303_tpch_q7" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        | CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue
-        |FROM supplier, lineitem, orders, customer, nation n1, nation n2
-        |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-        | AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
-        | AND c_nationkey = n2.n_nationkey
-        | AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
-        |   OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
-        | AND l_shipdate >= TIMESTAMP '1996-01-01'
-        | AND l_shipdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1, 2, 3""".stripMargin,
-
-    "q304_tpch_q8" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        | round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
-        |     THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |       AS BIGINT) ELSE 0 END) AS DOUBLE)
-        |  / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |     AS BIGINT)), 6) AS mkt_share
-        |FROM part, lineitem, supplier, orders, customer,
-        | nation n1, nation n2, region
-        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-        | AND l_orderkey = o_orderkey AND o_custkey = c_custkey
-        | AND s_nationkey = n1.n_nationkey
-        | AND c_nationkey = n2.n_nationkey
-        | AND n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
-        | AND p_type = 'ECONOMY'
-        | AND o_orderdate >= TIMESTAMP '1996-01-01'
-        | AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1""".stripMargin,
-
-    "q305_tpch_q9" ->
-      """SELECT n_name AS nation,
-        | CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        | round(CAST(sum(
-        |   CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
-        |   - CAST(round(p_retailprice * l_quantity * 2) AS BIGINT))
-        |  AS DOUBLE) / 100, 2) AS sum_profit
-        |FROM part, lineitem, supplier, orders, nation
-        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
-        | AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
-        | AND p_name LIKE '%widget%'
-        |GROUP BY 1, 2""".stripMargin,
-
-    "q306_tpch_q10" ->
-      """SELECT c_custkey, c_name,
-        | round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |   AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
-        | c_acctbal, n_name
-        |FROM customer, orders, lineitem, nation
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        | AND c_nationkey = n_nationkey
-        | AND l_returnflag = 'R'
-        | AND o_orderdate >= TIMESTAMP '1996-01-01'
-        | AND o_orderdate < TIMESTAMP '1996-04-01'
-        |GROUP BY 1, 2, 4, 5""".stripMargin,
-
-    "q307_tpch_q12" ->
-      """SELECT l_linestatus,
-        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |   THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        | AND l_shipdate < TIMESTAMP '1997-01-01'
-        | AND l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |GROUP BY 1""".stripMargin,
-
-    "q308_tpch_q14" ->
-      """SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
-        |   THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |     AS BIGINT) ELSE 0 END) AS DOUBLE)
-        |  / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-        |     AS BIGINT)), 6) AS promo_revenue
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
-        | AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
-
-    // textbook single OR-of-ANDs WHERE — DuckDB extracts the common
-    // support itself; the Spark side does it by hand (see the query doc)
-    "q309_tpch_q19" ->
-      """SELECT round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-        |   * 100) AS BIGINT)) AS DOUBLE) / 100, 2) AS revenue,
-        | CAST(count(*) AS BIGINT) AS n_lines
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-        |   AND l_quantity BETWEEN 1 AND 11)
-        | OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-        |   AND l_quantity BETWEEN 10 AND 20)
-        | OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
-        |   AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
-
-    "q310_mrr" ->
-      """WITH q(term) AS (VALUES ('vector'), ('join'), ('scan')),
-        |p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |      FROM documents),
-        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-        |       FROM p GROUP BY 1),
-        |sc AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |        CAST(count(*) AS DOUBLE)
-        |          / (SELECT count(*) FROM documents) AS avgdl FROM p),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-        |       FROM p JOIN q ON token = term GROUP BY 1, 2),
-        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df
-        |       FROM tf GROUP BY 1),
-        |s AS (
-        | SELECT token, tf.doc_id, tf,
-        |  round(ln(1 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
-        |   * (CAST(tf AS DOUBLE) * 2.2
-        |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS score
-        | FROM tf JOIN df USING (token) JOIN dl USING (doc_id), sc),
-        |r AS (
-        | SELECT token, tf, row_number() OVER (PARTITION BY token
-        |   ORDER BY score DESC, doc_id ASC) AS rnk FROM s),
-        |f AS (
-        | SELECT token AS query,
-        |  coalesce(min(CASE WHEN tf >= 2 THEN rnk END), 0) AS fr
-        | FROM r WHERE rnk <= 10 GROUP BY 1)
-        |SELECT query, CAST(fr AS BIGINT) AS first_rel_rank,
-        | CASE WHEN fr > 0 THEN round(1.0 / fr, 6) ELSE 0.0 END AS rr
-        |FROM f""".stripMargin,
-
-    "q311_t_closeness" ->
-      """WITH b AS (
-        | SELECT event_type,
-        |  CAST(date_diff('day', TIMESTAMP '1970-01-01', ts) % 7 AS BIGINT)
-        |    AS dow,
-        |  least(3, CAST(floor(value / 125) AS BIGINT)) AS sb
-        | FROM events),
-        |cgs AS (SELECT event_type, dow, sb, CAST(count(*) AS BIGINT) AS c
-        |        FROM b GROUP BY 1, 2, 3),
-        |ng AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
-        |       FROM b GROUP BY 1, 2),
-        |cs AS (SELECT sb, CAST(count(*) AS BIGINT) AS cst
-        |       FROM b GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM b),
-        |grid AS (SELECT * FROM ng, cs, tot)
-        |SELECT event_type, dow, n,
-        | round(CAST(sum(abs(coalesce(c, 0) * nt - cst * n)) AS DOUBLE)
-        |   / (2.0 * n * nt), 6) AS tvd
-        |FROM grid LEFT JOIN cgs USING (event_type, dow, sb)
-        |GROUP BY 1, 2, 3, nt""".stripMargin,
-
-    // replays the triangle census with a direct a<b<c enumeration (the
-    // orientation scheme finds the same set); LCC algebra mirrored
-    "q312_local_clustering" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |e AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |deg AS (
-        | SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-        |  SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
-        | GROUP BY node),
-        |tri AS (
-        | SELECT e1.u AS a, e1.v AS b, e2.v AS c
-        | FROM e e1 JOIN e e2 ON e1.v = e2.u
-        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
-        |corner AS (
-        | SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
-        |  SELECT a AS node FROM tri UNION ALL
-        |  SELECT b AS node FROM tri UNION ALL
-        |  SELECT c AS node FROM tri)
-        | GROUP BY node)
-        |SELECT deg.node, deg.deg, coalesce(corner.tri, 0) AS tri,
-        | CASE WHEN deg.deg >= 2 THEN
-        |  round(2.0 * coalesce(corner.tri, 0)
-        |    / (deg.deg * (deg.deg - 1)), 6)
-        |  ELSE 0.0 END AS lcc
-        |FROM deg LEFT JOIN corner USING (node)""".stripMargin,
-
-    "q313_cohens_kappa" ->
-      """WITH r AS (
-        | SELECT CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS a,
-        |  CASE WHEN length(text) > 0 AND
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |      AS DOUBLE) / length(text) > 0.85 THEN 1 ELSE 0 END AS b
-        | FROM documents),
-        |m AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
-        |  CAST(sum(a * b) AS BIGINT) AS nab FROM r),
-        |pp AS (
-        | SELECT n,
-        |  round(CAST(nab + (n - na - nb + nab) AS DOUBLE) / n, 6) AS p_o,
-        |  round((CAST(na AS DOUBLE) * nb
-        |    + CAST(n - na AS DOUBLE) * (n - nb))
-        |   / (CAST(n AS DOUBLE) * n), 6) AS p_e
-        | FROM m)
-        |SELECT n, p_o, p_e,
-        | CASE WHEN p_e < 1.0
-        |  THEN round((p_o - p_e) / (1.0 - p_e), 6) END AS kappa
-        |FROM pp""".stripMargin,
-
-    "q314_trailing_spend" ->
-      """WITH o AS (
-        | SELECT o_orderkey, o_custkey,
-        |  CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)
-        |    AS BIGINT) AS d,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
-        | FROM orders)
-        |SELECT o_orderkey, o_custkey, d,
-        | round(CAST(sum(c) OVER w AS BIGINT) / 100.0, 2) AS trail_spend,
-        | CAST(count(*) OVER w AS BIGINT) AS trail_n
-        |FROM o
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY d
-        | RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)""".stripMargin,
-
-    // the oracle computes the expected post-backfill table state straight
-    // from the source: day 2024-01-10 doubled, every other day untouched
-    "q315_dynamic_overwrite" ->
-      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt,
-        | CAST(count(*) AS BIGINT) AS cnt,
-        | round(sum(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-10'
-        |   THEN value * 2 ELSE value END), 4) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "q316_theil_sen" ->
-      """WITH b AS (
-        | SELECT event_type,
-        |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS x, value AS v,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY CAST(epoch_us(ts) // 3600000000 AS BIGINT), event_id)
-        |    AS i,
-        |  count(*) OVER (PARTITION BY event_type) AS n
-        | FROM events),
-        |p AS (
-        | SELECT a.event_type,
-        |  (b2.v - a.v) / CAST(b2.x - a.x AS DOUBLE) AS slope
-        | FROM b a JOIN b b2
-        |  ON a.event_type = b2.event_type AND b2.i = a.i + a.n // 2
-        | WHERE a.i <= a.n // 2 AND b2.x <> a.x)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-        | round(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
-        |FROM p GROUP BY 1""".stripMargin,
-
-    "q317_seasonal_decompose" ->
-      """WITH hourly AS (
-        | SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
-        | FROM events GROUP BY 1, 2),
-        |t AS (
-        | SELECT event_type, h, y,
-        |  CAST(sum(y) OVER w AS BIGINT) AS s25, count(*) OVER w AS k
-        | FROM hourly
-        | WINDOW w AS (PARTITION BY event_type ORDER BY h
-        |  ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING))
-        |SELECT event_type, CAST(h % 24 AS BIGINT) AS hod,
-        | CAST(count(*) AS BIGINT) AS n_obs,
-        | round(CAST(sum(y * 25 - s25) AS DOUBLE)
-        |   / (25.0 * count(*) * 100), 4) AS seasonal
-        |FROM t WHERE k = 25 GROUP BY 1, 2""".stripMargin,
-
-    "q318_flesch_readability" ->
-      """WITH c AS (
-        | SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT)
-        |    AS n_words,
-        |  CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+', 0)))
-        |    AS BIGINT) AS n_sentences,
-        |  CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+', 0))
-        |    AS BIGINT) AS n_syllables
-        | FROM documents)
-        |SELECT doc_id, n_words, n_sentences, n_syllables,
-        | CASE WHEN n_words > 0 THEN
-        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-        |   - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) END AS flesch
-        |FROM c""".stripMargin,
-
-    // the same larger-side prefix algebra; DuckDB's integer sums widen
-    // to HUGEINT, mirroring the Spark side's decimal(38,0) accumulators
-    "q319_energy_distance" ->
-      """WITH sc AS (
-        | SELECT CAST(round(value * 100) AS BIGINT) AS v,
-        |  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS c1,
-        |  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS c2
-        | FROM events WHERE event_type IN ('click', 'view')),
-        |g AS (SELECT v, CAST(sum(c1) AS BIGINT) AS n1,
-        |  CAST(sum(c2) AS BIGINT) AS n2 FROM sc GROUP BY 1),
-        |p AS (
-        | SELECT v, n1, n2,
-        |  coalesce(CAST(sum(n1) OVER w AS BIGINT), 0) AS c1lt,
-        |  coalesce(CAST(sum(n2) OVER w AS BIGINT), 0) AS c2lt,
-        |  coalesce(CAST(sum(v * n1) OVER w AS BIGINT), 0) AS s1lt,
-        |  coalesce(CAST(sum(v * n2) OVER w AS BIGINT), 0) AS s2lt
-        | FROM g WINDOW w AS (ORDER BY v
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |t AS (
-        | SELECT sum(n1 * (v * c2lt - s2lt) + n2 * (v * c1lt - s1lt)) AS sxy,
-        |  sum(n1 * (v * c1lt - s1lt)) AS sxx2,
-        |  sum(n2 * (v * c2lt - s2lt)) AS syy2,
-        |  CAST(sum(n1) AS BIGINT) AS n, CAST(sum(n2) AS BIGINT) AS m
-        | FROM p)
-        |SELECT n AS n_click, m AS n_view,
-        | round(2.0 * CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m)
-        |  - 2.0 * CAST(sxx2 AS DOUBLE) / (CAST(n AS DOUBLE) * n)
-        |  - 2.0 * CAST(syy2 AS DOUBLE) / (CAST(m AS DOUBLE) * m), 6)
-        |  AS energy_dist_cents
-        |FROM t""".stripMargin,
-
-    "q320_logrank_test" ->
-      """WITH spans AS (
-        | SELECT user_id, date_diff('day', CAST(min(ts) AS DATE),
-        |   CAST(max(ts) AS DATE)) AS t
-        | FROM events GROUP BY 1),
-        |g AS (SELECT CAST(t AS BIGINT) AS t,
-        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS d1,
-        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS d2
-        | FROM spans GROUP BY 1),
-        |tot AS (SELECT CAST(sum(d1) AS BIGINT) AS na,
-        |               CAST(sum(d2) AS BIGINT) AS nb FROM g),
-        |base AS (
-        | SELECT t, d1, d2, na, nb,
-        |  na - coalesce(CAST(sum(d1) OVER w AS BIGINT), 0) AS n1,
-        |  nb - coalesce(CAST(sum(d2) OVER w AS BIGINT), 0) AS n2
-        | FROM g, tot
-        | WINDOW w AS (ORDER BY t
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-        |f AS (
-        | SELECT na, nb, d1, d1 + d2 AS dd, n1, n2, n1 + n2 AS n
-        | FROM base WHERE n1 + n2 > 1),
-        |r AS (
-        | SELECT max(na) AS n_a, max(nb) AS n_b,
-        |  CAST(sum(d1) AS BIGINT) AS o1,
-        |  sum(CAST(dd AS DOUBLE) * n1 / n) AS e1,
-        |  sum(CAST(dd AS DOUBLE) * n1 / n * n2 / n * (n - dd) / (n - 1))
-        |    AS v1
-        | FROM f)
-        |SELECT n_a, n_b, o1, round(e1, 4) AS e1,
-        | round(CASE WHEN v1 > 0
-        |   THEN (o1 - e1) * (o1 - e1) / v1 END, 4) AS chi2
-        |FROM r""".stripMargin,
-
-    "q321_diff_in_diff" ->
-      """WITH g AS (
-        | SELECT user_id % 2 AS tr,
-        |  CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16' THEN 1 ELSE 0 END
-        |    AS po,
-        |  CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |a AS (SELECT tr, po, CAST(count(*) AS BIGINT) AS n,
-        |  sum(c) AS s, sum(c * c) AS q FROM g GROUP BY 1, 2),
-        |p AS (SELECT
-        |  max(CASE WHEN tr = 0 AND po = 0 THEN n END) AS n00,
-        |  max(CASE WHEN tr = 0 AND po = 1 THEN n END) AS n01,
-        |  max(CASE WHEN tr = 1 AND po = 0 THEN n END) AS n10,
-        |  max(CASE WHEN tr = 1 AND po = 1 THEN n END) AS n11,
-        |  max(CASE WHEN tr = 0 AND po = 0 THEN s END) AS s00,
-        |  max(CASE WHEN tr = 0 AND po = 1 THEN s END) AS s01,
-        |  max(CASE WHEN tr = 1 AND po = 0 THEN s END) AS s10,
-        |  max(CASE WHEN tr = 1 AND po = 1 THEN s END) AS s11,
-        |  max(CASE WHEN tr = 0 AND po = 0 THEN q END) AS q00,
-        |  max(CASE WHEN tr = 0 AND po = 1 THEN q END) AS q01,
-        |  max(CASE WHEN tr = 1 AND po = 0 THEN q END) AS q10,
-        |  max(CASE WHEN tr = 1 AND po = 1 THEN q END) AS q11
-        | FROM a),
-        |m AS (
-        | SELECT n00, n01, n10, n11,
-        |  CASE WHEN n00 > 0 AND n01 > 0 AND n10 > 0 AND n11 > 0 THEN
-        |   (CAST(s11 AS DOUBLE) / n11 - CAST(s10 AS DOUBLE) / n10)
-        |    - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00)
-        |  END AS did_c,
-        |  CASE WHEN n00 > 1 THEN (CAST(q00 AS DOUBLE)
-        |    - CAST(s00 AS DOUBLE) * s00 / n00) / (n00 - 1) END / n00
-        |  + CASE WHEN n01 > 1 THEN (CAST(q01 AS DOUBLE)
-        |    - CAST(s01 AS DOUBLE) * s01 / n01) / (n01 - 1) END / n01
-        |  + CASE WHEN n10 > 1 THEN (CAST(q10 AS DOUBLE)
-        |    - CAST(s10 AS DOUBLE) * s10 / n10) / (n10 - 1) END / n10
-        |  + CASE WHEN n11 > 1 THEN (CAST(q11 AS DOUBLE)
-        |    - CAST(s11 AS DOUBLE) * s11 / n11) / (n11 - 1) END / n11
-        |    AS sevar
-        | FROM p)
-        |SELECT n00, n01, n10, n11,
-        | round(did_c / 100, 4) AS did,
-        | round(CASE WHEN sevar > 0 THEN sqrt(sevar) / 100 END, 4) AS se,
-        | round(CASE WHEN sevar > 0 THEN did_c / sqrt(sevar) END, 4)
-        |   AS t_stat
-        |FROM m""".stripMargin,
-
-    // the banded join is semantically the plain interval join (bands
-    // only bound the probe space), so the oracle states it directly
-    "q322_position_attribution" ->
-      """WITH p AS (
-        | SELECT event_id AS pid, user_id, epoch_us(ts) AS ptsu
-        | FROM events WHERE event_type = 'purchase'),
-        |c AS (
-        | SELECT event_id AS cid, user_id, epoch_us(ts) AS ctsu
-        | FROM events WHERE event_type = 'click'),
-        |j AS (
-        | SELECT p.pid, c.cid, c.ctsu FROM p JOIN c
-        |  ON p.user_id = c.user_id
-        |  AND c.ctsu <= p.ptsu AND c.ctsu >= p.ptsu - 3600000000),
-        |r AS (
-        | SELECT ctsu,
-        |  row_number() OVER (PARTITION BY pid ORDER BY ctsu, cid) AS i,
-        |  count(*) OVER (PARTITION BY pid) AS nc
-        | FROM j),
-        |cr AS (
-        | SELECT ctsu,
-        |  CASE WHEN nc = 1 THEN CAST(1.0 AS DOUBLE)
-        |   WHEN nc = 2 THEN CAST(0.5 AS DOUBLE)
-        |   WHEN i = 1 OR i = nc THEN CAST(0.4 AS DOUBLE)
-        |   ELSE CAST(0.2 AS DOUBLE) / (nc - 2) END AS credit
-        | FROM r)
-        |SELECT CAST(ctsu // 3600000000 % 24 AS BIGINT) AS hod,
-        | CAST(count(*) AS BIGINT) AS n_touches,
-        | round(sum(credit), 4) AS credit
-        |FROM cr GROUP BY 1""".stripMargin,
-
-    "q323_cross_correlation" ->
-      """WITH hourly AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS x,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS y
-        | FROM events GROUP BY 1),
-        |lg AS (
-        | SELECT a.lag, a.x, b.y
-        | FROM (SELECT h, x, CAST(unnest([-3, -2, -1, 0, 1, 2, 3])
-        |         AS BIGINT) AS lag FROM hourly) a
-        | JOIN hourly b ON b.h = a.h + a.lag),
-        |ag AS (
-        | SELECT lag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy,
-        |  CAST(sum(x * x) AS BIGINT) AS sx2,
-        |  CAST(sum(y * y) AS BIGINT) AS sy2
-        | FROM lg GROUP BY 1)
-        |SELECT lag, n,
-        | CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0 THEN
-        |  CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)
-        |     * CAST(n * sy2 - sy * sy AS DOUBLE)) END AS ccf
-        |FROM ag""".stripMargin,
-
-    "q324_hurst_exponent" ->
-      """WITH hourly AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1),
-        |idx AS (SELECT c,
-        |  CAST(row_number() OVER (ORDER BY h) AS BIGINT) - 1 AS i
-        | FROM hourly),
-        |sized AS (
-        | SELECT i, c, bn, i // bn AS blk, i % bn + 1 AS j
-        | FROM idx, (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS bn) b),
-        |dev AS (
-        | SELECT bn, blk, j, i, c,
-        |  CAST(sum(c) OVER (PARTITION BY bn, blk ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pc,
-        |  CAST(sum(c) OVER (PARTITION BY bn, blk) AS BIGINT) AS s,
-        |  CAST(sum(c * c) OVER (PARTITION BY bn, blk) AS BIGINT) AS q,
-        |  count(*) OVER (PARTITION BY bn, blk) AS k
-        | FROM sized),
-        |f AS (SELECT bn, blk, bn * pc - j * s AS z, s, q
-        | FROM dev WHERE k = bn),
-        |blocks AS (
-        | SELECT bn, blk, max(z) - min(z) AS rs_scaled,
-        |  max(s) AS s, max(q) AS q
-        | FROM f GROUP BY 1, 2),
-        |rs AS (
-        | SELECT bn, CAST(rs_scaled AS DOUBLE) / bn
-        |   / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / bn)
-        |     / (bn - 1)) AS rs
-        | FROM blocks
-        | WHERE (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / bn)
-        |   / (bn - 1) > 0),
-        |pts AS (SELECT CAST(bn AS BIGINT) AS bn,
-        |  CAST(count(*) AS BIGINT) AS nblk,
-        |  round(avg(rs), 6) AS mean_rs FROM rs GROUP BY 1),
-        |pt AS (SELECT bn, nblk, mean_rs,
-        |  ln(CAST(bn AS DOUBLE)) AS lx, ln(mean_rs) AS ly FROM pts),
-        |o AS (SELECT CAST(count(*) AS BIGINT) AS k,
-        |  sum(lx) AS sx, sum(ly) AS sy,
-        |  sum(lx * ly) AS sxy, sum(lx * lx) AS sx2 FROM pt)
-        |SELECT bn, nblk, mean_rs,
-        | round((k * sxy - sx * sy) / (k * sx2 - sx * sx), 4) AS hurst
-        |FROM pt, o""".stripMargin,
-
-    "q325_effect_sizes" ->
-      """WITH base AS (
-        | SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events WHERE event_type IN ('click', 'view')),
-        |mom AS (
-        | SELECT
-        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |  sum(CASE WHEN g = 'click' THEN c ELSE 0 END) AS s1,
-        |  sum(CASE WHEN g = 'click' THEN c * c ELSE 0 END) AS q1,
-        |  CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |  sum(CASE WHEN g = 'view' THEN c ELSE 0 END) AS s2,
-        |  sum(CASE WHEN g = 'view' THEN c * c ELSE 0 END) AS q2
-        | FROM base),
-        |dd AS (
-        | SELECT n1, n2,
-        |  (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
-        |   / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
-        |     + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
-        |     / (n1 + n2 - 2)) AS d
-        | FROM mom),
-        |ct AS (
-        | SELECT event_type AS et,
-        |  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
-        |  CAST(count(*) AS BIGINT) AS o
-        | FROM events GROUP BY 1, 2),
-        |rm AS (SELECT et, CAST(sum(o) AS BIGINT) AS rm FROM ct GROUP BY 1),
-        |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cm FROM ct GROUP BY 1),
-        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
-        |  CAST(count(DISTINCT et) AS BIGINT) AS r,
-        |  CAST(count(DISTINCT dow) AS BIGINT) AS cc FROM ct),
-        |grid AS (
-        | SELECT coalesce(ct.o, 0) AS o, rm.rm, cm.cm
-        | FROM rm CROSS JOIN cm
-        | LEFT JOIN ct ON ct.et = rm.et AND ct.dow = cm.dow),
-        |chi AS (
-        | SELECT sqrt(sum(
-        |   (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * cm / nn)
-        |   * (CAST(o AS DOUBLE) - CAST(rm AS DOUBLE) * cm / nn)
-        |   / (CAST(rm AS DOUBLE) * cm / nn))
-        |  / (CAST(max(nn) AS DOUBLE) * least(max(r) - 1, max(cc) - 1)))
-        |  AS v
-        | FROM grid CROSS JOIN nn),
-        |byv AS (
-        | SELECT c, CAST(count(*) AS BIGINT) AS t,
-        |  CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS ta
-        | FROM base GROUP BY 1),
-        |pp AS (
-        | SELECT t, ta, coalesce(CAST(sum(t) OVER (ORDER BY c
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |   AS cum_before
-        | FROM byv),
-        |tots AS (SELECT CAST(sum(ta) AS BIGINT) AS na,
-        |  CAST(sum(t - ta) AS BIGINT) AS nb FROM pp),
-        |rb AS (
-        | SELECT 1.0 - CAST(sum(ta * (2 * cum_before + t + 1))
-        |    - na * (na + 1) AS DOUBLE)
-        |   / (CAST(na AS DOUBLE) * nb) AS rb
-        | FROM pp, tots GROUP BY na, nb)
-        |SELECT n1 AS n_click, n2 AS n_view,
-        | round(d, 4) AS cohens_d,
-        | round(v, 4) AS cramers_v,
-        | round(rb, 4) AS rank_biserial
-        |FROM dd, chi, rb""".stripMargin,
-
-    // q282's copurchase-degree CTE; the log-sum runs over distinct degree
-    // values with the q174 6dp/6dp/4dp ladder.
-    "q326_hill_tail" ->
-      """WITH lp AS (SELECT l_orderkey, l_partkey FROM lineitem),
-        |p AS (
-        | SELECT a.l_partkey AS u, b.l_partkey AS v
-        | FROM lp a JOIN lp b
-        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        | GROUP BY 1, 2 HAVING count(*) >= 2),
-        |e AS (SELECT u AS node FROM p UNION ALL SELECT v AS node FROM p),
-        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
-        |        FROM e GROUP BY 1),
-        |byd AS (
-        | SELECT CAST(count(*) AS BIGINT) AS cnt,
-        |  round(ln(CAST(deg AS DOUBLE) / 5.0), 6) AS lt
-        | FROM deg WHERE deg >= 5 GROUP BY deg),
-        |ag AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tail,
-        |  round(sum(cnt * lt), 6) AS ls FROM byd)
-        |SELECT CAST(5 AS BIGINT) AS x_min, n_tail,
-        | CASE WHEN ls > 0
-        |  THEN round(1.0 + CAST(n_tail AS DOUBLE) / ls, 4) END AS alpha
-        |FROM ag""".stripMargin,
-
-    // parallel unnests zip positionally (the q118 device); the
-    // previous-occurrence interval sum is exact-integer until the final
-    // division.
-    "q327_mattr" ->
-      """WITH raw AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |  unnest(range(0, len(string_split(text, ' ')))) AS pos
-        | FROM documents),
-        |toks AS (
-        | SELECT doc_id, w,
-        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-        |    AS BIGINT) - 1 AS i
-        | FROM raw WHERE length(w) > 0),
-        |prev AS (
-        | SELECT doc_id, i,
-        |  coalesce(lag(i) OVER (PARTITION BY doc_id, w ORDER BY i), -1) AS p,
-        |  CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-        | FROM toks),
-        |c AS (
-        | SELECT doc_id, n, n - 9 AS nw,
-        |  greatest(p + 1, i - 9, 0) AS lo, least(i, n - 10) AS hi
-        | FROM prev WHERE n >= 10)
-        |SELECT doc_id, max(n) AS ntok,
-        | round(CAST(sum(greatest(hi - lo + 1, 0)) AS DOUBLE)
-        |  / (max(nw) * 10), 6) AS mattr
-        |FROM c GROUP BY 1""".stripMargin,
-
-    // q163's transition counts; positive-term formulation so ln(ci/cij)
-    // can never emit -0.0.
-    "q328_entropy_rate" ->
-      """WITH t AS (
-        | SELECT a, b, CAST(count(*) AS BIGINT) AS cij FROM (
-        |  SELECT event_type AS a,
-        |   lead(event_type) OVER (
-        |     PARTITION BY user_id ORDER BY ts, event_id) AS b
-        |  FROM events) WHERE b IS NOT NULL GROUP BY 1, 2),
-        |wi AS (
-        | SELECT a, cij,
-        |  CAST(sum(cij) OVER (PARTITION BY a) AS BIGINT) AS ci FROM t),
-        |terms AS (
-        | SELECT a, cij, round(CAST(cij AS DOUBLE)
-        |   * ln(CAST(ci AS DOUBLE) / cij), 6) AS term
-        | FROM wi),
-        |ag AS (
-        | SELECT CAST(sum(cij) AS BIGINT) AS n_transitions,
-        |  CAST(count(DISTINCT a) AS BIGINT) AS n_states,
-        |  round(sum(term), 6) AS s FROM terms),
-        |e AS (SELECT n_transitions, n_states,
-        |  round(s / n_transitions, 6) AS entropy_rate,
-        |  round(ln(CAST(n_states AS DOUBLE)), 6) AS max_entropy FROM ag)
-        |SELECT n_transitions, n_states, entropy_rate, max_entropy,
-        | CASE WHEN max_entropy > 0
-        |  THEN round(entropy_rate / max_entropy, 4) END AS normalized
-        |FROM e""".stripMargin,
-
-    "q329_sequential_copurchase" ->
-      """WITH nxt AS (
-        | SELECT k1, k2 FROM (
-        |  SELECT o_orderkey AS k1,
-        |   lead(o_orderkey) OVER (
-        |     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS k2
-        |  FROM orders) WHERE k2 IS NOT NULL),
-        |parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pairs AS (
-        | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
-        |  CAST(count(*) AS BIGINT) AS cnt
-        | FROM nxt JOIN parts a ON a.l_orderkey = nxt.k1
-        |  JOIN parts b ON b.l_orderkey = nxt.k2
-        | GROUP BY 1, 2)
-        |SELECT CAST(row_number() OVER (
-        |   ORDER BY cnt DESC, part_a, part_b) AS BIGINT) AS rnk,
-        | part_a, part_b, cnt
-        |FROM pairs
-        |ORDER BY cnt DESC, part_a, part_b LIMIT 20""".stripMargin,
-
-    // same site literals; trig parity under the Lambert-93 precedent.
-    "q343_haversine_sites" ->
-      """WITH pts AS (
-        | SELECT event_id,
-        |  43.0 + (user_id % 1000) * 0.006 AS lat,
-        |  -1.0 + (CAST(round(value * 100) AS BIGINT) % 600) * 0.01 AS lon
-        | FROM events),
-        |sites(site_id, slat, slon) AS (VALUES
-        | (CAST(1 AS BIGINT), 48.8566, 2.3522),
-        | (CAST(2 AS BIGINT), 45.764, 4.8357),
-        | (CAST(3 AS BIGINT), 43.2965, 5.3698),
-        | (CAST(4 AS BIGINT), 50.6292, 3.0573),
-        | (CAST(5 AS BIGINT), 44.8378, -0.5792)),
-        |dd AS (
-        | SELECT event_id, site_id, round(2.0 * 6371.0088 * asin(least(1.0,
-        |   sqrt(sin(radians(slat - lat) / 2) * sin(radians(slat - lat) / 2)
-        |    + cos(radians(lat)) * cos(radians(slat))
-        |      * (sin(radians(slon - lon) / 2)
-        |         * sin(radians(slon - lon) / 2))))), 6) AS dist_km
-        | FROM pts CROSS JOIN sites),
-        |nearest AS (
-        | SELECT event_id, site_id, dist_km FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY event_id
-        |    ORDER BY dist_km, site_id) AS rn FROM dd) WHERE rn = 1)
-        |SELECT site_id, CAST(floor(dist_km / 100) AS BIGINT) AS ring,
-        | CAST(count(*) AS BIGINT) AS cnt
-        |FROM nearest GROUP BY 1, 2""".stripMargin,
-
-    // per-field survivorship rules as windows over the entity partition.
-    "q344_golden_record" ->
-      """WITH c AS (
-        | SELECT *, c_custkey // 10 AS entity FROM customer),
-        |best AS (
-        | SELECT entity, c_name AS golden_name FROM (
-        |  SELECT entity, c_name, row_number() OVER (PARTITION BY entity
-        |    ORDER BY c_acctbal DESC, c_custkey) AS rn FROM c) WHERE rn = 1),
-        |segs AS (
-        | SELECT entity, c_mktsegment AS seg_mode FROM (
-        |  SELECT entity, c_mktsegment, row_number() OVER (
-        |    PARTITION BY entity
-        |    ORDER BY count(*) DESC, c_mktsegment) AS rn
-        |  FROM c GROUP BY entity, c_mktsegment) WHERE rn = 1),
-        |ag AS (
-        | SELECT entity, CAST(min(c_custkey) AS BIGINT) AS canonical_key,
-        |  CAST(count(*) AS BIGINT) AS n_records,
-        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
-        |    AS cents
-        | FROM c GROUP BY 1)
-        |SELECT ag.entity, canonical_key, n_records, golden_name, seg_mode,
-        | CAST(cents AS DOUBLE) / 100.0 AS total_bal
-        |FROM ag JOIN best ON best.entity = ag.entity
-        | JOIN segs ON segs.entity = ag.entity""".stripMargin,
-
-    // exact-int confusion; macro over the bounded class relation.
-    "q345_multiclass_f1" ->
-      """WITH base AS (
-        | SELECT event_type AS truth,
-        |  CASE WHEN CAST(round(value * 100) AS BIGINT) < 5000 THEN 'view'
-        |   WHEN CAST(round(value * 100) AS BIGINT) < 10000 THEN 'click'
-        |   WHEN CAST(round(value * 100) AS BIGINT) < 15000 THEN 'signup'
-        |   WHEN CAST(round(value * 100) AS BIGINT) < 20000 THEN 'error'
-        |   ELSE 'purchase' END AS pred
-        | FROM events),
-        |classes AS (SELECT DISTINCT truth AS cls FROM base),
-        |nt AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS n_true
-        |       FROM base GROUP BY 1),
-        |tp AS (SELECT truth AS cls, CAST(count(*) AS BIGINT) AS tp
-        |       FROM base WHERE truth = pred GROUP BY 1),
-        |np AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
-        |       FROM base GROUP BY 1),
-        |bycls AS (
-        | SELECT c.cls, coalesce(tp.tp, 0) AS tp,
-        |  coalesce(np.n_pred, 0) - coalesce(tp.tp, 0) AS fp,
-        |  nt.n_true - coalesce(tp.tp, 0) AS fn
-        | FROM classes c JOIN nt ON nt.cls = c.cls
-        |  LEFT JOIN tp ON tp.cls = c.cls LEFT JOIN np ON np.cls = c.cls),
-        |scored AS (
-        | SELECT cls, tp, fp, fn,
-        |  CASE WHEN tp + fp > 0
-        |   THEN CAST(tp AS DOUBLE) / (tp + fp) END AS prec,
-        |  CASE WHEN tp + fn > 0
-        |   THEN CAST(tp AS DOUBLE) / (tp + fn) END AS rec
-        | FROM bycls),
-        |f AS (
-        | SELECT *, CASE WHEN prec + rec > 0
-        |  THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
-        | FROM scored),
-        |o AS (SELECT round(CAST(sum(tp) AS DOUBLE) / (sum(tp) + sum(fn)), 6)
-        |   AS micro_f1, round(avg(f1), 6) AS macro_f1 FROM f)
-        |SELECT cls, tp, fp, fn, round(prec, 6) AS prec, round(rec, 6) AS rec,
-        | round(f1, 6) AS f1, micro_f1, macro_f1
-        |FROM f, o""".stripMargin,
-
-    // q123's percentile-cutpoint device; cumulative over 10 rows.
-    "q346_gains_curve" ->
-      """WITH base AS (
-        | SELECT CAST(round(value * 100) AS BIGINT) AS score,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-        | FROM events),
-        |cuts AS (SELECT quantile_cont(score,
-        |  [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM base),
-        |dec AS (
-        | SELECT CAST(10 - len(list_filter(cuts, c -> score > c)) AS BIGINT)
-        |   AS decile,
-        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS p
-        | FROM base, cuts GROUP BY 1)
-        |SELECT decile, n, p,
-        | round(CAST(sum(p) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
-        |  / CAST(sum(p) OVER () AS BIGINT), 6) AS gain,
-        | round((CAST(p AS DOUBLE) / n)
-        |  / (CAST(sum(p) OVER () AS DOUBLE) / CAST(sum(n) OVER () AS BIGINT)),
-        |  6) AS lift
-        |FROM dec""".stripMargin,
-
-    // exact-int absolute errors; sMAPE mean follows the q125 precedent.
-    "q339_forecast_eval" ->
-      """WITH hourly AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1),
-        |lagd AS (
-        | SELECT c, lag(c, 24) OVER (ORDER BY h) AS sn,
-        |  lag(c) OVER (ORDER BY h) AS nv
-        | FROM hourly),
-        |m AS (
-        | SELECT
-        |  CAST(sum(CASE WHEN sn IS NOT NULL THEN abs(c - sn) END)
-        |    AS BIGINT) AS se,
-        |  CAST(sum(CASE WHEN sn IS NOT NULL THEN 1 END) AS BIGINT) AS ne,
-        |  sum(CASE WHEN sn IS NOT NULL AND c + sn > 0
-        |      THEN 2.0 * abs(c - sn) / (c + sn) END) AS sm,
-        |  CAST(sum(CASE WHEN sn IS NOT NULL AND c + sn > 0 THEN 1 END)
-        |    AS BIGINT) AS nm,
-        |  CAST(sum(CASE WHEN nv IS NOT NULL THEN abs(c - nv) END)
-        |    AS BIGINT) AS s1,
-        |  CAST(sum(CASE WHEN nv IS NOT NULL THEN 1 END) AS BIGINT) AS n1
-        | FROM lagd)
-        |SELECT ne AS n_eval, round(CAST(se AS DOUBLE) / ne, 4) AS mae,
-        | round(sm / nm, 4) AS smape,
-        | CASE WHEN s1 > 0 THEN round((CAST(se AS DOUBLE) / ne)
-        |  / (CAST(s1 AS DOUBLE) / n1), 4) END AS mase
-        |FROM m""".stripMargin,
-
-    // ⌈0.9(n+1)⌉-th order statistic via the q325 prefix idiom; integer k.
-    "q340_conformal_interval" ->
-      """WITH d0 AS (
-        | SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
-        |base AS (
-        | SELECT event_type AS et, CAST(round(value * 100) AS BIGINT) AS c,
-        |  (epoch_us(ts) // 86400000000 < d0 + 15) AS is_ref
-        | FROM events, d0),
-        |md AS (SELECT et, CAST(sum(c) AS BIGINT) AS s,
-        |  CAST(count(*) AS BIGINT) AS n
-        | FROM base WHERE is_ref GROUP BY 1),
-        |cal AS (
-        | SELECT round(abs(CAST(b.c AS DOUBLE)
-        |   - CAST(m.s AS DOUBLE) / m.n), 6) AS sc
-        | FROM base b JOIN md m ON b.et = m.et WHERE NOT b.is_ref),
-        |bys AS (SELECT sc, CAST(count(*) AS BIGINT) AS t FROM cal GROUP BY 1),
-        |nk AS (SELECT CAST(sum(t) AS BIGINT) AS ncal FROM bys),
-        |pp AS (SELECT sc, t, coalesce(CAST(sum(t) OVER (ORDER BY sc
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |   AS cum_before
-        | FROM bys),
-        |q AS (SELECT min(sc) AS qhat FROM pp, nk
-        |      WHERE cum_before + t >= (9 * (ncal + 1) + 9) // 10),
-        |cov AS (SELECT CAST(sum(t) AS BIGINT) AS cnt
-        |        FROM bys, q WHERE sc <= qhat)
-        |SELECT ncal AS n_cal, round(qhat, 6) AS qhat,
-        | round(CAST(cnt AS DOUBLE) / ncal, 6) AS coverage
-        |FROM q, nk, cov""".stripMargin,
-
-    // q133's unrolled-iteration device with max-normalization.
-    "q341_eigenvector_centrality" ->
-      """WITH eo AS (
-        | SELECT DISTINCT o_custkey AS cust, 1000000 + l_suppkey AS supp
-        | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT cust AS src, supp AS dst FROM eo
-        |      UNION ALL SELECT supp, cust FROM eo),
-        |x0 AS (SELECT DISTINCT src AS node, 1.0::DOUBLE AS score FROM e),
-        |s1 AS (SELECT e.dst AS node, round(sum(x.score), 8) AS raw
-        |       FROM e JOIN x0 x ON x.node = e.src GROUP BY 1),
-        |m1 AS (SELECT max(raw) AS m FROM s1),
-        |x1 AS (SELECT node, round(raw / m, 8) AS score FROM s1, m1),
-        |s2 AS (SELECT e.dst AS node, round(sum(x.score), 8) AS raw
-        |       FROM e JOIN x1 x ON x.node = e.src GROUP BY 1),
-        |m2 AS (SELECT max(raw) AS m FROM s2),
-        |x2 AS (SELECT node, round(raw / m, 8) AS score FROM s2, m2),
-        |s3 AS (SELECT e.dst AS node, round(sum(x.score), 8) AS raw
-        |       FROM e JOIN x2 x ON x.node = e.src GROUP BY 1),
-        |m3 AS (SELECT max(raw) AS m FROM s3),
-        |x3 AS (SELECT node, round(raw / m, 8) AS score FROM s3, m3)
-        |SELECT node, round(score, 6) AS score FROM x3""".stripMargin,
-
-    // exact-int discordant counts; Edwards (|b−c|−1)² correction.
-    "q342_mcnemar" ->
-      """WITH base AS (
-        | SELECT (event_type = 'purchase') AS y,
-        |  (CAST(round(value * 100) AS BIGINT) > 10000) AS pa,
-        |  (CAST(round(value * 100) AS BIGINT) > 15000) AS pb
-        | FROM events),
-        |m AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS b,
-        |  CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS c,
-        |  CAST(sum(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS oka,
-        |  CAST(sum(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS okb
-        | FROM base)
-        |SELECT n AS n_paired, b AS b_only_a, c AS c_only_b,
-        | round(CAST(oka AS DOUBLE) / n, 6) AS acc_a,
-        | round(CAST(okb AS DOUBLE) / n, 6) AS acc_b,
-        | CASE WHEN b + c > 0 THEN round(
-        |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / (b + c), 4)
-        | END AS mcnemar_chi2
-        |FROM m""".stripMargin,
-
-    // q125's per-doc raw-ln-sum precedent; exp of the ROUNDED average.
-    "q335_bigram_perplexity" ->
-      """WITH raw AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |  unnest(range(0, len(string_split(text, ' ')))) AS pos
-        | FROM documents),
-        |toks AS (SELECT doc_id, w, pos FROM raw WHERE length(w) > 0),
-        |big AS (
-        | SELECT doc_id, w AS w1,
-        |  lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-        | FROM toks),
-        |bg AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
-        |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-        |       FROM bg GROUP BY 1, 2),
-        |cu AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vv FROM toks),
-        |sc AS (
-        | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(sum(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + vv))) / count(*), 4)
-        |    AS avg_lp
-        | FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v
-        | GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, avg_lp, round(exp(-avg_lp), 4) AS ppl
-        |FROM sc""".stripMargin,
-
-    // exact integer moments; mirrored staged floats; the ln(−ln(0.99))
-    // constant is one shared literal.
-    "q336_gumbel_maxima" ->
-      """WITH hourly AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1),
-        |mx AS (SELECT h // 24 AS day, max(c) AS m FROM hourly GROUP BY 1),
-        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(m) AS BIGINT) AS sm,
-        |  CAST(sum(CAST(m AS HUGEINT) * m) AS HUGEINT) AS q FROM mx),
-        |v AS (SELECT n, sm,
-        |  CAST(CAST(n AS HUGEINT) * q - CAST(sm AS HUGEINT) * sm AS DOUBLE)
-        |   / (CAST(n AS DOUBLE) * (n - 1)) AS var
-        | FROM mom WHERE n > 1),
-        |b AS (SELECT n, CAST(sm AS DOUBLE) / n AS mean,
-        |  round(sqrt(var) * sqrt(6.0) / pi(), 6) AS gumbel_beta
-        | FROM v WHERE var > 0),
-        |mu AS (SELECT n AS n_blocks, gumbel_beta,
-        |  round(mean - 0.5772156649015329 * gumbel_beta, 6) AS gumbel_mu
-        | FROM b)
-        |SELECT n_blocks, gumbel_mu, gumbel_beta,
-        | round(gumbel_mu + 4.600149226776579 * gumbel_beta, 4) AS rl_100
-        |FROM mu""".stripMargin,
-
-    // q122's BM25 CTE + q295's QLD CTE, fused over the two top-20 lists.
-    "q337_rrf_fusion" ->
-      """WITH p AS (
-        | SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        | FROM documents),
-        |tf AS (SELECT doc_id, token, count(*) AS tf
-        |       FROM p GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM p GROUP BY doc_id),
-        |s AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-        |  CAST((SELECT count(*) FROM p) AS DOUBLE)
-        |    / (SELECT count(*) FROM documents) AS avgdl),
-        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM p
-        |       WHERE token IN ('vector', 'join', 'scan') GROUP BY token),
-        |sc AS (
-        | SELECT tf.doc_id,
-        |  round(sum(
-        |    ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |    (CAST(tf AS DOUBLE) * (1.2::DOUBLE + 1.0)
-        |      / (tf + 1.2::DOUBLE * (0.25 + 0.75::DOUBLE * dl / avgdl)))), 4)
-        |    AS score
-        | FROM tf JOIN df ON tf.token = df.token
-        |  JOIN dl ON tf.doc_id = dl.doc_id, s
-        | GROUP BY tf.doc_id),
-        |r_bm AS (SELECT doc_id, rnk FROM (
-        |  SELECT doc_id,
-        |   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-        |     AS rnk
-        |  FROM sc) WHERE rnk <= 20),
-        |t2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |d2 AS (
-        | SELECT doc_id, len(w) AS dl,
-        |  len(list_filter(w, x -> x = 'vector')) AS tf1,
-        |  len(list_filter(w, x -> x = 'join')) AS tf2,
-        |  len(list_filter(w, x -> x = 'scan')) AS tf3
-        | FROM t2),
-        |c2 AS (SELECT sum(dl) AS ct, sum(tf1) AS cf1, sum(tf2) AS cf2,
-        |       sum(tf3) AS cf3 FROM d2),
-        |qs AS (SELECT doc_id, round(
-        |  ln((tf1 + 2000.0 * cf1 / ct) / (dl + 2000.0)) +
-        |  ln((tf2 + 2000.0 * cf2 / ct) / (dl + 2000.0)) +
-        |  ln((tf3 + 2000.0 * cf3 / ct) / (dl + 2000.0)), 6) AS qld
-        | FROM d2, c2),
-        |r_q AS (SELECT doc_id, r_qld FROM (
-        |  SELECT doc_id,
-        |   CAST(row_number() OVER (ORDER BY qld DESC, doc_id) AS BIGINT)
-        |     AS r_qld
-        |  FROM qs) WHERE r_qld <= 20),
-        |f AS (
-        | SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
-        |  coalesce(1.0 / (a.rnk + 60), 0) + coalesce(1.0 / (b.r_qld + 60), 0)
-        |    AS sm, a.rnk AS r_bm25, b.r_qld
-        | FROM r_bm a FULL OUTER JOIN r_q b ON a.doc_id = b.doc_id)
-        |SELECT doc_id, round(sm, 6) AS rrf_score, r_bm25, r_qld
-        |FROM f ORDER BY sm DESC, doc_id LIMIT 10""".stripMargin,
-
-    // fixed-width cent buckets; Laplace-smoothed exact-int shares.
-    "q338_psi_drift" ->
-      """WITH d0 AS (
-        | SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
-        |b AS (
-        | SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bucket,
-        |  (epoch_us(ts) // 86400000000 < d0 + 15) AS is_ref
-        | FROM events, d0),
-        |bk AS (
-        | SELECT bucket,
-        |  CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-        |  CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        | FROM b GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-        |  CAST(sum(cb) AS BIGINT) AS nb,
-        |  CAST(count(*) AS BIGINT) AS k FROM bk),
-        |terms AS (
-        | SELECT na, nb, k, round(
-        |  (CAST(ca + 1 AS DOUBLE) / (na + k)
-        |    - CAST(cb + 1 AS DOUBLE) / (nb + k))
-        |  * ln((CAST(ca + 1 AS DOUBLE) / (na + k))
-        |    / (CAST(cb + 1 AS DOUBLE) / (nb + k))), 6) AS term
-        | FROM bk, tot)
-        |SELECT na AS n_ref, nb AS n_cur, k AS n_buckets,
-        | round(sum(term), 4) AS psi
-        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
-
-    // exact-integer concordance counts; one sqrt.
-    "q330_kendall_tau" ->
-      """WITH daily AS (
-        | SELECT CAST(ts AS DATE) AS day,
-        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS x,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS y
-        | FROM events GROUP BY 1),
-        |p AS (
-        | SELECT b.x - a.x AS dx, b.y - a.y AS dy
-        | FROM daily a JOIN daily b ON a.day < b.day),
-        |m AS (
-        | SELECT CAST(count(*) AS BIGINT) AS n0,
-        |  CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS conc,
-        |  CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS disc,
-        |  CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
-        |  CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
-        | FROM p)
-        |SELECT n0 AS n_pairs, conc AS concordant, disc AS discordant,
-        | CASE WHEN n0 - tx > 0 AND n0 - ty > 0 THEN
-        |  round(CAST(conc - disc AS DOUBLE)
-        |   / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)), 6)
-        | END AS tau_b
-        |FROM m""".stripMargin,
-
-    // n²-scaled exact moments (HUGEINT ↔ decimal(38,0)); ordered cumsum
-    // over the 24-row lag relation.
-    "q331_acf_ljung_box" ->
-      """WITH hourly AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1),
-        |idx AS (SELECT c,
-        |  CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i FROM hourly),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(c) AS BIGINT) AS s FROM idx),
-        |z AS (SELECT i, n, CAST(n * c - s AS HUGEINT) AS z FROM idx, tot),
-        |den AS (SELECT CAST(sum(z * z) AS HUGEINT) AS den,
-        |  max(n) AS n FROM z),
-        |num AS (
-        | SELECT k.k AS lag, CAST(sum(a.z * b.z) AS HUGEINT) AS num
-        | FROM z a
-        | JOIN (SELECT CAST(unnest(range(1, 25)) AS BIGINT) AS k) k ON true
-        | JOIN z b ON b.i = a.i + k.k
-        | GROUP BY 1),
-        |r AS (
-        | SELECT lag, n,
-        |  CASE WHEN den > 0 THEN
-        |   round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS acf
-        | FROM num, den)
-        |SELECT lag, acf,
-        | round(CAST(n AS DOUBLE) * (n + 2) * sum(acf * acf
-        |    / CAST(n - lag AS DOUBLE)) OVER (ORDER BY lag
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS lb_q
-        |FROM r""".stripMargin,
-
-    // quantile_cont ↔ percentile (q12's pairing); ties at the median drop.
-    "q332_runs_test" ->
-      """WITH hourly AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1),
-        |med AS (SELECT quantile_cont(c, 0.5) AS m FROM hourly),
-        |signed AS (
-        | SELECT h, CASE WHEN c > m THEN 1 ELSE 0 END AS sg
-        | FROM hourly, med WHERE c <> m),
-        |lg AS (SELECT sg, lag(sg) OVER (ORDER BY h) AS pr FROM signed),
-        |ag AS (
-        | SELECT CAST(sum(CASE WHEN pr IS NULL OR pr <> sg THEN 1 ELSE 0 END)
-        |   AS BIGINT) AS runs,
-        |  CAST(sum(sg) AS BIGINT) AS n1,
-        |  CAST(sum(1 - sg) AS BIGINT) AS n2
-        | FROM lg)
-        |SELECT n1 AS n_above, n2 AS n_below, runs,
-        | CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
-        |  round((CAST(runs AS DOUBLE)
-        |    - (2.0 * n1 * n2 / CAST(n1 + n2 AS DOUBLE) + 1.0))
-        |   / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2))
-        |    / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))), 4)
-        | END AS z
-        |FROM ag""".stripMargin,
-
-    // exact-integer S and tie correction; Var(S) = int/18; ±1 continuity.
-    "q333_mann_kendall" ->
-      """WITH daily AS (
-        | SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1),
-        |s AS (
-        | SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
-        |   WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
-        | FROM daily a JOIN daily b ON a.day < b.day),
-        |ties AS (
-        | SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
-        |   AS tt
-        | FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY c)
-        | WHERE t > 1),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
-        |v AS (SELECT s_stat, n,
-        |  CAST(n * (n - 1) * (2 * n + 5) - tt AS DOUBLE) / 18.0 AS var_s
-        | FROM s, ties, nn)
-        |SELECT n AS n_days, s_stat, round(var_s, 4) AS var_s,
-        | CASE WHEN var_s > 0 THEN round(
-        |  (CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
-        |        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
-        |        ELSE 0.0 END) / sqrt(var_s), 4) END AS z
-        |FROM v""".stripMargin,
-
-    // q325's doubled-midrank prefix device; AUC = (2R+ − n+(n+1))/(2n+n−).
-    "q334_roc_auc" ->
-      """WITH base AS (
-        | SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab,
-        |  CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |byc AS (
-        | SELECT c, CAST(count(*) AS BIGINT) AS t,
-        |  CAST(sum(lab) AS BIGINT) AS ta
-        | FROM base GROUP BY 1),
-        |pp AS (
-        | SELECT t, ta, coalesce(CAST(sum(t) OVER (ORDER BY c
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |   AS cum_before
-        | FROM byc),
-        |ag AS (
-        | SELECT CAST(sum(ta * (2 * cum_before + t + 1)) AS HUGEINT) AS r2,
-        |  CAST(sum(ta) AS BIGINT) AS np,
-        |  CAST(sum(t - ta) AS BIGINT) AS nn
-        | FROM pp)
-        |SELECT np AS n_pos, nn AS n_neg,
-        | CASE WHEN np > 0 AND nn > 0 THEN
-        |  round(CAST(r2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
-        |   / (2.0 * np * nn), 6) END AS auc
-        |FROM ag""".stripMargin,
-
-    "q295_qld_retrieval" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |d AS (
-        | SELECT doc_id, len(w) AS dl,
-        |  len(list_filter(w, x -> x = 'vector')) AS tf1,
-        |  len(list_filter(w, x -> x = 'join')) AS tf2,
-        |  len(list_filter(w, x -> x = 'scan')) AS tf3
-        | FROM t),
-        |c AS (SELECT sum(dl) AS ct, sum(tf1) AS cf1, sum(tf2) AS cf2,
-        |       sum(tf3) AS cf3 FROM d)
-        |SELECT doc_id, round(
-        |  ln((tf1 + 2000.0 * cf1 / ct) / (dl + 2000.0)) +
-        |  ln((tf2 + 2000.0 * cf2 / ct) / (dl + 2000.0)) +
-        |  ln((tf3 + 2000.0 * cf3 / ct) / (dl + 2000.0)), 6) AS qld
-        |FROM d, c
-        |ORDER BY qld DESC, doc_id LIMIT 10""".stripMargin,
-
-    // fold order: list_reduce over ORDER BY bin == Spark's aggregate()
-    // over array_sort — 0.0 + t1 is IEEE-exact, so the missing explicit
-    // init cannot diverge
-    "q296_brier_decomposition" ->
-      """WITH p AS (
-        | SELECT o_orderkey * 7919 % 100 AS pc,
-        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-        | FROM orders),
-        |b AS (
-        | SELECT pc // 10 AS bin, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(pc) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy
-        | FROM p GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-        |         CAST(sum(y) AS BIGINT) AS syy,
-        |         CAST(sum((pc - 100 * y) * (pc - 100 * y)) AS BIGINT) AS sq
-        |        FROM p),
-        |terms AS (
-        | SELECT b.bin,
-        |  (CAST(b.sp AS DOUBLE) / 100 - b.sy) *
-        |  (CAST(b.sp AS DOUBLE) / 100 - b.sy) / b.n AS relt,
-        |  (CAST(b.sy AS DOUBLE) / b.n - CAST(t.syy AS DOUBLE) / t.nn) *
-        |  (CAST(b.sy AS DOUBLE) / b.n - CAST(t.syy AS DOUBLE) / t.nn) *
-        |  b.n AS rest
-        | FROM b, tot t),
-        |f AS (
-        | SELECT list_reduce(list(relt ORDER BY bin), (a, x) -> a + x) AS rel,
-        |  list_reduce(list(rest ORDER BY bin), (a, x) -> a + x) AS res
-        | FROM terms)
-        |SELECT round(CAST(sq AS DOUBLE) / nn / 10000, 6) AS brier,
-        | round(rel / nn, 6) AS reliability,
-        | round(res / nn, 6) AS resolution,
-        | round((CAST(syy AS DOUBLE) / nn) * (1.0 - CAST(syy AS DOUBLE) / nn), 6)
-        |   AS uncertainty
-        |FROM f, tot""".stripMargin,
-
-    "q297_l_diversity" ->
-      """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS yr,
-        | CAST(count(*) AS BIGINT) AS n_rows,
-        | CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
-        | count(DISTINCT o_orderstatus) >= 2 AS diverse
-        |FROM orders GROUP BY 1, 2""".stripMargin,
-
-    "q298_top_paths" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, event_type,
-        |  CAST(floor(epoch(ts)) AS BIGINT) AS tss
-        | FROM events),
-        |s AS (
-        | SELECT *, CASE WHEN lag(tss) OVER w IS NULL
-        |   OR tss - lag(tss) OVER w > 1800 THEN 1 ELSE 0 END AS nw
-        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
-        |x AS (
-        | SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
-        |   ORDER BY tss, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
-        | FROM s),
-        |r AS (
-        | SELECT *, row_number() OVER (PARTITION BY user_id, sess
-        |   ORDER BY tss, event_id) AS rn
-        | FROM x),
-        |pth AS (
-        | SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
-        | FROM r WHERE rn <= 3 GROUP BY 1, 2)
-        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-        |FROM pth GROUP BY 1
-        |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
-
-    "q293_clustering_depth" ->
-      """WITH base AS (
-        | SELECT l_orderkey, CAST(epoch_us(l_shipdate) AS BIGINT) AS sd
-        | FROM lineitem),
-        |ext AS (SELECT min(sd) AS mn, max(sd) AS mx FROM base),
-        |fids AS (
-        | SELECT sd, l_orderkey // 1000 AS fid_nat,
-        |  (sd - mn) // (((mx - mn) // 15) + 1) AS fid_clu,
-        |  l_orderkey % 16 AS fid_rr
-        | FROM base, ext),
-        |ov AS (
-        | SELECT lay, fid, CAST(count(*) AS BIGINT) AS ovc FROM (
-        |  SELECT a.lay, a.fid
-        |  FROM (SELECT lay, fid, min(sd) AS fmin, max(sd) AS fmax FROM (
-        |         SELECT 'natural' AS lay, fid_nat AS fid, sd FROM fids
-        |         UNION ALL
-        |         SELECT 'clustered', fid_clu, sd FROM fids
-        |         UNION ALL
-        |         SELECT 'roundrobin', fid_rr, sd FROM fids)
-        |        GROUP BY 1, 2) a
-        |  JOIN (SELECT lay, fid, min(sd) AS fmin, max(sd) AS fmax FROM (
-        |         SELECT 'natural' AS lay, fid_nat AS fid, sd FROM fids
-        |         UNION ALL
-        |         SELECT 'clustered', fid_clu, sd FROM fids
-        |         UNION ALL
-        |         SELECT 'roundrobin', fid_rr, sd FROM fids)
-        |        GROUP BY 1, 2) b
-        |   ON a.lay = b.lay AND a.fmin <= b.fmax AND a.fmax >= b.fmin)
-        | GROUP BY 1, 2)
-        |SELECT lay AS layout, CAST(count(*) AS BIGINT) AS n_files,
-        | round(CAST(sum(ovc) AS DOUBLE) / count(*), 6) AS avg_overlap,
-        | CAST(max(ovc) AS BIGINT) AS max_overlap
-        |FROM ov GROUP BY 1""".stripMargin,
-
-    "q294_join_card_estimate" ->
-      """WITH ck AS (
-        | SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
-        | FROM lineitem GROUP BY 1),
-        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact FROM ck),
-        |g AS (
-        | SELECT 'global' AS method,
-        |  CAST(sum(c) * sum(c) // count(*) AS BIGINT) AS est
-        | FROM ck),
-        |h AS (
-        | SELECT 'hist16' AS method, CAST(sum(e) AS BIGINT) AS est FROM (
-        |  SELECT sum(c) * sum(c) // count(*) AS e
-        |  FROM ck GROUP BY l_partkey % 16))
-        |SELECT method, est, exact,
-        | round(CAST(est - exact AS DOUBLE) / exact, 6) AS rel_err
-        |FROM (SELECT * FROM g UNION ALL SELECT * FROM h), ex""".stripMargin,
-
-    "q280_tpch_q4" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
-        |FROM orders o
-        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-        | AND o_orderdate < TIMESTAMP '1997-01-01'
-        | AND EXISTS (SELECT 1 FROM lineitem l
-        |   WHERE l.l_orderkey = o.o_orderkey
-        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
-        |GROUP BY 1""".stripMargin,
-
-    // the oracle's single ordered window IS the semantics; the Spark side
-    // computes the same running max with the two-phase bucket device.
-    "q281_pareto_frontier" ->
-      """WITH p AS (
-        | SELECT p_partkey, p_name, p_retailprice,
-        |  CAST(p_size AS BIGINT) AS p_size
-        | FROM part),
-        |pp AS (
-        | SELECT p_retailprice, CAST(max(p_size) AS BIGINT) AS mx
-        | FROM p GROUP BY 1),
-        |cm AS (
-        | SELECT p_retailprice, mx,
-        |  max(mx) OVER (ORDER BY p_retailprice
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cmax
-        | FROM pp)
-        |SELECT p_partkey, p_name, p_retailprice, p_size
-        |FROM p JOIN cm USING (p_retailprice)
-        |WHERE (cmax IS NULL OR p_size > cmax) AND p_size = mx""".stripMargin,
-
-    // per-user replay of the dynamic merge rule: break when ts ≥ running
-    // max of previous (ts + gap); q238's convention with variable gaps.
-    "q277_dynamic_session" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, value,
-        |  CAST(epoch_us(ts) AS BIGINT) AS tsu,
-        |  CAST(epoch_us(ts) AS BIGINT) +
-        |   CASE WHEN event_type = 'purchase' THEN 3600000000
-        |        ELSE 1800000000 END AS endu
-        | FROM events),
-        |r AS (
-        | SELECT *, max(endu) OVER (PARTITION BY user_id
-        |   ORDER BY tsu, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
-        | FROM e),
-        |s AS (
-        | SELECT *, CASE WHEN run_end IS NULL OR tsu >= run_end
-        |   THEN 1 ELSE 0 END AS new_session
-        | FROM r),
-        |x AS (
-        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        | FROM s)
-        |SELECT user_id,
-        | CAST(min(tsu) // 1000000 AS BIGINT) AS session_start,
-        | CAST(count(*) AS BIGINT) AS n_events,
-        | round(sum(value), 4) AS session_value
-        |FROM x GROUP BY user_id, session_seq""".stripMargin,
-
-    // exact-percentile boundaries, bucket = bounded boundary-compare sum
-    // (the q104 device at 9 boundaries); identical interpolated doubles.
-    "q278_equiheight_hist" ->
-      """WITH b AS (
-        | SELECT min(l_extendedprice) AS b0,
-        |  quantile_cont(l_extendedprice, 0.1) AS b1,
-        |  quantile_cont(l_extendedprice, 0.2) AS b2,
-        |  quantile_cont(l_extendedprice, 0.3) AS b3,
-        |  quantile_cont(l_extendedprice, 0.4) AS b4,
-        |  quantile_cont(l_extendedprice, 0.5) AS b5,
-        |  quantile_cont(l_extendedprice, 0.6) AS b6,
-        |  quantile_cont(l_extendedprice, 0.7) AS b7,
-        |  quantile_cont(l_extendedprice, 0.8) AS b8,
-        |  quantile_cont(l_extendedprice, 0.9) AS b9,
-        |  max(l_extendedprice) AS b10
-        | FROM lineitem)
-        |SELECT CAST(1 + (CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b8 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN l_extendedprice > b9 THEN 1 ELSE 0 END)
-        |  AS BIGINT) AS bucket,
-        | CAST(count(*) AS BIGINT) AS n_rows,
-        | round(min(l_extendedprice), 4) AS lo_seen,
-        | round(max(l_extendedprice), 4) AS hi_seen
-        |FROM lineitem, b GROUP BY 1""".stripMargin,
-
-    // strata contributions in integer milli-cents (q93 round-to-int
-    // device) so the cross-strata fold is exact.
-    "q279_post_stratification" ->
-      """WITH o AS (
-        | SELECT o_orderkey, o_orderpriority,
-        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |  CASE WHEN CAST(CAST(concat('0x',
-        |    substr(md5('ps_' || o_orderkey), 1, 8)) AS BIGINT) AS DOUBLE)
-        |    / 4294967296.0 < 0.1 THEN 1 ELSE 0 END AS inn
-        | FROM orders),
-        |st AS (
-        | SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS nh,
-        |  CAST(sum(inn) AS BIGINT) AS nh_s,
-        |  CAST(sum(CASE WHEN inn = 1 THEN cents ELSE 0 END) AS BIGINT)
-        |    AS sh_s,
-        |  CAST(sum(cents) AS BIGINT) AS sh
-        | FROM o GROUP BY 1),
-        |t AS (
-        | SELECT nh, nh_s, sh_s, sh,
-        |  CASE WHEN nh_s > 0 THEN CAST(round(
-        |    CAST(nh * sh_s AS DOUBLE) / nh_s * 1000.0) AS BIGINT)
-        |   ELSE 0 END AS term
-        | FROM st)
-        |SELECT CAST(sum(nh) AS BIGINT) AS n_pop,
-        | CAST(sum(nh_s) AS BIGINT) AS n_sample,
-        | round(CAST(sum(sh_s) AS DOUBLE) / sum(nh_s) / 100, 4)
-        |   AS naive_mean,
-        | round(CAST(sum(term) AS DOUBLE) / 1000 / sum(nh) / 100, 4)
-        |   AS post_strat_mean,
-        | round(CAST(sum(sh) AS DOUBLE) / sum(nh) / 100, 4)
-        |   AS population_mean
-        |FROM t""".stripMargin,
-
-    // micro-unit quality means; the rank/window order compares identical
-    // exact-int-ratio doubles.
-    "q275_mixture_plan" ->
-      """WITH docs AS (
-        | SELECT source,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-        |  CAST(round(CASE WHEN length(text) > 0 THEN
-        |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-        |      AS DOUBLE) / length(text) ELSE 0.0 END * 1000000)
-        |   AS BIGINT) AS q
-        | FROM documents),
-        |src AS (
-        | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(toks) AS BIGINT) AS tokens,
-        |  CAST(sum(q) AS BIGINT) AS qsum
-        | FROM docs GROUP BY source),
-        |r AS (
-        | SELECT source, n_docs, tokens, qsum,
-        |  row_number() OVER (ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC,
-        |    source) AS quality_rank,
-        |  coalesce(CAST(sum(tokens) OVER (ORDER BY CAST(qsum AS DOUBLE) / n_docs DESC, source ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
-        | FROM src)
-        |SELECT source, CAST(quality_rank AS BIGINT) AS quality_rank,
-        | n_docs, tokens,
-        | round(CAST(qsum AS DOUBLE) / n_docs / 1000000, 6) AS mean_quality,
-        | CAST(greatest(0, least(tokens, 500000 - bef)) AS BIGINT)
-        |   AS take_tokens,
-        | round(CAST(greatest(0, least(tokens, 500000 - bef)) AS DOUBLE)
-        |   / tokens, 6) AS take_frac
-        |FROM r""".stripMargin,
-
-    // md5 keep-first, then the q220 chunk-keeper rule collapsed to
-    // doc-level survival; retention ratios divide exact longs.
-    "q276_dedup_funnel" ->
-      """WITH docs AS (
-        | SELECT doc_id, text,
-        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        | FROM documents),
-        |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t0 FROM docs),
-        |keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY md5(text)),
-        |ex AS (SELECT d.* FROM docs d JOIN keep USING (doc_id)),
-        |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM ex),
-        |chunks AS (
-        | SELECT doc_id, CAST(i.i AS BIGINT) AS idx,
-        |  array_to_string(t[16 * i.i + 1 : 16 * i.i + 16], ' ') AS chunk
-        | FROM toks2 CROSS JOIN LATERAL
-        |  (SELECT unnest(range(0, (len(t) + 15) // 16)) AS i) i),
-        |kept AS (
-        | SELECT chunk, min({'doc_id': doc_id, 'idx': idx}) AS keeper
-        | FROM chunks GROUP BY chunk),
-        |surv AS (
-        | SELECT DISTINCT c.doc_id
-        | FROM chunks c JOIN kept k USING (chunk)
-        | WHERE {'doc_id': c.doc_id, 'idx': c.idx} = k.keeper),
-        |stages AS (
-        | SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS name,
-        |  CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(toks) AS BIGINT) AS n_tokens FROM docs
-        | UNION ALL
-        | SELECT 2, 'exact_dedup', CAST(count(*) AS BIGINT),
-        |  CAST(sum(toks) AS BIGINT) FROM ex
-        | UNION ALL
-        | SELECT 3, 'chunk_dedup', CAST(count(*) AS BIGINT),
-        |  CAST(sum(toks) AS BIGINT) FROM ex JOIN surv USING (doc_id))
-        |SELECT stage, name, n_docs, n_tokens,
-        | round(CAST(n_tokens AS DOUBLE) / t0, 6) AS token_retention
-        |FROM stages, tot""".stripMargin,
-
-    // exact cent moments, HUGEINT covariance algebra (the q225 mirror of
-    // Spark's decimal(38,0)), ρ² as a product of two DOUBLE ratios.
-    "q274_cuped" ->
-      """WITH e AS (
-        | SELECT user_id,
-        |  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
-        |  CAST(round(value * 100) AS BIGINT) AS cents
-        | FROM events),
-        |mn AS (SELECT min(day) AS mn FROM e),
-        |u AS (
-        | SELECT user_id,
-        |  CAST(sum(CASE WHEN day < mn + 15 THEN cents ELSE 0 END)
-        |    AS BIGINT) AS pre,
-        |  CAST(sum(CASE WHEN day >= mn + 15 THEN cents ELSE 0 END)
-        |    AS BIGINT) AS post,
-        |  user_id % 2 AS arm
-        | FROM e, mn GROUP BY user_id),
-        |m AS (
-        | SELECT CAST(count(*) AS HUGEINT) AS n,
-        |  CAST(sum(pre) AS HUGEINT) AS sx, CAST(sum(post) AS HUGEINT) AS sy,
-        |  CAST(sum(CAST(pre AS HUGEINT) * pre) AS HUGEINT) AS sxx,
-        |  CAST(sum(CAST(pre AS HUGEINT) * post) AS HUGEINT) AS sxy,
-        |  CAST(sum(CAST(post AS HUGEINT) * post) AS HUGEINT) AS syy,
-        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-        |  CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS x0,
-        |  CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS y0,
-        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |  CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS x1,
-        |  CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS y1
-        | FROM u)
-        |SELECT n0, n1,
-        | round(CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0, 4)
-        |   AS uplift_raw_cents,
-        | round(CASE WHEN n * sxx - sx * sx > 0 THEN
-        |   CAST(n * sxy - sx * sy AS DOUBLE)
-        |   / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS theta,
-        | round(CASE WHEN n * sxx - sx * sx > 0 THEN
-        |  (CAST(y1 AS DOUBLE) / n1 - CAST(y0 AS DOUBLE) / n0)
-        |  - (CAST(n * sxy - sx * sy AS DOUBLE)
-        |     / CAST(n * sxx - sx * sx AS DOUBLE))
-        |    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) END, 4)
-        |   AS uplift_cuped_cents,
-        | round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-        |  THEN (CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE))
-        |  * (CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS var_reduction
-        |FROM m""".stripMargin,
-
-    // each event lands in both covering 2 h windows: starts at
-    // trunc(ts)−1h and trunc(ts) (hour-aligned slide).
-    "q273_stream_sliding_windows" ->
-      """WITH e AS (
-        | SELECT event_type, value,
-        |  CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h
-        | FROM events),
-        |x AS (
-        | SELECT event_type, value, h - o.o AS win_start
-        | FROM e CROSS JOIN (SELECT unnest([0, 3600]) AS o) o)
-        |SELECT win_start, event_type, count(*) AS cnt,
-        | round(sum(value), 4) AS sum_value
-        |FROM x GROUP BY 1, 2""".stripMargin,
-
-    // q105's Lloyd replay (c0 → a1 → c1), then per-point nearest/second
-    // distances by the same fold + (d², cid) order; per-point s in
-    // micro-units, per-cluster mean as one mirrored division.
-    "q272_silhouette" ->
-      """WITH e AS (
-        | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        | FROM embeddings),
-        |c0 AS (
-        | SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 8),
-        |a1 AS (
-        | SELECT vec_id, v, cell FROM (
-        |  SELECT e.vec_id, e.v, c.cid AS cell,
-        |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |     list_reduce(list_transform(list_zip(e.v, c.cv),
-        |       z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) ASC,
-        |     c.cid ASC) AS rn
-        |  FROM e CROSS JOIN c0 c) t WHERE rn = 1),
-        |c1 AS (
-        | SELECT cell AS cid, list(m ORDER BY i) AS cv FROM (
-        |  SELECT cell, d.i AS i, round(avg(v[d.i]), 6) AS m
-        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) d
-        |  GROUP BY cell, d.i) s
-        | GROUP BY cell),
-        |dd AS (
-        | SELECT e.vec_id, c.cid,
-        |  list_reduce(list_transform(list_zip(e.v, c.cv),
-        |    z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) AS d2
-        | FROM e CROSS JOIN c1 c),
-        |rk AS (
-        | SELECT vec_id, cid, d2,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-        | FROM dd),
-        |ab AS (
-        | SELECT vec_id,
-        |  max(CASE WHEN rn = 1 THEN cid END) AS cluster,
-        |  max(CASE WHEN rn = 1 THEN d2 END) AS a2,
-        |  max(CASE WHEN rn = 2 THEN d2 END) AS b2
-        | FROM rk WHERE rn <= 2 GROUP BY vec_id),
-        |mu AS (
-        | SELECT cluster,
-        |  CAST(round(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0 THEN
-        |    (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
-        |    ELSE 0.0 END * 1000000) AS BIGINT) AS m
-        | FROM ab)
-        |SELECT CAST(cluster AS BIGINT) AS cluster,
-        | CAST(count(*) AS BIGINT) AS n,
-        | round(CAST(sum(m) AS DOUBLE) / count(*) / 1000000, 6)
-        |   AS mean_silhouette
-        |FROM mu GROUP BY cluster""".stripMargin,
-
-    // counts exact, float chain mirrored op-for-op, rank on the ROUNDED z.
-    "q270_distinctive_terms" ->
-      """WITH w AS (
-        | SELECT source, w FROM (
-        |  SELECT source, unnest(string_split(text, ' ')) AS w
-        |  FROM documents) WHERE length(w) > 0),
-        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS ysw
-        |       FROM w GROUP BY 1, 2),
-        |tot AS (SELECT w, CAST(count(*) AS BIGINT) AS yw FROM w GROUP BY 1),
-        |ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsrc
-        |       FROM w GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM w),
-        |sc AS (
-        | SELECT source, w, ysw, nsrc, ntot,
-        |  1000.0 * yw / ntot AS aw,
-        |  yw - ysw AS yrw, ntot - nsrc AS nrest
-        | FROM sw JOIN tot USING (w) JOIN ns USING (source), n),
-        |z AS (
-        | SELECT source, w, ysw,
-        |  round((ln((ysw + aw) / (nsrc + 1000.0 - ysw - aw))
-        |       - ln((yrw + aw) / (nrest + 1000.0 - yrw - aw)))
-        |   / sqrt(1.0 / (ysw + aw) + 1.0 / (yrw + aw)), 4) AS z
-        | FROM sc)
-        |SELECT source, w, ysw, z, CAST(rk AS BIGINT) AS rk FROM (
-        | SELECT *, row_number() OVER (PARTITION BY source
-        |   ORDER BY z DESC, w) AS rk FROM z)
-        |WHERE rk <= 5""".stripMargin,
-
-    "q271_prefix_cache" ->
-      """WITH docs AS (SELECT string_split(text, ' ') AS t FROM documents),
-        |tot AS (SELECT CAST(sum(len(t)) AS BIGINT) AS ntok FROM docs),
-        |pref AS (
-        | SELECT CAST(k.k AS BIGINT) AS k,
-        |  array_to_string(t[1:k.k], ' ') AS prefix
-        | FROM docs CROSS JOIN (SELECT unnest([4, 8, 16]) AS k) k
-        | WHERE len(t) >= k.k),
-        |g AS (
-        | SELECT k, prefix, CAST(count(*) AS BIGINT) AS c
-        | FROM pref GROUP BY 1, 2)
-        |SELECT k, CAST(count(*) AS BIGINT) AS n_prefixes,
-        | CAST(sum(c) AS BIGINT) AS n_docs,
-        | CAST(sum((c - 1) * k) AS BIGINT) AS tokens_saved,
-        | round(CAST(sum((c - 1) * k) AS DOUBLE) / ntok, 6) AS saved_rate
-        |FROM g, tot GROUP BY k, ntok""".stripMargin,
-
-    // raster arithmetic replayed with ord(substr(...)); mean is an exact
-    // power-of-two division — no rounding needed for parity.
-    "q269_patch_grid" ->
-      """WITH m AS (SELECT doc_id AS media_id, text AS txt FROM documents),
-        |g AS (
-        | SELECT media_id, txt, (length(txt) // 16) // 4 AS ph FROM m),
-        |p AS (
-        | SELECT media_id, txt, i.i AS p
-        | FROM g CROSS JOIN LATERAL
-        |  (SELECT unnest(range(0, ph * 4)) AS i) i
-        | WHERE ph > 0),
-        |s AS (
-        | SELECT media_id, p // 4 AS patch_row, p % 4 AS patch_col,
-        |  CAST(list_sum(list_transform(range(0, 16), k ->
-        |    ord(substr(txt,
-        |      CAST(((p // 4) * 4 + k // 4) * 16 + (p % 4) * 4 + k % 4 + 1
-        |        AS INT), 1)))) AS BIGINT) AS sum_intensity
-        | FROM p)
-        |SELECT media_id, CAST(patch_row AS BIGINT) AS patch_row,
-        | CAST(patch_col AS BIGINT) AS patch_col, sum_intensity,
-        | CAST(sum_intensity AS DOUBLE) / 16 AS mean_intensity
-        |FROM s""".stripMargin,
-
-    "q265_debounce" ->
-      """WITH e AS (
-        | SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
-        | FROM events),
-        |l AS (
-        | SELECT user_id, event_id, tsu,
-        |  lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
-        |    AS prev
-        | FROM e)
-        |SELECT user_id, event_id, tsu FROM l
-        |WHERE prev IS NULL OR tsu - prev > 3600000000""".stripMargin,
-
-    "q266_gap_percentiles" ->
-      """WITH e AS (
-        | SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS tsu
-        | FROM events),
-        |g AS (
-        | SELECT event_type,
-        |  tsu - lag(tsu) OVER (PARTITION BY event_type
-        |    ORDER BY tsu, event_id) AS gap_us
-        | FROM e)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-        | round(quantile_cont(gap_us, 0.5), 4) AS p50_us,
-        | round(quantile_cont(gap_us, 0.95), 4) AS p95_us,
-        | round(quantile_cont(gap_us, 0.99), 4) AS p99_us
-        |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY event_type""".stripMargin,
-
-    // the z statistic is ONE mirrored float expression over exact
-    // counts, NULL for the degenerate p ∈ {0, 1} pools.
-    "q267_ab_proportions" ->
-      """WITH u AS (
-        | SELECT user_id,
-        |  CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
-        |    ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
-        | FROM events GROUP BY user_id),
-        |a AS (
-        | SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(conv) AS BIGINT) AS x
-        | FROM u GROUP BY 1),
-        |w AS (
-        | SELECT CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
-        |  CAST(sum(CASE WHEN arm = 0 THEN x END) AS BIGINT) AS x0,
-        |  CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
-        |  CAST(sum(CASE WHEN arm = 1 THEN x END) AS BIGINT) AS x1
-        | FROM a)
-        |SELECT n0, x0, n1, x1,
-        | round(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0, 6)
-        |   AS uplift,
-        | round(CASE WHEN x0 + x1 > 0 AND x0 + x1 < n0 + n1 THEN
-        |  (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
-        |  / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
-        |     * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
-        |     * (1.0 / n0 + 1.0 / n1)) END, 4) AS z
-        |FROM w""".stripMargin,
-
-    // integer SSE-reduction algebra; the one division is mirrored and
-    // the argmax ordering compares identical doubles.
-    "q268_changepoint" ->
-      """WITH daily AS (
-        | SELECT event_type,
-        |  CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1, 2),
-        |pre AS (
-        | SELECT event_type, day,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
-        |  CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1,
-        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-        |  CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS s
-        | FROM daily),
-        |sc AS (
-        | SELECT event_type, day, i, n,
-        |  (s1 * n - i * s) * (s1 * n - i * s) AS num,
-        |  i * (n - i) AS den
-        | FROM pre WHERE i < n),
-        |rk AS (
-        | SELECT event_type, day, i, n, num, den,
-        |  row_number() OVER (PARTITION BY event_type
-        |    ORDER BY CAST(num AS DOUBLE) / den DESC, day) AS rk
-        | FROM sc)
-        |SELECT event_type, day AS split_day,
-        | CAST(i AS BIGINT) AS n_days_before,
-        | round(CAST(num AS DOUBLE) / den / (n * n), 4) AS sse_reduction
-        |FROM rk WHERE rk = 1""".stripMargin,
-
-    // Parallel unnests zip positionally (the q118 idiom); adjacency is
-    // b.pos = a.pos + 1 on 0-based positions.
-    "q347_phrase_search" ->
-      """WITH t AS (
-        | SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-        |p AS (
-        | SELECT doc_id, unnest(toks) AS w,
-        |  unnest(range(0, len(toks))) AS pos
-        | FROM t)
-        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |WHERE a.w = 'table' AND b.w = 'hash'
-        |GROUP BY 1""".stripMargin,
-
-    // Integer sufficient statistics (whole dollars / whole quantities) so
-    // every sum is exact; the double expansion mirrors the Spark op
-    // order term-for-term.
-    "q348_cv_ols" ->
-      """WITH b AS (
-        | SELECT CAST((l_orderkey + l_linenumber) % 5 AS BIGINT) AS fold,
-        |  CAST(round(l_quantity) AS BIGINT) AS x,
-        |  CAST(round(l_extendedprice) AS BIGINT) AS y
-        | FROM lineitem),
-        |per AS (
-        | SELECT fold, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |  CAST(sum(x * x) AS BIGINT) AS sxx,
-        |  CAST(sum(x * y) AS BIGINT) AS sxy,
-        |  CAST(sum(y * y) AS BIGINT) AS syy
-        | FROM b GROUP BY 1),
-        |tot AS (
-        | SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
-        |  CAST(sum(sy) AS BIGINT) AS tsy, CAST(sum(sxx) AS BIGINT) AS tsxx,
-        |  CAST(sum(sxy) AS BIGINT) AS tsxy
-        | FROM per),
-        |oof AS (
-        | SELECT fold, n, sx, sy, sxx, sxy, syy,
-        |  CAST(tn - n AS DOUBLE) AS rn, CAST(tsx - sx AS DOUBLE) AS rsx,
-        |  CAST(tsy - sy AS DOUBLE) AS rsy,
-        |  CAST(tsxx - sxx AS DOUBLE) AS rsxx,
-        |  CAST(tsxy - sxy AS DOUBLE) AS rsxy
-        | FROM per, tot),
-        |fit AS (
-        | SELECT fold, n, sx, sy, sxx, sxy, syy, rn, rsx, rsy,
-        |  (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS b2
-        | FROM oof),
-        |fit2 AS (SELECT *, (rsy - b2 * rsx) / rn AS a2 FROM fit)
-        |SELECT fold, n, round(b2, 6) AS slope, round(a2, 4) AS intercept,
-        | round(sqrt((CAST(syy AS DOUBLE) - 2.0 * a2 * sy - 2.0 * b2 * sxy
-        |   + n * a2 * a2 + 2.0 * a2 * b2 * sx
-        |   + b2 * b2 * CAST(sxx AS DOUBLE)) / n), 4) AS rmse
-        |FROM fit2""".stripMargin,
-
-    // Same minimax identity over the same bin relation; pooled rates are
-    // integer quotients, outputs integer 1e-6 units (q93 device).
-    "q349_isotonic_calibration" ->
-      """WITH b AS (
-        | SELECT CAST(round(value * 100) AS BIGINT) // 1000 AS bin,
-        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-        | FROM events),
-        |bins AS (
-        | SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(pos) AS BIGINT) AS p
-        | FROM b GROUP BY 1),
-        |pre AS (
-        | SELECT bin, n, p,
-        |  CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
-        |  CAST(sum(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
-        | FROM bins),
-        |pairs AS (
-        | SELECT a.bin AS j, c.bin AS k,
-        |  CAST(c.cp - (a.cp - a.p) AS DOUBLE) / (c.cn - (a.cn - a.n))
-        |   AS avgr
-        | FROM pre a JOIN pre c ON a.bin <= c.bin),
-        |m AS (
-        | SELECT p2.j, i.bin AS i, min(avgr) AS m
-        | FROM pairs p2 JOIN bins i ON p2.j <= i.bin AND p2.k >= i.bin
-        | GROUP BY 1, 2),
-        |fit AS (SELECT i, max(m) AS fit FROM m GROUP BY 1)
-        |SELECT b2.bin, b2.n, b2.p,
-        | CAST(round(CAST(b2.p AS DOUBLE) / b2.n * 1000000.0) AS BIGINT)
-        |  AS raw_e6,
-        | CAST(round(fit * 1000000.0) AS BIGINT) AS iso_e6
-        |FROM bins b2 JOIN fit ON b2.bin = fit.i""".stripMargin,
-
-    // Same synthesized URL; host/domain/param via the identical regexes
-    // (simple enough to agree between RE2 and Java regex).
-    "q350_url_parse" ->
-      """WITH u AS (
-        | SELECT doc_id, lang,
-        |  'https://www.' || source || '.example.com/' || lang || '/doc-'
-        |   || doc_id || '?ref=' || CAST(doc_id % 7 AS VARCHAR) AS url
-        | FROM documents),
-        |e AS (
-        | SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, lang,
-        |  CAST(doc_id % 7 AS BIGINT) AS ref
-        | FROM u),
-        |e2 AS (
-        | SELECT host, regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
-        |  lang, ref
-        | FROM e)
-        |SELECT host, domain, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        | round(avg(ref), 4) AS avg_ref
-        |FROM e2 GROUP BY 1, 2""".stripMargin,
-
-    // replace() for the literal injections (DuckDB replace is global);
-    // the tag-strip regex needs the explicit 'g' flag.
-    "q351_html_strip" ->
-      """WITH h AS (
-        | SELECT doc_id, source,
-        |  '<html><body data-src="' || source || '"><h1>Doc ' || doc_id
-        |   || '</h1><p>'
-        |   || replace(replace(text, 'table', '<b>table</b>'),
-        |        'fast', '&amp;fast')
-        |   || '</p></body></html>' AS html
-        | FROM documents),
-        |st AS (
-        | SELECT doc_id, source, html,
-        |  replace(regexp_replace(html, '<[^>]+>', '', 'g'), '&amp;', '&')
-        |   AS clean
-        | FROM h)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        | CAST(sum(length(html) - length(replace(html, '<', ''))) AS BIGINT)
-        |  AS n_tags,
-        | round(avg(length(clean)), 4) AS avg_clean_len
-        |FROM st GROUP BY 1""".stripMargin,
-
-    // open/close via first/last row_number over the (tsu, event_id)
-    // total order — this DuckDB build's arg_min has no compound-key
-    // overload; prices exact cents, VWAP a ratio of exact integer sums.
-    "q352_vwap_bars" ->
-      """WITH b AS (
-        | SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
-        |  CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
-        |  CAST(round(value * 100) AS BIGINT) AS cents,
-        |  CAST(user_id % 10 + 1 AS BIGINT) AS qty
-        | FROM events),
-        |r AS (
-        | SELECT hour, cents, qty,
-        |  row_number() OVER (PARTITION BY hour ORDER BY tsu, event_id)
-        |   AS ra,
-        |  row_number() OVER (PARTITION BY hour
-        |   ORDER BY tsu DESC, event_id DESC) AS rd
-        | FROM b)
-        |SELECT hour,
-        | CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_c,
-        | CAST(max(cents) AS BIGINT) AS high_c,
-        | CAST(min(cents) AS BIGINT) AS low_c,
-        | CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_c,
-        | CAST(sum(qty) AS BIGINT) AS volume,
-        | CAST(round(CAST(sum(cents * qty) AS DOUBLE)
-        |  / CAST(sum(qty) AS BIGINT) * 10000.0) AS BIGINT) AS vwap_e6
-        |FROM r GROUP BY 1""".stripMargin,
-
-    // sum(CASE ... THEN 1 END) (not count FILTER) so an absent side is
-    // NULL, matching Spark's sum(when(...)) key-presence semantics.
-    "q353_merge_audit" ->
-      """WITH per AS (
-        | SELECT l_partkey, l_suppkey,
-        |  sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01'
-        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS t_c,
-        |  sum(CASE WHEN l_shipdate < TIMESTAMP '1997-06-01' THEN 1 END) AS t_n,
-        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01'
-        |      THEN CAST(round(l_extendedprice * 100) AS BIGINT) END) AS s_c,
-        |  sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-01' THEN 1 END) AS s_n
-        | FROM lineitem GROUP BY 1, 2)
-        |SELECT CASE WHEN t_n IS NOT NULL AND s_n IS NOT NULL THEN 'update'
-        |        WHEN t_n IS NULL THEN 'insert' ELSE 'retain' END AS action,
-        | CAST(count(*) AS BIGINT) AS n_keys,
-        | CAST(coalesce(sum(t_n), 0) AS BIGINT) AS n_target_rows,
-        | CAST(coalesce(sum(s_n), 0) AS BIGINT) AS n_source_rows,
-        | round(CAST(sum(coalesce(t_c, 0) + coalesce(s_c, 0)) AS DOUBLE)
-        |  / 100, 2) AS merged_revenue
-        |FROM per GROUP BY 1""".stripMargin,
-
-    // Empty pivot cells are NULL on both sides: Spark's pivot emits NULL
-    // for a missing (group, band) cell even under count, so the oracle
-    // uses sum(CASE WHEN ... THEN 1 END), not count(*) FILTER (= 0).
-    // Band arithmetic replays Spark's pmod floor-division exactly.
-    "q354_pivot_multi" ->
-      """WITH b AS (
-        | SELECT event_type,
-        |  (((epoch_us(ts) // 3600000000) % 24 + 24) % 24) // 6 AS band,
-        |  CAST(round(value * 100) AS BIGINT) AS cents
-        | FROM events)
-        |SELECT event_type,
-        | CAST(sum(CASE WHEN band = 0 THEN 1 END) AS BIGINT) AS "0_cnt",
-        | round(CAST(sum(CASE WHEN band = 0 THEN cents END) AS DOUBLE) / 100,
-        |  2) AS "0_val",
-        | CAST(sum(CASE WHEN band = 1 THEN 1 END) AS BIGINT) AS "1_cnt",
-        | round(CAST(sum(CASE WHEN band = 1 THEN cents END) AS DOUBLE) / 100,
-        |  2) AS "1_val",
-        | CAST(sum(CASE WHEN band = 2 THEN 1 END) AS BIGINT) AS "2_cnt",
-        | round(CAST(sum(CASE WHEN band = 2 THEN cents END) AS DOUBLE) / 100,
-        |  2) AS "2_val",
-        | CAST(sum(CASE WHEN band = 3 THEN 1 END) AS BIGINT) AS "3_cnt",
-        | round(CAST(sum(CASE WHEN band = 3 THEN cents END) AS DOUBLE) / 100,
-        |  2) AS "3_val"
-        |FROM b GROUP BY 1""".stripMargin,
-
-    // The q44 chain (MinHash sig → bands → est-jaccard prefilter → exact
-    // verify) and the q70 exact chain at the same threshold, labelled
-    // through ONE recursive CTE keyed by side, then graded pair-level on
-    // cluster co-membership.
-    "q355_dedup_scorecard" ->
-      """WITH RECURSIVE toks AS (
-        | SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        | SELECT doc_id, list_transform(range(1, greatest(len(t) - 1, 1) + 1),
-        |   i -> array_to_string(t[i : i + 1], ' ')) AS s
-        | FROM toks),
-        |base AS (
-        | SELECT doc_id, list_transform(s,
-        |   x -> (md5_number_lower(x) % 2305843009213693951::UBIGINT)::HUGEINT) AS bs
-        | FROM sh),
-        |sig AS (
-        | SELECT doc_id, list_transform(range(16), j ->
-        |   list_min(list_transform(bs, x ->
-        |     ((((md5_number_lower('minhash_a_' || j) % 2305843009213693950::UBIGINT)::HUGEINT + 1) * x
-        |       + (md5_number_lower('minhash_b_' || j) % 2305843009213693951::UBIGINT)::HUGEINT)
-        |      % 2305843009213693951::HUGEINT)::BIGINT))) AS sig
-        | FROM base),
-        |banded AS (
-        | SELECT doc_id, r.b AS band, sig[2 * r.b + 1 : 2 * r.b + 2] AS band_key, sig
-        | FROM sig, range(8) r(b)),
-        |cand AS (
-        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        | FROM banded a JOIN banded b
-        |   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        | WHERE list_sum(list_transform(range(16), i ->
-        |    CASE WHEN a.sig[i + 1] = b.sig[i + 1] THEN 1 ELSE 0 END)) / 16.0 >= 0.15),
-        |shd AS (
-        | SELECT doc_id, list_distinct(s) AS sd FROM sh),
-        |predp AS (
-        | SELECT c.id_a AS ia, c.id_b AS ib
-        | FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
-        | WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
-        |   / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.3),
-        |truep AS (
-        | SELECT a.doc_id AS ia, b.doc_id AS ib
-        | FROM shd a JOIN shd b ON a.doc_id < b.doc_id
-        | WHERE CAST(len(list_intersect(a.sd, b.sd)) AS DOUBLE)
-        |   / (len(a.sd) + len(b.sd) - len(list_intersect(a.sd, b.sd))) >= 0.3),
-        |e AS (SELECT 'p' AS side, ia AS a, ib AS b FROM predp
-        |      UNION ALL SELECT 'p', ib, ia FROM predp
-        |      UNION ALL SELECT 't', ia, ib FROM truep
-        |      UNION ALL SELECT 't', ib, ia FROM truep),
-        |cc(side, node, label) AS (
-        | SELECT s.side, d.doc_id, d.doc_id
-        | FROM documents d CROSS JOIN (VALUES ('p'), ('t')) s(side)
-        | UNION
-        | SELECT e.side, e.a, cc.label FROM e
-        | JOIN cc ON cc.side = e.side AND cc.node = e.b
-        | WHERE cc.label < e.a),
-        |lab AS (SELECT side, node, min(label) AS l FROM cc GROUP BY side, node),
-        |cp AS (SELECT a.node AS ia, b.node AS ib FROM lab a JOIN lab b
-        |        ON a.side = 'p' AND b.side = 'p' AND a.l = b.l AND a.node < b.node),
-        |ct AS (SELECT a.node AS ia, b.node AS ib FROM lab a JOIN lab b
-        |        ON a.side = 't' AND b.side = 't' AND a.l = b.l AND a.node < b.node),
-        |m AS (
-        | SELECT
-        |  CAST(coalesce(sum(CASE WHEN cp.ia IS NOT NULL AND ct.ia IS NOT NULL
-        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
-        |  CAST(coalesce(sum(CASE WHEN cp.ia IS NOT NULL AND ct.ia IS NULL
-        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
-        |  CAST(coalesce(sum(CASE WHEN cp.ia IS NULL AND ct.ia IS NOT NULL
-        |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn
-        | FROM cp FULL OUTER JOIN ct ON cp.ia = ct.ia AND cp.ib = ct.ib),
-        |pc AS (SELECT CAST(count(*) AS BIGINT) AS pred_clusters FROM
-        |  (SELECT l FROM lab WHERE side = 'p' GROUP BY l HAVING count(*) >= 2)),
-        |tc AS (SELECT CAST(count(*) AS BIGINT) AS truth_clusters FROM
-        |  (SELECT l FROM lab WHERE side = 't' GROUP BY l HAVING count(*) >= 2))
-        |SELECT tp, fp, fn,
-        | CASE WHEN tp + fp > 0
-        |  THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS prec,
-        | CASE WHEN tp + fn > 0
-        |  THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS rec,
-        | CASE WHEN tp * 2 + fp + fn > 0
-        |  THEN round(CAST(tp * 2 AS DOUBLE) / (tp * 2 + fp + fn), 6) END AS f1,
-        | pred_clusters, truth_clusters
-        |FROM m, pc, tc""".stripMargin,
-
-    // Exact doubled average ranks (q334's device); the Σ R²/n fold runs
-    // over the list ORDERed by group so both engines add in the same
-    // sequence.
-    "q356_kruskal_wallis" ->
-      """WITH b AS (
-        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |byc AS (SELECT c, CAST(count(*) AS BIGINT) AS t FROM b GROUP BY 1),
-        |pp AS (
-        | SELECT c, t, coalesce(CAST(sum(t) OVER (ORDER BY c
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
-        |   AS cum_before
-        | FROM byc),
-        |per AS (
-        | SELECT event_type, CAST(sum(g) AS BIGINT) AS ng,
-        |  sum(CAST(g AS HUGEINT) * (2 * cum_before + t + 1)) AS r2
-        | FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS g
-        |       FROM b GROUP BY 1, 2) byct
-        | JOIN pp USING (c) GROUP BY 1),
-        |ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS t3 FROM byc),
-        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
-        |        CAST(count(*) AS BIGINT) AS k FROM per),
-        |f AS (SELECT list_reduce(list_transform(
-        |   list(struct_pack(ng := ng, r2d := CAST(r2 AS DOUBLE))
-        |     ORDER BY event_type),
-        |   x -> (x.r2d / 2) * (x.r2d / 2) / CAST(x.ng AS DOUBLE)),
-        |   (a, b) -> a + b) AS srn
-        | FROM per)
-        |SELECT nn AS n, k,
-        | round(((12.0 / (CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE))) * srn
-        |   - 3.0 * CAST(nn + 1 AS DOUBLE))
-        |  / (1.0 - CAST(t3 AS DOUBLE)
-        |   / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
-        |    - CAST(nn AS DOUBLE))), 6) AS h
-        |FROM f, tot, ties""".stripMargin,
-
-    // 2·|c − median| keeps the deviations integral (medians are
-    // half-integral); only Σ S²/n is float, folded in group order.
-    "q357_levene_bf" ->
-      """WITH b AS (
-        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |med AS (SELECT event_type,
-        |  CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS m2
-        | FROM b GROUP BY 1),
-        |z AS (SELECT b.event_type, abs(b.c * 2 - med.m2) AS z
-        |      FROM b JOIN med USING (event_type)),
-        |per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ng,
-        |  CAST(sum(z) AS BIGINT) AS sg, sum(CAST(z AS HUGEINT) * z) AS qg
-        | FROM z GROUP BY 1),
-        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
-        |  CAST(count(*) AS BIGINT) AS k, sum(CAST(sg AS HUGEINT)) AS st,
-        |  sum(qg) AS qt FROM per),
-        |f AS (SELECT list_reduce(list_transform(
-        |   list(struct_pack(ng := ng, sgd := CAST(sg AS DOUBLE))
-        |     ORDER BY event_type),
-        |   x -> x.sgd * x.sgd / CAST(x.ng AS DOUBLE)),
-        |   (a, b) -> a + b) AS srn
-        | FROM per)
-        |SELECT nn AS n, k,
-        | round(((srn - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
-        |     / CAST(nn AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
-        |  / ((CAST(qt AS DOUBLE) - srn) / CAST(nn - k AS DOUBLE)), 6) AS w
-        |FROM f, tot""".stripMargin,
-
-    // HUGEINT power sums (cents⁴ overflows int64 per row) mirror the
-    // Spark DECIMAL(38,0) sums bit-exactly through the double cast.
-    "q358_jarque_bera" ->
-      """WITH per AS (
-        | SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(c) AS BIGINT) AS s1,
-        |  sum(CAST(c AS HUGEINT) * c) AS s2,
-        |  sum(CAST(c AS HUGEINT) * c * c) AS s3,
-        |  sum(CAST(c AS HUGEINT) * c * c * c) AS s4
-        | FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-        |       FROM events) GROUP BY 1),
-        |mm AS (
-        | SELECT event_type, n,
-        |  CAST(s2 AS DOUBLE) / nd - mean * mean AS m2,
-        |  CAST(s3 AS DOUBLE) / nd - 3.0 * mean * (CAST(s2 AS DOUBLE) / nd)
-        |   + 2.0 * mean * mean * mean AS m3,
-        |  CAST(s4 AS DOUBLE) / nd - 4.0 * mean * (CAST(s3 AS DOUBLE) / nd)
-        |   + 6.0 * mean * mean * (CAST(s2 AS DOUBLE) / nd)
-        |   - 3.0 * mean * mean * mean * mean AS m4,
-        |  nd
-        | FROM (SELECT *, CAST(n AS DOUBLE) AS nd,
-        |        CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM per)),
-        |sk AS (
-        | SELECT event_type, n, nd, m3 / (sqrt(m2) * m2) AS skew,
-        |  m4 / (m2 * m2) - 3.0 AS kurt
-        | FROM mm)
-        |SELECT event_type, n, round(skew, 6) AS skew,
-        | round(kurt, 6) AS kurt_excess,
-        | round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 4) AS jb
-        |FROM sk""".stripMargin,
-
-    // Deviations ride the n-scaled integer |c·n − S|; the argmax
-    // tie-break (dev DESC, event_id ASC) replays via row_number.
-    "q359_grubbs" ->
-      """WITH b AS (
-        | SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(c) AS BIGINT) AS sc, sum(CAST(c AS HUGEINT) * c) AS qc
-        | FROM b GROUP BY 1),
-        |j AS (SELECT b.event_type, b.event_id, st.n, st.sc, st.qc,
-        |  abs(b.c * st.n - st.sc) AS dev,
-        |  row_number() OVER (PARTITION BY b.event_type
-        |   ORDER BY abs(b.c * st.n - st.sc) DESC, b.event_id ASC) AS rn
-        | FROM b JOIN st USING (event_type))
-        |SELECT event_type, n,
-        | round((CAST(dev AS DOUBLE) / CAST(n AS DOUBLE))
-        |  / sqrt((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
-        |    / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)), 6) AS g,
-        | event_id AS outlier_event_id
-        |FROM j WHERE rn = 1""".stripMargin,
-
-    "q360_max_drawdown" ->
-      """WITH b AS (
-        | SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
-        |  CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |dd AS (
-        | SELECT event_type,
-        |  max(c) OVER (PARTITION BY event_type ORDER BY tsu, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS dd
-        | FROM b)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        | round(CAST(max(dd) AS DOUBLE) / 100, 2) AS max_drawdown
-        |FROM dd GROUP BY 1""".stripMargin,
-
-    // 2·r̄ = 2(rank−1) + ties + 1 keeps within-block average ranks
-    // integral; only complete blocks rank.
-    "q361_friedman" ->
-      """WITH cell AS (
-        | SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv
-        | FROM events GROUP BY 1, 2),
-        |kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
-        |       FROM cell),
-        |complete AS (
-        | SELECT c.*, kk.k FROM cell c, kk
-        | WHERE (SELECT count(*) FROM cell c2 WHERE c2.day = c.day) = kk.k),
-        |ranked AS (
-        | SELECT event_type, k,
-        |  2 * (rank() OVER (PARTITION BY day ORDER BY sv) - 1)
-        |   + count(*) OVER (PARTITION BY day, sv) + 1 AS r2
-        | FROM complete),
-        |per AS (SELECT event_type, CAST(sum(r2) AS BIGINT) AS rr2,
-        |  CAST(count(*) AS BIGINT) AS nb, max(k) AS k
-        | FROM ranked GROUP BY 1),
-        |tot AS (SELECT max(nb) AS n_blocks, max(k) AS k FROM per),
-        |f AS (SELECT list_reduce(list_transform(
-        |   list(CAST(rr2 AS DOUBLE) ORDER BY event_type),
-        |   x -> (x / 2) * (x / 2)), (a, b) -> a + b) AS sr2
-        | FROM per)
-        |SELECT n_blocks, k,
-        | round(12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
-        |    * CAST(k + 1 AS DOUBLE)) * sr2
-        |  - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6)
-        |  AS chi2
-        |FROM f, tot""".stripMargin,
-
-    // Tie-canonical AP: distinct-score blocks descending; the one float
-    // fold runs in the same sc-DESC order on both engines (list_reduce
-    // left fold == Spark aggregate with 0D init, since 0 + x = x exactly).
-    // sc replays Spark's pmod device so the floor is sign-safe.
-    "q362_average_precision" ->
-      """WITH base AS (
-        | SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab,
-        |  (CAST(round(value * 100) AS BIGINT)
-        |   - ((CAST(round(value * 100) AS BIGINT) % 100) + 100) % 100)
-        |   // 100 AS sc
-        | FROM events),
-        |byc AS (SELECT sc, CAST(count(*) AS BIGINT) AS t,
-        |  CAST(sum(lab) AS BIGINT) AS ta FROM base GROUP BY 1),
-        |cum AS (
-        | SELECT sc, ta,
-        |  CAST(sum(t) OVER (ORDER BY sc DESC) AS BIGINT) AS ct,
-        |  CAST(sum(ta) OVER (ORDER BY sc DESC) AS BIGINT) AS cta
-        | FROM byc),
-        |tot AS (SELECT CAST(sum(ta) AS BIGINT) AS n_pos,
-        |  CAST(count(*) AS BIGINT) AS n_scores FROM byc),
-        |f AS (SELECT list_reduce(
-        |   list(CAST(ta AS DOUBLE)
-        |     * (CAST(cta AS DOUBLE) / CAST(ct AS DOUBLE))
-        |    ORDER BY sc DESC),
-        |   (a, b) -> a + b) AS ap_sum
-        | FROM cum)
-        |SELECT n_pos, n_scores,
-        | CASE WHEN n_pos > 0
-        |  THEN round(ap_sum / CAST(n_pos AS DOUBLE), 6) END AS ap
-        |FROM f, tot""".stripMargin,
-
-    // Close price via rd=1 row_number (q352's device ≡ Spark's
-    // max_by(c, (tsu, event_id))); TR/ATR sums stay in exact cents,
-    // so max/arg_max over s14 are order-free.
-    "q363_atr" ->
-      """WITH b AS (
-        | SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-        |  CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
-        |  CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |r AS (SELECT event_type, hour, c,
-        |  row_number() OVER (PARTITION BY event_type, hour
-        |   ORDER BY tsu DESC, event_id DESC) AS rd
-        | FROM b),
-        |bars AS (
-        | SELECT event_type, hour, max(c) AS hi, min(c) AS lo,
-        |  max(CASE WHEN rd = 1 THEN c END) AS cl
-        | FROM r GROUP BY 1, 2),
-        |lagged AS (
-        | SELECT event_type, hour, hi, lo,
-        |  lag(cl) OVER (PARTITION BY event_type ORDER BY hour) AS pc
-        | FROM bars),
-        |tr AS (
-        | SELECT event_type, hour,
-        |  greatest(hi - lo, abs(hi - pc), abs(lo - pc)) AS tr
-        | FROM lagged WHERE pc IS NOT NULL),
-        |w AS (
-        | SELECT event_type, hour,
-        |  CAST(sum(tr) OVER win AS BIGINT) AS s14,
-        |  count(*) OVER win AS k14
-        | FROM tr
-        | WINDOW win AS (PARTITION BY event_type ORDER BY hour
-        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_full,
-        | round(CAST(max(s14) AS DOUBLE) / 1400, 4) AS max_atr,
-        | round(CAST(arg_max(s14, hour) AS DOUBLE) / 1400, 4) AS last_atr
-        |FROM w WHERE k14 = 14 GROUP BY 1""".stripMargin,
-
-    // Integer threshold forms (3G ≥ 7L / 3L ≥ 7G) keep the bucket
-    // counts float-free; only max_rsi divides, as an exact-long ratio.
-    "q364_rsi" ->
-      """WITH b AS (
-        | SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS tsu, event_id,
-        |  CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |d AS (
-        | SELECT event_type, tsu, event_id,
-        |  c - lag(c) OVER (PARTITION BY event_type
-        |   ORDER BY tsu, event_id) AS df
-        | FROM b),
-        |w AS (
-        | SELECT event_type,
-        |  sum(greatest(df, 0)) OVER win AS g,
-        |  sum(greatest(-df, 0)) OVER win AS l,
-        |  count(*) OVER win AS k14
-        | FROM d WHERE df IS NOT NULL
-        | WINDOW win AS (PARTITION BY event_type ORDER BY tsu, event_id
-        |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_windows,
-        | CAST(sum(CASE WHEN g + l > 0 AND g * 3 >= l * 7
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS overbought,
-        | CAST(sum(CASE WHEN g + l > 0 AND l * 3 >= g * 7
-        |   THEN 1 ELSE 0 END) AS BIGINT) AS oversold,
-        | round(max(CASE WHEN g + l > 0 THEN 100.0 * CAST(g AS DOUBLE)
-        |   / CAST(g + l AS DOUBLE) END), 4) AS max_rsi
-        |FROM w WHERE k14 = 14 GROUP BY 1""".stripMargin,
-
-    // The oracle replays the theta join DIRECTLY (no grid): each
-    // (user, day) × (type, day) interval pair overlapping in time —
-    // the grid-cell device on the Spark side provably finds exactly
-    // these pairs (overlap at t ⇒ both cover cell ⌊t/W⌋; cell
-    // agreement is then verified by the exact predicate).
-    "q365_interval_overlap" ->
-      """WITH b AS (
-        | SELECT event_type, user_id,
-        |  epoch_us(ts) // 86400000000 AS day,
-        |  CAST(epoch_us(ts) AS BIGINT) AS tsu
-        | FROM events),
-        |a AS (SELECT user_id, day, min(tsu) AS a_s, max(tsu) AS a_e
-        | FROM b GROUP BY 1, 2),
-        |p AS (SELECT event_type, day, min(tsu) AS b_s, max(tsu) AS b_e
-        | FROM b GROUP BY 1, 2),
-        |pairs AS (
-        | SELECT p.event_type,
-        |  least(a.a_e, p.b_e) - greatest(a.a_s, p.b_s) AS ov
-        | FROM a, p WHERE a.a_s <= p.b_e AND p.b_s <= a.a_e)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
-        | round(CAST(sum(ov) AS DOUBLE) / 1000000, 2) AS overlap_seconds
-        |FROM pairs GROUP BY 1""".stripMargin,
-
-    // Every float fold (s1, s2 per word; the per-pair |Δz| sum) runs
-    // over a list ORDERed exactly as Spark's sort_array — source asc
-    // per word, word asc per pair — so the sums are bit-identical.
-    // sig/mu/z replay Spark's op sequence term for term.
-    "q366_burrows_delta" ->
-      """WITH toks AS (
-        | SELECT source, unnest(string_split(text, ' ')) AS w
-        | FROM documents),
-        |tk AS (SELECT source, w FROM toks WHERE len(w) > 0),
-        |top AS (
-        | SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1
-        |  ORDER BY cnt DESC, w ASC LIMIT 20)),
-        |totals AS (SELECT source, count(*) AS tot FROM tk GROUP BY 1),
-        |sw AS (SELECT tk.source, tk.w, count(*) AS c FROM tk
-        | JOIN top ON tk.w = top.w GROUP BY 1, 2),
-        |dense AS (
-        | SELECT t.source, p.w,
-        |  CAST(coalesce(sw.c, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS f
-        | FROM totals t CROSS JOIN top p
-        | LEFT JOIN sw ON sw.source = t.source AND sw.w = p.w),
-        |stats AS (
-        | SELECT w,
-        |  list_reduce(list(f ORDER BY source), (a, b) -> a + b) AS s1,
-        |  list_reduce(list(f * f ORDER BY source), (a, b) -> a + b) AS s2,
-        |  CAST(count(*) AS DOUBLE) AS k
-        | FROM dense GROUP BY 1),
-        |st AS (
-        | SELECT w, s1 / k AS mu,
-        |  sqrt(s2 / k - (s1 / k) * (s1 / k)) AS sig
-        | FROM stats),
-        |z AS (
-        | SELECT d.source, d.w, (d.f - st.mu) / st.sig AS z
-        | FROM dense d JOIN st ON d.w = st.w WHERE st.sig > 0),
-        |pairs AS (
-        | SELECT a.source AS source_a, b.source AS source_b,
-        |  list_reduce(list(abs(a.z - b.z) ORDER BY a.w),
-        |   (x, y) -> x + y) AS sd,
-        |  CAST(count(*) AS DOUBLE) AS k
-        | FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
-        | GROUP BY 1, 2)
-        |SELECT source_a, source_b, round(sd / k, 6) AS delta
-        |FROM pairs""".stripMargin,
-
-    // quantile_cont ≡ Spark's exact percentile (type-7 interpolation);
-    // the explicit round() on the ×10 decile domain is the shared
-    // contract — 10·p is integral ± each engine's float noise.
-    "q367_trimmed_mean" ->
-      """WITH base AS (
-        | SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
-        | FROM events),
-        |qs AS (
-        | SELECT event_type,
-        |  CAST(round(quantile_cont(c, 0.1) * 10) AS BIGINT) AS p10x,
-        |  CAST(round(quantile_cont(c, 0.9) * 10) AS BIGINT) AS p90x
-        | FROM base GROUP BY 1),
-        |agg AS (
-        | SELECT b.event_type, CAST(count(*) AS BIGINT) AS n,
-        |  sum(CASE WHEN b.c * 10 >= qs.p10x AND b.c * 10 <= qs.p90x
-        |    THEN b.c END) AS s_in,
-        |  sum(CASE WHEN b.c * 10 >= qs.p10x AND b.c * 10 <= qs.p90x
-        |    THEN 1 END) AS n_in,
-        |  sum(CASE WHEN b.c * 10 < qs.p10x THEN 1 ELSE 0 END) AS n_lo,
-        |  sum(CASE WHEN b.c * 10 > qs.p90x THEN 1 ELSE 0 END) AS n_hi,
-        |  max(qs.p10x) AS p10x, max(qs.p90x) AS p90x
-        | FROM base b JOIN qs ON b.event_type = qs.event_type
-        | GROUP BY 1)
-        |SELECT event_type, n,
-        | round(CAST(s_in AS DOUBLE) / CAST(n_in AS DOUBLE) / 100, 4)
-        |  AS trimmed_mean,
-        | round(CAST(s_in * 10 + n_lo * p10x + n_hi * p90x AS DOUBLE)
-        |  / (CAST(n AS DOUBLE) * 1000), 4) AS winsorized_mean
-        |FROM agg""".stripMargin
-  )
+  type Q = QueriesBase.Q
+
+  /** The family part files (r13 split of the former 16k-line monolith).
+    * Parts are key-disjoint — QueriesContractSpec asserts that the merged
+    * size equals the sum of part sizes, so a duplicated key can never be
+    * silently absorbed by `++`. */
+  private[graft] val parts: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (QueriesPart1.queries, QueriesPart1.oracle),
+    (QueriesPart2.queries, QueriesPart2.oracle),
+    (QueriesPart3.queries, QueriesPart3.oracle),
+    (QueriesPart4.queries, QueriesPart4.oracle),
+    (QueriesPart5.queries, QueriesPart5.oracle),
+    (QueriesPart6.queries, QueriesPart6.oracle),
+    (QueriesPart7.queries, QueriesPart7.oracle),
+    (QueriesPart8.queries, QueriesPart8.oracle))
+
+  val queries: Map[String, Q] = parts.iterator.map(_._1).reduce(_ ++ _)
+  val oracle: Map[String, String] = parts.iterator.map(_._2).reduce(_ ++ _)
 }

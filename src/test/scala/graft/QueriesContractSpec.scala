@@ -21,6 +21,18 @@ class QueriesContractSpec extends AnyFunSuite {
     assert(weak.isEmpty, s"query without oracle: $weak")
   }
 
+  test("QueriesPart files are key-disjoint (++ can never absorb a duplicate)") {
+    // Queries merges the part maps with ++, which silently keeps the last
+    // value on a key collision — a duplicated query name across two part
+    // files would drop one implementation without any compile error.
+    val qSum = Queries.parts.map(_._1.size).sum
+    val oSum = Queries.parts.map(_._2.size).sum
+    assert(qSum == Queries.queries.size,
+      s"duplicate query keys across parts: $qSum entries merge to ${Queries.queries.size}")
+    assert(oSum == Queries.oracle.size,
+      s"duplicate oracle keys across parts: $oSum entries merge to ${Queries.oracle.size}")
+  }
+
   test("entry() is non-empty (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
