@@ -94,6 +94,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArgMinBy].getName, "arg_min_by"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ArgMinBy.coerced(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction((
+      new FunctionIdentifier("arg_max_by"),
+      new ExpressionInfo(classOf[ArgMinBy].getName, "arg_max_by"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArgMinBy.coerced(exprs(0), exprs(1), exprs(2), max = true)
+          .toAggregateExpression()))
     // X1 as a SQL function (SURVEY.md §4): the projection is pure column
     // math, so the "builder" assembles the same expression tree the
     // DataFrame path uses — identical results by construction.

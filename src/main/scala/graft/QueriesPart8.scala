@@ -519,10 +519,16 @@ private[graft] object QueriesPart8 {
     }),
     // Hourly OHLC + VWAP bars — the time-bucketed downsampling shape
     // (market bars, telemetry rollups): one grouped aggregation, with
-    // open/close as min_by/max_by over the exact (epoch-micro,
-    // event_id) total order (the injected RewriteMinByStruct rule keeps
-    // this a hash aggregate). Prices are exact cents; VWAP divides two
-    // exact integer sums.
+    // open/close as arg_min_by/arg_max_by over the exact (epoch-micro,
+    // event_id) total order. The typed aggregates are called DIRECTLY
+    // (q17's precedent) rather than via min_by/max_by + the rewrite
+    // rule: parquet columns are nullable in the schema, so the rule's
+    // null-semantics guard (correctly) refuses to fire and the builtin
+    // would degrade the whole corpus agg to sort-sort-SortAggregate.
+    // arg_*_by skips null-ordering rows — vacuous here, tsu/event_id
+    // are never null. Prices are exact cents; VWAP divides two exact
+    // integer sums. Epoch-micros fit a double exactly until year ~2255
+    // (2^53 µs), so the DoubleType ordering buffer is lossless.
     "q352_vwap_bars" -> ((s, d) => {
       val b = ev(s, d).select(
         // floor division via pmod (not bare DIV, which truncates toward
@@ -534,11 +540,11 @@ private[graft] object QueriesPart8 {
         round(col("value") * 100).cast("long").as("cents"),
         (col("user_id") % 10 + 1).cast("long").as("qty"))
       b.groupBy("hour").agg(
-          min_by(col("cents"), struct(col("tsu"), col("event_id")))
+          graft.functions.ArgMinBy(col("cents"), col("tsu"), col("event_id"))
             .as("open_c"),
           max(col("cents")).as("high_c"), min(col("cents")).as("low_c"),
-          max_by(col("cents"), struct(col("tsu"), col("event_id")))
-            .as("close_c"),
+          graft.functions.ArgMinBy.argMax(col("cents"), col("tsu"),
+            col("event_id")).as("close_c"),
           sum(col("cents") * col("qty")).as("__pv"),
           sum(col("qty")).as("volume"))
         .select(col("hour"), col("open_c"), col("high_c"), col("low_c"),
@@ -888,9 +894,13 @@ private[graft] object QueriesPart8 {
           "DIV 3600000000L").as("hour"),
         unix_micros(col("ts")).as("tsu"), col("event_id"),
         round(col("value") * 100).cast("long").as("c"))
+      // close via the typed arg_max_by (q352's reasoning: nullable
+      // parquet columns block the rewrite rule, and builtin max_by
+      // would sink the corpus-scale bar agg into SortAggregate)
       val bars = b.groupBy("event_type", "hour").agg(
         max(col("c")).as("hi"), min(col("c")).as("lo"),
-        max_by(col("c"), struct(col("tsu"), col("event_id"))).as("cl"))
+        graft.functions.ArgMinBy.argMax(col("c"), col("tsu"),
+          col("event_id")).as("cl"))
       val wo = Window.partitionBy("event_type").orderBy("hour")
       val tr = bars.select(col("event_type"), col("hour"),
           lag(col("cl"), 1).over(wo).as("pc"), col("hi"), col("lo"))

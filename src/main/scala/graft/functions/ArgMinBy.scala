@@ -29,9 +29,14 @@ final class ArgMinBuffer {
   *
   * The tiebreak must make the (d, t) order total for deterministic results
   * (pass a unique id).
+  *
+  * `max = true` flips every comparison, giving `arg_max_by` under the SAME
+  * struct total order builtin MaxBy uses (NaN sorts greatest, so a max
+  * PREFERS a NaN ordering value — mirrored in [[better]]).
   */
 case class ArgMinBy(payload: Expression, ordD: Expression, ordT: Expression,
-                    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+                    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0,
+                    max: Boolean = false)
     extends TypedImperativeAggregate[ArgMinBuffer] {
 
   override def children: Seq[Expression] = Seq(payload, ordD, ordT)
@@ -40,16 +45,17 @@ case class ArgMinBy(payload: Expression, ordD: Expression, ordT: Expression,
 
   override def createAggregationBuffer(): ArgMinBuffer = new ArgMinBuffer
 
-  /** (d, t) strictly before (b.d, b.t) under the same total order Spark
-    * uses for struct aggregation keys: NaN sorts greatest; equal doubles
+  /** (d, t) strictly before (b.d, b.t) — or strictly after when `max` —
+    * under the same total order Spark uses for struct aggregation keys:
+    * NaN sorts greatest (so min avoids NaN, max prefers it); equal doubles
     * (incl. NaN==NaN) fall through to the tiebreak. */
   private def better(b: ArgMinBuffer, d: Double, t: Long): Boolean = {
     if (!b.set) return true
     val dNaN = java.lang.Double.isNaN(d)
     val bNaN = java.lang.Double.isNaN(b.d)
-    if (dNaN != bNaN) bNaN
-    else if (!dNaN && d != b.d) d < b.d
-    else t < b.t
+    if (dNaN != bNaN) { if (max) dNaN else bNaN }
+    else if (!dNaN && d != b.d) { if (max) d > b.d else d < b.d }
+    else { if (max) t > b.t else t < b.t }
   }
 
   override def update(b: ArgMinBuffer, input: InternalRow): ArgMinBuffer = {
@@ -102,7 +108,7 @@ case class ArgMinBy(payload: Expression, ordD: Expression, ordT: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ArgMinBy =
     copy(payload = c(0), ordD = c(1), ordT = c(2))
-  override def prettyName: String = "arg_min_by"
+  override def prettyName: String = if (max) "arg_max_by" else "arg_min_by"
 }
 
 object ArgMinBy {
@@ -110,14 +116,22 @@ object ArgMinBy {
 
   /** Coerce ordering children to the buffer's primitive types (SQL numeric
     * literals arrive as Decimal). */
-  def coerced(payload: Expression, ordD: Expression, ordT: Expression): ArgMinBy =
+  def coerced(payload: Expression, ordD: Expression, ordT: Expression,
+              max: Boolean = false): ArgMinBy =
     ArgMinBy(
       payload,
       if (ordD.dataType == DoubleType) ordD else Cast(ordD, DoubleType),
-      if (ordT.dataType == LongType) ordT else Cast(ordT, LongType))
+      if (ordT.dataType == LongType) ordT else Cast(ordT, LongType),
+      max = max)
 
   def apply(payload: Column, ordDouble: Column, ordTie: Column): Column =
     ColumnBridge.column(
       coerced(ColumnBridge.expression(payload), ColumnBridge.expression(ordDouble),
         ColumnBridge.expression(ordTie)).toAggregateExpression())
+
+  /** `arg_max_by(payload, d, t)` — same buffer, flipped comparisons. */
+  def argMax(payload: Column, ordDouble: Column, ordTie: Column): Column =
+    ColumnBridge.column(
+      coerced(ColumnBridge.expression(payload), ColumnBridge.expression(ordDouble),
+        ColumnBridge.expression(ordTie), max = true).toAggregateExpression())
 }

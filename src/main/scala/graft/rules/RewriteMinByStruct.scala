@@ -2,13 +2,14 @@ package graft.rules
 
 import graft.functions.ArgMinBy
 import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MinBy}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
 /** Optimizer rule: `min_by(payload, struct(d, t))` → `arg_min_by(payload,
-  * d, t)` when the ordering struct is a (numeric, integral) pair.
+  * d, t)` — and `max_by(payload, struct(d, t))` → its flipped twin — when
+  * the ordering struct is a (numeric, integral) pair.
   *
   * Why: builtin MinBy is declarative and buffers the whole struct ordering
   * key; struct buffers can't live in HashAggregateExec's mutable row, so
@@ -39,16 +40,28 @@ object RewriteMinByStruct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def rewritable(ord: CreateNamedStruct): Boolean =
+    ord.valExprs.size == 2 &&
+      numericDouble(ord.valExprs.head) && integralLong(ord.valExprs(1)) &&
+      ord.valExprs.forall(!_.nullable)
+
+  private def argBy(payload: Expression, ord: CreateNamedStruct,
+                    max: Boolean): ArgMinBy = {
+    val d = ord.valExprs.head
+    val t = ord.valExprs(1)
+    ArgMinBy(
+      payload,
+      if (d.dataType == DoubleType) d else Cast(d, DoubleType),
+      if (t.dataType == LongType) t else Cast(t, LongType),
+      max = max)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ae @ AggregateExpression(MinBy(payload, ord: CreateNamedStruct), _, false, None, _)
-        if ord.valExprs.size == 2 &&
-          numericDouble(ord.valExprs.head) && integralLong(ord.valExprs(1)) &&
-          ord.valExprs.forall(!_.nullable) =>
-      val d = ord.valExprs.head
-      val t = ord.valExprs(1)
-      ae.copy(aggregateFunction = ArgMinBy(
-        payload,
-        if (d.dataType == DoubleType) d else Cast(d, DoubleType),
-        if (t.dataType == LongType) t else Cast(t, LongType)))
+        if rewritable(ord) =>
+      ae.copy(aggregateFunction = argBy(payload, ord, max = false))
+    case ae @ AggregateExpression(MaxBy(payload, ord: CreateNamedStruct), _, false, None, _)
+        if rewritable(ord) =>
+      ae.copy(aggregateFunction = argBy(payload, ord, max = true))
   }
 }

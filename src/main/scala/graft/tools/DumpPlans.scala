@@ -49,12 +49,19 @@ object DumpPlans {
     "q298_top_paths" -> "session paths: sessionize + in-session rank windows share ONE user_id exchange; rank filter bounds the per-session collect; global top-10 via TakeOrderedAndProject",
     "q301_tpch_q5" -> "TPC-H Q5 shape: region filter prunes the nation broadcast to 5 rows before the fact; date band pushed to the orders scan; the c_nationkey=s_nationkey cycle closes as a post-join filter, never a second fact pass",
     "q302_tpch_q6" -> "TPC-H Q6 shape: the full date+discount+quantity conjunction lands in PushedFilters, the scan reads 4 of 11 columns, and the only exchange is the 1-row partial-agg merge",
-    "q309_tpch_q19" -> "TPC-H Q19 shape: the OR-of-ANDs' common support extracted onto each side — brand+size envelopes pushed to the part scan, qty in [1,30] pushed to the fact scan — broadcast join, residual disjunction as a codegen'd post-join filter")
+    "q309_tpch_q19" -> "TPC-H Q19 shape: the OR-of-ANDs' common support extracted onto each side — brand+size envelopes pushed to the part scan, qty in [1,30] pushed to the fact scan — broadcast join, residual disjunction as a codegen'd post-join filter",
+    "q363_atr" -> "windowed-over-aggregated composition: the corpus collapses to hourly bars in ObjectHashAggregate with map-side partials (typed arg_max_by close — builtin max_by(struct) would sink this into sort-sort-SortAggregate), then lag/rolling-sum windows run per-series over the bounded bar relation only",
+    "q365_interval_overlap" -> "interval-overlap join: each daily interval explodes into its <=5 covering 6h grid cells, the join is a cell equi-join (never an unbounded theta join), exact predicate verifies after",
+    "q366_burrows_delta" -> "stylometry: corpus-scale work is ONE token-count agg; top-20 words and per-word mu/sigma broadcast; the source-pair join runs over the bounded 20-word z-matrix")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // Same extensions Verify/Bench register: the committed plan evidence
+      // must reflect the production session (RewriteMinByStruct keeps
+      // struct min_by/max_by hash-aggregable; SQL function registrations).
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")

@@ -58,4 +58,48 @@ class RewriteRuleSpec extends AnyFunSuite {
     assert(df.as[(String, String)].collect().toMap ==
       Map("g1" -> "near", "g2" -> "only"))
   }
+
+  test("max_by rewrites too: ObjectHashAggregate, arg_max_by in the plan") {
+    val df = rows.toDF("g", "name", "dist", "id")
+      .groupBy("g").agg(max_by(col("name"), struct(col("dist"), col("id"))).as("best"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("arg_max_by"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    // greatest dist wins; (1.0, 2) vs (1.0, 3) tie-breaks to the LARGER id
+    assert(df.as[(String, String)].collect().toMap ==
+      Map("g1" -> "far", "g2" -> "only"))
+  }
+
+  test("max_by tiebreak: equal dist resolves to the larger second field") {
+    val df = Seq(("g", "lo", 1.0, 2L), ("g", "hi", 1.0, 3L))
+      .toDF("g", "name", "dist", "id")
+      .groupBy("g").agg(max_by(col("name"), struct(col("dist"), col("id"))).as("best"))
+    assert(df.as[(String, String)].collect().toMap == Map("g" -> "hi"))
+  }
+
+  test("max_by NaN ordering matches struct semantics (NaN sorts greatest, max PREFERS it)") {
+    val df = Seq(("g", "nan_row", Double.NaN, 1L), ("g", "real", 100.0, 2L))
+      .toDF("g", "name", "dist", "id")
+      .groupBy("g").agg(max_by(col("name"), struct(col("dist"), col("id"))).as("best"))
+    assert(df.as[(String, String)].collect().toMap == Map("g" -> "nan_row"))
+  }
+
+  test("nullable ordering fields are NOT rewritten for max_by either") {
+    val df = Seq(("g", "null_d", Option.empty[Double], 1L),
+        ("g", "real", Some(5.0), 2L))
+      .toDF("g", "name", "dist", "id")
+      .groupBy("g").agg(max_by(col("name"), struct(col("dist"), col("id"))).as("best"))
+    assert(!df.queryExecution.executedPlan.toString.contains("arg_max_by"))
+    // builtin MaxBy: null field sorts smallest, so the real row wins
+    assert(df.as[(String, String)].collect().toMap == Map("g" -> "real"))
+  }
+
+  test("arg_max_by is callable from SQL") {
+    rows.toDF("g", "name", "dist", "id").createOrReplaceTempView("rr_maxby")
+    val out = spark.sql(
+      "SELECT g, arg_max_by(name, dist, id) AS best FROM rr_maxby GROUP BY g")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("g1" -> "far", "g2" -> "only"))
+  }
 }
