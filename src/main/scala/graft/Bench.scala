@@ -24,6 +24,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // ObjectHashAggregate falls back to sort-based after this many
+      // DISTINCT KEYS per task (default 128 — sized for collect_list-style
+      // unbounded buffers). Every typed aggregate in this engine
+      // (arg_min/max_by, min_str/max_str, SpaceSaving, Bloom, MinHash) has
+      // an O(1) fixed-width buffer, so high-cardinality groups (chunk
+      // dedup, per-user CDC, LSH pairs) can stay hashed: 1M keys ≈ tens of
+      // MB per task. Overridable via SPARK_GRAFT_OBJ_AGG_KEYS.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -268,11 +268,14 @@ private[graft] object QueriesPart5 {
       val j = probes.join(clicks, Seq("band", "user_id"))
         .filter(col("ctsu") <= col("ptsu") &&
           col("ctsu") >= col("ptsu") - hourUs)
+      // typed arg_min/max_by (not min/max(struct).getField: the struct
+      // buffer is immutable, so builtin would SortAggregate the whole
+      // click-purchase pair stream)
       val agg = j.groupBy("pid").agg(
         count(lit(1)).as("n_clicks"),
-        min(struct(col("ctsu"), col("cid"))).getField("cid")
+        graft.functions.ArgMinBy(col("cid"), col("ctsu"), col("cid"))
           .as("first_click_id"),
-        max(struct(col("ctsu"), col("cid"))).getField("cid")
+        graft.functions.ArgMinBy.argMax(col("cid"), col("ctsu"), col("cid"))
           .as("last_click_id"))
       purchases.select(col("pid"))
         .join(agg, Seq("pid"), "left")
@@ -920,9 +923,14 @@ private[graft] object QueriesPart5 {
     // changelog has no delete type), so a key whose LAST version is a
     // tombstone leaves the snapshot entirely.
     "q260_cdc_snapshot" -> ((s, d) => {
+      // typed arg_max_by carrying the struct as PAYLOAD, ordered by the
+      // unique (tsu, event_id) — identical winner to builtin max(struct)
+      // (the third field never decides a comparison), but hash-aggregable
+      // where the immutable struct buffer would force SortAggregate
       ev_(s, d).groupBy("user_id").agg(
-          max(struct(col("tsu"), col("event_id"), col("event_type")))
-            .as("__last"),
+          graft.functions.ArgMinBy.argMax(
+            struct(col("tsu"), col("event_id"), col("event_type")),
+            col("tsu"), col("event_id")).as("__last"),
           count(lit(1)).as("n_changes"))
         .filter(col("__last.event_type") =!= "error")
         .select(col("user_id"), col("__last.event_id").as("last_event_id"),
@@ -935,6 +943,9 @@ private[graft] object QueriesPart5 {
     // and timestamps would not, so they ride exact cents/micros — the
     // encoding is part of the profile's contract). One scan: stack
     // unpivots the row to (column, value) pairs, one 6-group agg.
+    // min/max ride the typed min_str/max_str (builtin string min/max
+    // buffers are immutable → the profiler's whole aggregation would
+    // SortAggregate the unpivoted corpus; PLAN_AUDIT caught it).
     "q261_analyze_columns" -> ((s, d) =>
       ord(s, d).selectExpr(
         """stack(6,
@@ -951,8 +962,8 @@ private[graft] object QueriesPart5 {
           count(lit(1)).as("n_rows"),
           sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
           countDistinct(col("value")).as("ndv"),
-          min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"),
+          graft.functions.ExtremeString.minStr(col("value")).as("min_value"),
+          graft.functions.ExtremeString.maxStr(col("value")).as("max_value"),
           round(avg(length(col("value"))), 4).as("avg_len")))
   )
 

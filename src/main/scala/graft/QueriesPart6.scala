@@ -433,7 +433,8 @@ private[graft] object QueriesPart6 {
       // (the shared chunks16 cut — one definition for both queries)
       val chunks = chunks16(exact)
       val kept = chunks.groupBy("chunk")
-        .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
+        .agg(graft.functions.ArgMinBy(struct(col("doc_id"), col("idx")),
+          col("doc_id"), col("idx")).as("keeper"))
       val surviving = chunks.join(kept, "chunk")
         .filter(struct(col("doc_id"), col("idx")) === col("keeper"))
         .select("doc_id").distinct()
@@ -725,8 +726,12 @@ private[graft] object QueriesPart6 {
             .cast("long").as("__u"))
         .join(broadcast(pk), "l_partkey")
         .groupBy("l_partkey", "l_suppkey").agg(min(col("__u")).as("__mu"))
+      // typed arg_min_by (struct payload, (__mu, suppkey) order): builtin
+      // min(struct) would SortAggregate the per-(part, supp) relation
       unit.groupBy(col("l_partkey").as("p_partkey"))
-        .agg(min(struct(col("__mu"), col("l_suppkey"))).as("__best"))
+        .agg(graft.functions.ArgMinBy(
+          struct(col("__mu"), col("l_suppkey")),
+          col("__mu"), col("l_suppkey")).as("__best"))
         .select(col("p_partkey"),
           col("__best.l_suppkey").as("s_suppkey"),
           round(col("__best.__mu").cast("double") / 100, 2).as("unit_price"))

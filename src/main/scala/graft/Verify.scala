@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Same raised ObjectHashAggregate fallback as Bench (fixed-width
+      // typed-aggregate buffers; see Bench.scala for the sizing note).
+      // TestSpark deliberately keeps the 128 default so the suite still
+      // exercises the sort-based fallback path.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

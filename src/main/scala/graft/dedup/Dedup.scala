@@ -65,19 +65,26 @@ object Dedup {
       .withColumn("band_key",
         slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))
       .select(col("id"), col("sig"), col("band"), col("band_key"))
-    val candidates = banded.as("a").join(banded.as("b"),
+    // est_jaccard is computed band-locally, BEFORE the pair dedup: it is
+    // pair-deterministic (same sigs → same estimate on every band match,
+    // ≤`bands` redundant O(numHashes) folds per pair — trivial), so the
+    // threshold filter prunes candidate rows before they shuffle, and the
+    // dedup aggregates only (long, long, double) rows. Deduping FIRST
+    // would carry both signature arrays into the aggregate, whose
+    // immutable first(array) buffers silently degrade the whole
+    // candidate-stream aggregation to sort-sort-SortAggregate (plan
+    // verified both ways; PLAN_AUDIT.md is the regression tripwire).
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+          .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+      .distinct()
   }
 
   /** Incremental NEAR-dup admission — the production dedup-ingest shape
@@ -114,8 +121,12 @@ object Dedup {
     val est = aggregate(
       zip_with(col("sig"), col("csig"), (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    // est computes band-locally and the filter runs BEFORE any dedup; the
+    // per-pair dedup itself is unnecessary — min(corpus_id) absorbs the
+    // ≤`bands` duplicate matches of a pair. (The old dedup-first order
+    // carried both signature arrays into a first(array) aggregate, which
+    // degrades to SortAggregate over the whole match stream.)
     val matches = banded(batch).join(idx, Seq("band", "band_key"))
-      .dropDuplicates("id", "corpus_id")
       .withColumn("est", est)
       .filter(col("est") >= threshold)
       .groupBy("id").agg(min(col("corpus_id")).as("dup_of"))

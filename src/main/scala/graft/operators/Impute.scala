@@ -14,6 +14,29 @@ import org.apache.spark.sql.functions._
   */
 object Impute {
 
+  /** First-row aggregate for the fill operators: payload of the row
+    * minimizing `ord` (nulls in `ord` ignored — the masking trick the
+    * inclNull variants rely on).
+    *
+    * When the order column is a primitive numeric this is the typed
+    * [[graft.functions.ArgMinBy]] (hash-aggregable for ANY payload type —
+    * the fills carry STRING payloads, whose immutable min_by buffer would
+    * otherwise sink the whole corpus aggregation into SortAggregate;
+    * PLAN_AUDIT.md caught q66 doing exactly that). ArgMinBy's tiebreak
+    * reuses the order value: ties beyond it are unspecified for builtin
+    * min_by too, and every caller orders by a unique id. Non-numeric order
+    * columns keep the builtin (correct, sort-based) path.
+    */
+  private def firstBy(df: DataFrame, valueCol: String, ord: Column,
+                      orderCol: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(orderCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType =>
+        graft.functions.ArgMinBy(col(valueCol), ord.cast("double"), ord.cast("long"))
+      case _ => min_by(col(valueCol), ord)
+    }
+  }
+
   /** A9 — fill nulls in `valueCol` with the value of the group's first
     * non-null row, "first" defined over `orderCol` (ref `R_groupe4.R:181-184`
     * — R uses physical row order; we use an explicit total order, SURVEY.md
@@ -23,9 +46,10 @@ object Impute {
     */
   def firstNonNullFill(df: DataFrame, groupKeys: Seq[String], valueCol: String,
                        orderCol: String): DataFrame = {
-    val fills = df.filter(col(valueCol).isNotNull)
+    val src = df.filter(col(valueCol).isNotNull)
+    val fills = src
       .groupBy(groupKeys.map(col): _*)
-      .agg(min_by(col(valueCol), col(orderCol)).as("__graft_fill"))
+      .agg(firstBy(src, valueCol, col(orderCol), orderCol).as("__graft_fill"))
     df.join(fills, groupKeys, "left")
       .withColumn(valueCol, coalesce(col(valueCol), col("__graft_fill")))
       .drop("__graft_fill")
@@ -37,7 +61,7 @@ object Impute {
   def firstInclNullFill(df: DataFrame, groupKeys: Seq[String], valueCol: String,
                         orderCol: String): DataFrame = {
     val fills = df.groupBy(groupKeys.map(col): _*)
-      .agg(min_by(col(valueCol), col(orderCol)).as("__graft_fill"))
+      .agg(firstBy(df, valueCol, col(orderCol), orderCol).as("__graft_fill"))
     df.join(fills, groupKeys, "left")
       .withColumn(valueCol, coalesce(col(valueCol), col("__graft_fill")))
       .drop("__graft_fill")
@@ -57,7 +81,7 @@ object Impute {
     require(specs.nonEmpty, "firstFills needs at least one (valueCol, inclNull) spec")
     val aggs = specs.map { case (v, inclNull) =>
       val ord = if (inclNull) col(orderCol) else when(col(v).isNotNull, col(orderCol))
-      min_by(col(v), ord).as(s"__graft_fill_$v")
+      firstBy(df, v, ord, orderCol).as(s"__graft_fill_$v")
     }
     val fills = df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val joined = df.join(fills, groupKeys, "left")
