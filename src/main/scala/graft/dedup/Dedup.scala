@@ -79,10 +79,8 @@ object Dedup {
           col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
-          .as("est_jaccard"))
+        (graft.functions.MatchCount(col("a.sig"), col("b.sig"))
+          .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
   }
@@ -118,9 +116,8 @@ object Dedup {
       .select(col("id"), col("sig"), col("band"), col("band_key"))
     val idx = banded(corpus).select(col("id").as("corpus_id"),
       col("sig").as("csig"), col("band"), col("band_key"))
-    val est = aggregate(
-      zip_with(col("sig"), col("csig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+    val est = graft.functions.MatchCount(col("sig"), col("csig"))
+      .cast("double") / numHashes
     // est computes band-locally and the filter runs BEFORE any dedup; the
     // per-pair dedup itself is unnecessary — min(corpus_id) absorbs the
     // ≤`bands` duplicate matches of a pair. (The old dedup-first order
