@@ -769,8 +769,9 @@ private[graft] object QueriesPart8 {
     // WHICH row attains it. The deviation rides the n-scaled integer
     // |c·n − S| (exact, no float mean subtraction per row), and the
     // argmax tie-breaks deterministically to the LOWEST event_id via
-    // max_by over a (dev, −id) struct — the q352 min_by/max_by device,
-    // one hash aggregate, no window. Per-type stats broadcast back.
+    // the typed arg_max_by_l over the exact (dev, −id) LONG order —
+    // one hash aggregate, no window, no double rounding at any scale.
+    // Per-type stats broadcast back.
     "q359_grubbs" -> ((s, d) => {
       val dec = "decimal(38,0)"
       val st = ev(s, d).select(col("event_type"),
@@ -782,12 +783,15 @@ private[graft] object QueriesPart8 {
         .join(broadcast(st), Seq("event_type"))
         .select(col("event_type"), col("event_id"), col("n"), col("sc"),
           col("qc"), abs(col("c") * col("n") - col("sc")).as("dev"))
+      // typed arg_max_by_l: EXACT (long, long) ordering — ArgMinBy's
+      // double buffer would round dev above 2^53 at extreme row counts,
+      // and builtin max_by(struct) SortAggregates the corpus (the last
+      // such site PLAN_AUDIT had left triaged as a trade; now closed)
       j.groupBy("event_type").agg(max(col("n")).as("n"),
           max(col("sc")).as("sc"), max(col("qc")).as("qc"),
           max(col("dev")).as("md"),
-          max_by(col("event_id"),
-            struct(col("dev"), (col("event_id") * -1).as("ni")))
-            .as("outlier_event_id"))
+          graft.functions.ArgMinByLong.argMax(col("event_id"),
+            col("dev"), col("event_id") * -1).as("outlier_event_id"))
         .select(col("event_type"), col("n"),
           round((col("md").cast("double") / col("n").cast("double"))
             / sqrt((col("qc").cast("double")
