@@ -1,8 +1,8 @@
 package graft.rules
 
-import graft.functions.ArgMinBy
+import graft.functions.{ArgMinBy, ArgMinByLong}
 import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Expression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, MaxBy, MinBy}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
@@ -31,8 +31,13 @@ import org.apache.spark.sql.types._
   * Injected via [[graft.GraftExtensions]] (`spark.sql.extensions`).
   */
 object RewriteMinByStruct extends Rule[LogicalPlan] {
+  // First ordering field eligible for the Double-buffer ArgMinBy. LongType
+  // is deliberately EXCLUDED: distinct longs >= 2^53 collapse to equal
+  // doubles and the comparison would fall through to the tiebreak,
+  // silently picking a different winner than the builtin's exact struct
+  // order. Long-first pairs go to ArgMinByLong below instead.
   private def numericDouble(e: Expression): Boolean = e.dataType match {
-    case DoubleType | FloatType | IntegerType | LongType | ShortType | ByteType => true
+    case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
     case _ => false
   }
   private def integralLong(e: Expression): Boolean = e.dataType match {
@@ -42,18 +47,22 @@ object RewriteMinByStruct extends Rule[LogicalPlan] {
 
   private def rewritable(ord: CreateNamedStruct): Boolean =
     ord.valExprs.size == 2 &&
-      numericDouble(ord.valExprs.head) && integralLong(ord.valExprs(1)) &&
+      (numericDouble(ord.valExprs.head) || integralLong(ord.valExprs.head)) &&
+      integralLong(ord.valExprs(1)) &&
       ord.valExprs.forall(!_.nullable)
 
   private def argBy(payload: Expression, ord: CreateNamedStruct,
-                    max: Boolean): ArgMinBy = {
+                    max: Boolean): AggregateFunction = {
     val d = ord.valExprs.head
     val t = ord.valExprs(1)
-    ArgMinBy(
-      payload,
-      if (d.dataType == DoubleType) d else Cast(d, DoubleType),
-      if (t.dataType == LongType) t else Cast(t, LongType),
-      max = max)
+    val tL = if (t.dataType == LongType) t else Cast(t, LongType)
+    if (integralLong(d)) {
+      // Both fields integral: exact (long, long) lexicographic order —
+      // correct even above 2^53 where a Double buffer would lose bits.
+      ArgMinByLong(payload, if (d.dataType == LongType) d else Cast(d, LongType), tL, max = max)
+    } else {
+      ArgMinBy(payload, if (d.dataType == DoubleType) d else Cast(d, DoubleType), tL, max = max)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
