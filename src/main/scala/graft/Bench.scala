@@ -26,11 +26,21 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // ObjectHashAggregate falls back to sort-based after this many
       // DISTINCT KEYS per task (default 128 — sized for collect_list-style
-      // unbounded buffers). Every typed aggregate in this engine
-      // (arg_min/max_by, min_str/max_str, SpaceSaving, Bloom, MinHash) has
-      // an O(1) fixed-width buffer, so high-cardinality groups (chunk
-      // dedup, per-user CDC, LSH pairs) can stay hashed: 1M keys ≈ tens of
-      // MB per task. Overridable via SPARK_GRAFT_OBJ_AGG_KEYS.
+      // unbounded buffers). This engine's OWN typed aggregates
+      // (arg_min/max_by, min_str/max_str, SpaceSaving, Bloom, MinHash)
+      // all have O(1) fixed-width buffers, so their high-cardinality
+      // groups (chunk dedup, per-user CDC, LSH pairs) can stay hashed:
+      // 1M keys ≈ tens of MB per task. The threshold is GLOBAL though,
+      // and ~a dozen queries use builtin collect_list/collect_set whose
+      // buffers grow with group size — those groupings are all bounded
+      // (per-order lines, per-user small sessions, top-k survivors), and
+      // the r14 fb128-vs-fb1M A/B on the unbounded-buffer family
+      // (q45/q58/q61/q63/q65, BASELINE.md) measured no regression at
+      // sf0.1 or sf1 — but an UNBOUNDED grouping added later must not
+      // inherit 1M silently: at 1M resident growing arrays per task this
+      // conf is an OOM risk, so new collect_* call sites need a bounded-
+      // group argument in their scaladoc. Overridable via
+      // SPARK_GRAFT_OBJ_AGG_KEYS.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
       .config("spark.ui.enabled", "false")
@@ -53,15 +63,34 @@ object Bench {
       try runNoop(name) catch { case _: Throwable => () }
     }
 
+    // Canary: a fixed CPU-bound probe (no IO, no shuffle — xxhash64 over a
+    // range, constant work every sample) interleaved every CANARY_EVERY
+    // queries. The box shows intermittent multi-second slow windows
+    // (hypervisor steal) that land on whichever contiguous query band is
+    // running and fake a 2-4x regression; six rounds of adjudication
+    // inferred those windows ACROSS runs. The canary curve measures them
+    // INSIDE the artifact: a flagged query whose neighboring canary
+    // samples are inflated was measured in a slow window (see the
+    // "Canary policy" block in BASELINE.md).
+    val canaryEvery = 25
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, cpus.toInt)
+        .select(bit_xor(xxhash64(col("id"))).as("h")) // xor: no ANSI overflow
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce() // warm-up: compile the canary's codegen class, untimed
+
     // A query that throws records the -1 sentinel (excluded from the total)
     // and lands in `failed` — a broken query must never read as "fast".
     // The suite runs as TWO full passes and reports each query's minimum:
-    // this box shows intermittent multi-second slow windows (hypervisor
-    // steal) that land on whichever contiguous query band is running and
-    // fake a 2-4x regression; the two measurements of one query sit a
-    // full pass apart, so a single window can't poison both.
-    def pass(): Seq[(String, Double)] =
-      selected.toSeq.sortBy(_._1).map { case (name, _) =>
+    // the two measurements of one query sit a full pass apart, so a single
+    // slow window can't poison both.
+    val canaries = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def pass(p: Int): Seq[(String, Double)] =
+      selected.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, _), i) =>
+        if (i % canaryEvery == 0) canaries += (s"p$p:$name" -> canaryOnce())
         val t0 = System.nanoTime()
         val ok = try { runNoop(name); true } catch { case _: Throwable => false }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -71,7 +100,7 @@ object Bench {
     // noise-suppression min matters less than wall-clock. Default (and
     // everything the driver or the gate consumes) stays 2.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    val passes = (1 to math.max(1, nPasses)).map(_ => pass())
+    val passes = (1 to math.max(1, nPasses)).map(p => pass(p))
     val results = passes.transpose.map { ms =>
       // a failure in ANY pass keeps the sentinel (min would hide it)
       val name = ms.head._1
@@ -101,8 +130,18 @@ object Bench {
       case c => c.toString
     } + "\""
     val onlyJson = only.map(s => jstr(s.mkString(","))).getOrElse("null")
+    // canary samples keyed "p<pass>:<query it preceded>" — the in-artifact
+    // slow-window record; median first so a tail-truncated read still has
+    // the run's reference level.
+    val canaryMed = {
+      val ts = canaries.map(_._2).sorted
+      if (ts.isEmpty) 0.0 else ts(ts.size / 2)
+    }
+    val canaryJson = canaries
+      .map { case (k, v) => jstr(k) + ":" + sec(v) }
+      .mkString(s"""{"every":$canaryEvery,"median":${sec(canaryMed)},"samples":{""", ",", "}}")
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"queries":$qs,"failed":$failed,"canary":$canaryJson,"sf":${jstr(sfDir)}}"""
     // The driver captures only the last ~2000 bytes of stdout; at 172
     // queries the single full line is ~5 KB, so a lone println loses its
     // head (r6) or truncates unparseably (r8). Emit three layers:
@@ -127,7 +166,7 @@ object Bench {
     }
     println(line)
     val summary =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"nqueries":${results.size},"failed":$failed,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","only":$onlyJson,"nqueries":${results.size},"failed":$failed,"canary_median":${sec(canaryMed)},"sf":${jstr(sfDir)}}"""
     println(summary)
     // The file artifact is the truncation-proof full copy — bench_gate
     // reads either. A SPARK_GRAFT_ONLY run writes to a separate file so a

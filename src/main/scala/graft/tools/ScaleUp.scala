@@ -18,14 +18,49 @@ import org.apache.spark.sql.functions._
   * shingles: the corpus' internal near-dup structure replicates exactly
   * ×K instead of every document acquiring K−1 cross-replica twins (which
   * would densify the LSH/PPJoin pair volume quadratically — a different
-  * experiment than "same data, K× more of it"). Embedding vectors repeat
-  * unchanged (ANN cost is driven by row count, not vector values).
+  * experiment than "same data, K× more of it").
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <K>
+  * Embedding vectors repeat unchanged by default (ANN cost is driven by
+  * row count, not values) — which means every vector gains K−1 exact
+  * twins and near-dup pair density inflates ~K× beyond real-corpus
+  * growth (the BASELINE.md caveat on q69's sf1 ratio). The
+  * `--jitter-embeddings` flag fixes that the same way the text remap
+  * does: replica i>0 gets a deterministic SIGNED PERMUTATION of the
+  * vector coordinates (new[j] = ±old[perm_i[j]], LCG-seeded by i).
+  * A signed permutation is orthogonal AND bit-exact in IEEE float (no
+  * arithmetic, just moves and negations), so every within-replica inner
+  * product — and therefore the replica's entire near-dup/ANN structure —
+  * is preserved EXACTLY, while cross-replica cosines scramble to ~0 and
+  * the twins disappear. Near-dup structure then replicates ×K, matching
+  * the documents convention.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <K> [--jitter-embeddings]
   */
 object ScaleUp {
+  /** Deterministic signed permutation for replica `i` over `dim` coords:
+    * Fisher-Yates + sign draws from a tiny LCG seeded by the replica
+    * index. Replica 0 is the identity (the original world, untouched).
+    * Exposed for the spec: the transform must be a bijection (orthogonal)
+    * and replica-0 must be identity. */
+  private[graft] def signedPerm(i: Int, dim: Int): (Array[Int], Array[Boolean]) = {
+    if (i == 0) return (Array.tabulate(dim)(identity), Array.fill(dim)(true))
+    var state = 0x9E3779B97F4A7C15L * (i + 1)
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound).toInt + bound) % bound
+    }
+    val perm = Array.tabulate(dim)(identity)
+    for (j <- dim - 1 to 1 by -1) {
+      val m = next(j + 1)
+      val t = perm(j); perm(j) = perm(m); perm(m) = t
+    }
+    val signs = Array.fill(dim)(next(2) == 0)
+    (perm, signs)
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(src, out, kStr) = args
+    val jitterEmb = args.contains("--jitter-embeddings")
+    val Array(src, out, kStr) = args.filterNot(_.startsWith("--"))
     val k = kStr.toInt
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
@@ -94,7 +129,23 @@ object ScaleUp {
       }
     }
     write(docReplicas.reduce(_ unionAll _), "documents")
-    write(expand(emb, "vec_id" -> vS), "embeddings")
+    if (!jitterEmb) write(expand(emb, "vec_id" -> vS), "embeddings")
+    else {
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val embReplicas = (0 until k).map { i =>
+        val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * vS))
+        if (i == 0) shifted
+        else {
+          val (perm, signs) = signedPerm(i, dim)
+          val rotated = array((0 until dim).map { j =>
+            val c = col("embedding").getItem(perm(j))
+            if (signs(j)) c else -c
+          }: _*)
+          shifted.withColumn("embedding", rotated)
+        }
+      }
+      write(embReplicas.reduce(_ unionAll _), "embeddings")
+    }
     println(s"[scaleup] wrote ${k}x of $src to $out")
     spark.stop()
   }

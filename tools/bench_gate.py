@@ -87,6 +87,42 @@ def load_bench(path):
     return scanned
 
 
+def load_canary(path):
+    """Canary block from the bench JSON (r14+): interleaved constant-work
+    probe samples keyed 'p<pass>:<query they preceded>'. Returns (every,
+    median, {key: sec}) or None for pre-canary artifacts."""
+    text = open(path).read()
+    try:
+        d = json.loads(text[text.index("{"):].strip())
+    except ValueError:
+        d = {}
+    c = d.get("canary") or (d.get("parsed") or {}).get("canary")
+    if not isinstance(c, dict) or not isinstance(c.get("samples"), dict):
+        return None
+    return int(c.get("every", 25)), float(c.get("median", 0.0)), c["samples"]
+
+
+def slow_windows(canary, run_queries):
+    """Map inflated canary samples (>1.5x the run's canary median, >0.1s
+    absolute) to the query band each one preceded. Returns
+    {query_name: [pass_labels]} for every query inside a slow window."""
+    every, med, samples = canary
+    if med <= 0:
+        return {}
+    ordered = sorted(q for q in run_queries)
+    idx = {q: i for i, q in enumerate(ordered)}
+    hit = {}
+    for key, sec in samples.items():
+        if sec <= 1.5 * med or sec - med <= 0.1:
+            continue
+        p, _, start = key.partition(":")
+        if start not in idx:
+            continue
+        for q in ordered[idx[start]:idx[start] + every]:
+            hit.setdefault(q, []).append(p)
+    return hit
+
+
 def load_baseline():
     best = {}
     for line in open(BASELINE):
@@ -105,6 +141,15 @@ def main():
     best = load_baseline()
     if not cur:
         sys.exit(f"no per-query times found in {path}")
+    canary = load_canary(path)
+    windows = slow_windows(canary, cur) if canary else {}
+    if canary:
+        every, med, samples = canary
+        n_slow = len({k for k, v in samples.items()
+                      if v > 1.5 * med and v - med > 0.1})
+        print(f"canary: {len(samples)} samples, median {med:.3f}s, "
+              f"{n_slow} slow (>1.5x median) — queries measured inside a "
+              "slow window are annotated below")
     med = 1.0
     if normalized:
         ratios = sorted(cur[q] / best[q] for q in cur
@@ -149,6 +194,11 @@ def main():
             flag = "improved"
             improved.append(q)
         extra = f" norm {norm:4.2f}x" if normalized else ""
+        # min-of-passes only hides a slow window if the OTHER pass was
+        # clean; note which passes were slow so the adjudicator can see
+        # whether both samples were poisoned (BASELINE.md canary policy)
+        if q in windows and flag in ("FAIL", "INVESTIGATE"):
+            extra += f" [slow-window: {','.join(sorted(set(windows[q])))}]"
         print(f"{flag:12s} {q:28s} {cur[q]:7.3f}s vs best {best[q]:7.3f}s  "
               f"({ratio:4.2f}x{extra})")
     # fold missing into fails BEFORE the summary so the printed fail count
