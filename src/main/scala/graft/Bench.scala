@@ -72,7 +72,7 @@ object Bench {
     // INSIDE the artifact: a flagged query whose neighboring canary
     // samples are inflated was measured in a slow window (see the
     // "Canary policy" block in BASELINE.md).
-    val canaryEvery = 25
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "25").toInt
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(0L, 100000000L, 1L, cpus.toInt)
