@@ -363,10 +363,29 @@ object Dedup {
       .select(col("ia"), col("ib"), col("sa"), col("sb"))
     // sa/sb are functionally determined by ia/ib, so min() is just the
     // deterministic way to carry them through the pair dedup.
+    //
+    // VERIFY-JOIN PHYSICAL SHAPE: on a vocabulary-dense corpus the pair
+    // set is a large fraction of n² (the sf0.1 harness corpus has 931
+    // distinct shingles across 5k docs — 3.5M distinct candidate pairs =
+    // 28% of all pairs), and the default sort-merge join SORTS that pair
+    // stream twice, the second time carrying the first join's shingle
+    // array on every row — at sf10 (354M pairs) those sorts spilled >75 GB
+    // and filled the disk. Neither join needs a sort: the sets side is
+    // always the small side (n docs vs ≥n pairs), so hash-join it —
+    // broadcast when it fits (500k docs ≈ 120 MB), shuffled-hash above
+    // that (still sort-free; the pair stream is shuffled but never
+    // sorted). Same rows out, different physical plan.
+    val docCount =
+      if (materializeShared) sets.count() // materializes the checkpoint once
+      else Long.MaxValue // stay declarative: no action, no broadcast
+    def setsFor(key: String, out: String) = {
+      val s = sets.select(col("__id").as(key), col("__set").as(out))
+      if (docCount <= 1000000L) broadcast(s) else s.hint("shuffle_hash")
+    }
     candidates.groupBy("ia", "ib")
       .agg(min(col("sa")).as("sa"), min(col("sb")).as("sb"))
-      .join(sets.select(col("__id").as("ia"), col("__set").as("__set_a")), "ia")
-      .join(sets.select(col("__id").as("ib"), col("__set").as("__set_b")), "ib")
+      .join(setsFor("ia", "__set_a"), "ia")
+      .join(setsFor("ib", "__set_b"), "ib")
       .withColumn("__inter",
         graft.functions.SortedIntersectSize(col("__set_a"), col("__set_b")))
       .withColumn("jaccard",
@@ -423,9 +442,16 @@ object Dedup {
       .join(postings.select(col("__id").as("ib"), col("sh")), Seq("sh"))
       .filter(col("ia") =!= col("ib"))
       .select("ia", "ib", "sa")
+    // same sort-free verify-join shape as ngramJaccardSelfPairs (see the
+    // scaladoc there): hash-join the doc-sets side, never sort the pairs
+    val docCount = if (materializeShared) sets.count() else Long.MaxValue
+    def setsFor(key: String, out: String) = {
+      val s = sets.select(col("__id").as(key), col("__set").as(out))
+      if (docCount <= 1000000L) broadcast(s) else s.hint("shuffle_hash")
+    }
     candidates.groupBy("ia", "ib").agg(min(col("sa")).as("sa"))
-      .join(sets.select(col("__id").as("ia"), col("__set").as("__set_a")), "ia")
-      .join(sets.select(col("__id").as("ib"), col("__set").as("__set_b")), "ib")
+      .join(setsFor("ia", "__set_a"), "ia")
+      .join(setsFor("ib", "__set_b"), "ib")
       .withColumn("__inter",
         graft.functions.SortedIntersectSize(col("__set_a"), col("__set_b")))
       .withColumn("containment",

@@ -31,7 +31,18 @@ object SemDedup {
 
   /** Annotates every embedding row with its k-means `cluster` (BIGINT)
     * and `kept` (0/1 BIGINT counting flag; 0 = semantic duplicate of a
-    * lower-id same-cluster row at cosine ≥ threshold). */
+    * lower-id same-cluster row at cosine ≥ threshold).
+    *
+    * SIZING RULE (measured, r14 sf10 audit): the O(Σ|cluster|²) bound is
+    * only sub-quadratic if `k` GROWS with the corpus — at a FIXED k the
+    * within-cell pair count is n²/k and the cluster equi-join's shuffle
+    * parallelism is capped at k partitions (q108's pinned k=8 measured
+    * 44× wall at 10× rows, sf1→sf10). Size k ≈ n / targetCellSize with
+    * targetCellSize a few thousand (the paper uses k in the tens of
+    * thousands at LAION scale); k×dims doubles per Lloyd round is the
+    * only driver-side state, so large k costs one wider broadcast, not a
+    * new shuffle. q108 keeps k=8 because its DuckDB oracle replays that
+    * exact k-means trace. */
   def semDedup(vecs: DataFrame, idCol: String, vecCol: String,
                k: Int, trainIters: Int, threshold: Double): DataFrame = {
     val assigned = KMeans.lloyd(vecs, idCol, vecCol, k, trainIters)

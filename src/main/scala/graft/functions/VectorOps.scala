@@ -83,3 +83,78 @@ object NormD {
   def apply(a: Column): Column =
     ColumnBridge.column(NormD(ColumnBridge.expression(a)))
 }
+
+/** Int8 sketch of the UNIT vector v/n: byte i = rint(v(i)/n · 127), as a
+  * `binary(dim)` — 64 bytes for a 64-dim vector vs ~512 for the double
+  * array, which is the whole point: the near-dup candidate join shuffles
+  * one sketch per candidate row, so this cuts that stage's shuffle volume
+  * ~7× (measured in BASELINE.md's byte audit). Rounding to nearest keeps
+  * every coordinate within 1/254 of the true unit coordinate, which gives
+  * the PROVABLE cosine error bound used by [[DotProductI8]] callers:
+  * |cos(a,b) − qdot/127²| ≤ (2√d + d/254)/254 (≈0.064 at d=64; see
+  * `Similarity.quantBound`). Null if the array is null, any element is
+  * null, or n is not a positive finite number. */
+case class QuantizeUnitI8(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val n = r.asInstanceOf[Double]
+    if (!(n > 0.0) || n.isInfinite) return null
+    val d = a.numElements()
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      if (a.isNullAt(i)) return null
+      out(i) = math.rint(a.getDouble(i) / n * 127.0).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizeUnitI8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "quantize_unit_i8"
+}
+
+object QuantizeUnitI8 {
+  def apply(v: Column, n: Column): Column =
+    ColumnBridge.column(
+      QuantizeUnitI8(ColumnBridge.expression(v), ColumnBridge.expression(n)))
+}
+
+/** Σ a(i)·b(i) over two int8 sketches (binary columns) as an Int —
+  * exact integer arithmetic (max |Σ| ≤ d·127² < 2³¹ for d < 133k).
+  * Null if either side is null or lengths differ. */
+case class DotProductI8(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    if (a.length != b.length) return null
+    var acc = 0
+    var i = 0
+    while (i < a.length) {
+      acc += a(i) * b(i)
+      i += 1
+    }
+    java.lang.Integer.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductI8 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "dot_product_i8"
+}
+
+object DotProductI8 {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProductI8(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -99,9 +99,20 @@ object Similarity {
     * joining each row's home cell against the 3^blockDims neighbor cells
     * of the other side finds every qualifying pair (exactness by
     * construction), and candidates are verified with the exact cosine.
-    * Physical shape: one explode (3^blockDims rows on the probe side) +
-    * one equi-join on the cell key — shuffle on cell, linear in
-    * candidates.
+    * Physical shape (two-stage): stage 1 explodes the 3^blockDims probe
+    * cells and equi-joins int8 SKETCHES on the cell key (shuffle on cell,
+    * linear in candidates but ~7× narrower rows than shipping the double
+    * vectors), prefiltering on the integer sketch dot at threshold −
+    * quantBound(dim) — a provably lossless necessary condition; stage 2
+    * joins the surviving pairs (≈ the true near-dups) back to the full
+    * vectors for the exact cosine. SCALE CONTRACT: candidate volume is
+    * still Θ(Σ_cell n_cell²); for near-ISOTROPIC high-dim corpora the
+    * per-projection spread (~1/√dim) is below the cell width r, grid
+    * selectivity degrades, and this — like any EXACT thresholded dense
+    * similarity join — approaches all-pairs. It is the exact
+    * baseline/eval path (the q224 convention); corpus-scale near-dup
+    * belongs to the sub-quadratic paths: MinHash-LSH (Dedup.lshNearDup),
+    * SemDedup (k-means-cell-bounded), or the ANN family.
     *
     * Projections: raw coordinates 1..blockDims by default;
     * `pcaRotate = true` uses the corpus's top-`blockDims` principal axes
@@ -153,20 +164,62 @@ object Similarity {
       Seq.fill(blockDims)(Seq(-1, 0, 1)).foldLeft(Seq(Seq.empty[Int])) {
         (acc, ds) => for (t <- acc; d <- ds) yield t :+ d
       }
-    val probes = base.withColumn("cell", explode(array(offsets.map(off =>
+    // Stage 1 — candidate generation over SKETCHES, not vectors. The cell
+    // join is where the quadratic candidate volume lives (for isotropic
+    // high-dim corpora the per-projection spread ~1/√dim is SMALLER than
+    // the cell width r, so grid blocking rejects only a minority of pairs
+    // — the sf10 byte audit measured this, see BASELINE.md), so the rows
+    // flowing through it must be as narrow as possible: an int8 sketch of
+    // the unit vector (binary(dim), ~64 B) instead of the double array
+    // (~512 B). The integer sketch dot admits a PROVABLE error bound
+    // (quantBound, ≈0.064 at dim 64): any pair with true cosine >= t has
+    // sketch cosine >= t − bound, so prefiltering at t − bound keeps
+    // every qualifying pair — no approximation, just a cheap necessary
+    // condition. Random pairs of an embedding corpus sit ~N(0, 1/dim), so
+    // the prefilter also kills ~all non-dup candidates before stage 2.
+    val sketch = base.select(col("id"), col("cell"),
+      graft.functions.QuantizeUnitI8(col("v"), col("n")).as("q"))
+    val probes = sketch.withColumn("cell", explode(array(offsets.map(off =>
       struct((0 until blockDims).map(i =>
         (col("cell")(s"c$i") + off(i)).as(s"c$i")): _*)): _*)))
-    // cos = dot(va,vb)/(na*nb): same IEEE sequence as the per-pair HOF
-    // formulation (norms are per-row constants), so values are unchanged
-    val sim = graft.functions.DotProductD(col("va"), col("vb")) / (col("na") * col("nb"))
-    base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"), col("cell"))
-      .join(probes.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"),
-        col("cell")), Seq("cell"))
+    // integer dot vs (t − bound)·127², with bound from the pair's actual
+    // dim (length of the binary sketch) and an ulp of slack on the KEEP
+    // side — dropping a true pair would break exactness, keeping one
+    // near-miss only costs stage 2 an extra exact dot
+    val d = length(col("qa")).cast("double")
+    val pre = graft.functions.DotProductI8(col("qa"), col("qb")).cast("double") >=
+      (lit(threshold) - (lit(2.0) * sqrt(d) + d / lit(254.0)) / lit(254.0) -
+        lit(1e-12)) * lit(127.0 * 127.0)
+    val cand = sketch.select(col("id").as("id_a"), col("q").as("qa"), col("cell"))
+      .join(probes.select(col("id").as("id_b"), col("q").as("qb"), col("cell")),
+        Seq("cell"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", sim)
+      .filter(pre)
+      .select("id_a", "id_b")
+    // Stage 2 — exact verify on the survivors only: join the (tiny) pair
+    // set back to the full vectors and recompute cos = dot(va,vb)/(na·nb)
+    // with the same sequential IEEE fold as the HOF form, so the output is
+    // bit-identical to the single-stage shape (DuckDB-oracle parity).
+    val vecs = base0.select(col("id"), col("v"), col("n"))
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")),
+        Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")),
+        Seq("id_b"))
+      .withColumn("cos_sim",
+        graft.functions.DotProductD(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** The provable |true cosine − int8-sketch cosine| bound at dimension
+    * `d` (unit vectors, round-to-nearest int8 coordinates, see
+    * [[graft.functions.QuantizeUnitI8]]): each coordinate is within
+    * 1/254 of the unit coordinate, so the dot errs by at most
+    * Σ|a_i|·(1/254) + Σ|q_i/127|·(1/254) ≤ (2√d + d/254)/254 by
+    * Cauchy-Schwarz on the L1 norms. ≈0.0640 at d=64. Exposed for specs
+    * and for callers sizing their own prefilter thresholds. */
+  def quantBound(d: Int): Double = (2.0 * math.sqrt(d.toDouble) + d / 254.0) / 254.0
 
   /** LSH-bucketed ANN: equi-join query and corpus on the signature bucket
     * (multi-probe: also the nBits single-bit-flip neighbor buckets of the

@@ -338,4 +338,45 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toMap
     assert(s1 == s2)
   }
+
+  test("int8 sketch dot stays within quantBound of the true cosine (prefilter is lossless)") {
+    // the two-stage near-dup prefilter drops a pair only when the sketch
+    // cosine is below threshold − quantBound; if the bound ever failed,
+    // a true pair could be lost silently — so measure it on random data
+    val rng = new scala.util.Random(13)
+    val dims = Seq(8, 64)
+    for (dim <- dims) {
+      val rows = (0 until 60).map { i =>
+        (i.toLong, Array.fill(dim)(rng.nextGaussian()))
+      }
+      val df = rows.toDF("id", "v")
+        .withColumn("n", graft.functions.NormD(col("v")))
+        .withColumn("q", graft.functions.QuantizeUnitI8(col("v"), col("n")))
+      val pairs = df.as("a").crossJoin(df.as("b"))
+        .filter(col("a.id") < col("b.id"))
+        .select(
+          (graft.functions.DotProductD(col("a.v"), col("b.v")) /
+            (col("a.n") * col("b.n"))).as("cos"),
+          (graft.functions.DotProductI8(col("a.q"), col("b.q"))
+            .cast("double") / lit(127.0 * 127.0)).as("qcos"))
+        .as[(Double, Double)].collect()
+      val bound = Similarity.quantBound(dim)
+      val worst = pairs.map { case (c, qc) => math.abs(c - qc) }.max
+      assert(worst <= bound,
+        s"dim=$dim: observed error $worst exceeds proven bound $bound")
+    }
+  }
+
+  test("quantize_unit_i8: nulls and degenerate norms propagate, codes are unit-bounded") {
+    val df = Seq(
+      (1L, Some(Array(3.0, 4.0)), Some(5.0)),   // unit (0.6, 0.8)
+      (2L, Some(Array(1.0, 0.0)), Some(0.0)),   // zero norm -> null
+      (3L, None: Option[Array[Double]], Some(1.0))
+    ).toDF("id", "v", "n")
+      .withColumn("q", graft.functions.QuantizeUnitI8(col("v"), col("n")))
+    val got = df.select("id", "q").as[(Long, Option[Array[Byte]])]
+      .collect().toMap
+    assert(got(1L).get.toSeq == Seq(math.rint(0.6 * 127).toByte, math.rint(0.8 * 127).toByte))
+    assert(got(2L).isEmpty && got(3L).isEmpty)
+  }
 }
