@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -21,9 +21,16 @@ import org.apache.spark.sql.types._
 
 /** Σ a(i)·b(i) as a left fold. Null if either array is null, lengths
   * differ, or any element is null — exactly the HOF behavior (zip_with
-  * pads/propagates null into the fold). */
+  * pads/propagates null into the fold).
+  *
+  * Codegen'd (r14): this kernel sits in the per-PAIR hot loops — the
+  * brute-force cosine rankers (q27/q224, millions of pairs), SemDedup's
+  * within-cell verify, the near-dup stage-2 verifies — where the old
+  * CodegenFallback path paid an interpreted dispatch + a boxed Double per
+  * call. The generated loop runs the SAME index-order sequential fold, so
+  * values stay bit-identical (DuckDB-oracle parity). */
 case class DotProductD(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -42,6 +49,26 @@ case class DotProductD(left: Expression, right: Expression)
     java.lang.Double.valueOf(acc)
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductD =
     copy(left = newLeft, right = newRight)
@@ -55,8 +82,9 @@ object DotProductD {
 }
 
 /** √(Σ x²) as a left fold — the L2 norm, bit-identical to
-  * `sqrt(aggregate(a, 0.0, (acc,x) => acc + x*x))`. */
-case class NormD(child: Expression) extends UnaryExpression with CodegenFallback {
+  * `sqrt(aggregate(a, 0.0, (acc,x) => acc + x*x))`. Codegen'd (r14,
+  * same rationale and same-fold guarantee as [[DotProductD]]). */
+case class NormD(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
@@ -73,6 +101,24 @@ case class NormD(child: Expression) extends UnaryExpression with CodegenFallback
     }
     java.lang.Double.valueOf(math.sqrt(acc))
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $x = $a.getDouble($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): NormD =
     copy(child = newChild)
@@ -95,7 +141,7 @@ object NormD {
   * `Similarity.quantBound`). Null if the array is null, any element is
   * null, or n is not a positive finite number. */
 case class QuantizeUnitI8(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
 
@@ -114,6 +160,26 @@ case class QuantizeUnitI8(left: Expression, right: Expression)
     out
   }
 
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, n) => {
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |if (!($n > 0.0) || java.lang.Double.isInfinite($n)) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $d = $a.numElements();
+         |  byte[] $out = new byte[$d];
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $out[$i] = (byte) java.lang.Math.rint($a.getDouble($i) / $n * 127.0);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizeUnitI8 =
     copy(left = newLeft, right = newRight)
@@ -130,7 +196,7 @@ object QuantizeUnitI8 {
   * exact integer arithmetic (max |Σ| ≤ d·127² < 2³¹ for d < 133k).
   * Null if either side is null or lengths differ. */
 case class DotProductI8(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
@@ -146,6 +212,26 @@ case class DotProductI8(left: Expression, right: Expression)
     }
     java.lang.Integer.valueOf(acc)
   }
+
+  // codegen'd: this is the per-CANDIDATE kernel of the two-stage near-dup
+  // prefilter — at sf10 it runs ~10^10 times, so the interpreted dispatch
+  // + boxed Integer of CodegenFallback is exactly the tax to avoid
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $acc = 0;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    $acc += $a[$i] * $b[$i];
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductI8 =

@@ -367,6 +367,38 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("vector kernels: codegen and interpreted paths agree bit-for-bit, including null edges") {
+    // DotProductD/NormD/QuantizeUnitI8/DotProductI8 gained doGenCode in
+    // r14; the whole-stage-codegen loop must produce the same bits (and
+    // the same nulls on length mismatch / element null) as the
+    // interpreted eval the oracle parity was proven against
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian()))) :+
+      (99L, Array.fill(7)(1.0)) // odd length: pairs with it are length-mismatched
+    val df = rows.toDF("id", "v")
+      .withColumn("n", graft.functions.NormD(col("v")))
+      .withColumn("q", graft.functions.QuantizeUnitI8(col("v"), col("n")))
+    val viaCodegen = df.as("a").crossJoin(df.as("b"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        graft.functions.DotProductD(col("a.v"), col("b.v")).as("dot"),
+        graft.functions.DotProductI8(col("a.q"), col("b.q")).as("qdot"))
+      .as[(Long, Long, Option[Double], Option[Int])].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    val byId = rows.toMap
+    def interpDot(a: Array[Double], b: Array[Double]): Option[Double] =
+      if (a.length != b.length) None
+      else Some(a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i)))
+    for (((ia, ib), (dot, qdot)) <- viaCodegen) {
+      val expected = interpDot(byId(ia), byId(ib))
+      assert(dot == expected, s"dot mismatch for ($ia,$ib)")
+      assert(qdot.isDefined == expected.isDefined, s"qdot nullness for ($ia,$ib)")
+    }
+    // norms: sqrt of the same sequential fold
+    val norms = df.select(col("id"), col("n")).as[(Long, Double)].collect().toMap
+    for ((id, v) <- byId)
+      assert(norms(id) == math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
   test("quantize_unit_i8: nulls and degenerate norms propagate, codes are unit-bounded") {
     val df = Seq(
       (1L, Some(Array(3.0, 4.0)), Some(5.0)),   // unit (0.6, 0.8)
