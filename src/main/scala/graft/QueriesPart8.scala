@@ -625,12 +625,39 @@ private[graft] object QueriesPart8 {
     // over CLUSTERS (near-dup clusters are single-digit; the corpus-size
     // term is linear), and the two scalar cluster counts attach by
     // 1-row broadcast.
+    //
+    // ONE PPJoin serves BOTH chains (r15): the exact pair table has
+    // recall 1.0, so the LSH chain's verified edge set is BY DEFINITION
+    // truth ∩ candidates — the exact verify admits precisely the true
+    // pairs among the LSH candidates. Deriving pred edges as a semi-join
+    // of the (tiny, checkpointed) truth pairs against the LSH candidate
+    // pairs is therefore bit-identical to running canonicalize's own
+    // verify join, and the corpus-scale exact-verify work runs once
+    // instead of twice (sf10: the two chains shared 241 GB of spill
+    // before the r15 verify-then-dedup fix; now they share one PPJoin).
     "q355_dedup_scorecard" -> ((s, d) => {
       val docs = doc(s, d)
-      val pred = Dedup.canonicalize(docs, "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3, rounds = 16, family = "md5p61")
-      val truth = Dedup.canonicalizeExact(docs, "text", "doc_id",
-        k = 2, jaccardThreshold = 0.3, maxRounds = 16)
+      val nodes = docs.select(col("doc_id").as("node"))
+      val truthPairs = graft.io.Checkpoints.truncate(
+        Dedup.ngramJaccardSelfPairs(docs, "text", "doc_id",
+            k = 2, threshold = 0.3)
+          .select(col("id_a"), col("id_b")), eager = true)
+      // q44's exact LSH parameters (canonicalize defaults: 8 bands × 2
+      // rows, candidate prefilter at half the verify threshold)
+      val candPairs = Dedup.minHashLsh(docs, "text", "doc_id", k = 2,
+          bands = 8, rowsPerBand = 2, threshold = 0.3 / 2, family = "md5p61")
+        .select(col("id_a"), col("id_b"))
+      val predEdges = candPairs.join(broadcast(truthPairs),
+        Seq("id_a", "id_b"), "left_semi")
+      def ccLabels(edges: DataFrame, chain: String): DataFrame = {
+        val (labels, converged) =
+          graft.graph.ConnectedComponents.minLabel(edges, nodes, 16)
+        require(converged, s"q355 $chain chain: CC fixpoint not reached")
+        labels.select(col("node").as("doc_id"),
+          col("label").as("canonical_id"))
+      }
+      val pred = ccLabels(predEdges, "pred")
+      val truth = ccLabels(truthPairs, "truth")
       def comember(lab: DataFrame): DataFrame =
         lab.select(col("canonical_id").as("__l"), col("doc_id").as("id_a"))
           .join(lab.select(col("canonical_id").as("__l"),

@@ -295,18 +295,32 @@ object Dedup {
     *      α = ⌈t/(1+t)·(|x|+|y|)⌉ are dropped. Sound because e's row
     *      (step 2) always passes: its bound is ≥ I ≥ α.
     *
-    * Surviving candidate PAIRS are deduplicated FIRST (one hash agg on
-    * (ia, ib) — rows are 4 scalars, so even a multi-million-row dedup
-    * shuffle moves ~32 B/row), then verified EXACTLY once per distinct
-    * pair — sorted shingle sets joined back, |A∩B| by
+    * Surviving candidate rows are verified IN-PIPELINE, then the tiny
+    * survivor set is deduplicated. The verify step hash-joins the doc-set
+    * relation (always the SMALL side: n docs vs ≥n candidate rows) onto
+    * the streaming candidate rows — |A∩B| by
     * [[graft.functions.SortedIntersectSize]]'s merge scan (no per-row
-    * hash set), Jaccard threshold. Dedup-before-verify wins in both
-    * regimes: the verify join materializes both shingle arrays per row
-    * (~10× wider than the candidate row), so repeating it per duplicate
-    * candidate costs far more than the scalar dedup shuffle — measured
-    * 1.7× end-to-end on the dense-vocabulary harness corpus (13.5M
-    * candidate rows → 6.2M distinct pairs), and at real-corpus shingle
-    * diversity the dedup shuffle is near-free because multiplicity ≈ 1.
+    * hash set), Jaccard threshold — all inside one whole-stage pipeline,
+    * so no candidate row is ever materialized, shuffled, or aggregated.
+    * Verify-before-dedup is the r15 inversion of the original order:
+    * deduplicating first hash-aggregated the FULL candidate stream (354M
+    * (ia,ib) groups at sf10 on the vocabulary-dense harness corpus —
+    * 108 GB of aggregation spill), to save re-verifying duplicate
+    * candidates; but candidate multiplicity is only ~1.67 (ProfileQ70Cards)
+    * and a merge intersect is ~100 ns, so re-verifying duplicates costs
+    * far less than deduplicating the stream. True near-dup pairs are
+    * sparse (256 of 3.5M distinct candidates at sf0.1), so the post-verify
+    * dedup agg runs on a relation ~10⁴× smaller than the candidate stream.
+    * Duplicate candidate rows verify to bit-identical (jaccard, sa, sb)
+    * values — the intersect is a pure function of the pair — so the
+    * min-based dedup returns exactly the rows the dedup-first order did.
+    *
+    * The doc-set build side broadcasts only when its ESTIMATED BYTES
+    * (Σ set sizes × 8 B + per-row overhead, from the same aggregate that
+    * materializes the checkpoint) fit `spark.graft.dedup.broadcastMaxBytes`
+    * (default 256 MB) — a row-count gate would let a long-document corpus
+    * broadcast gigabytes past the driver. Above the gate the build side
+    * becomes a shuffled hash join: still sort-free, still small-side-built.
     *
     * All ceil() thresholds carry a −1e-9 guard so float error can only
     * lengthen a prefix or relax a filter (extra candidates), never drop a
@@ -314,8 +328,10 @@ object Dedup {
     *
     * Scale shape: doc-freq agg + prefix join shuffle on the shingle hash
     * (skew-immune by step 1), prefix ranking is one shuffle on doc id,
-    * verification joins shuffle on doc id (uniform); no stage is
-    * super-linear in corpus size or in any single key's frequency. */
+    * the candidate stream flows through the verify hash joins without an
+    * exchange when the build side broadcasts (and shuffles scalar rows,
+    * never arrays, when it does not); no stage is super-linear in corpus
+    * size or in any single key's frequency. */
   def ngramJaccardSelfPairs(df: DataFrame, textCol: String, idCol: String,
                             k: Int = 3, threshold: Double = 0.3,
                             materializeShared: Boolean = true): DataFrame = {
@@ -351,39 +367,44 @@ object Dedup {
       .filter(col("__rn") <= probeLen)
       .withColumn("__idx", col("__rn") <= indexLen)
       .select(col("__id"), col("__sz"), col("sh"), col("__rn"), col("__idx")))
+    // PIN the prefix-join input partitioning (repartition-by-num is
+    // exempt from AQE coalescing): the join INPUTS are small (prefix rows
+    // only) but the join OUTPUT explodes ~200× on a dense-vocabulary
+    // corpus, and since r15 the verify runs IN-PIPELINE downstream of it.
+    // AQE sizes the exchange by input bytes — at small SF it coalesced
+    // the stage to 1-2 partitions and the entire candidate+verify work
+    // ran near-serially (sf0.1: 3.4 s → 6.0 s wall on LESS cpu). Pinning
+    // costs nothing (the join needs this exchange anyway) and keeps the
+    // exploding stage at full width at every SF.
+    val nPart = shufflePartitions(df)
     val probe = ranked
       .select(col("__id").as("ia"), col("__sz").as("sa"), col("sh"), col("__rn").as("ra"))
+      .repartition(nPart, col("sh"))
     val index = ranked.filter(col("__idx"))
       .select(col("__id").as("ib"), col("__sz").as("sb"), col("sh"), col("__rn").as("rb"))
+      .repartition(nPart, col("sh"))
     val alphaPair = ceil((col("sa") + col("sb")) * (t / (1 + t)) - eps)
-    val candidates = probe.join(index, Seq("sh"))
+    // shuffle_hash on the indexed (shorter-prefix) side: neither side
+    // needs a sort, and the per-partition build is prefix rows only
+    val candidates = probe.join(index.hint("shuffle_hash"), Seq("sh"))
       .filter(col("sb") < col("sa") || (col("sb") === col("sa") && col("ib") < col("ia")))
       .filter(col("sb") >= ceil(col("sa") * t - eps))
       .filter(least(col("sa") - col("ra"), col("sb") - col("rb")) + 1 >= alphaPair)
       .select(col("ia"), col("ib"), col("sa"), col("sb"))
-    // sa/sb are functionally determined by ia/ib, so min() is just the
-    // deterministic way to carry them through the pair dedup.
-    //
-    // VERIFY-JOIN PHYSICAL SHAPE: on a vocabulary-dense corpus the pair
-    // set is a large fraction of n² (the sf0.1 harness corpus has 931
-    // distinct shingles across 5k docs — 3.5M distinct candidate pairs =
-    // 28% of all pairs), and the default sort-merge join SORTS that pair
-    // stream twice, the second time carrying the first join's shingle
-    // array on every row — at sf10 (354M pairs) those sorts spilled >75 GB
-    // and filled the disk. Neither join needs a sort: the sets side is
-    // always the small side (n docs vs ≥n pairs), so hash-join it —
-    // broadcast when it fits (500k docs ≈ 120 MB), shuffled-hash above
-    // that (still sort-free; the pair stream is shuffled but never
-    // sorted). Same rows out, different physical plan.
-    val docCount =
-      if (materializeShared) sets.count() // materializes the checkpoint once
-      else Long.MaxValue // stay declarative: no action, no broadcast
-    def setsFor(key: String, out: String) = {
-      val s = sets.select(col("__id").as(key), col("__set").as(out))
-      if (docCount <= 1000000L) broadcast(s) else s.hint("shuffle_hash")
-    }
-    candidates.groupBy("ia", "ib")
-      .agg(min(col("sa")).as("sa"), min(col("sb")).as("sb"))
+    // VERIFY-JOIN PHYSICAL SHAPE: on a vocabulary-dense corpus the
+    // candidate set is a large fraction of n² (the sf0.1 harness corpus
+    // has 931 distinct shingles across 5k docs — 5.9M candidate rows =
+    // 28% of all pairs as distinct candidates), so the candidate stream
+    // must never sort, shuffle, or aggregate. The sets side is always the
+    // small side (n docs vs ≥n candidate rows): hash-join it — broadcast
+    // when its estimated bytes fit the gate, shuffled-hash above — and
+    // verify each candidate row as it streams; only the sparse survivor
+    // set (true near-dups) reaches the pair dedup agg. Duplicate
+    // candidates (≤ prefix length per pair, measured ~1.67×) re-run a
+    // ~100 ns merge intersect — far cheaper than hash-aggregating the
+    // full stream (measured at sf10: 108 GB agg spill → none).
+    val setsFor = hashJoinSide(sets, materializeShared)
+    candidates
       .join(setsFor("ia", "__set_a"), "ia")
       .join(setsFor("ib", "__set_b"), "ib")
       .withColumn("__inter",
@@ -393,6 +414,42 @@ object Dedup {
       .filter(col("jaccard") >= t)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+      // jaccard is a pure function of the pair, identical on every
+      // duplicate candidate row; min() is just the deterministic picker
+      .groupBy("id_a", "id_b").agg(min(col("jaccard")).as("jaccard"))
+  }
+
+  /** Session shuffle width for pinned repartitions (AQE-coalesce-exempt);
+    * falls back to 200 (Spark's own default) if the conf is unparseable. */
+  private def shufflePartitions(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200)
+
+  /** Shared verify-join build-side policy for the exact set-similarity
+    * family: returns a renamer for the (__id, __set, __sz) relation that
+    * BROADCASTs it when the estimated serialized bytes (Σ|set|·8 B + 64 B
+    * row overhead, computed by the same single action that materializes
+    * the lazy checkpoint) fit `spark.graft.dedup.broadcastMaxBytes`
+    * (default 256 MB), and marks it `shuffle_hash` otherwise — a
+    * row-count gate would let a long-document corpus push a multi-GB
+    * broadcast through the driver. When the caller keeps the plan
+    * declarative (`materialize = false`) no action runs and the side is
+    * always shuffled-hash. */
+  private def hashJoinSide(sets: DataFrame, materialize: Boolean)
+      : (String, String) => DataFrame = {
+    val estBytes =
+      if (materialize) {
+        // one action: materializes the checkpoint AND sizes the broadcast
+        val r = sets.agg(count(lit(1)), sum(col("__sz"))).head()
+        r.getLong(0) * 64L + (if (r.isNullAt(1)) 0L else r.getLong(1)) * 8L
+      } else Long.MaxValue // stay declarative: no action, no broadcast
+    val maxBytes = sets.sparkSession.conf
+      .get("spark.graft.dedup.broadcastMaxBytes", (256L << 20).toString).toLong
+    (key: String, out: String) => {
+      val s = sets.select(col("__id").as(key), col("__set").as(out))
+      if (estBytes <= maxBytes) broadcast(s) else s.hint("shuffle_hash")
+    }
   }
 
   /** Exact n-gram CONTAINMENT self-join — Broder's asymmetric companion to
@@ -409,12 +466,12 @@ object Dedup {
     * container side stays fully indexed — containment puts no lower bound
     * on |B|, so only the probe side can be pruned. Hot boilerplate
     * shingles sort LAST and fall out of probe prefixes, which is what
-    * bounds the join fan-out (the PPJoin skew argument). Candidate pairs
-    * are deduplicated first (scalar rows — cheap shuffle), then verified
-    * exactly once per pair with the
-    * [[graft.functions.SortedIntersectSize]] merge scan — the same
-    * dedup-before-verify ordering as [[ngramJaccardSelfPairs]] (see its
-    * scaladoc for the cost argument). */
+    * bounds the join fan-out (the PPJoin skew argument). Candidate rows
+    * are verified IN-PIPELINE with the
+    * [[graft.functions.SortedIntersectSize]] merge scan and only the
+    * sparse survivor set is deduplicated — the same verify-before-dedup
+    * ordering and byte-gated hash-join build side as
+    * [[ngramJaccardSelfPairs]] (see its scaladoc for the cost argument). */
   def containmentPairs(df: DataFrame, textCol: String, idCol: String,
                        k: Int = 3, threshold: Double = 0.8,
                        materializeShared: Boolean = true): DataFrame = {
@@ -433,32 +490,38 @@ object Dedup {
     val postings = sets.select(col("__id"), col("__sz"), explode(col("__set")).as("sh"))
     val docFreq = postings.groupBy("sh").agg(count(lit(1)).as("__df"))
     val probeLen = col("__sz") - ceil(col("__sz") * t - eps).cast("int") + 1
+    // pinned width for the exploding overlap join + in-pipeline verify —
+    // same AQE-coalescing rationale as ngramJaccardSelfPairs
+    val nPart = shufflePartitions(df)
     val probe = postings.join(docFreq, "sh")
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df"), col("sh"))))
       .filter(col("__rn") <= probeLen)
       .select(col("__id").as("ia"), col("__sz").as("sa"), col("sh"))
+      .repartition(nPart, col("sh"))
     val candidates = probe
-      .join(postings.select(col("__id").as("ib"), col("sh")), Seq("sh"))
+      .join(postings.select(col("__id").as("ib"), col("sh"))
+        .repartition(nPart, col("sh")).hint("shuffle_hash"), Seq("sh"))
       .filter(col("ia") =!= col("ib"))
       .select("ia", "ib", "sa")
-    // same sort-free verify-join shape as ngramJaccardSelfPairs (see the
-    // scaladoc there): hash-join the doc-sets side, never sort the pairs
-    val docCount = if (materializeShared) sets.count() else Long.MaxValue
-    def setsFor(key: String, out: String) = {
-      val s = sets.select(col("__id").as(key), col("__set").as(out))
-      if (docCount <= 1000000L) broadcast(s) else s.hint("shuffle_hash")
-    }
-    candidates.groupBy("ia", "ib").agg(min(col("sa")).as("sa"))
+    // same sort-free verify-then-dedup shape as ngramJaccardSelfPairs
+    // (see the scaladoc there): hash-join the doc-sets side onto the
+    // streaming candidates, verify in-pipeline, dedup only the sparse
+    // survivor set — the candidate stream never sorts or aggregates
+    val setsFor = hashJoinSide(sets, materializeShared)
+    candidates
       .join(setsFor("ia", "__set_a"), "ia")
       .join(setsFor("ib", "__set_b"), "ib")
       .withColumn("__inter",
         graft.functions.SortedIntersectSize(col("__set_a"), col("__set_b")))
-      .withColumn("containment",
-        round(col("__inter").cast("double") / col("sa"), 6))
       .filter(col("__inter").cast("double") / col("sa") >= t)
       .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        col("__inter").as("shared"), col("containment"))
+        col("__inter").as("shared"),
+        round(col("__inter").cast("double") / col("sa"), 6).as("containment"))
+      // shared/containment are pure functions of the pair — min() is the
+      // deterministic picker across duplicate candidate rows
+      .groupBy("id_a", "id_b").agg(min(col("shared")).as("shared"),
+        min(col("containment")).as("containment"))
   }
 
   /** Winnowing (MOSS) near-dup pairs: each document keeps the distinct

@@ -139,7 +139,13 @@ object NormD {
   * the PROVABLE cosine error bound used by [[DotProductI8]] callers:
   * |cos(a,b) − qdot/127²| ≤ (2√d + d/254)/254 (≈0.064 at d=64; see
   * `Similarity.quantBound`). Null if the array is null, any element is
-  * null, or n is not a positive finite number. */
+  * null, or n is not a positive finite number. Codes are CLAMPED to
+  * [−127, 127]: with a correct norm the clamp never fires (|vᵢ/n| ≤ 1),
+  * but a caller-supplied n smaller than the true norm would otherwise
+  * push rint past 127 and the byte cast would silently WRAP to a negative
+  * code, corrupting every downstream sketch dot — clamping keeps the
+  * sketch merely saturated, so the quantBound contract degrades gracefully
+  * instead of inverting coordinates. */
 case class QuantizeUnitI8(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = BinaryType
@@ -154,7 +160,8 @@ case class QuantizeUnitI8(left: Expression, right: Expression)
     var i = 0
     while (i < d) {
       if (a.isNullAt(i)) return null
-      out(i) = math.rint(a.getDouble(i) / n * 127.0).toByte
+      out(i) = math.max(-127.0, math.min(127.0,
+        math.rint(a.getDouble(i) / n * 127.0))).toByte
       i += 1
     }
     out
@@ -173,7 +180,8 @@ case class QuantizeUnitI8(left: Expression, right: Expression)
          |  byte[] $out = new byte[$d];
          |  for (int $i = 0; $i < $d; $i++) {
          |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $out[$i] = (byte) java.lang.Math.rint($a.getDouble($i) / $n * 127.0);
+         |    $out[$i] = (byte) java.lang.Math.max(-127.0, java.lang.Math.min(
+         |      127.0, java.lang.Math.rint($a.getDouble($i) / $n * 127.0)));
          |  }
          |  ${ev.value} = $out;
          |}

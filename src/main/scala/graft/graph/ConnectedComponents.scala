@@ -55,11 +55,24 @@ object ConnectedComponents {
       pairs.select(col("id_a"), col("id_b")), eager = true)
     val maxLocal = pairs.sparkSession.conf
       .getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
-      .getOrElse(1000000L)
+      .getOrElse(derivedLocalMaxEdges(Runtime.getRuntime.maxMemory))
     if (maxLocal >= 0 && raw.count() <= maxLocal)
       (minLabelLocal(raw, nodes), true)
     else minLabelIterative(raw, nodes, maxRounds)
   }
+
+  /** Default local-path edge budget, derived from the DRIVER's heap
+    * instead of a flat constant (a 1M default is ~200-300 MB of driver
+    * heap — fine on a 48 GB audit JVM, an OOM on a 1 GB driver). Cost
+    * model (see [[minLabelLocal]]): ~300 B/edge — one collected Row plus
+    * up to two boxed HashMap entries. Budget: ~1/32 of the heap, so
+    * edges = maxMemory / (32 · 300 B) — ≈110k edges on a 1 GB driver
+    * (the scaladoc's long-standing guidance), ≈890k at the 8 GB build
+    * default (continuity with the old 1M constant), ≈5M at the 48 GB
+    * audit size. `spark.graft.cc.localMaxEdges` overrides (−1 forces the
+    * iterative path). */
+  private[graft] def derivedLocalMaxEdges(maxMemoryBytes: Long): Long =
+    maxMemoryBytes / 9600L
 
   /** Driver union-find (path-halving + union-by-attachment to the
     * order-smaller root), value-identical to the fixpoint: each
@@ -67,12 +80,12 @@ object ConnectedComponents {
     * natural ordering — the same ordering `min(label)` aggregates by on
     * the distributed path (equivalence case in GraphMetricsSpec).
     * Always "converged": union-find has no round bound to exhaust.
-    * Bounded by the dispatch above (≤ `spark.graft.cc.localMaxEdges`
-    * edges; at the 1M default budget ~200-300 MB of driver heap — 1M
-    * Row objects plus up to 2M boxed HashMap entries, an order more
-    * than a broadcast join's packed bytes — so size the conf to the
-    * driver, not the executor: a 1 GB driver wants ~100k). Set the
-    * conf to -1 to force the iterative path. */
+    * Bounded by the dispatch above (`spark.graft.cc.localMaxEdges`, or
+    * the heap-derived [[derivedLocalMaxEdges]] default; ~300 B/edge —
+    * one collected Row plus up to two boxed HashMap entries, an order
+    * more than a broadcast join's packed bytes — so the budget keys on
+    * the DRIVER's heap, not the executors'). Set the conf to -1 to
+    * force the iterative path. */
   private[graft] def minLabelLocal(pairs: DataFrame, nodes: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType

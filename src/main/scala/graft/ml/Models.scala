@@ -23,11 +23,38 @@ object Models {
     * p_value) with feature names recovered from the assembled-vector ML
     * attribute metadata (so one-hot slots read "col_oh_LEVEL"), plus
     * __intercept / __rse (R's n−p−1 denominator) / __r2 metric rows. */
+  /** Fail-loud cardinality guard for the one-hot paths: every categorical
+    * column's distinct levels end up ON THE DRIVER (StringIndexer's
+    * internal fit collect, [[logisticConfusion]]'s explicit one) and as
+    * one indicator column each — inherent to one-hot, and unbounded in
+    * principle. Rather than let a high-cardinality column silently
+    * collect gigabytes, count distincts DISTRIBUTED first (one agg, a
+    * scalar per column back) and refuse loudly past
+    * `spark.graft.ml.maxCategories` (default 10k ≈ a few MB of labels
+    * and a design matrix ML can still fit). */
+  private def requireBoundedCategories(df: DataFrame, cols: Seq[String]): Unit =
+    if (cols.nonEmpty) {
+      val maxCats = df.sparkSession.conf
+        .get("spark.graft.ml.maxCategories", "10000").toLong
+      val counts = df.agg(countDistinct(col(cols.head)),
+        cols.tail.map(c => countDistinct(col(c))): _*).head()
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val n = counts.getLong(i)
+        require(n <= maxCats,
+          s"one-hot guard: categorical column '$c' has $n distinct levels " +
+            s"(> spark.graft.ml.maxCategories=$maxCats); one-hot encoding " +
+            s"would collect them all to the driver and emit $n indicator " +
+            s"columns — hash or bucket the column, or raise the conf if " +
+            s"the driver can genuinely hold it")
+      }
+    }
+
   def linearRegression(df: DataFrame, labelCol: String,
                        numericCols: Seq[String], categoricalCols: Seq[String] = Nil)
   : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    requireBoundedCategories(df, categoricalCols)
     val indexers = categoricalCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setStringOrderType("alphabetAsc").setHandleInvalid("keep"))
@@ -417,6 +444,7 @@ object Models {
       // the ~1 s of indexer-fit RDD jobs becomes one codegen'd distinct
       // per categorical column over the cached input, and the assembled
       // vector goes straight to LR via array_to_vector.
+      requireBoundedCategories(input, categoricalCols)
       val labelsPerCat: Seq[Array[String]] = categoricalCols.map { c =>
         input.filter(col(c).isNotNull).select(col(c).cast("string"))
           .distinct().as[String].collect().sorted

@@ -68,6 +68,12 @@ object ProfileQ70Cards {
     println(s"CARD candidates      ${candidates.count()}")
     val pairs = candidates.groupBy("ia", "ib").count()
     println(s"CARD distinct_pairs  ${pairs.count()}")
+    // survivors: the verified edge list the CC stage iterates over — if
+    // this is a large fraction of distinct_pairs, the spill lives in the
+    // CC rounds, not the verify join
+    val survivors = graft.dedup.Dedup.ngramJaccardSelfPairs(
+      doc, "text", "doc_id", k, t)
+    println(s"CARD survivors       ${survivors.count()}")
     spark.stop()
   }
 }

@@ -66,18 +66,9 @@ object ScalingAudit {
         diskSpill.get + cpuNanos.get + tasks.get
   }
 
-  /** Run `name` once measured on `sfDir`, returning (metrics, wallSec).
-    * Caller must have warmed the query up (codegen) beforehand. */
-  private[tools] def measureOnce(
-      spark: SparkSession, l: MetricsListener,
-      name: String, sfDir: String): (Map[String, Long], Double) = {
-    l.reset()
-    val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    // drain the async listener bus: poll until no task-end arrives for
-    // 200 ms (bounded at 10 s so a stuck bus can't hang the audit)
+  /** Poll the async listener bus until no task-end lands for 200 ms
+    * (bounded at 10 s so a stuck bus can't hang the audit). */
+  private def drain(l: MetricsListener): Unit = {
     var last = -1L
     var stableSince = System.nanoTime()
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
@@ -87,6 +78,23 @@ object ScalingAudit {
       if (fp != last) { last = fp; stableSince = System.nanoTime() }
       Thread.sleep(20)
     }
+  }
+
+  /** Run `name` once measured on `sfDir`, returning (metrics, wallSec).
+    * Caller must have warmed the query up (codegen) beforehand. */
+  private[tools] def measureOnce(
+      spark: SparkSession, l: MetricsListener,
+      name: String, sfDir: String): (Map[String, Long], Double) = {
+    // the bus is async in BOTH directions: task-end events from the
+    // warm-up (or a previous query) can still be in flight here and would
+    // land AFTER reset(), contaminating the measured bytes — drain first
+    drain(l)
+    l.reset()
+    val t0 = System.nanoTime()
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    drain(l)
     val m = Map(
       "input_bytes" -> l.inputBytes.get,
       "shuffle_read_bytes" -> l.shuffleRead.get,

@@ -29,8 +29,12 @@ object TuneSemDedup {
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"),
         transform(col("embedding"), _.cast("double")).as("embedding"))
+    // injected ids must sit strictly above the corpus's real id range —
+    // a fixed +100000 offset collides once the corpus has >100k vectors
+    // (sf1/sf10), producing duplicate keys that skew the measurement
+    val idBase = e.agg(max(col("vec_id"))).head().getLong(0) + 1
     val dups = e.filter(col("vec_id") % 50 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + idBase).as("vec_id"),
         concat(array(element_at(col("embedding"), 1) + lit(0.05)),
           slice(col("embedding"), 2, 63)).as("embedding"))
     val corpus = e.unionByName(dups)

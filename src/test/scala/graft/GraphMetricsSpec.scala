@@ -253,6 +253,18 @@ class GraphMetricsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
+  test("CC: default local-path edge budget derives from driver heap (~300 B/edge at 1/32 heap)") {
+    val f = graft.graph.ConnectedComponents.derivedLocalMaxEdges _
+    // the published cost model: ~110k edges per GB of driver heap
+    assert(f(1L << 30) == (1L << 30) / 9600)
+    assert(f(1L << 30) > 100000L && f(1L << 30) < 120000L)
+    // continuity with the old flat 1M constant at the 8 GB build default
+    assert(f(8L << 30) > 800000L && f(8L << 30) < 1000000L)
+    // monotone in heap, and the running JVM's own derived bound is sane
+    assert(f(48L << 30) > f(8L << 30))
+    assert(f(Runtime.getRuntime.maxMemory) > 0L)
+  }
+
   test("modularity: two disjoint triangles give Q = 0.5") {
     val dir = copurchaseFixture(Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)))
     val r = Queries.queries("q203_modularity")(spark, dir)

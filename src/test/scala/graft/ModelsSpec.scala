@@ -100,6 +100,30 @@ class ModelsSpec extends AnyFunSuite {
     assert(m.size == 3)
   }
 
+  test("one-hot maxCategories guard trips loudly on a high-cardinality categorical") {
+    // every row its own level: one-hot would collect n levels to the
+    // driver and build n indicator columns — the guard must refuse
+    // BEFORE any collect happens, on both one-hot model paths
+    val df = (1 to 40).map(i => (i.toDouble, i.toDouble, s"cat_$i"))
+      .toDF("y", "x", "c")
+    spark.conf.set("spark.graft.ml.maxCategories", "10")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Models.linearRegression(df, "y", Seq("x"), Seq("c"))
+      }
+      assert(e1.getMessage.contains("maxCategories") && e1.getMessage.contains("'c'"))
+      val e2 = intercept[IllegalArgumentException] {
+        Models.logisticConfusion(
+          df.withColumn("y", (col("x") > 20).cast("double")), "y", Seq("x"), Seq("c"))
+      }
+      assert(e2.getMessage.contains("maxCategories"))
+      // under the bound the same shape fits fine
+      val small = (1 to 40).map(i => (i.toDouble, i.toDouble, s"g_${i % 3}"))
+        .toDF("y", "x", "c")
+      assert(Models.linearRegression(small, "y", Seq("x"), Seq("c")).count() > 0)
+    } finally spark.conf.unset("spark.graft.ml.maxCategories")
+  }
+
   test("decisionTreeConfusion separates a thresholded label perfectly") {
     val df = (1 to 100).map { i => (if (i > 50) 1.0 else 0.0, i.toDouble) }
       .toDF("label", "x")

@@ -371,32 +371,67 @@ class SimilaritySpec extends AnyFunSuite {
     // DotProductD/NormD/QuantizeUnitI8/DotProductI8 gained doGenCode in
     // r14; the whole-stage-codegen loop must produce the same bits (and
     // the same nulls on length mismatch / element null) as the
-    // interpreted eval the oracle parity was proven against
-    val rng = new scala.util.Random(29)
-    val rows = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian()))) :+
-      (99L, Array.fill(7)(1.0)) // odd length: pairs with it are length-mismatched
-    val df = rows.toDF("id", "v")
-      .withColumn("n", graft.functions.NormD(col("v")))
-      .withColumn("q", graft.functions.QuantizeUnitI8(col("v"), col("n")))
-    val viaCodegen = df.as("a").crossJoin(df.as("b"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        graft.functions.DotProductD(col("a.v"), col("b.v")).as("dot"),
-        graft.functions.DotProductI8(col("a.q"), col("b.q")).as("qdot"))
-      .as[(Long, Long, Option[Double], Option[Int])].collect()
-      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
-    val byId = rows.toMap
-    def interpDot(a: Array[Double], b: Array[Double]): Option[Double] =
-      if (a.length != b.length) None
-      else Some(a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i)))
-    for (((ia, ib), (dot, qdot)) <- viaCodegen) {
-      val expected = interpDot(byId(ia), byId(ib))
-      assert(dot == expected, s"dot mismatch for ($ia,$ib)")
-      assert(qdot.isDefined == expected.isDefined, s"qdot nullness for ($ia,$ib)")
+    // interpreted eval the oracle parity was proven against.
+    // CODEGEN_ONLY + fallback=false: without them a doGenCode that fails
+    // to COMPILE silently falls back to interpreted eval and this test
+    // passes vacuously — here a broken kernel must fail the suite.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rng = new scala.util.Random(29)
+      val rows = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian()))) :+
+        (99L, Array.fill(7)(1.0)) // odd length: pairs with it are length-mismatched
+      val df = rows.toDF("id", "v")
+        .withColumn("n", graft.functions.NormD(col("v")))
+        .withColumn("q", graft.functions.QuantizeUnitI8(col("v"), col("n")))
+      val viaCodegen = df.as("a").crossJoin(df.as("b"))
+        .select(col("a.id").as("ia"), col("b.id").as("ib"),
+          graft.functions.DotProductD(col("a.v"), col("b.v")).as("dot"),
+          graft.functions.DotProductI8(col("a.q"), col("b.q")).as("qdot"))
+        .as[(Long, Long, Option[Double], Option[Int])].collect()
+        .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+      val byId = rows.toMap
+      def interpDot(a: Array[Double], b: Array[Double]): Option[Double] =
+        if (a.length != b.length) None
+        else Some(a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i)))
+      // reference int8 codes: the exact arithmetic QuantizeUnitI8 contracts
+      def codes(v: Array[Double]): Array[Byte] = {
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        v.map(x => math.max(-127.0, math.min(127.0,
+          math.rint(x / n * 127.0))).toByte)
+      }
+      def interpQdot(a: Array[Double], b: Array[Double]): Option[Int] =
+        if (a.length != b.length) None
+        else {
+          val (qa, qb) = (codes(a), codes(b))
+          Some(qa.indices.foldLeft(0)((acc, i) => acc + qa(i) * qb(i)))
+        }
+      for (((ia, ib), (dot, qdot)) <- viaCodegen) {
+        val expected = interpDot(byId(ia), byId(ib))
+        assert(dot == expected, s"dot mismatch for ($ia,$ib)")
+        assert(qdot == interpQdot(byId(ia), byId(ib)),
+          s"qdot mismatch for ($ia,$ib)")
+      }
+      // norms: sqrt of the same sequential fold
+      val norms = df.select(col("id"), col("n")).as[(Long, Double)].collect().toMap
+      for ((id, v) <- byId)
+        assert(norms(id) == math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
     }
-    // norms: sqrt of the same sequential fold
-    val norms = df.select(col("id"), col("n")).as[(Long, Double)].collect().toMap
-    for ((id, v) <- byId)
-      assert(norms(id) == math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+  }
+
+  test("quantize_unit_i8 clamps (never wraps) when the supplied norm undershoots") {
+    // a norm smaller than the true one pushes v_i/n past 1.0; the byte
+    // cast used to WRAP rint(1.6·127)=203 to -53, silently inverting the
+    // coordinate in every downstream sketch dot — the clamp saturates at
+    // ±127 instead (both eval paths)
+    val df = Seq((1L, Array(1.6, -1.6, 0.5), 1.0))
+      .toDF("id", "v", "n")
+      .withColumn("q", graft.functions.QuantizeUnitI8(col("v"), col("n")))
+    val q = df.select("q").as[Array[Byte]].head()
+    assert(q.toSeq == Seq[Byte](127, -127, math.rint(0.5 * 127).toByte))
   }
 
   test("quantize_unit_i8: nulls and degenerate norms propagate, codes are unit-bounded") {
