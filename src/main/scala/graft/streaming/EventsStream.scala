@@ -33,7 +33,47 @@ object EventsStream {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions",
       spark.conf.getOption("spark.graft.streaming.statePartitions").getOrElse("8"))
+    // propagate the backfill-chunking knob the same way: a runtime set on
+    // the caller's session must reach the cloned session the stream
+    // source is planned on
+    spark.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      .foreach(v => s.conf.set("spark.graft.streaming.maxFilesPerTrigger", v))
     body(s)
+  }
+
+  /** Streaming scan of the events table, LAYOUT-AGNOSTIC: the harness SF
+    * dirs store events as a single parquet FILE named `events.parquet`
+    * inside `dir` (the file-stream source wants a directory, so glob-filter
+    * the listing), while any Spark-written layout — ScaleUp output, a real
+    * ingest directory — stores `events.parquet/` as a DIRECTORY of part
+    * files, which the source should stream directly. The r15 streaming
+    * state audit caught the glob form matching ZERO files on directory
+    * layouts: an empty stream "completes" successfully, so the mismatch
+    * was silent. Timestamps are normalized by the same
+    * [[graft.Tables.normalizeTs]] seam as the batch reader. */
+  private def eventsStreamSource(s: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.eventsRawSchema(s, dir)
+    val sub = new java.io.File(dir, "events.parquet")
+    // Bounded-state BACKFILL replay: AvailableNow honors source rate
+    // limits, so `spark.graft.streaming.maxFilesPerTrigger` splits a
+    // historical replay into N-file micro-batches — the watermark then
+    // advances BETWEEN chunks and stream-stream join / windowed state is
+    // evicted incrementally instead of peaking at the whole backfill
+    // (measured in BASELINE.md "streaming state audit"). Correctness
+    // contract: the source replays files in MODIFICATION-TIME order, so
+    // mtimes must track event time — true of real ingest directories
+    // (files arrive over time; tools/TimeOrderEvents stamps an existing
+    // layout) but NOT of one parallel Spark write, whose partitions
+    // finish in arbitrary order (rows behind the advanced watermark
+    // would be dropped as late). Default unset = single-batch replay,
+    // exact on any layout.
+    val base = s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
+      .foldLeft(s.readStream.schema(schema))(
+        (b, v) => b.option("maxFilesPerTrigger", v))
+    (if (sub.isDirectory)
+       base.option("pathGlobFilter", "*.parquet").parquet(sub.getPath)
+     else base.option("pathGlobFilter", "events.parquet").parquet(dir))
+      .transform(graft.Tables.normalizeTs)
   }
 
   /** Tumbling 1-hour windowed counts/sums per event_type, run synchronously
@@ -45,10 +85,7 @@ object EventsStream {
     withStateSession(spark) { s =>
       // The streaming file source wants a directory; narrow to the events
       // table with a glob filter rather than copying the file anywhere.
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -81,10 +118,7 @@ object EventsStream {
     * match window for window). */
   def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -118,10 +152,7 @@ object EventsStream {
     */
   def windowedCountsAppend(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -160,10 +191,7 @@ object EventsStream {
     * — it is the verification cost, not the operator cost. */
   def windowedApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -216,10 +244,7 @@ object EventsStream {
       val out = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_idem_sink_${dir.hashCode.toHexString}").getAbsolutePath
       def runOnce(): Unit = {
-        val schema = graft.Tables.eventsRawSchema(s, dir)
-        val src = s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .transform(graft.Tables.normalizeTs)
+        val src = eventsStreamSource(s, dir)
         val agg = src
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -264,10 +289,7 @@ object EventsStream {
   def dedupStreamCounts(spark: SparkSession, dir: String,
                         keys: Seq[String] = Seq("event_id")): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(keys)
       val qname = "graft_dedup_stream"
@@ -299,10 +321,7 @@ object EventsStream {
       graft.Tables.events(spark, dir)
         .groupBy("user_id")
         .agg(count(lit(1)).as("user_cnt"), sum(col("value")).as("user_total")))
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .transform(graft.Tables.normalizeTs)
+    val src = eventsStreamSource(spark, dir)
     val joined = src.join(profile, Seq("user_id"))
       .select(col("event_id"), col("user_id"), col("user_cnt"),
         round(col("user_total"), 4).as("user_total"))
@@ -327,10 +346,7 @@ object EventsStream {
     * (the q29/q31 parity rule). */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      def src = eventsStreamSource(s, dir)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -398,10 +414,7 @@ object EventsStream {
   private def streamStreamOuter(spark: SparkSession, dir: String,
                                 joinType: String, qname: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      def src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      def src = eventsStreamSource(s, dir)
       val clicks = src.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
@@ -425,10 +438,7 @@ object EventsStream {
     * they compose onto readStream unchanged. Returns the cleaned rows via
     * a single AvailableNow batch for equivalence checking. */
   def cleanStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.eventsRawSchema(spark, dir)
-    val src = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .transform(graft.Tables.normalizeTs)
+    val src = eventsStreamSource(spark, dir)
     val cleaned = graft.operators.Cleaning.winsorize(
       graft.operators.Cleaning.normalizeBlanks(src.toDF(), Seq("props", "event_type")),
       "value", 400.0, 300.0)
@@ -473,10 +483,7 @@ object EventsStream {
   def sessionWindowCounts(spark: SparkSession, dir: String,
                           gapMinutes: Int = 30): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), s"$gapMinutes minutes"),
@@ -509,10 +516,7 @@ object EventsStream {
     * (ts + gap) — the q238 boundary convention generalized. */
   def dynamicSessionCounts(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       // session_window's dynamic gap wants CalendarIntervalType — string
       // literals cast there; ANSI INTERVAL syntax yields DayTimeInterval,
       // which it rejects
@@ -565,10 +569,7 @@ object EventsStream {
   def sessionizeStateful(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     withStateSession(spark) { s =>
       import s.implicits._
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
         .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("tsSec"),
           col("value"), col("ts"))
         .withWatermark("ts", s"$gapMinutes minutes")
@@ -654,10 +655,7 @@ object EventsStream {
   def windowedHeavyHitters(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     require(k >= 200, s"k >= 200 keeps the n/200 threshold inside the sketch guarantee, got $k")
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
@@ -705,10 +703,7 @@ object EventsStream {
     * a deployment would scale/clamp the bin transform to its domain. */
   def windowedQuantile(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"),
@@ -754,10 +749,7 @@ object EventsStream {
     * is the same argmax replayed with a per-user window. */
   def latestPerKey(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .transform(graft.Tables.normalizeTs)
+      val src = eventsStreamSource(s, dir)
       val agg = src
         .select(col("user_id"),
           struct(unix_micros(col("ts")).as("tsu"), col("event_id"),
@@ -801,13 +793,11 @@ object EventsStream {
   def rollingZScore(spark: SparkSession, dir: String): DataFrame = {
     withStateSession(spark) { s =>
       import s.implicits._
-      val schema = graft.Tables.eventsRawSchema(s, dir)
-      val src = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        // normalizeTs absorbs whichever footer encoding the driver wrote
-        // (long nanos / NTZ / timestamp); unix_micros then gives the same
-        // µs value the old `ts div 1000` computed from raw nanos.
-        .transform(graft.Tables.normalizeTs)
+      // normalizeTs (inside eventsStreamSource) absorbs whichever footer
+      // encoding the driver wrote (long nanos / NTZ / timestamp);
+      // unix_micros then gives the same µs value the old `ts div 1000`
+      // computed from raw nanos.
+      val src = eventsStreamSource(s, dir)
         .select(col("user_id"), col("event_id"),
           unix_micros(col("ts")).as("tsMicros"), col("value"))
         .as[ZEvent]

@@ -107,6 +107,10 @@ object StreamingStateAudit {
         classOf[Listener].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // optional bounded-state backfill replay (see EventsStream's
+    // eventsStreamSource): chunk the file source N files per micro-batch
+    sys.env.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER").foreach(v =>
+      spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", v))
     spark.sparkContext.setLogLevel("WARN")
 
     val perSf = sfDirs.map { sfDir =>

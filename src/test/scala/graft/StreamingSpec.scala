@@ -177,6 +177,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.values.sum < 1000)
   }
 
+  test("chunked backfill replay (maxFilesPerTrigger) over a time-ordered directory layout " +
+       "equals single-batch replay") {
+    // covers two r15 findings at once: (1) directory layouts (Spark-written
+    // events.parquet/part-*) must stream — the glob form used to match
+    // ZERO files and succeed on an empty stream; (2) with the layout
+    // time-ordered (repartitionByRange(ts), the production ingest shape),
+    // chunked replay advances the watermark BETWEEN chunks — state stays
+    // bounded (proven at sf10 in BASELINE.md) — and must emit exactly the
+    // single-batch rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-ordlayout")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(TestSpark.sf0001 + "/events.parquet")
+      .repartitionByRange(3, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the file-stream source replays in MTIME order and a parallel write
+    // finishes partitions arbitrarily — stamp mtimes in range order, the
+    // shape a real backfill directory has
+    graft.tools.TimeOrderEvents.stampMtimesInNameOrder(s"$dir/events.parquet")
+    def rows() = EventsStream.streamStreamJoin(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val single = rows()
+    assert(single.nonEmpty, "directory layout streamed zero files")
+    spark.conf.set("spark.graft.streaming.maxFilesPerTrigger", "1")
+    try assert(rows() == single)
+    finally spark.conf.unset("spark.graft.streaming.maxFilesPerTrigger")
+  }
+
   test("multi-batch stream-stream join: cross-batch match; watermark evicts stale state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
