@@ -113,7 +113,7 @@ object ScalingAudit {
     val names = namesArg.split(",").map(_.trim).filter(_.nonEmpty)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -122,6 +122,13 @@ object ScalingAudit {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
       .config("spark.ui.enabled", "false")
+    // audit-scoped knobs, applied at SESSION CREATION so core (non-SQL)
+    // confs work too — e.g. sizing a big-driver leg:
+    //   SPARK_GRAFT_EXTRA_CONF="spark.graft.dedup.broadcastMaxBytes=4294967296,spark.driver.maxResultSize=8g"
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
+      .map(_.split(",").map(_.trim.split("=", 2)))
+      .getOrElse(Array.empty)
+      .foldLeft(builder)((b, kv) => b.config(kv(0), kv(1)))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
