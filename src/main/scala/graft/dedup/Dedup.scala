@@ -212,12 +212,23 @@ object Dedup {
     // exact set comparison (recall is bounded by the band scheme either way)
     val candidates = minHashLsh(df, textCol, idCol, k, bands, rowsPerBand,
       threshold = jaccardThreshold / 2, family = family)
-    val shingles = df.select(col(idCol).as("__id"),
-      array_distinct(graft.text.Text.shingleHashes(
-        graft.text.Text.tokens(col(textCol)), k)).as("__sh"))
+    // same verify-join build-side policy as the exact-Jaccard family
+    // (hashJoinSide): the doc-shingles side is the SMALL side vs the
+    // candidate pair stream, so hash-join it — byte-gated broadcast or
+    // shuffled-hash — and never let the default SMJ sort candidate rows
+    // carrying shingle arrays (the shape that filled the disk at sf10
+    // pre-r14). One action sizes the gate and materializes the lazy
+    // checkpoint the two verify joins share.
+    val shingles = graft.io.Checkpoints.truncate(
+      df.select(col(idCol).as("__id"),
+          array_distinct(graft.text.Text.shingleHashes(
+            graft.text.Text.tokens(col(textCol)), k)).as("__set"))
+        .withColumn("__sz", size(col("__set"))),
+      eager = false)
+    val shinglesFor = hashJoinSide(shingles, materialize = true)
     val verified = candidates
-      .join(shingles.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
-      .join(shingles.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+      .join(shinglesFor("id_a", "sh_a"), "id_a")
+      .join(shinglesFor("id_b", "sh_b"), "id_b")
       .withColumn("__j", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("__j") >= jaccardThreshold)
