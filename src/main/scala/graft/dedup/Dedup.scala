@@ -523,9 +523,16 @@ object Dedup {
       .filter(col("__rn") <= probeLen)
       .select(col("__id").as("ia"), col("__sz").as("sa"), col("sh"))
       .repartition(nPart, col("sh"))
-    val candidates = probe
+    // shuffle_hash build side = the PRUNED probe prefixes (the smaller,
+    // (1−t)-fraction relation), never the full postings table: a shuffled
+    // hash build cannot spill, so per-task build memory is
+    // |prefix rows|/nPart — the same bounded-build contract as
+    // ngramJaccardSelfPairs' index side. Hinting the container side
+    // instead would build |postings|/nPart rows per task, which grows
+    // with the corpus and OOMs where the old sort-merge plan spilled.
+    val candidates = probe.hint("shuffle_hash")
       .join(postings.select(col("__id").as("ib"), col("sh"))
-        .repartition(nPart, col("sh")).hint("shuffle_hash"), Seq("sh"))
+        .repartition(nPart, col("sh")), Seq("sh"))
       .filter(col("ia") =!= col("ib"))
       .select("ia", "ib", "sa")
     // same sort-free verify-then-dedup shape as ngramJaccardSelfPairs

@@ -186,6 +186,29 @@ object ConnectedComponents {
         eager = false)
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.drop("changed")
+      // POINTER JUMPING: l(v) ← l(l(v)). One extra label-table self-join
+      // per round turns O(diameter) rounds into O(log diameter) — a
+      // path component of length 2^r converges in ~r rounds, so a small
+      // caller round budget (canonicalize's default 4) covers any graph a
+      // heap-demoted dispatch can route here, instead of throwing
+      // "fixpoint not reached" on inputs the local path used to absorb
+      // (environment-dependent behavior). Invariant preserved: l(v) is
+      // always the id of a node in v's component with l(v) ≤ v, so the
+      // fixpoint is still exactly the per-component minimum, and the
+      // convergence probe is untouched — neighborMin changing nothing
+      // means labels are constant along (symmetrized) edges, at which
+      // point the shortcut is a no-op by construction. Fewer rounds =
+      // fewer edge-sized shuffles, which is the term that matters at
+      // corpus scale (the label self-join moves only the label table).
+      if (!converged) {
+        labels = graft.io.Checkpoints.truncate(
+          labels.join(
+            labels.select(col("node").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+            .select(col("node"),
+              coalesce(col("__ll"), col("label")).as("label")),
+          eager = false)
+      }
       round += 1
     }
     val all = nodes.select(col("node"))

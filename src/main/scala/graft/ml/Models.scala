@@ -31,13 +31,18 @@ object Models {
     * collect gigabytes, count distincts DISTRIBUTED first (one agg, a
     * scalar per column back) and refuse loudly past
     * `spark.graft.ml.maxCategories` (default 10k ≈ a few MB of labels
-    * and a design matrix ML can still fit). */
+    * and a design matrix ML can still fit). APPROX count: N exact
+    * countDistincts in one agg plan through Expand (input rows × N
+    * through the shuffle — the guard alone would out-cost the fit on a
+    * corpus-scale input), while HLL sketches all columns in one cheap
+    * map-side pass; a ±2% estimate is irrelevant against an
+    * order-of-magnitude driver-safety threshold. */
   private def requireBoundedCategories(df: DataFrame, cols: Seq[String]): Unit =
     if (cols.nonEmpty) {
       val maxCats = df.sparkSession.conf
         .get("spark.graft.ml.maxCategories", "10000").toLong
-      val counts = df.agg(countDistinct(col(cols.head)),
-        cols.tail.map(c => countDistinct(col(c))): _*).head()
+      val counts = df.agg(approx_count_distinct(col(cols.head), 0.02),
+        cols.tail.map(c => approx_count_distinct(col(c), 0.02)): _*).head()
       cols.zipWithIndex.foreach { case (c, i) =>
         val n = counts.getLong(i)
         require(n <= maxCats,

@@ -53,7 +53,16 @@ object EventsStream {
     * [[graft.Tables.normalizeTs]] seam as the batch reader. */
   private def eventsStreamSource(s: SparkSession, dir: String): DataFrame = {
     val schema = graft.Tables.eventsRawSchema(s, dir)
-    val sub = new java.io.File(dir, "events.parquet")
+    // Layout detection goes through the Hadoop FileSystem for `dir`'s
+    // scheme, NOT java.io.File — a local-FS check against an hdfs:// or
+    // s3a:// URI is always false, which would silently re-create the
+    // zero-file empty stream on exactly the remote ingest directories the
+    // directory branch exists for.
+    val sub = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val fs = sub.getFileSystem(s.sessionState.newHadoopConf())
+    val subIsDirectory =
+      try fs.getFileStatus(sub).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     // Bounded-state BACKFILL replay: AvailableNow honors source rate
     // limits, so `spark.graft.streaming.maxFilesPerTrigger` splits a
     // historical replay into N-file micro-batches — the watermark then
@@ -70,8 +79,8 @@ object EventsStream {
     val base = s.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
       .foldLeft(s.readStream.schema(schema))(
         (b, v) => b.option("maxFilesPerTrigger", v))
-    (if (sub.isDirectory)
-       base.option("pathGlobFilter", "*.parquet").parquet(sub.getPath)
+    (if (subIsDirectory)
+       base.option("pathGlobFilter", "*.parquet").parquet(sub.toString)
      else base.option("pathGlobFilter", "events.parquet").parquet(dir))
       .transform(graft.Tables.normalizeTs)
   }

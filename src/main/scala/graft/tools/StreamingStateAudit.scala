@@ -57,6 +57,18 @@ object StreamingStateAudit {
 
     def reset(): Unit = byOperator.clear()
 
+    /** Monotone fingerprint of everything accumulated so far (updated/
+      * removed are summed, rows/mem peaks only ratchet up within a query)
+      * — used to detect that the async listener bus has drained, the
+      * same device as ScalingAudit.MetricsListener.fingerprint. */
+    def fingerprint: Long = {
+      var fp = 0L
+      byOperator.forEach { (_, p) =>
+        fp += p.rows.get + p.memBytes.get + p.updated.get + p.removed.get
+      }
+      fp
+    }
+
     /** (operators, Σ peak rows, Σ peak mem, Σ updated, Σ removed). */
     def snapshot(): (Int, Long, Long, Long, Long) = {
       var (n, rows, mem, upd, rem) = (0, 0L, 0L, 0L, 0L)
@@ -90,6 +102,23 @@ object StreamingStateAudit {
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
+  /** Poll the async StreamingQueryListener bus until no progress event
+    * lands for 200 ms (bounded at 10 s): a fixed sleep misses stragglers
+    * under GC pressure — late events would vanish from this query's
+    * snapshot AND land after the next reset(), contaminating the next
+    * row. Same stability-drain device as ScalingAudit.drain. */
+  private def drain(): Unit = {
+    var last = -1L
+    var stableSince = System.nanoTime()
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (System.nanoTime() < deadline &&
+      (System.nanoTime() - stableSince) < 200L * 1000 * 1000) {
+      val fp = Sink.fingerprint
+      if (fp != last) { last = fp; stableSince = System.nanoTime() }
+      Thread.sleep(20)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(outPath, sfDirsArg, namesArg) = args.take(3)
     val sfDirs = sfDirsArg.split(",").map(_.trim).filter(_.nonEmpty)
@@ -115,16 +144,16 @@ object StreamingStateAudit {
 
     val perSf = sfDirs.map { sfDir =>
       val rows = names.map { name =>
+        // drain in BOTH directions (the ScalingAudit lesson): stragglers
+        // from the previous query must land before reset(), and this
+        // query's own late events must land before snapshot()
+        drain()
         Sink.reset()
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        // AvailableNow queries are awaited inside the query fn, and
-        // listener progress events are posted synchronously with batch
-        // commit before awaitTermination returns — but give the async
-        // listener bus the same courtesy drain as the batch audit
-        Thread.sleep(300)
+        drain()
         val (ops, srows, smem, supd, srem) = Sink.snapshot()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()

@@ -18,12 +18,22 @@ object TimeOrderEvents {
     * first); give each file an mtime 1 s apart in that order so the
     * file-stream source's modification-time replay matches. */
   def stampMtimesInNameOrder(dir: String): Unit = {
-    val parts = new java.io.File(dir).listFiles()
+    val listed = new java.io.File(dir).listFiles()
+    require(listed != null, s"not a listable directory: $dir")
+    val parts = listed
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
+    require(parts.nonEmpty, s"no part files under $dir")
     val base = System.currentTimeMillis() - parts.length * 1000L
     parts.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 1000L)
+      // setLastModified FAILING SILENTLY (false on some network mounts /
+      // containers) would leave arbitrary parallel-write mtimes in place
+      // and the modification-time replay would silently DROP rows behind
+      // the prematurely-advanced watermark — the exact data loss this
+      // tool exists to prevent, so fail loudly instead
+      require(f.setLastModified(base + i * 1000L),
+        s"setLastModified failed on $f — this filesystem cannot host a " +
+          "time-ordered replay layout (mtimes are the replay order)")
     }
   }
 

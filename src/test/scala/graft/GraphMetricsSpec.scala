@@ -253,6 +253,24 @@ class GraphMetricsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.cc.localMaxEdges")
   }
 
+  test("CC: pointer jumping converges a long chain in O(log diameter) rounds") {
+    import spark.implicits._
+    // a 200-edge path graph has diameter 200: plain min-label propagation
+    // needs ~200 rounds, so maxRounds=10 converging proves the l(v)←l(l(v))
+    // shortcut is live (2^10 ≫ 200) — the property that makes a small
+    // caller round budget safe when the heap-derived dispatch demotes a
+    // mid-size graph to the iterative path
+    val n = 201L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (1L to n).toDF("node")
+    val (labels, conv) = graft.graph.ConnectedComponents
+      .minLabelIterative(edges, nodes, maxRounds = 10)
+    assert(conv, "chain of diameter 200 must converge within 10 rounds")
+    val got = labels.as[(Long, Long)].collect()
+    assert(got.length == n && got.forall(_._2 == 1L),
+      "every node labels to the component minimum")
+  }
+
   test("CC: default local-path edge budget derives from driver heap (~300 B/edge at 1/32 heap)") {
     val f = graft.graph.ConnectedComponents.derivedLocalMaxEdges _
     // the published cost model: ~110k edges per GB of driver heap
