@@ -38,7 +38,44 @@ object EventsStream {
     // source is planned on
     spark.conf.getOption("spark.graft.streaming.maxFilesPerTrigger")
       .foreach(v => s.conf.set("spark.graft.streaming.maxFilesPerTrigger", v))
+    spark.conf.getOption("spark.graft.streaming.auditNoopSink")
+      .foreach(v => s.conf.set("spark.graft.streaming.auditNoopSink", v))
     body(s)
+  }
+
+  /** Drive `out` as a synchronous AvailableNow stream named `qname` and
+    * return its result table — the shared runner behind every streaming
+    * query in this module (stops a stale same-name query first, so
+    * re-invocation in one session is idempotent).
+    *
+    * SINK SEAM: the harness contract returns the stream's output as a
+    * DataFrame, which the default MEMORY sink collects on the driver —
+    * exactly right at oracle scale, and a driver-heap bomb on a big-SF
+    * audit leg (q67's append output ≈ the event count; at sf100 that is
+    * tens of GB of boxed rows in one JVM). With
+    * `spark.graft.streaming.auditNoopSink=true` (audit-only) the stream
+    * writes to the `noop` streaming sink and an EMPTY frame with the
+    * output schema is returned: every source read, shuffle, and state
+    * transition still executes identically — only the driver-side result
+    * collection is elided, which is what lets StreamingStateAudit measure
+    * state at SFs whose full output no single JVM should hold. A real
+    * deployment writes to a real sink (files/Kafka) and sees neither. */
+  private def runAvailableNow(s: SparkSession, qname: String,
+                              out: Dataset[_], mode: String): DataFrame = {
+    s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
+    val noop =
+      s.conf.getOption("spark.graft.streaming.auditNoopSink").contains("true")
+    val q = out.writeStream
+      .outputMode(mode)
+      .format(if (noop) "noop" else "memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (noop)
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
+    else s.table(qname)
   }
 
   /** Streaming scan of the events table, LAYOUT-AGNOSTIC: the harness SF
@@ -100,17 +137,7 @@ object EventsStream {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       val qname = "graft_windowed_counts"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, agg, "complete")
         .select(
           unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"),
@@ -133,17 +160,7 @@ object EventsStream {
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       val qname = "graft_sliding_window_counts"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, agg, "complete")
         .select(
           unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"),
@@ -167,17 +184,7 @@ object EventsStream {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       val qname = "graft_windowed_counts_append"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, agg, "append")
         .select(
           unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"),
@@ -206,17 +213,7 @@ object EventsStream {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"))
       val qname = "graft_windowed_approx_distinct"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val est = s.table(qname)
+      val est = runAvailableNow(s, qname, agg, "complete")
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"),
           hll_sketch_estimate(col("__sk")).as("__est"))
@@ -302,14 +299,8 @@ object EventsStream {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(keys)
       val qname = "graft_dedup_stream"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
-          .writeStream.outputMode("complete").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname,
+        src.groupBy(col("event_type")).agg(count(lit(1)).as("cnt")), "complete")
     }
   }
 
@@ -335,11 +326,7 @@ object EventsStream {
       .select(col("event_id"), col("user_id"), col("user_cnt"),
         round(col("user_total"), 4).as("user_total"))
     val qname = "graft_stream_static"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qname)
+    runAvailableNow(spark, qname, joined, "append")
   }
 
   /** Stream–stream event-time INTERVAL join — the canonical two-unbounded-
@@ -364,13 +351,7 @@ object EventsStream {
           col("ts").as("purchase_ts"), col("value"))
       val joined = streamStreamJoinOn(clicks, purchases)
       val qname = "graft_stream_stream"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, joined, "append")
     }
   }
 
@@ -431,13 +412,7 @@ object EventsStream {
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
           col("ts").as("purchase_ts"), col("value"))
       val joined = streamStreamJoinOn(clicks, purchases, joinType)
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = joined.writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, joined, "append")
     }
   }
 
@@ -452,11 +427,7 @@ object EventsStream {
       graft.operators.Cleaning.normalizeBlanks(src.toDF(), Seq("props", "event_type")),
       "value", 400.0, 300.0)
     val qname = "graft_clean_stream"
-    spark.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val q = cleaned.writeStream.outputMode("append").format("memory").queryName(qname)
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.table(qname)
+    runAvailableNow(spark, qname, cleaned, "append")
   }
 
   /** Batch gap-based sessionization (lag + running sum windows); the
@@ -500,17 +471,7 @@ object EventsStream {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("session_value"))
       val qname = "graft_session_window"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(qname).select(col("user_id"),
+      runAvailableNow(s, qname, agg, "complete").select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("session_value"))
     }
@@ -538,17 +499,7 @@ object EventsStream {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 4).as("session_value"))
       val qname = "graft_dynamic_session"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(qname).select(col("user_id"),
+      runAvailableNow(s, qname, agg, "complete").select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("session_value"))
     }
@@ -585,14 +536,8 @@ object EventsStream {
         .as[SessionEvent]
 
       val qname = "graft_sessions_stateful"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = sessionizeStatefulOn(src, gapMinutes * 60L)
-          .writeStream.outputMode("append").format("memory").queryName(qname)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, sessionizeStatefulOn(src, gapMinutes * 60L),
+        "append")
         .withColumn("session_value", round(col("session_value"), 4))
     }
   }
@@ -671,17 +616,7 @@ object EventsStream {
         .agg(graft.functions.SpaceSavingTopK(col("user_id"), k).as("sk"),
           count(lit(1)).as("n"))
       val qname = "graft_windowed_heavy_hitters"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val cand = s.table(qname)
+      val cand = runAvailableNow(s, qname, agg, "complete")
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("n"), explode(col("sk")).as("c"))
         .select(col("win_start"), col("c.item").as("user_id"), col("n"))
@@ -719,17 +654,7 @@ object EventsStream {
           floor(col("value")).cast("long").as("bin"))
         .agg(count(lit(1)).as("c"))
       val qname = "graft_windowed_quantile"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val hist = s.table(qname)
+      val hist = runAvailableNow(s, qname, agg, "complete")
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("bin"), col("c"))
       // Finalize over the (windows × types × bins)-bounded histogram
@@ -765,17 +690,7 @@ object EventsStream {
             col("event_type"), col("value")).as("rec"))
         .groupBy("user_id").agg(max(col("rec")).as("last"))
       val qname = "graft_latest_per_key"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(qname)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      s.table(qname).select(col("user_id"),
+      runAvailableNow(s, qname, agg, "complete").select(col("user_id"),
         col("last.tsu").as("last_tsu"),
         col("last.event_id").as("last_event_id"),
         col("last.event_type").as("last_event_type"),
@@ -814,13 +729,7 @@ object EventsStream {
       val stream = rollingZScoreOn(src)
 
       val qname = "graft_rolling_zscore"
-      s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-      locally {
-        val q = stream.writeStream.outputMode("append").format("memory")
-          .queryName(qname).trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      }
-      s.table(qname)
+      runAvailableNow(s, qname, stream, "append")
     }
   }
 

@@ -122,21 +122,9 @@ object ScalingAudit {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
       .config("spark.ui.enabled", "false")
-    // audit-scoped knobs, applied at SESSION CREATION so core (non-SQL)
-    // confs work too — e.g. sizing a big-driver leg:
+    // audit-scoped knobs (see [[ExtraConf]]) — e.g. sizing a big-driver leg:
     //   SPARK_GRAFT_EXTRA_CONF="spark.graft.dedup.broadcastMaxBytes=4294967296,spark.driver.maxResultSize=8g"
-    // (values must not contain ','; a malformed entry fails loudly here
-    // instead of an opaque index error at session build)
-    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { e =>
-        val kv = e.split("=", 2)
-        require(kv.length == 2 && kv(0).nonEmpty,
-          s"SPARK_GRAFT_EXTRA_CONF entry '$e' is not key=value")
-        kv
-      })
-      .getOrElse(Array.empty)
-      .foldLeft(builder)((b, kv) => b.config(kv(0), kv(1)))
-      .getOrCreate()
+    val spark = ExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)

@@ -125,7 +125,12 @@ object StreamingStateAudit {
     val names = namesArg.split(",").map(_.trim).filter(_.nonEmpty)
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // ExtraConf: audit-scoped knobs at session creation — a big-SF leg
+    // needs spark.driver.maxResultSize raised because the engine's
+    // streaming queries RETURN their result via a memory sink (the
+    // harness contract), which collects the joined output on the driver;
+    // operator STATE (what this tool measures) is unaffected either way.
+    val spark = ExtraConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -134,7 +139,7 @@ object StreamingStateAudit {
       // the load-bearing line: cloned sessions instantiate this listener
       .config("spark.sql.streaming.streamingQueryListeners",
         classOf[Listener].getName)
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     // optional bounded-state backfill replay (see EventsStream's
     // eventsStreamSource): chunk the file source N files per micro-batch

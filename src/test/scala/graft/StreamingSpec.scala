@@ -23,6 +23,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("auditNoopSink seam: stream executes against the noop sink, returns an " +
+      "empty frame with the memory-mode schema") {
+    val viaMemory = EventsStream.windowedCounts(spark, TestSpark.sf0001)
+    spark.conf.set("spark.graft.streaming.auditNoopSink", "true")
+    try {
+      val viaNoop = EventsStream.windowedCounts(spark, TestSpark.sf0001)
+      // the contract StreamingStateAudit relies on: same plan shape (the
+      // downstream projection resolved, so the stream really ran through
+      // planning + execution), zero driver-collected rows
+      assert(viaNoop.schema == viaMemory.schema)
+      assert(viaNoop.count() == 0)
+    } finally spark.conf.unset("spark.graft.streaming.auditNoopSink")
+    assert(viaMemory.count() > 0)
+  }
+
   test("streaming heavy hitters (sketch + recount) equal the exact batch relation") {
     val stream = EventsStream.windowedHeavyHitters(spark, TestSpark.sf0001)
       .orderBy("win_start", "user_id")
