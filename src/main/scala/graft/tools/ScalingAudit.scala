@@ -84,15 +84,21 @@ object ScalingAudit {
     * Caller must have warmed the query up (codegen) beforehand. */
   private[tools] def measureOnce(
       spark: SparkSession, l: MetricsListener,
-      name: String, sfDir: String): (Map[String, Long], Double) = {
+      name: String, sfDir: String): (Map[String, Long], Double) =
+    measureDf(spark, l, graft.SparkEntry.queries(name)(spark, sfDir))
+
+  /** Measure one noop-sunk evaluation of `df` (by-name, so construction
+    * cost lands inside the wall too). Shared with the Tune* probes. */
+  private[tools] def measureDf(
+      spark: SparkSession, l: MetricsListener,
+      df: => org.apache.spark.sql.DataFrame): (Map[String, Long], Double) = {
     // the bus is async in BOTH directions: task-end events from the
     // warm-up (or a previous query) can still be in flight here and would
     // land AFTER reset(), contaminating the measured bytes — drain first
     drain(l)
     l.reset()
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries(name)(spark, sfDir)
-      .write.mode("overwrite").format("noop").save()
+    df.write.mode("overwrite").format("noop").save()
     val wall = (System.nanoTime() - t0) / 1e9
     drain(l)
     val m = Map(
