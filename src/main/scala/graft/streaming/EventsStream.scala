@@ -63,8 +63,14 @@ object EventsStream {
   private def runAvailableNow(s: SparkSession, qname: String,
                               out: Dataset[_], mode: String): DataFrame = {
     s.streams.active.filter(q => Option(q.name).contains(qname)).foreach(_.stop())
-    val noop =
-      s.conf.getOption("spark.graft.streaming.auditNoopSink").contains("true")
+    // .toBoolean, not == "true": Spark's own boolean confs are
+    // case-insensitive, and a silently-ignored "True" would send a big-SF
+    // audit leg back through the memory sink to a driver OOM hours in —
+    // unrecognized spellings fail loudly here instead
+    val noop = s.conf.getOption("spark.graft.streaming.auditNoopSink")
+      .exists(v => scala.util.Try(v.trim.toBoolean).getOrElse(
+        throw new IllegalArgumentException(
+          s"spark.graft.streaming.auditNoopSink must be true/false, got '$v'")))
     val q = out.writeStream
       .outputMode(mode)
       .format(if (noop) "noop" else "memory")
@@ -73,8 +79,13 @@ object EventsStream {
       .start()
     q.awaitTermination()
     if (noop)
+      // a LocalRelation (statically empty), NOT an emptyRDD-backed frame:
+      // PropagateEmptyRelation can collapse downstream batch joins against
+      // it (windowedApproxDistinct's exact side, heavy hitters' recount),
+      // so the audit's noop write doesn't re-scan the corpus to produce an
+      // output known a priori to be empty
       s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out.schema)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), out.schema)
     else s.table(qname)
   }
 

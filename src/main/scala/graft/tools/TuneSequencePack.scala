@@ -15,14 +15,20 @@ object TuneSequencePack {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val sweeps = args.lift(1).getOrElse("32,128,512,2048")
-      .split(",").map(_.trim.toInt)
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // mirror ScalingAudit's session (adaptive, obj-agg threshold,
+    // ExtraConf passthrough): a probe diagnosing an audit anomaly must
+    // measure the same plan environment the audit ran in
+    val spark = ExtraConf(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val l = new ScalingAudit.MetricsListener
@@ -30,6 +36,10 @@ object TuneSequencePack {
 
     val docs = graft.Tables.documents(spark, sfDir)
     def measure(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      // warm-up evaluation first (the measureDf contract): codegen JIT and
+      // page-cache warming must not confound the sweep trend — without
+      // this, a monotonically-increasing sweep reads partly as run order
+      mk.write.mode("overwrite").format("noop").save()
       val (m, wall) = ScalingAudit.measureDf(spark, l, mk)
       println(f"[tune-seqpack] $tag%-18s wall ${wall}%7.2fs cpu ${m("cpu_ms") / 1e3}%8.1fs " +
         f"shuffle ${m("shuffle_write_bytes") / 1e6}%9.1fM spill ${m("mem_spill_bytes") / 1e6}%7.0fM")
