@@ -16,13 +16,37 @@ import org.apache.spark.sql.functions._
   * positions (the classic gaps-and-islands device) recovers the maximal
   * duplicated spans exactly, up to the k-token resolution floor.
   *
-  * Scale shape: one explode to |corpus tokens| positional postings, one
-  * per-gram distinct-doc count (equi-join-shaped agg on the gram — hot
-  * boilerplate grams are exactly the rows that SHOULD collide), one
-  * per-doc window for island grouping. No pairwise comparison anywhere —
-  * unlike the LSH/PPJoin family this never materializes doc pairs, so its
-  * cost is linear in corpus size at any duplication density. */
+  * Scale shape (the r16 rework — the original postings-join plan measured
+  * 152 GB of sort spill at sf100):
+  *   - Doc frequency comes from per-doc `array_distinct` gram arrays, so
+  *     the partial count agg collapses hot grams map-side and the shuffle
+  *     is bounded by distinct-grams-per-partition — the posting-level
+  *     (gram, doc) distinct that used to shuffle and hash-aggregate every
+  *     posting row is gone.
+  *   - Grams travel as 128-bit fingerprints (two independently seeded
+  *     xxhash64 draws), never as k-token strings: downstream stages move
+  *     fixed 8-byte longs. Collision needs both 64-bit draws to agree —
+  *     expected colliding pairs ~ G²/2¹²⁹ ≈ 1e-20 at G = 10¹⁰ distinct
+  *     grams, the same fingerprint contract as exact-dedup's q114.
+  *   - The duplicated-gram set is byte-gated (`spark.graft.dedup
+  *     .broadcastMaxBytes`, default 256 MB, shared with [[Dedup]]): when
+  *     it fits, the positional postings stream through a BROADCAST hash
+  *     join and are projected to 12-byte (doc, pos) rows without ever
+  *     being shuffled or sorted; past the gate the probe falls back to a
+  *     shuffled-hash join — still no posting-width external sort, which
+  *     is what spilled in the sort-merge plan.
+  *   - No checkpoint: each branch re-scans the parquet text. Tokenize +
+  *     explode is cheap CPU; materializing ~corpus-sized posting blocks
+  *     (the old localCheckpoint) is itself a storage hazard at scale, and
+  *     recompute-over-materialize is the right trade for narrow,
+  *     cheap-to-rebuild intermediates.
+  * No pairwise comparison anywhere — unlike the LSH/PPJoin family this
+  * never materializes doc pairs, so its cost is linear in corpus size at
+  * any duplication density. */
 object RepeatedSpans {
+
+  private def h1(c: Column): Column = xxhash64(c)
+  private def h2(c: Column): Column = xxhash64(c, lit(0x9E3779B97F4A7C15L))
 
   /** Per-document duplicated-span profile. Returns one row per input doc:
     * (idCol, n_dup_grams, n_spans, max_span_tokens, dup_frac) where
@@ -38,21 +62,37 @@ object RepeatedSpans {
         Text.tokens(col(textCol)).as("__toks"))
       .select(col("__id"), size(col("__toks")).cast("long").as("__nt"),
         Text.ngramsFromTokens(col("__toks"), k).as("__grams"))
-    // postings feed both the doc-frequency agg and the probe side of the
-    // dup join — truncate so the explode runs once (lazily: the first
-    // action materializes, the second reads cached blocks)
-    val grams = graft.io.Checkpoints.truncate(
-      base.select(col("__id"), posexplode(col("__grams")))
-        .select(col("__id"), (col("pos") + 1).cast("long").as("__pos"),
-          col("col").as("__gram")),
+    // doc frequency per gram: each doc contributes each distinct gram
+    // exactly once (array_distinct BEFORE exploding), so a plain count
+    // IS the distinct-doc count and the partial agg collapses boilerplate
+    // grams inside the scan task — no posting-level distinct, no second
+    // agg level. Lineage-truncated lazily: the byte-gate count below is
+    // the one action that materializes it, and the join re-reads blocks.
+    val dup = graft.io.Checkpoints.truncate(
+      base.select(explode(array_distinct(col("__grams"))).as("__g"))
+        .select(h1(col("__g")).as("__h1"), h2(col("__g")).as("__h2"))
+        .groupBy("__h1", "__h2").agg(count(lit(1)).as("__docs"))
+        .filter(col("__docs") >= minDocs)
+        .select("__h1", "__h2"),
       eager = false)
-    // distinct-doc support per gram: two-level agg (gram, doc) → gram so
-    // the distinct never builds per-group hash sets over a hot gram
-    val dup = grams.select(col("__gram"), col("__id")).distinct()
-      .groupBy("__gram").agg(count(lit(1)).as("__docs"))
-      .filter(col("__docs") >= minDocs)
-      .select("__gram")
-    val islands = grams.join(dup, "__gram")
+    // byte gate (one action, same contract as Dedup.hashJoinSide): a
+    // fingerprint row is 16 B payload + ~64 B row overhead in the
+    // broadcast relation. Under the gate the postings NEVER shuffle for
+    // dup-ness; over it, shuffled-hash keeps the posting stream unsorted.
+    val maxBytes = df.sparkSession.conf
+      .get("spark.graft.dedup.broadcastMaxBytes", (256L << 20).toString).toLong
+    val dupSide =
+      if (dup.count() * 80L <= maxBytes) broadcast(dup)
+      else dup.hint("shuffle_hash")
+    // project to 12-byte (id, pos) the moment dup-ness is decided — the
+    // per-doc island window sorts minimal rows, not posting-width ones
+    val dupPos = base
+      .select(col("__id"), posexplode(col("__grams")))
+      .select(col("__id"), (col("pos") + 1).as("__pos"),
+        h1(col("col")).as("__h1"), h2(col("col")).as("__h2"))
+      .join(dupSide, Seq("__h1", "__h2"))
+      .select(col("__id"), col("__pos"))
+    val islands = dupPos
       .withColumn("__island", col("__pos") - row_number().over(
         Window.partitionBy("__id").orderBy("__pos")))
       .groupBy(col("__id"), col("__island"))

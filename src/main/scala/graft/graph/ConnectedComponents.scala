@@ -201,10 +201,23 @@ object ConnectedComponents {
       // fewer edge-sized shuffles, which is the term that matters at
       // corpus scale (the label self-join moves only the label table).
       if (!converged) {
+        // The probe side of l(v) ← l(l(v)) is keyed on `label`, which is
+        // maximally skewed exactly as a large component converges (every
+        // member carries the same label). Counter-measure: the lookup side
+        // is not the full label table but only the rows whose node IS a
+        // live label value — bounded by the number of distinct labels,
+        // which collapses toward component count as rounds progress. AQE
+        // sees that runtime size and flips the join to broadcast-hash just
+        // when the skew would peak, taking the probe-side shuffle (and its
+        // one-task-per-giant-component hazard) out of the plan entirely;
+        // in early rounds where the lookup is still table-sized, the join
+        // stays sort-merge and AQE's skew-split handles the outer side.
+        val lblVals = labels.select(col("label").as("__lv")).distinct()
+        val lookup = labels
+          .join(lblVals, col("node") === col("__lv"), "left_semi")
+          .select(col("node").as("label"), col("label").as("__ll"))
         labels = graft.io.Checkpoints.truncate(
-          labels.join(
-            labels.select(col("node").as("label"), col("label").as("__ll")),
-            Seq("label"), "left")
+          labels.join(lookup, Seq("label"), "left")
             .select(col("node"),
               coalesce(col("__ll"), col("label")).as("label")),
           eager = false)

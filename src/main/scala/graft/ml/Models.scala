@@ -43,11 +43,18 @@ object Models {
         .get("spark.graft.ml.maxCategories", "10000").toLong
       val counts = df.agg(approx_count_distinct(col(cols.head), 0.02),
         cols.tail.map(c => approx_count_distinct(col(c), 0.02)): _*).head()
+      // HLL at rsd=0.02 is a ±2%-per-sigma estimate, so fail only when the
+      // estimate is clearly past the limit (> maxCats·(1+3σ)): a column a
+      // hair over the threshold may pass, but one genuinely under it can
+      // never be spuriously rejected — the right bias for an
+      // order-of-magnitude driver-safety guard
+      val failAt = (maxCats * 1.06).toLong
       cols.zipWithIndex.foreach { case (c, i) =>
         val n = counts.getLong(i)
-        require(n <= maxCats,
-          s"one-hot guard: categorical column '$c' has $n distinct levels " +
-            s"(> spark.graft.ml.maxCategories=$maxCats); one-hot encoding " +
+        require(n <= failAt,
+          s"one-hot guard: categorical column '$c' has ~$n distinct levels " +
+            s"(±2% HLL estimate, > spark.graft.ml.maxCategories=$maxCats " +
+            s"plus 3-sigma tolerance); one-hot encoding " +
             s"would collect them all to the driver and emit $n indicator " +
             s"columns — hash or bucket the column, or raise the conf if " +
             s"the driver can genuinely hold it")

@@ -15,6 +15,13 @@ object ExtraConf {
         val kv = e.split("=", 2)
         require(kv.length == 2 && kv(0).nonEmpty,
           s"SPARK_GRAFT_EXTRA_CONF entry '$e' is not key=value")
+        // every legitimate conf key is spark.*; a fragment of a
+        // comma-containing VALUE that happens to carry '=' would
+        // otherwise be applied silently as a bogus key=value pair
+        require(kv(0).startsWith("spark."),
+          s"SPARK_GRAFT_EXTRA_CONF entry '$e' does not look like a Spark " +
+            "conf (key must start with 'spark.') — a comma inside a conf " +
+            "value is not expressible in this format")
         kv
       })
       .getOrElse(Array.empty)

@@ -107,8 +107,14 @@ object StreamingStateAudit {
     * under GC pressure — late events would vanish from this query's
     * snapshot AND land after the next reset(), contaminating the next
     * row. Same stability-drain device as ScalingAudit.drain. */
+  private[tools] def drainBus(): Unit = drain()
+
   private def drain(): Unit = {
-    var last = -1L
+    // seed from the CURRENT fingerprint so an already-quiescent bus exits
+    // after one 200 ms stability window — `last = -1` forced the first
+    // read (typically 0) to count as a change and reset the clock, a
+    // fixed ~220 ms extra per drain on an empty bus
+    var last = Sink.fingerprint
     var stableSince = System.nanoTime()
     val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
     while (System.nanoTime() < deadline &&

@@ -47,6 +47,24 @@ class PretrainFiltersSpec extends AnyFunSuite {
     assert(r.agg(sum("n_dup_grams")).as[Long].head() == 0L)
   }
 
+  test("repeated spans: shuffled-hash fallback (gate forced shut) is " +
+    "bit-identical to the broadcast path") {
+    val docs = Seq(
+      (1L, "a b c d e f g x1 y1 z1"),
+      (2L, "p2 q2 a b c d e f g"),
+      (3L, "a b c d e f q9 q8 q7"),
+      (4L, "u v w aa bb cc dd ee ff gg")).toDF("doc_id", "text")
+    val bc = RepeatedSpans.perDoc(docs, "text", "doc_id", k = 5, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    val key = "spark.graft.dedup.broadcastMaxBytes"
+    spark.conf.set(key, "1")
+    try {
+      val shj = RepeatedSpans.perDoc(docs, "text", "doc_id", k = 5, minDocs = 2)
+        .orderBy("doc_id").collect().toSeq
+      assert(shj == bc)
+    } finally spark.conf.unset(key)
+  }
+
   // ------------------------------------------------------------ DSIR
 
   test("DSIR: target-vocabulary docs outrank off-target docs; topK respected") {
