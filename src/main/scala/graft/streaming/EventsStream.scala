@@ -40,6 +40,8 @@ object EventsStream {
       .foreach(v => s.conf.set("spark.graft.streaming.maxFilesPerTrigger", v))
     spark.conf.getOption("spark.graft.streaming.auditNoopSink")
       .foreach(v => s.conf.set("spark.graft.streaming.auditNoopSink", v))
+    spark.conf.getOption("spark.graft.streaming.parquetSinkDir")
+      .foreach(v => s.conf.set("spark.graft.streaming.parquetSinkDir", v))
     body(s)
   }
 
@@ -71,9 +73,46 @@ object EventsStream {
       .exists(v => scala.util.Try(v.trim.toBoolean).getOrElse(
         throw new IllegalArgumentException(
           s"spark.graft.streaming.auditNoopSink must be true/false, got '$v'")))
-    val q = out.writeStream
-      .outputMode(mode)
-      .format(if (noop) "noop" else "memory")
+    // PRODUCTION FILE SINK: with `spark.graft.streaming.parquetSinkDir=<d>`
+    // every streaming query routes through foreachBatch + the q126
+    // idempotent per-batch-overwrite recipe (exactly-once on retry: a
+    // replayed batch rewrites its own deterministic path) instead of the
+    // driver-collecting memory sink, and the returned DataFrame is the
+    // relation READ BACK from the sink files — fully distributed, so the
+    // contract survives SFs whose output no single JVM should hold. For
+    // append-mode queries each micro-batch owns a `batch=<id>` directory
+    // and the union of directories is the stream's total output; for
+    // complete-mode queries every batch overwrites one `latest` directory
+    // and the final batch's full result is the answer. The noop audit
+    // sink, when also set, wins — it exists to elide ALL output cost.
+    val parquetBase = s.conf
+      .getOption("spark.graft.streaming.parquetSinkDir")
+      .filter(_.nonEmpty).filter(_ => !noop)
+      .map(d => s"$d/$qname")
+    parquetBase.foreach { base =>
+      require(mode == "append" || mode == "complete",
+        s"parquetSinkDir supports append/complete output, got '$mode'")
+      // fresh contract per invocation: batch COUNT varies with the
+      // backfill-chunking knob, so stale higher-id dirs from a previous
+      // run must not leak into this run's union (within-run retries still
+      // overwrite their own dir — that is the exactly-once story)
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(p, true)
+    }
+    val q = (parquetBase match {
+      case Some(base) =>
+        out.toDF().writeStream
+          .outputMode(mode)
+          .foreachBatch { (df: DataFrame, batchId: Long) =>
+            val dest = if (mode == "complete") s"$base/latest"
+                       else s"$base/batch=$batchId"
+            df.write.mode("overwrite").parquet(dest)
+          }
+      case None => out.writeStream
+        .outputMode(mode)
+        .format(if (noop) "noop" else "memory")
+    })
       .queryName(qname)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -86,7 +125,21 @@ object EventsStream {
       // output known a priori to be empty
       s.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), out.schema)
-    else s.table(qname)
+    else parquetBase match {
+      case Some(base) =>
+        val src = if (mode == "complete") s"$base/latest" else s"$base/batch=*"
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.globStatus(new org.apache.hadoop.fs.Path(src)) == null ||
+            fs.globStatus(new org.apache.hadoop.fs.Path(src)).isEmpty)
+          s.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            out.schema)
+        // drop the partition column Spark infers from the batch=<id>
+        // directory names — the contract schema is the query's own
+        else s.read.parquet(src).drop("batch")
+      case None => s.table(qname)
+    }
   }
 
   /** Streaming scan of the events table, LAYOUT-AGNOSTIC: the harness SF

@@ -60,6 +60,15 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     val jitterEmb = args.contains("--jitter-embeddings")
+    // --tables=documents,embeddings writes only those tables — the
+    // fourth-decade (sf1000) probe needs the text/vector tables at
+    // K=10000 but the full K would not fit this box's disk (lineitem
+    // alone would be ~110 GB); a partial decade on the families that CAN
+    // fit still buys hazard discovery a full decade would.
+    val only: Option[Set[String]] = args
+      .collectFirst { case a if a.startsWith("--tables=") =>
+        a.stripPrefix("--tables=").split(",").map(_.trim).toSet }
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val Array(src, out, kStr) = args.filterNot(_.startsWith("--"))
     val k = kStr.toInt
     val spark = SparkSession.builder()
@@ -89,14 +98,20 @@ object ScaleUp {
       s
     }
 
-    val cust = rd("customer"); val supp = rd("supplier"); val part = rd("part")
-    val ord = rd("orders"); val li = rd("lineitem"); val ev = rd("events")
-    val doc = rd("documents"); val emb = rd("embeddings")
-    val cS = stride(cust, "c_custkey"); val sS = stride(supp, "s_suppkey")
-    val pS = stride(part, "p_partkey"); val oS = stride(ord, "o_orderkey")
-    val eS = stride(ev, "event_id")
-    val uS = stride(ev, "user_id"); val dS = stride(doc, "doc_id")
-    val vS = stride(emb, "vec_id")
+    lazy val cust = rd("customer"); lazy val supp = rd("supplier")
+    lazy val part = rd("part")
+    lazy val ord = rd("orders"); lazy val li = rd("lineitem")
+    lazy val ev = rd("events")
+    lazy val doc = rd("documents"); lazy val emb = rd("embeddings")
+    // strides are lazy too: with --tables, the skipped tables' stride
+    // probes (one action each) must not run — or even require the files
+    lazy val cS = stride(cust, "c_custkey")
+    lazy val sS = stride(supp, "s_suppkey")
+    lazy val pS = stride(part, "p_partkey")
+    lazy val oS = stride(ord, "o_orderkey")
+    lazy val eS = stride(ev, "event_id")
+    lazy val uS = stride(ev, "user_id"); lazy val dS = stride(doc, "doc_id")
+    lazy val vS = stride(emb, "vec_id")
 
     // one replica of a table: shift the listed key columns by i·stride
     def replica(df: DataFrame, i: Int, shifts: (String, Long)*): DataFrame =
@@ -109,16 +124,21 @@ object ScaleUp {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
 
-    write(spark.read.parquet(s"$src/region.parquet"), "region")
-    write(spark.read.parquet(s"$src/nation.parquet"), "nation")
-    write(expand(cust, "c_custkey" -> cS), "customer")
-    write(expand(supp, "s_suppkey" -> sS), "supplier")
-    write(expand(part, "p_partkey" -> pS), "part")
-    write(expand(ord, "o_orderkey" -> oS, "o_custkey" -> cS), "orders")
-    write(expand(li, "l_orderkey" -> oS, "l_partkey" -> pS,
-      "l_suppkey" -> sS), "lineitem")
-    write(expand(ev, "event_id" -> eS, "user_id" -> uS), "events")
-    val docReplicas = (0 until k).map { i =>
+    if (wanted("region"))
+      write(spark.read.parquet(s"$src/region.parquet"), "region")
+    if (wanted("nation"))
+      write(spark.read.parquet(s"$src/nation.parquet"), "nation")
+    if (wanted("customer")) write(expand(cust, "c_custkey" -> cS), "customer")
+    if (wanted("supplier")) write(expand(supp, "s_suppkey" -> sS), "supplier")
+    if (wanted("part")) write(expand(part, "p_partkey" -> pS), "part")
+    if (wanted("orders"))
+      write(expand(ord, "o_orderkey" -> oS, "o_custkey" -> cS), "orders")
+    if (wanted("lineitem"))
+      write(expand(li, "l_orderkey" -> oS, "l_partkey" -> pS,
+        "l_suppkey" -> sS), "lineitem")
+    if (wanted("events"))
+      write(expand(ev, "event_id" -> eS, "user_id" -> uS), "events")
+    lazy val docReplicas = (0 until k).map { i =>
       val shifted = doc.withColumn("doc_id", col("doc_id") + lit(i * dS))
       if (i == 0) shifted
       else {
@@ -128,8 +148,9 @@ object ScaleUp {
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     }
-    write(docReplicas.reduce(_ unionAll _), "documents")
-    if (!jitterEmb) write(expand(emb, "vec_id" -> vS), "embeddings")
+    if (wanted("documents")) write(docReplicas.reduce(_ unionAll _), "documents")
+    if (!wanted("embeddings")) ()
+    else if (!jitterEmb) write(expand(emb, "vec_id" -> vS), "embeddings")
     else {
       val dim = emb.select(size(col("embedding"))).head.getInt(0)
       val embReplicas = (0 until k).map { i =>
