@@ -702,6 +702,10 @@ private[graft] object QueriesPart2 {
     // offset.
     "q133_pagerank" -> ((s, d) => {
       val eo = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+        // measured at sf100 (r16): a shuffled-hash build on the unique
+        // orders side trades the lineitem SMJ sort for hash-build CPU and
+        // LOSES (wall 223 -> 294 s, cpu +30%, spill only -10%) — the
+        // planner's sort-merge is the right construction join here
         .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),

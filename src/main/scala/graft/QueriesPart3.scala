@@ -535,10 +535,13 @@ private[graft] object QueriesPart3 {
     // expensive basket self-join runs a single time regardless of rounds.
     "q161_kcore" -> ((s, d) => {
       val p = copurchasePairs(s, d)
-      val edges = graft.io.Checkpoints.truncate(
+      // layout-preserving (r16): round 1's degree agg + src-semi reuse the
+      // src hash + sort; later rounds run on the strictly-smaller peeled
+      // residue, so only the full-size first round needs the free layout
+      val edges = graft.io.Checkpoints.truncateLayoutPreserving(
         p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
-        eager = true)
+          .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+          .repartition(col("src")).sortWithinPartitions("src"))
       graft.graph.KCore.peel(edges, k = 3, rounds = 2)
     }),
     // Multi-source BFS, three synchronous frontier rounds: hop distance to
@@ -549,10 +552,12 @@ private[graft] object QueriesPart3 {
     // harmless (no frontier-only optimization needed for 3 rounds).
     "q162_bfs_hops" -> ((s, d) => {
       val p = copurchasePairs(s, d)
-      val edges = graft.io.Checkpoints.truncate(
+      // layout-preserving on dst — every BFS round probes the edge list
+      // on dst, so the hash + sort pay once and every round joins in place
+      val edges = graft.io.Checkpoints.truncateLayoutPreserving(
         p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst"))),
-        eager = true)
+          .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+          .repartition(col("dst")).sortWithinPartitions("dst"))
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 100 === 0)
       graft.graph.Bfs.hops(edges, seeds, rounds = 3)

@@ -173,6 +173,10 @@ private[graft] object QueriesPart8 {
     // node-cardinality score table moves.
     "q341_eigenvector_centrality" -> ((s, d) => {
       val eo = ord(s, d).select(col("o_orderkey"), col("o_custkey"))
+        // measured at sf100 (r16): a shuffled-hash build on the unique
+        // orders side trades the lineitem SMJ sort for hash-build CPU and
+        // LOSES (wall 223 -> 294 s, cpu +30%, spill only -10%) — the
+        // planner's sort-merge is the right construction join here
         .join(li(s, d).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
@@ -180,8 +184,8 @@ private[graft] object QueriesPart8 {
         .distinct()
       val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
-      val e = graft.io.Checkpoints.truncate(
-        edges.repartition(col("src")), eager = true)
+      val e = graft.io.Checkpoints.truncateLayoutPreserving(
+        edges.repartition(col("src")).sortWithinPartitions("src"))
       var x = e.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1.0))
       for (_ <- 1 to 3) {

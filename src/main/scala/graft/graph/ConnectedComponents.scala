@@ -155,15 +155,16 @@ object ConnectedComponents {
 
   private[graft] def minLabelIterative(pairs: DataFrame, nodes: DataFrame,
                                        maxRounds: Int): (DataFrame, Boolean) = {
-    // Pre-hash the symmetrized edge list on id_b (the key every round's
-    // label join probes): LogicalRDD preserves the partitioning, so no
-    // round re-shuffles the edges — only the label table and the
-    // edge-sized min-agg move per round (the PageRank.iterate seam).
-    val edges = graft.io.Checkpoints.truncate(
+    // Pre-hash AND pre-sort the symmetrized edge list on id_b (the key
+    // every round's label join probes) through the layout-preserving seam
+    // — a plain checkpoint under AQE reports UnknownPartitioning and
+    // every round would re-shuffle and re-sort the edges (the r16 sf100
+    // graph finding); with the layout visible, only the label table and
+    // the edge-sized min-agg move per round (the PageRank.iterate seam).
+    val edges = graft.io.Checkpoints.truncateLayoutPreserving(
       pairs.select(col("id_a"), col("id_b"))
         .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .repartition(col("id_b")),
-      eager = true)
+        .repartition(col("id_b")).sortWithinPartitions("id_b"))
     var labels = graft.io.Checkpoints.truncate(
       edges.select(col("id_a").as("node")).distinct()
         .select(col("node"), col("node").as("label")), eager = true)

@@ -36,11 +36,16 @@ object Hits {
     // re-shuffles the edge table — only the node-cardinality score tables
     // move. 2× edge storage buys shuffle-free edge joins at every round
     // (the PageRank.iterate seam, doubled because HITS alternates keys).
-    val eSrc = graft.io.Checkpoints.truncate(
+    // Each copy is also SORTED on its join key within partitions — the
+    // PageRank.iterate r16 device: LogicalRDD preserves ordering, so the
+    // per-half-step sort-merge joins never re-sort the edge side (only
+    // the node-cardinality score tables), turning 2·iters edge-table
+    // sorts into the two checkpoint-time ones.
+    val eSrc = graft.io.Checkpoints.truncateLayoutPreserving(
       edges.select(col("src"), col("dst")).distinct()
-        .repartition(col("src")), eager = true)
-    val eDst = graft.io.Checkpoints.truncate(
-      eSrc.repartition(col("dst")), eager = true)
+        .repartition(col("src")).sortWithinPartitions("src"))
+    val eDst = graft.io.Checkpoints.truncateLayoutPreserving(
+      eSrc.repartition(col("dst")).sortWithinPartitions("dst"))
     var hub = eSrc.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("score"))
     var auth: DataFrame = hub // replaced in the first half-iteration

@@ -21,8 +21,13 @@ object LabelProp {
     * undirected graphs. Every node needs ≥ 1 out-edge (isolated nodes
     * have no neighborhood to vote). Returns (node, label). */
   def run(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val e = graft.io.Checkpoints.truncate(
-      edges.select(col("src"), col("dst")), eager = true)
+    // Pre-hashed AND pre-sorted on dst (the iteration join key), so no
+    // round re-shuffles or re-sorts the edge table — LogicalRDD preserves
+    // both; only the node-cardinality label table moves per iteration
+    // (the PageRank.iterate seam + its r16 sorted-checkpoint device).
+    val e = graft.io.Checkpoints.truncateLayoutPreserving(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("dst")).sortWithinPartitions("dst"))
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
