@@ -710,13 +710,14 @@ private[graft] object QueriesPart2 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
       val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
         .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
-      // eo is distinct and the +1e6 offset makes cust/supp id ranges
-      // disjoint, so the symmetrized union is distinct by construction —
-      // skip iterate()'s defensive dedup shuffle
-      graft.graph.PageRank.iterate(edges, iters = 2, dedup = false)
+      // dedup rides iterate()'s checkpoint repartition(src) for free
+      // (hash(src) satisfies the (src,dst) clustering), so symmetrize
+      // the RAW join output and dedup once inside — one full-edge
+      // shuffle replaces the old distinct-then-repartition pair; the
+      // +1e6 offset keeps cust/supp id ranges disjoint either way
+      graft.graph.PageRank.iterate(edges, iters = 2)
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),
     // Tie-corrected (mid-rank) Mann-Whitney AUC of `value` as a score for

@@ -222,7 +222,8 @@ private[graft] object QueriesPart4 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
+      // dedup rides iterate()'s checkpoint repartition(src) for free —
+      // no query-level distinct (that would add a full-edge shuffle)
       graft.graph.Hits.iterate(edges, iters = 2)
     }),
     // Gini-Simpson vocabulary diversity per source: 1 − Σ c(c−1)/(n(n−1))

@@ -181,18 +181,35 @@ private[graft] object QueriesPart8 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 1000000L).as("supp"))
-        .distinct()
-      val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
+      // materialize the construction join ONCE before symmetrizing: the
+      // union's two branches would otherwise each recompute the
+      // orders⋈lineitem sort-merge inside the repartition's map stage
+      val eoc = graft.io.Checkpoints.truncate(eo, eager = true)
+      val edges = eoc.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(eoc.select(col("supp").as("src"), col("cust").as("dst")))
+      // dedup AFTER the repartition (hash(src) satisfies the (src,dst)
+      // clustering, so dropDuplicates adds no exchange): one full-edge
+      // shuffle instead of the old distinct-then-repartition pair
       val e = graft.io.Checkpoints.truncateLayoutPreserving(
-        edges.repartition(col("src")).sortWithinPartitions("src"))
+        edges.repartition(col("src")).dropDuplicates(Seq("src", "dst"))
+          .sortWithinPartitions("src"))
       var x = e.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1.0))
       for (_ <- 1 to 3) {
-        val sums = e.join(x.select(col("node").as("src"), col("score")),
-            Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(round(sum(col("score")), 8).as("raw"))
+        // TRUNCATE the node-cardinality sums table each round: the
+        // max-normalization reads sums TWICE (once directly, once inside
+        // the broadcast max), so an unrolled lineage doubles the replay
+        // count per round — 2^rounds re-executions of the heavy
+        // edge-join stages by round 3 (measured at sf10: 560 GB of
+        // re-sort/re-agg spill, 5x shuffle re-reads). Materializing the
+        // ~|nodes| rows once per round makes every replay a cheap
+        // checkpoint scan and caps lineage depth at one round.
+        val sums = graft.io.Checkpoints.truncate(
+          e.join(x.select(col("node").as("src"), col("score")),
+              Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(round(sum(col("score")), 8).as("raw")),
+          eager = true)
         val m = sums.agg(max(col("raw")).as("m"))
         x = sums.crossJoin(broadcast(m))
           .select(col("node"), round(col("raw") / col("m"), 8).as("score"))

@@ -28,24 +28,46 @@ object Hits {
 
   /** Returns (kind ∈ {hub, auth}, node, score) with score ∈ (0, 1],
     * max-normalized, rounded to 6 dp. */
-  def iterate(edges: DataFrame, iters: Int = 2, roundDp: Int = 8): DataFrame = {
+  def iterate(edges: DataFrame, iters: Int = 2, roundDp: Int = 8,
+              dedup: Boolean = true): DataFrame = {
     require(iters >= 1)
-    // Two checkpointed copies of the edge list, pre-hashed on the key each
-    // half-step joins on (src for the hub→auth push, dst for auth→hub):
-    // LogicalRDD preserves the partitioning, so no iteration ever
-    // re-shuffles the edge table — only the node-cardinality score tables
-    // move. 2× edge storage buys shuffle-free edge joins at every round
-    // (the PageRank.iterate seam, doubled because HITS alternates keys).
-    // Each copy is also SORTED on its join key within partitions — the
-    // PageRank.iterate r16 device: LogicalRDD preserves ordering, so the
-    // per-half-step sort-merge joins never re-sort the edge side (only
-    // the node-cardinality score tables), turning 2·iters edge-table
-    // sorts into the two checkpoint-time ones.
+    val spark = edges.sparkSession
+    // One checkpointed edge copy, pre-hashed AND pre-sorted on src (the
+    // hub→auth half-step's join key): LogicalRDD/InMemoryRelation
+    // preserve both, so no iteration re-shuffles or re-sorts the edge
+    // table — only node-cardinality score tables move per round (the
+    // PageRank.iterate seam).
+    // The dedup aggregate runs AFTER the repartition: hash(src)
+    // co-locates equal (src, dst) pairs, so dropDuplicates needs no
+    // exchange of its own — one full-edge shuffle builds the src copy
+    // instead of two (distinct-then-repartition).
+    val pre = edges.select(col("src"), col("dst")).repartition(col("src"))
     val eSrc = graft.io.Checkpoints.truncateLayoutPreserving(
-      edges.select(col("src"), col("dst")).distinct()
-        .repartition(col("src")).sortWithinPartitions("src"))
-    val eDst = graft.io.Checkpoints.truncateLayoutPreserving(
-      eSrc.repartition(col("dst")).sortWithinPartitions("dst"))
+      (if (dedup) pre.dropDuplicates(Seq("src", "dst")) else pre)
+        .sortWithinPartitions("src"))
+    // The auth→hub half-step joins on dst, the OTHER key. Two designs,
+    // byte-gated like the Dedup family's broadcast gate:
+    //   - broadcast auth (|dst|-cardinality — suppliers in the bipartite
+    //     purchase graph, small by construction): the h0 join becomes a
+    //     broadcast-hash against eSrc, whose hash(src) partitioning and
+    //     src sort SURVIVE the join, so the groupBy(src) aggregate runs
+    //     exchange-free too — the half-step moves ZERO rows besides the
+    //     broadcast itself, and the second edge checkpoint (its
+    //     full-edge repartition(dst) shuffle + 1× edge storage)
+    //     disappears from the plan entirely.
+    //   - past the gate (auth side grows with the corpus): keep the
+    //     second pre-hashed + pre-sorted edge copy keyed on dst, paying
+    //     the one-time shuffle so per-round joins stay edge-stationary.
+    // The gate reads an HLL estimate off the cached checkpoint (one
+    // cheap columnar scan) — never a driver-size gamble.
+    val maxBytes = spark.conf
+      .get("spark.graft.graph.broadcastMaxBytes", (64L << 20).toString).toLong
+    val nDst = eSrc.agg(approx_count_distinct(col("dst"), 0.05)).head().getLong(0)
+    val broadcastAuth = nDst * 64L <= maxBytes
+    val eDst: DataFrame =
+      if (broadcastAuth) null
+      else graft.io.Checkpoints.truncateLayoutPreserving(
+        eSrc.repartition(col("dst")).sortWithinPartitions("dst"))
     var hub = eSrc.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("score"))
     var auth: DataFrame = hub // replaced in the first half-iteration
@@ -56,7 +78,10 @@ object Hits {
       val amax = a0.agg(max(col("__raw")).as("__mx"))
       auth = a0.crossJoin(broadcast(amax))
         .select(col("node"), round(col("__raw") / col("__mx"), roundDp).as("score"))
-      val h0 = eDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+      val h0 = (if (broadcastAuth)
+          eSrc.join(broadcast(auth.withColumnRenamed("node", "dst")), Seq("dst"))
+        else
+          eDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst")))
         .groupBy(col("src").as("node"))
         .agg(round(sum(col("score")), roundDp).as("__raw"))
       val hmax = h0.agg(max(col("__raw")).as("__mx"))

@@ -37,16 +37,27 @@ object PageRank {
     // src-join reuse it shuffle-free — only the (node-cardinality) rank
     // table moves per round, never the edge table. Callers whose edge
     // construction already guarantees distinctness pass dedup=false and
-    // skip that shuffle too.
+    // skip the dedup aggregate's CPU (it costs no extra shuffle either
+    // way — see below).
     // ...AND SORTED on src within partitions: LogicalRDD preserves the
     // output ordering too, so every iteration's sort-merge join reads the
     // edge side pre-sorted and sorts only the node-cardinality rank
     // table. Without this the SMJ re-sorted the full edge table EVERY
     // iteration — at 1.2B edges (sf100) that was 318 GB of sort spill for
     // two iterations; the checkpoint-time sort pays it exactly once.
-    val base = edges.select(col("src"), col("dst"))
+    // dedup runs AFTER the repartition: hash(src) already co-locates
+    // equal (src, dst) pairs (HashPartitioning on a subset of the
+    // grouping keys satisfies the aggregate's ClusteredDistribution), so
+    // the dropDuplicates aggregate needs no exchange of its own — ONE
+    // full-edge shuffle builds the checkpoint instead of two
+    // (distinct-then-repartition). Trade, documented: the dedup's
+    // map-side partial combine now runs after the exchange, so inputs
+    // with a HIGH duplicate-pair rate shuffle more rows than the old
+    // shape; the engine's callers build near-distinct edges (join of
+    // unique orders to lineitem), where the saved exchange dominates.
+    val pre = edges.select(col("src"), col("dst")).repartition(col("src"))
     val e = graft.io.Checkpoints.truncateLayoutPreserving(
-      (if (dedup) base.distinct() else base).repartition(col("src"))
+      (if (dedup) pre.dropDuplicates(Seq("src", "dst")) else pre)
         .sortWithinPartitions("src"))
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
@@ -86,13 +97,15 @@ object PageRank {
     * never silently vanishes. Same round-per-iteration parity rule. */
   def personalizedWeighted(edges: DataFrame, iters: Int = 2,
                            damping: Double = 0.85, roundDp: Int = 8): DataFrame = {
-    // same pre-hash + pre-sort on the iteration join key as [[iterate]]:
-    // the weight agg leaves the table partitioned on (src, dst), which
-    // satisfies NO per-round requirement — without the explicit layout
-    // every iteration re-shuffles and re-sorts the edge table
+    // same pre-hash + pre-sort on the iteration join key as [[iterate]],
+    // and the same repartition-BEFORE-aggregate device: hash(src)
+    // satisfies the weight agg's (src, dst) clustering, so the groupBy
+    // runs exchange-free on the repartitioned rows and the checkpoint
+    // costs one full-edge shuffle, not two
     val e = graft.io.Checkpoints.truncateLayoutPreserving(
-      edges.groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-        .repartition(col("src")).sortWithinPartitions("src"))
+      edges.repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .sortWithinPartitions("src"))
     val outw = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout"))
     val seed = outw.agg(min(col("node")).as("__seed"))
     var pr = outw.crossJoin(broadcast(seed))

@@ -285,6 +285,29 @@ class CorpusShardStatsSpec extends AnyFunSuite {
     assert(r(("auth", 11L)) == 0.6)
   }
 
+  test("hits: broadcast-auth and dst-checkpoint gate paths agree; dedup absorbs duplicate edges") {
+    // duplicate edge exercises the exchange-free dedup after repartition
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 10L))
+      .toDF("src", "dst")
+    def run(): Seq[((String, Long), Double)] =
+      graft.graph.Hits.iterate(edges, iters = 2)
+        .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
+        .toSeq.sortBy(_._1)
+    val viaBroadcast = run() // tiny |dst| → under the default 64 MB gate
+    val key = "spark.graft.graph.broadcastMaxBytes"
+    spark.conf.set(key, "0") // force the second-edge-checkpoint path
+    try {
+      val viaEDst = run()
+      assert(viaBroadcast == viaEDst,
+        "the byte gate must be a strategy choice, never a value change")
+    } finally spark.conf.unset(key)
+    // duplicate (2,10) must not double 2's contribution: same fixture as
+    // the hand-run test above
+    val m = viaBroadcast.toMap
+    assert(m(("hub", 2L)) == 0.625)
+    assert(m(("auth", 11L)) == 0.6)
+  }
+
   // ------------------------------------------------------ char entropy
 
   test("char entropy: skewed and uniform docs match hand computation") {

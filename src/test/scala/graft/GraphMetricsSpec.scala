@@ -21,6 +21,17 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(math.abs(pr.values.sum - 1.0) < 1e-6, "mass conserved")
   }
 
+  test("pagerank: duplicate edges are absorbed by the checkpoint-time dedup") {
+    // same ring, every edge listed twice: dedup=true must make outdeg and
+    // ranks identical to the distinct fixture (the dedup aggregate rides
+    // the repartition(src) exchange-free — this pins its VALUE contract)
+    val ring = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val sym = ring ++ ring.map(_.swap)
+    val edges = (sym ++ sym).toDF("src", "dst")
+    val pr = PageRank.iterate(edges, iters = 3).as[(Long, Double)].collect().toMap
+    assert(pr.values.forall(p => math.abs(p - 0.25) < 1e-7), pr.toString)
+  }
+
   test("pagerank: the hub of a symmetrized star outranks the leaves") {
     val star = (1L to 6L).map(i => (0L, i))
     val edges = (star ++ star.map(_.swap)).toDF("src", "dst")
