@@ -710,13 +710,14 @@ private[graft] object QueriesPart2 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 1000000L).as("supp"))
-      val edges = eo.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(eo.select(col("supp").as("src"), col("cust").as("dst")))
-      // dedup rides iterate()'s checkpoint repartition(src) for free
-      // (hash(src) satisfies the (src,dst) clustering), so symmetrize
-      // the RAW join output and dedup once inside — one full-edge
-      // shuffle replaces the old distinct-then-repartition pair; the
-      // +1e6 offset keeps cust/supp id ranges disjoint either way
+      // explode-symmetrize (graph/EdgeLayout): both directions emitted
+      // in ONE pass over the construction join — a union of two swapped
+      // projections would recompute the orders⋈lineitem sort-merge per
+      // branch inside the edge repartition's map stage. Dedup rides
+      // iterate()'s checkpoint repartition(src) as a streaming window,
+      // so one full-edge shuffle replaces the old distinct-then-
+      // repartition pair; the +1e6 offset keeps id ranges disjoint
+      val edges = graft.graph.EdgeLayout.symmetrize(eo, "cust", "supp")
       graft.graph.PageRank.iterate(edges, iters = 2)
         .select(col("node"), round(col("pr"), 6).as("pr"))
     }),

@@ -539,8 +539,7 @@ private[graft] object QueriesPart3 {
       // src hash + sort; later rounds run on the strictly-smaller peeled
       // residue, so only the full-size first round needs the free layout
       val edges = graft.io.Checkpoints.truncateLayoutPreserving(
-        p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+        graft.graph.EdgeLayout.symmetrize(p, "u", "v")
           .repartition(col("src")).sortWithinPartitions("src"))
       graft.graph.KCore.peel(edges, k = 3, rounds = 2)
     }),
@@ -555,8 +554,7 @@ private[graft] object QueriesPart3 {
       // layout-preserving on dst — every BFS round probes the edge list
       // on dst, so the hash + sort pay once and every round joins in place
       val edges = graft.io.Checkpoints.truncateLayoutPreserving(
-        p.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+        graft.graph.EdgeLayout.symmetrize(p, "u", "v")
           .repartition(col("dst")).sortWithinPartitions("dst"))
       val seeds = edges.select(col("src").as("node")).distinct()
         .filter(col("node") % 100 === 0)

@@ -447,8 +447,9 @@ private[graft] object QueriesPart4 {
         .filter(col("u") < col("v"))
         .groupBy("u", "v").agg(count(lit(1)).as("w"))
         .filter(col("w") >= 2)
-      val edges = pw.select(col("u").as("src"), col("v").as("dst"), col("w"))
-        .unionAll(pw.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      // explode-symmetrize: one pass over the support agg — a union of
+      // swapped projections re-runs its final agg per branch
+      val edges = graft.graph.EdgeLayout.symmetrize(pw, "u", "v", Seq("w"))
       graft.graph.PageRank.personalizedWeighted(edges, iters = 2)
         .select(col("node"), round(col("pr"), 6).as("ppr"))
     }),

@@ -181,18 +181,15 @@ private[graft] object QueriesPart8 {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"),
           (col("l_suppkey") + 1000000L).as("supp"))
-      // materialize the construction join ONCE before symmetrizing: the
-      // union's two branches would otherwise each recompute the
-      // orders⋈lineitem sort-merge inside the repartition's map stage
-      val eoc = graft.io.Checkpoints.truncate(eo, eager = true)
-      val edges = eoc.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionAll(eoc.select(col("supp").as("src"), col("cust").as("dst")))
-      // dedup AFTER the repartition (hash(src) satisfies the (src,dst)
-      // clustering, so dropDuplicates adds no exchange): one full-edge
-      // shuffle instead of the old distinct-then-repartition pair
+      // explode-symmetrize (graph/EdgeLayout): both directions in ONE
+      // pass over the construction join — a union of swapped projections
+      // would recompute the orders⋈lineitem SMJ per branch
+      val edges = graft.graph.EdgeLayout.symmetrize(eo, "cust", "supp")
+      // dedup AFTER the repartition as a streaming window over the
+      // sorted run (graph/EdgeLayout): one full-edge shuffle instead of
+      // the old distinct-then-repartition pair, sort-only stage memory
       val e = graft.io.Checkpoints.truncateLayoutPreserving(
-        edges.repartition(col("src")).dropDuplicates(Seq("src", "dst"))
-          .sortWithinPartitions("src"))
+        graft.graph.EdgeLayout.partitionedDistinct(edges, "src", "dst"))
       var x = e.select(col("src").as("node")).distinct()
         .withColumn("score", lit(1.0))
       for (_ <- 1 to 3) {

@@ -37,14 +37,12 @@ object Hits {
     // preserve both, so no iteration re-shuffles or re-sorts the edge
     // table — only node-cardinality score tables move per round (the
     // PageRank.iterate seam).
-    // The dedup aggregate runs AFTER the repartition: hash(src)
-    // co-locates equal (src, dst) pairs, so dropDuplicates needs no
-    // exchange of its own — one full-edge shuffle builds the src copy
-    // instead of two (distinct-then-repartition).
-    val pre = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // The dedup runs AFTER the repartition as a streaming window over
+    // the sorted run (see [[EdgeLayout]]): one full-edge shuffle builds
+    // the src copy instead of two (distinct-then-repartition).
     val eSrc = graft.io.Checkpoints.truncateLayoutPreserving(
-      (if (dedup) pre.dropDuplicates(Seq("src", "dst")) else pre)
-        .sortWithinPartitions("src"))
+      EdgeLayout.partitionedDistinct(
+        edges.select(col("src"), col("dst")), "src", "dst", dedup))
     // The auth→hub half-step joins on dst, the OTHER key. Two designs,
     // byte-gated like the Dedup family's broadcast gate:
     //   - broadcast auth (|dst|-cardinality — suppliers in the bipartite

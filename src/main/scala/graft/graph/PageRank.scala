@@ -45,20 +45,18 @@ object PageRank {
     // table. Without this the SMJ re-sorted the full edge table EVERY
     // iteration — at 1.2B edges (sf100) that was 318 GB of sort spill for
     // two iterations; the checkpoint-time sort pays it exactly once.
-    // dedup runs AFTER the repartition: hash(src) already co-locates
-    // equal (src, dst) pairs (HashPartitioning on a subset of the
-    // grouping keys satisfies the aggregate's ClusteredDistribution), so
-    // the dropDuplicates aggregate needs no exchange of its own — ONE
-    // full-edge shuffle builds the checkpoint instead of two
-    // (distinct-then-repartition). Trade, documented: the dedup's
-    // map-side partial combine now runs after the exchange, so inputs
-    // with a HIGH duplicate-pair rate shuffle more rows than the old
-    // shape; the engine's callers build near-distinct edges (join of
-    // unique orders to lineitem), where the saved exchange dominates.
-    val pre = edges.select(col("src"), col("dst")).repartition(col("src"))
+    // dedup runs AFTER the repartition as a streaming window over the
+    // sorted run (see [[EdgeLayout]]): ONE full-edge shuffle builds the
+    // checkpoint instead of two (distinct-then-repartition), with the
+    // old per-stage memory profile (no complete-mode hash map stacked on
+    // the sort + cache build). Trade, documented: dedup no longer
+    // combines map-side, so inputs with a HIGH duplicate-pair rate
+    // shuffle more rows; the engine's callers build near-distinct edges
+    // (join of unique orders to lineitem), where the saved exchange
+    // dominates.
     val e = graft.io.Checkpoints.truncateLayoutPreserving(
-      (if (dedup) pre.dropDuplicates(Seq("src", "dst")) else pre)
-        .sortWithinPartitions("src"))
+      EdgeLayout.partitionedDistinct(
+        edges.select(col("src"), col("dst")), "src", "dst", dedup))
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val n = outdeg.agg(count(lit(1)).as("n"))
@@ -97,15 +95,25 @@ object PageRank {
     * never silently vanishes. Same round-per-iteration parity rule. */
   def personalizedWeighted(edges: DataFrame, iters: Int = 2,
                            damping: Double = 0.85, roundDp: Int = 8): DataFrame = {
-    // same pre-hash + pre-sort on the iteration join key as [[iterate]],
-    // and the same repartition-BEFORE-aggregate device: hash(src)
-    // satisfies the weight agg's (src, dst) clustering, so the groupBy
-    // runs exchange-free on the repartitioned rows and the checkpoint
-    // costs one full-edge shuffle, not two
+    // same one-exchange layout as [[iterate]]/[[EdgeLayout]], with the
+    // defensive weight merge as a window over the sorted (src, dst) run
+    // instead of a complete-mode hash aggregate — the group total rides
+    // an explicit full frame, the run collapses via row_number = 1, and
+    // the stage keeps the sort-only memory profile
+    // no explicit sort: the planner inserts the window's one sort (an
+    // explicit [src, dst] sortWithinPartitions would NOT collapse with
+    // the window's [src, dst, dst] requirement and stacks a second
+    // full-edge sort — see EdgeLayout.partitionedDistinct)
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy("src", "dst").orderBy("dst")
+    val full = grp.rowsBetween(Long.MinValue, Long.MaxValue)
     val e = graft.io.Checkpoints.truncateLayoutPreserving(
       edges.repartition(col("src"))
-        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
-        .sortWithinPartitions("src"))
+        .select(col("src"), col("dst"),
+          sum(col("w")).over(full).as("__wt"),
+          row_number().over(grp).as("__rn"))
+        .filter(col("__rn") === 1)
+        .select(col("src"), col("dst"), col("__wt").as("w")))
     val outw = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout"))
     val seed = outw.agg(min(col("node")).as("__seed"))
     var pr = outw.crossJoin(broadcast(seed))

@@ -31,7 +31,7 @@ object DumpPlans {
     "q148_ks_test" -> "two-sample KS: BOTH cumulative counts ride one multi-weight two-phase prefix sum (per-bucket windows + an O(buckets) offset window) — no corpus-wide window, no second pass",
     "q149_bloom_join" -> "runtime bloom pre-filter: bloom_build partials merge map-side (ObjectHashAggregate), the 1 KB bitset is inlined as a literal (the q73 centroid device), and the fact scan's Filter applies the probe BEFORE the exchange — the shuffle carries only probable matches",
     "q193_balanced_shards" -> "token-balanced sharding: global rank by weight via VALUE-range buckets — per-bucket parallel windows, the only SinglePartition window is the O(buckets) offset table, broadcast back; snake shard is pure projection",
-    "q196_hits" -> "HITS power iteration: per half-step one shuffle join (scores to edges) + one hash agg; max-normalizers are 1-row broadcast cross joins; edge list checkpointed once, reused by all four half-steps",
+    "q196_hits" -> "HITS power iteration: ONE src-partitioned edge checkpoint (dedup rides its repartition exchange-free); hub half-steps read it via a byte-gated auth BROADCAST so the groupBy(src) agg needs no exchange; max-normalizers are 1-row broadcast cross joins",
     "q200_link_prediction" -> "common-neighbor wedges: apex-cap left-semi prunes hub apexes BEFORE the self-join; exact-count hash agg; degree joins after the minCommon filter shrink the pair stream first",
     "q218_sorted_neighborhood" -> "sorted-neighborhood ER: global rank = per-first-char-bucket windows + broadcast prefix-sum (no corpus-wide window); candidate pairs via rank-DIV-w band equi-join (no range cross-product); codegen'd JaroWinkler verify",
     "q221_quantile_normalize" -> "cross-source quantile normalization: within-source rank = per-(source, value) window + distinct-value prefix sums; the global lookup is a broadcast range join against the bounded cumulative histogram",
