@@ -18,7 +18,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -44,7 +44,10 @@ object Bench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "1048576"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // audit-scoped conf overrides for focused A/Bs under the bench
+    // protocol (e.g. forcing a byte gate's fallback path) — full gate
+    // runs never set it, and a filtered run already refuses to gate
+    val spark = graft.tools.ExtraConf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runNoop(name: String): Unit =

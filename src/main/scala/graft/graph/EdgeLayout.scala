@@ -48,6 +48,15 @@ object EdgeLayout {
   /** One-exchange layout + dedup. `dedup = false` skips the window (edges
     * already distinct by construction) and sorts on `key` only.
     *
+    * Column contract: the dedup path projects to exactly (key, other) at
+    * entry — a caller-supplied extra column (say a weight) would
+    * otherwise survive with a value chosen nondeterministically from the
+    * duplicate run by row_number, a silent correctness trap. Callers
+    * needing a value-merging dedup over extra columns must merge
+    * explicitly (see [[PageRank.personalizedWeighted]]'s window-sum
+    * weight merge). The dedup = false path passes all columns through
+    * unchanged (no duplicate run exists to pick from).
+    *
     * No explicit sort on the dedup path: the window's requirement
     * [key, other, other] does NOT collapse against a hand-written
     * [key, other] `sortWithinPartitions`, so providing one makes
@@ -58,11 +67,11 @@ object EdgeLayout {
     * downstream requirement on `key`. */
   def partitionedDistinct(edges: DataFrame, key: String, other: String,
                           dedup: Boolean = true): DataFrame = {
-    val pre = edges.repartition(col(key))
-    if (!dedup) pre.sortWithinPartitions(key)
+    if (!dedup) edges.repartition(col(key)).sortWithinPartitions(key)
     else {
       val w = Window.partitionBy(key, other).orderBy(other)
-      pre.withColumn("__rn", row_number().over(w))
+      edges.select(col(key), col(other)).repartition(col(key))
+        .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }
   }

@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   * diverge across engines. Max-normalized HITS converges to the same
   * ranking (power iteration is invariant up to scaling).
   *
+  * DAG shape: unlike PageRank's rank chain — where each score table is
+  * referenced exactly once per round, so the unrolled plan is linear —
+  * HITS references every half-step table 2–3× (its own max-normalization
+  * reads it twice, the next half-step and the final union read it again).
+  * Left unmaterialized, those shared subtrees replicate MULTIPLICATIVELY
+  * when Spark expands the DAG to a tree: 4 half-steps over 2 iterations
+  * re-ran the first join up to 2^4 times (measured as the r16 q196 3–4×
+  * wall regression; PLAN_AUDIT showed the scalar-max branches ×22). Each
+  * half-step's NODE-cardinality score table is therefore persisted
+  * layout-preservingly (the [[graft.io.Checkpoints]] seam): the chain is
+  * linear again, each join runs once, and the preserved hash(node)
+  * layout feeds the next half-step's join exchange-free.
+  *
   * Caller contract: edges are directed (src, dst); hubs are scored over
   * nodes with out-edges, authorities over nodes with in-edges (for the
   * bipartite purchase graph that is exactly customers / suppliers). */
@@ -57,34 +70,44 @@ object Hits {
     //     second pre-hashed + pre-sorted edge copy keyed on dst, paying
     //     the one-time shuffle so per-round joins stay edge-stationary.
     // The gate reads an HLL estimate off the cached checkpoint (one
-    // cheap columnar scan) — never a driver-size gamble.
+    // cheap columnar scan; iterate always needs the decision, so the
+    // eager head() costs exactly one small job). 64 B/row models a
+    // broadcast HashedRelation entry for a (long node, double score)
+    // row — key + row + map overhead; the estimate is padded 1.1× so
+    // the HLL's rsd 0.05 cannot flip the gate to an oversized broadcast
+    // at the byte boundary (an underestimate now needs to be >10% off,
+    // ~2σ, to admit one).
     val maxBytes = spark.conf
       .get("spark.graft.graph.broadcastMaxBytes", (64L << 20).toString).toLong
     val nDst = eSrc.agg(approx_count_distinct(col("dst"), 0.05)).head().getLong(0)
-    val broadcastAuth = nDst * 64L <= maxBytes
-    val eDst: DataFrame =
-      if (broadcastAuth) null
-      else graft.io.Checkpoints.truncateLayoutPreserving(
-        eSrc.repartition(col("dst")).sortWithinPartitions("dst"))
+    val broadcastAuth = nDst * 64L * 11L / 10L <= maxBytes
+    val eDst: Option[DataFrame] =
+      if (broadcastAuth) None
+      else Some(graft.io.Checkpoints.truncateLayoutPreserving(
+        eSrc.repartition(col("dst")).sortWithinPartitions("dst")))
+    // Each half-step: join scores to edges, aggregate on the other
+    // endpoint, persist (linear chain — see DAG-shape scaladoc), then
+    // max-normalize by a 1-row broadcast over the persisted table.
+    def halfStep(scores: DataFrame, edgeKey: String, outKey: String,
+                 edgeSide: DataFrame): DataFrame = {
+      val raw = graft.io.Checkpoints.truncateLayoutPreserving(
+        edgeSide.join(
+            if (broadcastAuth && edgeKey == "dst")
+              broadcast(scores.withColumnRenamed("node", edgeKey))
+            else scores.withColumnRenamed("node", edgeKey),
+            Seq(edgeKey))
+          .groupBy(col(outKey).as("node"))
+          .agg(round(sum(col("score")), roundDp).as("__raw")))
+      val mx = raw.agg(max(col("__raw")).as("__mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), round(col("__raw") / col("__mx"), roundDp).as("score"))
+    }
     var hub = eSrc.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("score"))
     var auth: DataFrame = hub // replaced in the first half-iteration
     for (_ <- 1 to iters) {
-      val a0 = eSrc.join(hub.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(round(sum(col("score")), roundDp).as("__raw"))
-      val amax = a0.agg(max(col("__raw")).as("__mx"))
-      auth = a0.crossJoin(broadcast(amax))
-        .select(col("node"), round(col("__raw") / col("__mx"), roundDp).as("score"))
-      val h0 = (if (broadcastAuth)
-          eSrc.join(broadcast(auth.withColumnRenamed("node", "dst")), Seq("dst"))
-        else
-          eDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst")))
-        .groupBy(col("src").as("node"))
-        .agg(round(sum(col("score")), roundDp).as("__raw"))
-      val hmax = h0.agg(max(col("__raw")).as("__mx"))
-      hub = h0.crossJoin(broadcast(hmax))
-        .select(col("node"), round(col("__raw") / col("__mx"), roundDp).as("score"))
+      auth = halfStep(hub, "src", "dst", eSrc)
+      hub = halfStep(auth, "dst", "src", eDst.getOrElse(eSrc))
     }
     hub.select(lit("hub").as("kind"), col("node"),
         round(col("score"), 6).as("score"))

@@ -98,8 +98,13 @@ object PageRank {
     // same one-exchange layout as [[iterate]]/[[EdgeLayout]], with the
     // defensive weight merge as a window over the sorted (src, dst) run
     // instead of a complete-mode hash aggregate — the group total rides
-    // an explicit full frame, the run collapses via row_number = 1, and
-    // the stage keeps the sort-only memory profile
+    // an explicit full frame and the run collapses via row_number = 1.
+    // NOTE: unlike EdgeLayout's pure-rank window this does NOT become a
+    // streaming WindowGroupLimit (InferWindowGroupLimit requires ALL
+    // window expressions to be rank-like; the co-resident full-frame sum
+    // disables the rewrite) — it plans as a plain WindowExec whose
+    // spillable buffer is bounded by the duplicate-run size, which still
+    // avoids the complete-mode hash map of every distinct edge per task
     // no explicit sort: the planner inserts the window's one sort (an
     // explicit [src, dst] sortWithinPartitions would NOT collapse with
     // the window's [src, dst, dst] requirement and stacks a second

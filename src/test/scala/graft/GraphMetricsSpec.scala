@@ -236,6 +236,23 @@ class GraphMetricsSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-6, "restart mass conserved")
   }
 
+  test("personalized pagerank: duplicate (src,dst) weights merge by SUM") {
+    // the window weight-merge (full-frame sum + row_number = 1) must make
+    // split duplicate edges equal the pre-merged fixture — the value
+    // contract of the r16 groupBy→window rewrite (mirrors the pagerank
+    // duplicate-edge test above). Same path-1-2-3 fixture, each w=3 edge
+    // split as 1+2 and the w=1 edges listed as 0.5+0.5.
+    val edges = Seq(
+      (1L, 2L, 0.5), (1L, 2L, 0.5), (2L, 1L, 0.5), (2L, 1L, 0.5),
+      (2L, 3L, 1.0), (2L, 3L, 2.0), (3L, 2L, 2.0), (3L, 2L, 1.0)
+    ).toDF("src", "dst", "w")
+    val r = PageRank.personalizedWeighted(edges, iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.330625)
+    assert(r(2L) == 0.1275)
+    assert(r(3L) == 0.541875)
+  }
+
   test("CC: driver union-find fast path ≡ iterative fixpoint on a random graph") {
     import spark.implicits._
     // deterministic pseudo-random graph: 60 nodes, 80 edges from a hash
