@@ -342,7 +342,12 @@ private[graft] object QueriesPart4 {
       val p = graft.io.Checkpoints.truncate(copurchasePairs(s, d), eager = true)
       val edges = p.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
-      val lab = graft.graph.LabelProp.run(edges, iters = 2)
+      // lab fans out 3× below (deg join + intra's u- and v-joins): persist
+      // the node-cardinality table so the 2-round LabelProp DAG runs once,
+      // not three times (the HITS half-step lesson — unmaterialized
+      // fan-out replicates the whole upstream subtree per reference)
+      val lab = graft.io.Checkpoints.truncateLayoutPreserving(
+        graft.graph.LabelProp.run(edges, iters = 2))
       val m = p.agg(count(lit(1)).as("m"))
       val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       val dc = lab.join(deg, Seq("node")).groupBy("label")

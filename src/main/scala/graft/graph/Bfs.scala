@@ -13,21 +13,30 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: per round one equi-join of the edge list to the current
   * label table (shuffle on dst) and one min aggregation (shuffle on
-  * node). The label table is bounded by the reachable node set; for deep
-  * traversals insert a [[graft.io.Checkpoints]] seam every few rounds
-  * like the connected-components fixpoint does. */
+  * node). The label table is bounded by the reachable node set and is
+  * materialized through the [[graft.io.Checkpoints]] seam every round
+  * (it fans out twice per round), so lineage depth stays at one round
+  * for arbitrarily deep traversals. */
 object Bfs {
 
   /** `edges` directed-symmetrized (src, dst); `seeds` one column `node`.
     * Returns (node, hop) for every node within `rounds` hops of a seed. */
   def hops(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     var labels = seeds.select(col("node"), lit(0L).as("hop"))
-    for (_ <- 1 to rounds) {
-      val relaxed = edges
-        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-        .select(col("src").as("node"), (col("hop") + 1).as("hop"))
-      labels = labels.unionAll(relaxed)
-        .groupBy("node").agg(min(col("hop")).as("hop"))
+    for (r <- 1 to rounds) {
+      // labels is read twice per round (the relax join + the union):
+      // unmaterialized, the unrolled plan replays round r-1's edge join
+      // ~2x per subsequent round — 2^rounds replays of the first join by
+      // the end (the HITS half-step lesson). The table is bounded by the
+      // reached node set, so persist it each round and drop the previous
+      // round's cache once the new one is materialized.
+      val prev = labels
+      labels = graft.io.Checkpoints.truncateLayoutPreserving(
+        labels.unionAll(edges
+            .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+            .select(col("src").as("node"), (col("hop") + 1).as("hop")))
+          .groupBy("node").agg(min(col("hop")).as("hop")))
+      if (r > 1) prev.unpersist(false)
     }
     labels
   }

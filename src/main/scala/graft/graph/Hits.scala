@@ -77,8 +77,18 @@ object Hits {
     // the HLL's rsd 0.05 cannot flip the gate to an oversized broadcast
     // at the byte boundary (an underestimate now needs to be >10% off,
     // ~2σ, to admit one).
+    // Default 256 MB (~3.7M auth nodes), matching the Dedup family's
+    // gate — NOT Spark's 10 MB autoBroadcast default, because the
+    // fallback here is far more expensive than a plain shuffled join:
+    // it is a full-edge repartition(dst) shuffle PLUS a second persisted
+    // edge copy, both O(|E|), where the broadcast is O(|V_dst|) per
+    // executor per round and |E| ≫ |V| on every engine graph (measured
+    // at sf100: the gate flipping to the eDst path at a 70 MB estimate
+    // cost +13.7 GB shuffle and +90 GB spill from the second 1.2B-row
+    // copy). The gate exists to protect executor memory from
+    // genuinely-huge auth sets, not to minimize broadcast traffic.
     val maxBytes = spark.conf
-      .get("spark.graft.graph.broadcastMaxBytes", (64L << 20).toString).toLong
+      .get("spark.graft.graph.broadcastMaxBytes", (256L << 20).toString).toLong
     val nDst = eSrc.agg(approx_count_distinct(col("dst"), 0.05)).head().getLong(0)
     val broadcastAuth = nDst * 64L * 11L / 10L <= maxBytes
     val eDst: Option[DataFrame] =

@@ -24,11 +24,24 @@ object KCore {
     * graph. */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     var g = edges.select(col("src"), col("dst"))
-    for (_ <- 1 to rounds) {
-      val keep = g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
-      g = g.join(keep.withColumnRenamed("node", "src"), Seq("src"), "semi")
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "semi")
+    for (r <- 1 to rounds) {
+      // keep is read TWICE (both semi-joins) and g THREE times (keep's
+      // agg + the join chain feeding next round's recomputes): left
+      // unmaterialized the unrolled plan replays round r-1's join chain
+      // ~2x per subsequent round (the HITS half-step lesson). keep is
+      // node-cardinality — truncate it; g shrinks monotonically — persist
+      // each round's survivor edges and drop the previous round's cache
+      // once the new one is materialized, so at most two rounds of edges
+      // are ever resident.
+      val keep = graft.io.Checkpoints.truncate(
+        g.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("src").as("node")),
+        eager = true)
+      val prev = g
+      g = graft.io.Checkpoints.truncateLayoutPreserving(
+        g.join(keep.withColumnRenamed("node", "src"), Seq("src"), "semi")
+          .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "semi"))
+      if (r > 1) prev.unpersist(false)
     }
     g.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }

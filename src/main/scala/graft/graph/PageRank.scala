@@ -57,8 +57,16 @@ object PageRank {
     val e = graft.io.Checkpoints.truncateLayoutPreserving(
       EdgeLayout.partitionedDistinct(
         edges.select(col("src"), col("dst")), "src", "dst", dedup))
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
+    // outdeg is a FULL-EDGE aggregate fanned out to n, the rank seed and
+    // every round's re-attach join; n itself rides a broadcast into every
+    // round. Unmaterialized, each of those references replays the
+    // 1.2B-row (sf100) edge scan + hash agg — ~5 extra edge passes for
+    // iters = 2 (the HITS half-step lesson). Persisting the
+    // node-cardinality table makes every replay a cheap cached scan and
+    // keeps its hash(node) layout for the re-attach join.
+    val outdeg = graft.io.Checkpoints.truncateLayoutPreserving(
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg")))
     val n = outdeg.agg(count(lit(1)).as("n"))
     // all nodes have out-edges by contract, so outdeg's keys ARE the
     // nodes; carrying outdeg inside the rank table collapses the old
@@ -119,7 +127,11 @@ object PageRank {
           row_number().over(grp).as("__rn"))
         .filter(col("__rn") === 1)
         .select(col("src"), col("dst"), col("__wt").as("w")))
-    val outw = e.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout"))
+    // same fan-out as iterate's outdeg (seed, the rank seed, two joins
+    // per round): persist the node-cardinality weight-sum table so each
+    // reference replays a cached scan, not the full-edge aggregate
+    val outw = graft.io.Checkpoints.truncateLayoutPreserving(
+      e.groupBy(col("src").as("node")).agg(sum(col("w")).as("wout")))
     val seed = outw.agg(min(col("node")).as("__seed"))
     var pr = outw.crossJoin(broadcast(seed))
       .select(col("node"), col("__seed"),

@@ -293,7 +293,7 @@ class CorpusShardStatsSpec extends AnyFunSuite {
       graft.graph.Hits.iterate(edges, iters = 2)
         .collect().map(x => (x.getString(0), x.getLong(1)) -> x.getDouble(2))
         .toSeq.sortBy(_._1)
-    val viaBroadcast = run() // tiny |dst| → under the default 64 MB gate
+    val viaBroadcast = run() // tiny |dst| → under the default 256 MB gate
     val key = "spark.graft.graph.broadcastMaxBytes"
     spark.conf.set(key, "0") // force the second-edge-checkpoint path
     try {
