@@ -449,17 +449,25 @@ private[graft] object QueriesPart3 {
           floor((col("value") - col("__lo")) * 10 / (col("__hi") - col("__lo")))
             .cast("long"))))
         .drop("__lo", "__hi")
+      // the model is ONLY the two tiny (class × feature-value) count
+      // tables: build those in the two train passes and derive classes
+      // and every scalar as marginals of them — the separate
+      // classes/scal aggregates re-ran the events scan (~10 replays
+      // total, BNLJ×9 in PLAN_AUDIT); the bounded tables are truncated
+      // so their three consumers never replay the train pass (r17)
       val tr = feat(train)
-      val classes = tr.groupBy(col("event_type").as("cls"))
-        .agg(count(lit(1)).as("n_c"))
-      val scal = tr.agg(count(lit(1)).as("__n"),
+      val c1 = graft.io.Checkpoints.truncate(
+        tr.groupBy(col("event_type").as("cls"), col("h"))
+          .agg(count(lit(1)).as("c1")), eager = false)
+      val c2 = graft.io.Checkpoints.truncate(
+        tr.groupBy(col("event_type").as("cls"), col("b"))
+          .agg(count(lit(1)).as("c2")), eager = false)
+      val classes = c1.groupBy("cls").agg(sum(col("c1")).as("n_c"))
+      val scal = c1.agg(sum(col("c1")).as("__n"),
         countDistinct(col("h")).as("__v1"),
-        countDistinct(col("b")).as("__v2"))
-        .crossJoin(classes.agg(count(lit(1)).as("__k")))
-      val c1 = tr.groupBy(col("event_type").as("cls"), col("h"))
-        .agg(count(lit(1)).as("c1"))
-      val c2 = tr.groupBy(col("event_type").as("cls"), col("b"))
-        .agg(count(lit(1)).as("c2"))
+        countDistinct(col("cls")).as("__k"))
+        .crossJoin(c2.agg(countDistinct(col("b")).as("__v2")))
+        .select(col("__n"), col("__v1"), col("__v2"), col("__k"))
       val scored = feat(test)
         .crossJoin(broadcast(classes))
         .join(broadcast(c1), Seq("cls", "h"), "left")
@@ -685,13 +693,21 @@ private[graft] object QueriesPart3 {
     // (order, part) so support counts orders. Three joins + two
     // semi-joins + one hash agg; all-integer.
     "q168_freq_triples" -> ((s, d) => {
-      val bk = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
-      val po = bk.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(bk.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-      val p2 = po.groupBy("u", "v").agg(count(lit(1)).as("__sup"))
-        .filter(col("__sup") >= 2).select("u", "v")
+      // bk feeds both sides of the pair self-join AND the triple-extension
+      // join; po feeds the support agg AND the survivor semi-join; p2 is
+      // probed three times. Truncate each so the distinct pass and the
+      // basket self-join run once (the r17 fan-out seam).
+      val bk = graft.io.Checkpoints.truncate(
+        li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct(),
+        eager = false)
+      val po = graft.io.Checkpoints.truncate(
+        bk.select(col("l_orderkey"), col("l_partkey").as("u"))
+          .join(bk.select(col("l_orderkey"), col("l_partkey").as("v")),
+            Seq("l_orderkey"))
+          .filter(col("u") < col("v")), eager = false)
+      val p2 = graft.io.Checkpoints.truncate(
+        po.groupBy("u", "v").agg(count(lit(1)).as("__sup"))
+          .filter(col("__sup") >= 2).select("u", "v"), eager = false)
       val t0 = po.join(p2, Seq("u", "v"), "semi")
       val cand = t0
         .join(bk.select(col("l_orderkey"), col("l_partkey").as("w")),

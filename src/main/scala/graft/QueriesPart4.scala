@@ -299,12 +299,20 @@ private[graft] object QueriesPart4 {
     // adjacency — no RNG state, no driver loop.
     "q201_random_walks" -> ((s, d) => {
       val p = copurchasePairs(s, d)
-      val adj = p.select(col("u").as("n"), col("v").as("x"))
-        .unionAll(p.select(col("v").as("n"), col("u").as("x")))
+      // symmetrize in ONE pass (explode, the EdgeLayout device) — the
+      // unionAll form ran the support-2 self-join twice before the cut
+      val adj = graft.graph.EdgeLayout.symmetrize(p, "u", "v")
+        .select(col("src").as("n"), col("dst").as("x"))
       val adjC = graft.io.Checkpoints.truncate(adj, eager = true)
-      val adjR = adjC.withColumn("r",
-        row_number().over(Window.partitionBy("n").orderBy("x")))
-      val deg = adjC.groupBy("n").agg(count(lit(1)).as("deg"))
+      // adjR and deg are probed by every step; each walk table is read by
+      // the next step AND the closing join — truncate all of them so the
+      // 3-step unrolled DAG is a linear chain, not a 2^steps replay tree
+      val adjR = graft.io.Checkpoints.truncate(
+        adjC.withColumn("r",
+          row_number().over(Window.partitionBy("n").orderBy("x"))),
+        eager = false)
+      val deg = graft.io.Checkpoints.truncate(
+        adjC.groupBy("n").agg(count(lit(1)).as("deg")), eager = false)
       var walk = deg.select(col("n").as("walk_id"), col("n").as("cur"))
       val steps = (1 to 3).map { i =>
         val pick = walk
@@ -313,10 +321,10 @@ private[graft] object QueriesPart4 {
             conv(substring(md5(concat_ws("_",
               col("walk_id"), lit(i), col("cur"))), 1, 8), 16, 10)
               .cast("long") % col("deg") + 1)
-        walk = pick.join(
+        walk = graft.io.Checkpoints.truncate(pick.join(
             adjR.select(col("n").as("cur"), col("r").as("pick"), col("x")),
             Seq("cur", "pick"))
-          .select(col("walk_id"), col("x").as("cur"))
+          .select(col("walk_id"), col("x").as("cur")), eager = false)
         walk.select(col("walk_id"), col("cur").as(s"s$i"))
       }
       steps.reduce((a, b) => a.join(b, Seq("walk_id")))
@@ -503,20 +511,36 @@ private[graft] object QueriesPart4 {
       val e = emb.select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), col("pos").cast("long").as("i"),
           col("col").cast("double").as("x"))
-      val mu = e.groupBy("i").agg(round(avg(col("x")), 6).as("m"))
-      val c = e.join(broadcast(mu), Seq("i"))
-        .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc"))
+      // mu feeds the centering join AND the v seed; c feeds both sides of
+      // the covariance self-join — truncate each so the explode scan runs
+      // once, not 4× (same fan-out class as cov below)
+      val mu = graft.io.Checkpoints.truncate(
+        e.groupBy("i").agg(round(avg(col("x")), 6).as("m")), eager = false)
+      val c = graft.io.Checkpoints.truncate(
+        e.join(broadcast(mu), Seq("i"))
+          .select(col("vec_id"), col("i"), (col("x") - col("m")).as("xc")),
+        eager = false)
       val n = emb.agg(count(lit(1)).as("n"))
-      val cov = c
+      // cov (dim² rows) is the expensive embeddings self-join; unrolling 3
+      // power iterations references it once per round and each round's v
+      // twice (its own max-normalizer + the next round's join), so the
+      // unmaterialized DAG replayed the self-join up to 14× (measured:
+      // BroadcastNestedLoopJoin×21 in PLAN_AUDIT, 769-node plan). Truncate
+      // cov once and each round's w — the dim-cardinality tables — so the
+      // unrolled DAG is a linear chain (the r17 HITS/PageRank seam).
+      val cov = graft.io.Checkpoints.truncate(c
         .join(c.select(col("vec_id"), col("i").as("j"), col("xc").as("yc")),
           Seq("vec_id"))
         .groupBy("i", "j").agg(sum(col("xc") * col("yc")).as("s"))
         .crossJoin(broadcast(n))
-        .select(col("i"), col("j"), round(col("s") / (col("n") - 1), 8).as("a"))
+        .select(col("i"), col("j"), round(col("s") / (col("n") - 1), 8).as("a")),
+        eager = false)
       var v = mu.select(col("i"), lit(1.0).as("v"))
       for (_ <- 1 to 3) {
-        val w = cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
-          .groupBy("i").agg(round(sum(col("a") * col("v")), 8).as("w"))
+        val w = graft.io.Checkpoints.truncate(
+          cov.join(v.select(col("i").as("j"), col("v")), Seq("j"))
+            .groupBy("i").agg(round(sum(col("a") * col("v")), 8).as("w")),
+          eager = false)
         val m = w.agg(max(abs(col("w"))).as("m"))
         v = w.crossJoin(broadcast(m))
           .select(col("i"), round(col("w") / col("m"), 8).as("v"))
@@ -531,11 +555,15 @@ private[graft] object QueriesPart4 {
     // integer-ized to dollars (exact square sums), RMSE one mirrored
     // sqrt. The model-selection harness companion to q205's dedup eval.
     "q210_cross_validation" -> ((s, d) => {
-      val rows = li(s, d).select(
+      // rows (scan + per-row md5 fold assignment) feeds the per-fold
+      // training sums AND the residual pass — truncate so the md5 pass
+      // runs once, not twice (the r17 fan-out seam)
+      val rows = graft.io.Checkpoints.truncate(li(s, d).select(
         col("l_quantity").cast("long").as("x"),
         round(col("l_extendedprice") * 100).cast("long").as("y100"),
         (conv(substring(md5(concat_ws("_", col("l_orderkey"),
-          col("l_linenumber"))), 1, 8), 16, 10).cast("long") % 5).as("fold"))
+          col("l_linenumber"))), 1, 8), 16, 10).cast("long") % 5).as("fold")),
+        eager = false)
       val fs = rows.groupBy("fold").agg(
         count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y100")).as("sy"), sum(col("x") * col("y100")).as("sxy"),
@@ -584,21 +612,31 @@ private[graft] object QueriesPart4 {
     // Self-classification confusion matrix — how separable the sources'
     // vocabularies actually are.
     "q212_hash_centroid_classifier" -> ((s, d) => {
-      val feat = doc(s, d)
+      // feat (the tokenize+md5+hash-agg pass over the whole corpus) feeds
+      // BOTH the centroid build and the scoring join — truncate so the
+      // expensive token pass runs once, not twice (r17 fan-out seam)
+      val feat = graft.io.Checkpoints.truncate(doc(s, d)
         .select(col("doc_id"), col("source"), explode(Text.tokens(col("text"))).as("w"))
         .select(col("doc_id"), col("source"),
           (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
             .as("bucket"))
-        .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "source", "bucket").agg(count(lit(1)).as("cnt")),
+        eager = false)
       val nsrc = doc(s, d).groupBy("source").agg(count(lit(1)).as("nd"))
-      val cent = feat.groupBy(col("source").as("csrc"), col("bucket"))
-        .agg(sum(col("cnt")).as("sc"))
-        .join(broadcast(nsrc.select(col("source").as("csrc"), col("nd"))), Seq("csrc"))
-        .select(col("csrc"), col("bucket"),
-          round(col("sc").cast("double") / col("nd"), 6).as("cv"))
+      // cent is a bounded 256×|sources| table read by cnorm AND the
+      // scoring join: truncate (one compute) and BROADCAST it into the
+      // postings join — shuffling the full feat relation by the 256-value
+      // bucket key would funnel the corpus through ≤256 partitions
+      val cent = graft.io.Checkpoints.truncate(
+        feat.groupBy(col("source").as("csrc"), col("bucket"))
+          .agg(sum(col("cnt")).as("sc"))
+          .join(broadcast(nsrc.select(col("source").as("csrc"), col("nd"))), Seq("csrc"))
+          .select(col("csrc"), col("bucket"),
+            round(col("sc").cast("double") / col("nd"), 6).as("cv")),
+        eager = false)
       val cnorm = cent.groupBy("csrc")
         .agg(round(sqrt(sum(col("cv") * col("cv"))), 6).as("cn"))
-      val dots = feat.join(cent, Seq("bucket"))
+      val dots = feat.join(broadcast(cent), Seq("bucket"))
         .groupBy("doc_id", "source", "csrc")
         .agg(round(sum(col("cnt") * col("cv")), 6).as("dot"))
       val scored = dots.join(broadcast(cnorm), Seq("csrc"))
@@ -640,11 +678,15 @@ private[graft] object QueriesPart4 {
       val base = li(s, d).select(col("l_orderkey"),
         unix_micros(col("l_shipdate").cast("timestamp")).as("sd"))
       val ext = base.agg(min(col("sd")).as("mn"), max(col("sd")).as("mx"))
-      val li0 = base.crossJoin(broadcast(ext)).select(col("sd"),
-        expr("l_orderkey DIV 1000").as("fid_nat"),
-        expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)").as("fid_clu"),
-        expr("mn + (mx - mn) * 2 DIV 5").as("lo"),
-        expr("mn + (mx - mn) * 3 DIV 5").as("hi"))
+      // li0 feeds the matched scalar AND both layout legs — truncate so
+      // the lineitem scan + extent cross-join run once, not 3-4× (the
+      // r17 fan-out seam; BNLJ×6 in PLAN_AUDIT was this replication)
+      val li0 = graft.io.Checkpoints.truncate(
+        base.crossJoin(broadcast(ext)).select(col("sd"),
+          expr("l_orderkey DIV 1000").as("fid_nat"),
+          expr("(sd - mn) DIV (((mx - mn) DIV 15) + 1)").as("fid_clu"),
+          expr("mn + (mx - mn) * 2 DIV 5").as("lo"),
+          expr("mn + (mx - mn) * 3 DIV 5").as("hi")), eager = false)
       val matched = li0.filter(col("sd") >= col("lo") && col("sd") <= col("hi"))
         .agg(count(lit(1)).as("rows_matched"))
       def layout(fid: String, name: String) = li0

@@ -358,12 +358,13 @@ private[graft] object QueriesPart5 {
           k = 3, threshold = 0.5)
           .select(col("id_a"), col("id_b")), eager = true)
       val configs = Seq((16, 1), (8, 2), (4, 4))
-      val preds = configs.map { case (b, r) =>
-        Dedup.minHashLsh(doc(s, d), "text", "doc_id", k = 3,
-            bands = b, rowsPerBand = r, threshold = 0.5, family = "md5p61")
-          .select(lit(b).as("bands"), lit(r).as("rpb"),
-            col("id_a"), col("id_b"))
-      }.reduce(_.unionByName(_))
+      // one signature pass + one finest-banding self-join for all three
+      // configs (each shares bands·rpb = 16) instead of three of each —
+      // per-config rows identical to the per-config minHashLsh calls
+      // (Dedup.minHashLshSweep scaladoc + MinHashLshSweepSpec parity)
+      val preds = Dedup.minHashLshSweep(doc(s, d), "text", "doc_id", k = 3,
+          configs, threshold = 0.5, family = "md5p61")
+        .select(col("bands"), col("rpb"), col("id_a"), col("id_b"))
       val truthX = truth.crossJoin(
         litConfigs(s)(configs, "bands", "rpb"))
       preds.withColumn("__p", lit(1L))

@@ -568,10 +568,15 @@ private[graft] object QueriesPart6 {
     // aggregation anywhere.
     "q282_assortativity" -> ((s, d) => {
       val p = copurchasePairs(s, d)
-      val edges = p.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("deg"))
+      // explode-symmetrize (one pass over the support-2 self-join — the
+      // unionAll form ran it twice) + truncate: edges feeds the degree agg
+      // AND the correlation join, deg is probed twice — unmaterialized,
+      // the self-join replayed ~4×
+      val edges = graft.io.Checkpoints.truncate(
+        graft.graph.EdgeLayout.symmetrize(p, "u", "v"), eager = false)
+      val deg = graft.io.Checkpoints.truncate(
+        edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg")), eager = false)
       val j = edges
         .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
         .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")

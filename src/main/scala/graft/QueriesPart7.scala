@@ -861,8 +861,10 @@ private[graft] object QueriesPart7 {
     // nothing grows past |distinct degrees| after the degree agg.
     "q326_hill_tail" -> ((s, d) => {
       val p = copurchasePairs(s, d)
-      val deg = p.select(col("u").as("node"))
-        .unionAll(p.select(col("v").as("node")))
+      // both endpoints in ONE pass over the support-2 self-join (the
+      // unionAll form re-ran it per branch — same fix as EdgeLayout's
+      // explode-symmetrize); deg feeds a single consumer, no cut needed
+      val deg = p.select(explode(array(col("u"), col("v"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("deg"))
       val byDeg = deg.filter(col("deg") >= 5)
         .groupBy("deg").agg(count(lit(1)).as("cnt"))

@@ -53,10 +53,14 @@ object Dedup {
                  k: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  threshold: Double = 0.5, family: String = "xxh64"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df
+    // the tokenize + numHashes-signature pass feeds BOTH sides of the band
+    // self-join below, and the self-join's attribute rewrite defeats
+    // exchange reuse (the ngramJaccardSelfPairs finding) — truncate lazily
+    // so the corpus signature pass runs once, not twice
+    val sigs = graft.io.Checkpoints.truncate(df
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .withColumn("sig", minHashSignature(col("toks"), k, numHashes, family))
-      .select(col("id"), col("sig"))
+      .select(col("id"), col("sig")), eager = false)
     // Band key = the sliced signature values themselves (array<long> is a
     // fine shuffle/join key): exact band-equality semantics, no re-hash
     // collision possible, and replayable by a SQL oracle — unlike
@@ -83,6 +87,68 @@ object Dedup {
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .distinct()
+  }
+
+  /** Candidate pairs for SEVERAL (bands, rowsPerBand) LSH configs sharing
+    * one signature width H = bands·rowsPerBand — the parameter-sweep
+    * companion to [[minHashLsh]] (q234's band curve).
+    *
+    * Running [[minHashLsh]] once per config recomputes the tokenize +
+    * H-hash signature pass AND the band self-join per config. But the
+    * configs share their signatures exactly (same family, k, H), and the
+    * FINEST banding (H bands of 1 row) has the superset candidate set: a
+    * pair matching any r-row band matches each of its r single-hash bands
+    * individually. So this runs ONE signature pass (truncated — it feeds
+    * both self-join sides) and ONE self-join at r = 1, then derives each
+    * coarser config's membership per candidate pair as a pure function of
+    * the two signature arrays ([[graft.functions.AnyBandEqual]] — a
+    * codegen'd fused loop, no re-join). Per config the emitted pair set is
+    * row-identical to `minHashLsh(df, …, bands = b, rowsPerBand = r, …)`
+    * (MinHashLshSweepSpec pins the parity).
+    *
+    * Returns (bands, rpb, id_a, id_b, est_jaccard) with id_a < id_b,
+    * distinct per config. */
+  def minHashLshSweep(df: DataFrame, textCol: String, idCol: String,
+                      k: Int, configs: Seq[(Int, Int)],
+                      threshold: Double, family: String): DataFrame = {
+    val hs = configs.map { case (b, r) => b * r }.distinct
+    require(hs.size == 1, s"configs must share bands*rowsPerBand: $configs")
+    val numHashes = hs.head
+    val sigs = graft.io.Checkpoints.truncate(
+      df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+        .withColumn("sig", minHashSignature(col("toks"), k, numHashes, family))
+        .select(col("id"), col("sig")),
+      eager = false)
+    val banded = sigs.withColumn("band",
+        explode(array((0 until numHashes).map(lit): _*)))
+      .withColumn("band_key", slice(col("sig"), col("band") + 1, lit(1)))
+      .select(col("id"), col("sig"), col("band"), col("band_key"))
+    // est + band membership are band-local pair functions (same sigs →
+    // same values on every band match), so the threshold filter prunes
+    // candidate rows BEFORE the pair dedup and the dedup aggregates only
+    // narrow scalar rows — the minHashLsh order, for the same reason.
+    val flags = configs.map { case (b, r) =>
+      (if (r == 1) lit(true)
+       else graft.functions.AnyBandEqual(col("a.sig"), col("b.sig"), r))
+        .as(s"__m_${b}_$r")
+    }
+    val paired = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(Seq(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (graft.functions.MatchCount(col("a.sig"), col("b.sig"))
+          .cast("double") / numHashes).as("est_jaccard")) ++ flags: _*)
+      .filter(col("est_jaccard") >= threshold)
+      .distinct()
+    val cfg = explode(array(configs.map { case (b, r) =>
+      struct(lit(b).as("bands"), lit(r).as("rpb"),
+        col(s"__m_${b}_$r").as("m"))
+    }: _*)).as("__cfg")
+    paired.select(col("id_a"), col("id_b"), col("est_jaccard"), cfg)
+      .filter(col("__cfg.m"))
+      .select(col("__cfg.bands").as("bands"), col("__cfg.rpb").as("rpb"),
+        col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Incremental NEAR-dup admission — the production dedup-ingest shape

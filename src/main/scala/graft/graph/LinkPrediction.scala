@@ -34,11 +34,19 @@ object LinkPrediction {
                    maxDegree: Int = 1000): DataFrame = {
     val e = graft.io.Checkpoints.truncate(
       edges.select(col("u"), col("v")), eager = true)
-    val adj = e.select(col("u").as("n"), col("v").as("x"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("x")))
-    val deg = adj.groupBy("n").agg(F.count(lit(1)).as("deg"))
+    // both endpoints in one explode pass (the EdgeLayout symmetrize
+    // device); deg feeds the cap filter AND both closing degree joins,
+    // adjK both sides of the wedge self-join — truncate each so the
+    // adjacency build runs once, not 4-5× (the r17 fan-out seam)
+    val adj = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("x")),
+        struct(col("v").as("n"), col("u").as("x")))).as("__e"))
+      .select(col("__e.n").as("n"), col("__e.x").as("x"))
+    val deg = graft.io.Checkpoints.truncate(
+      adj.groupBy("n").agg(F.count(lit(1)).as("deg")), eager = false)
     val keep = deg.filter(col("deg") <= maxDegree).select("n")
-    val adjK = adj.join(keep, Seq("n"), "left_semi")
+    val adjK = graft.io.Checkpoints.truncate(
+      adj.join(keep, Seq("n"), "left_semi"), eager = false)
     val a = adjK.select(col("n"), col("x").as("u"))
     val b = adjK.select(col("n"), col("x").as("v"))
     val pairs = a.join(b, Seq("n")).filter(col("u") < col("v"))
@@ -62,10 +70,15 @@ object LinkPrediction {
                  maxDegree: Int = 1000): DataFrame = {
     val e = graft.io.Checkpoints.truncate(
       edges.select(col("u"), col("v")), eager = true)
-    val adj = e.select(col("u").as("n"), col("v").as("x"))
-      .unionAll(e.select(col("v").as("n"), col("u").as("x")))
-    val deg = adj.groupBy("n").agg(F.count(lit(1)).as("deg"))
-    val adjK = adj.join(deg.filter(col("deg") <= maxDegree), Seq("n"))
+    // same one-pass adjacency + lineage cuts as jaccardPairs above
+    val adj = e.select(explode(array(
+        struct(col("u").as("n"), col("v").as("x")),
+        struct(col("v").as("n"), col("u").as("x")))).as("__e"))
+      .select(col("__e.n").as("n"), col("__e.x").as("x"))
+    val deg = graft.io.Checkpoints.truncate(
+      adj.groupBy("n").agg(F.count(lit(1)).as("deg")), eager = false)
+    val adjK = graft.io.Checkpoints.truncate(
+      adj.join(deg.filter(col("deg") <= maxDegree), Seq("n")), eager = false)
     val a = adjK.select(col("n"), col("deg"), col("x").as("u"))
     val b = adjK.select(col("n"), col("x").as("v"))
     a.join(b, Seq("n")).filter(col("u") < col("v"))

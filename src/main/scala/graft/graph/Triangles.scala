@@ -34,26 +34,33 @@ object Triangles {
     // so it computes once (the PageRank/CC checkpoint seam)
     val e = graft.io.Checkpoints.truncate(
       edges.select(col("u"), col("v")), eager = true)
-    // undirected degree = occurrences over both endpoint positions
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(F.count(lit(1)).as("deg"))
+    // undirected degree = both endpoints in one explode pass (the
+    // EdgeLayout symmetrize device — the unionAll form scanned the
+    // checkpoint twice); deg is probed 3-5× downstream (orientation
+    // joins, dst-rank join, node/edge count scalars), oriented twice
+    // (wedge build + closing-edge probe) and orientedRanked by both
+    // wedge sides — truncate each so the construction runs once (the
+    // r17 fan-out seam)
+    val deg = graft.io.Checkpoints.truncate(
+      e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(F.count(lit(1)).as("deg")), eager = false)
     // orient by (deg, id): src ≺ dst
     val withDeg = e
       .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
-    val oriented = withDeg.select(
+    val oriented = graft.io.Checkpoints.truncate(withDeg.select(
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("u"))
         .otherwise(col("v")).as("src"),
       when(col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v")), col("v"))
-        .otherwise(col("u")).as("dst"))
+        .otherwise(col("u")).as("dst")), eager = false)
     // carry the ≺-rank of dst so the wedge join emits each unordered leaf
     // pair once (leaf1 ≺ leaf2): the wedge apex is the ≺-SMALLEST corner,
     // and the closing edge leaf1→leaf2 is oriented by the same ≺
-    val orientedRanked = oriented
-      .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), Seq("dst"))
+    val orientedRanked = graft.io.Checkpoints.truncate(oriented
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), Seq("dst")),
+      eager = false)
     val a = orientedRanked.select(col("src"), col("dst").as("w1"), col("ddst").as("d1"))
     val b = orientedRanked.select(col("src"), col("dst").as("w2"), col("ddst").as("d2"))
     val wedges = a.join(b, Seq("src"))

@@ -43,8 +43,9 @@ object GlobalRank {
     * first row. `orderCol` must be unique per row (pre-group ties away,
     * as [[exclusivePrefixSum]] requires). Powers the q281 Pareto
     * frontier; q216's inline copy predates this helper. */
-  def exclusivePrefixMax(df: DataFrame, orderCol: String, valueCol: String,
+  def exclusivePrefixMax(df0: DataFrame, orderCol: String, valueCol: String,
                          nBuckets: Int = 64): DataFrame = {
+    val df = df0
     // internal temp names carry a __gpm_ prefix so caller columns (which
     // often use the house __mn/__mx convention themselves) can't collide
     val b = df.agg(min(col(orderCol)).as("__gpm_mn"),
@@ -77,9 +78,10 @@ object GlobalRank {
     * pass). Adds `cum_before_<w>` per weight column — the shape ECDF-style
     * consumers need (e.g. the two-sample KS statistic: both samples'
     * cumulative counts over one shared value order). */
-  def exclusivePrefixSums(df: DataFrame, orderCol: String,
+  def exclusivePrefixSums(df0: DataFrame, orderCol: String,
                           weightCols: Seq[String],
                           nBuckets: Int = 64): DataFrame = {
+    val df = df0
     val b = df.agg(min(col(orderCol)).as("__mn"), max(col(orderCol)).as("__mx"))
     val bucketed = df.crossJoin(broadcast(b))
       .withColumn("__bkt",

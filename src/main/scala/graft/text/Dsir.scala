@@ -33,13 +33,19 @@ object Dsir {
                         isTarget: Column, topK: Int): DataFrame = {
     val tok = df.select(col(idCol).as("__id"), isTarget.as("__t"),
         explode(Text.tokens(col(textCol))).as("__w"))
-    val scalars = tok.agg(
-      countDistinct(col("__w")).as("__v"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__tt"),
-      count(lit(1)).as("__tr"))
-    val wc = tok.groupBy("__w").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
-      count(lit(1)).as("__cr"))
+    // the three scalars are marginals of the vocab table — deriving them
+    // from wc (truncated: it also feeds the log-ratio join) removes a
+    // whole tokenize+explode+agg corpus pass that the separate
+    // countDistinct aggregate paid (r17; the SortAggregate×2 PLAN_AUDIT
+    // flag was the distinct-rewrite expand of that extra pass)
+    val wc = graft.io.Checkpoints.truncate(
+      tok.groupBy("__w").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr")), eager = false)
+    val scalars = wc.agg(
+      count(lit(1)).as("__v"),
+      sum(col("__ct")).as("__tt"),
+      sum(col("__cr")).as("__tr"))
     // ln of one exact integer ratio (products stay well under 2^53 for any
     // per-shard vocabulary; shard the model, not the math, beyond that).
     // Ratios are kept as exact integer MICRO-units so the per-doc sum is
