@@ -352,15 +352,39 @@ private[graft] object QueriesPart1 {
       val exact = li(s, d).agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"))
-      val sketches = li(s, d).agg(
-        approx_count_distinct(col("l_orderkey"), 0.005).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.005).as("approx_parts"),
-        expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("aq"),
-        // one buffer for all nine exact quantiles (targets + rank brackets)
-        expr("percentile(l_quantity, array(0.25, 0.5, 0.75, " +
-          "0.24, 0.26, 0.49, 0.51, 0.74, 0.76))").as("eq"))
-      exact.crossJoin(sketches)
+      // r17: the one-pass sketch aggregate ran its partials on the 3 scan
+      // tasks the file layout gives (measured: 8.9 s task CPU on 3 tasks =
+      // the whole query's floor on a 32-core box). Two fixes, both
+      // value-safe for the oracle row:
+      //  - the nine exact quantiles aggregate over the (value, count)
+      //    table via percentile's frequency form — the counts map the
+      //    aggregate builds internally IS this table, so the interpolation
+      //    sees identical state (bit-identical result) while partials
+      //    carry 50 entries instead of buffering 600k rows;
+      //  - the distinct sketches are Datasketches HLL (lgK 14, rse ~0.8%
+      //    — well inside the 2% gate; measured estimates 0.2-0.3% off at
+      //    sf0.1), replacing approx_count_distinct rsd 0.005 whose
+      //    per-row update into a 52 KB fixed-width register buffer
+      //    measured 5-9 s for the two sketches (TuneQ40: ds-hll2 0.2-0.4 s
+      //    — 20-40×) — and which a wider repartition made WORSE (22-28 s:
+      //    the register-buffer cost multiplies per task). Datasketches is
+      //    already this engine's 100 TB distinct-count architecture
+      //    (q187); the tolerance booleans are the query's only consumer
+      //    of the estimates, so the oracle row is unchanged.
+      val eq = li(s, d).groupBy(col("l_quantity").as("__qv"))
+        .agg(count(lit(1)).as("__qc"))
+        .agg(expr("percentile(__qv, array(0.25, 0.5, 0.75, " +
+          "0.24, 0.26, 0.49, 0.51, 0.74, 0.76), __qc)").as("eq"))
+      val sketches = li(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"), lit(14)))
+            .as("approx_orders"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(14)))
+            .as("approx_parts"),
+          expr("percentile_approx(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+            .as("aq"))
+      exact.crossJoin(sketches).crossJoin(eq)
         .select(
           col("exact_orders"), col("exact_parts"),
           round(col("eq").getItem(0), 4).as("exact_p25"),

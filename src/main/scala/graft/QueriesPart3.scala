@@ -528,7 +528,14 @@ private[graft] object QueriesPart3 {
         .when(u < 0.9810118431238462, 3L)
         .when(u < 0.9963401531726563, 4L)
         .otherwise(5L)
-      ev(s, d).select(col("event_id"), col("value"),
+      // pre-shuffle by event id before the 32-way replica explode: the
+      // single-row-group events file gives ONE scan task, which serialized
+      // all 3.2M md5 draws (measured 3.3 s task CPU on one core, r17);
+      // the md5 weight is a per-(event, b) function, so partitioning is
+      // value-free and the width rides the session's shuffle partitions
+      ev(s, d).select(col("event_id"), col("value"))
+        .repartition(col("event_id"))
+        .select(col("event_id"), col("value"),
           explode(sequence(lit(0L), lit(31L))).as("b"))
         .withColumn("w", w)
         .groupBy("b")
@@ -725,7 +732,12 @@ private[graft] object QueriesPart3 {
     // inputs are exact integers; conf/lift are integer-ratio doubles
     // rounded 4 dp.
     "q169_lift_rules" -> ((s, d) => {
-      val bk = li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct()
+      // bk feeds the order count, the item supports AND both sides of the
+      // pair self-join — truncate so the distinct pass over lineitem runs
+      // once, not 4× (the q168 fix, r17)
+      val bk = graft.io.Checkpoints.truncate(
+        li(s, d).select(col("l_orderkey"), col("l_partkey")).distinct(),
+        eager = false)
       val nOrders = bk.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("__n"))
       val isup = bk.groupBy(col("l_partkey").as("item"))

@@ -194,7 +194,13 @@ private[graft] object QueriesPart4 {
     // each c·ln c term in integer micro-nats (the q183 device) so the
     // per-doc sum is exact long arithmetic.
     "q195_char_entropy" -> ((s, d) => {
-      val ch = doc(s, d).select(col("doc_id"),
+      // pre-shuffle by doc id before the per-char explode: the
+      // single-row-group documents file gives ONE scan task, which
+      // serialized the whole per-character pass (measured 2.4 s task CPU
+      // on one core, r17); per-doc work is order-free
+      val ch = doc(s, d).select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
           .as("c"))
       val hist = ch.groupBy("doc_id", "c").agg(count(lit(1)).as("nc"))
@@ -616,6 +622,10 @@ private[graft] object QueriesPart4 {
       // BOTH the centroid build and the scoring join — truncate so the
       // expensive token pass runs once, not twice (r17 fan-out seam)
       val feat = graft.io.Checkpoints.truncate(doc(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+        // pre-shuffle by doc id: the single-row-group documents scan
+        // serialized the tokenize+md5 pass on one task (r17)
+        .repartition(col("doc_id"))
         .select(col("doc_id"), col("source"), explode(Text.tokens(col("text"))).as("w"))
         .select(col("doc_id"), col("source"),
           (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)

@@ -463,16 +463,46 @@ private[graft] object QueriesPart6 {
     // join, no sort. Boundaries/interpolation are identical doubles on
     // both engines.
     "q278_equiheight_hist" -> ((s, d) => {
-      // ONE percentile aggregate with an array of probabilities — nine
-      // separate percentile() calls each buffer the whole column (9×
-      // sort, measured 15 s at sf0.1); the array form sorts once (2 s)
-      val b = li(s, d).agg(
-          min(col("l_extendedprice")).as("b0"),
-          expr("percentile(l_extendedprice, " +
-            "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))").as("__bs"),
-          max(col("l_extendedprice")).as("b10"))
-        .select(col("b0") +: (1 to 9).map(j =>
-          col("__bs").getItem(j - 1).as(s"b$j")) :+ col("b10"): _*)
+      // DISTRIBUTED exact percentile (r17). The percentile() aggregate
+      // buffers every partition's values in its partials and merges them
+      // into ONE final task (measured: 2.4 s single-task sort of 600k
+      // doubles at sf0.1 — and a driver-killer buffer at corpus scale,
+      // l_extendedprice is ~97% distinct so the counts map IS the data).
+      // Equivalent scale-safe shape: value-count table + the two-phase
+      // exclusive prefix sum (GlobalRank), then each boundary value is
+      // picked by its index and interpolated with ARITHMETIC IDENTICAL to
+      // Percentile.getPercentile — position = (N−1)·p, lower/higher =
+      // floor/ceil, lowerKey at the row whose [cum_before, cum_before+c)
+      // covers the index, result = (higher−pos)·lk + (pos−lower)·hk with
+      // the two equal-key early returns — so the boundaries are the same
+      // doubles bit for bit (the oracle row is unchanged).
+      val probs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+      // null filter mirrors percentile()'s null-skipping update (a no-op
+      // on this table, stated so N means the same thing in both forms)
+      val vc = graft.io.Checkpoints.truncate(
+        li(s, d).filter(col("l_extendedprice").isNotNull)
+          .groupBy(col("l_extendedprice").as("v"))
+          .agg(count(lit(1)).as("c")), eager = false)
+      val pc = graft.operators.GlobalRank.exclusivePrefixSum(vc, "v", "c")
+      val nRow = vc.agg(sum(col("c")).as("__n"))
+      def pos(j: Int) = (col("__n") - 1).cast("double") * lit(probs(j - 1))
+      def lowerI(j: Int) = floor(pos(j)).cast("long")
+      def higherI(j: Int) = ceil(pos(j)).cast("long")
+      def keyAt(idx: Column) = max(when(
+        col("cum_before") <= idx && idx < col("cum_before") + col("c"),
+        col("v")))
+      val aggs = min(col("v")).as("b0") +: max(col("v")).as("b10") +:
+        max(col("__n")).as("__n") +:
+        (1 to 9).flatMap(j => Seq(
+          keyAt(lowerI(j)).as(s"__lk$j"), keyAt(higherI(j)).as(s"__hk$j")))
+      val picked = pc.crossJoin(broadcast(nRow)).agg(aggs.head, aggs.tail: _*)
+      val b = picked.select(col("b0") +: (1 to 9).map { j =>
+        val (lk, hk) = (col(s"__lk$j"), col(s"__hk$j"))
+        when(higherI(j) === lowerI(j), lk)
+          .when(hk === lk, lk)
+          .otherwise((higherI(j).cast("double") - pos(j)) * lk +
+            (pos(j) - lowerI(j).cast("double")) * hk).as(s"b$j")
+      } :+ col("b10"): _*)
       li(s, d).crossJoin(broadcast(b))
         .withColumn("bucket", (lit(1) + (1 to 9).map(j =>
           when(col("l_extendedprice") > col(s"b$j"), 1).otherwise(0))

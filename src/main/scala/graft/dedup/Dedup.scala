@@ -56,8 +56,13 @@ object Dedup {
     // the tokenize + numHashes-signature pass feeds BOTH sides of the band
     // self-join below, and the self-join's attribute rewrite defeats
     // exchange reuse (the ngramJaccardSelfPairs finding) — truncate lazily
-    // so the corpus signature pass runs once, not twice
+    // so the corpus signature pass runs once, not twice. Pre-shuffled by
+    // doc id first: row-group-bounded scan parallelism serialized the
+    // whole signature pass on one task (the ngramJaccardSelfPairs
+    // finding, r17); signatures are per-row functions, so partitioning
+    // is value-free.
     val sigs = graft.io.Checkpoints.truncate(df
+      .repartition(shufflePartitions(df), col(idCol))
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .withColumn("sig", minHashSignature(col("toks"), k, numHashes, family))
       .select(col("id"), col("sig")), eager = false)
@@ -115,7 +120,8 @@ object Dedup {
     require(hs.size == 1, s"configs must share bands*rowsPerBand: $configs")
     val numHashes = hs.head
     val sigs = graft.io.Checkpoints.truncate(
-      df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      df.repartition(shufflePartitions(df), col(idCol))
+        .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
         .withColumn("sig", minHashSignature(col("toks"), k, numHashes, family))
         .select(col("id"), col("sig")),
       eager = false)
@@ -441,7 +447,15 @@ object Dedup {
     // reliable when spark.graft.checkpointDir is set.
     def shared(d: DataFrame): DataFrame =
       if (materializeShared) graft.io.Checkpoints.truncate(d, eager = false) else d
-    val sets = shared(df.select(col(idCol).as("__id"),
+    // Pre-shuffle the corpus by doc id before the shingle pass: the input
+    // files' row-group layout bounds scan parallelism (measured at sf0.1:
+    // ONE task computed every doc's tokenize+shingle+sort while 31 cores
+    // idled), and this transform costs far more CPU per byte than one
+    // narrow (id, text) shuffle moves — the guide §8 trade in reverse.
+    // Width rides the session's shuffle partitions (scale-adaptive).
+    val sets = shared(df
+      .repartition(shufflePartitions(df), col(idCol))
+      .select(col(idCol).as("__id"),
         array_sort(array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)))
           .as("__set"))
       .filter(size(col("__set")) > 0)
