@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
 private[graft] object QueriesBase {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Session shuffle width for PINNED repartitions: repartition by key
+    * WITHOUT an explicit count is AQE-coalescible, and on the tiny
+    * pre-explode inputs these calls guard (a 0.6-2 MB single-row-group
+    * scan) AQE collapses the exchange back to 1-2 partitions — exactly
+    * the serial stage the repartition exists to widen (r17; the
+    * ngramJaccardSelfPairs pinning rule). */
+  private[graft] def nPart(s: SparkSession): Int =
+    scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200)
+
   private[graft] def li(s: SparkSession, d: String)  = Tables.lineitem(s, d)
   private[graft] def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private[graft] def ev(s: SparkSession, d: String)  = Tables.events(s, d)

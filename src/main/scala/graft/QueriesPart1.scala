@@ -824,9 +824,13 @@ private[graft] object QueriesPart1 {
     // is identical. N arrives as a broadcast 1-row cross join, never a
     // driver-side collect.
     "q79_tfidf_topk" -> ((s, d) => {
-      val tf = doc(s, d)
+      // pre-shuffle by doc id (single-row-group scan serialized the
+      // tokenize, r17) and truncate: tf feeds the doc-frequency agg AND
+      // the scoring join, so the token pass otherwise runs twice
+      val tf = graft.io.Checkpoints.truncate(doc(s, d)
+        .repartition(nPart(s), col("doc_id"))
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")), eager = false)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df_docs"))
       val nDocs = doc(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id")

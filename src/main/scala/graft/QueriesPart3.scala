@@ -534,7 +534,7 @@ private[graft] object QueriesPart3 {
       // the md5 weight is a per-(event, b) function, so partitioning is
       // value-free and the width rides the session's shuffle partitions
       ev(s, d).select(col("event_id"), col("value"))
-        .repartition(col("event_id"))
+        .repartition(nPart(s), col("event_id"))
         .select(col("event_id"), col("value"),
           explode(sequence(lit(0L), lit(31L))).as("b"))
         .withColumn("w", w)

@@ -179,8 +179,10 @@ private[graft] object QueriesPart4 {
     // then the q30 rank-prune — window input is the |source × gram|
     // COUNT table, never the token stream.
     "q194_wimbd_topk" -> ((s, d) => {
-      val toks = doc(s, d).select(col("source"),
-        Text.tokens(col("text")).as("__toks"))
+      // pre-shuffle by doc id: single-row-group scan serialized the
+      // tokenize+3-gram pass on one task (r17)
+      val toks = doc(s, d).repartition(nPart(s), col("doc_id"))
+        .select(col("source"), Text.tokens(col("text")).as("__toks"))
       val counts = toks.select(col("source"),
         explode(Text.ngramsFromTokens(col("__toks"), 3)).as("gram"))
         .groupBy("source", "gram").agg(count(lit(1)).as("cnt"))
@@ -199,7 +201,7 @@ private[graft] object QueriesPart4 {
       // serialized the whole per-character pass (measured 2.4 s task CPU
       // on one core, r17); per-doc work is order-free
       val ch = doc(s, d).select(col("doc_id"), col("text"))
-        .repartition(col("doc_id"))
+        .repartition(nPart(s), col("doc_id"))
         .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
           .as("c"))
@@ -625,7 +627,7 @@ private[graft] object QueriesPart4 {
         .select(col("doc_id"), col("source"), col("text"))
         // pre-shuffle by doc id: the single-row-group documents scan
         // serialized the tokenize+md5 pass on one task (r17)
-        .repartition(col("doc_id"))
+        .repartition(nPart(s), col("doc_id"))
         .select(col("doc_id"), col("source"), explode(Text.tokens(col("text"))).as("w"))
         .select(col("doc_id"), col("source"),
           (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)

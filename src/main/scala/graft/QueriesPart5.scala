@@ -61,8 +61,14 @@ private[graft] object QueriesPart5 {
         .select(col("vec_id"), col("label"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
         .withColumn("nrm", graft.functions.NormD(col("v")))
+      // pre-shuffle the query side by vec_id: the broadcast cross join's
+      // parallelism is the STREAM side's partitioning, and the
+      // single-row-group embeddings file gave it one task (measured:
+      // the whole 4M-pair dot loop on one core, 4.6 s task CPU, r17);
+      // per-pair kernels are pure functions, so partitioning is value-free
       val pairs = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("v").as("qv"), col("nrm").as("qn"))
+        .repartition(nPart(s), col("qid"))
         .crossJoin(e.select(col("vec_id").as("nid"),
           col("label").as("nlabel"), col("v").as("nv"), col("nrm").as("nn")))
         .filter(col("qid") =!= col("nid"))
@@ -948,7 +954,10 @@ private[graft] object QueriesPart5 {
     // buffers are immutable → the profiler's whole aggregation would
     // SortAggregate the unpivoted corpus; PLAN_AUDIT caught it).
     "q261_analyze_columns" -> ((s, d) =>
-      ord(s, d).selectExpr(
+      // pre-shuffle by order key: the 6-way stack + partial distinct agg
+      // ran on the single-row-group orders scan's ONE task (measured
+      // 4.1 s task CPU, r17); stack output is per-row, partitioning-free
+      ord(s, d).repartition(nPart(s), col("o_orderkey")).selectExpr(
         """stack(6,
           | 'o_orderkey', CAST(o_orderkey AS STRING),
           | 'o_custkey', CAST(o_custkey AS STRING),

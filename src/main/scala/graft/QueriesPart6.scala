@@ -217,8 +217,12 @@ private[graft] object QueriesPart6 {
     // the mean divides by 16 (a power of two) so even the double is
     // bit-exact with no rounding.
     "q269_patch_grid" -> ((s, d) =>
+      // pre-shuffle by media id: the patch explode + per-patch feature
+      // pass ran on the single-row-group documents scan's ONE task
+      // (measured 2.7 s task CPU, r17); per-patch work is row-local
       graft.multimodal.Multimodal.patchGrid(
-        graft.multimodal.Multimodal.mediaFromText(doc(s, d), "doc_id", "text"),
+        graft.multimodal.Multimodal.mediaFromText(doc(s, d), "doc_id", "text")
+          .repartition(nPart(s), col("media_id")),
         width = 16, patch = 4)),
     // Distinctive terms per source — Monroe et al.'s log-odds with an
     // informative Dirichlet prior (the corpus-analysis "what makes source

@@ -57,8 +57,14 @@ object RepeatedSpans {
   def perDoc(df: DataFrame, textCol: String, idCol: String,
              k: Int = 5, minDocs: Int = 2): DataFrame = {
     // tokenize in its own projection so the n-gram HOF reads an attribute,
-    // not a re-evaluated split (see Text.ngramsFromTokens)
-    val base = df.select(col(idCol).as("__id"),
+    // not a re-evaluated split (see Text.ngramsFromTokens). Pre-shuffled
+    // by doc id: the input's row-group layout bounds scan parallelism
+    // (measured at sf0.1: each branch's tokenize+gram pass serialized on
+    // one task), and the narrow (id, text) shuffle costs far less than
+    // the gram work it parallelizes — recompute-over-materialize is
+    // unchanged, each recompute just runs wide (r17).
+    val base = df.repartition(widePartitions(df), col(idCol))
+      .select(col(idCol).as("__id"),
         Text.tokens(col(textCol)).as("__toks"))
       .select(col("__id"), size(col("__toks")).cast("long").as("__nt"),
         Text.ngramsFromTokens(col("__toks"), k).as("__grams"))
@@ -109,4 +115,13 @@ object RepeatedSpans {
         round(coalesce(col("__ndup"), lit(0L)).cast("double") /
           greatest(col("__nt") - (k - 1), lit(1L)), 6).as("dup_frac"))
   }
+  /** Pinned width for the pre-tokenize repartition: a by-key repartition
+    * without an explicit count is AQE-coalescible, and the tiny
+    * pre-explode input bytes make AQE collapse it back to 1-2 partitions
+    * (r17; the ngramJaccardSelfPairs pinning rule). */
+  private def widePartitions(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(200)
+
 }
