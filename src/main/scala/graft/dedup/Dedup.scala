@@ -447,14 +447,14 @@ object Dedup {
     // reliable when spark.graft.checkpointDir is set.
     def shared(d: DataFrame): DataFrame =
       if (materializeShared) graft.io.Checkpoints.truncate(d, eager = false) else d
-    // Pre-shuffle the corpus by doc id before the shingle pass: the input
-    // files' row-group layout bounds scan parallelism (measured at sf0.1:
-    // ONE task computed every doc's tokenize+shingle+sort while 31 cores
-    // idled), and this transform costs far more CPU per byte than one
-    // narrow (id, text) shuffle moves — the guide §8 trade in reverse.
-    // Width rides the session's shuffle partitions (scale-adaptive).
+    // NOTE (r17): a pinned pre-shuffle before the shingle pass (the
+    // minHashLsh device) was measured here and REVERTED — the full-suite
+    // A/B put the ngramJaccard consumer family at +3.5 s net (q124 +1.2,
+    // q232 +0.8, q205 +0.7) despite the shingle stage's single-task scan:
+    // this operator's wall is dominated by the candidate+verify stages,
+    // which are already width-pinned below, and the extra exchange +
+    // wider checkpoint blocks cost more than the serial shingle pass.
     val sets = shared(df
-      .repartition(shufflePartitions(df), col(idCol))
       .select(col(idCol).as("__id"),
         array_sort(array_distinct(Text.shingleHashes(Text.tokens(col(textCol)), k)))
           .as("__set"))

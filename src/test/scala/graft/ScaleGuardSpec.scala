@@ -131,10 +131,26 @@ class ScaleGuardSpec extends AnyFunSuite {
   }
 
   test("q200_link_prediction: hub-degree cap prunes apexes before the wedge self-join") {
-    // the Σ deg² wedge join must consume the semi-join-filtered adjacency;
-    // if the cap moves after the join it no longer bounds the blowup.
-    val plan = executedPlan("q200_link_prediction")
-    assert(plan.contains("LeftSemi"),
-      s"expected the deg<=cap apex semi-join feeding the wedge join:\n$plan")
+    // r17: the capped adjacency is lineage-truncated, so the semi join
+    // runs at checkpoint materialization and no longer renders in the
+    // final plan — assert the cap's PLACEMENT by value instead, on a
+    // fixture where it is observable: a deg-5 hub shared by (1, 2) must
+    // not count toward their common-neighbor total (apex enumeration is
+    // capped), while the jaccard denominator keeps FULL degrees.
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L),
+      (1L, 10L), (2L, 10L), (1L, 11L), (2L, 11L)).toDF("u", "v")
+    val out = graft.graph.LinkPrediction
+      .jaccardPairs(edges, minCommon = 2, maxDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // common(1,2) = 2 (apexes 10 and 11; the deg-5 hub 100 is pruned —
+    // a post-join cap would read 3); denominator = full deg 3 + 3 − 2
+    assert(out((1L, 2L)) == (2L, 0.5), out)
+    // no pair survives on hub-only evidence: (3,4)/(3,5)/(4,5) share
+    // ONLY the pruned hub and must be absent
+    assert(!out.contains((3L, 4L)) && !out.contains((3L, 5L)) &&
+      !out.contains((4L, 5L)), out)
   }
 }
