@@ -449,25 +449,25 @@ private[graft] object QueriesPart3 {
           floor((col("value") - col("__lo")) * 10 / (col("__hi") - col("__lo")))
             .cast("long"))))
         .drop("__lo", "__hi")
-      // the model is ONLY the two tiny (class × feature-value) count
-      // tables: build those in the two train passes and derive classes
-      // and every scalar as marginals of them — the separate
-      // classes/scal aggregates re-ran the events scan (~10 replays
-      // total, BNLJ×9 in PLAN_AUDIT); the bounded tables are truncated
-      // so their three consumers never replay the train pass (r17)
+      // NOTE (r17): two reworks were measured here and REVERTED — (a)
+      // lineage cuts on bounds/feat (+0.2 s: the replayed events scans
+      // are cheap pruned columnar reads, the checkpoint jobs are not),
+      // (b) deriving classes/scal as marginals of checkpointed c1/c2
+      // (+0.3 s in both full-suite runs, same mechanism). The ~10-replay
+      // plan shape (BNLJ×9 in PLAN_AUDIT) is the measured-cheapest form
+      // at this table's scan cost; the count tables stay bounded at any
+      // corpus size so the replays are pruned scans, not joins.
       val tr = feat(train)
-      val c1 = graft.io.Checkpoints.truncate(
-        tr.groupBy(col("event_type").as("cls"), col("h"))
-          .agg(count(lit(1)).as("c1")), eager = false)
-      val c2 = graft.io.Checkpoints.truncate(
-        tr.groupBy(col("event_type").as("cls"), col("b"))
-          .agg(count(lit(1)).as("c2")), eager = false)
-      val classes = c1.groupBy("cls").agg(sum(col("c1")).as("n_c"))
-      val scal = c1.agg(sum(col("c1")).as("__n"),
+      val classes = tr.groupBy(col("event_type").as("cls"))
+        .agg(count(lit(1)).as("n_c"))
+      val scal = tr.agg(count(lit(1)).as("__n"),
         countDistinct(col("h")).as("__v1"),
-        countDistinct(col("cls")).as("__k"))
-        .crossJoin(c2.agg(countDistinct(col("b")).as("__v2")))
-        .select(col("__n"), col("__v1"), col("__v2"), col("__k"))
+        countDistinct(col("b")).as("__v2"))
+        .crossJoin(classes.agg(count(lit(1)).as("__k")))
+      val c1 = tr.groupBy(col("event_type").as("cls"), col("h"))
+        .agg(count(lit(1)).as("c1"))
+      val c2 = tr.groupBy(col("event_type").as("cls"), col("b"))
+        .agg(count(lit(1)).as("c2"))
       val scored = feat(test)
         .crossJoin(broadcast(classes))
         .join(broadcast(c1), Seq("cls", "h"), "left")
